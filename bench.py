@@ -1,0 +1,69 @@
+"""Benchmark harness: runs headline queries at $SPARK_GRAFT_SF_DIR
+(default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints one
+JSON line: {"metric": ..., "value": N, "unit": "sec", "queries": {...}, "sf": ...}.
+
+Posture (BASELINE.md): one shared SparkSession, AQE on, modest shuffle
+partitions, no Python UDFs on hot paths. Each query is forced to execute
+fully via a count-collect of the final plan (no toPandas materialization
+cost, no driver-side row transfer skew).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+#: Headline queries benched per round. Chosen to span scan/filter, the
+#: shuffle-heavy star join, window functions, and an LLM-pipeline op.
+HEADLINE = [
+    "agg_basic",
+    "join_inner_equi",
+    "join_broadcast",
+    "win_running_sum",
+    "topk_per_group",
+    "agg_rollup",
+    "dedup_exact",
+    "sim_cosine_topk",
+    "text_tfidf",
+]
+
+
+def main() -> None:
+    from xlsx_to_database_spark.registry import all_queries
+    from xlsx_to_database_spark.session import get_spark
+
+    spark = get_spark("bench")
+    qs = all_queries()
+    names = [n for n in HEADLINE if n in qs] or sorted(qs)[:5]
+
+    # Warm the session: JVM/codegen/Python-worker spin-up is not the
+    # steady-state cost a cluster would see per query.
+    spark.read.parquet(os.path.join(SF_DIR, "lineitem.parquet")).count()
+
+    timings: dict[str, float] = {}
+    for name in names:
+        t0 = time.perf_counter()
+        df = qs[name](spark, SF_DIR)
+        n = df.count()
+        timings[name] = round(time.perf_counter() - t0, 4)
+        print(f"# {name}: {timings[name]:.3f}s ({n} rows)", file=sys.stderr)
+
+    sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
+    out = {
+        "metric": "headline_suite_wall_clock",
+        "value": round(sum(timings.values()), 4),
+        "unit": "sec",
+        "queries": timings,
+        "sf": float(sf) if sf.replace(".", "").isdigit() else SF_DIR,
+    }
+    print(json.dumps(out))
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,131 @@
+"""Local mirror of the driver's t2 correctness gate.
+
+Runs every ``queries()[name]`` on Spark and, where an oracle exists, the
+matching SQL in DuckDB over the same parquet tables; compares row count,
+column names, and an order-insensitive value hash. Usage:
+
+    python tools/check_correctness.py [sf_dir] [op_id ...]
+
+Exit code 0 iff every checked op matches.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import math
+import sys
+from datetime import date, datetime
+
+import duckdb
+
+sys.path.insert(0, "/root/repo")
+
+
+def _norm_cell(v):
+    """Normalize a cell to a hash-stable string across engines."""
+    if v is None:
+        return "NULL"
+    if isinstance(v, bool):
+        return "true" if v else "false"
+    if isinstance(v, float):
+        if math.isnan(v):
+            return "NaN"
+        if v == int(v) and abs(v) < 1e15:
+            return str(int(v))
+        return repr(round(v, 9))
+    if isinstance(v, datetime):
+        return v.strftime("%Y-%m-%d %H:%M:%S.%f")
+    if isinstance(v, date):
+        return v.isoformat()
+    if isinstance(v, (list, tuple)):
+        return "[" + ",".join(_norm_cell(x) for x in v) + "]"
+    if isinstance(v, dict):
+        return "{" + ",".join(f"{k}:{_norm_cell(x)}" for k, x in sorted(v.items())) + "}"
+    return str(v)
+
+
+def value_hash(rows, colnames):
+    """Order-insensitive hash: sort columns by name, then rows lexically."""
+    order = sorted(range(len(colnames)), key=lambda i: colnames[i])
+    lines = sorted("\x1f".join(_norm_cell(r[i]) for i in order) for r in rows)
+    h = hashlib.sha256()
+    for line in lines:
+        h.update(line.encode())
+        h.update(b"\n")
+    return h.hexdigest()
+
+
+def main() -> int:
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 and "/" in sys.argv[1] else "/root/testdata/sf0.01"
+    only = set(a for a in sys.argv[1:] if "/" not in a)
+
+    import __spark_entry__ as entry_mod
+    from xlsx_to_database_spark.session import get_spark
+
+    spark = get_spark("correctness-check")
+    qs, oracles = entry_mod.queries(), entry_mod.oracle_sql()
+
+    con = duckdb.connect()
+    for t in (
+        "region nation customer supplier part orders lineitem events documents embeddings".split()
+    ):
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')"
+        )
+
+    failures, n_checked = [], 0
+    for name, fn in sorted(qs.items()):
+        if only and name not in only:
+            continue
+        n_checked += 1
+        try:
+            sdf = fn(spark, sf_dir)
+            srows = sdf.collect()
+            scols = sdf.columns
+        except Exception as e:  # noqa: BLE001
+            failures.append((name, f"SPARK ERROR: {e}"))
+            print(f"✗ {name}: spark error: {str(e)[:300]}")
+            continue
+        if name not in oracles:
+            print(f"· {name}: rows-only ({len(srows)} rows)")
+            if len(srows) == 0:
+                failures.append((name, "rows-only op returned 0 rows"))
+            continue
+        try:
+            cur = con.execute(oracles[name])
+            dcols = [d[0] for d in cur.description]
+            drows = cur.fetchall()
+        except Exception as e:  # noqa: BLE001
+            failures.append((name, f"DUCKDB ERROR: {e}"))
+            print(f"✗ {name}: duckdb error: {str(e)[:300]}")
+            continue
+        problems = []
+        if len(srows) != len(drows):
+            problems.append(f"rowcount spark={len(srows)} duck={len(drows)}")
+        if sorted(scols) != sorted(dcols):
+            problems.append(f"cols spark={sorted(scols)} duck={sorted(dcols)}")
+        if not problems:
+            sh = value_hash([tuple(r) for r in srows], scols)
+            dh = value_hash(drows, dcols)
+            if sh != dh:
+                problems.append("value-hash mismatch")
+                sset = {tuple(_norm_cell(x) for x in r) for r in (tuple(r) for r in srows)}
+                # align duck cols to spark col order for the diff
+                remap = [dcols.index(c) for c in scols]
+                dset = {tuple(_norm_cell(r[i]) for i in remap) for r in drows}
+                for r in list(sset - dset)[:3]:
+                    problems.append(f"  spark-only: {r}")
+                for r in list(dset - sset)[:3]:
+                    problems.append(f"  duck-only:  {r}")
+        if problems:
+            failures.append((name, "; ".join(problems)))
+            print(f"✗ {name}: " + " | ".join(problems))
+        else:
+            print(f"✓ {name} ({len(srows)} rows)")
+
+    print(f"\n{n_checked} checked, {len(failures)} failed")
+    return 1 if failures else 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

@@ -1,0 +1,94 @@
+"""Query registry: the single source of truth wiring SURVEY.md §2 op ids
+to (Spark implementation, DuckDB oracle SQL) pairs.
+
+``__spark_entry__.queries()`` / ``oracle_sql()`` are thin views over this
+registry. Every registered callable takes ``(spark, sf_dir)`` and returns
+a DataFrame; the adjacent oracle string is ANSI SQL DuckDB 1.0 can run on
+the same parquet tables (pre-registered views). Ops marked rows-only
+(``oracle=None``) get the driver's weaker row-count-only check.
+
+Correctness discipline baked in here (SURVEY.md §5):
+- alias every computed column identically in both engines;
+- round double aggregates on BOTH sides (float summation order differs);
+- total ordering for window tie-breaks;
+- no RNG-/hash-dependent expressions in oracled queries.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+from typing import Optional
+
+from pyspark.sql import DataFrame, SparkSession
+
+from xlsx_to_database_spark.session import tune_session
+
+QueryFn = Callable[[SparkSession, str], DataFrame]
+
+_QUERIES: dict[str, QueryFn] = {}
+_ORACLES: dict[str, str] = {}
+
+
+def query(name: str, oracle: Optional[str] = None) -> Callable[[QueryFn], QueryFn]:
+    """Register ``fn`` as the Spark impl for op id ``name``.
+
+    ``oracle`` is the DuckDB SQL equivalent; ``None`` marks a rows-only op
+    (non-SQL-expressible: custom sources, streaming state, RNG sampling).
+    """
+
+    def deco(fn: QueryFn) -> QueryFn:
+        def wrapped(spark: SparkSession, sf_dir: str) -> DataFrame:
+            tune_session(spark)
+            return fn(spark, sf_dir)
+
+        wrapped.__name__ = fn.__name__
+        wrapped.__doc__ = fn.__doc__
+        if name in _QUERIES:
+            raise ValueError(f"duplicate op id {name!r}")
+        _QUERIES[name] = wrapped
+        if oracle is not None:
+            _ORACLES[name] = oracle.strip()
+        return fn
+
+    return deco
+
+
+def all_queries() -> dict[str, QueryFn]:
+    _load_all()
+    return dict(_QUERIES)
+
+
+def all_oracles() -> dict[str, str]:
+    _load_all()
+    return dict(_ORACLES)
+
+
+_LOADED = False
+
+
+def _load_all() -> None:
+    """Import every query module exactly once (imports populate the dicts)."""
+    global _LOADED
+    if _LOADED:
+        return
+    # Import order mirrors SURVEY.md §7 build order; each module guards
+    # itself so one bad module can't take down the whole inventory.
+    import importlib
+
+    for mod in (
+        "xlsx_to_database_spark.queries.core",
+        "xlsx_to_database_spark.queries.joins",
+        "xlsx_to_database_spark.queries.aggregates",
+        "xlsx_to_database_spark.queries.windows",
+        "xlsx_to_database_spark.queries.sort_set",
+        "xlsx_to_database_spark.queries.scalar_functions",
+        "xlsx_to_database_spark.queries.sources_sinks",
+        "xlsx_to_database_spark.queries.streaming",
+        "xlsx_to_database_spark.queries.llm_ops",
+        "xlsx_to_database_spark.queries.udf_surface",
+    ):
+        try:
+            importlib.import_module(mod)
+        except ModuleNotFoundError:
+            pass  # module not built yet (incremental rounds)
+    _LOADED = True
