@@ -1,0 +1,335 @@
+"""Join operators (SURVEY.md §2.3) over the TPC-H-ish star schema.
+
+Scale posture: equi joins are declared, not hand-scheduled — Catalyst
+picks broadcast-hash vs sort-merge from size stats and AQE re-plans at
+runtime. We only *force* broadcast where the dimension is bounded by
+domain semantics (region=5, nation=25 rows at ANY scale factor — safe at
+100 TB). The as-of join is the one operator Spark SQL lacks natively; it
+is built as a union + ordered-window `last(ignoreNulls)` pass, which
+shuffles each side ONCE on the join key (same cost as a sort-merge join)
+instead of exploding a range cross-product.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from xlsx_to_database_spark.catalog import table, tables
+from xlsx_to_database_spark.registry import query
+
+
+@query(
+    "join_inner_equi",
+    """
+    SELECT l.l_orderkey, l.l_linenumber, l.l_extendedprice,
+           o.o_orderdate, o.o_orderstatus
+    FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+    WHERE o.o_orderstatus = 'F'
+    """,
+)
+def join_inner_equi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fact-fact equi join; planner's choice (sort-merge at scale, AQE may
+    demote to broadcast at tiny sf)."""
+    li, o = tables(spark, sf_dir, "lineitem", "orders")
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey, "inner")
+        .filter(o.o_orderstatus == "F")
+        .select("l_orderkey", "l_linenumber", "l_extendedprice", "o_orderdate", "o_orderstatus")
+    )
+
+
+@query(
+    "join_broadcast",
+    """
+    SELECT r.r_name, count(*) AS num_customers,
+           round(sum(c.c_acctbal), 2) AS total_bal
+    FROM customer c
+    JOIN nation n ON c.c_nationkey = n.n_nationkey
+    JOIN region r ON n.n_regionkey = r.r_regionkey
+    GROUP BY r.r_name
+    """,
+)
+def join_broadcast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two forced broadcast joins: nation (25 rows) and region (5 rows) are
+    domain-bounded, so broadcasting is safe at any scale — the fact side
+    never shuffles for the join, only for the final 5-key aggregate."""
+    c, n, r = tables(spark, sf_dir, "customer", "nation", "region")
+    return (
+        c.join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .groupBy("r_name")
+        .agg(
+            F.count(F.lit(1)).alias("num_customers"),
+            F.round(F.sum("c_acctbal"), 2).alias("total_bal"),
+        )
+    )
+
+
+@query(
+    "join_left",
+    """
+    SELECT c.c_custkey, c.c_name, o.o_orderkey, o.o_totalprice
+    FROM customer c LEFT JOIN orders o
+      ON c.c_custkey = o.o_custkey AND o.o_totalprice > 300000
+    """,
+)
+def join_left(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Left outer with an extra join-side predicate (null-extends customers
+    with no qualifying order — exercises the ON-vs-WHERE distinction)."""
+    c, o = tables(spark, sf_dir, "customer", "orders")
+    return c.join(
+        o, (c.c_custkey == o.o_custkey) & (o.o_totalprice > 300000), "left"
+    ).select("c_custkey", "c_name", "o_orderkey", "o_totalprice")
+
+
+@query(
+    "join_right",
+    """
+    SELECT o.o_orderkey, o.o_orderdate, c.c_name
+    FROM orders o RIGHT JOIN customer c ON o.o_custkey = c.c_custkey
+    """,
+)
+def join_right(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o, c = tables(spark, sf_dir, "orders", "customer")
+    return o.join(c, o.o_custkey == c.c_custkey, "right").select(
+        "o_orderkey", "o_orderdate", "c_name"
+    )
+
+
+@query(
+    "join_full",
+    """
+    WITH big_cust AS (SELECT c_custkey, c_name FROM customer WHERE c_acctbal > 9000),
+         big_ord  AS (SELECT o_custkey, count(*) AS n_orders FROM orders
+                      WHERE o_totalprice > 250000 GROUP BY o_custkey)
+    SELECT b.c_custkey, b.c_name, g.o_custkey, g.n_orders
+    FROM big_cust b FULL OUTER JOIN big_ord g ON b.c_custkey = g.o_custkey
+    """,
+)
+def join_full(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full outer between two filtered sides so both null-extension
+    directions actually occur."""
+    c, o = tables(spark, sf_dir, "customer", "orders")
+    big_cust = c.filter(F.col("c_acctbal") > 9000).select("c_custkey", "c_name")
+    big_ord = (
+        o.filter(F.col("o_totalprice") > 250000)
+        .groupBy("o_custkey")
+        .agg(F.count(F.lit(1)).alias("n_orders"))
+    )
+    return big_cust.join(big_ord, big_cust.c_custkey == big_ord.o_custkey, "full").select(
+        "c_custkey", "c_name", "o_custkey", "n_orders"
+    )
+
+
+@query(
+    "join_semi",
+    """
+    SELECT c.c_custkey, c.c_name
+    FROM customer c
+    WHERE EXISTS (SELECT 1 FROM orders o
+                  WHERE o.o_custkey = c.c_custkey AND o.o_orderstatus = 'P')
+    """,
+)
+def join_semi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Existence filter — left-semi never duplicates or widens rows."""
+    c, o = tables(spark, sf_dir, "customer", "orders")
+    return c.join(
+        o.filter(o.o_orderstatus == "P"), c.c_custkey == o.o_custkey, "left_semi"
+    ).select("c_custkey", "c_name")
+
+
+@query(
+    "join_anti",
+    """
+    SELECT c.c_custkey, c.c_name
+    FROM customer c
+    WHERE NOT EXISTS (SELECT 1 FROM orders o
+                      WHERE o.o_custkey = c.c_custkey
+                        AND o.o_orderpriority = '1-URGENT')
+    """,
+)
+def join_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Non-existence filter: customers with no urgent order. (Every
+    customer has *some* order in the testdata, so the filtered form keeps
+    the result non-trivial.)"""
+    c, o = tables(spark, sf_dir, "customer", "orders")
+    return c.join(
+        o.filter(o.o_orderpriority == "1-URGENT"), c.c_custkey == o.o_custkey, "left_anti"
+    ).select("c_custkey", "c_name")
+
+
+@query(
+    "join_cross",
+    """
+    SELECT r.r_name, n.n_name
+    FROM region r CROSS JOIN nation n
+    """,
+)
+def join_cross(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cartesian product of the two bounded dims (5×25). Cross joins are
+    only ever sane on domain-bounded inputs; anything else is a bug at
+    scale, so this operator is deliberately dimension-only."""
+    r, n = tables(spark, sf_dir, "region", "nation")
+    return r.crossJoin(n).select("r_name", "n_name")
+
+
+@query(
+    "join_theta",
+    """
+    SELECT a.s_suppkey AS low_supp, b.s_suppkey AS high_supp,
+           a.s_nationkey AS nationkey,
+           round(b.s_acctbal - a.s_acctbal, 2) AS bal_gap
+    FROM supplier a JOIN supplier b
+      ON a.s_nationkey = b.s_nationkey AND a.s_acctbal < b.s_acctbal
+    """,
+)
+def join_theta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Non-equi predicate riding on an equi key: the planner keeps the
+    nationkey shuffle (sort-merge) and applies the < as a post-condition —
+    no cartesian blow-up at scale."""
+    s = table(spark, sf_dir, "supplier")
+    a, b = s.alias("a"), s.alias("b")
+    return a.join(
+        b,
+        (F.col("a.s_nationkey") == F.col("b.s_nationkey"))
+        & (F.col("a.s_acctbal") < F.col("b.s_acctbal")),
+    ).select(
+        F.col("a.s_suppkey").alias("low_supp"),
+        F.col("b.s_suppkey").alias("high_supp"),
+        F.col("a.s_nationkey").alias("nationkey"),
+        F.round(F.col("b.s_acctbal") - F.col("a.s_acctbal"), 2).alias("bal_gap"),
+    )
+
+
+@query(
+    "join_asof",
+    """
+    WITH purchases AS (
+      SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase'
+    ), clicks AS (
+      SELECT user_id, ts, max(event_id) AS click_id
+      FROM events WHERE event_type = 'click' GROUP BY user_id, ts
+    )
+    SELECT p.event_id, p.user_id, c.click_id AS last_click_id, c.ts AS last_click_ts
+    FROM purchases p ASOF LEFT JOIN clicks c
+      ON p.user_id = c.user_id AND c.ts <= p.ts
+    """,
+)
+def join_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join: for each purchase, the user's latest click at-or-before it.
+
+    Spark has no native ASOF JOIN, so this uses the scalable union-window
+    pattern: tag both sides, union, window per user ordered by (ts, side)
+    with clicks sorted before purchases at equal ts (matching ASOF's
+    inclusive `<=`), and carry the last non-null click forward. One
+    shuffle on user_id total — same cost as a single sort-merge join,
+    no range cross-product. Clicks are pre-deduped per (user, ts) with
+    max(event_id) so ties are deterministic in both engines.
+    """
+    ev = table(spark, sf_dir, "events")
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts", F.lit(1).alias("side")
+    )
+    p_side = purchases.withColumn("click_id", F.lit(None).cast("long"))
+    c_side = (
+        ev.filter(F.col("event_type") == "click")
+        .groupBy("user_id", "ts")
+        .agg(F.max("event_id").alias("click_id"))
+        .select(
+            F.lit(None).cast("long").alias("event_id"),
+            "user_id",
+            "ts",
+            F.lit(0).alias("side"),
+            "click_id",
+        )
+    )
+    unioned = p_side.unionByName(c_side)
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.col("ts"), F.col("side"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    enriched = unioned.select(
+        "event_id",
+        "user_id",
+        "side",
+        F.col("ts"),
+        F.last("click_id", ignorenulls=True).over(w).alias("last_click_id"),
+        F.last(F.when(F.col("click_id").isNotNull(), F.col("ts")), ignorenulls=True)
+        .over(w)
+        .alias("last_click_ts"),
+    )
+    return enriched.filter(F.col("side") == 1).select(
+        "event_id", "user_id", "last_click_id", "last_click_ts"
+    )
+
+
+@query(
+    "join_interval",
+    """
+    WITH purchases AS (
+      SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase'
+    ), clicks AS (
+      SELECT user_id, ts FROM events WHERE event_type = 'click'
+    )
+    SELECT p.event_id, p.user_id,
+           count(c.ts) AS clicks_prev_24h
+    FROM purchases p LEFT JOIN clicks c
+      ON p.user_id = c.user_id
+     AND c.ts >= p.ts - INTERVAL 24 HOURS
+     AND c.ts < p.ts
+    GROUP BY p.event_id, p.user_id
+    """,
+)
+def join_interval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interval join: clicks in the 24h window before each purchase.
+
+    The equi user_id key keeps this a sort-merge join with a range
+    residual — per-user data is bounded, so no blow-up at scale. (A
+    pure range join with no equi key would instead want bucketed time
+    binning; see streaming ops for the binned pattern.)
+    """
+    ev = table(spark, sf_dir, "events")
+    p = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id"), F.col("user_id").alias("p_user"), F.col("ts").alias("p_ts")
+    )
+    c = ev.filter(F.col("event_type") == "click").select(
+        F.col("user_id").alias("c_user"), F.col("ts").alias("c_ts")
+    )
+    joined = p.join(
+        c,
+        (F.col("p_user") == F.col("c_user"))
+        & (F.col("c_ts") >= F.col("p_ts") - F.expr("INTERVAL 24 HOURS"))
+        & (F.col("c_ts") < F.col("p_ts")),
+        "left",
+    )
+    return joined.groupBy("event_id", "p_user").agg(
+        F.count("c_ts").alias("clicks_prev_24h")
+    ).select(F.col("event_id"), F.col("p_user").alias("user_id"), "clicks_prev_24h")
+
+
+@query(
+    "join_self",
+    """
+    SELECT a.l_orderkey AS orderkey,
+           a.l_linenumber AS line_a, b.l_linenumber AS line_b,
+           round(a.l_extendedprice + b.l_extendedprice, 2) AS pair_price
+    FROM lineitem a JOIN lineitem b
+      ON a.l_orderkey = b.l_orderkey AND a.l_linenumber < b.l_linenumber
+    """,
+)
+def join_self(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Self-join: unordered pairs of lineitems within an order."""
+    li = table(spark, sf_dir, "lineitem")
+    a, b = li.alias("a"), li.alias("b")
+    return a.join(
+        b,
+        (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+        & (F.col("a.l_linenumber") < F.col("b.l_linenumber")),
+    ).select(
+        F.col("a.l_orderkey").alias("orderkey"),
+        F.col("a.l_linenumber").alias("line_a"),
+        F.col("b.l_linenumber").alias("line_b"),
+        F.round(F.col("a.l_extendedprice") + F.col("b.l_extendedprice"), 2).alias("pair_price"),
+    )

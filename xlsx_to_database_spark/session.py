@@ -29,6 +29,10 @@ RUNTIME_CONFS: dict[str, str] = {
     "spark.sql.shuffle.partitions": os.environ.get("SPARK_GRAFT_SHUFFLE", "32"),
     # Arrow for any pandas interchange (UDF batches, toPandas).
     "spark.sql.execution.arrow.pyspark.enabled": "true",
+    # events.parquet stores TIMESTAMP(NANOS), which Spark's reader rejects;
+    # read as raw nanos-since-epoch longs and truncate to micros in the
+    # catalog (matching DuckDB's ns→µs truncation on the oracle side).
+    "spark.sql.legacy.parquet.nanosAsLong": "true",
 }
 
 
