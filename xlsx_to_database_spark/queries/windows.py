@@ -1,0 +1,244 @@
+"""Window function operators (SURVEY.md §2.5).
+
+Every window here has a TOTAL ordering (key columns appended to the
+orderBy) so ranks/frames are deterministic and hash-match the oracle —
+the one discipline window parity lives or dies by.
+
+Scale: a window shuffles once on its partition key and sorts within
+partitions; none of these materialize a whole partition on the driver.
+Skewed partition keys (a user with millions of events) are the risk at
+100 TB — AQE skew handling covers joins, while windows want a bounded
+key domain (user_id, custkey) which these all have.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from xlsx_to_database_spark.catalog import table
+from xlsx_to_database_spark.registry import query
+
+
+@query(
+    "win_row_number",
+    """
+    SELECT o_custkey, o_orderkey, o_totalprice, rn
+    FROM (
+      SELECT o_custkey, o_orderkey, o_totalprice,
+             row_number() OVER (PARTITION BY o_custkey
+                                ORDER BY o_totalprice DESC, o_orderkey ASC) AS rn
+      FROM orders
+    ) WHERE rn <= 3
+    """,
+)
+def win_row_number(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Three biggest orders per customer."""
+    o = table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.col("o_totalprice").desc(), F.col("o_orderkey").asc()
+    )
+    return (
+        o.select("o_custkey", "o_orderkey", "o_totalprice")
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 3)
+    )
+
+
+@query(
+    "win_rank_dense",
+    """
+    SELECT o_orderkey, o_orderpriority, o_totalprice,
+           rank() OVER (PARTITION BY o_orderpriority ORDER BY o_totalprice DESC) AS price_rank,
+           dense_rank() OVER (PARTITION BY o_orderpriority ORDER BY o_totalprice DESC) AS price_dense_rank
+    FROM orders
+    WHERE o_totalprice > 400000
+    """,
+)
+def win_rank_dense(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """rank/dense_rank — ties share a rank, so no tiebreak column is
+    needed for determinism (unlike row_number)."""
+    o = table(spark, sf_dir, "orders").filter(F.col("o_totalprice") > 400000)
+    w = Window.partitionBy("o_orderpriority").orderBy(F.col("o_totalprice").desc())
+    return o.select(
+        "o_orderkey",
+        "o_orderpriority",
+        "o_totalprice",
+        F.rank().over(w).alias("price_rank"),
+        F.dense_rank().over(w).alias("price_dense_rank"),
+    )
+
+
+@query(
+    "win_ntile",
+    """
+    SELECT c_custkey, c_acctbal,
+           ntile(4) OVER (ORDER BY c_acctbal ASC, c_custkey ASC) AS bal_quartile
+    FROM customer
+    """,
+)
+def win_ntile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quartiles by account balance; custkey tiebreak pins bucket edges."""
+    c = table(spark, sf_dir, "customer")
+    w = Window.orderBy(F.col("c_acctbal").asc(), F.col("c_custkey").asc())
+    return c.select("c_custkey", "c_acctbal", F.ntile(4).over(w).alias("bal_quartile"))
+
+
+@query(
+    "win_percent_cume",
+    """
+    SELECT c_custkey, c_mktsegment, c_acctbal,
+           round(percent_rank() OVER (PARTITION BY c_mktsegment ORDER BY c_acctbal), 6) AS bal_pct_rank,
+           round(cume_dist() OVER (PARTITION BY c_mktsegment ORDER BY c_acctbal), 6) AS bal_cume
+    FROM customer
+    """,
+)
+def win_percent_cume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """percent_rank/cume_dist are rank-based, hence tie-stable."""
+    c = table(spark, sf_dir, "customer")
+    w = Window.partitionBy("c_mktsegment").orderBy(F.col("c_acctbal"))
+    return c.select(
+        "c_custkey",
+        "c_mktsegment",
+        "c_acctbal",
+        F.round(F.percent_rank().over(w), 6).alias("bal_pct_rank"),
+        F.round(F.cume_dist().over(w), 6).alias("bal_cume"),
+    )
+
+
+@query(
+    "win_lag_lead",
+    """
+    SELECT o_custkey, o_orderkey,
+           CAST(o_orderdate AS DATE) AS order_day,
+           CAST(lag(o_orderdate) OVER w AS DATE) AS prev_day,
+           CAST(lead(o_orderdate) OVER w AS DATE) AS next_day,
+           date_diff('day',
+                     CAST(lag(o_orderdate) OVER w AS DATE),
+                     CAST(o_orderdate AS DATE)) AS days_since_prev
+    FROM orders
+    WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate ASC, o_orderkey ASC)
+    """,
+)
+def win_lag_lead(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Previous/next order date per customer + day gap. Spark's
+    datediff(end, start) == DuckDB date_diff('day', start, end) — note
+    the flipped argument order."""
+    o = table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(F.col("o_orderdate").asc(), F.col("o_orderkey").asc())
+    day = F.col("o_orderdate").cast("date")
+    prev_day = F.lag(F.col("o_orderdate")).over(w).cast("date")
+    return o.select(
+        "o_custkey",
+        "o_orderkey",
+        day.alias("order_day"),
+        prev_day.alias("prev_day"),
+        F.lead(F.col("o_orderdate")).over(w).cast("date").alias("next_day"),
+        F.datediff(day, prev_day).alias("days_since_prev"),
+    )
+
+
+@query(
+    "win_running_sum",
+    """
+    SELECT o_custkey, o_orderkey,
+           round(sum(o_totalprice) OVER (PARTITION BY o_custkey
+                                         ORDER BY o_orderdate ASC, o_orderkey ASC
+                                         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2)
+             AS running_spend
+    FROM orders
+    """,
+)
+def win_running_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Running revenue per customer in order-date order. The total
+    ordering also fixes the float accumulation order, so 2dp rounding is
+    engine-stable."""
+    o = table(spark, sf_dir, "orders")
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy(F.col("o_orderdate").asc(), F.col("o_orderkey").asc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return o.select(
+        "o_custkey", "o_orderkey", F.round(F.sum("o_totalprice").over(w), 2).alias("running_spend")
+    )
+
+
+@query(
+    "win_moving_avg",
+    """
+    SELECT user_id, event_id,
+           round(avg(value) OVER (PARTITION BY user_id
+                                  ORDER BY ts ASC, event_id ASC
+                                  ROWS BETWEEN 6 PRECEDING AND CURRENT ROW), 4) AS value_ma7
+    FROM events
+    """,
+)
+def win_moving_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """7-row moving average of event value per user."""
+    ev = table(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.col("ts").asc(), F.col("event_id").asc())
+        .rowsBetween(-6, Window.currentRow)
+    )
+    return ev.select(
+        "user_id", "event_id", F.round(F.avg("value").over(w), 4).alias("value_ma7")
+    )
+
+
+@query(
+    "win_range_frame",
+    """
+    SELECT o_orderkey, o_orderpriority, o_totalprice,
+           count(*) OVER (PARTITION BY o_orderpriority
+                          ORDER BY o_totalprice
+                          RANGE BETWEEN 5000 PRECEDING AND CURRENT ROW) AS peers_within_5k
+    FROM orders
+    """,
+)
+def win_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Value-range frame on a numeric ordering: how many same-priority
+    orders are priced within 5000 below this one. Range frames are
+    value-based → tie-stable by construction."""
+    o = table(spark, sf_dir, "orders")
+    w = (
+        Window.partitionBy("o_orderpriority")
+        .orderBy(F.col("o_totalprice"))
+        .rangeBetween(-5000, Window.currentRow)
+    )
+    return o.select(
+        "o_orderkey",
+        "o_orderpriority",
+        "o_totalprice",
+        F.count(F.lit(1)).over(w).alias("peers_within_5k"),
+    )
+
+
+@query(
+    "win_first_last",
+    """
+    SELECT o_custkey, o_orderkey,
+           first_value(o_orderkey) OVER w AS first_order,
+           last_value(o_orderkey) OVER w AS latest_order
+    FROM orders
+    WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate ASC, o_orderkey ASC
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+    """,
+)
+def win_first_last(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First/last order key per customer over the full-partition frame
+    (default frames differ between engines for last_value — always
+    spell the frame out)."""
+    o = table(spark, sf_dir, "orders")
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy(F.col("o_orderdate").asc(), F.col("o_orderkey").asc())
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    )
+    return o.select(
+        "o_custkey",
+        "o_orderkey",
+        F.first("o_orderkey").over(w).alias("first_order"),
+        F.last("o_orderkey").over(w).alias("latest_order"),
+    )
