@@ -1,0 +1,118 @@
+"""Unit tests for the LLM-pipeline operator library on tiny literal
+DataFrames with hand-computed expectations (SURVEY.md §5.4)."""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import functions as F
+
+from xlsx_to_database_spark.operators import (
+    dedup_exact,
+    document_fingerprint,
+    jaccard_pairs,
+    minhash_lsh_pairs,
+    ngram_counts,
+    quality_score,
+    simhash_pairs,
+    tfidf,
+    tokenize_stats,
+)
+from xlsx_to_database_spark.operators.similarity import cosine_sim
+
+
+def _docs(spark, rows):
+    return spark.createDataFrame(rows, "doc_id long, text string, lang string")
+
+
+def test_dedup_exact_keeps_lowest_id(spark):
+    df = _docs(spark, [(3, "a b", "en"), (1, "a b", "en"), (2, "c d", "en")])
+    kept = {r.doc_id for r in dedup_exact(df, ["text"], "doc_id").collect()}
+    assert kept == {1, 2}
+
+
+def test_jaccard_pairs_exact_value(spark):
+    # {a,b,c} vs {a,b,d}: |∩|=2, |∪|=4 → 0.5
+    df = _docs(spark, [(1, "a b c", "en"), (2, "a b d", "en"), (3, "x y z", "en")])
+    rows = jaccard_pairs(df, threshold=0.5).collect()
+    assert len(rows) == 1
+    assert (rows[0].doc_a, rows[0].doc_b) == (1, 2)
+    assert rows[0].jaccard == 0.5
+
+
+def test_jaccard_full_recall_vs_brute_force(spark):
+    # token blocking must find every pair with J>0 that brute force finds
+    texts = [(i, " ".join(f"w{(i + j) % 7}" for j in range(4)), "en") for i in range(10)]
+    df = _docs(spark, texts)
+    blocked = {(r.doc_a, r.doc_b) for r in jaccard_pairs(df, threshold=0.3).collect()}
+    a = df.select(F.col("doc_id").alias("ia"), F.array_distinct(F.split("text", " ")).alias("ta"))
+    b = df.select(F.col("doc_id").alias("ib"), F.array_distinct(F.split("text", " ")).alias("tb"))
+    brute = {
+        (r.ia, r.ib)
+        for r in a.crossJoin(b)
+        .filter(F.col("ia") < F.col("ib"))
+        .withColumn(
+            "j",
+            F.size(F.array_intersect("ta", "tb")) / F.size(F.array_union("ta", "tb")),
+        )
+        .filter(F.round(F.col("j"), 6) >= 0.3)
+        .collect()
+    }
+    assert blocked == brute
+
+
+def test_minhash_identical_docs_always_candidates(spark):
+    df = _docs(
+        spark,
+        [(1, "a b c d e f", "en"), (2, "a b c d e f", "en"), (3, "q r s t u v", "en")],
+    )
+    pairs = {(r.doc_a, r.doc_b) for r in minhash_lsh_pairs(df).collect()}
+    assert (1, 2) in pairs  # identical shingle sets share every band
+    assert (1, 3) not in pairs and (2, 3) not in pairs
+
+
+def test_simhash_identical_token_sets_zero_hamming(spark):
+    df = _docs(spark, [(1, "a b c d", "en"), (2, "b a d c", "en"), (3, "p q r s", "en")])
+    rows = simhash_pairs(df, max_hamming=0).collect()
+    assert {(r.doc_a, r.doc_b) for r in rows} == {(1, 2)}  # order-insensitive fingerprint
+    assert rows[0].hamming == 0
+
+
+def test_cosine_sim_known_vectors(spark):
+    df = spark.createDataFrame(
+        [([1.0, 0.0], [0.0, 1.0]), ([1.0, 1.0], [1.0, 1.0]), ([1.0, 0.0], [1.0, 1.0])],
+        "a array<float>, b array<float>",
+    )
+    got = [r.c for r in df.select(cosine_sim(F.col("a"), F.col("b")).alias("c")).collect()]
+    assert got[0] == 0.0
+    assert got[1] == 1.0
+    assert abs(got[2] - round(1 / math.sqrt(2), 6)) < 1e-9
+
+
+def test_tfidf_hand_computed(spark):
+    # 'x' appears in 1 of 2 docs once → tfidf = 1·ln(2)
+    df = _docs(spark, [(1, "x y", "en"), (2, "y z", "en")])
+    rows = {(r.term, r.doc_id): r.tfidf for r in tfidf(df).collect()}
+    assert rows[("x", 1)] == round(math.log(2), 6)
+    assert rows[("y", 1)] == 0.0  # df == N → idf 0
+
+
+def test_ngrams_and_short_doc_guard(spark):
+    df = _docs(spark, [(1, "a b c", "en"), (2, "solo", "en")])
+    got = {r.ngram: r.cnt for r in ngram_counts(df, n=2).collect()}
+    assert got == {"a b": 1, "b c": 1}  # 1-token doc contributes nothing
+
+
+def test_tokenize_and_quality(spark):
+    df = _docs(spark, [(1, "the cat the cat", "en")])
+    t = tokenize_stats(df).collect()[0]
+    assert (t.n_tokens, t.n_uniq, t.n_stop) == (4, 2, 2)
+    q = quality_score(df).collect()[0]
+    assert q.diversity == 0.5 and q.stop_ratio == 0.5 and q.quality == 0.25
+
+
+def test_fingerprint_deterministic_and_distinct(spark):
+    df = _docs(spark, [(1, "a b", "en"), (2, "a b", "en"), (3, "b a", "en")])
+    rows = {r.doc_id: (r.md5_fp, r.rolling_fp) for r in document_fingerprint(df).collect()}
+    assert rows[1] == rows[2]  # same text → same fingerprints
+    assert rows[1][1] != rows[3][1]  # rolling hash is order-sensitive

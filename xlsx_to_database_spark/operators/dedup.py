@@ -1,0 +1,254 @@
+"""Deduplication operators (SURVEY.md §2.10): exact, n-gram Jaccard,
+MinHash-LSH, SimHash, embedding-cosine.
+
+Scale design notes (the 100 TB story for each):
+
+- `dedup_exact`: hash-partition on the dedup key, keep the min-ordered
+  row per group — one shuffle, no sort of the full data.
+- `jaccard_pairs`: candidate generation by *blocking* (docs sharing a
+  token) then exact verification. Token blocking guarantees 100% recall
+  for any positive Jaccard threshold (J>0 ⇒ a shared token) — that's
+  what makes it oracle-checkable. On real corpora the blocking key must
+  be more selective (rare tokens, shingles, or MinHash bands below);
+  a 31-word vocabulary like the testdata's degenerates to ~all pairs,
+  which is exactly why the LSH variants exist.
+- `minhash_lsh_pairs`: k deterministic hash functions (xxhash64 with
+  fixed seeds — no RNG), banded; only docs agreeing on a whole band
+  join. Sub-quadratic candidate generation, tunable recall.
+- `simhash_pairs`: 64-bit fingerprint; chunk-banding finds all pairs
+  within Hamming distance < n_chunks (pigeonhole guarantee).
+- `embedding_near_pairs`: exact cosine over blocked pairs.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from xlsx_to_database_spark.operators.similarity import cosine_sim
+
+
+def dedup_exact(df: DataFrame, keys: list[str], order_col: str) -> DataFrame:
+    """Drop duplicates on `keys`, deterministically keeping the row with
+    the smallest `order_col` (dropDuplicates keeps an arbitrary row —
+    fine for pipelines, useless for reproducible corpora)."""
+    w = Window.partitionBy(*keys).orderBy(F.col(order_col).asc())
+    return (
+        df.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .drop("__rn")
+    )
+
+
+def _token_sets(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    return df.select(
+        F.col(id_col).alias("doc"),
+        F.array_distinct(F.split(F.col(text_col), " ")).alias("toks"),
+    )
+
+
+def jaccard_pairs(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text", threshold: float = 0.9
+) -> DataFrame:
+    """All document pairs (a<b) with token-set Jaccard ≥ threshold.
+
+    Exact: token-blocking candidates (zero false negatives) verified
+    with |A∩B| / |A∪B| on distinct token arrays, rounded to 6dp before
+    thresholding so the cut is engine-stable.
+    """
+    toks = _token_sets(df, id_col, text_col)
+    blocks = toks.select("doc", F.explode("toks").alias("tok"))
+    cand = (
+        blocks.alias("x")
+        .join(blocks.alias("y"), on="tok")
+        .filter(F.col("x.doc") < F.col("y.doc"))
+        .select(F.col("x.doc").alias("doc_a"), F.col("y.doc").alias("doc_b"))
+        .distinct()
+    )
+    a = toks.select(F.col("doc").alias("doc_a"), F.col("toks").alias("toks_a"))
+    b = toks.select(F.col("doc").alias("doc_b"), F.col("toks").alias("toks_b"))
+    scored = (
+        cand.join(a, "doc_a")
+        .join(b, "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            F.round(
+                F.size(F.array_intersect("toks_a", "toks_b")).cast("double")
+                / F.size(F.array_union("toks_a", "toks_b")),
+                6,
+            ).alias("jaccard"),
+        )
+    )
+    return scored.filter(F.col("jaccard") >= threshold)
+
+
+def _shingles(text_col, n: int = 3):
+    """Word n-gram shingles of a space-tokenized text column. Documents
+    shorter than n tokens yield an empty array (guarded — Spark's
+    sequence(1, 0) would DESCEND, not return empty)."""
+    toks = F.split(text_col, " ")
+    idx = F.sequence(F.lit(1), F.size(toks) - (n - 1))
+    grams = F.transform(
+        idx,
+        lambda i: F.concat_ws(
+            " ", *[F.element_at(toks, (i + j).cast("int")) for j in range(n)]
+        ),
+    )
+    return F.when(F.size(toks) >= n, grams).otherwise(F.array().cast("array<string>"))
+
+
+def minhash_lsh_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    num_hashes: int = 16,
+    band_size: int = 4,
+) -> DataFrame:
+    """Candidate near-dup pairs via deterministic MinHash + LSH banding.
+
+    Each of `num_hashes` signatures is min(xxhash64(seed_i ++ shingle));
+    signatures are grouped into bands of `band_size`; documents agreeing
+    on an entire band become candidates. Fully deterministic (fixed
+    seeds, no RNG) → stable across runs and partitionings. Returns
+    (doc_a, doc_b, n_bands) — downstream verification (e.g.
+    `jaccard_pairs` on the candidate set) filters false positives.
+    """
+    sh = df.select(
+        F.col(id_col).alias("doc"), _shingles(F.col(text_col)).alias("shingles")
+    ).filter(F.size("shingles") > 0)
+
+    # NB: the seed must be captured via a factory, not a lambda default —
+    # F.transform treats a 2-arg lambda as (element, index).
+    def _minhash(seed: int):
+        return F.array_min(
+            F.transform(F.col("shingles"), lambda s: F.xxhash64(F.lit(seed), s))
+        ).alias(f"mh{seed}")
+
+    sig = sh.select("doc", *[_minhash(i) for i in range(num_hashes)])
+    n_bands = num_hashes // band_size
+    bands = sig.select(
+        "doc",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.xxhash64(
+                            *[F.col(f"mh{b * band_size + j}") for j in range(band_size)]
+                        ).alias("sig"),
+                    )
+                    for b in range(n_bands)
+                ]
+            )
+        ).alias("bs"),
+    ).select("doc", "bs.band", "bs.sig")
+    return (
+        bands.alias("x")
+        .join(bands.alias("y"), on=["band", "sig"])
+        .filter(F.col("x.doc") < F.col("y.doc"))
+        .groupBy(F.col("x.doc").alias("doc_a"), F.col("y.doc").alias("doc_b"))
+        .agg(F.count(F.lit(1)).alias("n_bands"))
+    )
+
+
+def simhash64(text_col, weight_by_count: bool = False):
+    """64-bit SimHash of a space-tokenized text column, as a long.
+
+    bit_i(simhash) = 1 iff Σ_tokens (2·bit_i(xxhash64(token)) − 1) > 0.
+    Pure expression tree (64 shifted-sum terms over the token array) —
+    codegen'd JVM math, one pass, no shuffle.
+    """
+    toks = F.split(text_col, " ")
+    if not weight_by_count:
+        toks = F.array_distinct(toks)
+
+    def _bit_sum(bit: int):
+        return F.aggregate(
+            F.transform(
+                toks,
+                lambda t: (F.shiftright(F.xxhash64(t), bit).bitwiseAND(F.lit(1)) * 2 - 1),
+            ),
+            F.lit(0).cast("long"),
+            lambda a, x: a + x,
+        )
+
+    acc = F.lit(0).cast("long")
+    for i in range(64):
+        # shiftleft(1L, 63) wraps to the sign bit — the correct bit-63
+        # mask (a 2**63 literal would overflow LongType).
+        acc = acc + F.when(_bit_sum(i) > 0, F.shiftleft(F.lit(1).cast("long"), i)).otherwise(
+            F.lit(0).cast("long")
+        )
+    return acc
+
+
+def simhash_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    max_hamming: int = 3,
+    n_chunks: int = 4,
+) -> DataFrame:
+    """Pairs within Hamming distance `max_hamming` of their SimHashes.
+
+    Banding on `n_chunks` 16-bit chunks: any pair with fewer than
+    `n_chunks` differing bits agrees on ≥1 chunk (pigeonhole), so
+    recall is exact for max_hamming < n_chunks. Join fan-out is per
+    identical chunk value — sub-quadratic on real corpora.
+    """
+    sh = df.select(F.col(id_col).alias("doc"), simhash64(F.col(text_col)).alias("sh"))
+    chunk_bits = 64 // n_chunks
+    chunks = sh.select(
+        "doc",
+        "sh",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(c).alias("chunk"),
+                        F.shiftright(F.col("sh"), c * chunk_bits)
+                        .bitwiseAND(F.lit((1 << chunk_bits) - 1))
+                        .alias("val"),
+                    )
+                    for c in range(n_chunks)
+                ]
+            )
+        ).alias("cv"),
+    ).select("doc", "sh", "cv.chunk", "cv.val")
+    cand = (
+        chunks.alias("x")
+        .join(chunks.alias("y"), on=["chunk", "val"])
+        .filter(F.col("x.doc") < F.col("y.doc"))
+        .select(
+            F.col("x.doc").alias("doc_a"),
+            F.col("y.doc").alias("doc_b"),
+            F.col("x.sh").alias("sh_a"),
+            F.col("y.sh").alias("sh_b"),
+        )
+        .distinct()
+    )
+    return cand.select(
+        "doc_a",
+        "doc_b",
+        F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b"))).alias("hamming"),
+    ).filter(F.col("hamming") <= max_hamming)
+
+
+def embedding_near_pairs(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    block_col: str | None = None,
+    threshold: float = 0.4,
+) -> DataFrame:
+    """Pairs (a<b) with cosine ≥ threshold. With `block_col` the join is
+    per-block (the scalable path: LSH/IVF bucket id); without, it is the
+    exact all-pairs baseline for oracle checking."""
+    a = df.select(F.col(id_col).alias("vec_a"), F.col(vec_col).alias("va"), F.col(block_col).alias("blk_a") if block_col else F.lit(0).alias("blk_a"))
+    b = df.select(F.col(id_col).alias("vec_b"), F.col(vec_col).alias("vb"), F.col(block_col).alias("blk_b") if block_col else F.lit(0).alias("blk_b"))
+    return (
+        a.join(b, (F.col("blk_a") == F.col("blk_b")) & (F.col("vec_a") < F.col("vec_b")))
+        .select("vec_a", "vec_b", cosine_sim(F.col("va"), F.col("vb")).alias("cos_sim"))
+        .filter(F.col("cos_sim") >= threshold)
+    )

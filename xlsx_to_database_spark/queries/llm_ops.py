@@ -1,0 +1,309 @@
+"""LLM-data-pipeline query wrappers (SURVEY.md §2.10) — dedup,
+similarity search, text analysis, multimodal columns.
+
+Implementations live in :mod:`xlsx_to_database_spark.operators`; this
+module binds them to the testdata tables and supplies the DuckDB
+oracles. Cosine oracles use explicit float64 list math rather than
+DuckDB's `list_cosine_similarity` (which accumulates in float32 and
+diverges from Spark's float64 at the 6th decimal).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from xlsx_to_database_spark.catalog import table
+from xlsx_to_database_spark.operators import dedup as D
+from xlsx_to_database_spark.operators import similarity as S
+from xlsx_to_database_spark.operators import text as T
+from xlsx_to_database_spark.registry import query
+
+_STOP_SQL = "[" + ", ".join(f"'{s}'" for s in T.STOPWORDS) + "]"
+
+# Shared oracle CTE: embeddings as float64 lists with precomputed norms.
+_VEC_CTE = """
+    WITH v AS (
+      SELECT vec_id, label, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+      FROM embeddings
+    ), n AS (
+      SELECT vec_id, label, e,
+             sqrt(list_sum(list_transform(e, x -> x * x))) AS nrm
+      FROM v
+    )
+"""
+
+
+@query(
+    "dedup_exact",
+    """
+    SELECT doc_id, text, lang, source, n_chars FROM (
+      SELECT *, row_number() OVER (PARTITION BY text ORDER BY doc_id) AS rn
+      FROM documents
+    ) WHERE rn = 1
+    """,
+)
+def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact text dedup with a deterministic keep-lowest-doc_id rule."""
+    return D.dedup_exact(table(spark, sf_dir, "documents"), ["text"], "doc_id")
+
+
+@query(
+    "dedup_near",
+    f"""
+    WITH toks AS (
+      SELECT doc_id, list_distinct(string_split(text, ' ')) AS t FROM documents
+    )
+    SELECT doc_a, doc_b, jaccard FROM (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+             round(len(list_intersect(a.t, b.t))::DOUBLE
+                   / len(list_distinct(list_concat(a.t, b.t))), 6) AS jaccard
+      FROM toks a JOIN toks b ON a.doc_id < b.doc_id
+    ) WHERE jaccard >= 0.9
+    """,
+)
+def dedup_near(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup pairs by token-set Jaccard ≥ 0.9 (token-blocked, exact)."""
+    return D.jaccard_pairs(table(spark, sf_dir, "documents"), threshold=0.9)
+
+
+@query("dedup_minhash")  # rows-only: xxhash64 seeds are not reproducible in DuckDB
+def dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash-LSH candidate pairs (16 hashes, 4 bands) — the
+    sub-quadratic scale path; deterministic within Spark."""
+    return D.minhash_lsh_pairs(table(spark, sf_dir, "documents"))
+
+
+@query("dedup_simhash")  # rows-only: SimHash depends on Spark's xxhash64
+def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dup pairs within Hamming distance 3 (chunk-banded)."""
+    return D.simhash_pairs(table(spark, sf_dir, "documents"))
+
+
+@query(
+    "dedup_embedding",
+    _VEC_CTE
+    + """
+    SELECT vec_a, vec_b, cos_sim FROM (
+      SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+             round(list_sum(list_transform(generate_series(1, len(a.e)),
+                                           i -> a.e[i] * b.e[i]))
+                   / (a.nrm * b.nrm), 6) AS cos_sim
+      FROM n a JOIN n b ON a.vec_id < b.vec_id
+    ) WHERE cos_sim >= 0.4
+    """,
+)
+def dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding near-dup pairs: cosine ≥ 0.4 (exact all-pairs baseline;
+    the blocked variant rides the same operator with block_col set)."""
+    return D.embedding_near_pairs(table(spark, sf_dir, "embeddings"), threshold=0.4)
+
+
+@query(
+    "sim_cosine_topk",
+    _VEC_CTE
+    + """
+    , q AS (SELECT e AS qe, nrm AS qn FROM n WHERE vec_id = 0)
+    SELECT vec_id,
+           round(list_sum(list_transform(generate_series(1, len(e)), i -> e[i] * qe[i]))
+                 / (nrm * qn), 6) AS cos_sim
+    FROM n, q
+    ORDER BY cos_sim DESC, vec_id ASC
+    LIMIT 10
+    """,
+)
+def sim_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brute-force top-10 cosine neighbors of vector 0 (itself included,
+    cos=1 — a built-in sanity anchor)."""
+    e = table(spark, sf_dir, "embeddings")
+    qv = e.filter(F.col("vec_id") == 0).select(F.col("embedding").alias("qvec"))
+    return S.cosine_topk(e, qv, k=10)
+
+
+@query(
+    "sim_knn_join",
+    _VEC_CTE
+    + """
+    SELECT vec_id, nid, cos_sim, rn FROM (
+      SELECT vec_id, nid, cos_sim,
+             row_number() OVER (PARTITION BY vec_id
+                                ORDER BY cos_sim DESC, nid ASC) AS rn
+      FROM (
+        SELECT a.vec_id AS vec_id, b.vec_id AS nid,
+               round(list_sum(list_transform(generate_series(1, len(a.e)),
+                                             i -> a.e[i] * b.e[i]))
+                     / (a.nrm * b.nrm), 6) AS cos_sim
+        FROM n a JOIN n b ON a.label = b.label AND a.vec_id <> b.vec_id
+      )
+    ) WHERE rn <= 3
+    """,
+)
+def sim_knn_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """3-NN per vector, label-blocked (the same plan shape an LSH/IVF
+    bucket id would drive at 100 TB)."""
+    return S.knn_join_blocked(table(spark, sf_dir, "embeddings"), k=3)
+
+
+@query(
+    "text_tokenize",
+    f"""
+    SELECT doc_id,
+           len(string_split(text, ' ')) AS n_tokens,
+           len(regexp_extract_all(text, '[a-z0-9]+')) AS n_re_tokens,
+           len(list_distinct(string_split(text, ' '))) AS n_uniq,
+           len(list_intersect(list_distinct(string_split(text, ' ')), {_STOP_SQL})) AS n_stop_kinds,
+           len(list_filter(string_split(text, ' '),
+                           t -> list_contains({_STOP_SQL}, t))) AS n_stop
+    FROM documents
+    """,
+)
+def text_tokenize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document tokenization stats (whitespace + regex tokenizers)."""
+    return T.tokenize_stats(table(spark, sf_dir, "documents"))
+
+
+@query(
+    "text_tfidf",
+    """
+    WITH tokens AS (
+      SELECT doc_id AS doc, unnest(string_split(text, ' ')) AS term FROM documents
+    ), tf AS (
+      SELECT doc, term, count(*) AS tf FROM tokens GROUP BY doc, term
+    ), dfreq AS (
+      SELECT term, count(*) AS df
+      FROM (SELECT DISTINCT doc, term FROM tokens) GROUP BY term
+    ), nd AS (SELECT count(DISTINCT doc_id) AS n_docs FROM documents)
+    SELECT tf.doc AS doc_id, tf.term, tf.tf, dfreq.df,
+           round(tf.tf * ln(n_docs::DOUBLE / dfreq.df), 6) AS tfidf
+    FROM tf JOIN dfreq USING (term) CROSS JOIN nd
+    WHERE round(tf.tf * ln(n_docs::DOUBLE / dfreq.df), 6) >= 0.0
+    """,
+)
+def text_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact TF-IDF per (doc, term)."""
+    return T.tfidf(table(spark, sf_dir, "documents"))
+
+
+@query(
+    "text_ngrams",
+    """
+    SELECT ngram, count(*) AS cnt FROM (
+      SELECT unnest(list_transform(generate_series(1, len(toks) - 1),
+                                   i -> toks[i] || ' ' || toks[i + 1])) AS ngram
+      FROM (SELECT string_split(text, ' ') AS toks FROM documents)
+    ) GROUP BY ngram
+    """,
+)
+def text_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus bigram counts."""
+    return T.ngram_counts(table(spark, sf_dir, "documents"), n=2)
+
+
+@query(
+    "text_lang_stats",
+    """
+    SELECT lang, source, count(*) AS n_docs,
+           round(avg(n_chars), 4) AS avg_chars,
+           CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS total_tokens
+    FROM documents
+    GROUP BY lang, source
+    """,
+)
+def text_lang_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-(lang, source) corpus composition stats."""
+    d = table(spark, sf_dir, "documents")
+    return d.groupBy("lang", "source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.round(F.avg("n_chars"), 4).alias("avg_chars"),
+        F.sum(F.size(F.split(F.col("text"), " "))).alias("total_tokens"),
+    )
+
+
+@query(
+    "text_quality",
+    f"""
+    SELECT doc_id,
+           length(text) AS n_chars_measured,
+           len(string_split(text, ' ')) AS n_tokens,
+           round(len(list_distinct(string_split(text, ' ')))::DOUBLE
+                 / len(string_split(text, ' ')), 6) AS diversity,
+           round(len(list_filter(string_split(text, ' '),
+                                 t -> list_contains({_STOP_SQL}, t)))::DOUBLE
+                 / len(string_split(text, ' ')), 6) AS stop_ratio,
+           round((len(list_distinct(string_split(text, ' ')))::DOUBLE
+                  / len(string_split(text, ' ')))
+                 * (1 - len(list_filter(string_split(text, ' '),
+                                        t -> list_contains({_STOP_SQL}, t)))::DOUBLE
+                       / len(string_split(text, ' '))), 6) AS quality
+    FROM documents
+    """,
+)
+def text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heuristic quality score: diversity × (1 − stopword ratio)."""
+    return T.quality_score(table(spark, sf_dir, "documents"))
+
+
+@query(
+    "text_langid",
+    f"""
+    SELECT doc_id, lang_true, round(r, 6) AS en_stop_ratio,
+           CASE WHEN r >= 0.1 THEN 'en' ELSE 'other' END AS lang_pred
+    FROM (
+      SELECT doc_id, lang AS lang_true,
+             len(list_filter(string_split(text, ' '),
+                             t -> list_contains({_STOP_SQL}, t)))::DOUBLE
+               / len(string_split(text, ' ')) AS r
+      FROM documents
+    )
+    """,
+)
+def text_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stopword-overlap language-ID heuristic."""
+    return T.language_id(table(spark, sf_dir, "documents"))
+
+
+@query(
+    "text_fingerprint",
+    f"""
+    SELECT doc_id,
+           md5(text) AS md5_fp,
+           list_reduce(
+             list_prepend(CAST(0 AS BIGINT),
+               list_transform(string_split(text, ' '),
+                              t -> CAST(length(t) * 7 + ascii(t) AS BIGINT))),
+             (acc, x) -> (acc * {T.FP_MULT} + x) % {T.FP_MOD}) AS rolling_fp
+    FROM documents
+    """,
+)
+def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """md5 + rolling polynomial fingerprints per document."""
+    return T.document_fingerprint(table(spark, sf_dir, "documents"))
+
+
+@query(
+    "multimodal_cols",
+    """
+    SELECT d.doc_id, d.lang, d.n_chars, e.label,
+           len(string_split(d.text, ' ')) AS n_tokens,
+           round(sqrt(list_sum(list_transform(e.embedding,
+                                              x -> CAST(x AS DOUBLE) * x))), 6) AS vec_norm
+    FROM documents d JOIN embeddings e ON d.doc_id = e.vec_id
+    """,
+)
+def multimodal_cols(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One table carrying text + vector + scalars: documents⋈embeddings
+    with per-modality derived columns in a single projection."""
+    d, e = table(spark, sf_dir, "documents"), table(spark, sf_dir, "embeddings")
+    norm_sq = F.aggregate(
+        F.transform(F.col("embedding"), lambda x: x.cast("double") * x.cast("double")),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    return d.join(e, d.doc_id == e.vec_id).select(
+        "doc_id",
+        "lang",
+        "n_chars",
+        "label",
+        F.size(F.split(F.col("text"), " ")).alias("n_tokens"),
+        F.round(F.sqrt(norm_sq), 6).alias("vec_norm"),
+    )
