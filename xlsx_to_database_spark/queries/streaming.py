@@ -1,0 +1,276 @@
+"""Streaming query ops (SURVEY.md §2.9) over the replayed events stream.
+
+Oracle strategy: availableNow + complete-mode (or stateless append)
+makes the final streaming state equal the batch answer, so most ops get
+exact DuckDB oracles. `stream_watermark` is the exception — append-mode
+emission below the final watermark is a streaming-only semantic with no
+batch equivalent, so it is rows-only by design (the driver records the
+weaker check; SURVEY §2.9).
+"""
+
+from __future__ import annotations
+
+import shutil
+import uuid
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from xlsx_to_database_spark.registry import query
+from xlsx_to_database_spark.streaming.engine import (
+    events_stream,
+    run_foreach_batch_parquet,
+    run_to_memory,
+)
+
+
+@query(
+    "stream_tumbling",
+    """
+    SELECT date_trunc('hour', ts) AS window_start, event_type,
+           count(*) AS n_events,
+           round(sum(value), 2) AS total_value
+    FROM events
+    GROUP BY date_trunc('hour', ts), event_type
+    """,
+)
+def stream_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-hour event counts/sums per type. Epoch-aligned tumbling
+    windows == date_trunc('hour') buckets, so batch SQL is the oracle."""
+    ev = events_stream(spark, sf_dir)
+    agg = ev.groupBy(F.window("ts", "1 hour"), F.col("event_type")).agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.round(F.sum("value"), 2).alias("total_value"),
+    )
+    out = run_to_memory(agg, "complete")
+    return out.select(
+        F.col("window.start").alias("window_start"), "event_type", "n_events", "total_value"
+    )
+
+
+@query(
+    "stream_sliding",
+    """
+    SELECT time_bucket(INTERVAL '15 minutes', ts) - k.shift * INTERVAL '15 minutes'
+             AS window_start,
+           count(*) AS n_events
+    FROM events CROSS JOIN (SELECT unnest([0, 1, 2, 3]) AS shift) k
+    GROUP BY 1
+    """,
+)
+def stream_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """1h windows sliding every 15m: each event lands in 4 windows. The
+    oracle replicates window membership with 4 shifted 15-minute
+    buckets."""
+    ev = events_stream(spark, sf_dir)
+    agg = ev.groupBy(F.window("ts", "1 hour", "15 minutes")).agg(
+        F.count(F.lit(1)).alias("n_events")
+    )
+    out = run_to_memory(agg, "complete")
+    return out.select(F.col("window.start").alias("window_start"), "n_events")
+
+
+@query(
+    "stream_session",
+    """
+    WITH flagged AS (
+      SELECT user_id, ts,
+             CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                       > INTERVAL '30 minutes'
+                  OR lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+                  THEN 1 ELSE 0 END AS new_session
+      FROM events
+    ), sessions AS (
+      SELECT user_id, ts,
+             sum(new_session) OVER (PARTITION BY user_id ORDER BY ts
+                                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS session_id
+      FROM flagged
+    )
+    SELECT user_id,
+           min(ts) AS session_start,
+           max(ts) + INTERVAL '30 minutes' AS session_end,
+           count(*) AS n_events
+    FROM sessions
+    GROUP BY user_id, session_id
+    """,
+)
+def stream_session(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Session windows (30m gap) per user. Oracle is the classic
+    gaps-and-islands rewrite; session_window.end = last event + gap."""
+    ev = events_stream(spark, sf_dir)
+    agg = ev.groupBy(F.session_window("ts", "30 minutes"), F.col("user_id")).agg(
+        F.count(F.lit(1)).alias("n_events")
+    )
+    out = run_to_memory(agg, "complete")
+    return out.select(
+        "user_id",
+        F.col("session_window.start").alias("session_start"),
+        F.col("session_window.end").alias("session_end"),
+        "n_events",
+    )
+
+
+@query("stream_watermark")  # rows-only: append-mode watermark emission has no batch equivalent
+def stream_watermark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bounded-lateness tumbling aggregate: 1h watermark, append mode,
+    multi-batch replay (3 file splits) so the watermark actually
+    advances between batches and closed windows get emitted. Only
+    windows whose end falls below the final watermark appear — a
+    genuinely streaming-only result, hence rows-only."""
+    import os
+
+    from xlsx_to_database_spark.streaming.engine import EVENTS_RAW_SCHEMA, _stage_dir
+
+    # Re-stage into 3 ts-range-ordered files so availableNow produces
+    # multiple batches and the watermark advances between them.
+    # repartitionByRange writes part-0000N in ascending ts order, which
+    # is also the FileStreamSource listing order.
+    src_dir = _stage_dir(sf_dir, 1)
+    split_dir = src_dir + "_wm3"
+    if not os.path.exists(os.path.join(split_dir, "_SUCCESS")):
+        shutil.rmtree(split_dir, ignore_errors=True)
+        spark.read.schema(EVENTS_RAW_SCHEMA).parquet(src_dir).repartitionByRange(
+            3, "ts"
+        ).write.mode("overwrite").parquet(split_dir)
+    raw = (
+        spark.readStream.schema(EVENTS_RAW_SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(split_dir)
+    )
+    ev = raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    agg = (
+        ev.withWatermark("ts", "1 hour")
+        .groupBy(F.window("ts", "1 hour"), F.col("event_type"))
+        .agg(F.count(F.lit(1)).alias("n_events"))
+    )
+    out = run_to_memory(agg, "append")
+    return out.select(
+        F.col("window.start").alias("window_start"), "event_type", "n_events"
+    )
+
+
+@query(
+    "stream_dedup",
+    """
+    SELECT DISTINCT event_id, user_id, event_type, value
+    FROM events
+    """,
+)
+def stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stateful streaming dedup on event_id over a stream that replays
+    the events twice (real duplicates). dropDuplicates keeps the first
+    arrival; since duplicates are byte-identical the result equals
+    batch DISTINCT exactly. At scale, dropDuplicatesWithinWatermark
+    bounds the state store — semantics identical while dups arrive
+    within the lateness bound."""
+    ev = events_stream(spark, sf_dir, copies=2)
+    deduped = ev.dropDuplicates(["event_id"]).select(
+        "event_id", "user_id", "event_type", "value"
+    )
+    return run_to_memory(deduped, "append")
+
+
+@query(
+    "stream_stateful",
+    """
+    SELECT user_id, count(*) AS n_events,
+           round(sum(value), 2) AS total_value,
+           max(ts) AS last_ts
+    FROM events
+    GROUP BY user_id
+    """,
+)
+def stream_stateful(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Custom stateful per-user aggregate via applyInPandasWithState:
+    state = (count, sum, max_ts) updated per batch. With one input file
+    (single batch) the emitted update equals the batch aggregate."""
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+    from pyspark.sql.types import (
+        DoubleType,
+        LongType,
+        StructField,
+        StructType,
+        TimestampType,
+    )
+
+    out_schema = StructType(
+        [
+            StructField("user_id", LongType()),
+            StructField("n_events", LongType()),
+            StructField("total_value", DoubleType()),
+            StructField("last_ts", TimestampType()),
+        ]
+    )
+    state_schema = StructType(
+        [
+            StructField("cnt", LongType()),
+            StructField("total", DoubleType()),
+            StructField("last_us", LongType()),
+        ]
+    )
+
+    def update(key, pdfs, state: GroupState):
+        cnt, total, last_us = state.get if state.exists else (0, 0.0, 0)
+        for pdf in pdfs:
+            cnt += len(pdf)
+            total += float(pdf["value"].sum())
+            batch_max = pdf["ts"].max()
+            last_us = max(last_us, int(batch_max.value // 1000))
+        state.update((cnt, total, last_us))
+        yield pd.DataFrame(
+            {
+                "user_id": [key[0]],
+                "n_events": [cnt],
+                "total_value": [round(total, 2)],
+                "last_ts": [pd.Timestamp(last_us, unit="us")],
+            }
+        )
+
+    ev = events_stream(spark, sf_dir)
+    result = ev.groupBy("user_id").applyInPandasWithState(
+        update, out_schema, state_schema, "update", GroupStateTimeout.NoTimeout
+    )
+    return run_to_memory(result, "update")
+
+
+@query(
+    "stream_static_join",
+    """
+    SELECT e.event_id, e.event_type, m.category, e.value
+    FROM events e
+    JOIN (VALUES ('click', 'engagement'), ('view', 'engagement'),
+                 ('purchase', 'revenue'), ('signup', 'growth'),
+                 ('error', 'ops')) m(event_type, category)
+      ON e.event_type = m.event_type
+    """,
+)
+def stream_static_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Enrich the stream with a static dimension (stream-static joins
+    need no state: the static side is broadcast per micro-batch)."""
+    static = spark.createDataFrame(
+        [
+            ("click", "engagement"),
+            ("view", "engagement"),
+            ("purchase", "revenue"),
+            ("signup", "growth"),
+            ("error", "ops"),
+        ],
+        "event_type string, category string",
+    )
+    ev = events_stream(spark, sf_dir)
+    joined = ev.join(F.broadcast(static), "event_type").select(
+        "event_id", "event_type", "category", "value"
+    )
+    return run_to_memory(joined, "append")
+
+
+@query("stream_sink")  # rows-only: a write operation, verified by reading back
+def stream_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """foreachBatch parquet sink with checkpointing; returns the
+    read-back rows (count must equal the source)."""
+    out_dir = f"/tmp/spark_stream_out/{uuid.uuid4().hex}"
+    ev = events_stream(spark, sf_dir).select("event_id", "user_id", "event_type", "value")
+    run_foreach_batch_parquet(ev, out_dir)
+    return spark.read.parquet(out_dir)

@@ -1,0 +1,102 @@
+"""Streaming harness: replay the events parquet as a bounded stream.
+
+Test trick (SURVEY.md §2.9): run with ``trigger(availableNow=True)`` so
+the stream drains all input then stops — results become deterministic
+and (for complete-mode aggregations and stateless transforms) exactly
+equal to the batch query on the same data, which is what the DuckDB
+oracles check. In production the same code runs unbounded with
+micro-batch triggers and RocksDB state stores; nothing here assumes
+boundedness except the trigger.
+"""
+
+from __future__ import annotations
+
+import itertools
+import os
+import shutil
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    DoubleType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+#: File-stream schema for events.parquet — ts arrives as nanos-long
+#: (spark.sql.legacy.parquet.nanosAsLong) and is truncated to µs below.
+EVENTS_RAW_SCHEMA = StructType(
+    [
+        StructField("event_id", LongType()),
+        StructField("ts", LongType()),
+        StructField("user_id", LongType()),
+        StructField("event_type", StringType()),
+        StructField("value", DoubleType()),
+        StructField("props", StringType()),
+    ]
+)
+
+_name_counter = itertools.count()
+
+
+def _stage_dir(sf_dir: str, copies: int) -> str:
+    """Stage the events file into a /tmp stream-source directory.
+
+    `copies` > 1 replays the data N times (deliberate duplicates for
+    dedup ops). Staging is cached per (sf_dir, copies) since the
+    testdata is immutable.
+    """
+    tag = os.path.basename(os.path.normpath(sf_dir))
+    dst = f"/tmp/spark_stream_src/{tag}_x{copies}"
+    src = os.path.join(sf_dir, "events.parquet")
+    expected = [os.path.join(dst, f"events_{i}.parquet") for i in range(copies)]
+    if not all(os.path.exists(p) for p in expected):
+        shutil.rmtree(dst, ignore_errors=True)
+        os.makedirs(dst, exist_ok=True)
+        for p in expected:
+            shutil.copyfile(src, p)
+    return dst
+
+
+def events_stream(spark: SparkSession, sf_dir: str, copies: int = 1) -> DataFrame:
+    """The events table as a streaming DataFrame with a proper µs
+    event-time column."""
+    raw = spark.readStream.schema(EVENTS_RAW_SCHEMA).parquet(_stage_dir(sf_dir, copies))
+    return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+
+
+def run_to_memory(sdf: DataFrame, output_mode: str = "complete") -> DataFrame:
+    """Drain a streaming DataFrame with availableNow into a memory sink
+    and return the final result table."""
+    name = f"stream_result_{next(_name_counter)}_{uuid.uuid4().hex[:8]}"
+    q = (
+        sdf.writeStream.format("memory")
+        .queryName(name)
+        .outputMode(output_mode)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return sdf.sparkSession.table(name)
+
+
+def run_foreach_batch_parquet(sdf: DataFrame, out_dir: str) -> None:
+    """Drain a stream through foreachBatch into parquet with a
+    checkpoint — the idempotent-sink pattern (overwrite-by-batch-id
+    would make it exactly-once on retries at scale; append suffices for
+    a single bounded drain)."""
+    ckpt = f"/tmp/spark_stream_ckpt/{uuid.uuid4().hex}"
+
+    def write_batch(batch_df: DataFrame, batch_id: int) -> None:
+        batch_df.write.mode("append").parquet(out_dir)
+
+    q = (
+        sdf.writeStream.foreachBatch(write_batch)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
