@@ -1,0 +1,184 @@
+"""Unit tests for the stdlib xlsx parser/writer and schema inference
+(SURVEY.md §5.4: shared strings, inline strings, date serials incl. the
+1900 leap-year quirk, empty cells, ragged rows, type promotion,
+multi-sheet)."""
+
+from __future__ import annotations
+
+import zipfile
+from datetime import datetime
+
+import pytest
+
+from xlsx_to_database_spark.sources.infer import (
+    infer_column_kinds,
+    sanitize_headers,
+    sanitize_identifier,
+)
+from xlsx_to_database_spark.sources.xlsx_io import (
+    datetime_to_excel_serial,
+    excel_serial_to_datetime,
+    read_workbook,
+    write_workbook,
+)
+
+
+# ---------------------------------------------------------------------------
+# Date serials
+# ---------------------------------------------------------------------------
+
+
+@pytest.mark.parametrize(
+    "serial,expected",
+    [
+        (1, datetime(1900, 1, 1)),
+        (59, datetime(1900, 2, 28)),
+        (60, datetime(1900, 2, 28)),  # phantom 1900-02-29 → clamped to Feb 28
+        (61, datetime(1900, 3, 1)),
+        (45352, datetime(2024, 3, 1)),
+        (45352.4375, datetime(2024, 3, 1, 10, 30)),
+    ],
+)
+def test_serial_to_datetime(serial, expected):
+    assert excel_serial_to_datetime(serial) == expected
+
+
+@pytest.mark.parametrize(
+    "dt",
+    [
+        datetime(1900, 1, 1),
+        datetime(1900, 2, 28),
+        datetime(1900, 3, 1),
+        datetime(1899, 6, 15),
+        datetime(2024, 3, 1, 10, 30, 45),
+        datetime(1995, 12, 31, 23, 59, 59),
+    ],
+)
+def test_serial_round_trip(dt):
+    assert excel_serial_to_datetime(datetime_to_excel_serial(dt)) == dt
+
+
+# ---------------------------------------------------------------------------
+# Writer → reader round trip
+# ---------------------------------------------------------------------------
+
+
+def test_workbook_round_trip(tmp_path):
+    path = str(tmp_path / "rt.xlsx")
+    rows = [
+        (1, "hello", 2.5, True, datetime(2024, 1, 2, 3, 4, 5)),
+        (2, "wörld & <xml>", -1.0, False, datetime(1900, 2, 28)),
+        (3, None, None, None, None),
+    ]
+    write_workbook(path, {"s1": (["id", "txt", "val", "ok", "at"], rows)})
+    wb = read_workbook(path)
+    got = list(wb.iter_rows("s1"))
+    assert got[0] == ["id", "txt", "val", "ok", "at"]
+    assert got[1] == [1, "hello", 2.5, True, datetime(2024, 1, 2, 3, 4, 5)]
+    assert got[2][1] == "wörld & <xml>"  # xml escaping survives
+    assert got[2][4] == datetime(1900, 2, 28)
+    assert got[3] == [3]  # trailing empty cells are simply absent (ragged)
+
+
+def test_multisheet_and_shared_string_dedup(tmp_path):
+    path = str(tmp_path / "ms.xlsx")
+    write_workbook(
+        path,
+        {
+            "a": (["k", "v"], [(1, "same"), (2, "same")]),
+            "b": (["k", "v"], [(3, "same")]),
+        },
+    )
+    wb = read_workbook(path)
+    assert list(wb.sheets) == ["a", "b"]
+    assert [r[1] for r in list(wb.iter_rows("b"))[1:]] == ["same"]
+    # 'same' must appear once in the shared-string table
+    assert wb.shared_strings.count("same") == 1
+
+
+def test_inline_strings_and_ragged_rows(tmp_path):
+    """Hand-built sheet (not via our writer): inline strings, gaps in
+    cell refs, formula-string cells."""
+    path = str(tmp_path / "hand.xlsx")
+    sheet = (
+        '<?xml version="1.0"?><worksheet xmlns="http://schemas.openxmlformats.org/spreadsheetml/2006/main">'
+        "<sheetData>"
+        '<row r="1"><c r="A1" t="inlineStr"><is><t>h1</t></is></c><c r="C1" t="inlineStr"><is><t>h3</t></is></c></row>'
+        '<row r="2"><c r="A2"><v>5</v></c><c r="B2" t="str"><v>calc</v></c></row>'
+        "</sheetData></worksheet>"
+    )
+    wb_xml = (
+        '<?xml version="1.0"?><workbook xmlns="http://schemas.openxmlformats.org/spreadsheetml/2006/main" '
+        'xmlns:r="http://schemas.openxmlformats.org/officeDocument/2006/relationships">'
+        '<sheets><sheet name="only" sheetId="1" r:id="rId1"/></sheets></workbook>'
+    )
+    rels = (
+        '<?xml version="1.0"?><Relationships xmlns="http://schemas.openxmlformats.org/package/2006/relationships">'
+        '<Relationship Id="rId1" Type="x/worksheet" Target="worksheets/sheet1.xml"/></Relationships>'
+    )
+    with zipfile.ZipFile(path, "w") as zf:
+        zf.writestr("xl/workbook.xml", wb_xml)
+        zf.writestr("xl/_rels/workbook.xml.rels", rels)
+        zf.writestr("xl/worksheets/sheet1.xml", sheet)
+    wb = read_workbook(path)
+    rows = list(wb.iter_rows("only"))
+    assert rows[0] == ["h1", None, "h3"]  # gap at B1 → None
+    assert rows[1] == [5, "calc"]
+
+
+# ---------------------------------------------------------------------------
+# Inference + sanitization
+# ---------------------------------------------------------------------------
+
+
+def test_inference_lattice():
+    rows = [
+        [True, 1, 1, "x", 1, datetime(2024, 1, 1), None],
+        [False, 2, 1.5, "y", "s", datetime(2024, 1, 2), None],
+        [None, None, None, None, None, None, None],
+    ]
+    kinds = infer_column_kinds(rows, 7)
+    assert kinds == ["boolean", "long", "double", "string", "string", "timestamp", "string"]
+
+
+def test_bool_plus_number_degrades_to_string():
+    assert infer_column_kinds([[True], [1]], 1) == ["string"]
+    assert infer_column_kinds([[datetime(2024, 1, 1)], [1.0]], 1) == ["string"]
+
+
+def test_sanitize_identifier():
+    assert sanitize_identifier("Order ID") == "order_id"
+    assert sanitize_identifier("  Total $ (net) ") == "total_net"
+    assert sanitize_identifier("2024 forecast") == "c_2024_forecast"
+    assert sanitize_identifier("___") == "col"
+    assert sanitize_headers(["A", "a", "a"]) == ["a", "a_2", "a_3"]
+
+
+# ---------------------------------------------------------------------------
+# Data source integration: sheet option + pushdown path
+# ---------------------------------------------------------------------------
+
+
+def test_datasource_sheet_filter_and_pushdown(spark, tmp_path):
+    from pyspark.sql import functions as F
+
+    from xlsx_to_database_spark.sources.xlsx import register_xlsx_source
+
+    register_xlsx_source(spark)
+    path = str(tmp_path / "ds.xlsx")
+    write_workbook(
+        path,
+        {
+            "t1": (["k", "grp"], [(1, "a"), (2, "b"), (3, "a")]),
+            "t2": (["k", "grp"], [(4, "b")]),
+        },
+    )
+    df = spark.read.format("xlsx").option("sheet", "t1").load(path)
+    assert df.count() == 3
+    # EqualTo filter is pushed into the Python reader (and results stay correct)
+    got = df.filter(F.col("grp") == "a").select("k").collect()
+    assert sorted(r.k for r in got) == [1, 3]
+    both = spark.read.format("xlsx").option("sheet", "*").load(path)
+    assert both.count() == 4
+    with pytest.raises(Exception):
+        spark.read.format("xlsx").option("sheet", "nope").load(path).collect()

@@ -1,0 +1,263 @@
+"""Source/sink query ops (SURVEY.md §2.1).
+
+Staging strategy: xlsx/csv/json inputs are generated *from the testdata
+parquet* into /tmp caches, so every scan op has an exact DuckDB oracle
+against the pre-registered views (read the staged file with Spark ⇔
+read the original table with DuckDB). xlsx staging goes through our own
+writer — which doubles as a round-trip test of the parser. The JDBC
+sink round-trips through Spark's bundled Derby (a real database, real
+batched inserts) and oracle-checks against the source view.
+"""
+
+from __future__ import annotations
+
+import os
+from datetime import datetime
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from xlsx_to_database_spark.catalog import table
+from xlsx_to_database_spark.registry import query
+from xlsx_to_database_spark.sources import sinks as SK
+from xlsx_to_database_spark.sources import xlsx_io
+from xlsx_to_database_spark.sources.infer import sanitize_headers
+from xlsx_to_database_spark.sources.xlsx import register_xlsx_source
+
+_STAGE_ROOT = "/tmp/spark_stage"
+
+
+def _tag(sf_dir: str) -> str:
+    return os.path.basename(os.path.normpath(sf_dir))
+
+
+def _stage_xlsx_from_table(
+    spark: SparkSession, sf_dir: str, name: str, split_col: str | None = None
+) -> str:
+    """Stage a (small) testdata table as an xlsx workbook — one sheet,
+    or one sheet per distinct split_col value. xlsx is a small-data
+    interchange format; staging collects, by design, only dimension-
+    scale tables."""
+    suffix = f"_{split_col}" if split_col else ""
+    path = os.path.join(_STAGE_ROOT, f"{_tag(sf_dir)}_{name}{suffix}.xlsx")
+    if os.path.exists(path):
+        return path
+    os.makedirs(_STAGE_ROOT, exist_ok=True)
+    df = table(spark, sf_dir, name)
+    header = df.columns
+    if split_col:
+        keys = sorted(r[0] for r in df.select(split_col).distinct().collect())
+        sheets = {
+            str(k): (header, [tuple(r) for r in df.filter(F.col(split_col) == k).collect()])
+            for k in keys
+        }
+    else:
+        sheets = {name: (header, [tuple(r) for r in df.collect()])}
+    xlsx_io.write_workbook(path + ".tmp", sheets)
+    os.replace(path + ".tmp", path)
+    return path
+
+
+@query(
+    "xlsx_scan",
+    """
+    SELECT CAST(n_nationkey AS BIGINT) AS n_nationkey, n_name,
+           CAST(n_regionkey AS BIGINT) AS n_regionkey
+    FROM nation
+    """,
+)
+def xlsx_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Read a worksheet through the xlsx Python Data Source: header row
+    → names, shared strings decoded, numeric cells type-inferred (ints
+    promote to BIGINT — hence the oracle casts)."""
+    register_xlsx_source(spark)
+    path = _stage_xlsx_from_table(spark, sf_dir, "nation")
+    return spark.read.format("xlsx").load(path)
+
+
+@query(
+    "xlsx_infer",
+    """
+    SELECT * FROM (VALUES
+      (true,  CAST(1 AS BIGINT), CAST(1.5 AS DOUBLE),   'alpha', '1',    TIMESTAMP '2024-03-01 10:30:00'),
+      (false, CAST(2 AS BIGINT), CAST(-0.25 AS DOUBLE), 'beta',  'two',  TIMESTAMP '1899-06-15 00:00:00'),
+      (NULL,  CAST(3 AS BIGINT), CAST(2.0 AS DOUBLE),   NULL,    'true', TIMESTAMP '1900-02-28 12:00:00')
+    ) AS t(flag, n, x, note, mixed, at)
+    """,
+)
+def xlsx_infer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Type-inference across the promotion lattice: bool, long,
+    int+float→double, string, int+str→string (degraded), date serials →
+    timestamp (incl. a pre-1900 and a leap-quirk-era date)."""
+    register_xlsx_source(spark)
+    path = os.path.join(_STAGE_ROOT, "infer_fixture.xlsx")
+    if not os.path.exists(path):
+        os.makedirs(_STAGE_ROOT, exist_ok=True)
+        rows = [
+            (True, 1, 1.5, "alpha", 1, datetime(2024, 3, 1, 10, 30, 0)),
+            (False, 2, -0.25, "beta", "two", datetime(1899, 6, 15)),
+            (None, 3, 2, None, True, datetime(1900, 2, 28, 12, 0, 0)),
+        ]
+        xlsx_io.write_workbook(
+            path + ".tmp", {"data": (["flag", "n", "x", "note", "mixed", "at"], rows)}
+        )
+        os.replace(path + ".tmp", path)
+    return spark.read.format("xlsx").load(path)
+
+
+@query(
+    "xlsx_multisheet",
+    """
+    SELECT CAST(c_custkey AS BIGINT) AS c_custkey, c_name,
+           CAST(c_nationkey AS BIGINT) AS c_nationkey,
+           c_acctbal, c_mktsegment
+    FROM customer
+    """,
+)
+def xlsx_multisheet(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One workbook, one sheet per market segment (sheet='*'): each
+    sheet decodes as its own InputPartition in parallel, and the union
+    must reconstruct the whole customer table."""
+    register_xlsx_source(spark)
+    path = _stage_xlsx_from_table(spark, sf_dir, "customer", split_col="c_mktsegment")
+    return spark.read.format("xlsx").option("sheet", "*").load(path)
+
+
+@query(
+    "ident_sanitize",
+    """
+    SELECT * FROM (VALUES
+      ('Order ID',        'order_id'),
+      ('  Total $ (net)', 'total_net'),
+      ('2024 forecast',   'c_2024_forecast'),
+      ('weird//name',     'weird_name'),
+      ('DUP',             'dup'),
+      ('dup',             'dup_2'),
+      ('',                'col')
+    ) AS t(raw_header, identifier)
+    """,
+)
+def ident_sanitize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Header → SQL identifier sanitization (lowercase, punctuation →
+    _, digit prefix guard, collision dedup)."""
+    raw = ["Order ID", "  Total $ (net)", "2024 forecast", "weird//name", "DUP", "dup", ""]
+    return spark.createDataFrame(
+        list(zip(raw, sanitize_headers(raw))), "raw_header string, identifier string"
+    )
+
+
+@query(
+    "parquet_scan",
+    """
+    SELECT l_orderkey, l_partkey, l_quantity, l_shipdate
+    FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '1997-01-01' AND l_quantity < 10
+    """,
+)
+def parquet_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Columnar scan with projection + predicate pushdown (the explain
+    plan shows PushedFilters on both predicates and a 4-column
+    ReadSchema — asserted in tests/test_plans.py)."""
+    li = table(spark, sf_dir, "lineitem")
+    return li.filter(
+        (F.col("l_shipdate") >= F.lit("1997-01-01").cast("timestamp"))
+        & (F.col("l_quantity") < 10)
+    ).select("l_orderkey", "l_partkey", "l_quantity", "l_shipdate")
+
+
+@query(
+    "csv_scan",
+    """
+    SELECT CAST(c_custkey AS BIGINT) AS c_custkey, c_name,
+           CAST(c_nationkey AS BIGINT) AS c_nationkey,
+           c_acctbal, c_mktsegment
+    FROM customer
+    """,
+)
+def csv_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Delimited text with header + schema inference (staged from the
+    customer table; numeric inference promotes to BIGINT/DOUBLE)."""
+    out = os.path.join(_STAGE_ROOT, f"{_tag(sf_dir)}_customer_csv")
+    if not os.path.exists(os.path.join(out, "_SUCCESS")):
+        table(spark, sf_dir, "customer").coalesce(1).write.mode("overwrite").option(
+            "header", "true"
+        ).csv(out)
+    df = spark.read.csv(out, header=True, inferSchema=True)
+    return df.select(
+        F.col("c_custkey").cast("long"),
+        "c_name",
+        F.col("c_nationkey").cast("long"),
+        F.col("c_acctbal").cast("double"),
+        "c_mktsegment",
+    )
+
+
+@query(
+    "json_scan",
+    """
+    SELECT event_id, event_type, value FROM events
+    """,
+)
+def json_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON-lines scan (staged projection of events; timestamps are
+    excluded — JSON round-trips them as strings, a format property,
+    not an engine one)."""
+    out = os.path.join(_STAGE_ROOT, f"{_tag(sf_dir)}_events_json")
+    if not os.path.exists(os.path.join(out, "_SUCCESS")):
+        table(spark, sf_dir, "events").select("event_id", "event_type", "value").write.mode(
+            "overwrite"
+        ).json(out)
+    return spark.read.json(out).select("event_id", "event_type", "value")
+
+
+@query(
+    "parquet_sink",
+    """
+    SELECT l_orderkey, l_linenumber, l_quantity, l_returnflag
+    FROM lineitem WHERE l_quantity >= 45
+    """,
+)
+def parquet_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Partitioned columnar output (partitionBy l_returnflag → hive
+    layout → partition pruning downstream), verified by reading back."""
+    out = os.path.join(_STAGE_ROOT, f"{_tag(sf_dir)}_li_sink")
+    src = table(spark, sf_dir, "lineitem").filter(F.col("l_quantity") >= 45).select(
+        "l_orderkey", "l_linenumber", "l_quantity", "l_returnflag"
+    )
+    SK.to_parquet(src, out, partition_by=["l_returnflag"])
+    back = spark.read.parquet(out)
+    return back.select(
+        "l_orderkey", "l_linenumber", "l_quantity", F.col("l_returnflag").cast("string")
+    )
+
+
+@query(
+    "jdbc_sink",
+    """
+    SELECT CAST(s_suppkey AS BIGINT) AS s_suppkey, s_name,
+           CAST(s_nationkey AS BIGINT) AS s_nationkey, s_acctbal
+    FROM supplier
+    """,
+)
+def jdbc_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference's sink: CREATE TABLE + batched INSERTs over JDBC
+    (Derby in-memory here; any JDBC URL in production), read back over
+    JDBC and oracle-checked against the source. Executors write
+    partition-parallel batched inserts; the driver never holds rows."""
+    url = os.environ.get(
+        "SPARK_GRAFT_JDBC_URL", f"jdbc:derby:memory:graft_{_tag(sf_dir)};create=true"
+    )
+    src = table(spark, sf_dir, "supplier").select(
+        F.col("s_suppkey").cast("long"),
+        "s_name",
+        F.col("s_nationkey").cast("long"),
+        "s_acctbal",
+    )
+    SK.to_database(src, url, "supplier_sink", mode="truncate")
+    back = SK.from_database(spark, url, "supplier_sink")
+    return back.select(
+        F.col("s_suppkey").cast("long"),
+        "s_name",
+        F.col("s_nationkey").cast("long"),
+        F.col("s_acctbal").cast("double"),
+    )

@@ -1,0 +1,145 @@
+"""UDF / UDAF / UDTF surface (SURVEY.md §2.11).
+
+These ops exist to prove the Python extension points work end to end —
+row UDFs, Arrow-vectorized pandas UDFs, grouped pandas aggregates, and
+Python UDTFs. The scale rule stands: UDFs are the slow path; everything
+expressible with built-ins elsewhere in this engine uses built-ins.
+Where Python is unavoidable, Arrow-batched pandas UDFs (10-100× the
+row-at-a-time throughput) are the floor.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.functions import pandas_udf, udf, udtf
+from pyspark.sql.types import DoubleType, StringType
+
+from xlsx_to_database_spark.catalog import table
+from xlsx_to_database_spark.registry import query
+
+
+@query(
+    "udf_python",
+    """
+    SELECT c_custkey,
+           lower(replace(c_name, 'Customer#', 'cust-')) AS norm_name
+    FROM customer
+    """,
+)
+def udf_python(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Row-scalar Python UDF (name normalizer), oracle-mirrored by the
+    equivalent SQL expression. Deliberately trivial logic: the op under
+    test is the Python-worker round trip itself."""
+
+    @udf(returnType=StringType())
+    def norm_name(name: str) -> str:
+        return name.replace("Customer#", "cust-").lower() if name is not None else None
+
+    c = table(spark, sf_dir, "customer")
+    return c.select("c_custkey", norm_name("c_name").alias("norm_name"))
+
+
+@query(
+    "udf_pandas",
+    """
+    SELECT vec_id,
+           round(sqrt(list_sum(list_transform(embedding, x -> CAST(x AS DOUBLE) * x))), 6)
+             AS l2_norm
+    FROM embeddings
+    """,
+)
+def udf_pandas(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Arrow-vectorized scalar pandas UDF: numpy L2 norm over embedding
+    batches — the pattern for any numeric kernel the built-ins can't
+    express (here they could; the op proves the vectorized path agrees
+    with the expression path and the oracle)."""
+    import numpy as np
+
+    @pandas_udf(DoubleType())
+    def l2_norm(vectors: pd.Series) -> pd.Series:
+        return vectors.map(
+            lambda v: round(float(np.sqrt(np.dot(np.asarray(v, dtype="float64"),
+                                                 np.asarray(v, dtype="float64")))), 6)
+        )
+
+    e = table(spark, sf_dir, "embeddings")
+    return e.select("vec_id", l2_norm("embedding").alias("l2_norm"))
+
+
+@query(
+    "udaf_pandas",
+    """
+    SELECT c_mktsegment, round(gini, 6) AS gini FROM (
+      SELECT c_mktsegment,
+             CASE WHEN sum(o_totalprice) = 0 THEN 0.0 ELSE
+               (2.0 * sum(rn * o_totalprice) / (count(*) * sum(o_totalprice))
+                - (count(*) + 1.0) / count(*))
+             END AS gini
+      FROM (
+        SELECT c.c_mktsegment, o.o_totalprice,
+               row_number() OVER (PARTITION BY c.c_mktsegment
+                                  ORDER BY o.o_totalprice, o.o_orderkey) AS rn
+        FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+      )
+      GROUP BY c_mktsegment
+    )
+    """,
+)
+def udaf_pandas(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Custom grouped aggregate via applyInPandas: Gini coefficient of
+    order values per market segment (the canonical 'not expressible as
+    a single built-in aggregate' statistic — though the oracle shows
+    the sorted-rank identity makes it SQL-able for verification)."""
+
+    def gini(pdf: pd.DataFrame) -> pd.DataFrame:
+        import numpy as np
+
+        x = pdf["o_totalprice"].sort_values().to_numpy()
+        n = len(x)
+        total = float(x.sum())
+        g = 0.0 if total == 0 else (
+            2.0 * float(np.arange(1, n + 1, dtype="float64") @ x) / (n * total) - (n + 1.0) / n
+        )
+        return pd.DataFrame({"c_mktsegment": [pdf["c_mktsegment"].iloc[0]], "gini": [round(g, 6)]})
+
+    o, c = table(spark, sf_dir, "orders"), table(spark, sf_dir, "customer")
+    joined = o.join(c, o.o_custkey == c.c_custkey).select("c_mktsegment", "o_totalprice")
+    return joined.groupBy("c_mktsegment").applyInPandas(gini, "c_mktsegment string, gini double")
+
+
+@query(
+    "udtf_python",
+    """
+    SELECT doc_id, chunk_id, chunk, length(chunk) AS chunk_len
+    FROM (
+      SELECT doc_id,
+             unnest(generate_series(0, CAST(ceil(len(string_split(text, ' ')) / 8.0) AS BIGINT) - 1))
+               AS chunk_id,
+             text
+      FROM documents
+    ) base
+    CROSS JOIN LATERAL (
+      SELECT array_to_string(string_split(text, ' ')[chunk_id * 8 + 1 : chunk_id * 8 + 8], ' ')
+               AS chunk
+    ) c
+    """,
+)
+def udtf_python(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Python UDTF: explode each document into fixed 8-token chunks with
+    positions — the chunking primitive of RAG/pretraining pipelines."""
+
+    @udtf(returnType="doc_id bigint, chunk_id bigint, chunk string, chunk_len int")
+    class ChunkDoc:
+        def eval(self, doc_id: int, text: str):
+            toks = text.split(" ")
+            for i in range(0, len(toks), 8):
+                chunk = " ".join(toks[i : i + 8])
+                yield doc_id, i // 8, chunk, len(chunk)
+
+    spark.udtf.register("chunk_doc", ChunkDoc)
+    table(spark, sf_dir, "documents").createOrReplaceTempView("docs_for_udtf")
+    return spark.sql(
+        "SELECT c.* FROM docs_for_udtf, LATERAL chunk_doc(doc_id, text) c"
+    )

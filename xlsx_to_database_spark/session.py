@@ -29,6 +29,8 @@ RUNTIME_CONFS: dict[str, str] = {
     "spark.sql.shuffle.partitions": os.environ.get("SPARK_GRAFT_SHUFFLE", "32"),
     # Arrow for any pandas interchange (UDF batches, toPandas).
     "spark.sql.execution.arrow.pyspark.enabled": "true",
+    # Allow our xlsx Python data source to receive pushed filters.
+    "spark.sql.python.filterPushdown.enabled": "true",
     # events.parquet stores TIMESTAMP(NANOS), which Spark's reader rejects;
     # read as raw nanos-since-epoch longs and truncate to micros in the
     # catalog (matching DuckDB's ns→µs truncation on the oracle side).

@@ -1,0 +1,126 @@
+"""Schema inference + identifier sanitization for the xlsx source
+(SURVEY.md §1.3, §2.1 xlsx_infer / ident_sanitize).
+
+Promotion lattice (least → most general), mirroring what xlsx-ETL
+tools infer from untyped cells:
+
+    boolean → long → double → timestamp → string
+
+A column whose observed cell types don't fit a single lattice chain
+degrades to string (the top). Nulls are type-transparent.
+"""
+
+from __future__ import annotations
+
+import re
+from datetime import datetime
+from typing import Any, Iterable
+
+from pyspark.sql.types import (
+    BooleanType,
+    DataType,
+    DoubleType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+    TimestampType,
+)
+
+#: lattice rank — max() of observed ranks wins; incompatible pairs
+#: (e.g. boolean + double) jump to string.
+_RANK = {"boolean": 0, "long": 1, "double": 2, "timestamp": 3, "string": 4}
+_NUMERIC = {"long", "double"}
+_SPARK_TYPE: dict[str, DataType] = {
+    "boolean": BooleanType(),
+    "long": LongType(),
+    "double": DoubleType(),
+    "timestamp": TimestampType(),
+    "string": StringType(),
+}
+
+
+def _cell_kind(v: Any) -> str | None:
+    if v is None:
+        return None
+    if isinstance(v, bool):
+        return "boolean"
+    if isinstance(v, int):
+        return "long"
+    if isinstance(v, float):
+        return "double"
+    if isinstance(v, datetime):
+        return "timestamp"
+    return "string"
+
+
+def _merge(a: str | None, b: str | None) -> str | None:
+    if a is None:
+        return b
+    if b is None or a == b:
+        return a
+    if {a, b} <= _NUMERIC:
+        return "double"
+    return "string"  # any other mix is incompatible → top
+
+
+def infer_column_kinds(rows: Iterable[list[Any]], n_cols: int) -> list[str]:
+    kinds: list[str | None] = [None] * n_cols
+    for row in rows:
+        for i in range(n_cols):
+            v = row[i] if i < len(row) else None
+            kinds[i] = _merge(kinds[i], _cell_kind(v))
+    return [k or "string" for k in kinds]
+
+
+def kinds_to_schema(names: list[str], kinds: list[str]) -> StructType:
+    return StructType(
+        [StructField(n, _SPARK_TYPE[k], nullable=True) for n, k in zip(names, kinds)]
+    )
+
+
+def coerce(v: Any, kind: str) -> Any:
+    """Coerce a decoded cell to the column's inferred/declared kind
+    (handles mixed columns that degraded to string, and int-typed
+    cells in double columns)."""
+    if v is None:
+        return None
+    if kind == "string":
+        if isinstance(v, bool):
+            return "true" if v else "false"
+        return v if isinstance(v, str) else str(v)
+    if kind == "double" and isinstance(v, int) and not isinstance(v, bool):
+        return float(v)
+    if kind == "long" and isinstance(v, float) and v.is_integer():
+        return int(v)
+    return v
+
+
+# ---------------------------------------------------------------------------
+# Identifier sanitization (§2.1 ident_sanitize)
+# ---------------------------------------------------------------------------
+
+_IDENT_BAD = re.compile(r"[^a-z0-9_]+")
+
+
+def sanitize_identifier(name: str) -> str:
+    """Header text → SQL identifier: lowercase, non-alphanumerics → _,
+    collapse/trim underscores, prefix digits, never empty."""
+    out = _IDENT_BAD.sub("_", name.strip().lower()).strip("_")
+    out = re.sub(r"_+", "_", out)
+    if not out:
+        out = "col"
+    if out[0].isdigit():
+        out = "c_" + out
+    return out
+
+
+def sanitize_headers(headers: list[Any]) -> list[str]:
+    """Sanitize a header row and deduplicate collisions with _2, _3…"""
+    seen: dict[str, int] = {}
+    out: list[str] = []
+    for i, h in enumerate(headers):
+        base = sanitize_identifier(str(h)) if h is not None else f"col_{i + 1}"
+        seen[base] = seen.get(base, 0) + 1
+        out.append(base if seen[base] == 1 else f"{base}_{seen[base]}")
+    return out

@@ -1,0 +1,170 @@
+"""The xlsx PySpark Python Data Source (SURVEY.md §2.1 xlsx_scan /
+xlsx_infer / xlsx_multisheet; §3.1 lifecycle).
+
+Spark-first design: the workbook is exposed through the public
+``pyspark.sql.datasource`` API so it composes with the whole engine —
+``spark.read.format("xlsx").load(path)`` yields a normal DataFrame that
+Catalyst optimizes like any other scan.
+
+Parallelism: ``partitions()`` returns one InputPartition per selected
+worksheet, so an N-sheet workbook decodes on N executor Python workers
+concurrently (xlsx sheets are independently-compressed zip members —
+per-sheet is the natural parallel grain; a single huge sheet streams
+within one task in O(row) memory).
+
+Pushdown: Python data sources get no automatic predicate pushdown, so
+``pushFilters`` accepts simple comparison filters and applies them
+during decode — rows are dropped *before* crossing the Python→JVM
+Arrow boundary, which is the expensive edge of this source.
+
+Options: ``sheet`` (name, or omitted = first sheet), ``header``
+(default true), ``sanitize`` (default true: headers → SQL identifiers),
+``sampleRows`` (inference sample size, default 200).
+"""
+
+from __future__ import annotations
+
+import itertools
+from typing import Any, Iterator
+
+from pyspark.sql.datasource import (
+    DataSource,
+    DataSourceReader,
+    EqualTo,
+    Filter,
+    InputPartition,
+)
+from pyspark.sql.types import StructType
+
+from xlsx_to_database_spark.sources import infer as I
+from xlsx_to_database_spark.sources import xlsx_io
+
+
+class SheetPartition(InputPartition):
+    def __init__(self, path: str, sheet: str):
+        self.path = path
+        self.sheet = sheet
+
+
+def _selected_sheets(path: str, options: dict) -> list[str]:
+    wb = xlsx_io.read_workbook(path)
+    try:
+        names = list(wb.sheets)
+    finally:
+        wb.close()
+    sheet_opt = options.get("sheet")
+    if sheet_opt in (None, ""):
+        return names[:1]
+    if sheet_opt == "*":
+        return names
+    missing = [s for s in sheet_opt.split(",") if s not in names]
+    if missing:
+        raise ValueError(f"sheet(s) {missing} not in workbook {path} (has {names})")
+    return sheet_opt.split(",")
+
+
+def _header_and_kinds(path: str, sheet: str, options: dict) -> tuple[list[str], list[str]]:
+    """One streaming pass over the first sampleRows rows → sanitized
+    names + inferred column kinds."""
+    has_header = str(options.get("header", "true")).lower() != "false"
+    sample_n = int(options.get("sampleRows", "200"))
+    wb = xlsx_io.read_workbook(path)
+    try:
+        rows = wb.iter_rows(sheet)
+        first = next(rows, None)
+        if first is None:
+            return [], []
+        if has_header:
+            headers: list[Any] = first
+            sample = list(itertools.islice(rows, sample_n))
+        else:
+            headers = [f"col_{i + 1}" for i in range(len(first))]
+            sample = [first] + list(itertools.islice(rows, sample_n - 1))
+        n_cols = max([len(headers)] + [len(r) for r in sample])
+        while len(headers) < n_cols:
+            headers.append(f"col_{len(headers) + 1}")
+        if str(options.get("sanitize", "true")).lower() != "false":
+            names = I.sanitize_headers(headers)
+        else:
+            names = [str(h) for h in headers]
+        return names, I.infer_column_kinds(sample, n_cols)
+    finally:
+        wb.close()
+
+
+class XlsxDataSource(DataSource):
+    """spark.read.format("xlsx").option("sheet", "...").load(path)"""
+
+    @classmethod
+    def name(cls) -> str:
+        return "xlsx"
+
+    def schema(self) -> StructType:
+        path = self.options.get("path")
+        if not path:
+            raise ValueError("xlsx source requires a path")
+        sheets = _selected_sheets(path, self.options)
+        if not sheets:
+            raise ValueError(f"workbook {path} has no sheets")
+        # Schema from the first selected sheet; multi-sheet reads union
+        # by position under that schema (sheets must be homogeneous,
+        # as in sharded-export workbooks).
+        names, kinds = _header_and_kinds(path, sheets[0], self.options)
+        return I.kinds_to_schema(names, kinds)
+
+    def reader(self, schema: StructType) -> "XlsxReader":
+        return XlsxReader(schema, dict(self.options))
+
+
+class XlsxReader(DataSourceReader):
+    def __init__(self, schema: StructType, options: dict):
+        self.schema = schema
+        self.options = options
+        self.path = options.get("path")
+        self._filters: list[Filter] = []
+
+    def pushFilters(self, filters: list[Filter]) -> Iterator[Filter]:
+        """Accept EqualTo filters on scan columns (applied during
+        decode, pre-Arrow); everything else stays with Spark."""
+        names = {f.name for f in self.schema.fields}
+        for f in filters:
+            if isinstance(f, EqualTo) and f.attribute[0] in names:
+                self._filters.append(f)
+            else:
+                yield f  # unsupported → Spark re-applies
+
+    def partitions(self) -> list[SheetPartition]:
+        return [SheetPartition(self.path, s) for s in _selected_sheets(self.path, self.options)]
+
+    def read(self, partition: SheetPartition) -> Iterator[tuple]:
+        has_header = str(self.options.get("header", "true")).lower() != "false"
+        kinds = []
+        for f in self.schema.fields:
+            t = f.dataType.simpleString()
+            kinds.append(t if t in ("boolean", "double", "timestamp", "string") else "long" if t in ("bigint", "long") else t)
+        n_cols = len(kinds)
+        eq_checks = [
+            (i, f.value)
+            for f in self._filters
+            for i, fld in enumerate(self.schema.fields)
+            if isinstance(f, EqualTo) and fld.name == f.attribute[0]
+        ]
+        wb = xlsx_io.read_workbook(partition.path)
+        try:
+            rows = wb.iter_rows(partition.sheet)
+            if has_header:
+                next(rows, None)
+            for row in rows:
+                vals = tuple(
+                    I.coerce(row[i] if i < len(row) else None, kinds[i]) for i in range(n_cols)
+                )
+                if any(vals[i] != v for i, v in eq_checks):
+                    continue
+                yield vals
+        finally:
+            wb.close()
+
+
+def register_xlsx_source(spark) -> None:
+    """Idempotently register the xlsx format on a session."""
+    spark.dataSource.register(XlsxDataSource)

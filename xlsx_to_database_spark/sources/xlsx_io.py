@@ -1,0 +1,325 @@
+"""Minimal stdlib xlsx (ECMA-376 / OOXML) reader + writer.
+
+No openpyxl in this environment (SURVEY.md §5.4), and the reference
+class of tools parses the format directly, so this module implements
+the needed subset over ``zipfile`` + ``xml.etree``:
+
+reader: workbook/sheet enumeration, shared strings, inline strings,
+cell type codes (s/b/str/inlineStr/e, default numeric), style-driven
+date detection (builtin + custom number formats), Excel date serials
+including the 1900 leap-year quirk, ragged rows.
+
+writer: multi-sheet workbooks with shared strings, typed cells
+(bool/number/string/datetime with a date style) — used for round-trip
+tests and for staging oracle-checkable workbooks from the testdata.
+
+Both sides stream row-by-row (iterparse / incremental write); memory is
+O(row + shared strings), never O(sheet) — the property that lets one
+Spark task decode one big sheet.
+"""
+
+from __future__ import annotations
+
+import re
+import zipfile
+from datetime import datetime, timedelta
+from typing import Any, Iterator
+from xml.etree import ElementTree as ET
+from xml.sax.saxutils import escape
+
+NS = "{http://schemas.openxmlformats.org/spreadsheetml/2006/main}"
+REL_NS = "{http://schemas.openxmlformats.org/officeDocument/2006/relationships}"
+
+#: Excel built-in number-format ids that render as dates/times.
+_DATE_BUILTIN_FMTS = set(range(14, 23)) | set(range(45, 48))
+
+# Epochs for Excel's 1900 date system. Serials ≥ 61 are relative to
+# 1899-12-30 (absorbing the phantom 1900-02-29); serials ≤ 59 to
+# 1899-12-31. Serial 60 *is* the phantom leap day — mapped to Feb 28.
+_EPOCH_POST = datetime(1899, 12, 30)
+_EPOCH_PRE = datetime(1899, 12, 31)
+
+
+def excel_serial_to_datetime(serial: float) -> datetime:
+    """Excel 1900-system date serial → datetime (SURVEY.md §5.4: the
+    1900-leap-year quirk is handled, not ignored). Result is rounded to
+    the millisecond — a float64 day-serial only carries ~µs precision
+    around modern dates, and sub-ms noise from the round-trip would
+    otherwise leak into timestamps."""
+    if serial >= 61:
+        epoch, days = _EPOCH_POST, serial
+    elif serial >= 60:  # the phantom 1900-02-29 → clamp to Feb 28
+        epoch, days = datetime(1900, 2, 28), serial - 60
+    else:
+        epoch, days = _EPOCH_PRE, serial
+    return epoch + timedelta(milliseconds=round(days * 86400e3))
+
+
+def datetime_to_excel_serial(dt: datetime) -> float:
+    delta = dt - _EPOCH_POST
+    serial = delta.days + delta.seconds / 86400 + delta.microseconds / 86400e6
+    if serial < 61:  # dates before 1900-03-01 sit on the pre-bug epoch
+        serial -= 1
+    return serial
+
+
+def _col_index(cell_ref: str) -> int:
+    """'A1' → 0, 'AB3' → 27 (0-based column index from a cell ref)."""
+    idx = 0
+    for ch in cell_ref:
+        if ch.isdigit():
+            break
+        idx = idx * 26 + (ord(ch) - 64)
+    return idx - 1
+
+
+_DATE_TOKEN_RE = re.compile(r"[ymdhs]", re.IGNORECASE)
+_STRIP_RE = re.compile(r'\[[^\]]*\]|"[^"]*"|\\.')
+
+
+def _is_date_format(fmt_code: str) -> bool:
+    """Heuristic per OOXML practice: a format is a date format if it
+    contains y/m/d/h/s tokens outside brackets/quotes/escapes."""
+    return bool(_DATE_TOKEN_RE.search(_STRIP_RE.sub("", fmt_code)))
+
+
+class Workbook:
+    """Lazily-parsed xlsx workbook."""
+
+    def __init__(self, path: str):
+        self.path = path
+        self._zf = zipfile.ZipFile(path)
+        self._shared: list[str] | None = None
+        self._date_styles: set[int] | None = None
+        self.sheets = self._sheet_map()
+
+    def _sheet_map(self) -> dict[str, str]:
+        """sheet name → zip member path, in workbook order."""
+        rels = {}
+        rel_path = "xl/_rels/workbook.xml.rels"
+        if rel_path in self._zf.namelist():
+            root = ET.fromstring(self._zf.read(rel_path))
+            for rel in root:
+                target = rel.get("Target").lstrip("/")
+                if not target.startswith("xl/"):
+                    target = "xl/" + target
+                rels[rel.get("Id")] = target
+        out: dict[str, str] = {}
+        wb = ET.fromstring(self._zf.read("xl/workbook.xml"))
+        for sheet in wb.find(f"{NS}sheets"):
+            rid = sheet.get(f"{REL_NS}id")
+            out[sheet.get("name")] = rels.get(rid, f"xl/worksheets/sheet{sheet.get('sheetId')}.xml")
+        return out
+
+    @property
+    def shared_strings(self) -> list[str]:
+        if self._shared is None:
+            self._shared = []
+            name = "xl/sharedStrings.xml"
+            if name in self._zf.namelist():
+                for _, el in ET.iterparse(self._zf.open(name)):
+                    if el.tag == f"{NS}si":
+                        # concat all text runs (plain or rich-text)
+                        self._shared.append("".join(t.text or "" for t in el.iter(f"{NS}t")))
+                        el.clear()
+        return self._shared
+
+    @property
+    def date_styles(self) -> set[int]:
+        """Indices into cellXfs whose number format is a date format."""
+        if self._date_styles is None:
+            self._date_styles = set()
+            name = "xl/styles.xml"
+            if name in self._zf.namelist():
+                root = ET.fromstring(self._zf.read(name))
+                custom = {}
+                num_fmts = root.find(f"{NS}numFmts")
+                if num_fmts is not None:
+                    for nf in num_fmts:
+                        custom[int(nf.get("numFmtId"))] = nf.get("formatCode", "")
+                cell_xfs = root.find(f"{NS}cellXfs")
+                if cell_xfs is not None:
+                    for i, xf in enumerate(cell_xfs):
+                        fid = int(xf.get("numFmtId", "0"))
+                        if fid in _DATE_BUILTIN_FMTS or (
+                            fid in custom and _is_date_format(custom[fid])
+                        ):
+                            self._date_styles.add(i)
+        return self._date_styles
+
+    def iter_rows(self, sheet_name: str) -> Iterator[list[Any]]:
+        """Yield rows as lists of decoded python values (None for empty
+        cells; ragged rows padded on read by the caller)."""
+        member = self.sheets[sheet_name]
+        shared, date_styles = self.shared_strings, self.date_styles
+        for _, el in ET.iterparse(self._zf.open(member)):
+            if el.tag != f"{NS}row":
+                continue
+            row: list[Any] = []
+            for c in el.iter(f"{NS}c"):
+                idx = _col_index(c.get("r", "")) if c.get("r") else len(row)
+                while len(row) < idx:
+                    row.append(None)
+                row.append(self._decode_cell(c, shared, date_styles))
+            yield row
+            el.clear()
+
+    def _decode_cell(self, c, shared: list[str], date_styles: set[int]) -> Any:
+        t = c.get("t", "n")
+        if t == "inlineStr":
+            return "".join(x.text or "" for x in c.iter(f"{NS}t"))
+        v = c.find(f"{NS}v")
+        if v is None or v.text is None:
+            return None
+        raw = v.text
+        if t == "s":
+            return shared[int(raw)]
+        if t == "str":
+            return raw
+        if t == "b":
+            return raw == "1"
+        if t == "e":
+            return None
+        # numeric; date if the cell style carries a date number format
+        num = float(raw)
+        if int(c.get("s", "-1")) in date_styles:
+            return excel_serial_to_datetime(num)
+        return int(num) if num.is_integer() and "e" not in raw.lower() and "." not in raw else num
+
+    def close(self) -> None:
+        self._zf.close()
+
+
+def read_workbook(path: str) -> Workbook:
+    return Workbook(path)
+
+
+# ---------------------------------------------------------------------------
+# Writer
+# ---------------------------------------------------------------------------
+
+_CONTENT_TYPES = """<?xml version="1.0" encoding="UTF-8" standalone="yes"?>
+<Types xmlns="http://schemas.openxmlformats.org/package/2006/content-types">
+<Default Extension="rels" ContentType="application/vnd.openxmlformats-package.relationships+xml"/>
+<Default Extension="xml" ContentType="application/xml"/>
+<Override PartName="/xl/workbook.xml" ContentType="application/vnd.openxmlformats-officedocument.spreadsheetml.sheet.main+xml"/>
+{sheet_overrides}
+<Override PartName="/xl/sharedStrings.xml" ContentType="application/vnd.openxmlformats-officedocument.spreadsheetml.sharedStrings+xml"/>
+<Override PartName="/xl/styles.xml" ContentType="application/vnd.openxmlformats-officedocument.spreadsheetml.styles+xml"/>
+</Types>"""
+
+_ROOT_RELS = """<?xml version="1.0" encoding="UTF-8" standalone="yes"?>
+<Relationships xmlns="http://schemas.openxmlformats.org/package/2006/relationships">
+<Relationship Id="rId1" Type="http://schemas.openxmlformats.org/officeDocument/2006/relationships/officeDocument" Target="xl/workbook.xml"/>
+</Relationships>"""
+
+#: style index 1 = datetime format (builtin 22: m/d/yy h:mm)
+_STYLES = """<?xml version="1.0" encoding="UTF-8" standalone="yes"?>
+<styleSheet xmlns="http://schemas.openxmlformats.org/spreadsheetml/2006/main">
+<fonts count="1"><font/></fonts><fills count="1"><fill/></fills>
+<borders count="1"><border/></borders>
+<cellStyleXfs count="1"><xf/></cellStyleXfs>
+<cellXfs count="2"><xf numFmtId="0"/><xf numFmtId="22" applyNumberFormat="1"/></cellXfs>
+</styleSheet>"""
+
+
+def _col_letter(idx: int) -> str:
+    out = ""
+    idx += 1
+    while idx:
+        idx, rem = divmod(idx - 1, 26)
+        out = chr(65 + rem) + out
+    return out
+
+
+def write_workbook(path: str, sheets: dict[str, tuple[list[str], list[tuple]]]) -> None:
+    """Write a multi-sheet xlsx: {sheet_name: (header, rows)}.
+
+    Strings go through the shared-string table (exercising the reader's
+    main path); bool/int/float are native cells; datetimes become date
+    serials with a date style. xlsx is a small-data format — callers
+    stage dimensions/samples, never fact tables.
+    """
+    shared: dict[str, int] = {}
+
+    def sref(s: str) -> int:
+        return shared.setdefault(s, len(shared))
+
+    sheet_xmls: list[str] = []
+    for _, (header, rows) in sheets.items():
+        lines = ["<sheetData>"]
+        for r, row in enumerate([tuple(header)] + list(rows), start=1):
+            cells = []
+            for ci, val in enumerate(row):
+                ref = f"{_col_letter(ci)}{r}"
+                if val is None:
+                    continue
+                if r == 1 or isinstance(val, str):
+                    cells.append(f'<c r="{ref}" t="s"><v>{sref(str(val))}</v></c>')
+                elif isinstance(val, bool):
+                    cells.append(f'<c r="{ref}" t="b"><v>{int(val)}</v></c>')
+                elif isinstance(val, datetime):
+                    cells.append(
+                        f'<c r="{ref}" s="1"><v>{datetime_to_excel_serial(val)!r}</v></c>'
+                    )
+                elif isinstance(val, (int, float)):
+                    cells.append(f'<c r="{ref}"><v>{val!r}</v></c>')
+                else:
+                    cells.append(f'<c r="{ref}" t="s"><v>{sref(str(val))}</v></c>')
+            lines.append(f'<row r="{r}">' + "".join(cells) + "</row>")
+        lines.append("</sheetData>")
+        sheet_xmls.append(
+            '<?xml version="1.0" encoding="UTF-8" standalone="yes"?>'
+            '<worksheet xmlns="http://schemas.openxmlformats.org/spreadsheetml/2006/main">'
+            + "".join(lines)
+            + "</worksheet>"
+        )
+
+    sheet_entries = "".join(
+        f'<sheet name="{escape(name)}" sheetId="{i + 1}" r:id="rId{i + 1}"/>'
+        for i, name in enumerate(sheets)
+    )
+    workbook = (
+        '<?xml version="1.0" encoding="UTF-8" standalone="yes"?>'
+        '<workbook xmlns="http://schemas.openxmlformats.org/spreadsheetml/2006/main" '
+        'xmlns:r="http://schemas.openxmlformats.org/officeDocument/2006/relationships">'
+        f"<sheets>{sheet_entries}</sheets></workbook>"
+    )
+    wb_rels = (
+        '<?xml version="1.0" encoding="UTF-8" standalone="yes"?>'
+        '<Relationships xmlns="http://schemas.openxmlformats.org/package/2006/relationships">'
+        + "".join(
+            f'<Relationship Id="rId{i + 1}" '
+            'Type="http://schemas.openxmlformats.org/officeDocument/2006/relationships/worksheet" '
+            f'Target="worksheets/sheet{i + 1}.xml"/>'
+            for i in range(len(sheets))
+        )
+        + f'<Relationship Id="rId{len(sheets) + 1}" '
+        'Type="http://schemas.openxmlformats.org/officeDocument/2006/relationships/sharedStrings" '
+        'Target="sharedStrings.xml"/>'
+        + f'<Relationship Id="rId{len(sheets) + 2}" '
+        'Type="http://schemas.openxmlformats.org/officeDocument/2006/relationships/styles" '
+        'Target="styles.xml"/>'
+        "</Relationships>"
+    )
+    ordered = sorted(shared, key=shared.get)
+    sst = (
+        '<?xml version="1.0" encoding="UTF-8" standalone="yes"?>'
+        f'<sst xmlns="http://schemas.openxmlformats.org/spreadsheetml/2006/main" count="{len(ordered)}" uniqueCount="{len(ordered)}">'
+        + "".join(f'<si><t xml:space="preserve">{escape(s)}</t></si>' for s in ordered)
+        + "</sst>"
+    )
+    overrides = "".join(
+        f'<Override PartName="/xl/worksheets/sheet{i + 1}.xml" '
+        'ContentType="application/vnd.openxmlformats-officedocument.spreadsheetml.worksheet+xml"/>'
+        for i in range(len(sheets))
+    )
+    with zipfile.ZipFile(path, "w", zipfile.ZIP_DEFLATED) as zf:
+        zf.writestr("[Content_Types].xml", _CONTENT_TYPES.format(sheet_overrides=overrides))
+        zf.writestr("_rels/.rels", _ROOT_RELS)
+        zf.writestr("xl/workbook.xml", workbook)
+        zf.writestr("xl/_rels/workbook.xml.rels", wb_rels)
+        zf.writestr("xl/styles.xml", _STYLES)
+        zf.writestr("xl/sharedStrings.xml", sst)
+        for i, xml in enumerate(sheet_xmls):
+            zf.writestr(f"xl/worksheets/sheet{i + 1}.xml", xml)
