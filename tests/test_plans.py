@@ -1,0 +1,93 @@
+"""Plan-quality assertions (SURVEY.md §4): the properties that matter at
+100 TB, checked on the actual physical plans Catalyst produces.
+
+Correctness tests prove the operators compute the right answer; these prove
+the *plan* is the one we'd want on a 1000-executor cluster — filters reach
+the parquet scan, projections prune ReadSchema, bounded dims broadcast,
+top-k avoids a global sort, hot paths stay in whole-stage codegen.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from xlsx_to_database_spark.plans import (
+    explain_str,
+    has_broadcast_hash_join,
+    has_pushed_filters,
+    pruned_read_schema,
+    wholestage_codegen_spans,
+)
+from xlsx_to_database_spark.registry import all_queries
+
+
+@pytest.fixture(scope="module")
+def qs():
+    return all_queries()
+
+
+def test_filter_pushdown_reaches_parquet(spark, sf_dir, qs):
+    df = qs["filter_pred"](spark, sf_dir)
+    assert has_pushed_filters(df), explain_str(df)
+
+
+def test_between_pushdown(spark, sf_dir, qs):
+    df = qs["filter_between"](spark, sf_dir)
+    assert has_pushed_filters(df, "GreaterThanOrEqual", "LessThanOrEqual"), explain_str(df)
+
+
+def test_projection_prunes_read_schema(spark, sf_dir, qs):
+    df = qs["project_select"](spark, sf_dir)
+    schemas = pruned_read_schema(df)
+    assert schemas, "no parquet scan found in plan"
+    # orders has 6 columns; the query touches 4.
+    assert sorted(schemas[0]) == [
+        "o_custkey",
+        "o_orderkey",
+        "o_orderstatus",
+        "o_totalprice",
+    ], schemas
+
+
+def test_flagship_prunes_lineitem(spark, sf_dir, qs):
+    df = qs["agg_basic"](spark, sf_dir)
+    schemas = pruned_read_schema(df)
+    assert schemas and len(schemas[0]) <= 6, schemas  # lineitem has 11 cols
+
+
+def test_broadcast_join_is_broadcast(spark, sf_dir, qs):
+    df = qs["join_broadcast"](spark, sf_dir)
+    assert has_broadcast_hash_join(df), explain_str(df)
+
+
+def test_star_join_broadcasts_bounded_dims(spark, sf_dir, qs):
+    # nation/region are geography-bounded even at 100 TB: the plan must not
+    # shuffle lineitem to join them.
+    df = qs["join_inner_equi"](spark, sf_dir)
+    assert has_broadcast_hash_join(df), explain_str(df)
+
+
+def test_limit_uses_topk_not_global_sort(spark, sf_dir, qs):
+    df = qs["limit_n"](spark, sf_dir)
+    assert "TakeOrderedAndProject" in explain_str(df), explain_str(df)
+
+
+def test_flagship_stays_in_codegen(spark, sf_dir, qs):
+    df = qs["agg_basic"](spark, sf_dir)
+    assert wholestage_codegen_spans(df) >= 1, explain_str(df)
+
+
+def test_no_python_udf_in_benched_paths(spark, sf_dir, qs):
+    # BASELINE.md posture: benched hot paths are pure JVM expressions.
+    from bench import HEADLINE
+
+    for name in HEADLINE:
+        plan = explain_str(qs[name](spark, sf_dir))
+        assert "BatchEvalPython" not in plan, f"{name} has a row-at-a-time Python UDF"
+
+
+def test_partial_aggregation_before_shuffle(spark, sf_dir, qs):
+    # The flagship's groupBy must do map-side partial aggregation
+    # (HashAggregate appears both before and after the exchange).
+    plan = explain_str(qs["agg_basic"](spark, sf_dir))
+    assert plan.count("HashAggregate") >= 2, plan

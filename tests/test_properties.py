@@ -1,0 +1,174 @@
+"""Property-based laws (SURVEY.md §5.5, Hypothesis).
+
+Pure-Python properties (xlsx round-trip, type-inference lattice, identifier
+sanitization) run at full example counts; Spark-backed laws (dedup
+idempotence, union additivity, window-vs-group consistency) use a handful
+of examples each since every example pays a distributed-execution round.
+"""
+
+from __future__ import annotations
+
+import math
+
+import pytest
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+from xlsx_to_database_spark.sources.infer import (
+    _merge,
+    infer_column_kinds,
+    sanitize_headers,
+    sanitize_identifier,
+)
+from xlsx_to_database_spark.sources.xlsx_io import read_workbook, write_workbook
+
+# ---------------------------------------------------------------------------
+# xlsx write -> read identity
+# ---------------------------------------------------------------------------
+
+_cell = st.one_of(
+    st.none(),
+    st.booleans(),
+    st.integers(min_value=-(2**53), max_value=2**53),  # exact in xlsx doubles
+    st.floats(allow_nan=False, allow_infinity=False, width=64),
+    st.text(
+        alphabet=st.characters(blacklist_categories=("Cs", "Cc")),
+        max_size=40,
+    ),
+)
+
+
+@given(
+    header=st.lists(st.text(min_size=1, max_size=10), min_size=1, max_size=5, unique=True),
+    nrows=st.integers(min_value=0, max_value=8),
+    data=st.data(),
+)
+@settings(max_examples=40, deadline=None)
+def test_xlsx_round_trip_identity(tmp_path_factory, header, nrows, data):
+    ncols = len(header)
+    rows = [
+        tuple(data.draw(_cell) for _ in range(ncols)) for _ in range(nrows)
+    ]
+    path = str(tmp_path_factory.mktemp("wb") / "t.xlsx")
+    write_workbook(path, {"s": (header, rows)})
+    wb = read_workbook(path)
+    got = list(wb.iter_rows("s"))
+    wb.close()
+    assert got[0] == list(header)
+    assert len(got) == nrows + 1
+    for want_row, got_row in zip(rows, got[1:]):
+        # Trailing Nones are indistinguishable from absent cells in xlsx
+        # (a row simply ends); the reader pads to the widest row seen, so
+        # compare with padding applied to the expected row too.
+        padded = list(want_row) + [None] * (len(got_row) - len(want_row))
+        for want, gv in zip(padded, got_row):
+            if isinstance(want, float):
+                assert isinstance(gv, float) and math.isclose(gv, want, rel_tol=0, abs_tol=0) or gv == want
+            elif isinstance(want, str) and want == "":
+                assert gv in ("", None)  # empty string cell == empty cell
+            else:
+                assert gv == want, (want, gv)
+
+
+# ---------------------------------------------------------------------------
+# inference lattice laws
+# ---------------------------------------------------------------------------
+
+_kind = st.sampled_from([None, "bool", "long", "double", "timestamp", "string"])
+
+
+@given(a=_kind, b=_kind)
+def test_merge_commutative(a, b):
+    assert _merge(a, b) == _merge(b, a)
+
+
+@given(a=_kind, b=_kind, c=_kind)
+def test_merge_associative(a, b, c):
+    assert _merge(_merge(a, b), c) == _merge(a, _merge(b, c))
+
+
+@given(a=_kind)
+def test_merge_idempotent(a):
+    assert _merge(a, a) == a
+
+
+@given(
+    rows=st.lists(st.lists(_cell, min_size=2, max_size=2), min_size=1, max_size=10)
+)
+def test_inferred_kinds_are_stable_under_duplication(rows):
+    # Scanning the data twice must infer the same schema (merge is a
+    # semilattice, so re-folding the same values is a no-op).
+    once = infer_column_kinds(rows, 2)
+    twice = infer_column_kinds(rows + rows, 2)
+    assert once == twice
+
+
+@given(name=st.text(max_size=30))
+def test_sanitize_identifier_is_valid_sql_and_idempotent(name):
+    out = sanitize_identifier(name)
+    import re
+
+    assert re.fullmatch(r"[a-z_][a-z0-9_]*", out), out
+    assert sanitize_identifier(out) == out
+
+
+@given(headers=st.lists(st.one_of(st.none(), st.text(max_size=15)), max_size=8))
+def test_sanitize_headers_unique(headers):
+    out = sanitize_headers(headers)
+    assert len(out) == len(headers)
+    assert len(set(out)) == len(out)  # deduplicated
+
+
+# ---------------------------------------------------------------------------
+# Spark algebraic laws (few examples; each pays a Spark round)
+# ---------------------------------------------------------------------------
+
+_spark_rows = st.lists(
+    st.tuples(
+        st.integers(min_value=0, max_value=5),  # group key (collisions likely)
+        st.integers(min_value=-1000, max_value=1000),
+    ),
+    min_size=1,
+    max_size=30,
+)
+
+
+@given(rows=_spark_rows)
+@settings(max_examples=6, deadline=None, suppress_health_check=list(HealthCheck))
+def test_dedup_idempotent(spark, rows):
+    df = spark.createDataFrame(rows, "k int, v int")
+    once = df.dropDuplicates(["k", "v"])
+    assert sorted(map(tuple, once.collect())) == sorted(
+        map(tuple, once.dropDuplicates(["k", "v"]).collect())
+    )
+
+
+@given(rows=_spark_rows, rows2=_spark_rows)
+@settings(max_examples=6, deadline=None, suppress_health_check=list(HealthCheck))
+def test_union_all_count_additive(spark, rows, rows2):
+    a = spark.createDataFrame(rows, "k int, v int")
+    b = spark.createDataFrame(rows2, "k int, v int")
+    assert a.unionAll(b).count() == a.count() + b.count()
+
+
+@given(rows=_spark_rows)
+@settings(max_examples=6, deadline=None, suppress_health_check=list(HealthCheck))
+def test_window_running_sum_matches_group_sum(spark, rows):
+    # The last value of a per-group running sum equals the group total —
+    # ties the §2.5 window frames to the §2.4 aggregates.
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    df = spark.createDataFrame(
+        [(k, i, v) for i, (k, v) in enumerate(rows)], "k int, seq int, v int"
+    )
+    w = Window.partitionBy("k").orderBy("seq").rowsBetween(Window.unboundedPreceding, 0)
+    running_last = (
+        df.withColumn("rs", F.sum("v").over(w))
+        .groupBy("k")
+        .agg(F.max_by("rs", "seq").alias("total"))
+    )
+    direct = df.groupBy("k").agg(F.sum("v").alias("total"))
+    assert sorted(map(tuple, running_last.collect())) == sorted(
+        map(tuple, direct.collect())
+    )

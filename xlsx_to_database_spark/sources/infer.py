@@ -116,11 +116,20 @@ def sanitize_identifier(name: str) -> str:
 
 
 def sanitize_headers(headers: list[Any]) -> list[str]:
-    """Sanitize a header row and deduplicate collisions with _2, _3…"""
-    seen: dict[str, int] = {}
+    """Sanitize a header row and deduplicate collisions with _2, _3…
+
+    Collision handling probes against *all* names assigned so far — a
+    naive per-base counter can collide a suffixed name with a positional
+    fallback (e.g. headers [None, None, '', ''] → col_2 twice).
+    """
+    used: set[str] = set()
     out: list[str] = []
     for i, h in enumerate(headers):
         base = sanitize_identifier(str(h)) if h is not None else f"col_{i + 1}"
-        seen[base] = seen.get(base, 0) + 1
-        out.append(base if seen[base] == 1 else f"{base}_{seen[base]}")
+        name, n = base, 1
+        while name in used:
+            n += 1
+            name = f"{base}_{n}"
+        used.add(name)
+        out.append(name)
     return out

@@ -33,6 +33,26 @@ REL_NS = "{http://schemas.openxmlformats.org/officeDocument/2006/relationships}"
 #: Excel built-in number-format ids that render as dates/times.
 _DATE_BUILTIN_FMTS = set(range(14, 23)) | set(range(45, 48))
 
+# OOXML string escaping (ECMA-376 §18.4): characters illegal in XML 1.0
+# (C0 controls except \t \n \r, and U+FFFE/FFFF) are stored as _xHHHH_;
+# a literal substring that *looks* like such an escape gets its leading
+# underscore escaped as _x005F_. \r is legal XML but escaped anyway
+# (as Excel does): XML parsers normalize \r → \n in text content, so a
+# literal \r cannot round-trip unescaped.
+_OOX_SEQ = re.compile(r"_x([0-9A-Fa-f]{4})_")
+_XML_ILLEGAL = re.compile(r"[\x00-\x08\x0b-\x0c\x0d\x0e-\x1f￾￿]")
+
+
+def escape_oox(s: str) -> str:
+    """Escape a Python string for storage in an OOXML ``<t>`` element."""
+    s = _OOX_SEQ.sub(lambda m: f"_x005F_x{m.group(1)}_", s)
+    return _XML_ILLEGAL.sub(lambda m: f"_x{ord(m.group(0)):04X}_", s)
+
+
+def unescape_oox(s: str) -> str:
+    """Inverse of :func:`escape_oox` (also decodes files Excel wrote)."""
+    return _OOX_SEQ.sub(lambda m: chr(int(m.group(1), 16)), s)
+
 # Epochs for Excel's 1900 date system. Serials ≥ 61 are relative to
 # 1899-12-30 (absorbing the phantom 1900-02-29); serials ≤ 59 to
 # 1899-12-31. Serial 60 *is* the phantom leap day — mapped to Feb 28.
@@ -120,7 +140,9 @@ class Workbook:
                 for _, el in ET.iterparse(self._zf.open(name)):
                     if el.tag == f"{NS}si":
                         # concat all text runs (plain or rich-text)
-                        self._shared.append("".join(t.text or "" for t in el.iter(f"{NS}t")))
+                        self._shared.append(
+                            unescape_oox("".join(t.text or "" for t in el.iter(f"{NS}t")))
+                        )
                         el.clear()
         return self._shared
 
@@ -167,7 +189,7 @@ class Workbook:
     def _decode_cell(self, c, shared: list[str], date_styles: set[int]) -> Any:
         t = c.get("t", "n")
         if t == "inlineStr":
-            return "".join(x.text or "" for x in c.iter(f"{NS}t"))
+            return unescape_oox("".join(x.text or "" for x in c.iter(f"{NS}t")))
         v = c.find(f"{NS}v")
         if v is None or v.text is None:
             return None
@@ -175,7 +197,7 @@ class Workbook:
         if t == "s":
             return shared[int(raw)]
         if t == "str":
-            return raw
+            return unescape_oox(raw)
         if t == "b":
             return raw == "1"
         if t == "e":
@@ -306,7 +328,7 @@ def write_workbook(path: str, sheets: dict[str, tuple[list[str], list[tuple]]]) 
     sst = (
         '<?xml version="1.0" encoding="UTF-8" standalone="yes"?>'
         f'<sst xmlns="http://schemas.openxmlformats.org/spreadsheetml/2006/main" count="{len(ordered)}" uniqueCount="{len(ordered)}">'
-        + "".join(f'<si><t xml:space="preserve">{escape(s)}</t></si>' for s in ordered)
+        + "".join(f'<si><t xml:space="preserve">{escape(escape_oox(s))}</t></si>' for s in ordered)
         + "</sst>"
     )
     overrides = "".join(
