@@ -1,0 +1,234 @@
+"""Multimodal column operators: opaque binary payloads + typed metadata.
+
+The pattern for image/audio/video at 100 TB (SURVEY.md §2.10
+``multimodal_cols`` and the LLM-pipeline mandate): media rides through the
+engine as an opaque ``binary`` column next to typed metadata; decode /
+feature-extract / resize / frame-sample run as **Arrow-batched Python**
+(``mapInPandas`` / ``pandas_udf``) so bytes cross the JVM↔Python boundary
+once per batch, never per row, and payload columns are pruned from scans
+unless referenced (columnar parquet).
+
+Real media codecs (PIL/ffmpeg/torchaudio) are not installed in this
+environment, so the *decode* kernels are deliberately swappable: each
+operator takes the Spark-side plumbing (schema, batching, partitioning)
+seriously and isolates the codec behind a small pure function. The default
+codec is :class:`FakeRawCodec` — a deterministic headered byte format
+(``XTDB`` magic + width/height/channels/frames) that makes every operator
+fully testable end-to-end; ``codec="real"`` raises ``NotImplementedError``
+at the exact point a real decoder plugs in.
+"""
+
+from __future__ import annotations
+
+import struct
+from typing import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    ArrayType,
+    BinaryType,
+    FloatType,
+    IntegerType,
+    LongType,
+    StructField,
+    StructType,
+)
+
+# ---------------------------------------------------------------------------
+# The deterministic fake media format (decode-stub stand-in)
+# ---------------------------------------------------------------------------
+
+_MAGIC = b"XTDB"
+_HEADER = struct.Struct(">4sHHBB")  # magic, width, height, channels, n_frames
+
+
+def _pack_header(width: int, height: int, channels: int, n_frames: int) -> bytes:
+    # Module-level so task closures pickle a reference, not the
+    # (unpicklable) struct.Struct object itself.
+    return _HEADER.pack(_MAGIC, width, height, channels, n_frames)
+
+
+class FakeRawCodec:
+    """Deterministic headered raw format: header + frames of w*h*c bytes.
+
+    Pixel bytes are generated from a seed with numpy's counter-based
+    Philox bit generator, so payloads are reproducible across executors —
+    the property that lets tests assert exact values without shipping
+    binary fixtures.
+    """
+
+    @staticmethod
+    def encode(seed: int, width: int, height: int, channels: int = 3, n_frames: int = 1) -> bytes:
+        rng = np.random.Generator(np.random.Philox(seed))
+        body = rng.integers(0, 256, size=width * height * channels * n_frames, dtype=np.uint8)
+        return _HEADER.pack(_MAGIC, width, height, channels, n_frames) + body.tobytes()
+
+    @staticmethod
+    def decode(payload: bytes) -> tuple[np.ndarray, int, int, int, int]:
+        """payload → (pixels[f,h,w,c] uint8, width, height, channels, frames)."""
+        magic, w, h, c, f = _HEADER.unpack_from(payload)
+        if magic != _MAGIC:
+            raise ValueError("not a FakeRaw payload")
+        body = np.frombuffer(payload, dtype=np.uint8, offset=_HEADER.size)
+        return body.reshape(f, h, w, c), w, h, c, f
+
+
+def _codec(name: str):
+    if name == "fake":
+        return FakeRawCodec
+    # The seam for PIL / libav / torchaudio — not installed here.
+    raise NotImplementedError(
+        f"codec {name!r}: real media decoders are not available in this "
+        "environment; plug a decoder with the FakeRawCodec interface"
+    )
+
+
+# ---------------------------------------------------------------------------
+# Operators (DataFrame -> DataFrame, Arrow-batched Python inside)
+# ---------------------------------------------------------------------------
+
+DECODE_SCHEMA = StructType(
+    [
+        StructField("asset_id", LongType()),
+        StructField("width", IntegerType()),
+        StructField("height", IntegerType()),
+        StructField("channels", IntegerType()),
+        StructField("n_frames", IntegerType()),
+        StructField("n_bytes", LongType()),
+        StructField("mean_px", FloatType()),
+    ]
+)
+
+
+def decode_media(df: DataFrame, codec: str = "fake") -> DataFrame:
+    """binary payload → typed metadata + cheap pixel stats.
+
+    ``mapInPandas``: each Arrow batch is decoded in one Python call;
+    output schema is fixed so Catalyst can prune/plan around it. The input
+    needs only (asset_id, payload) — select before calling so the scan
+    prunes everything else.
+    """
+    cdc = _codec(codec)
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            out = []
+            for asset_id, payload in zip(pdf["asset_id"], pdf["payload"]):
+                px, w, h, c, f = cdc.decode(bytes(payload))
+                out.append((asset_id, w, h, c, f, len(payload), float(px.mean())))
+            yield pd.DataFrame(out, columns=[f.name for f in DECODE_SCHEMA.fields])
+
+    return df.select("asset_id", "payload").mapInPandas(batches, DECODE_SCHEMA)
+
+
+def resize_media(df: DataFrame, out_w: int, out_h: int, codec: str = "fake") -> DataFrame:
+    """Nearest-neighbor resize of every frame → new payload column.
+
+    Arrow-batched; pure-numpy index-gather kernel (no per-pixel Python).
+    Output keeps (asset_id, payload) shape so resizes compose/chain.
+    """
+    cdc = _codec(codec)
+    schema = StructType(
+        [StructField("asset_id", LongType()), StructField("payload", BinaryType())]
+    )
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            rows = []
+            for asset_id, payload in zip(pdf["asset_id"], pdf["payload"]):
+                px, w, h, c, f = cdc.decode(bytes(payload))
+                ys = (np.arange(out_h) * h // out_h)[:, None]
+                xs = (np.arange(out_w) * w // out_w)[None, :]
+                resized = px[:, ys, xs, :]  # (f, out_h, out_w, c)
+                rows.append(
+                    (
+                        asset_id,
+                        _pack_header(out_w, out_h, c, f) + resized.tobytes(),
+                    )
+                )
+            yield pd.DataFrame(rows, columns=["asset_id", "payload"])
+
+    return df.select("asset_id", "payload").mapInPandas(batches, schema)
+
+
+FRAME_SCHEMA = StructType(
+    [
+        StructField("asset_id", LongType()),
+        StructField("frame_no", IntegerType()),
+        StructField("frame", BinaryType()),
+    ]
+)
+
+
+def sample_frames(df: DataFrame, every_n: int = 2, codec: str = "fake") -> DataFrame:
+    """Video → every-Nth-frame rows (asset_id, frame_no, frame payload).
+
+    One input row fans out to many output rows — ``mapInPandas`` is the
+    natural shape (a UDTF-style explode with batch-level decode).
+    """
+    cdc = _codec(codec)
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            rows = []
+            for asset_id, payload in zip(pdf["asset_id"], pdf["payload"]):
+                px, w, h, c, f = cdc.decode(bytes(payload))
+                for i in range(0, f, every_n):
+                    rows.append(
+                        (
+                            asset_id,
+                            i,
+                            _pack_header(w, h, c, 1) + px[i].tobytes(),
+                        )
+                    )
+            yield pd.DataFrame(rows, columns=["asset_id", "frame_no", "frame"])
+
+    return df.select("asset_id", "payload").mapInPandas(batches, FRAME_SCHEMA)
+
+
+def media_features(df: DataFrame, n_bins: int = 16, codec: str = "fake") -> DataFrame:
+    """payload → fixed-dim float feature vector (normalized byte histogram).
+
+    A vectorized scalar ``pandas_udf`` (not mapInPandas): 1 input row →
+    1 vector, so the column composes with the similarity-search operators
+    (`sim_cosine_topk` takes any array<float> column). A real image model
+    would swap the histogram for an encoder forward pass — same signature.
+    """
+    cdc = _codec(codec)
+
+    @F.pandas_udf(ArrayType(FloatType()))
+    def featurize(payloads: pd.Series) -> pd.Series:
+        out = []
+        for payload in payloads:
+            px, *_ = cdc.decode(bytes(payload))
+            hist = np.bincount(px.reshape(-1) >> (8 - n_bins.bit_length() + 1), minlength=n_bins)[
+                :n_bins
+            ]
+            out.append((hist / max(1, hist.sum())).astype(np.float32))
+        return pd.Series(out)
+
+    return df.withColumn("features", featurize(F.col("payload")))
+
+
+def fake_media_table(spark, n_assets: int = 20, width: int = 8, height: int = 6, n_frames: int = 4) -> DataFrame:
+    """Deterministic synthetic media table (asset_id, media_type, payload).
+
+    Built distributed (spark.range → pandas_udf encode), not driver-side:
+    the same construction works for a billion assets.
+    """
+
+    @F.pandas_udf(BinaryType())
+    def encode(ids: pd.Series) -> pd.Series:
+        return pd.Series(
+            [FakeRawCodec.encode(int(i), width, height, 3, n_frames) for i in ids]
+        )
+
+    return (
+        spark.range(n_assets)
+        .withColumnRenamed("id", "asset_id")
+        .withColumn("media_type", F.when(F.col("asset_id") % 2 == 0, "image").otherwise("video"))
+        .withColumn("payload", encode(F.col("asset_id")))
+    )

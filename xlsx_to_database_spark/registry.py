@@ -85,6 +85,7 @@ def _load_all() -> None:
         "xlsx_to_database_spark.queries.sources_sinks",
         "xlsx_to_database_spark.queries.streaming",
         "xlsx_to_database_spark.queries.llm_ops",
+        "xlsx_to_database_spark.queries.multimodal",
         "xlsx_to_database_spark.queries.udf_surface",
     ):
         try:
