@@ -116,3 +116,32 @@ def test_fingerprint_deterministic_and_distinct(spark):
     rows = {r.doc_id: (r.md5_fp, r.rolling_fp) for r in document_fingerprint(df).collect()}
     assert rows[1] == rows[2]  # same text → same fingerprints
     assert rows[1][1] != rows[3][1]  # rolling hash is order-sensitive
+
+
+def test_lsh_topk_is_bucket_restricted_brute_force(spark):
+    from xlsx_to_database_spark.operators.similarity import (
+        cosine_topk,
+        lsh_bucket,
+        lsh_topk,
+    )
+
+    e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    qv = e.filter(F.col("vec_id") == 0).select(F.col("embedding").alias("qvec"))
+
+    buckets = e.select("vec_id", lsh_bucket(F.col("embedding"), 4).alias("b"))
+    rows = buckets.collect()
+    # Deterministic: recomputation yields identical bucket ids.
+    assert {r.vec_id: r.b for r in buckets.collect()} == {r.vec_id: r.b for r in rows}
+    # Buckets land in [0, 16) and are reasonably spread.
+    assert all(0 <= r.b < 16 for r in rows)
+    assert len({r.b for r in rows}) >= 4
+
+    # LSH top-k scores == brute-force scores restricted to the query's bucket.
+    qb = {r.vec_id: r.b for r in rows}[0]
+    in_bucket = {r.vec_id for r in rows if r.b == qb}
+    approx = lsh_topk(e, qv, k=10, n_planes=4).collect()
+    assert all(r.vec_id in in_bucket for r in approx)
+    brute = {r.vec_id: r.cos_sim for r in cosine_topk(e, qv, k=len(rows)).collect()}
+    assert all(abs(brute[r.vec_id] - r.cos_sim) < 1e-9 for r in approx)
+    # The query itself shares its own bucket → always returned, cos = 1.
+    assert approx[0].vec_id == 0 and approx[0].cos_sim == 1.0

@@ -64,6 +64,67 @@ def cosine_topk(
     return scored.orderBy(F.col("cos_sim").desc(), F.col(id_col).asc()).limit(k)
 
 
+def _plane_weight(i: Column, j: int) -> Column:
+    """±1 weight of 1-based dimension ``i`` in hyperplane ``j``.
+
+    A fixed arithmetic pattern (no RNG) so the same plane is computable
+    in any engine: weight = +1 iff (i · (2j+3)) mod 7 < 3. The odd
+    multiplier varies per plane, decorrelating the planes; determinism
+    is what makes LSH buckets reproducible cluster-to-cluster and
+    oracle-checkable.
+    """
+    return F.when((i * (2 * j + 3)) % 7 < 3, F.lit(1.0)).otherwise(F.lit(-1.0))
+
+
+def lsh_bucket(vec: Column, n_planes: int = 4) -> Column:
+    """Sign-LSH bucket id (0 .. 2^n_planes - 1) of an array<float> column.
+
+    bit_j = sign of the projection onto deterministic hyperplane j;
+    nearby vectors (cosine) agree on most signs, so same-bucket vectors
+    are similarity candidates. Pure codegen'd array math — usable as a
+    partition/blocking key at any scale.
+    """
+    def weighted(j: int):
+        # Closure factory: a `j=j` default parameter would change the
+        # lambda's arity in PySpark's eyes (it introspects the signature
+        # to decide between (x) and (x, i) higher-order forms).
+        return lambda x, i: x.cast("double") * _plane_weight(i + 1, j)
+
+    code: Column = F.lit(0)
+    for j in range(n_planes):
+        proj = F.aggregate(
+            F.transform(vec, weighted(j)), F.lit(0.0), lambda acc, x: acc + x
+        )
+        code = code + F.when(proj >= 0, F.lit(2**j)).otherwise(F.lit(0))
+    return code
+
+
+def lsh_topk(
+    embeddings: DataFrame,
+    query_vec: DataFrame,
+    k: int = 10,
+    n_planes: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Approximate top-k: brute-force cosine *within the query's LSH
+    bucket* only.
+
+    The scan prunes to ~1/2^n_planes of the data before any scoring —
+    the IVF/LSH scale path. Same output shape as :func:`cosine_topk`,
+    so callers can trade exactness for cost by swapping the function.
+    """
+    q = query_vec.select(
+        F.col("qvec"), lsh_bucket(F.col("qvec"), n_planes).alias("bucket")
+    )
+    cand = embeddings.withColumn("bucket", lsh_bucket(F.col(vec_col), n_planes))
+    scored = cand.join(F.broadcast(q), on="bucket").select(
+        F.col(id_col),
+        cosine_sim(F.col(vec_col), F.col("qvec")).alias("cos_sim"),
+    )
+    return scored.orderBy(F.col("cos_sim").desc(), F.col(id_col).asc()).limit(k)
+
+
 def knn_join_blocked(
     embeddings: DataFrame,
     k: int = 3,

@@ -52,9 +52,10 @@ def tfidf(
     )
     tf = tokens.groupBy("doc", "term").agg(F.count(F.lit(1)).alias("tf"))
     n_docs = df.select(F.countDistinct(id_col).alias("n_docs"))
-    dfreq = tokens.select("doc", "term").distinct().groupBy("term").agg(
-        F.count(F.lit(1)).alias("df")
-    )
+    # tf is already one row per (doc, term), so document frequency is a
+    # count over tf — no second explode, no distinct shuffle, and the tf
+    # exchange is reused (ReusedExchange) instead of recomputed.
+    dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
     return (
         tf.join(F.broadcast(dfreq), "term")
         .crossJoin(F.broadcast(n_docs))

@@ -121,6 +121,44 @@ def sim_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "sim_lsh_topk",
+    _VEC_CTE
+    + """
+    , b AS (
+      SELECT vec_id, e, nrm,
+             (CASE WHEN list_sum(list_transform(generate_series(1, len(e)),
+                     i -> e[i] * (CASE WHEN (i * 3) % 7 < 3 THEN 1.0 ELSE -1.0 END))) >= 0
+                   THEN 1 ELSE 0 END)
+           + (CASE WHEN list_sum(list_transform(generate_series(1, len(e)),
+                     i -> e[i] * (CASE WHEN (i * 5) % 7 < 3 THEN 1.0 ELSE -1.0 END))) >= 0
+                   THEN 2 ELSE 0 END)
+           + (CASE WHEN list_sum(list_transform(generate_series(1, len(e)),
+                     i -> e[i] * (CASE WHEN (i * 7) % 7 < 3 THEN 1.0 ELSE -1.0 END))) >= 0
+                   THEN 4 ELSE 0 END)
+           + (CASE WHEN list_sum(list_transform(generate_series(1, len(e)),
+                     i -> e[i] * (CASE WHEN (i * 9) % 7 < 3 THEN 1.0 ELSE -1.0 END))) >= 0
+                   THEN 8 ELSE 0 END) AS bucket
+      FROM n
+    ), q AS (SELECT e AS qe, nrm AS qn, bucket AS qb FROM b WHERE vec_id = 0)
+    SELECT vec_id,
+           round(list_sum(list_transform(generate_series(1, len(e)), i -> e[i] * qe[i]))
+                 / (nrm * qn), 6) AS cos_sim
+    FROM b, q
+    WHERE b.bucket = q.qb
+    ORDER BY cos_sim DESC, vec_id ASC
+    LIMIT 10
+    """,
+)
+def sim_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate top-10 neighbors of vector 0 via deterministic
+    sign-LSH bucketing (4 hyperplanes → 16 buckets): candidates are only
+    the query's bucket, the 100 TB scale path for similarity search."""
+    e = table(spark, sf_dir, "embeddings")
+    qv = e.filter(F.col("vec_id") == 0).select(F.col("embedding").alias("qvec"))
+    return S.lsh_topk(e, qv, k=10, n_planes=4)
+
+
+@query(
     "sim_knn_join",
     _VEC_CTE
     + """
