@@ -91,3 +91,33 @@ def test_partial_aggregation_before_shuffle(spark, sf_dir, qs):
     # (HashAggregate appears both before and after the exchange).
     plan = explain_str(qs["agg_basic"](spark, sf_dir))
     assert plan.count("HashAggregate") >= 2, plan
+
+
+def test_dynamic_partition_pruning_on_partitioned_sink(spark, sf_dir, tmp_path):
+    # SCALE.md §2.1: parquet_sink partitions by a column so downstream
+    # joins prune partitions at runtime (DPP). Write events partitioned
+    # by event_type, join against a filtered dim — the scan must carry a
+    # dynamic pruning predicate, not read all partitions.
+    from xlsx_to_database_spark.catalog import table
+    from xlsx_to_database_spark.sources.sinks import to_parquet
+
+    out = str(tmp_path / "events_by_type")
+    to_parquet(table(spark, sf_dir, "events"), out, partition_by=["event_type"])
+
+    part = spark.read.parquet(out)
+    dim = (
+        spark.createDataFrame(
+            [("click", 1.0), ("view", 0.5), ("purchase", 9.9)], "etype string, weight double"
+        )
+        .filter("weight > 5")  # selective build side → prune to 'purchase'
+    )
+    joined = part.join(dim, part.event_type == dim.etype).groupBy("event_type").count()
+    prev = spark.conf.get("spark.sql.optimizer.dynamicPartitionPruning.reuseBroadcastOnly")
+    spark.conf.set("spark.sql.optimizer.dynamicPartitionPruning.reuseBroadcastOnly", "false")
+    try:
+        plan = explain_str(joined)
+    finally:
+        spark.conf.set(
+            "spark.sql.optimizer.dynamicPartitionPruning.reuseBroadcastOnly", prev
+        )
+    assert "dynamicpruning" in plan.lower(), plan
