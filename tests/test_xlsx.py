@@ -182,3 +182,73 @@ def test_datasource_sheet_filter_and_pushdown(spark, tmp_path):
     assert both.count() == 4
     with pytest.raises(Exception):
         spark.read.format("xlsx").option("sheet", "nope").load(path).collect()
+
+
+def test_shared_string_skips_phonetic_runs(tmp_path):
+    # IME-authored files carry furigana <rPh> runs inside <si>; only the
+    # visible text (direct <t> and rich-text <r><t>) must be decoded.
+    import zipfile
+
+    from xlsx_to_database_spark.sources.xlsx_io import read_workbook, write_workbook
+
+    path = str(tmp_path / "ime.xlsx")
+    write_workbook(path, {"s": (["h"], [("placeholder",)])})
+    with zipfile.ZipFile(path) as zf:
+        members = {n: zf.read(n) for n in zf.namelist()}
+    members["xl/sharedStrings.xml"] = (
+        b'<?xml version="1.0" encoding="UTF-8" standalone="yes"?>'
+        b'<sst xmlns="http://schemas.openxmlformats.org/spreadsheetml/2006/main" '
+        b'count="2" uniqueCount="2">'
+        b"<si><t>h</t></si>"
+        b"<si><t>\xe6\xbc\xa2\xe5\xad\x97</t>"
+        b"<rPh sb=\"0\" eb=\"2\"><t>\xe3\x81\x8b\xe3\x82\x93\xe3\x81\x98</t></rPh>"
+        b"<phoneticPr fontId=\"1\"/></si></sst>"
+    )
+    with zipfile.ZipFile(path, "w") as zf:
+        for n, data in members.items():
+            zf.writestr(n, data)
+    wb = read_workbook(path)
+    rows = list(wb.iter_rows("s"))
+    wb.close()
+    assert rows[1] == ["漢字"]  # not 漢字かんじ
+
+
+def test_rich_text_runs_are_concatenated(tmp_path):
+    import zipfile
+
+    from xlsx_to_database_spark.sources.xlsx_io import read_workbook, write_workbook
+
+    path = str(tmp_path / "rich.xlsx")
+    write_workbook(path, {"s": (["h"], [("x",)])})
+    with zipfile.ZipFile(path) as zf:
+        members = {n: zf.read(n) for n in zf.namelist()}
+    members["xl/sharedStrings.xml"] = (
+        b'<?xml version="1.0" encoding="UTF-8" standalone="yes"?>'
+        b'<sst xmlns="http://schemas.openxmlformats.org/spreadsheetml/2006/main" '
+        b'count="2" uniqueCount="2">'
+        b"<si><t>h</t></si>"
+        b"<si><r><rPr><b/></rPr><t>bold</t></r><r><t xml:space=\"preserve\"> plain</t></r></si>"
+        b"</sst>"
+    )
+    with zipfile.ZipFile(path, "w") as zf:
+        for n, data in members.items():
+            zf.writestr(n, data)
+    wb = read_workbook(path)
+    rows = list(wb.iter_rows("s"))
+    wb.close()
+    assert rows[1] == ["bold plain"]
+
+
+def test_coerce_off_sample_misfit_degrades_to_null():
+    from datetime import datetime
+
+    from xlsx_to_database_spark.sources.infer import coerce
+
+    assert coerce("N/A", "long") is None
+    assert coerce("N/A", "double") is None
+    assert coerce(1.5, "long") is None
+    assert coerce(True, "long") is None
+    assert coerce(3.0, "timestamp") is None
+    assert coerce(datetime(2024, 1, 1), "timestamp") == datetime(2024, 1, 1)
+    assert coerce(7, "double") == 7.0
+    assert coerce(False, "string") == "false"

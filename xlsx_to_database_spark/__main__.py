@@ -45,6 +45,13 @@ def main(argv: list[str] | None = None) -> int:
     from xlsx_to_database_spark.api import Engine
 
     eng = Engine(app_name="xlsx_to_database_cli")
+    multi = len(args.workbook) > 1
+    if multi and args.table:
+        # One explicit table + many workbooks would make every file fight
+        # over the same target (create fails, overwrite keeps only the
+        # last); per-file default names are the reference behavior.
+        print("error: --table with multiple workbooks; omit it to name per file", file=sys.stderr)
+        return 2
     for path in args.workbook:
         t = eng.load_xlsx(
             path,
@@ -58,11 +65,16 @@ def main(argv: list[str] | None = None) -> int:
             t.df.show(20, truncate=False)
             continue
         if args.parquet_out:
+            import os
+
             from xlsx_to_database_spark.sources.sinks import MODE_MAP
 
             part = args.partition_by.split(",") if args.partition_by else None
-            t.to_parquet(args.parquet_out, mode=MODE_MAP[args.mode], partition_by=part)
-            print(f"{path} -> {args.parquet_out} ({t.name})")
+            # Multiple workbooks each get their own subdirectory; a single
+            # shared directory would error (create) or clobber (overwrite).
+            out = os.path.join(args.parquet_out, t.name) if multi else args.parquet_out
+            t.to_parquet(out, mode=MODE_MAP[args.mode], partition_by=part)
+            print(f"{path} -> {out} ({t.name})")
         if args.jdbc_url:
             kw = {"driver": args.jdbc_driver} if args.jdbc_driver else {}
             t.to_jdbc(args.jdbc_url, table=args.table, mode=args.mode, **kw)

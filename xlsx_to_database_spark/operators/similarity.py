@@ -64,16 +64,23 @@ def cosine_topk(
     return scored.orderBy(F.col("cos_sim").desc(), F.col(id_col).asc()).limit(k)
 
 
+def _plane_multiplier(j: int) -> int:
+    """Odd multiplier for hyperplane ``j``, skipping multiples of 7:
+    a multiple of 7 would make (i·m) mod 7 ≡ 0 for every dimension —
+    a degenerate all-(+1) plane whose sign carries no locality."""
+    ms = [m for m in range(3, 3 + 4 * (j + 2), 2) if m % 7]
+    return ms[j]
+
+
 def _plane_weight(i: Column, j: int) -> Column:
     """±1 weight of 1-based dimension ``i`` in hyperplane ``j``.
 
     A fixed arithmetic pattern (no RNG) so the same plane is computable
-    in any engine: weight = +1 iff (i · (2j+3)) mod 7 < 3. The odd
-    multiplier varies per plane, decorrelating the planes; determinism
-    is what makes LSH buckets reproducible cluster-to-cluster and
-    oracle-checkable.
+    in any engine: weight = +1 iff (i · m_j) mod 7 < 3 with m_j an odd
+    per-plane multiplier coprime to 7. Determinism is what makes LSH
+    buckets reproducible cluster-to-cluster and oracle-checkable.
     """
-    return F.when((i * (2 * j + 3)) % 7 < 3, F.lit(1.0)).otherwise(F.lit(-1.0))
+    return F.when((i * _plane_multiplier(j)) % 7 < 3, F.lit(1.0)).otherwise(F.lit(-1.0))
 
 
 def lsh_bucket(vec: Column, n_planes: int = 4) -> Column:

@@ -113,19 +113,30 @@ def quality_score(df: DataFrame, id_col: str = "doc_id", text_col: str = "text")
     )
 
 
-def language_id(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+def language_id(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    truth_col: str | None = "lang",
+) -> DataFrame:
     """Stopword-overlap language heuristic: en if ≥10% of tokens are
     english stopwords (the classic cheap n-gram-profile trick reduced
     to one profile; real corpora would carry one stopword set per
-    language and argmax the overlap — same plan shape, more columns)."""
+    language and argmax the overlap — same plan shape, more columns).
+
+    ``truth_col`` optionally carries a ground-truth label through for
+    evaluation; pass None for corpora without one.
+    """
     toks = F.split(F.col(text_col), " ")
     ratio = F.size(F.filter(toks, lambda t: t.isin(*STOPWORDS))).cast("double") / F.size(toks)
-    return df.select(
-        F.col(id_col),
-        F.col("lang").alias("lang_true"),
+    cols = [F.col(id_col)]
+    if truth_col is not None:
+        cols.append(F.col(truth_col).alias("lang_true"))
+    cols += [
         F.round(ratio, 6).alias("en_stop_ratio"),
         F.when(ratio >= 0.1, "en").otherwise("other").alias("lang_pred"),
-    )
+    ]
+    return df.select(*cols)
 
 
 def document_fingerprint(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:

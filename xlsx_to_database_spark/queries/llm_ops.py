@@ -133,10 +133,10 @@ def sim_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
                      i -> e[i] * (CASE WHEN (i * 5) % 7 < 3 THEN 1.0 ELSE -1.0 END))) >= 0
                    THEN 2 ELSE 0 END)
            + (CASE WHEN list_sum(list_transform(generate_series(1, len(e)),
-                     i -> e[i] * (CASE WHEN (i * 7) % 7 < 3 THEN 1.0 ELSE -1.0 END))) >= 0
+                     i -> e[i] * (CASE WHEN (i * 9) % 7 < 3 THEN 1.0 ELSE -1.0 END))) >= 0
                    THEN 4 ELSE 0 END)
            + (CASE WHEN list_sum(list_transform(generate_series(1, len(e)),
-                     i -> e[i] * (CASE WHEN (i * 9) % 7 < 3 THEN 1.0 ELSE -1.0 END))) >= 0
+                     i -> e[i] * (CASE WHEN (i * 11) % 7 < 3 THEN 1.0 ELSE -1.0 END))) >= 0
                    THEN 8 ELSE 0 END) AS bucket
       FROM n
     ), q AS (SELECT e AS qe, nrm AS qn, bucket AS qb FROM b WHERE vec_id = 0)

@@ -90,6 +90,10 @@ def _load_all() -> None:
     ):
         try:
             importlib.import_module(mod)
-        except ModuleNotFoundError:
-            pass  # module not built yet (incremental rounds)
+        except ModuleNotFoundError as e:
+            # Only the module itself being absent means "not built yet";
+            # a missing transitive import inside a built module must
+            # surface, not silently drop all of that module's ops.
+            if e.name != mod:
+                raise
     _LOADED = True

@@ -82,17 +82,37 @@ def kinds_to_schema(names: list[str], kinds: list[str]) -> StructType:
 def coerce(v: Any, kind: str) -> Any:
     """Coerce a decoded cell to the column's inferred/declared kind
     (handles mixed columns that degraded to string, and int-typed
-    cells in double columns)."""
+    cells in double columns).
+
+    A cell that cannot fit the kind becomes None rather than passing
+    through: inference may have sampled only a prefix of the sheet
+    (``sampleRows``), and an off-sample misfit (e.g. 'N/A' in a numeric
+    column) must degrade to null, not crash the executor's Arrow
+    conversion."""
     if v is None:
         return None
     if kind == "string":
         if isinstance(v, bool):
             return "true" if v else "false"
         return v if isinstance(v, str) else str(v)
-    if kind == "double" and isinstance(v, int) and not isinstance(v, bool):
-        return float(v)
-    if kind == "long" and isinstance(v, float) and v.is_integer():
-        return int(v)
+    if kind == "boolean":
+        return v if isinstance(v, bool) else None
+    if kind == "long":
+        if isinstance(v, bool):
+            return None
+        if isinstance(v, int):
+            return v
+        if isinstance(v, float) and v.is_integer():
+            return int(v)
+        return None
+    if kind == "double":
+        if isinstance(v, bool):
+            return None
+        if isinstance(v, (int, float)):
+            return float(v)
+        return None
+    if kind == "timestamp":
+        return v if isinstance(v, datetime) else None
     return v
 
 

@@ -47,6 +47,11 @@ def to_database(
         .option("batchsize", str(batch_size))
         .mode(MODE_MAP[mode])
     )
+    if mode == "truncate":
+        # Reference semantics: TRUNCATE + INSERT, keeping the table's own
+        # DDL/indexes/grants. Without this option Spark's overwrite DROPs
+        # and recreates the table from the DataFrame schema.
+        writer = writer.option("truncate", "true")
     if driver:
         writer = writer.option("driver", driver)
     for k, v in options.items():

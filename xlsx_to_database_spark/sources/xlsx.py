@@ -57,6 +57,11 @@ def _selected_sheets(path: str, options: dict) -> list[str]:
         return names[:1]
     if sheet_opt == "*":
         return names
+    if sheet_opt in names:
+        # An exact match wins before comma-splitting, so a single sheet
+        # whose own name contains a comma (legal in Excel) is selectable;
+        # only multi-select lists with such names remain unsupported.
+        return [sheet_opt]
     missing = [s for s in sheet_opt.split(",") if s not in names]
     if missing:
         raise ValueError(f"sheet(s) {missing} not in workbook {path} (has {names})")

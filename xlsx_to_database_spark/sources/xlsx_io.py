@@ -25,7 +25,7 @@ import zipfile
 from datetime import datetime, timedelta
 from typing import Any, Iterator
 from xml.etree import ElementTree as ET
-from xml.sax.saxutils import escape
+from xml.sax.saxutils import escape, quoteattr
 
 NS = "{http://schemas.openxmlformats.org/spreadsheetml/2006/main}"
 REL_NS = "{http://schemas.openxmlformats.org/officeDocument/2006/relationships}"
@@ -52,6 +52,22 @@ def escape_oox(s: str) -> str:
 def unescape_oox(s: str) -> str:
     """Inverse of :func:`escape_oox` (also decodes files Excel wrote)."""
     return _OOX_SEQ.sub(lambda m: chr(int(m.group(1), 16)), s)
+
+
+def _rich_text(el) -> str:
+    """Visible text of an ``<si>`` or ``<is>`` element: the direct
+    ``<t>`` plus rich-text run ``<r><t>`` children — NOT a blanket
+    ``iter('t')``, which would also pick up phonetic ``<rPh>`` furigana
+    runs and corrupt values from IME-authored files."""
+    parts = []
+    t = el.find(f"{NS}t")
+    if t is not None:
+        parts.append(t.text or "")
+    for r in el.findall(f"{NS}r"):
+        rt = r.find(f"{NS}t")
+        if rt is not None:
+            parts.append(rt.text or "")
+    return "".join(parts)
 
 # Epochs for Excel's 1900 date system. Serials ≥ 61 are relative to
 # 1899-12-30 (absorbing the phantom 1900-02-29); serials ≤ 59 to
@@ -139,10 +155,7 @@ class Workbook:
             if name in self._zf.namelist():
                 for _, el in ET.iterparse(self._zf.open(name)):
                     if el.tag == f"{NS}si":
-                        # concat all text runs (plain or rich-text)
-                        self._shared.append(
-                            unescape_oox("".join(t.text or "" for t in el.iter(f"{NS}t")))
-                        )
+                        self._shared.append(unescape_oox(_rich_text(el)))
                         el.clear()
         return self._shared
 
@@ -189,7 +202,8 @@ class Workbook:
     def _decode_cell(self, c, shared: list[str], date_styles: set[int]) -> Any:
         t = c.get("t", "n")
         if t == "inlineStr":
-            return unescape_oox("".join(x.text or "" for x in c.iter(f"{NS}t")))
+            is_el = c.find(f"{NS}is")
+            return unescape_oox(_rich_text(is_el)) if is_el is not None else None
         v = c.find(f"{NS}v")
         if v is None or v.text is None:
             return None
@@ -298,7 +312,8 @@ def write_workbook(path: str, sheets: dict[str, tuple[list[str], list[tuple]]]) 
         )
 
     sheet_entries = "".join(
-        f'<sheet name="{escape(name)}" sheetId="{i + 1}" r:id="rId{i + 1}"/>'
+        # quoteattr, not escape: attribute context must escape quotes too.
+        f'<sheet name={quoteattr(name)} sheetId="{i + 1}" r:id="rId{i + 1}"/>'
         for i, name in enumerate(sheets)
     )
     workbook = (
