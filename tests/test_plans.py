@@ -121,3 +121,35 @@ def test_dynamic_partition_pruning_on_partitioned_sink(spark, sf_dir, tmp_path):
             "spark.sql.optimizer.dynamicPartitionPruning.reuseBroadcastOnly", prev
         )
     assert "dynamicpruning" in plan.lower(), plan
+
+
+def test_bucketed_tables_join_without_shuffle(spark, sf_dir, tmp_path):
+    # SCALE.md §2.3: co-partitioned storage (bucketing) removes the
+    # fact-fact join shuffle entirely without code changes. Prove it:
+    # bucket both sides on the join key → SortMergeJoin with NO Exchange.
+    from xlsx_to_database_spark.catalog import table
+
+    for name, key in (("li_b", "l_orderkey"), ("ord_b", "o_orderkey")):
+        src = "lineitem" if name == "li_b" else "orders"
+        spark.sql(f"DROP TABLE IF EXISTS {name}")
+        (
+            table(spark, sf_dir, src)
+            .write.bucketBy(8, key)
+            .sortBy(key)
+            .option("path", str(tmp_path / name))
+            .saveAsTable(name)
+        )
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        joined = spark.table("li_b").join(
+            spark.table("ord_b"),
+            spark.table("li_b").l_orderkey == spark.table("ord_b").o_orderkey,
+        )
+        plan = explain_str(joined)
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+        spark.sql("DROP TABLE IF EXISTS li_b")
+        spark.sql("DROP TABLE IF EXISTS ord_b")
+    assert "SortMergeJoin" in plan, plan
+    assert "Exchange" not in plan, plan  # co-located: zero shuffle
