@@ -145,3 +145,32 @@ def test_lsh_topk_is_bucket_restricted_brute_force(spark):
     assert all(abs(brute[r.vec_id] - r.cos_sim) < 1e-9 for r in approx)
     # The query itself shares its own bucket → always returned, cos = 1.
     assert approx[0].vec_id == 0 and approx[0].cos_sim == 1.0
+
+
+def test_salted_join_equals_plain_join(spark):
+    from xlsx_to_database_spark.operators.skew import salted_join
+
+    sf = "/root/testdata/sf0.001"
+    li = spark.read.parquet(sf + "/lineitem.parquet")
+    o = spark.read.parquet(sf + "/orders.parquet").select("o_orderkey", "o_totalprice")
+    plain = li.join(o, li.l_orderkey == o.o_orderkey).select(
+        "l_orderkey", "l_linenumber", "o_totalprice"
+    )
+    salted = salted_join(li, o, "l_orderkey", "o_orderkey", n_salts=4).select(
+        "l_orderkey", "l_linenumber", "o_totalprice"
+    )
+    assert sorted(map(tuple, plain.collect())) == sorted(map(tuple, salted.collect()))
+    # salt column must not leak into the output
+    assert "__salt" not in salted.columns
+
+
+def test_approx_percentile_close_to_exact(spark):
+    from pyspark.sql import functions as F
+
+    li = spark.read.parquet("/root/testdata/sf0.01/lineitem.parquet")
+    both = li.groupBy("l_returnflag").agg(
+        F.percentile("l_extendedprice", 0.9).alias("exact"),
+        F.approx_percentile("l_extendedprice", F.lit(0.9), F.lit(10000)).alias("approx"),
+    )
+    for r in both.collect():
+        assert abs(r.approx - r.exact) / r.exact < 0.01, r

@@ -145,6 +145,24 @@ def agg_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query("agg_percentile_approx")  # rows-only: sketch ≠ DuckDB's exact quantile
+def agg_percentile_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeable-sketch percentiles (`approx_percentile`, GK algorithm) —
+    the 100 TB path: constant-size partial state instead of a per-group
+    sort. Deterministic for fixed data+accuracy, but engine-specific, so
+    rows-only here; tests/test_operators.py bounds its error against the
+    exact percentile."""
+    li = table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.round(F.approx_percentile("l_quantity", F.lit(0.5), F.lit(10000)), 4).alias(
+            "median_qty_approx"
+        ),
+        F.round(F.approx_percentile("l_extendedprice", F.lit(0.9), F.lit(10000)), 4).alias(
+            "p90_price_approx"
+        ),
+    )
+
+
 @query(
     "agg_minmax_by",
     """

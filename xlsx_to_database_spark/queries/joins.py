@@ -333,3 +333,24 @@ def join_self(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("b.l_linenumber").alias("line_b"),
         F.round(F.col("a.l_extendedprice") + F.col("b.l_extendedprice"), 2).alias("pair_price"),
     )
+
+
+@query(
+    "join_skew_salted",
+    """
+    SELECT l.l_orderkey, l.l_linenumber, l.l_extendedprice, o.o_totalprice
+    FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+    """,
+)
+def join_skew_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Salted fact-dim join (operators/skew.py): the big side spreads
+    each key over 8 salt buckets, the small side replicates 8×. The
+    oracle is the PLAIN join SQL — proving salting changes only the
+    data distribution, never the result."""
+    from xlsx_to_database_spark.operators.skew import salted_join
+
+    li, o = tables(spark, sf_dir, "lineitem", "orders")
+    joined = salted_join(
+        li, o.select("o_orderkey", "o_totalprice"), "l_orderkey", "o_orderkey", n_salts=8
+    )
+    return joined.select("l_orderkey", "l_linenumber", "l_extendedprice", "o_totalprice")
