@@ -371,3 +371,63 @@ def stream_tws(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 if _tws_available():
     query("stream_tws", _TWS_ORACLE)(stream_tws)
+
+
+@query(
+    "stream_stream_join",
+    """
+    SELECT p.user_id,
+           p.event_id AS purchase_id,
+           c.event_id AS click_id,
+           p.ts AS purchase_ts,
+           c.ts AS click_ts
+    FROM events p JOIN events c
+      ON p.user_id = c.user_id
+     AND p.event_type = 'purchase' AND c.event_type = 'click'
+     AND c.ts >= p.ts - INTERVAL '30 minutes' AND c.ts <= p.ts
+    """,
+)
+def stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-stream inner join: every purchase matched to the same
+    user's clicks in the preceding 30 minutes. Both sides carry
+    watermarks and the join has a two-sided time-range condition — the
+    combination that lets Spark evict matched state instead of holding
+    both streams forever (the unbounded-state trap of naive
+    stream-stream joins; SCALE.md §2.9). availableNow drains everything
+    in one pass, so the result equals the batch self-join oracle."""
+    purchases = (
+        events_stream(spark, sf_dir)
+        .filter(F.col("event_type") == "purchase")
+        .select(
+            F.col("user_id").alias("p_user"),
+            F.col("event_id").alias("purchase_id"),
+            F.col("ts").alias("purchase_ts"),
+        )
+        .withWatermark("purchase_ts", "1 hour")
+    )
+    clicks = (
+        events_stream(spark, sf_dir)
+        .filter(F.col("event_type") == "click")
+        .select(
+            F.col("user_id").alias("c_user"),
+            F.col("event_id").alias("click_id"),
+            F.col("ts").alias("click_ts"),
+        )
+        .withWatermark("click_ts", "1 hour")
+    )
+    joined = purchases.join(
+        clicks,
+        on=[
+            purchases.p_user == clicks.c_user,
+            clicks.click_ts >= purchases.purchase_ts - F.expr("INTERVAL 30 minutes"),
+            clicks.click_ts <= purchases.purchase_ts,
+        ],
+        how="inner",
+    ).select(
+        F.col("p_user").alias("user_id"),
+        "purchase_id",
+        "click_id",
+        "purchase_ts",
+        "click_ts",
+    )
+    return run_to_memory(joined, "append")
