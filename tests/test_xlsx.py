@@ -252,3 +252,36 @@ def test_coerce_off_sample_misfit_degrades_to_null():
     assert coerce(datetime(2024, 1, 1), "timestamp") == datetime(2024, 1, 1)
     assert coerce(7, "double") == 7.0
     assert coerce(False, "string") == "false"
+
+
+def test_xlsx_write_path_round_trip(spark, tmp_path):
+    # df.write.format("xlsx") → directory of part-*.xlsx + _SUCCESS;
+    # reading every part back re-assembles the exact rows.
+    import glob
+
+    from pyspark.sql import functions as F
+
+    from xlsx_to_database_spark.sources.xlsx import register_xlsx_source
+
+    register_xlsx_source(spark)
+    src = (
+        spark.read.parquet("/root/testdata/sf0.001/region.parquet")
+        .withColumn("score", F.col("r_regionkey") * 1.5)
+    )
+    out = str(tmp_path / "xlsx_out")
+    src.repartition(2).write.format("xlsx").option("sheet", "regions").mode(
+        "overwrite"
+    ).save(out)
+
+    parts = glob.glob(out + "/part-*.xlsx")
+    assert parts and len(parts) <= 2
+    import os
+
+    assert os.path.exists(out + "/_SUCCESS")
+    back = None
+    for p in parts:
+        df = spark.read.format("xlsx").option("sheet", "regions").load(p)
+        back = df if back is None else back.unionByName(df)
+    got = sorted(map(tuple, back.collect()))
+    want = sorted(map(tuple, src.collect()))
+    assert got == want

@@ -261,3 +261,33 @@ def jdbc_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("s_nationkey").cast("long"),
         F.col("s_acctbal").cast("double"),
     )
+
+
+@query(
+    "xlsx_sink",
+    """
+    SELECT CAST(n_nationkey AS BIGINT) AS n_nationkey, n_name,
+           CAST(n_regionkey AS BIGINT) AS n_regionkey
+    FROM nation
+    """,
+)
+def xlsx_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed xlsx write (DataSourceWriter: one part-*.xlsx per
+    partition, _SUCCESS on commit) then read back — the full round trip
+    through our own OOXML writer and reader, oracle-checked against the
+    source table."""
+    import glob
+
+    register_xlsx_source(spark)
+    out = os.path.join(_STAGE_ROOT, f"{_tag(sf_dir)}_nation_xlsx_sink")
+    src = table(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").cast("long"),
+        "n_name",
+        F.col("n_regionkey").cast("long"),
+    )
+    src.write.format("xlsx").option("sheet", "nation").mode("overwrite").save(out)
+    back = None
+    for p in sorted(glob.glob(os.path.join(out, "part-*.xlsx"))):
+        df = spark.read.format("xlsx").option("sheet", "nation").load(p)
+        back = df if back is None else back.unionByName(df)
+    return back

@@ -30,9 +30,11 @@ from typing import Any, Iterator
 from pyspark.sql.datasource import (
     DataSource,
     DataSourceReader,
+    DataSourceWriter,
     EqualTo,
     Filter,
     InputPartition,
+    WriterCommitMessage,
 )
 from pyspark.sql.types import StructType
 
@@ -120,6 +122,9 @@ class XlsxDataSource(DataSource):
     def reader(self, schema: StructType) -> "XlsxReader":
         return XlsxReader(schema, dict(self.options))
 
+    def writer(self, schema: StructType, overwrite: bool) -> "XlsxWriter":
+        return XlsxWriter(schema, dict(self.options), overwrite)
+
 
 class XlsxReader(DataSourceReader):
     def __init__(self, schema: StructType, options: dict):
@@ -173,3 +178,49 @@ class XlsxReader(DataSourceReader):
 def register_xlsx_source(spark) -> None:
     """Idempotently register the xlsx format on a session."""
     spark.dataSource.register(XlsxDataSource)
+
+
+class XlsxWriter(DataSourceWriter):
+    """``df.write.format("xlsx").save(dir)`` — parquet-style directory
+    semantics: each partition writes its own ``part-*.xlsx`` (xlsx is a
+    zip, not appendable — one file per task is the only write shape
+    that scales horizontally), ``commit`` drops ``_SUCCESS``. Sheet
+    name via ``.option("sheet", ...)``; a single combined workbook is a
+    driver-side concern (collect + write_workbook) for small results.
+    """
+
+    def __init__(self, schema: StructType, options: dict, overwrite: bool):
+        self.schema = schema
+        self.options = options
+        self.path = options.get("path")
+        if not self.path:
+            raise ValueError("xlsx writer requires a path")
+        self.sheet = options.get("sheet") or "Sheet1"
+        import os
+        import shutil
+
+        if overwrite:
+            shutil.rmtree(self.path, ignore_errors=True)
+        os.makedirs(self.path, exist_ok=True)
+
+    def write(self, iterator) -> WriterCommitMessage:
+        import os
+        import uuid
+
+        rows = [tuple(r) for r in iterator]
+        part = f"part-{uuid.uuid4().hex}.xlsx"
+        if rows:  # empty partitions write nothing (parquet convention)
+            xlsx_io.write_workbook(
+                os.path.join(self.path, part),
+                {self.sheet: ([f.name for f in self.schema.fields], rows)},
+            )
+        return WriterCommitMessage()
+
+    def commit(self, messages) -> None:
+        import os
+
+        with open(os.path.join(self.path, "_SUCCESS"), "w"):
+            pass
+
+    def abort(self, messages) -> None:
+        pass
