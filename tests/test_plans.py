@@ -153,3 +153,31 @@ def test_bucketed_tables_join_without_shuffle(spark, sf_dir, tmp_path):
         spark.sql("DROP TABLE IF EXISTS ord_b")
     assert "SortMergeJoin" in plan, plan
     assert "Exchange" not in plan, plan  # co-located: zero shuffle
+
+
+def test_exists_subquery_decorrelates_to_semi_join(spark, sf_dir, qs):
+    # Correlated EXISTS must not plan as a per-row subquery execution;
+    # Catalyst rewrites it into a (broadcast/shuffled) left-semi join.
+    df = qs["subq_exists"](spark, sf_dir)
+    plan = explain_str(df)
+    assert "LeftSemi" in plan or "SemiJoin" in plan, plan
+
+
+def test_scalar_subquery_decorrelates_to_aggregate_join(spark, sf_dir, qs):
+    # Correlated scalar subquery → per-key aggregate joined back, not a
+    # re-executed subquery per outer row.
+    df = qs["subq_scalar"](spark, sf_dir)
+    plan = explain_str(df)
+    assert "max(" in plan and "Join" in plan, plan
+
+
+def test_tpch_q3_topk_and_pushdown(spark, sf_dir, qs):
+    df = qs["tpch_q3"](spark, sf_dir)
+    plan = explain_str(df)
+    assert "TakeOrderedAndProject" in plan, plan
+    assert has_pushed_filters(df), plan
+
+
+def test_tpch_q5_broadcasts_bounded_dims(spark, sf_dir, qs):
+    df = qs["tpch_q5"](spark, sf_dir)
+    assert has_broadcast_hash_join(df), explain_str(df)

@@ -1,0 +1,214 @@
+"""Relational extras: pivot/unpivot reshaping, correlated subqueries,
+and multi-join TPC-H-adapted flagship queries (SURVEY.md §2.12).
+
+Scale notes:
+- ``pivot`` with an **explicit value list** skips the extra
+  distinct-collection job Spark otherwise runs to discover pivot columns
+  — at 100 TB that discovery pass is a full-column scan you don't want.
+  The pivot itself is a single hash aggregate (one shuffle on the group
+  key), identical cost to the conditional-aggregation form.
+- ``unpivot`` is a generator expression (no shuffle, no join): each row
+  fans out to k rows inside the scan stage.
+- EXISTS / IN / correlated-scalar subqueries decorrelate in Catalyst to
+  semi/anti/left-outer joins — declarative subqueries cost the same as
+  hand-written joins but keep intent obvious. The plan-quality tests
+  assert the rewrite happens.
+- The Q3/Q5-style flagships filter *before* joining (pushdown into the
+  parquet scans), broadcast the bounded dims (region/nation), and
+  sort-merge the fact-fact joins on the shuffle key; Q3's top-10 plans
+  as TakeOrderedAndProject, never a global sort.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from xlsx_to_database_spark.catalog import register_views, table
+from xlsx_to_database_spark.registry import query
+
+
+@query(
+    "pivot_wide",
+    """
+    SELECT l_linestatus,
+           round(sum(CASE WHEN l_returnflag = 'A' THEN l_quantity END), 2) AS qty_a,
+           round(sum(CASE WHEN l_returnflag = 'N' THEN l_quantity END), 2) AS qty_n,
+           round(sum(CASE WHEN l_returnflag = 'R' THEN l_quantity END), 2) AS qty_r
+    FROM lineitem
+    GROUP BY l_linestatus
+    """,
+)
+def pivot_wide(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Long→wide: quantity totals per linestatus, one column per return
+    flag. Explicit pivot values ('A','N','R') avoid the distinct-scan
+    Spark runs to discover them — the whole op is one hash aggregate."""
+    li = table(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy("l_linestatus")
+        .pivot("l_returnflag", ["A", "N", "R"])
+        .agg(F.sum("l_quantity"))
+        .select(
+            "l_linestatus",
+            F.round(F.col("A"), 2).alias("qty_a"),
+            F.round(F.col("N"), 2).alias("qty_n"),
+            F.round(F.col("R"), 2).alias("qty_r"),
+        )
+    )
+
+
+@query(
+    "unpivot_long",
+    """
+    SELECT p_partkey, 'p_size' AS attr, CAST(p_size AS DOUBLE) AS val FROM part
+    UNION ALL
+    SELECT p_partkey, 'p_retailprice' AS attr, CAST(p_retailprice AS DOUBLE) AS val
+    FROM part
+    """,
+)
+def unpivot_long(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wide→long: each part row fans out to (attr, val) pairs. A pure
+    generator — no shuffle; stays inside the scan stage at any scale."""
+    p = table(spark, sf_dir, "part").select(
+        "p_partkey",
+        F.col("p_size").cast("double").alias("p_size"),
+        F.col("p_retailprice").cast("double").alias("p_retailprice"),
+    )
+    return p.unpivot("p_partkey", ["p_size", "p_retailprice"], "attr", "val")
+
+
+_EXISTS_SQL = """
+    SELECT c_custkey, c_name, c_mktsegment
+    FROM customer c
+    WHERE EXISTS (
+        SELECT 1 FROM orders o
+        WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 200000
+    )
+"""
+
+
+@query("subq_exists", _EXISTS_SQL)
+def subq_exists(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated EXISTS — customers with at least one big order.
+    Catalyst decorrelates to a left-semi hash join; the inner filter
+    pushes into the orders scan before the join."""
+    register_views(spark, sf_dir)
+    return spark.sql(_EXISTS_SQL)
+
+
+_IN_SQL = """
+    SELECT p_partkey, p_name, p_brand
+    FROM part
+    WHERE p_partkey IN (
+        SELECT l_partkey FROM lineitem WHERE l_quantity >= 45
+    )
+"""
+
+
+@query("subq_in", _IN_SQL)
+def subq_in(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IN-subquery — parts that ever shipped in bulk. Decorrelates to a
+    semi join on p_partkey; no DISTINCT materialization of the inner
+    side is ever needed."""
+    register_views(spark, sf_dir)
+    return spark.sql(_IN_SQL)
+
+
+_SCALAR_SQL = """
+    SELECT c_custkey, c_nationkey, c_acctbal
+    FROM customer c
+    WHERE c_acctbal > (
+        SELECT MAX(s.s_acctbal) FROM supplier s
+        WHERE s.s_nationkey = c.c_nationkey
+    )
+"""
+
+
+@query("subq_scalar", _SCALAR_SQL)
+def subq_scalar(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated scalar subquery — customers richer than every supplier
+    in their nation. MAX (not AVG) keeps the comparison float-exact in
+    both engines. Nations with no suppliers yield NULL > x → filtered,
+    identically on both sides. Decorrelates to an aggregate + join."""
+    register_views(spark, sf_dir)
+    return spark.sql(_SCALAR_SQL)
+
+
+@query(
+    "tpch_q3",
+    """
+    SELECT l_orderkey,
+           round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+           o_orderdate, o_orderpriority
+    FROM customer
+    JOIN orders   ON c_custkey = o_custkey
+    JOIN lineitem ON l_orderkey = o_orderkey
+    WHERE c_mktsegment = 'BUILDING'
+      AND o_orderdate < TIMESTAMP '1998-06-01'
+      AND l_shipdate  > TIMESTAMP '1998-06-01'
+    GROUP BY l_orderkey, o_orderdate, o_orderpriority
+    ORDER BY revenue DESC, l_orderkey
+    LIMIT 10
+    """,
+)
+def tpch_q3(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q3 adapted to the reduced schema (o_orderpriority stands in
+    for o_shippriority): top-10 highest-revenue unshipped orders in the
+    BUILDING segment. Both date filters push into the parquet scans, the
+    fact-fact join sort-merges on orderkey, and the top-10 is
+    TakeOrderedAndProject (per-partition heap + driver merge of 10·P
+    rows — no global sort at any scale)."""
+    cutoff = F.lit("1998-06-01").cast("timestamp")
+    c = table(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
+    o = table(spark, sf_dir, "orders").filter(F.col("o_orderdate") < cutoff)
+    li = table(spark, sf_dir, "lineitem").filter(F.col("l_shipdate") > cutoff)
+    return (
+        c.join(o, c.c_custkey == o.o_custkey)
+        .join(li, li.l_orderkey == o.o_orderkey)
+        .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("revenue"))
+        .select("l_orderkey", "revenue", "o_orderdate", "o_orderpriority")
+        .orderBy(F.col("revenue").desc(), F.col("l_orderkey").asc())
+        .limit(10)
+    )
+
+
+@query(
+    "tpch_q5",
+    """
+    SELECT n_name,
+           round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+    FROM customer, orders, lineitem, supplier, nation, region
+    WHERE c_custkey = o_custkey AND l_orderkey = o_orderkey
+      AND l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+      AND s_nationkey = n_nationkey AND n_regionkey = r_regionkey
+      AND r_name = 'ASIA'
+      AND o_orderdate >= TIMESTAMP '1996-01-01'
+      AND o_orderdate <  TIMESTAMP '1997-01-01'
+    GROUP BY n_name
+    """,
+)
+def tpch_q5(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q5 (local supplier volume): six-table join, revenue by
+    nation for ASIA where customer and supplier share a nation. The
+    bounded dims (region→nation) broadcast; the three fact tables
+    sort-merge on their keys; the year filter pushes into the orders
+    scan and prunes most of the fact input before any join."""
+    c, o, li, s = (
+        table(spark, sf_dir, t) for t in ("customer", "orders", "lineitem", "supplier")
+    )
+    n, r = table(spark, sf_dir, "nation"), table(spark, sf_dir, "region")
+    o = o.filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1997-01-01").cast("timestamp"))
+    )
+    r = r.filter(F.col("r_name") == "ASIA")
+    dims = F.broadcast(n.join(r, n.n_regionkey == r.r_regionkey))
+    return (
+        c.join(o, c.c_custkey == o.o_custkey)
+        .join(li, li.l_orderkey == o.o_orderkey)
+        .join(s, (li.l_suppkey == s.s_suppkey) & (c.c_nationkey == s.s_nationkey))
+        .join(dims, s.s_nationkey == F.col("n_nationkey"))
+        .groupBy("n_name")
+        .agg(F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("revenue"))
+    )

@@ -291,3 +291,28 @@ def xlsx_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
         df = spark.read.format("xlsx").option("sheet", "nation").load(p)
         back = df if back is None else back.unionByName(df)
     return back
+
+
+@query(
+    "orc_sink",
+    """
+    SELECT CAST(p_partkey AS BIGINT) AS p_partkey, p_name, p_brand,
+           CAST(p_size AS BIGINT) AS p_size, p_retailprice
+    FROM part
+    """,
+)
+def orc_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ORC round trip — Spark's other built-in columnar format, for
+    pipelines standardized on Hive/ORC. Same distributed write shape as
+    parquet (one file per task, _SUCCESS commit); predicate pushdown and
+    column pruning work identically on read-back."""
+    out = os.path.join(_STAGE_ROOT, f"{_tag(sf_dir)}_part_orc")
+    src = table(spark, sf_dir, "part").select(
+        F.col("p_partkey").cast("long"),
+        "p_name",
+        "p_brand",
+        F.col("p_size").cast("long"),
+        F.col("p_retailprice").cast("double"),
+    )
+    src.write.mode("overwrite").orc(out)
+    return spark.read.orc(out)

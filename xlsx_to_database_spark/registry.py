@@ -87,6 +87,7 @@ def _load_all() -> None:
         "xlsx_to_database_spark.queries.llm_ops",
         "xlsx_to_database_spark.queries.multimodal",
         "xlsx_to_database_spark.queries.udf_surface",
+        "xlsx_to_database_spark.queries.relational_extras",
     ):
         try:
             importlib.import_module(mod)
