@@ -174,3 +174,23 @@ def test_approx_percentile_close_to_exact(spark):
     )
     for r in both.collect():
         assert abs(r.approx - r.exact) / r.exact < 0.01, r
+
+
+def test_ivf_topk_full_probe_equals_brute_force(spark):
+    from xlsx_to_database_spark.operators.similarity import cosine_topk, ivf_topk
+
+    e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    qv = e.filter(F.col("vec_id") == 0).select(F.col("embedding").alias("qvec"))
+
+    # Probing every cell makes IVF exhaustive: must equal brute force.
+    full = ivf_topk(e, k=10, n_centroids=8, nprobe=8).collect()
+    brute = cosine_topk(e, qv, k=10).collect()
+    assert [(r.vec_id, r.cos_sim) for r in full] == [
+        (r.vec_id, r.cos_sim) for r in brute
+    ]
+
+    # nprobe < cells returns a subset of vectors, correctly scored.
+    part = ivf_topk(e, k=10, n_centroids=8, nprobe=2).collect()
+    all_scores = {r.vec_id: r.cos_sim for r in cosine_topk(e, qv, k=10**9).collect()}
+    assert 0 < len(part) <= 10
+    assert all(abs(all_scores[r.vec_id] - r.cos_sim) < 1e-9 for r in part)

@@ -163,3 +163,65 @@ def knn_join_blocked(
         .filter(F.col("rn") <= k)
         .select(F.col("qid").alias(id_col), "nid", "cos_sim", "rn")
     )
+
+
+def ivf_topk(
+    embeddings: DataFrame,
+    k: int = 10,
+    n_centroids: int = 8,
+    nprobe: int = 2,
+    query_id: int = 0,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF-flat approximate top-k: coarse-quantize every vector to its
+    nearest centroid cell, then brute-force only the query's ``nprobe``
+    closest cells.
+
+    Centroids here are the vectors with ids 1..n_centroids — a
+    deterministic stand-in for k-means centroids so the whole op is
+    reproducible and oracle-checkable. They are collected to the driver
+    and inlined as literal arrays: that is IVF's real topology (a coarse
+    quantizer is broadcast-scale metadata — 65 536 centroids × 64 dims
+    × 4 B ≈ 16 MB), so per-row assignment is pure codegen'd array math
+    with ZERO shuffle; the only shuffle anywhere is the final top-k
+    merge (TakeOrderedAndProject). Cell assignment ranks by
+    (rounded cosine DESC, centroid id ASC) — total order, engine-portable.
+    """
+    cents = sorted(
+        (int(r[0]), [float(x) for x in r[1]])
+        for r in embeddings.filter(
+            F.col(id_col).between(1, n_centroids)
+        ).select(id_col, vec_col).collect()
+    )
+
+    def lit_vec(vals):
+        return F.array(*[F.lit(v) for v in vals])
+
+    # Per-row array of (similarity, -centroid_id) structs: lexicographic
+    # struct ordering gives argmax with a smallest-id tie-break.
+    ranked = F.array(
+        *[
+            F.struct(
+                cosine_sim(F.col(vec_col), lit_vec(cv)).alias("s"),
+                F.lit(-cid).cast("long").alias("nc"),
+            )
+            for cid, cv in cents
+        ]
+    )
+    cell = (-F.array_max(ranked)["nc"]).alias("cell")
+    assigned = embeddings.select(F.col(id_col), F.col(vec_col), cell)
+
+    probe_cells = F.slice(
+        F.transform(F.sort_array(ranked, asc=False), lambda x: -x["nc"]), 1, nprobe
+    )
+    qdf = embeddings.filter(F.col(id_col) == query_id).select(
+        F.col(vec_col).alias("qvec"), probe_cells.alias("probe_cells")
+    )
+    cand = assigned.crossJoin(F.broadcast(qdf)).filter(
+        F.array_contains(F.col("probe_cells"), F.col("cell"))
+    )
+    scored = cand.select(
+        F.col(id_col), cosine_sim(F.col(vec_col), F.col("qvec")).alias("cos_sim")
+    )
+    return scored.orderBy(F.col("cos_sim").desc(), F.col(id_col).asc()).limit(k)

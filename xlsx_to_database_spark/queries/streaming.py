@@ -173,6 +173,30 @@ def stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "stream_dedup_watermark",
+    """
+    SELECT DISTINCT event_id, user_id, event_type, value
+    FROM events
+    """,
+)
+def stream_dedup_watermark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """`dropDuplicatesWithinWatermark` — the bounded-state dedup for
+    infinite streams: dedup state older than the watermark delay is
+    evicted, so the state store size tracks the lateness bound instead
+    of the stream's lifetime. With a delay covering the replayed data's
+    full span, no state is evicted and the result equals batch DISTINCT
+    exactly; in production the delay is the dup-arrival SLA (e.g. 24h of
+    at-least-once redelivery), keeping state ~constant at 100 TB/day."""
+    ev = events_stream(spark, sf_dir, copies=2)
+    deduped = (
+        ev.withWatermark("ts", "3650 days")
+        .dropDuplicatesWithinWatermark(["event_id"])
+        .select("event_id", "user_id", "event_type", "value")
+    )
+    return run_to_memory(deduped, "append")
+
+
+@query(
     "stream_stateful",
     """
     SELECT user_id, count(*) AS n_events,
