@@ -181,3 +181,11 @@ def test_tpch_q3_topk_and_pushdown(spark, sf_dir, qs):
 def test_tpch_q5_broadcasts_bounded_dims(spark, sf_dir, qs):
     df = qs["tpch_q5"](spark, sf_dir)
     assert has_broadcast_hash_join(df), explain_str(df)
+
+
+def test_lateral_join_rewrites_to_window_group_limit(spark, sf_dir, qs):
+    # LATERAL (... ORDER BY ... LIMIT k) must become a ranked-window join
+    # with map-side group limits — never per-outer-row subquery execution.
+    df = qs["join_lateral"](spark, sf_dir)
+    plan = explain_str(df)
+    assert "WindowGroupLimit" in plan and "Join" in plan, plan

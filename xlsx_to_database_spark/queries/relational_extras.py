@@ -212,3 +212,64 @@ def tpch_q5(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("n_name")
         .agg(F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("revenue"))
     )
+
+
+_LATERAL_SQL = """
+    SELECT c_custkey, t.o_orderkey, t.o_totalprice
+    FROM customer c, LATERAL (
+        SELECT o_orderkey, o_totalprice FROM orders o
+        WHERE o.o_custkey = c.c_custkey
+        ORDER BY o_totalprice DESC, o_orderkey ASC
+        LIMIT 2
+    ) t
+"""
+
+
+@query("join_lateral", _LATERAL_SQL)
+def join_lateral(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated LATERAL join — top-2 orders per customer, written the
+    way an analyst writes it. Catalyst rewrites the per-row subquery
+    into the same ranked-window join `topk_per_group` builds by hand:
+    one shuffle on the correlation key, never per-row re-execution."""
+    register_views(spark, sf_dir)
+    return spark.sql(_LATERAL_SQL)
+
+
+@query(
+    "recursive_cte",
+    """
+    WITH RECURSIVE months(m) AS (
+        -- DuckDB's date_trunc yields DATE at month precision; cast to
+        -- TIMESTAMP so the spine matches Spark's timestamp column.
+        SELECT CAST(min(date_trunc('month', o_orderdate)) AS TIMESTAMP) FROM orders
+        UNION ALL
+        SELECT m + INTERVAL '1 month' FROM months
+        WHERE m < (SELECT CAST(max(date_trunc('month', o_orderdate)) AS TIMESTAMP)
+                   FROM orders)
+    )
+    SELECT m AS month_start, count(o_orderkey) AS n_orders
+    FROM months LEFT JOIN orders
+      ON CAST(date_trunc('month', o_orderdate) AS TIMESTAMP) = m
+    GROUP BY m
+    """,
+)
+def recursive_cte(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WITH RECURSIVE (Spark 4) generating a calendar spine — every
+    month from the first to the last order month, including months with
+    zero orders (the gap-filling scaffold a naive GROUP BY can't see).
+    Recursion depth = #months (bounded, driver-side plan growth only);
+    the spine is tiny and broadcasts into the counting join."""
+    register_views(spark, sf_dir)
+    return spark.sql(
+        """
+        WITH RECURSIVE months(m) AS (
+            SELECT min(date_trunc('month', o_orderdate)) FROM orders
+            UNION ALL
+            SELECT m + INTERVAL '1' MONTH FROM months
+            WHERE m < (SELECT max(date_trunc('month', o_orderdate)) FROM orders)
+        )
+        SELECT m AS month_start, count(o_orderkey) AS n_orders
+        FROM months LEFT JOIN orders ON date_trunc('month', o_orderdate) = m
+        GROUP BY m
+        """
+    )

@@ -316,3 +316,56 @@ def orc_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     src.write.mode("overwrite").orc(out)
     return spark.read.orc(out)
+
+
+@query(
+    "csv_sink",
+    """
+    SELECT CAST(l_orderkey AS BIGINT) AS l_orderkey,
+           CAST(l_linenumber AS BIGINT) AS l_linenumber,
+           l_quantity, l_returnflag
+    FROM lineitem WHERE l_quantity >= 45
+    """,
+)
+def csv_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CSV round trip — header + per-task part files, read back with an
+    explicit schema (no inference job at scale). Doubles survive the
+    text round trip exactly (shortest-repr float formatting)."""
+    out = os.path.join(_STAGE_ROOT, f"{_tag(sf_dir)}_li_csv")
+    src = table(spark, sf_dir, "lineitem").filter(F.col("l_quantity") >= 45).select(
+        F.col("l_orderkey").cast("long"),
+        F.col("l_linenumber").cast("long"),
+        F.col("l_quantity").cast("double"),
+        "l_returnflag",
+    )
+    src.write.mode("overwrite").option("header", True).csv(out)
+    return spark.read.schema(
+        "l_orderkey long, l_linenumber long, l_quantity double, l_returnflag string"
+    ).option("header", True).csv(out)
+
+
+@query(
+    "text_scan",
+    """
+    SELECT CAST(doc_id AS BIGINT) AS doc_id, lang, text FROM documents
+    """,
+)
+def text_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Plain-text-lines ingestion (`spark.read.text` + declarative regex
+    split) — the log-file path. Staged as tab-separated lines written
+    distributed (one part per task); the parse is three codegen'd
+    expressions, no UDF, so it pushes through whole-stage codegen at any
+    scale."""
+    out = os.path.join(_STAGE_ROOT, f"{_tag(sf_dir)}_docs_txt")
+    if not os.path.exists(os.path.join(out, "_SUCCESS")):
+        docs = table(spark, sf_dir, "documents")
+        docs.select(
+            F.concat_ws("\t", F.col("doc_id"), F.col("lang"), F.col("text")).alias("value")
+        ).write.mode("overwrite").text(out)
+    lines = spark.read.text(out)
+    parts = F.split(F.col("value"), "\t", 3)
+    return lines.select(
+        parts.getItem(0).cast("long").alias("doc_id"),
+        parts.getItem(1).alias("lang"),
+        parts.getItem(2).alias("text"),
+    )
