@@ -283,3 +283,27 @@ def agg_global(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.min("l_quantity"), 2).alias("min_qty"),
         F.round(F.max("l_quantity"), 2).alias("max_qty"),
     )
+
+
+@query(
+    "agg_corr",
+    """
+    SELECT l_returnflag,
+           round(corr(l_quantity, l_extendedprice), 6) AS qty_price_corr,
+           round(covar_samp(l_quantity, l_extendedprice), 4) AS qty_price_covar,
+           round(covar_pop(l_quantity, l_extendedprice), 4) AS qty_price_covar_pop
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
+)
+def agg_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bivariate statistics per group — Pearson correlation and sample/
+    population covariance. Single-pass mergeable moment aggregates
+    (partial co-moments combine associatively), so they map-side combine
+    like any sum: constant state per group at any scale."""
+    li = table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.round(F.corr("l_quantity", "l_extendedprice"), 6).alias("qty_price_corr"),
+        F.round(F.covar_samp("l_quantity", "l_extendedprice"), 4).alias("qty_price_covar"),
+        F.round(F.covar_pop("l_quantity", "l_extendedprice"), 4).alias("qty_price_covar_pop"),
+    )

@@ -354,3 +354,27 @@ def join_skew_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
         li, o.select("o_orderkey", "o_totalprice"), "l_orderkey", "o_orderkey", n_salts=8
     )
     return joined.select("l_orderkey", "l_linenumber", "l_extendedprice", "o_totalprice")
+
+
+@query(
+    "join_null_safe",
+    """
+    SELECT c_custkey, s_suppkey, ck, sk
+    FROM (SELECT c_custkey, nullif(c_nationkey, 3) AS ck FROM customer) c
+    JOIN (SELECT s_suppkey, nullif(s_nationkey, 3) AS sk FROM supplier) s
+      ON c.ck IS NOT DISTINCT FROM s.sk
+    """,
+)
+def join_null_safe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Null-safe equality join (`<=>` / IS NOT DISTINCT FROM): NULL keys
+    match each other instead of vanishing — the semantics ETL needs when
+    joining on nullable business keys. Plans as an ordinary hash join on
+    the null-safe key (NULL hashes to a regular bucket), so cost and
+    shuffle shape equal the plain equi-join."""
+    c = table(spark, sf_dir, "customer").select(
+        "c_custkey", F.nullif(F.col("c_nationkey"), F.lit(3)).alias("ck")
+    )
+    s = table(spark, sf_dir, "supplier").select(
+        "s_suppkey", F.nullif(F.col("s_nationkey"), F.lit(3)).alias("sk")
+    )
+    return c.join(s, c.ck.eqNullSafe(s.sk)).select("c_custkey", "s_suppkey", "ck", "sk")

@@ -278,3 +278,31 @@ def json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.get_json_object("props", "$.k").cast("long").alias("k_val"),
         F.get_json_object("props", "$.missing").alias("missing_val"),
     )
+
+
+@query(
+    "variant_json",
+    """
+    SELECT o_orderkey, o_orderstatus AS status, o_totalprice AS price,
+           CAST(NULL AS BIGINT) AS missing
+    FROM orders
+    """,
+)
+def variant_json(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark 4 VARIANT: semi-structured values kept in a binary-encoded
+    open type — `parse_json` once, then typed `variant_get` path access
+    without re-parsing text per field (the scale win over repeated
+    `json_extract` string parsing). Round-trips orders rows through
+    VARIANT and back; `try_variant_get` on a missing path yields NULL,
+    never an error."""
+    o = table(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        F.to_json(F.struct("o_orderstatus", "o_totalprice")).alias("j"),
+    )
+    v = o.select("o_orderkey", F.parse_json(F.col("j")).alias("v"))
+    return v.select(
+        "o_orderkey",
+        F.variant_get("v", "$.o_orderstatus", "string").alias("status"),
+        F.variant_get("v", "$.o_totalprice", "double").alias("price"),
+        F.try_variant_get("v", "$.not_there", "long").alias("missing"),
+    )

@@ -143,3 +143,41 @@ def udtf_python(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.sql(
         "SELECT c.* FROM docs_for_udtf, LATERAL chunk_doc(doc_id, text) c"
     )
+
+
+@query(
+    "udf_arrow",
+    """
+    SELECT l_orderkey, l_linenumber,
+           round(l_extendedprice * (1 - l_discount), 4) AS net_price
+    FROM lineitem
+    """,
+)
+def udf_arrow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """`mapInArrow` — the zero-copy batch UDF surface: whole Arrow
+    record batches cross the JVM↔Python boundary with no pandas
+    conversion, the cheapest path when the kernel is already columnar
+    (numpy/pyarrow.compute). The float math is IEEE-identical to the
+    SQL expression, so the oracle is exact; the round happens JVM-side at 4dp —
+    the product's exact decimal precision, where rounding is tie-free."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    def net(batches):
+        for b in batches:
+            price = pc.multiply(
+                b.column("l_extendedprice"),
+                pc.subtract(pa.scalar(1.0), b.column("l_discount")),
+            )
+            yield pa.RecordBatch.from_arrays(
+                [b.column("l_orderkey"), b.column("l_linenumber"), price],
+                ["l_orderkey", "l_linenumber", "net_raw"],
+            )
+
+    li = table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_linenumber", "l_extendedprice", "l_discount"
+    )
+    out = li.mapInArrow(net, "l_orderkey long, l_linenumber int, net_raw double")
+    return out.select(
+        "l_orderkey", "l_linenumber", F.round(F.col("net_raw"), 4).alias("net_price")
+    )
