@@ -189,3 +189,29 @@ def test_lateral_join_rewrites_to_window_group_limit(spark, sf_dir, qs):
     df = qs["join_lateral"](spark, sf_dir)
     plan = explain_str(df)
     assert "WindowGroupLimit" in plan and "Join" in plan, plan
+
+
+def test_tpch_q21_decorrelates_to_semi_and_anti(spark, sf_dir, qs):
+    # Q21's EXISTS → left-semi, NOT EXISTS (correlated on TWO outer
+    # tables) → left-anti; neither may survive as per-row subqueries.
+    df = qs["tpch_q21"](spark, sf_dir)
+    plan = explain_str(df)
+    assert "LeftSemi" in plan, plan
+    assert "LeftAnti" in plan, plan
+
+
+def test_tpch_q18_topk_and_semi_filter(spark, sf_dir, qs):
+    # The HAVING-filtered orderkey set must act as a semi-join filter
+    # (not inflate the join), and the top-100 must be TakeOrdered.
+    df = qs["tpch_q18"](spark, sf_dir)
+    plan = explain_str(df)
+    assert "TakeOrderedAndProject" in plan, plan
+    assert "LeftSemi" in plan, plan
+
+
+def test_tpch_q17_part_filter_broadcasts(spark, sf_dir, qs):
+    # The brand/size part filter must broadcast into lineitem so the
+    # per-part average only aggregates qualifying parts' rows.
+    df = qs["tpch_q17"](spark, sf_dir)
+    assert has_broadcast_hash_join(df), explain_str(df)
+    assert has_pushed_filters(df), explain_str(df)
