@@ -194,3 +194,38 @@ def test_ivf_topk_full_probe_equals_brute_force(spark):
     all_scores = {r.vec_id: r.cos_sim for r in cosine_topk(e, qv, k=10**9).collect()}
     assert 0 < len(part) <= 10
     assert all(abs(all_scores[r.vec_id] - r.cos_sim) < 1e-9 for r in part)
+
+
+def test_hll_sketch_estimates_within_tolerance(spark):
+    from pyspark.sql import functions as F
+    from xlsx_to_database_spark.registry import all_queries
+
+    est = {
+        r.l_returnflag: r.approx_orders
+        for r in all_queries()["agg_hll_sketch"](spark, "/root/testdata/sf0.01").collect()
+    }
+    li = spark.read.parquet("/root/testdata/sf0.01/lineitem.parquet")
+    exact = {
+        r.l_returnflag: r.n
+        for r in li.groupBy("l_returnflag")
+        .agg(F.countDistinct("l_orderkey").alias("n"))
+        .collect()
+    }
+    exact["ALL"] = li.select("l_orderkey").distinct().count()
+    for k, true_n in exact.items():
+        assert abs(est[k] - true_n) / true_n < 0.02, (k, est[k], true_n)
+    # merged-sketch estimate must NOT be the sum of the group estimates
+    # (orders span return flags): merging dedupes across groups.
+    assert est["ALL"] < sum(v for k, v in est.items() if k != "ALL")
+
+
+def test_bpe_token_count_matches_python_regex(spark):
+    import re
+    from xlsx_to_database_spark.operators.text import BPE_PATTERN, token_counts
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    got = {r.doc_id: r for r in token_counts(docs).collect()}
+    for row in docs.select("doc_id", "text").collect():
+        toks = re.findall(BPE_PATTERN, row.text)
+        assert got[row.doc_id].n_bpe_tokens == len(toks), row.doc_id
+        assert got[row.doc_id].n_ws_tokens == len(row.text.split()), row.doc_id

@@ -158,3 +158,29 @@ def document_fingerprint(df: DataFrame, id_col: str = "doc_id", text_col: str = 
         F.md5(F.col(text_col)).alias("md5_fp"),
         rolling.alias("rolling_fp"),
     )
+
+
+# BPE-style pre-tokenizer pattern (GPT-2 family shape, simplified to the
+# RE2-safe subset so the DuckDB oracle matches byte-for-byte): a token is
+# an optionally space-prefixed letter run, digit run, or punctuation run.
+# Both Spark (Java regex) and DuckDB (RE2) interpret this identically —
+# no lookahead, no unicode classes.
+BPE_PATTERN = r" ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9\s]+"
+
+
+def token_counts(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """Per-document token accounting, the unit LLM data budgets are
+    priced in: whitespace token count, BPE-ish subword-ish token count
+    (regex pre-tokenization — the deterministic upper stage of a real
+    BPE tokenizer), and chars-per-token ratio (a compression/quality
+    signal: prose ≈4-5, code/noise drifts far off). Pure codegen
+    expressions — no UDF, no shuffle; scales as a map-only pass."""
+    bpe = F.regexp_extract_all(F.col(text_col), F.lit(BPE_PATTERN), F.lit(0))
+    ws = F.regexp_extract_all(F.col(text_col), F.lit(r"\S+"), F.lit(0))
+    n_bpe = F.size(bpe)
+    return df.select(
+        F.col(id_col),
+        F.size(ws).alias("n_ws_tokens"),
+        n_bpe.alias("n_bpe_tokens"),
+        F.round(F.length(F.col(text_col)) / n_bpe, 6).alias("chars_per_token"),
+    )

@@ -307,3 +307,28 @@ def agg_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.covar_samp("l_quantity", "l_extendedprice"), 4).alias("qty_price_covar"),
         F.round(F.covar_pop("l_quantity", "l_extendedprice"), 4).alias("qty_price_covar_pop"),
     )
+
+
+@query("agg_hll_sketch")  # rows-only: DataSketches HLL has no DuckDB equivalent
+def agg_hll_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeable HLL sketches (Apache DataSketches, Spark 3.5+) — THE
+    pattern for distinct-counting at 100 TB: each partition builds a
+    constant-size sketch, sketches merge associatively (map-side
+    combine, tiny shuffle), and — unlike `approx_count_distinct`, which
+    yields only a number — the sketch itself is a first-class binary
+    value you can store per day/segment and re-merge later for any
+    rollup WITHOUT rescanning the data. Here: per-returnflag sketches of
+    l_orderkey, re-merged via `hll_union_agg` into the ALL row — the
+    stored-sketch rollup in miniature. Estimates are deterministic
+    (no RNG); the tolerance test asserts <2% error vs exact."""
+    li = table(spark, sf_dir, "lineitem")
+    per_group = li.groupBy("l_returnflag").agg(
+        F.hll_sketch_agg("l_orderkey").alias("sk")
+    )
+    groups = per_group.select(
+        "l_returnflag", F.hll_sketch_estimate("sk").alias("approx_orders")
+    )
+    merged = per_group.agg(
+        F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("approx_orders")
+    ).select(F.lit("ALL").alias("l_returnflag"), "approx_orders")
+    return groups.unionByName(merged).orderBy("l_returnflag")

@@ -389,3 +389,23 @@ def multimodal_cols(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.size(F.split(F.col("text"), " ")).alias("n_tokens"),
         F.round(F.sqrt(norm_sq), 6).alias("vec_norm"),
     )
+
+
+@query(
+    "text_token_count",
+    r"""
+    SELECT doc_id,
+           len(regexp_extract_all(text, '\S+', 0)) AS n_ws_tokens,
+           len(regexp_extract_all(text, ' ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9\s]+', 0))
+             AS n_bpe_tokens,
+           round(length(text)::DOUBLE
+                 / len(regexp_extract_all(text, ' ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9\s]+', 0)),
+                 6) AS chars_per_token
+    FROM documents
+    """,
+)
+def text_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token counting for data budgeting: whitespace tokens + BPE-style
+    regex pre-tokenization (the deterministic stage of a real BPE
+    tokenizer) + chars-per-token. Map-only codegen; no UDF."""
+    return T.token_counts(table(spark, sf_dir, "documents"))
