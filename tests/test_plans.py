@@ -215,3 +215,12 @@ def test_tpch_q17_part_filter_broadcasts(spark, sf_dir, qs):
     df = qs["tpch_q17"](spark, sf_dir)
     assert has_broadcast_hash_join(df), explain_str(df)
     assert has_pushed_filters(df), explain_str(df)
+
+
+def test_join_bucketed_op_has_no_exchange(spark, sf_dir, qs):
+    # The registered bucketed-join op must read co-located buckets:
+    # SortMergeJoin with neither an Exchange nor a Sort at query time.
+    df = qs["join_bucketed"](spark, sf_dir)
+    plan = explain_str(df)
+    assert "SortMergeJoin" in plan, plan
+    assert "Exchange" not in plan, plan

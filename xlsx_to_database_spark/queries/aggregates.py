@@ -332,3 +332,26 @@ def agg_hll_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("approx_orders")
     ).select(F.lit("ALL").alias("l_returnflag"), "approx_orders")
     return groups.unionByName(merged).orderBy("l_returnflag")
+
+
+@query(
+    "agg_string",
+    """
+    SELECT c_nationkey, string_agg(c_name, ',' ORDER BY c_name) AS vip_names,
+           count(*) AS n_vips
+    FROM customer WHERE c_acctbal >= 9000
+    GROUP BY c_nationkey
+    """,
+)
+def agg_string(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """String aggregation (listagg): concatenate the high-balance
+    customer names per nation in sorted order. Spark has no ordered
+    string_agg aggregate, but `sort_array(collect_list(...))` +
+    `concat_ws` is exactly equivalent (binary collation both engines)
+    and still map-side combines the list partials. The sort keeps the
+    output deterministic — unordered listagg is a hash-parity landmine."""
+    c = table(spark, sf_dir, "customer").filter(F.col("c_acctbal") >= 9000)
+    return c.groupBy("c_nationkey").agg(
+        F.concat_ws(",", F.sort_array(F.collect_list("c_name"))).alias("vip_names"),
+        F.count("*").alias("n_vips"),
+    )

@@ -378,3 +378,47 @@ def join_null_safe(spark: SparkSession, sf_dir: str) -> DataFrame:
         "s_suppkey", F.nullif(F.col("s_nationkey"), F.lit(3)).alias("sk")
     )
     return c.join(s, c.ck.eqNullSafe(s.sk)).select("c_custkey", "s_suppkey", "ck", "sk")
+
+
+def _stage_bucketed(spark: SparkSession, sf_dir: str, src: str, key: str) -> str:
+    """Create (once per session+sf) a bucketed, bucket-sorted copy of a
+    testdata table in the session warehouse; returns the table name."""
+    import os
+
+    tag = os.path.basename(os.path.normpath(sf_dir)).replace(".", "_")
+    tname = f"{src}_bkt_{tag}"
+    if not spark.catalog.tableExists(tname):
+        (
+            table(spark, sf_dir, src)
+            .repartition(8, key)
+            .write.bucketBy(8, key)
+            .sortBy(key)
+            .mode("overwrite")
+            .option("path", f"/tmp/spark_stage/bucketed/{tname}")
+            .saveAsTable(tname)
+        )
+    return tname
+
+
+@query(
+    "join_bucketed",
+    """
+    SELECT l_orderkey, l_linenumber, l_extendedprice, o_totalprice
+    FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+    """,
+)
+def join_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Co-located fact-fact join over bucketed storage: both tables are
+    written `bucketBy(8, key).sortBy(key)`, so the sort-merge join reads
+    bucket i of each side in the same task — ZERO exchange, zero sort at
+    query time (plan-asserted in tests/test_plans.py). This is the 100 TB
+    answer for a join repeated every run: pay the shuffle once at write
+    time, never again. The `merge` hint pins SMJ so the co-location is
+    actually exercised rather than a broadcast kicking in at test scale."""
+    li = _stage_bucketed(spark, sf_dir, "lineitem", "l_orderkey")
+    o = _stage_bucketed(spark, sf_dir, "orders", "o_orderkey")
+    left = spark.table(li).hint("merge")
+    right = spark.table(o)
+    return left.join(right, left.l_orderkey == right.o_orderkey).select(
+        "l_orderkey", "l_linenumber", "l_extendedprice", "o_totalprice"
+    )

@@ -242,3 +242,78 @@ def win_first_last(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.first("o_orderkey").over(w).alias("first_order"),
         F.last("o_orderkey").over(w).alias("latest_order"),
     )
+
+
+@query(
+    "win_time_range",
+    """
+    SELECT o_custkey, o_orderkey, o_orderdate,
+           round(sum(o_totalprice) OVER (
+               PARTITION BY o_custkey ORDER BY o_orderdate
+               RANGE BETWEEN INTERVAL '7 days' PRECEDING AND CURRENT ROW), 2)
+             AS trailing_7d
+    FROM orders
+    """,
+)
+def win_time_range(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-interval RANGE frame: trailing-7-day spend per customer at
+    every order. Unlike a ROWS frame, the frame is defined by the
+    *timestamp value* — peers with equal order dates enter the frame
+    together, which also makes the sum deterministic under ties (no
+    tie-break column needed; a ROWS frame would need one). One shuffle
+    on custkey, sort within partitions, single forward pass."""
+    o = table(spark, sf_dir, "orders")
+    o.createOrReplaceTempView("__orders_wtr")
+    return spark.sql(
+        """
+        SELECT o_custkey, o_orderkey, o_orderdate,
+               round(sum(o_totalprice) OVER (
+                   PARTITION BY o_custkey ORDER BY o_orderdate
+                   RANGE BETWEEN INTERVAL 7 DAYS PRECEDING AND CURRENT ROW), 2)
+                 AS trailing_7d
+        FROM __orders_wtr
+        """
+    )
+
+
+@query(
+    "win_sessionize",
+    """
+    SELECT user_id, event_id, ts,
+           CAST(sum(is_new) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+             AS session_id
+    FROM (
+        SELECT user_id, event_id, ts,
+               CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                         IS NULL
+                      OR ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                         > INTERVAL '30 minutes'
+                    THEN 1 ELSE 0 END AS is_new
+        FROM events
+    )
+    """,
+)
+def win_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch sessionization (gaps-and-islands): number each user's
+    sessions with a 30-minute inactivity gap — `lag` flags session
+    starts, a running sum turns flags into session ids. The batch twin
+    of `stream_session`: same semantics, two window passes over ONE
+    shuffle+sort on user_id (Catalyst reuses the sort for both windows
+    since partition+order match)."""
+    ev = table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gap = F.col("ts").cast("long") - F.lag(F.col("ts").cast("long")).over(w)
+    flagged = ev.select(
+        "user_id",
+        "event_id",
+        "ts",
+        F.when(gap.isNull() | (gap > 30 * 60), 1).otherwise(0).alias("is_new"),
+    )
+    run = Window.partitionBy("user_id").orderBy("ts", "event_id").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    return flagged.select(
+        "user_id", "event_id", "ts", F.sum("is_new").over(run).alias("session_id")
+    )
