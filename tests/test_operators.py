@@ -229,3 +229,44 @@ def test_bpe_token_count_matches_python_regex(spark):
         toks = re.findall(BPE_PATTERN, row.text)
         assert got[row.doc_id].n_bpe_tokens == len(toks), row.doc_id
         assert got[row.doc_id].n_ws_tokens == len(row.text.split()), row.doc_id
+
+
+def test_clustered_sink_files_have_disjoint_key_ranges(spark):
+    import glob
+    import pyarrow.parquet as pq
+    from xlsx_to_database_spark.registry import all_queries
+
+    all_queries()["parquet_clustered_sink"](spark, "/root/testdata/sf0.01").count()
+    files = sorted(glob.glob("/tmp/spark_stage/sf0.01_orders_clustered/part-*.parquet"))
+    assert len(files) >= 2, files
+    ranges = []
+    for f in files:
+        md = pq.ParquetFile(f).metadata
+        idx = next(
+            i for i in range(md.num_columns)
+            if md.row_group(0).column(i).path_in_schema == "o_orderdate"
+        )
+        stats = [md.row_group(g).column(idx).statistics for g in range(md.num_row_groups)]
+        ranges.append((min(s.min for s in stats), max(s.max for s in stats)))
+    # range-partitioned: file key ranges must not overlap → footer-only
+    # file pruning works for any o_orderdate predicate.
+    ranges.sort()
+    for (lo1, hi1), (lo2, hi2) in zip(ranges, ranges[1:]):
+        assert hi1 <= lo2, ranges
+
+
+def test_stratified_sample_rates_and_determinism(spark):
+    from xlsx_to_database_spark.registry import all_queries
+
+    q = all_queries()["sample_stratified"]
+    a = q(spark, "/root/testdata/sf0.01")
+    got = {r.l_returnflag: r.n for r in a.groupBy("l_returnflag").count().withColumnRenamed("count", "n").collect()}
+    li = spark.read.parquet("/root/testdata/sf0.01/lineitem.parquet")
+    tot = {r.l_returnflag: r.n for r in li.groupBy("l_returnflag").count().withColumnRenamed("count", "n").collect()}
+    target = {"A": 0.1, "N": 0.02, "R": 0.1}
+    for k, frac in target.items():
+        rate = got.get(k, 0) / tot[k]
+        assert abs(rate - frac) / frac < 0.25, (k, rate, frac)
+    # seeded: a second run returns the identical row set
+    b = q(spark, "/root/testdata/sf0.01")
+    assert sorted(map(tuple, a.collect())) == sorted(map(tuple, b.collect()))

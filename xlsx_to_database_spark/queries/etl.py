@@ -1,0 +1,218 @@
+"""ETL lifecycle operators — the reference's home turf (it is an
+xlsx→database ETL tool) re-expressed as distributed, restartable Spark
+jobs: upsert/merge, data-quality gating, layout-optimized writes, and
+stratified sampling.
+
+Scale notes:
+- ``etl_upsert`` is the MERGE-without-a-table-format pattern: a full
+  outer join on the business key, source side winning per column. One
+  shuffle on the key (or zero against bucketed storage, cf.
+  `join_bucketed`); no driver-side diffing.
+- ``dq_checks`` runs every audit as an aggregate over ONE pass of each
+  table — counting violations, never collecting them. The orphan check
+  is a broadcast-able anti join, not a lookup loop.
+- ``parquet_clustered_sink`` is the write-side half of data skipping:
+  range-partition + sort-within-partitions gives files DISJOINT key
+  ranges and narrow row-group min/max stats, so a later predicate scan
+  prunes whole files from the footer alone (asserted with pyarrow in
+  tests/test_operators.py).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from xlsx_to_database_spark.catalog import table
+from xlsx_to_database_spark.registry import query
+
+_STAGE_ROOT = "/tmp/spark_stage"
+
+
+def _updates_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic simulated change batch: every 7th customer gets a
+    credit (changed row), every 100th spawns a new account (insert)."""
+    c = table(spark, sf_dir, "customer")
+    changed = c.filter(F.col("c_custkey") % 7 == 0).select(
+        "c_custkey",
+        "c_name",
+        "c_nationkey",
+        (F.col("c_acctbal") + F.lit(100.0)).alias("c_acctbal"),
+        "c_mktsegment",
+    )
+    inserted = c.filter(F.col("c_custkey") % 100 == 0).select(
+        (F.col("c_custkey") + 10000).alias("c_custkey"),
+        F.concat(F.lit("Customer#new"), F.col("c_custkey").cast("string")).alias(
+            "c_name"
+        ),
+        "c_nationkey",
+        F.lit(0.0).alias("c_acctbal"),
+        "c_mktsegment",
+    )
+    return changed.unionByName(inserted)
+
+
+@query(
+    "etl_upsert",
+    """
+    WITH updates AS (
+        SELECT c_custkey, c_name, c_nationkey, c_acctbal + 100.0 AS c_acctbal,
+               c_mktsegment
+        FROM customer WHERE c_custkey % 7 = 0
+        UNION ALL
+        SELECT c_custkey + 10000,
+               concat('Customer#new', CAST(c_custkey AS VARCHAR)),
+               c_nationkey, 0.0, c_mktsegment
+        FROM customer WHERE c_custkey % 100 = 0
+    )
+    SELECT coalesce(u.c_custkey, t.c_custkey)       AS c_custkey,
+           coalesce(u.c_name, t.c_name)             AS c_name,
+           coalesce(u.c_nationkey, t.c_nationkey)   AS c_nationkey,
+           coalesce(u.c_acctbal, t.c_acctbal)       AS c_acctbal,
+           coalesce(u.c_mktsegment, t.c_mktsegment) AS c_mktsegment
+    FROM customer t FULL OUTER JOIN updates u ON t.c_custkey = u.c_custkey
+    """,
+)
+def etl_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCD-type-1 upsert (MERGE) without a table format: target FULL
+    OUTER JOIN updates on the business key, update side winning via
+    coalesce — updates overwrite, inserts append, untouched rows pass
+    through. Distributed end to end: one key shuffle, no driver diffing;
+    at 100 TB the update batch is usually broadcast-size, collapsing the
+    whole merge into a map-side join plus a pass-through."""
+    t = table(spark, sf_dir, "customer").alias("t")
+    u = _updates_batch(spark, sf_dir).alias("u")
+    joined = t.join(u, F.col("t.c_custkey") == F.col("u.c_custkey"), "full_outer")
+    return joined.select(
+        *[
+            F.coalesce(F.col(f"u.{c}"), F.col(f"t.{c}")).alias(c)
+            for c in ("c_custkey", "c_name", "c_nationkey", "c_acctbal", "c_mktsegment")
+        ]
+    )
+
+
+@query(
+    "dq_checks",
+    """
+    SELECT 'customer_null_name' AS check_name,
+           CAST(count(*) FILTER (WHERE c_name IS NULL) AS BIGINT) AS violations,
+           CAST(count(*) AS BIGINT) AS rows_checked
+    FROM customer
+    UNION ALL
+    SELECT 'customer_unique_key',
+           CAST(count(*) - count(DISTINCT c_custkey) AS BIGINT), CAST(count(*) AS BIGINT)
+    FROM customer
+    UNION ALL
+    SELECT 'lineitem_discount_domain',
+           CAST(count(*) FILTER (WHERE l_discount < 0 OR l_discount > 0.1) AS BIGINT),
+           CAST(count(*) AS BIGINT)
+    FROM lineitem
+    UNION ALL
+    SELECT 'lineitem_unique_line',
+           CAST(count(*) - count(DISTINCT (l_orderkey, l_linenumber)) AS BIGINT),
+           CAST(count(*) AS BIGINT)
+    FROM lineitem
+    UNION ALL
+    SELECT 'lineitem_orphan_orders',
+           CAST((SELECT count(*) FROM lineitem l
+                 WHERE NOT EXISTS (SELECT 1 FROM orders o
+                                   WHERE o.o_orderkey = l.l_orderkey)) AS BIGINT),
+           CAST((SELECT count(*) FROM lineitem) AS BIGINT)
+    """,
+)
+def dq_checks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data-quality gate: null checks, key uniqueness, value domains,
+    and referential integrity, each reported as (check, violations,
+    rows_checked). Every check is an AGGREGATE — violations are counted
+    where they live, never collected; the orphan check is a left-anti
+    join that AQE turns into a broadcast when orders' key set is small
+    enough, and a shuffled anti join otherwise."""
+    c = table(spark, sf_dir, "customer")
+    li = table(spark, sf_dir, "lineitem")
+    o = table(spark, sf_dir, "orders")
+
+    def check(name: str, df: DataFrame, violation_count: F.Column) -> DataFrame:
+        return df.agg(
+            F.lit(name).alias("check_name"),
+            violation_count.cast("long").alias("violations"),
+            F.count("*").cast("long").alias("rows_checked"),
+        )
+
+    null_name = check(
+        "customer_null_name", c, F.count(F.when(F.col("c_name").isNull(), 1))
+    )
+    uniq_cust = check(
+        "customer_unique_key", c, F.count("*") - F.countDistinct("c_custkey")
+    )
+    domain = check(
+        "lineitem_discount_domain",
+        li,
+        F.count(F.when((F.col("l_discount") < 0) | (F.col("l_discount") > 0.1), 1)),
+    )
+    uniq_line = check(
+        "lineitem_unique_line",
+        li,
+        F.count("*") - F.countDistinct("l_orderkey", "l_linenumber"),
+    )
+    orphans = (
+        li.join(o, li.l_orderkey == o.o_orderkey, "left_anti")
+        .agg(F.count("*").cast("long").alias("violations"))
+        .crossJoin(li.agg(F.count("*").cast("long").alias("rows_checked")))
+        .select(
+            F.lit("lineitem_orphan_orders").alias("check_name"),
+            "violations",
+            "rows_checked",
+        )
+    )
+    return null_name.unionByName(uniq_cust).unionByName(domain).unionByName(
+        uniq_line
+    ).unionByName(orphans)
+
+
+@query(
+    "parquet_clustered_sink",
+    """
+    SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice, o_orderdate,
+           o_orderpriority
+    FROM orders
+    """,
+)
+def parquet_clustered_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Layout-optimized parquet write: `repartitionByRange` on the
+    cluster key gives every output file a DISJOINT o_orderdate range,
+    and `sortWithinPartitions` keeps row-group min/max stats narrow —
+    so a later date-predicate scan prunes whole files from footers
+    alone. This is the write-side half of data skipping; the pyarrow
+    footer-stat assertions live in tests/test_operators.py. Read-back
+    round trip is byte-exact vs the source table."""
+    tag = os.path.basename(os.path.normpath(sf_dir))
+    out = os.path.join(_STAGE_ROOT, f"{tag}_orders_clustered")
+    o = table(spark, sf_dir, "orders")
+    (
+        o.repartitionByRange(4, "o_orderdate")
+        .sortWithinPartitions("o_orderdate", "o_orderkey")
+        .write.mode("overwrite")
+        .parquet(out)
+    )
+    return spark.read.parquet(out).select(
+        "o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice", "o_orderdate",
+        "o_orderpriority",
+    )
+
+
+@query("sample_stratified")  # rows-only: sampling RNG not reproducible in DuckDB
+def sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stratified (per-key) Bernoulli sampling via `sampleBy`: different
+    keep-rates per return flag — the downsample-the-majority-class shape
+    used to rebalance training mixes. Seeded and partition-deterministic;
+    a map-only operator (each task coin-flips its own rows, no shuffle).
+    Proportion tolerances are asserted in tests/test_operators.py."""
+    li = table(spark, sf_dir, "lineitem")
+    sampled = li.sampleBy(
+        "l_returnflag", fractions={"A": 0.1, "N": 0.02, "R": 0.1}, seed=42
+    )
+    return sampled.select(
+        "l_orderkey", "l_linenumber", "l_returnflag", "l_quantity"
+    )

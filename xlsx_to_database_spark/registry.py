@@ -88,6 +88,7 @@ def _load_all() -> None:
         "xlsx_to_database_spark.queries.multimodal",
         "xlsx_to_database_spark.queries.udf_surface",
         "xlsx_to_database_spark.queries.relational_extras",
+        "xlsx_to_database_spark.queries.etl",
     ):
         try:
             importlib.import_module(mod)
