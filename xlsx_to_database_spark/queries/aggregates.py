@@ -355,3 +355,57 @@ def agg_string(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.concat_ws(",", F.sort_array(F.collect_list("c_name"))).alias("vip_names"),
         F.count("*").alias("n_vips"),
     )
+
+
+@query(
+    "stat_histogram",
+    """
+    SELECT CAST(floor(o_totalprice / 50000) AS BIGINT) AS bucket,
+           CAST(count(*) AS BIGINT) AS n,
+           round(min(o_totalprice), 2) AS lo,
+           round(max(o_totalprice), 2) AS hi
+    FROM orders
+    GROUP BY 1
+    """,
+)
+def stat_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-width histogram as a plain hash aggregate: the bucket id is
+    `floor(x/width)` — pure codegen arithmetic, so the histogram costs
+    exactly one map-side-combined aggregation regardless of data size
+    (bucket count bounds the state, not row count). The min/max per
+    bucket double as an occupancy check on the bucketing itself."""
+    o = table(spark, sf_dir, "orders")
+    return (
+        o.groupBy(
+            F.floor(F.col("o_totalprice") / 50000).cast("long").alias("bucket")
+        )
+        .agg(
+            F.count("*").alias("n"),
+            F.round(F.min("o_totalprice"), 2).alias("lo"),
+            F.round(F.max("o_totalprice"), 2).alias("hi"),
+        )
+    )
+
+
+@query(
+    "agg_condcount",
+    """
+    SELECT o_orderpriority,
+           CAST(count_if(o_totalprice > 200000) AS BIGINT) AS n_big,
+           bool_or(o_orderstatus = 'F') AS any_finished,
+           bool_and(o_totalprice > 0) AS all_positive
+    FROM orders
+    GROUP BY o_orderpriority
+    """,
+)
+def agg_condcount(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Predicate aggregates: conditional count plus boolean any/all per
+    group. All three are single-pass mergeable (count_if is a summed
+    indicator, bool_or/bool_and are OR/AND-combined) — constant state
+    per group at any scale, unlike the DISTINCT family."""
+    o = table(spark, sf_dir, "orders")
+    return o.groupBy("o_orderpriority").agg(
+        F.count_if(F.col("o_totalprice") > 200000).alias("n_big"),
+        F.bool_or(F.col("o_orderstatus") == "F").alias("any_finished"),
+        F.bool_and(F.col("o_totalprice") > 0).alias("all_positive"),
+    )

@@ -409,3 +409,28 @@ def text_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     regex pre-tokenization (the deterministic stage of a real BPE
     tokenizer) + chars-per-token. Map-only codegen; no UDF."""
     return T.token_counts(table(spark, sf_dir, "documents"))
+
+
+@query(
+    "sim_centroids",
+    """
+    SELECT label, i AS pos,
+           round(avg(CAST(embedding[i + 1] AS DOUBLE)), 6) AS centroid_val
+    FROM embeddings, range(64) t(i)
+    GROUP BY label, i
+    """,
+)
+def sim_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label embedding centroids (the k-means/IVF training step and
+    the class-prototype builder): element-wise mean via posexplode +
+    grouped avg — (label, dim) keyed, so the shuffle carries one scalar
+    per vector element with full map-side combining, never whole
+    vectors. Output long-form (label, pos, value): downstream either
+    re-assembles arrays or joins per-dimension. DuckDB oracle indexes
+    1-based; posexplode is 0-based — aligned via i+1."""
+    e = table(spark, sf_dir, "embeddings")
+    return (
+        e.select("label", F.posexplode("embedding").alias("pos", "v"))
+        .groupBy("label", "pos")
+        .agg(F.round(F.avg(F.col("v").cast("double")), 6).alias("centroid_val"))
+    )

@@ -317,3 +317,44 @@ def win_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     return flagged.select(
         "user_id", "event_id", "ts", F.sum("is_new").over(run).alias("session_id")
     )
+
+
+@query(
+    "win_fill_forward",
+    """
+    SELECT user_id, event_id, ts, k_val,
+           last_value(k_val IGNORE NULLS) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS k_filled
+    FROM (
+        SELECT user_id, event_id, ts,
+               CAST(json_extract_string(props, '$.k') AS BIGINT) AS k_val
+        FROM events
+    )
+    """,
+)
+def win_fill_forward(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Forward fill (LOCF — last observation carried forward): propagate
+    each user's most recent non-null reading over gaps, the timeseries
+    repair step before any resampling. `last(ignoreNulls)` over a
+    running frame — one shuffle on user_id, single forward pass, no
+    self-join and no driver loop. Rows before a user's first reading
+    stay NULL (identically in both engines)."""
+    ev = table(spark, sf_dir, "events").select(
+        "user_id",
+        "event_id",
+        "ts",
+        F.get_json_object("props", "$.k").cast("long").alias("k_val"),
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return ev.select(
+        "user_id",
+        "event_id",
+        "ts",
+        "k_val",
+        F.last("k_val", ignorenulls=True).over(w).alias("k_filled"),
+    )
