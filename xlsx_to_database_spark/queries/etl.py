@@ -22,7 +22,7 @@ from __future__ import annotations
 
 import os
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from xlsx_to_database_spark.catalog import table
@@ -215,4 +215,70 @@ def sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return sampled.select(
         "l_orderkey", "l_linenumber", "l_returnflag", "l_quantity"
+    )
+
+
+@query(
+    "etl_scd2",
+    """
+    WITH h AS (
+        SELECT o_custkey, o_orderkey, o_orderdate, o_orderpriority,
+               lag(o_orderpriority) OVER (
+                   PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey) AS prev
+        FROM orders
+    ), marked AS (
+        SELECT *, CASE WHEN prev IS NULL OR prev <> o_orderpriority
+                       THEN 1 ELSE 0 END AS chg
+        FROM h
+    ), runs AS (
+        SELECT o_custkey, o_orderdate, o_orderpriority,
+               CAST(sum(chg) OVER (
+                   PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+                 AS version
+        FROM marked
+    )
+    SELECT o_custkey, o_orderpriority AS state, version,
+           min(o_orderdate) AS valid_from,
+           max(o_orderdate) AS valid_to,
+           CAST(count(*) AS BIGINT) AS n_obs
+    FROM runs
+    GROUP BY o_custkey, o_orderpriority, version
+    """,
+)
+def etl_scd2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCD-type-2 history build: collapse each customer's order-priority
+    observation stream into versioned validity intervals — lag marks
+    state changes, a running sum numbers the versions (gaps-and-islands
+    again, but keyed by attribute change rather than time gap), and a
+    grouped min/max yields [valid_from, valid_to]. Three window passes
+    share ONE shuffle+sort on custkey (identical partition+order), then
+    one aggregate; no self-joins, no driver-side history walking."""
+    o = table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    run = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    prev = F.lag("o_orderpriority").over(w)
+    marked = o.select(
+        "o_custkey",
+        "o_orderkey",
+        "o_orderdate",
+        "o_orderpriority",
+        F.when(prev.isNull() | (prev != F.col("o_orderpriority")), 1)
+        .otherwise(0)
+        .alias("chg"),
+    )
+    runs = marked.select(
+        "o_custkey",
+        "o_orderdate",
+        "o_orderpriority",
+        F.sum("chg").over(run).alias("version"),
+    )
+    return (
+        runs.groupBy("o_custkey", F.col("o_orderpriority").alias("state"), "version")
+        .agg(
+            F.min("o_orderdate").alias("valid_from"),
+            F.max("o_orderdate").alias("valid_to"),
+            F.count("*").alias("n_obs"),
+        )
+        .select("o_custkey", "state", "version", "valid_from", "valid_to", "n_obs")
     )
