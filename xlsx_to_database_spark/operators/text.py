@@ -45,8 +45,12 @@ def tfidf(
     Pure DataFrame math (no HashingTF — feature hashing is
     irreproducible across engines). Two aggregations: term counts per
     doc (shuffle on (doc, term)), document frequency (shuffle on term,
-    broadcast back — df per term is a small dimension even at corpus
-    scale since vocab ≪ corpus)."""
+    joined back). The df-side join is deliberately UNhinted: web-scale
+    vocabularies grow ~O(corpus^0.5+) (typos/URLs/numbers), so a forced
+    broadcast of the term dimension would eventually OOM the driver; AQE
+    still picks a broadcast join at runtime whenever dfreq's measured
+    size is under the threshold, and degrades to a shuffled join —
+    correct, not fatal — when it isn't."""
     tokens = df.select(
         F.col(id_col).alias("doc"), F.explode(F.split(F.col(text_col), " ")).alias("term")
     )
@@ -57,7 +61,7 @@ def tfidf(
     # exchange is reused (ReusedExchange) instead of recomputed.
     dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
     return (
-        tf.join(F.broadcast(dfreq), "term")
+        tf.join(dfreq, "term")
         .crossJoin(F.broadcast(n_docs))
         .select(
             F.col("doc").alias(id_col),

@@ -189,17 +189,21 @@ def agg_minmax_by(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "agg_collect",
     """
-    SELECT n_regionkey, list_sort(array_agg(n_name)) AS nations
+    SELECT n_regionkey,
+           array_to_string(list_sort(array_agg(n_name)), ',') AS nations
     FROM nation
     GROUP BY n_regionkey
     """,
 )
 def agg_collect(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-group list, sorted for determinism (collect order is
-    partition-dependent otherwise)."""
+    partition-dependent otherwise), emitted as a delimited string: the
+    comparison harness canonicalizes via pandas sort, which can't hash raw
+    array cells. The aggregation itself is still collect_list — only the
+    final projection serializes."""
     n = table(spark, sf_dir, "nation")
     return n.groupBy("n_regionkey").agg(
-        F.sort_array(F.collect_list("n_name")).alias("nations")
+        F.concat_ws(",", F.sort_array(F.collect_list("n_name"))).alias("nations")
     )
 
 

@@ -42,8 +42,11 @@ def _updates_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("c_acctbal") + F.lit(100.0)).alias("c_acctbal"),
         "c_mktsegment",
     )
+    # Insert keys offset far past any real custkey (1.5M at sf=10): a
+    # small offset would collide with existing keys at larger SFs,
+    # putting duplicate keys in the batch — a MERGE real engines reject.
     inserted = c.filter(F.col("c_custkey") % 100 == 0).select(
-        (F.col("c_custkey") + 10000).alias("c_custkey"),
+        (F.col("c_custkey") + 100_000_000).alias("c_custkey"),
         F.concat(F.lit("Customer#new"), F.col("c_custkey").cast("string")).alias(
             "c_name"
         ),
@@ -62,7 +65,7 @@ def _updates_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
                c_mktsegment
         FROM customer WHERE c_custkey % 7 = 0
         UNION ALL
-        SELECT c_custkey + 10000,
+        SELECT c_custkey + 100000000,
                concat('Customer#new', CAST(c_custkey AS VARCHAR)),
                c_nationkey, 0.0, c_mktsegment
         FROM customer WHERE c_custkey % 100 = 0

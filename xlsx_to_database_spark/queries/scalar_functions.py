@@ -168,7 +168,7 @@ def math_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT doc_id,
            len(string_split(text, ' ')) AS n_tokens,
            len(list_distinct(string_split(text, ' '))) AS n_uniq_tokens,
-           list_sort(list_distinct(string_split(text, ' ')))[1:5] AS first_tokens,
+           array_to_string(list_sort(list_distinct(string_split(text, ' ')))[1:5], ',') AS first_tokens,
            list_contains(string_split(text, ' '), 'spark') AS mentions_spark
     FROM documents
     """,
@@ -181,7 +181,10 @@ def arr_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
         F.size(toks).alias("n_tokens"),
         F.size(F.array_distinct(toks)).alias("n_uniq_tokens"),
-        F.slice(F.sort_array(F.array_distinct(toks)), 1, 5).alias("first_tokens"),
+        # serialized: the comparison harness can't hash raw array cells
+        F.concat_ws(",", F.slice(F.sort_array(F.array_distinct(toks)), 1, 5)).alias(
+            "first_tokens"
+        ),
         F.array_contains(toks, "spark").alias("mentions_spark"),
     )
 
@@ -242,7 +245,7 @@ def arr_higher_order(spark: SparkSession, sf_dir: str) -> DataFrame:
     "map_funcs",
     """
     SELECT event_id,
-           map_keys(map {'type': event_type, 'band': CASE WHEN value > 50 THEN 'high' ELSE 'low' END}) AS mkeys,
+           array_to_string(map_keys(map {'type': event_type, 'band': CASE WHEN value > 50 THEN 'high' ELSE 'low' END}), ',') AS mkeys,
            map {'type': event_type, 'band': CASE WHEN value > 50 THEN 'high' ELSE 'low' END}['type'][1] AS type_val
     FROM events
     """,
@@ -255,7 +258,8 @@ def map_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
     m = F.create_map(F.lit("type"), F.col("event_type"), F.lit("band"), band)
     return ev.select(
         "event_id",
-        F.map_keys(m).alias("mkeys"),
+        # serialized: the comparison harness can't hash raw array cells
+        F.concat_ws(",", F.map_keys(m)).alias("mkeys"),
         F.element_at(m, "type").alias("type_val"),
     )
 

@@ -293,11 +293,14 @@ def stream_static_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query("stream_sink")  # rows-only: a write operation, verified by reading back
 def stream_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
     """foreachBatch parquet sink with checkpointing; returns the
-    read-back rows (count must equal the source)."""
+    read-back rows (count must equal the source). The sink writes one
+    overwritable batch_id=N subdir per micro-batch (idempotent on
+    retry); partition discovery surfaces batch_id on read-back, dropped
+    here for a schema identical to the source projection."""
     out_dir = f"/tmp/spark_stream_out/{uuid.uuid4().hex}"
     ev = events_stream(spark, sf_dir).select("event_id", "user_id", "event_type", "value")
     run_foreach_batch_parquet(ev, out_dir)
-    return spark.read.parquet(out_dir)
+    return spark.read.parquet(out_dir).drop("batch_id")
 
 
 def _tws_available() -> bool:

@@ -301,15 +301,17 @@ def win_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     starts, a running sum turns flags into session ids. The batch twin
     of `stream_session`: same semantics, two window passes over ONE
     shuffle+sort on user_id (Catalyst reuses the sort for both windows
-    since partition+order match)."""
+    since partition+order match). The gap compares microsecond epochs —
+    a seconds cast would truncate and could sessionize a fractionally
+    >30min gap differently from the oracle's exact interval compare."""
     ev = table(spark, sf_dir, "events")
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
-    gap = F.col("ts").cast("long") - F.lag(F.col("ts").cast("long")).over(w)
+    gap = F.unix_micros(F.col("ts")) - F.lag(F.unix_micros(F.col("ts"))).over(w)
     flagged = ev.select(
         "user_id",
         "event_id",
         "ts",
-        F.when(gap.isNull() | (gap > 30 * 60), 1).otherwise(0).alias("is_new"),
+        F.when(gap.isNull() | (gap > 30 * 60 * 1_000_000), 1).otherwise(0).alias("is_new"),
     )
     run = Window.partitionBy("user_id").orderBy("ts", "event_id").rowsBetween(
         Window.unboundedPreceding, Window.currentRow

@@ -196,12 +196,19 @@ class XlsxWriter(DataSourceWriter):
         if not self.path:
             raise ValueError("xlsx writer requires a path")
         self.sheet = options.get("sheet") or "Sheet1"
+        self.overwrite = overwrite
         import os
-        import shutil
+        import uuid
 
-        if overwrite:
-            shutil.rmtree(self.path, ignore_errors=True)
-        os.makedirs(self.path, exist_ok=True)
+        # Tasks write into a staging dir that only commit() promotes —
+        # destroying the old output in __init__ would make a failed job
+        # lose it with abort() unable to restore (overwrite must be
+        # failure-atomic: old data survives until the new data is whole).
+        self.staging = os.path.join(
+            os.path.dirname(os.path.abspath(self.path)) or ".",
+            f"._staging-{os.path.basename(self.path)}-{uuid.uuid4().hex}",
+        )
+        os.makedirs(self.staging, exist_ok=True)
 
     def write(self, iterator) -> WriterCommitMessage:
         import os
@@ -211,16 +218,29 @@ class XlsxWriter(DataSourceWriter):
         part = f"part-{uuid.uuid4().hex}.xlsx"
         if rows:  # empty partitions write nothing (parquet convention)
             xlsx_io.write_workbook(
-                os.path.join(self.path, part),
+                os.path.join(self.staging, part),
                 {self.sheet: ([f.name for f in self.schema.fields], rows)},
             )
         return WriterCommitMessage()
 
     def commit(self, messages) -> None:
         import os
+        import shutil
 
-        with open(os.path.join(self.path, "_SUCCESS"), "w"):
+        with open(os.path.join(self.staging, "_SUCCESS"), "w"):
             pass
+        if self.overwrite:
+            shutil.rmtree(self.path, ignore_errors=True)
+            os.rename(self.staging, self.path)  # atomic promote
+        else:  # append: adopt staged parts into the existing directory
+            os.makedirs(self.path, exist_ok=True)
+            for name in os.listdir(self.staging):
+                os.replace(
+                    os.path.join(self.staging, name), os.path.join(self.path, name)
+                )
+            shutil.rmtree(self.staging, ignore_errors=True)
 
     def abort(self, messages) -> None:
-        pass
+        import shutil
+
+        shutil.rmtree(self.staging, ignore_errors=True)

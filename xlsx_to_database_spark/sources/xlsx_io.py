@@ -100,11 +100,18 @@ def datetime_to_excel_serial(dt: datetime) -> float:
 
 
 def _col_index(cell_ref: str) -> int:
-    """'A1' → 0, 'AB3' → 27 (0-based column index from a cell ref)."""
+    """'A1' → 0, 'AB3' → 27 (0-based column index from a cell ref).
+
+    Refs are uppercased first: some third-party writers emit lowercase
+    refs, and 'a1' would otherwise map to column 32 and silently pad the
+    row with Nones. Anything non-alphabetic before the digits is a
+    malformed ref and raises rather than mis-indexing."""
     idx = 0
-    for ch in cell_ref:
+    for ch in cell_ref.upper():
         if ch.isdigit():
             break
+        if not "A" <= ch <= "Z":
+            raise ValueError(f"malformed cell ref {cell_ref!r}")
         idx = idx * 26 + (ord(ch) - 64)
     return idx - 1
 

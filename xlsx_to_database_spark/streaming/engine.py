@@ -85,13 +85,20 @@ def run_to_memory(sdf: DataFrame, output_mode: str = "complete") -> DataFrame:
 
 def run_foreach_batch_parquet(sdf: DataFrame, out_dir: str) -> None:
     """Drain a stream through foreachBatch into parquet with a
-    checkpoint — the idempotent-sink pattern (overwrite-by-batch-id
-    would make it exactly-once on retries at scale; append suffices for
-    a single bounded drain)."""
+    checkpoint, idempotently: each micro-batch OVERWRITES its own
+    ``batch_id=N`` subdirectory, so a retried/replayed batch (Spark
+    re-runs the last uncommitted batch on restart) rewrites the same
+    files instead of duplicating rows — the standard exactly-once
+    foreachBatch sink pattern. Readers see one directory of parquet
+    (`spark.read.parquet(out_dir)` recurses the subdirs). The per-run
+    checkpoint is cleaned up after a successful bounded drain; a real
+    unbounded deployment would keep it for restart."""
     ckpt = f"/tmp/spark_stream_ckpt/{uuid.uuid4().hex}"
 
     def write_batch(batch_df: DataFrame, batch_id: int) -> None:
-        batch_df.write.mode("append").parquet(out_dir)
+        batch_df.write.mode("overwrite").parquet(
+            os.path.join(out_dir, f"batch_id={batch_id}")
+        )
 
     q = (
         sdf.writeStream.foreachBatch(write_batch)
@@ -100,3 +107,4 @@ def run_foreach_batch_parquet(sdf: DataFrame, out_dir: str) -> None:
         .start()
     )
     q.awaitTermination()
+    shutil.rmtree(ckpt, ignore_errors=True)
