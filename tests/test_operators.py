@@ -292,3 +292,66 @@ def test_stratified_sample_rates_and_determinism(spark):
     # seeded: a second run returns the identical row set
     b = q(spark, "/root/testdata/sf0.01")
     assert sorted(map(tuple, a.collect())) == sorted(map(tuple, b.collect()))
+
+
+def test_connected_components_labels_min_id(spark):
+    from xlsx_to_database_spark.operators.dedup import connected_components
+
+    # Components: {1,2,3} (path), {4,5} (edge), {6} (singleton),
+    # {7,8,9,10} (triangle + pendant).
+    nodes = spark.createDataFrame([(i,) for i in range(1, 11)], "node long")
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (4, 5), (7, 8), (8, 9), (7, 9), (9, 10)],
+        "src long, dst long",
+    )
+    got = {r.node: r.cluster_id for r in connected_components(nodes, edges).collect()}
+    assert got == {1: 1, 2: 1, 3: 1, 4: 4, 5: 4, 6: 6, 7: 7, 8: 7, 9: 7, 10: 7}
+
+
+def test_seq_pack_chunk_spans(spark):
+    """3 docs of 300 tokens each, budget 512: doc0 [0,300) chunk 0,
+    doc1 [300,600) straddles chunks 0-1, doc2 [600,900) chunk 1."""
+    from xlsx_to_database_spark.queries.corpus_ops import PACK_BUDGET
+
+    assert PACK_BUDGET == 512
+    import xlsx_to_database_spark.queries.corpus_ops as co
+    from pyspark.sql import functions as F
+
+    df = spark.createDataFrame(
+        [(i, " ".join(["w"] * 300), "en", "s0", 600) for i in range(3)],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    # Route the registered query through a temp view-free path: call the
+    # same expressions via a monkey-level table stub.
+    orig = co.table
+    co.table = lambda spark, sf_dir, name: df
+    try:
+        rows = {r.doc_id: r for r in co.seq_pack(spark, "unused").collect()}
+    finally:
+        co.table = orig
+    assert (rows[0].first_chunk, rows[0].last_chunk, rows[0].n_chunks) == (0, 0, 1)
+    assert (rows[1].first_chunk, rows[1].last_chunk, rows[1].n_chunks) == (0, 1, 2)
+    assert (rows[2].first_chunk, rows[2].last_chunk, rows[2].n_chunks) == (1, 1, 1)
+    assert rows[2].start_off == 600
+
+
+def test_vec_quantize_bounds(spark):
+    """Symmetric int8: the max-|x| element quantizes to exactly ±127 and
+    every q stays within [-127, 127]."""
+    import xlsx_to_database_spark.queries.corpus_ops as co
+
+    df = spark.createDataFrame(
+        [(1, [0.5, -1.0, 0.25]), (2, [2.0, 1.0, -0.125])],
+        "vec_id long, embedding array<float>",
+    )
+    orig = co.table
+    co.table = lambda spark, sf_dir, name: df
+    try:
+        rows = {r.vec_id: r for r in co.vec_quantize_int8(spark, "unused").collect()}
+    finally:
+        co.table = orig
+    assert rows[1].q_min == -127  # the -1.0 element at scale 127/1.0
+    assert rows[2].q_max == 127  # the 2.0 element at scale 127/2.0
+    for r in rows.values():
+        assert -127 <= r.q_min <= r.q_max <= 127
+        assert r.recon_err >= 0.0

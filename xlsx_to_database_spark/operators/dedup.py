@@ -77,12 +77,21 @@ def jaccard_prefix_candidates(toks: DataFrame, threshold: float) -> DataFrame:
         blocks.join(tok_df, "tok")
         .withColumn("__rk", F.row_number().over(w))
         .filter(F.col("__rk") <= prefix_len)
-        .select("doc", "tok")
+        .select("doc", "tok", "n")
     )
+    # Length filter (the other AllPairs prune): J ≥ t forces
+    # t·|A| ≤ |B| ≤ |A|/t, so size-mismatched pairs drop before the
+    # expensive token-array verify join. The 1e-9 slack keeps integer
+    # boundary sizes (|B| = t·|A| exactly) from being lost to float
+    # rounding of the product.
     return (
         prefixes.alias("x")
         .join(prefixes.alias("y"), on="tok")
-        .filter(F.col("x.doc") < F.col("y.doc"))
+        .filter(
+            (F.col("x.doc") < F.col("y.doc"))
+            & (F.col("y.n") >= F.lit(threshold) * F.col("x.n") - F.lit(1e-9))
+            & (F.col("x.n") >= F.lit(threshold) * F.col("y.n") - F.lit(1e-9))
+        )
         .select(F.col("x.doc").alias("doc_a"), F.col("y.doc").alias("doc_b"))
         .distinct()
     )
@@ -94,23 +103,45 @@ def jaccard_pairs(
     """All document pairs (a<b) with token-set Jaccard ≥ threshold.
 
     Exact: prefix-filtered candidates (zero false negatives — see
-    `jaccard_prefix_candidates`) verified with |A∩B| / |A∪B| on distinct
-    token arrays, rounded to 6dp before thresholding so the cut is
-    engine-stable.
+    `jaccard_prefix_candidates`) verified per pair as
+    |A∩B| / (|A| + |B| − |A∩B|) — one `array_intersect` and two
+    precomputed set sizes, skipping `array_union`'s per-pair allocation
+    (the verify join runs once per candidate; on near-dup-dense corpora
+    candidates ≈ true pairs ≈ quadratic in the dup-cluster sizes, so the
+    per-pair constant is what the wall-clock scales by). Rounded to 6dp
+    before thresholding so the cut is engine-stable.
     """
     toks = _token_sets(df, id_col, text_col)
     cand = jaccard_prefix_candidates(toks, threshold)
-    a = toks.select(F.col("doc").alias("doc_a"), F.col("toks").alias("toks_a"))
-    b = toks.select(F.col("doc").alias("doc_b"), F.col("toks").alias("toks_b"))
+    a = toks.select(
+        F.col("doc").alias("doc_a"),
+        F.col("toks").alias("toks_a"),
+        F.size("toks").alias("na"),
+    )
+    b = toks.select(
+        F.col("doc").alias("doc_b"),
+        F.col("toks").alias("toks_b"),
+        F.size("toks").alias("nb"),
+    )
+    # Two-step projection: `inter` lands as a real column so the
+    # numerator and denominator reference it once (a single projection
+    # would inline — and risk re-evaluating — the intersect twice).
     scored = (
         cand.join(a, "doc_a")
         .join(b, "doc_b")
         .select(
             "doc_a",
             "doc_b",
+            F.size(F.array_intersect("toks_a", "toks_b")).alias("inter"),
+            "na",
+            "nb",
+        )
+        .select(
+            "doc_a",
+            "doc_b",
             F.round(
-                F.size(F.array_intersect("toks_a", "toks_b")).cast("double")
-                / F.size(F.array_union("toks_a", "toks_b")),
+                F.col("inter").cast("double")
+                / (F.col("na") + F.col("nb") - F.col("inter")),
                 6,
             ).alias("jaccard"),
         )
@@ -301,6 +332,61 @@ def simhash_pairs(
         "doc_b",
         F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b"))).alias("hamming"),
     ).filter(F.col("hamming") <= max_hamming)
+
+
+def connected_components(
+    nodes: DataFrame,
+    edges: DataFrame,
+    node_col: str = "node",
+    src_col: str = "src",
+    dst_col: str = "dst",
+    max_iter: int = 50,
+) -> DataFrame:
+    """Label every node with the smallest node id in its connected
+    component — the step that turns near-dup *pairs* into dedup *groups*
+    (keep min-id per cluster, drop the rest).
+
+    Iterative hash-to-min label propagation: every node starts as its own
+    label; each round pushes labels across edges and keeps the per-node
+    minimum; converged when the global label sum stops falling (labels
+    only ever decrease, so equal sums ⇔ fixed point). Rounds needed =
+    graph diameter — single digits for dup clusters, which are dense
+    blobs, not paths. Each round is one join + one aggregate, all
+    shuffles on the node key; `localCheckpoint` truncates lineage so plan
+    depth stays O(1) per round instead of O(rounds). At true
+    billion-edge scale the alternating large-star/small-star variant
+    (Kiveris et al., "Connected Components in MapReduce") halves round
+    count; the join/min-agg core below is unchanged.
+
+    Returns (``node_col``, cluster_id).
+    """
+    # Undirected: propagate both ways. Checkpointed ONCE up front —
+    # edges are reused every round, and without the checkpoint each
+    # round re-executes the whole upstream pair-generation pipeline
+    # (e.g. the Jaccard candidate+verify join), turning an O(diameter)
+    # loop into O(diameter × pair-pipeline).
+    sym = (
+        edges.select(F.col(src_col).alias("s"), F.col(dst_col).alias("d"))
+        .unionByName(edges.select(F.col(dst_col).alias("s"), F.col(src_col).alias("d")))
+        .localCheckpoint(eager=True)
+    )
+    labels = nodes.select(F.col(node_col).alias("n"), F.col(node_col).alias("lbl"))
+    labels = labels.localCheckpoint(eager=True)
+    # Label sums only decrease; decimal(38,0) so a 10^9-node × 10^18-id
+    # sum can't overflow the convergence check.
+    prev_sum = labels.agg(F.sum(F.col("lbl").cast("decimal(38,0)"))).collect()[0][0]
+    for _ in range(max_iter):
+        prop = sym.join(labels, sym.s == labels.n).select(
+            F.col("d").alias("n"), F.col("lbl")
+        )
+        labels = (
+            labels.unionByName(prop).groupBy("n").agg(F.min("lbl").alias("lbl"))
+        ).localCheckpoint(eager=True)
+        cur_sum = labels.agg(F.sum(F.col("lbl").cast("decimal(38,0)"))).collect()[0][0]
+        if cur_sum == prev_sum:
+            break
+        prev_sum = cur_sum
+    return labels.select(F.col("n").alias(node_col), F.col("lbl").alias("cluster_id"))
 
 
 def embedding_near_pairs(

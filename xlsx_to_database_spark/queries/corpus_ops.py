@@ -1,0 +1,257 @@
+"""Corpus-curation operators — the selection/packing stages of an LLM
+training-data pipeline that sit between raw scans and dedup/similarity:
+sequence packing, per-source caps, percentile quality gates, PII
+redaction, and embedding quantization.
+
+Scale notes:
+- ``seq_pack`` is concat-then-chunk packing (the GPT-style pretraining
+  shape: documents are concatenated per source and sliced into
+  fixed-budget context windows, so a doc can straddle chunks). One
+  running-sum window per source — a single shuffle+sort on the source
+  key; chunk ids are integer arithmetic on the cumulative offset, no
+  second pass, no driver loop.
+- ``corpus_cap_per_source`` is the anti-domination rule (no source may
+  contribute more than K docs): one `row_number` window per source.
+  Skew-safe: a source with a billion docs still ranks inside its own
+  partition; for pathological single-source corpora the salting pattern
+  from `join_skew_salted` applies unchanged.
+- ``corpus_quality_gate`` computes ONE corpus-wide exact percentile
+  (a single-row aggregate, broadcast back by AQE) and filters against
+  it — at 100 TB swap `percentile` for `percentile_approx` (mergeable
+  t-digest) without touching the filter side.
+- ``pii_redact`` is pure codegen `regexp_replace` — a map-only pass, no
+  shuffle anywhere. Patterns stay in the RE2-safe subset so the DuckDB
+  oracle matches byte-for-byte (no lookahead, no backrefs).
+- ``vec_quantize_int8`` does per-vector symmetric int8 quantization
+  (scale = 127/max|x|) as array lambda math — map-only, and the 4×
+  size cut is exactly what you want BEFORE shuffling vectors into an
+  ANN index build.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from xlsx_to_database_spark.catalog import table
+from xlsx_to_database_spark.registry import query
+
+#: Context-window token budget for seq_pack (tokens per packed chunk).
+PACK_BUDGET = 512
+
+
+@query(
+    "seq_pack",
+    f"""
+    SELECT source, doc_id, n_tokens, start_off,
+           start_off // {PACK_BUDGET} AS first_chunk,
+           (start_off + n_tokens - 1) // {PACK_BUDGET} AS last_chunk,
+           (start_off + n_tokens - 1) // {PACK_BUDGET}
+             - start_off // {PACK_BUDGET} + 1 AS n_chunks
+    FROM (
+        SELECT source, doc_id,
+               CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+               CAST(sum(len(string_split(text, ' '))) OVER (
+                   PARTITION BY source ORDER BY doc_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                 - len(string_split(text, ' ')) AS BIGINT) AS start_off
+        FROM documents
+    )
+    """,
+)
+def seq_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence packing, concat-then-chunk style: per source, documents
+    are laid end-to-end in doc_id order and sliced into PACK_BUDGET-token
+    context windows; each doc reports its byte... token offset and the
+    chunk span it lands in (docs may straddle chunk boundaries — that is
+    the semantics of pretraining packing, not a bug). One running-sum
+    window per source; chunk ids are integer division on the offset."""
+    d = table(spark, sf_dir, "documents")
+    n_tokens = F.size(F.split(F.col("text"), " ")).cast("long")
+    w = Window.partitionBy("source").orderBy("doc_id").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    packed = d.select(
+        "source",
+        "doc_id",
+        n_tokens.alias("n_tokens"),
+        (F.sum(n_tokens).over(w) - n_tokens).cast("long").alias("start_off"),
+    )
+    first = F.expr(f"start_off div {PACK_BUDGET}")
+    last = F.expr(f"(start_off + n_tokens - 1) div {PACK_BUDGET}")
+    return packed.select(
+        "source",
+        "doc_id",
+        "n_tokens",
+        "start_off",
+        first.alias("first_chunk"),
+        last.alias("last_chunk"),
+        (last - first + 1).alias("n_chunks"),
+    )
+
+
+@query(
+    "corpus_cap_per_source",
+    """
+    SELECT doc_id, source, n_chars, rk FROM (
+        SELECT doc_id, source, n_chars,
+               CAST(row_number() OVER (
+                   PARTITION BY source
+                   ORDER BY n_chars DESC, doc_id ASC) AS BIGINT) AS rk
+        FROM documents
+    ) WHERE rk <= 10
+    """,
+)
+def corpus_cap_per_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Anti-domination cap: keep at most 10 docs per source, preferring
+    longer documents (n_chars desc, doc_id tiebreak). One row_number
+    window partitioned by source — the partition key is the cap key, so
+    no source's ranking ever crosses executors."""
+    d = table(spark, sf_dir, "documents")
+    w = Window.partitionBy("source").orderBy(
+        F.col("n_chars").desc(), F.col("doc_id").asc()
+    )
+    return (
+        d.select(
+            "doc_id", "source", "n_chars",
+            F.row_number().over(w).cast("long").alias("rk"),
+        )
+        .filter(F.col("rk") <= 10)
+    )
+
+
+@query(
+    "corpus_quality_gate",
+    """
+    WITH thr AS (
+        SELECT round(quantile_cont(n_chars, 0.25), 6) AS p25 FROM documents
+    )
+    SELECT doc_id, source, n_chars, p25
+    FROM documents, thr
+    WHERE n_chars >= p25
+    """,
+)
+def corpus_quality_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Percentile quality gate: drop the shortest quartile of the corpus.
+    The threshold is ONE exact-percentile aggregate row, cross-joined
+    back (broadcast — it is a single row) so the filter itself is a
+    map-only pass. At 100 TB, swap `percentile` for `percentile_approx`
+    (mergeable sketch, no full sort per group) — filter side unchanged."""
+    d = table(spark, sf_dir, "documents")
+    thr = d.agg(
+        F.round(F.expr("percentile(n_chars, 0.25)"), 6).alias("p25")
+    )
+    return (
+        d.crossJoin(F.broadcast(thr))
+        .filter(F.col("n_chars") >= F.col("p25"))
+        .select("doc_id", "source", "n_chars", "p25")
+    )
+
+
+#: RE2-safe PII patterns (no lookahead/backrefs — identical semantics in
+#: Java regex and DuckDB's RE2).
+EMAIL_RE = "[a-z0-9._]+@[a-z0-9.-]+"
+PHONE_RE = "555-[0-9]+"
+
+
+@query(
+    "pii_redact",
+    f"""
+    WITH raw AS (
+        SELECT doc_id,
+               text || ' contact user' || CAST(doc_id AS VARCHAR)
+                    || '@mail.example.com tel 555-0' || CAST(doc_id AS VARCHAR)
+                 AS raw_text
+        FROM documents
+    )
+    SELECT doc_id,
+           regexp_replace(regexp_replace(raw_text, '{EMAIL_RE}', '[EMAIL]', 'g'),
+                          '{PHONE_RE}', '[PHONE]', 'g') AS clean_text,
+           CAST(len(regexp_extract_all(raw_text, '{EMAIL_RE}')) AS BIGINT) AS n_emails,
+           CAST(len(regexp_extract_all(raw_text, '{PHONE_RE}')) AS BIGINT) AS n_phones
+    FROM raw
+    """,
+)
+def pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII scrubbing: mask emails and phone-shaped tokens, counting the
+    redactions per document (the audit number a compliance pass reports).
+    The corpus has no natural PII, so both engines append an identical
+    synthetic contact line first — the regexes then genuinely fire on
+    every row. Pure regexp codegen, map-only, no shuffle."""
+    d = table(spark, sf_dir, "documents")
+    raw = F.concat(
+        F.col("text"),
+        F.lit(" contact user"),
+        F.col("doc_id").cast("string"),
+        F.lit("@mail.example.com tel 555-0"),
+        F.col("doc_id").cast("string"),
+    )
+    cleaned = F.regexp_replace(
+        F.regexp_replace(raw, EMAIL_RE, "[EMAIL]"), PHONE_RE, "[PHONE]"
+    )
+    return d.select(
+        "doc_id",
+        cleaned.alias("clean_text"),
+        F.size(F.regexp_extract_all(raw, F.lit(EMAIL_RE), F.lit(0)))
+        .cast("long")
+        .alias("n_emails"),
+        F.size(F.regexp_extract_all(raw, F.lit(PHONE_RE), F.lit(0)))
+        .cast("long")
+        .alias("n_phones"),
+    )
+
+
+@query(
+    "vec_quantize_int8",
+    """
+    WITH v AS (
+        SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+        FROM embeddings
+    ), s AS (
+        SELECT vec_id, e,
+               127.0 / greatest(list_max(list_transform(e, x -> abs(x))), 1e-30)
+                 AS scale
+        FROM v
+    )
+    SELECT vec_id,
+           round(scale, 6) AS scale_r,
+           CAST(list_min(list_transform(e, x -> CAST(floor(x * scale + 0.5) AS BIGINT))) AS BIGINT) AS q_min,
+           CAST(list_max(list_transform(e, x -> CAST(floor(x * scale + 0.5) AS BIGINT))) AS BIGINT) AS q_max,
+           round(sqrt(list_sum(list_transform(e,
+                 x -> (x - CAST(floor(x * scale + 0.5) AS BIGINT) / scale)
+                      * (x - CAST(floor(x * scale + 0.5) AS BIGINT) / scale)))), 6)
+             AS recon_err
+    FROM s
+    """,
+)
+def vec_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Symmetric int8 scalar quantization per embedding: scale =
+    127/max|x|, q = round-half-up(x·scale) — plus the L2 reconstruction
+    error, the number that tells you whether the 4× memory cut is safe
+    for the ANN index. floor(x+0.5) rather than round() because engines
+    disagree on round-half-to-even; all math in float64 lambdas on both
+    sides. Map-only; the quantized vectors are what you shuffle into an
+    IVF build, not the floats."""
+    e = table(spark, sf_dir, "embeddings")
+    ed = F.transform(F.col("embedding"), lambda x: x.cast("double"))
+    v = e.select("vec_id", ed.alias("e"))
+    scale = F.lit(127.0) / F.greatest(
+        F.array_max(F.transform(F.col("e"), lambda x: F.abs(x))), F.lit(1e-30)
+    )
+    s = v.select("vec_id", "e", scale.alias("scale"))
+
+    def q(x):
+        return F.floor(x * F.col("scale") + F.lit(0.5)).cast("long")
+
+    err_terms = F.transform(
+        F.col("e"), lambda x: (x - q(x) / F.col("scale")) * (x - q(x) / F.col("scale"))
+    )
+    return s.select(
+        "vec_id",
+        F.round(F.col("scale"), 6).alias("scale_r"),
+        F.array_min(F.transform(F.col("e"), q)).cast("long").alias("q_min"),
+        F.array_max(F.transform(F.col("e"), q)).cast("long").alias("q_max"),
+        F.round(F.sqrt(F.aggregate(err_terms, F.lit(0.0), lambda a, x: a + x)), 6).alias(
+            "recon_err"
+        ),
+    )

@@ -67,6 +67,46 @@ def dedup_near(spark: SparkSession, sf_dir: str) -> DataFrame:
     return D.jaccard_pairs(table(spark, sf_dir, "documents"), threshold=0.9)
 
 
+@query(
+    "dedup_cluster",
+    """
+    WITH RECURSIVE toks AS (
+      SELECT doc_id, list_distinct(string_split(text, ' ')) AS t FROM documents
+    ), pairs AS (
+      SELECT doc_a, doc_b FROM (
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+               round(len(list_intersect(a.t, b.t))::DOUBLE
+                     / len(list_distinct(list_concat(a.t, b.t))), 6) AS jaccard
+        FROM toks a JOIN toks b ON a.doc_id < b.doc_id
+      ) WHERE jaccard >= 0.9
+    ), edges AS (
+      SELECT doc_a AS s, doc_b AS d FROM pairs
+      UNION ALL
+      SELECT doc_b, doc_a FROM pairs
+    ), reach(node, r) AS (
+      SELECT doc_id, doc_id FROM documents
+      UNION
+      SELECT e.d, reach.r FROM reach JOIN edges e ON e.s = reach.node
+    )
+    SELECT node AS doc_id, min(r) AS cluster_id FROM reach GROUP BY node
+    """,
+)
+def dedup_cluster(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup pairs → dedup GROUPS: connected components over the
+    exact Jaccard≥0.9 pair graph, every doc labeled with the min doc_id
+    of its component (singletons label themselves). The iterative
+    hash-to-min propagation is in `operators/dedup.py::
+    connected_components`; the oracle walks the same graph with a
+    recursive CTE. This is the step that turns pairwise dedup output
+    into the keep/drop decision a corpus pipeline actually executes."""
+    docs = table(spark, sf_dir, "documents")
+    pairs = D.jaccard_pairs(docs, threshold=0.9).select("doc_a", "doc_b")
+    return D.connected_components(
+        docs.select("doc_id"), pairs, node_col="doc_id",
+        src_col="doc_a", dst_col="doc_b",
+    )
+
+
 @query("dedup_minhash")  # rows-only: xxhash64 seeds are not reproducible in DuckDB
 def dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash-LSH candidate pairs (16 hashes, 4 bands) — the

@@ -129,6 +129,7 @@ def _load_all() -> None:
         "xlsx_to_database_spark.queries.udf_surface",
         "xlsx_to_database_spark.queries.relational_extras",
         "xlsx_to_database_spark.queries.etl",
+        "xlsx_to_database_spark.queries.corpus_ops",
     ):
         try:
             importlib.import_module(mod)
