@@ -224,3 +224,50 @@ def test_join_bucketed_op_has_no_exchange(spark, sf_dir, qs):
     plan = explain_str(df)
     assert "SortMergeJoin" in plan, plan
     assert "Exchange" not in plan, plan
+
+
+def test_q6_all_predicates_pushed(spark, sf_dir, qs):
+    # Q6 is the pure-pushdown query: shipdate/discount/quantity filters
+    # must all reach the parquet scan, and the scan must read only the
+    # 4 referenced columns of lineitem's 11.
+    df = qs["tpch_q6"](spark, sf_dir)
+    assert has_pushed_filters(df, "GreaterThanOrEqual", "LessThan"), explain_str(df)
+    schemas = pruned_read_schema(df)
+    assert schemas and sorted(schemas[0]) == [
+        "l_discount",
+        "l_extendedprice",
+        "l_quantity",
+        "l_shipdate",
+    ], schemas
+
+
+def test_q10_topk_not_global_sort(spark, sf_dir, qs):
+    df = qs["tpch_q10"](spark, sf_dir)
+    assert "TakeOrderedAndProject" in explain_str(df), explain_str(df)
+
+
+def test_range_bucketed_join_is_hash_not_nested_loop(spark, sf_dir, qs):
+    # The whole point of the bucket rewrite: a pure range join must NOT
+    # plan as BroadcastNestedLoopJoin at scale — the bucket id gives it
+    # an equi key.
+    plan = explain_str(qs["join_range_bucketed"](spark, sf_dir))
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+
+
+def test_pii_redact_is_map_only(spark, sf_dir, qs):
+    # A redaction pass must never shuffle: no Exchange in the plan.
+    plan = explain_str(qs["pii_redact"](spark, sf_dir))
+    assert "Exchange" not in plan, plan
+
+
+def test_seq_pack_single_shuffle_and_narrow(spark, sf_dir, qs):
+    # One window over (source, doc_id) = exactly one shuffle node (the
+    # formatted plan names each node twice: tree line + detail header),
+    # and the text column must NOT ride through it — token counts are
+    # projected before the exchange.
+    import re
+
+    plan = explain_str(qs["seq_pack"](spark, sf_dir))
+    assert len(re.findall(r"\(\d+\) Exchange", plan)) == 1, plan
+    exchange_input = plan.split("Exchange")[-1]
+    assert "text#" not in exchange_input.split("(4)")[0], plan

@@ -67,15 +67,23 @@ def seq_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
     the semantics of pretraining packing, not a bug). One running-sum
     window per source; chunk ids are integer division on the offset."""
     d = table(spark, sf_dir, "documents")
-    n_tokens = F.size(F.split(F.col("text"), " ")).cast("long")
+    # n_tokens lands as a real column BEFORE the window: referencing the
+    # size(split(...)) expression after the window re-inlines it, which
+    # both recomputes the split and — worse — drags the full text column
+    # through the shuffle. This projection ships 3 narrow columns.
+    counted = d.select(
+        "source",
+        "doc_id",
+        F.size(F.split(F.col("text"), " ")).cast("long").alias("n_tokens"),
+    )
     w = Window.partitionBy("source").orderBy("doc_id").rowsBetween(
         Window.unboundedPreceding, Window.currentRow
     )
-    packed = d.select(
+    packed = counted.select(
         "source",
         "doc_id",
-        n_tokens.alias("n_tokens"),
-        (F.sum(n_tokens).over(w) - n_tokens).cast("long").alias("start_off"),
+        "n_tokens",
+        (F.sum("n_tokens").over(w) - F.col("n_tokens")).cast("long").alias("start_off"),
     )
     first = F.expr(f"start_off div {PACK_BUDGET}")
     last = F.expr(f"(start_off + n_tokens - 1) div {PACK_BUDGET}")

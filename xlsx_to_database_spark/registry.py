@@ -130,6 +130,7 @@ def _load_all() -> None:
         "xlsx_to_database_spark.queries.relational_extras",
         "xlsx_to_database_spark.queries.etl",
         "xlsx_to_database_spark.queries.corpus_ops",
+        "xlsx_to_database_spark.queries.analytics_ops",
     ):
         try:
             importlib.import_module(mod)
