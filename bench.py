@@ -35,6 +35,10 @@ HEADLINE = [
     # MinHash self-join — the ops whose plans actually stress a cluster.
     "tpch_q18",
     "dedup_minhash",
+    # Distinct plan shapes from the analytics family: staged funnel
+    # aggregates and the bucket-rewritten pure range join.
+    "funnel_steps",
+    "join_range_bucketed",
 ]
 
 

@@ -225,3 +225,37 @@ def ivf_topk(
         F.col(id_col), cosine_sim(F.col(vec_col), F.col("qvec")).alias("cos_sim")
     )
     return scored.orderBy(F.col("cos_sim").desc(), F.col(id_col).asc()).limit(k)
+
+
+def batch_cosine_topk(
+    embeddings: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    q_id_col: str = "q_id",
+    q_vec_col: str = "qvec",
+) -> DataFrame:
+    """Top-k cosine neighbors for a SET of query vectors in one pass —
+    the realistic ANN-serving shape (queries arrive in batches, not one
+    at a time). The query set broadcasts (it is request-sized, not
+    corpus-sized); every corpus partition scores all queries locally, so
+    the corpus never shuffles — only the scored candidates move, keyed
+    by query id for the per-query top-k window. Scores round to 6dp
+    BEFORE ranking so the k-boundary is engine-stable; the vec-id
+    tiebreak makes it deterministic. Swap the crossJoin for an IVF/LSH
+    bucket equi-join (cf. `sim_ivf_topk`) and the window is unchanged —
+    that is the 100 TB upgrade path."""
+    scored = embeddings.crossJoin(F.broadcast(queries)).select(
+        F.col(q_id_col),
+        F.col(id_col),
+        F.round(cosine_sim(F.col(vec_col), F.col(q_vec_col)), 6).alias("cos_sim"),
+    )
+    w = Window.partitionBy(q_id_col).orderBy(
+        F.col("cos_sim").desc(), F.col(id_col).asc()
+    )
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= k)
+        .select(q_id_col, id_col, "cos_sim", F.col("rk").cast("long").alias("rk"))
+    )

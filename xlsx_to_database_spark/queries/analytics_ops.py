@@ -409,3 +409,33 @@ def dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rn") == 1)
         .drop("rn")
     )
+
+
+@query(
+    "agg_time_bucket",
+    """
+    SELECT CAST(time_bucket(INTERVAL 15 MINUTES, ts) AS TIMESTAMP) AS bucket,
+           event_type,
+           CAST(count(*) AS BIGINT) AS n_events,
+           round(avg(value), 6) AS avg_value
+    FROM events
+    GROUP BY bucket, event_type
+    """,
+)
+def agg_time_bucket(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Timeseries downsampling: 15-minute tumbling buckets × event type
+    via `F.window` (epoch-aligned in both engines — Spark's window() and
+    DuckDB's time_bucket both anchor at 1970-01-01 for minute
+    intervals). The batch twin of `stream_tumbling`; one hash aggregate
+    whose key is the derived bucket start, partial-aggregated map-side
+    like any groupBy."""
+    ev = table(spark, sf_dir, "events")
+    return (
+        ev.groupBy(
+            F.window("ts", "15 minutes").start.alias("bucket"), "event_type"
+        )
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_events"),
+            F.round(F.avg("value"), 6).alias("avg_value"),
+        )
+    )

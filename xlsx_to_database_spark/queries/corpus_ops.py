@@ -263,3 +263,41 @@ def vec_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
             "recon_err"
         ),
     )
+
+
+@query(
+    "dedup_incremental",
+    """
+    WITH existing AS (
+        SELECT md5(text) AS h FROM documents WHERE doc_id % 5 <> 0
+    ), batch AS (
+        SELECT doc_id, text, source, md5(text) AS h
+        FROM documents WHERE doc_id % 5 = 0
+    )
+    SELECT doc_id, source FROM (
+        SELECT b.doc_id, b.source,
+               row_number() OVER (PARTITION BY b.h ORDER BY b.doc_id) AS rn
+        FROM batch b ANTI JOIN existing e ON b.h = e.h
+    ) WHERE rn = 1
+    """,
+)
+def dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental ingest dedup — the shape a DAILY pipeline actually
+    runs (full-corpus re-dedup at 100 TB is a non-starter): drop incoming
+    docs whose content hash already exists in the corpus (anti join on
+    md5), then dedupe within the batch itself (first-doc_id-wins window).
+    The corpus side is a one-column hash projection — at scale that's a
+    bloom-filter/bucketed-hash-index read, not a full-text scan; here
+    docs with doc_id % 5 == 0 play the incoming batch."""
+    d = table(spark, sf_dir, "documents")
+    existing = d.filter(F.col("doc_id") % 5 != 0).select(F.md5("text").alias("h"))
+    batch = d.filter(F.col("doc_id") % 5 == 0).select(
+        "doc_id", "source", F.md5("text").alias("h")
+    )
+    fresh = batch.join(existing, "h", "left_anti")
+    w = Window.partitionBy("h").orderBy("doc_id")
+    return (
+        fresh.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("doc_id", "source")
+    )

@@ -422,3 +422,68 @@ def join_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
     return left.join(right, left.l_orderkey == right.o_orderkey).select(
         "l_orderkey", "l_linenumber", "l_extendedprice", "o_totalprice"
     )
+
+
+@query(
+    "join_asof_forward",
+    """
+    WITH clicks AS (
+      SELECT event_id, user_id, ts FROM events WHERE event_type = 'click'
+    ), purchases AS (
+      SELECT user_id, ts, min(event_id) AS purchase_id
+      FROM events WHERE event_type = 'purchase' GROUP BY user_id, ts
+    )
+    SELECT c.event_id, c.user_id,
+           t.purchase_id AS next_purchase_id, t.ts AS next_purchase_ts
+    FROM clicks c LEFT JOIN LATERAL (
+        SELECT p.purchase_id, p.ts FROM purchases p
+        WHERE p.user_id = c.user_id AND p.ts >= c.ts
+        ORDER BY p.ts, p.purchase_id LIMIT 1
+    ) t ON true
+    """,
+)
+def join_asof_forward(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Forward as-of join: for each click, the user's NEXT purchase
+    at-or-after it — the mirror of `join_asof`, same union-window
+    pattern but with a forward frame (currentRow → unboundedFollowing)
+    and `first(ignoreNulls)`: one shuffle on user_id, no range
+    cross-product. Purchases pre-deduped per (user, ts) with
+    min(event_id) so same-timestamp ties resolve identically in both
+    engines; at equal ts the purchase sorts after the click (side
+    ordering) yet stays inside the inclusive forward frame."""
+    ev = table(spark, sf_dir, "events")
+    c_side = (
+        ev.filter(F.col("event_type") == "click")
+        .select("event_id", "user_id", "ts", F.lit(0).alias("side"))
+        .withColumn("purchase_id", F.lit(None).cast("long"))
+    )
+    p_side = (
+        ev.filter(F.col("event_type") == "purchase")
+        .groupBy("user_id", "ts")
+        .agg(F.min("event_id").alias("purchase_id"))
+        .select(
+            F.lit(None).cast("long").alias("event_id"),
+            "user_id",
+            "ts",
+            F.lit(1).alias("side"),
+            "purchase_id",
+        )
+    )
+    unioned = c_side.unionByName(p_side)
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.col("ts"), F.col("side"))
+        .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    )
+    enriched = unioned.select(
+        "event_id",
+        "user_id",
+        "side",
+        F.first("purchase_id", ignorenulls=True).over(w).alias("next_purchase_id"),
+        F.first(F.when(F.col("purchase_id").isNotNull(), F.col("ts")), ignorenulls=True)
+        .over(w)
+        .alias("next_purchase_ts"),
+    )
+    return enriched.filter(F.col("side") == 0).select(
+        "event_id", "user_id", "next_purchase_id", "next_purchase_ts"
+    )

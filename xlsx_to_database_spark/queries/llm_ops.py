@@ -474,3 +474,33 @@ def sim_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("label", "pos")
         .agg(F.round(F.avg(F.col("v").cast("double")), 6).alias("centroid_val"))
     )
+
+
+@query(
+    "sim_batch_topk",
+    _VEC_CTE
+    + """
+    , q AS (SELECT vec_id AS q_id, e AS qe, nrm AS qn FROM n WHERE vec_id < 5)
+    SELECT q_id, vec_id, cos_sim, rk FROM (
+        SELECT q.q_id, n.vec_id,
+               round(list_sum(list_transform(generate_series(1, len(e)),
+                     i -> e[i] * qe[i])) / (nrm * qn), 6) AS cos_sim,
+               CAST(row_number() OVER (
+                   PARTITION BY q.q_id
+                   ORDER BY round(list_sum(list_transform(generate_series(1, len(e)),
+                         i -> e[i] * qe[i])) / (nrm * qn), 6) DESC,
+                            n.vec_id ASC) AS BIGINT) AS rk
+        FROM n, q
+    ) WHERE rk <= 5
+    """,
+)
+def sim_batch_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batched ANN baseline: top-5 cosine neighbors for each of 5 query
+    vectors in ONE corpus pass (broadcast query set, per-query top-k
+    window) — the serving shape; see operators/similarity.py::
+    batch_cosine_topk for the scale story."""
+    e = table(spark, sf_dir, "embeddings")
+    queries = e.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("qvec")
+    )
+    return S.batch_cosine_topk(e, queries, k=5)

@@ -360,3 +360,33 @@ def win_fill_forward(spark: SparkSession, sf_dir: str) -> DataFrame:
         "k_val",
         F.last("k_val", ignorenulls=True).over(w).alias("k_filled"),
     )
+
+
+@query(
+    "win_nth_value",
+    """
+    SELECT o_custkey, o_orderkey,
+           nth_value(o_orderkey, 3) OVER w AS third_order,
+           CAST(count(*) OVER (PARTITION BY o_custkey) AS BIGINT) AS n_orders
+    FROM orders
+    WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate ASC, o_orderkey ASC
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+    """,
+)
+def win_nth_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """nth_value over the full partition frame: each order row sees the
+    customer's third-ever order (null for customers with fewer than 3).
+    The frame is spelled out — engines disagree on nth_value's default
+    frame the same way they do for last_value."""
+    o = table(spark, sf_dir, "orders")
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy(F.col("o_orderdate").asc(), F.col("o_orderkey").asc())
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    )
+    return o.select(
+        "o_custkey",
+        "o_orderkey",
+        F.nth_value("o_orderkey", 3).over(w).alias("third_order"),
+        F.count(F.lit(1)).over(Window.partitionBy("o_custkey")).cast("long").alias("n_orders"),
+    )
