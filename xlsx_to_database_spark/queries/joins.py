@@ -487,3 +487,34 @@ def join_asof_forward(spark: SparkSession, sf_dir: str) -> DataFrame:
     return enriched.filter(F.col("side") == 0).select(
         "event_id", "user_id", "next_purchase_id", "next_purchase_ts"
     )
+
+
+@query(
+    "join_existence_flag",
+    """
+    SELECT c_custkey, c_mktsegment,
+           EXISTS (SELECT 1 FROM orders
+                   WHERE o_custkey = c_custkey
+                     AND o_orderpriority = '1-URGENT') AS has_urgent
+    FROM customer
+    """,
+)
+def join_existence_flag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Existence as a COLUMN, not a filter (mark join): every customer
+    keeps their row, flagged for having an urgent order. Left join
+    against the deduplicated urgent-key set — the distinct runs on the
+    filtered orders projection (small), and the flag is null-checking
+    the join key; semantically EXISTS, but the row set is preserved,
+    which semi joins can't express."""
+    c = table(spark, sf_dir, "customer")
+    urgent = (
+        table(spark, sf_dir, "orders")
+        .filter(F.col("o_orderpriority") == "1-URGENT")
+        .select(F.col("o_custkey").alias("u_key"))
+        .distinct()
+    )
+    return c.join(urgent, c.c_custkey == F.col("u_key"), "left").select(
+        "c_custkey",
+        "c_mktsegment",
+        F.col("u_key").isNotNull().alias("has_urgent"),
+    )

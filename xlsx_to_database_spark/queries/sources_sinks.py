@@ -369,3 +369,76 @@ def text_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
         parts.getItem(1).alias("lang"),
         parts.getItem(2).alias("text"),
     )
+
+
+@query(
+    "csv_quoted_scan",
+    """
+    SELECT doc_id,
+           'prefix,"quoted" ' || chr(10) || source AS tricky,
+           source
+    FROM documents
+    """,
+)
+def csv_quoted_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CSV quoting torture round-trip: values carrying embedded commas,
+    double quotes, and NEWLINES are written with standard RFC-4180
+    quoting and read back with `multiLine` — the option that makes the
+    reader treat quoted newlines as data. (multiLine costs splittability:
+    each file parses as a unit, so at scale you keep many moderate files
+    rather than one giant one.) The oracle rebuilds the same tricky
+    values directly from the source table — the scan must reproduce them
+    byte-for-byte through the quote/escape/newline round trip."""
+    out = os.path.join(_STAGE_ROOT, f"{_tag(sf_dir)}_docs_tricky_csv")
+    tricky = table(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.concat(
+            F.lit('prefix,"quoted" '), F.lit("\n"), F.col("source")
+        ).alias("tricky"),
+        "source",
+    )
+    if not os.path.exists(os.path.join(out, "_SUCCESS")):
+        tricky.coalesce(1).write.mode("overwrite").option("header", "true").csv(out)
+    return spark.read.csv(out, header=True, multiLine=True).select(
+        F.col("doc_id").cast("long"),
+        "tricky",
+        "source",
+    )
+
+
+@query(
+    "obs_metrics",
+    """
+    SELECT CAST(count(*) AS BIGINT) AS n_rows,
+           round(sum(CAST(l_extendedprice AS DECIMAL(18,6))), 2) AS total_price,
+           CAST(count(*) FILTER (WHERE l_discount > 0.05) AS BIGINT) AS n_discounted
+    FROM lineitem
+    """,
+)
+def obs_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """`df.observe`: pipeline metrics collected DURING a query instead
+    of by a second scan — on a 100 TB job, the difference between free
+    monitoring and doubling the bill. The observation accumulates
+    per-task and merges on the driver exactly like any aggregate; the
+    oracle is the same aggregate as a standalone query, proving the
+    observed numbers equal the recomputed ones."""
+    from pyspark.sql import Observation
+
+    li = table(spark, sf_dir, "lineitem")
+    obs = Observation("lineitem_metrics")
+    observed = li.observe(
+        obs,
+        F.count(F.lit(1)).cast("long").alias("n_rows"),
+        F.round(F.sum(F.col("l_extendedprice").cast("decimal(18,6)")), 2).alias(
+            "total_price"
+        ),
+        F.count(F.when(F.col("l_discount") > 0.05, 1)).cast("long").alias(
+            "n_discounted"
+        ),
+    )
+    observed.write.format("noop").mode("overwrite").save()  # one real pass
+    row = obs.get
+    return spark.createDataFrame(
+        [(row["n_rows"], float(row["total_price"]), row["n_discounted"])],
+        "n_rows long, total_price double, n_discounted long",
+    )

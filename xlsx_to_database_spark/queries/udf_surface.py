@@ -181,3 +181,59 @@ def udf_arrow(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select(
         "l_orderkey", "l_linenumber", F.round(F.col("net_raw"), 4).alias("net_price")
     )
+
+
+@query(
+    "udf_cogrouped",
+    """
+    WITH c AS (
+        SELECT user_id, CAST(count(*) AS BIGINT) AS n_clicks
+        FROM events WHERE event_type = 'click' GROUP BY user_id
+    ), p AS (
+        SELECT user_id, CAST(count(*) AS BIGINT) AS n_purchases,
+               round(sum(value), 2) AS purchase_value
+        FROM events WHERE event_type = 'purchase' GROUP BY user_id
+    )
+    SELECT coalesce(c.user_id, p.user_id) AS user_id,
+           coalesce(c.n_clicks, 0) AS n_clicks,
+           coalesce(p.n_purchases, 0) AS n_purchases,
+           coalesce(p.purchase_value, 0.0) AS purchase_value
+    FROM c FULL OUTER JOIN p ON c.user_id = p.user_id
+    """,
+)
+def udf_cogrouped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cogrouped pandas (`groupBy().cogroup().applyInPandas`): both
+    sides of a key arrive as aligned pandas frames per group — the API
+    for per-key custom merges (as-of logic, per-entity reconciliation)
+    that a join can't express row-wise. Arrow moves each co-group once;
+    the kernel here is a vectorized count/sum merge whose result is
+    provably the full-outer-join aggregate the oracle computes. Scale:
+    cogroup shuffles both sides on the key — same cost as the join it
+    generalizes."""
+    import pandas as pd
+
+    ev = table(spark, sf_dir, "events")
+    clicks = ev.filter(F.col("event_type") == "click").select("user_id", "value")
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id", "value"
+    )
+
+    def merge(left: pd.DataFrame, right: pd.DataFrame) -> pd.DataFrame:
+        uid = left["user_id"].iloc[0] if len(left) else right["user_id"].iloc[0]
+        return pd.DataFrame(
+            {
+                "user_id": [uid],
+                "n_clicks": [len(left)],
+                "n_purchases": [len(right)],
+                "purchase_value": [round(float(right["value"].sum()), 2)],
+            }
+        )
+
+    return (
+        clicks.groupBy("user_id")
+        .cogroup(purchases.groupBy("user_id"))
+        .applyInPandas(
+            merge,
+            "user_id long, n_clicks long, n_purchases long, purchase_value double",
+        )
+    )
