@@ -271,3 +271,47 @@ def test_seq_pack_single_shuffle_and_narrow(spark, sf_dir, qs):
     assert len(re.findall(r"\(\d+\) Exchange", plan)) == 1, plan
     exchange_input = plan.split("Exchange")[-1]
     assert "text#" not in exchange_input.split("(4)")[0], plan
+
+
+def test_q2_correlated_min_decorrelates(spark, sf_dir, qs):
+    # The correlated MIN subquery must become an aggregate+join, not a
+    # per-row nested-loop re-execution.
+    plan = explain_str(qs["tpch_q2"](spark, sf_dir))
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+    assert "TakeOrderedAndProject" in plan, plan
+    # p_type LIKE 'SMALL%' pushes to the part scan as a StartsWith.
+    assert "StringStartsWith" in plan, plan
+
+
+def test_q9_like_filter_pushes_and_dims_broadcast(spark, sf_dir, qs):
+    plan = explain_str(qs["tpch_q9"](spark, sf_dir))
+    assert "StringContains" in plan, plan  # '%bolt%' reaches the part scan
+    assert has_broadcast_hash_join(qs["tpch_q9"](spark, sf_dir)), plan
+
+
+def test_q16_not_in_is_broadcast_anti_join(spark, sf_dir, qs):
+    # NOT IN over non-null keys must plan as a plain (broadcast) left-anti
+    # hash join — no null-aware nested-loop expansion.
+    plan = explain_str(qs["tpch_q16"](spark, sf_dir))
+    assert "LeftAnti" in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+
+
+def test_q20_nested_ins_are_semi_joins(spark, sf_dir, qs):
+    plan = explain_str(qs["tpch_q20"](spark, sf_dir))
+    assert "LeftSemi" in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+
+
+def test_profile_table_is_single_aggregate_pass(spark, sf_dir, qs):
+    # All per-column stats must come from ONE scan + one global aggregate
+    # (a single final-merge exchange) — never a per-column pass.
+    import re
+
+    plan = explain_str(qs["profile_table"](spark, sf_dir))
+    scans = len(re.findall(r"\(\d+\) Scan parquet", plan))
+    assert scans == 1, plan
+    # Multi-column exact count(DISTINCT) plans via Expand (one branch per
+    # distinct column) — one extra exchange, still a single pass.
+    assert "Expand" in plan, plan
+    assert len(re.findall(r"\(\d+\) Exchange", plan)) <= 2, plan

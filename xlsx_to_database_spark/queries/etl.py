@@ -285,3 +285,76 @@ def etl_scd2(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select("o_custkey", "state", "version", "valid_from", "valid_to", "n_obs")
     )
+
+
+@query(
+    "profile_table",
+    """
+    SELECT 'o_orderkey' AS col_name,
+           CAST(count(*) AS BIGINT) AS n_rows,
+           CAST(count(o_orderkey) AS BIGINT) AS n_nonnull,
+           CAST(count(DISTINCT o_orderkey) AS BIGINT) AS n_distinct,
+           CAST(min(o_orderkey) AS VARCHAR) AS min_val,
+           CAST(max(o_orderkey) AS VARCHAR) AS max_val
+    FROM orders
+    UNION ALL
+    SELECT 'o_orderstatus', CAST(count(*) AS BIGINT),
+           CAST(count(o_orderstatus) AS BIGINT),
+           CAST(count(DISTINCT o_orderstatus) AS BIGINT),
+           CAST(min(o_orderstatus) AS VARCHAR), CAST(max(o_orderstatus) AS VARCHAR)
+    FROM orders
+    UNION ALL
+    SELECT 'o_totalprice', CAST(count(*) AS BIGINT),
+           CAST(count(o_totalprice) AS BIGINT),
+           CAST(count(DISTINCT o_totalprice) AS BIGINT),
+           CAST(round(min(o_totalprice), 2) AS VARCHAR),
+           CAST(round(max(o_totalprice), 2) AS VARCHAR)
+    FROM orders
+    UNION ALL
+    SELECT 'o_orderpriority', CAST(count(*) AS BIGINT),
+           CAST(count(o_orderpriority) AS BIGINT),
+           CAST(count(DISTINCT o_orderpriority) AS BIGINT),
+           CAST(min(o_orderpriority) AS VARCHAR), CAST(max(o_orderpriority) AS VARCHAR)
+    FROM orders
+    """,
+)
+def profile_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Column profiling — the first thing an ingest tool (the reference's
+    xlsx→database class) runs on arrival: per-column row/non-null/
+    distinct counts and min/max, emitted as one row per column. ONE scan
+    computes every column's stats simultaneously (a single aggregate
+    with all the counters side-by-side, unpivoted after) — never one
+    pass per column, which at 100 TB turns profiling into N full scans.
+    min/max stringified so heterogeneous column types stack in one
+    result."""
+    o = table(spark, sf_dir, "orders")
+    # All stats in ONE aggregate row...
+    agg = o.agg(
+        F.count(F.lit(1)).cast("long").alias("n_rows"),
+        *[
+            e
+            for c in ("o_orderkey", "o_orderstatus", "o_totalprice", "o_orderpriority")
+            for e in (
+                F.count(F.col(c)).cast("long").alias(f"{c}__nn"),
+                F.countDistinct(F.col(c)).cast("long").alias(f"{c}__nd"),
+            )
+        ],
+        F.min("o_orderkey").cast("string").alias("o_orderkey__min"),
+        F.max("o_orderkey").cast("string").alias("o_orderkey__max"),
+        F.min("o_orderstatus").cast("string").alias("o_orderstatus__min"),
+        F.max("o_orderstatus").cast("string").alias("o_orderstatus__max"),
+        F.round(F.min("o_totalprice"), 2).cast("string").alias("o_totalprice__min"),
+        F.round(F.max("o_totalprice"), 2).cast("string").alias("o_totalprice__max"),
+        F.min("o_orderpriority").cast("string").alias("o_orderpriority__min"),
+        F.max("o_orderpriority").cast("string").alias("o_orderpriority__max"),
+    )
+    # ...then unpivoted to one row per column (stack is a generator —
+    # no extra pass, no shuffle).
+    cols = ("o_orderkey", "o_orderstatus", "o_totalprice", "o_orderpriority")
+    stack_expr = ", ".join(
+        f"'{c}', {c}__nn, {c}__nd, {c}__min, {c}__max" for c in cols
+    )
+    return agg.selectExpr(
+        f"stack({len(cols)}, {stack_expr}) AS (col_name, n_nonnull, n_distinct, min_val, max_val)",
+        "n_rows",
+    ).select("col_name", "n_rows", "n_nonnull", "n_distinct", "min_val", "max_val")

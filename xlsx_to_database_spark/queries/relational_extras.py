@@ -238,14 +238,16 @@ def join_lateral(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "recursive_cte",
     """
-    WITH RECURSIVE months(m) AS (
+    WITH RECURSIVE bounds AS (
         -- DuckDB's date_trunc yields DATE at month precision; cast to
         -- TIMESTAMP so the spine matches Spark's timestamp column.
-        SELECT CAST(min(date_trunc('month', o_orderdate)) AS TIMESTAMP) FROM orders
+        SELECT CAST(min(date_trunc('month', o_orderdate)) AS TIMESTAMP) AS lo,
+               CAST(max(date_trunc('month', o_orderdate)) AS TIMESTAMP) AS hi
+        FROM orders
+    ), months(m, hi) AS (
+        SELECT lo, hi FROM bounds
         UNION ALL
-        SELECT m + INTERVAL '1 month' FROM months
-        WHERE m < (SELECT CAST(max(date_trunc('month', o_orderdate)) AS TIMESTAMP)
-                   FROM orders)
+        SELECT m + INTERVAL '1 month', hi FROM months WHERE m < hi
     )
     SELECT m AS month_start, count(o_orderkey) AS n_orders
     FROM months LEFT JOIN orders
@@ -258,15 +260,23 @@ def recursive_cte(spark: SparkSession, sf_dir: str) -> DataFrame:
     month from the first to the last order month, including months with
     zero orders (the gap-filling scaffold a naive GROUP BY can't see).
     Recursion depth = #months (bounded, driver-side plan growth only);
-    the spine is tiny and broadcasts into the counting join."""
+    the spine is tiny and broadcasts into the counting join.
+
+    The stop bound rides THROUGH the recursion as a column: a scalar
+    subquery in the recursive step's WHERE is re-executed every
+    iteration (one full orders aggregate per month — measured 11.7s vs
+    0.5s at sf0.01, 22×). Hoist once into the anchor, carry it along."""
     register_views(spark, sf_dir)
     return spark.sql(
         """
-        WITH RECURSIVE months(m) AS (
-            SELECT min(date_trunc('month', o_orderdate)) FROM orders
+        WITH RECURSIVE bounds AS (
+            SELECT min(date_trunc('month', o_orderdate)) AS lo,
+                   max(date_trunc('month', o_orderdate)) AS hi
+            FROM orders
+        ), months(m, hi) AS (
+            SELECT lo, hi FROM bounds
             UNION ALL
-            SELECT m + INTERVAL '1' MONTH FROM months
-            WHERE m < (SELECT max(date_trunc('month', o_orderdate)) FROM orders)
+            SELECT m + INTERVAL '1' MONTH, hi FROM months WHERE m < hi
         )
         SELECT m AS month_start, count(o_orderkey) AS n_orders
         FROM months LEFT JOIN orders ON date_trunc('month', o_orderdate) = m

@@ -1,0 +1,390 @@
+"""TPC-H completion set: the 7 queries (Q2, Q9, Q11, Q12, Q15, Q16, Q20)
+that finish the 22-query suite, adapted to the reduced test schema
+(no partsupp table, lineitem lacks shipmode/commitdate/receiptdate —
+lineitem itself serves as the part↔supplier cost/availability link, and
+o_orderpriority / shipping-delay expressions stand in for the missing
+line attributes). Each adaptation preserves the ORIGINAL query's
+signature plan shape — that shape, not the literal column list, is what
+exercises the optimizer:
+
+- Q2  → correlated scalar MIN subquery decorrelated to aggregate+join
+- Q9  → many-way fact/dim join with a LIKE filter, group by (nation, year)
+- Q11 → grouped HAVING compared against a global scalar subquery
+- Q12 → two-table join with CASE-bucketed conditional aggregation
+- Q15 → derived revenue view + MAX scalar subquery (argmax without a sort)
+- Q16 → NOT IN anti-join + count(DISTINCT) over a de-duplicated link
+- Q20 → nested IN subqueries with a correlated 50%-of-total threshold
+
+Scale notes: every equality-against-an-aggregate comparison sums in
+DECIMAL(18,6) (associative — bit-identical across engines and across
+partition orders, where double summation is not); dims broadcast;
+filters sit below the joins so parquet scans stay pruned; the only
+driver-side values are single-row scalar subquery results, which
+Catalyst turns into broadcast literals.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from xlsx_to_database_spark.catalog import register_views, table
+from xlsx_to_database_spark.registry import query
+
+
+@query(
+    "tpch_q2",
+    """
+    WITH cost AS (
+        SELECT l_partkey, l_suppkey,
+               min(l_extendedprice / l_quantity) AS unit_cost
+        FROM lineitem
+        GROUP BY l_partkey, l_suppkey
+    )
+    SELECT round(s_acctbal, 2) AS s_acctbal, s_name, n_name, p_partkey,
+           p_type, round(unit_cost, 4) AS unit_cost
+    FROM part
+    JOIN cost     ON p_partkey = l_partkey
+    JOIN supplier ON s_suppkey = l_suppkey
+    JOIN nation   ON n_nationkey = s_nationkey
+    WHERE p_size = 10 AND p_type LIKE 'SMALL%'
+      AND unit_cost = (
+          SELECT min(c2.unit_cost) FROM cost c2
+          WHERE c2.l_partkey = p_partkey
+      )
+    ORDER BY s_acctbal DESC, s_name, p_partkey
+    LIMIT 100
+    """,
+)
+def tpch_q2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q2 (minimum-cost supplier) adapted: lineitem's observed
+    unit price replaces partsupp.ps_supplycost as the per-(part,
+    supplier) cost relation. The signature shape survives intact — a
+    correlated scalar MIN subquery selecting, per part, only the
+    supplier(s) achieving the global minimum cost. Catalyst decorrelates
+    it to a per-part MIN aggregate joined back on (partkey, cost);
+    DuckDB does the same, so neither engine runs a per-row subquery.
+
+    Equality against the MIN is float-EXACT by construction: both
+    engines IEEE-divide the same doubles and take an order-insensitive
+    min, so the comparison sees bit-identical values — rounding happens
+    only in the final projection. Part filter prunes the scan before
+    any join; nation broadcasts."""
+    register_views(spark, sf_dir)
+    return spark.sql(
+        """
+        WITH cost AS (
+            SELECT l_partkey, l_suppkey,
+                   min(l_extendedprice / l_quantity) AS unit_cost
+            FROM lineitem
+            GROUP BY l_partkey, l_suppkey
+        )
+        SELECT round(s_acctbal, 2) AS s_acctbal, s_name, n_name, p_partkey,
+               p_type, round(unit_cost, 4) AS unit_cost
+        FROM part
+        JOIN cost     ON p_partkey = l_partkey
+        JOIN supplier ON s_suppkey = l_suppkey
+        JOIN nation   ON n_nationkey = s_nationkey
+        WHERE p_size = 10 AND p_type LIKE 'SMALL%'
+          AND unit_cost = (
+              SELECT min(c2.unit_cost) FROM cost c2
+              WHERE c2.l_partkey = p_partkey
+          )
+        ORDER BY s_acctbal DESC, s_name, p_partkey
+        LIMIT 100
+        """
+    )
+
+
+@query(
+    "tpch_q9",
+    """
+    SELECT n_name AS nation, CAST(year(l_shipdate) AS BIGINT) AS o_year,
+           CAST(round(sum(CAST(l_extendedprice * (1 - l_discount)
+                               AS DECIMAL(18,6))), 2) AS DOUBLE) AS sum_profit
+    FROM lineitem
+    JOIN part     ON p_partkey = l_partkey
+    JOIN supplier ON s_suppkey = l_suppkey
+    JOIN nation   ON n_nationkey = s_nationkey
+    WHERE p_name LIKE '%bolt%'
+    GROUP BY n_name, year(l_shipdate)
+    """,
+)
+def tpch_q9(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q9 (product-type profit) adapted: profit = discounted
+    revenue (the ps_supplycost·qty subtrahend needs partsupp). The shape
+    is the point — lineitem joined to part (LIKE-filtered), supplier,
+    and nation, aggregated by (nation, ship-year). The part filter
+    semi-reduces the fact table early (Catalyst pushes the LIKE into
+    the part scan, and at sf the filtered part side broadcasts);
+    nation/supplier are broadcast dims, so the only shuffle is the
+    final 2-key aggregate. DECIMAL(18,6) summation keeps the per-group
+    totals bit-identical across engines."""
+    li = table(spark, sf_dir, "lineitem")
+    p = table(spark, sf_dir, "part").filter(F.col("p_name").like("%bolt%"))
+    s = table(spark, sf_dir, "supplier")
+    n = table(spark, sf_dir, "nation")
+    return (
+        li.join(p, F.col("p_partkey") == F.col("l_partkey"))
+        .join(F.broadcast(s), F.col("s_suppkey") == F.col("l_suppkey"))
+        .join(F.broadcast(n), F.col("n_nationkey") == F.col("s_nationkey"))
+        .groupBy(
+            F.col("n_name").alias("nation"),
+            F.year("l_shipdate").cast("long").alias("o_year"),
+        )
+        .agg(
+            F.round(
+                F.sum(
+                    (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast(
+                        "decimal(18,6)"
+                    )
+                ),
+                2,
+            )
+            .cast("double")
+            .alias("sum_profit")
+        )
+    )
+
+
+@query(
+    "tpch_q11",
+    """
+    SELECT l_partkey,
+           CAST(round(sum(CAST(l_extendedprice * l_quantity
+                               AS DECIMAL(18,6))), 2) AS DOUBLE) AS part_value
+    FROM lineitem
+    GROUP BY l_partkey
+    HAVING sum(CAST(l_extendedprice * l_quantity AS DECIMAL(18,6))) > (
+        SELECT 0.0007 * sum(CAST(l_extendedprice * l_quantity AS DECIMAL(18,6)))
+        FROM lineitem
+    )
+    ORDER BY part_value DESC, l_partkey
+    """,
+)
+def tpch_q11(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q11 (important stock) adapted: traded value per part from
+    lineitem replaces ps_supplycost·ps_availqty. Signature shape —
+    grouped HAVING compared against a GLOBAL scalar subquery (0.07% of
+    total value). Both the per-part values and the global total sum in
+    DECIMAL(18,6), so the > comparison is exact on both engines; the
+    global total is a one-row aggregate Catalyst injects as a broadcast
+    scalar (no second shuffle of the fact). The per-part aggregate and
+    the global aggregate both scan lineitem — at 100 TB AQE reuses the
+    exchange for the rollup rather than rescanning."""
+    register_views(spark, sf_dir)
+    return spark.sql(
+        """
+        SELECT l_partkey,
+               CAST(round(sum(CAST(l_extendedprice * l_quantity
+                                   AS DECIMAL(18,6))), 2) AS DOUBLE) AS part_value
+        FROM lineitem
+        GROUP BY l_partkey
+        HAVING sum(CAST(l_extendedprice * l_quantity AS DECIMAL(18,6))) > (
+            SELECT 0.0007 * sum(CAST(l_extendedprice * l_quantity AS DECIMAL(18,6)))
+            FROM lineitem
+        )
+        ORDER BY part_value DESC, l_partkey
+        """
+    )
+
+
+@query(
+    "tpch_q12",
+    """
+    SELECT l_returnflag AS ship_class,
+           CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                         THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+           CAST(sum(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+                         THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count
+    FROM orders
+    JOIN lineitem ON o_orderkey = l_orderkey
+    WHERE l_shipdate > o_orderdate + INTERVAL 90 DAY
+      AND l_shipdate >= TIMESTAMP '1997-01-01'
+      AND l_shipdate <  TIMESTAMP '1998-01-01'
+    GROUP BY l_returnflag
+    """,
+)
+def tpch_q12(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q12 (shipping-mode / late-line priority) adapted:
+    l_returnflag stands in for the missing l_shipmode, and "late" is a
+    ship-vs-order delay above 90 days (the commit/receipt dates don't
+    exist in this schema). The signature CASE-bucketed double count per
+    mode survives. The year filter pushes into the lineitem scan; the
+    delay predicate is join-level (references both sides) and evaluates
+    inside the join stage — one fact-fact shuffle, then a 3-group
+    aggregate."""
+    o = table(spark, sf_dir, "orders")
+    li = table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1997-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1998-01-01").cast("timestamp"))
+    )
+    high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        o.join(li, F.col("o_orderkey") == F.col("l_orderkey"))
+        .filter(F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 90 DAY"))
+        .groupBy(F.col("l_returnflag").alias("ship_class"))
+        .agg(
+            F.sum(F.when(high, 1).otherwise(0)).cast("long").alias("high_line_count"),
+            F.sum(F.when(~high, 1).otherwise(0)).cast("long").alias("low_line_count"),
+        )
+    )
+
+
+@query(
+    "tpch_q15",
+    """
+    WITH revenue AS (
+        SELECT l_suppkey AS supplier_no,
+               sum(CAST(l_extendedprice * (1 - l_discount)
+                        AS DECIMAL(18,6))) AS total_revenue
+        FROM lineitem
+        WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+          AND l_shipdate <  TIMESTAMP '1996-04-01'
+        GROUP BY l_suppkey
+    )
+    SELECT s_suppkey, s_name,
+           CAST(round(total_revenue, 2) AS DOUBLE) AS total_revenue
+    FROM supplier JOIN revenue ON s_suppkey = supplier_no
+    WHERE total_revenue = (SELECT max(total_revenue) FROM revenue)
+    ORDER BY s_suppkey
+    """,
+)
+def tpch_q15(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q15 (top supplier): quarterly revenue per supplier, keep
+    the supplier(s) achieving the maximum — argmax via a MAX scalar
+    subquery over a shared CTE, never a global sort. The equality
+    against MAX is why revenue sums in DECIMAL(18,6): double totals
+    differ in low bits across summation orders, and an argmax equality
+    on doubles could select different suppliers per engine — decimal
+    addition is associative so both engines (and any partition order)
+    produce the identical total. Spark evaluates the revenue CTE once,
+    broadcasts the one-row max, and probes it against the grouped
+    aggregate."""
+    register_views(spark, sf_dir)
+    return spark.sql(
+        """
+        WITH revenue AS (
+            SELECT l_suppkey AS supplier_no,
+                   sum(CAST(l_extendedprice * (1 - l_discount)
+                            AS DECIMAL(18,6))) AS total_revenue
+            FROM lineitem
+            WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+              AND l_shipdate <  TIMESTAMP '1996-04-01'
+            GROUP BY l_suppkey
+        )
+        SELECT s_suppkey, s_name,
+               CAST(round(total_revenue, 2) AS DOUBLE) AS total_revenue
+        FROM supplier JOIN revenue ON s_suppkey = supplier_no
+        WHERE total_revenue = (SELECT max(total_revenue) FROM revenue)
+        ORDER BY s_suppkey
+        """
+    )
+
+
+@query(
+    "tpch_q16",
+    """
+    SELECT p_brand, p_type, p_size,
+           CAST(count(DISTINCT l_suppkey) AS BIGINT) AS supplier_cnt
+    FROM part
+    JOIN lineitem ON p_partkey = l_partkey
+    WHERE p_brand <> 'Brand#9'
+      AND p_type NOT LIKE 'PROMO%'
+      AND p_size IN (1, 4, 7, 10, 13, 16, 19, 22)
+      AND l_suppkey NOT IN (
+          SELECT s_suppkey FROM supplier WHERE s_acctbal < 0
+      )
+    GROUP BY p_brand, p_type, p_size
+    """,
+)
+def tpch_q16(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q16 (parts/supplier relationship) adapted: the
+    part↔supplier association comes from lineitem instead of partsupp,
+    and "suppliers with complaints" becomes negative-balance suppliers.
+    Signature shape preserved — NOT IN anti-join against a subquery
+    (s_suppkey is non-null on both sides, so NOT IN is a plain
+    left-anti join, no null-aware expansion) feeding a
+    count(DISTINCT supplier) per (brand, type, size). The part filters
+    prune before the join; the anti side is 100 rows → broadcast."""
+    p = table(spark, sf_dir, "part").filter(
+        (F.col("p_brand") != "Brand#9")
+        & (~F.col("p_type").like("PROMO%"))
+        & (F.col("p_size").isin(1, 4, 7, 10, 13, 16, 19, 22))
+    )
+    li = table(spark, sf_dir, "lineitem")
+    bad = table(spark, sf_dir, "supplier").filter(F.col("s_acctbal") < 0).select(
+        "s_suppkey"
+    )
+    return (
+        li.join(bad, li.l_suppkey == bad.s_suppkey, "left_anti")
+        .join(p, F.col("p_partkey") == F.col("l_partkey"))
+        .groupBy("p_brand", "p_type", "p_size")
+        .agg(F.countDistinct("l_suppkey").cast("long").alias("supplier_cnt"))
+    )
+
+
+@query(
+    "tpch_q20",
+    """
+    WITH shipped AS (
+        SELECT l_suppkey, l_partkey,
+               sum(CAST(l_quantity AS DECIMAL(18,6))) AS qty
+        FROM lineitem
+        WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+          AND l_shipdate <  TIMESTAMP '1998-01-01'
+          AND l_partkey IN (
+              SELECT p_partkey FROM part WHERE p_name LIKE 'small%'
+          )
+        GROUP BY l_suppkey, l_partkey
+    ), part_total AS (
+        SELECT l_partkey AS pt_partkey, sum(qty) AS total_qty
+        FROM shipped GROUP BY l_partkey
+    )
+    SELECT s_suppkey, s_name, round(s_acctbal, 2) AS s_acctbal
+    FROM supplier
+    WHERE s_suppkey IN (
+        SELECT l_suppkey FROM shipped JOIN part_total ON l_partkey = pt_partkey
+        WHERE qty > 0.5 * total_qty
+    )
+    ORDER BY s_suppkey
+    """,
+)
+def tpch_q20(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q20 (excess-inventory suppliers) adapted: without
+    partsupp.ps_availqty, the "excess" test becomes market dominance —
+    suppliers who shipped more than half of a small-part's 1997 total.
+    The nested-IN skeleton survives: partkey IN (LIKE-filtered part
+    list) inside, suppkey IN (threshold survivors) outside, and the
+    threshold itself is CORRELATED (that part's own total, via a
+    grouped self-aggregate — the decorrelated form of Q20's
+    0.5·sum(l_quantity) scalar subquery). Quantities sum in
+    DECIMAL(18,6) so the 0.5·total comparison is exact on both engines.
+    Both IN subqueries plan as semi joins; shipped's grouped output is
+    tiny and broadcasts back onto supplier."""
+    register_views(spark, sf_dir)
+    return spark.sql(
+        """
+        WITH shipped AS (
+            SELECT l_suppkey, l_partkey,
+                   sum(CAST(l_quantity AS DECIMAL(18,6))) AS qty
+            FROM lineitem
+            WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+              AND l_shipdate <  TIMESTAMP '1998-01-01'
+              AND l_partkey IN (
+                  SELECT p_partkey FROM part WHERE p_name LIKE 'small%'
+              )
+            GROUP BY l_suppkey, l_partkey
+        ), part_total AS (
+            SELECT l_partkey AS pt_partkey, sum(qty) AS total_qty
+            FROM shipped GROUP BY l_partkey
+        )
+        SELECT s_suppkey, s_name, round(s_acctbal, 2) AS s_acctbal
+        FROM supplier
+        WHERE s_suppkey IN (
+            SELECT l_suppkey FROM shipped JOIN part_total ON l_partkey = pt_partkey
+            WHERE qty > 0.5 * total_qty
+        )
+        ORDER BY s_suppkey
+        """
+    )

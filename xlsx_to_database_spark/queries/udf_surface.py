@@ -212,20 +212,35 @@ def udf_cogrouped(spark: SparkSession, sf_dir: str) -> DataFrame:
     generalizes."""
     import pandas as pd
 
-    ev = table(spark, sf_dir, "events")
-    clicks = ev.filter(F.col("event_type") == "click").select("user_id", "value")
-    purchases = ev.filter(F.col("event_type") == "purchase").select(
-        "user_id", "value"
+    # Two SEPARATE reads on purpose: when both cogroup sides share one
+    # scan, their columns carry identical expression ids and Spark's
+    # column pruner drops the right side's non-key columns (the right
+    # frame arrives as just ['user_id'] — observed on 4.1.2). Distinct
+    # reads give distinct ids; the scans are identical so the extra
+    # read costs one more pass of a pruned 2-column scan, not a shuffle.
+    clicks = (
+        table(spark, sf_dir, "events")
+        .filter(F.col("event_type") == "click")
+        .select("user_id", "value")
+    )
+    purchases = (
+        table(spark, sf_dir, "events")
+        .filter(F.col("event_type") == "purchase")
+        .select("user_id", "value")
     )
 
     def merge(left: pd.DataFrame, right: pd.DataFrame) -> pd.DataFrame:
+        # A key present on only one side arrives as an EMPTY frame with
+        # no columns at all (not an empty typed frame) — every column
+        # access on the absent side must sit behind a len() guard.
         uid = left["user_id"].iloc[0] if len(left) else right["user_id"].iloc[0]
+        pval = round(float(right["value"].sum()), 2) if len(right) else 0.0
         return pd.DataFrame(
             {
                 "user_id": [uid],
                 "n_clicks": [len(left)],
                 "n_purchases": [len(right)],
-                "purchase_value": [round(float(right["value"].sum()), 2)],
+                "purchase_value": [pval],
             }
         )
 

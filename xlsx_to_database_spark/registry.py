@@ -128,6 +128,7 @@ def _load_all() -> None:
         "xlsx_to_database_spark.queries.multimodal",
         "xlsx_to_database_spark.queries.udf_surface",
         "xlsx_to_database_spark.queries.relational_extras",
+        "xlsx_to_database_spark.queries.tpch_extra",
         "xlsx_to_database_spark.queries.etl",
         "xlsx_to_database_spark.queries.corpus_ops",
         "xlsx_to_database_spark.queries.analytics_ops",
