@@ -315,3 +315,24 @@ def test_profile_table_is_single_aggregate_pass(spark, sf_dir, qs):
     # distinct column) — one extra exchange, still a single pass.
     assert "Expand" in plan, plan
     assert len(re.findall(r"\(\d+\) Exchange", plan)) <= 2, plan
+
+
+def test_dq_outlier_fact_never_shuffles(spark, sf_dir, qs):
+    # The only exchange is the 5-group stats aggregate; the scored fact
+    # table joins the stats back by broadcast.
+    import re
+
+    df = qs["dq_outlier"](spark, sf_dir)
+    plan = explain_str(df)
+    assert len(re.findall(r"\(\d+\) Exchange", plan)) == 1, plan
+    assert has_broadcast_hash_join(df), plan
+
+
+def test_single_shuffle_window_and_moment_ops(spark, sf_dir, qs):
+    # Latest-wins CDC compaction, gap interpolation, and co-moment OLS
+    # are all one-shuffle shapes.
+    import re
+
+    for name in ("etl_cdc_apply", "win_interpolate", "stat_linreg"):
+        plan = explain_str(qs[name](spark, sf_dir))
+        assert len(re.findall(r"\(\d+\) Exchange", plan)) == 1, (name, plan)

@@ -1,0 +1,382 @@
+"""Advanced analytics: iterative graph algorithms, CDC application,
+statistical quality checks, regression, and time-series interpolation.
+
+Scale notes:
+- ``graph_pagerank`` is the iterative-algorithm template: edges are
+  ``localCheckpoint``-ed ONCE before the loop (re-reading the upstream
+  join every iteration re-executes the whole pipeline — the measured
+  trap from the connected-components op), each iteration is one
+  join + one key-shuffle aggregate, and per-iteration contribution sums
+  run in DECIMAL(38,18) so the result is bit-identical regardless of
+  partition count or merge order — the property that makes the fixed-
+  point verifiable across engines AND across cluster sizes.
+- ``etl_cdc_apply`` collapses a change log to final state with one
+  window shuffle (latest-wins by sequence, deletes drop the key) — the
+  streaming-upsert companion to the SCD ops; no driver-side diffing.
+- ``dq_outlier`` / ``stat_linreg`` compute mean/variance/co-moments
+  from DECIMAL sums (associative ⇒ engine- and order-exact), then do
+  the final scalar algebra in DOUBLE on identical inputs. The sums are
+  single-pass mergeable aggregates — the 100 TB shape — and the
+  z-threshold comparison is exact, not float-fuzzy.
+- ``win_interpolate`` fills series gaps with one window sort: both
+  bracketing anchors (last/first non-null value and their positions)
+  come from the same partition-ordered frame, so the whole op is a
+  single Exchange + Sort reused by all six window expressions.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from xlsx_to_database_spark.catalog import table
+from xlsx_to_database_spark.registry import query
+
+_PAGERANK_ORACLE = """
+WITH pairs AS (
+    SELECT DISTINCT 'c' || CAST(o_custkey AS VARCHAR) AS c,
+                    's' || CAST(l_suppkey AS VARCHAR) AS s
+    FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+), edges AS (
+    SELECT c AS src, s AS dst FROM pairs
+    UNION ALL
+    SELECT s AS src, c AS dst FROM pairs
+), deg AS (
+    SELECT src, CAST(count(*) AS BIGINT) AS outdeg FROM edges GROUP BY src
+), nn AS (
+    SELECT count(*) AS n FROM deg
+), pr0 AS (
+    SELECT src AS node, 1.0 / (SELECT n FROM nn) AS pr FROM deg
+), pr1 AS (
+    SELECT e.dst AS node,
+           0.15 / (SELECT n FROM nn)
+           + 0.85 * CAST(sum(CAST(p.pr / d.outdeg AS DECIMAL(38,18)))
+                         AS DOUBLE) AS pr
+    FROM edges e JOIN pr0 p ON e.src = p.node JOIN deg d ON e.src = d.src
+    GROUP BY e.dst
+), pr2 AS (
+    SELECT e.dst AS node,
+           0.15 / (SELECT n FROM nn)
+           + 0.85 * CAST(sum(CAST(p.pr / d.outdeg AS DECIMAL(38,18)))
+                         AS DOUBLE) AS pr
+    FROM edges e JOIN pr1 p ON e.src = p.node JOIN deg d ON e.src = d.src
+    GROUP BY e.dst
+), pr3 AS (
+    SELECT e.dst AS node,
+           0.15 / (SELECT n FROM nn)
+           + 0.85 * CAST(sum(CAST(p.pr / d.outdeg AS DECIMAL(38,18)))
+                         AS DOUBLE) AS pr
+    FROM edges e JOIN pr2 p ON e.src = p.node JOIN deg d ON e.src = d.src
+    GROUP BY e.dst
+)
+SELECT node, round(pr, 10) AS pagerank
+FROM pr3
+ORDER BY pagerank DESC, node
+LIMIT 50
+"""
+
+
+@query("graph_pagerank", _PAGERANK_ORACLE)
+def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PageRank (3 iterations, damping 0.85) over the undirected
+    customer↔supplier trading graph — the template for iterative
+    numeric algorithms on Spark. Per iteration: one equi-join of the
+    rank vector onto the checkpointed edge list, one aggregate on the
+    destination key. Contribution sums run in DECIMAL(38,18): decimal
+    addition is associative, so every iteration's vector is
+    bit-identical whether computed on 1 partition or 10,000 — which is
+    also what makes a fixed-iteration oracle possible at all.
+
+    The node count N is a single driver-side scalar (broadcast-scale
+    metadata, same precedent as the IVF centroids); edges
+    ``localCheckpoint`` once so iteration k doesn't re-execute the
+    upstream join k times."""
+    o = table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    li = table(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    pairs = (
+        o.join(li, F.col("o_orderkey") == F.col("l_orderkey"))
+        .select(
+            F.concat(F.lit("c"), F.col("o_custkey").cast("string")).alias("c"),
+            F.concat(F.lit("s"), F.col("l_suppkey").cast("string")).alias("s"),
+        )
+        .distinct()
+    )
+    edges = (
+        pairs.select(F.col("c").alias("src"), F.col("s").alias("dst"))
+        .unionAll(pairs.select(F.col("s").alias("src"), F.col("c").alias("dst")))
+        .localCheckpoint(eager=True)
+    )
+    deg = edges.groupBy("src").agg(F.count(F.lit(1)).cast("long").alias("outdeg"))
+    n_nodes = deg.count()  # one scalar to the driver, reused as a literal
+
+    pr = deg.select(F.col("src").alias("node"), F.lit(1.0 / n_nodes).alias("pr"))
+    edges_deg = edges.join(deg, "src").select("src", "dst", "outdeg")
+    for _ in range(3):
+        pr = (
+            edges_deg.join(pr, edges_deg.src == pr.node)
+            .select(
+                F.col("dst"),
+                (F.col("pr") / F.col("outdeg")).cast("decimal(38,18)").alias("contrib"),
+            )
+            .groupBy("dst")
+            .agg(
+                (
+                    F.lit(0.15 / n_nodes)
+                    + F.lit(0.85) * F.sum("contrib").cast("double")
+                ).alias("pr")
+            )
+            .select(F.col("dst").alias("node"), "pr")
+        )
+    return (
+        pr.select("node", F.round("pr", 10).alias("pagerank"))
+        .orderBy(F.col("pagerank").desc(), F.col("node"))
+        .limit(50)
+    )
+
+
+@query(
+    "etl_cdc_apply",
+    """
+    SELECT o_custkey AS key, o_orderkey AS last_seq,
+           CASE o_orderstatus WHEN 'O' THEN 'I' WHEN 'F' THEN 'U'
+                ELSE 'D' END AS last_op,
+           round(o_totalprice, 2) AS value
+    FROM (
+        SELECT *, row_number() OVER (
+                 PARTITION BY o_custkey ORDER BY o_orderkey DESC) AS rn
+        FROM orders
+    )
+    WHERE rn = 1
+      AND CASE o_orderstatus WHEN 'O' THEN 'I' WHEN 'F' THEN 'U'
+               ELSE 'D' END <> 'D'
+    """,
+)
+def etl_cdc_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Apply a CDC change log to final state: latest-wins per key by
+    sequence number, with a trailing delete removing the key entirely.
+    The log is modeled on orders (key = custkey, seq = orderkey, op
+    mapped from order status: O→insert, F→update, else delete). One
+    window shuffle on the key — rank descending, keep rn=1, drop keys
+    whose last op is a delete. At 100 TB this is the canonical
+    log-compaction shape: no join against the prior state is needed
+    when the log itself carries full rows (contrast `etl_upsert`, which
+    merges a keyed batch INTO existing state)."""
+    o = table(spark, sf_dir, "orders")
+    op = (
+        F.when(F.col("o_orderstatus") == "O", "I")
+        .when(F.col("o_orderstatus") == "F", "U")
+        .otherwise("D")
+    )
+    w = Window.partitionBy("o_custkey").orderBy(F.col("o_orderkey").desc())
+    return (
+        o.select(
+            F.col("o_custkey").alias("key"),
+            F.col("o_orderkey").alias("last_seq"),
+            op.alias("last_op"),
+            F.round("o_totalprice", 2).alias("value"),
+        )
+        .withColumn("rn", F.row_number().over(
+            Window.partitionBy("key").orderBy(F.col("last_seq").desc())
+        ))
+        .filter((F.col("rn") == 1) & (F.col("last_op") != "D"))
+        .drop("rn")
+    )
+
+
+@query(
+    "dq_outlier",
+    """
+    WITH stats AS (
+        SELECT o_orderpriority,
+               CAST(count(*) AS BIGINT) AS n,
+               CAST(sum(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS s1,
+               -- DuckDB decimal multiply requires w1+w2 <= 38; 19+19 fits
+               -- and quantizes identically to Spark's (18,4) operands.
+               CAST(sum(CAST(o_totalprice AS DECIMAL(19,4))
+                        * CAST(o_totalprice AS DECIMAL(19,4))) AS DOUBLE) AS s2
+        FROM orders GROUP BY o_orderpriority
+    ), scored AS (
+        SELECT o_orderkey, o.o_orderpriority, o_totalprice,
+               (o_totalprice - s1 / n)
+               / sqrt((s2 - s1 * s1 / n) / (n - 1)) AS z
+        FROM orders o JOIN stats ON o.o_orderpriority = stats.o_orderpriority
+    )
+    SELECT o_orderkey, o_orderpriority,
+           round(o_totalprice, 2) AS o_totalprice, round(z, 4) AS z
+    FROM scored
+    WHERE abs(z) > 1.8
+    """,
+)
+def dq_outlier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z-score outlier detection per group — the data-quality screen a
+    training-data pipeline runs before ingest. Mean and variance come
+    from DECIMAL(18,4) sum / sum-of-squares (single-pass, mergeable,
+    associative ⇒ identical on both engines and any partition count),
+    then the z algebra runs in DOUBLE on those identical inputs, so the
+    |z| > 1.8 threshold is an EXACT comparison — no float-fuzzy
+    boundary. Plan: one grouped aggregate (5 groups → broadcast back),
+    one map-side scoring pass; the fact table shuffles zero times."""
+    o = table(spark, sf_dir, "orders")
+    dec = F.col("o_totalprice").cast("decimal(18,4)")
+    stats = o.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum(dec).cast("double").alias("s1"),
+        F.sum(dec * dec).cast("double").alias("s2"),
+    )
+    z = (F.col("o_totalprice") - F.col("s1") / F.col("n")) / F.sqrt(
+        (F.col("s2") - F.col("s1") * F.col("s1") / F.col("n")) / (F.col("n") - 1)
+    )
+    return (
+        o.join(F.broadcast(stats), "o_orderpriority")
+        .select(
+            "o_orderkey",
+            "o_orderpriority",
+            F.round("o_totalprice", 2).alias("o_totalprice"),
+            F.round(z, 4).alias("z"),
+            z.alias("_z"),
+        )
+        .filter(F.abs(F.col("_z")) > 1.8)
+        .drop("_z")
+    )
+
+
+@query(
+    "stat_linreg",
+    """
+    WITH moments AS (
+        SELECT l_returnflag,
+               CAST(count(*) AS DOUBLE) AS n,
+               CAST(sum(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sx,
+               CAST(sum(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE) AS sy,
+               CAST(sum(CAST(l_quantity AS DECIMAL(18,4))
+                        * CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE) AS sxy,
+               CAST(sum(CAST(l_quantity AS DECIMAL(18,4))
+                        * CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sxx
+        FROM lineitem GROUP BY l_returnflag
+    )
+    SELECT l_returnflag,
+           CAST(n AS BIGINT) AS n_obs,
+           round((n * sxy - sx * sy) / (n * sxx - sx * sx), 6) AS slope,
+           round((sy - (n * sxy - sx * sy) / (n * sxx - sx * sx) * sx) / n, 4)
+               AS intercept
+    FROM moments
+    """,
+)
+def stat_linreg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group OLS (price ~ quantity): slope and intercept derived
+    from single-pass DECIMAL co-moments (n, Σx, Σy, Σxy, Σx²) — the
+    mergeable-state form that scales to any partition count, and the
+    reason the oracle is exact: decimal sums are order-insensitive, and
+    the closing algebra runs in DOUBLE on bit-identical inputs on both
+    engines (Spark's regr_slope/regr_intercept use a different float
+    accumulation path, which is why they're NOT used here). One
+    shuffle: the 3-group aggregate."""
+    li = table(spark, sf_dir, "lineitem")
+    x = F.col("l_quantity").cast("decimal(18,4)")
+    y = F.col("l_extendedprice").cast("decimal(18,4)")
+    m = li.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).cast("double").alias("n"),
+        F.sum(x).cast("double").alias("sx"),
+        F.sum(y).cast("double").alias("sy"),
+        F.sum(x * y).cast("double").alias("sxy"),
+        F.sum(x * x).cast("double").alias("sxx"),
+    )
+    slope = (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")) / (
+        F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")
+    )
+    return m.select(
+        "l_returnflag",
+        F.col("n").cast("long").alias("n_obs"),
+        F.round(slope, 6).alias("slope"),
+        F.round((F.col("sy") - slope * F.col("sx")) / F.col("n"), 4).alias(
+            "intercept"
+        ),
+    )
+
+
+@query(
+    "win_interpolate",
+    """
+    WITH series AS (
+        SELECT o_custkey, o_orderkey,
+               row_number() OVER (PARTITION BY o_custkey
+                                  ORDER BY o_orderkey) AS rn,
+               CASE WHEN o_orderstatus = 'F' THEN o_totalprice END AS v
+        FROM orders
+    ), anchored AS (
+        SELECT o_custkey, o_orderkey, rn, v,
+               last_value(v IGNORE NULLS) OVER (
+                   PARTITION BY o_custkey ORDER BY rn
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS prev_v,
+               max(CASE WHEN v IS NOT NULL THEN rn END) OVER (
+                   PARTITION BY o_custkey ORDER BY rn
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS prev_rn,
+               first_value(v IGNORE NULLS) OVER (
+                   PARTITION BY o_custkey ORDER BY rn
+                   ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS next_v,
+               min(CASE WHEN v IS NOT NULL THEN rn END) OVER (
+                   PARTITION BY o_custkey ORDER BY rn
+                   ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS next_rn
+        FROM series
+    )
+    SELECT o_custkey, o_orderkey,
+           -- floor(x*1e4+0.5)/1e4, not round(): the engines' round()
+           -- disagree on half-ulp boundaries (e.g. x.48625)
+           floor(CASE
+               WHEN v IS NOT NULL THEN v
+               WHEN prev_v IS NULL OR next_v IS NULL THEN NULL
+               ELSE prev_v + (next_v - prev_v) * (rn - prev_rn)
+                    / (next_rn - prev_rn)
+           END * 10000 + 0.5) / 10000 AS filled
+    FROM anchored
+    """,
+)
+def win_interpolate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Linear interpolation of series gaps (non-final orders have no
+    observed value; fill between the bracketing finalized ones). The
+    LOCF op (`win_fill_forward`) carries the LAST value flat; this op
+    slopes between BOTH anchors — the time-series imputation a feature
+    pipeline wants. All six window expressions (both anchor values,
+    both anchor positions, row number) share one partition-ordered
+    frame: a single Exchange + Sort serves the whole op. The float
+    interpolation expression is written identically in both engines
+    (same association order), so the oracle is exact at 4dp; leading/
+    trailing gaps stay NULL by design."""
+    o = table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy("rn")
+    back = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    fwd = w.rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    base = o.select(
+        "o_custkey",
+        "o_orderkey",
+        F.row_number()
+        .over(Window.partitionBy("o_custkey").orderBy("o_orderkey"))
+        .alias("rn"),
+        F.when(F.col("o_orderstatus") == "F", F.col("o_totalprice")).alias("v"),
+    )
+    marked = F.when(F.col("v").isNotNull(), F.col("rn"))
+    anchored = base.select(
+        "o_custkey",
+        "o_orderkey",
+        "rn",
+        "v",
+        F.last("v", ignorenulls=True).over(back).alias("prev_v"),
+        F.max(marked).over(back).alias("prev_rn"),
+        F.first("v", ignorenulls=True).over(fwd).alias("next_v"),
+        F.min(marked).over(fwd).alias("next_rn"),
+    )
+    interp = F.col("prev_v") + (F.col("next_v") - F.col("prev_v")) * (
+        F.col("rn") - F.col("prev_rn")
+    ) / (F.col("next_rn") - F.col("prev_rn"))
+    filled = (
+        F.when(F.col("v").isNotNull(), F.col("v"))
+        .when(F.col("prev_v").isNull() | F.col("next_v").isNull(), F.lit(None))
+        .otherwise(interp)
+    )
+    # floor(x*1e4+0.5)/1e4 instead of round(): engine round() semantics
+    # disagree on half-ulp boundaries.
+    return anchored.select(
+        "o_custkey",
+        "o_orderkey",
+        (F.floor(filled * 10000 + F.lit(0.5)) / 10000).alias("filled"),
+    )

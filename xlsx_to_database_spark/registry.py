@@ -132,6 +132,7 @@ def _load_all() -> None:
         "xlsx_to_database_spark.queries.etl",
         "xlsx_to_database_spark.queries.corpus_ops",
         "xlsx_to_database_spark.queries.analytics_ops",
+        "xlsx_to_database_spark.queries.advanced_ops",
     ):
         try:
             importlib.import_module(mod)
