@@ -336,3 +336,14 @@ def test_single_shuffle_window_and_moment_ops(spark, sf_dir, qs):
     for name in ("etl_cdc_apply", "win_interpolate", "stat_linreg"):
         plan = explain_str(qs[name](spark, sf_dir))
         assert len(re.findall(r"\(\d+\) Exchange", plan)) == 1, (name, plan)
+
+
+def test_partitioned_read_prunes_directories(spark, sf_dir, qs):
+    # The o_year filter must be a PartitionFilter (directory pruning at
+    # planning time), never a row-level data filter.
+    plan = explain_str(qs["parquet_pruned_read"](spark, sf_dir))
+    assert "PartitionFilters" in plan, plan
+    import re
+
+    m = re.search(r"PartitionFilters: \[([^\]]*)\]", plan)
+    assert m and "o_year" in m.group(1), plan

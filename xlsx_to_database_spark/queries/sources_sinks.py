@@ -442,3 +442,77 @@ def obs_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
         [(row["n_rows"], float(row["total_price"]), row["n_discounted"])],
         "n_rows long, total_price double, n_discounted long",
     )
+
+
+@query(
+    "parquet_pruned_read",
+    """
+    SELECT o_orderkey, o_custkey, round(o_totalprice, 2) AS o_totalprice,
+           CAST(year(o_orderdate) AS INT) AS o_year
+    FROM orders
+    WHERE year(o_orderdate) = 1997
+    """,
+)
+def parquet_pruned_read(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Partition pruning end-to-end: orders written hive-partitioned by
+    order year, then read back with a partition-column filter. The
+    filter never touches row data — it prunes DIRECTORIES at planning
+    time (`PartitionFilters` in the scan, plan-asserted in
+    tests/test_plans.py), so a 100 TB table filtered to one year costs
+    one year's IO. This is the static sibling of the DPP plan test
+    (which proves the same pruning driven by a join at runtime)."""
+    out = os.path.join(_STAGE_ROOT, f"{_tag(sf_dir)}_orders_by_year")
+    if not os.path.exists(os.path.join(out, "_SUCCESS")):
+        src = table(spark, sf_dir, "orders").select(
+            "o_orderkey",
+            "o_custkey",
+            "o_totalprice",
+            F.year("o_orderdate").cast("int").alias("o_year"),
+        )
+        SK.to_parquet(src, out, partition_by=["o_year"])
+    back = spark.read.parquet(out).filter(F.col("o_year") == 1997)
+    return back.select(
+        "o_orderkey",
+        "o_custkey",
+        F.round("o_totalprice", 2).alias("o_totalprice"),
+        F.col("o_year").cast("int").alias("o_year"),
+    )
+
+
+@query(
+    "parquet_schema_merge",
+    """
+    SELECT o_orderkey, round(o_totalprice, 2) AS o_totalprice,
+           CAST(NULL AS VARCHAR) AS o_orderpriority
+    FROM orders WHERE year(o_orderdate) = 1995
+    UNION ALL
+    SELECT o_orderkey, round(o_totalprice, 2) AS o_totalprice, o_orderpriority
+    FROM orders WHERE year(o_orderdate) = 1996
+    """,
+)
+def parquet_schema_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Schema evolution on read: batch 1 lands without the priority
+    column, batch 2 adds it; `mergeSchema` unifies the footers at read
+    time and null-pads the old files — the additive-column pattern every
+    long-lived ingest dataset hits. Schema merge is a FOOTER-level
+    operation (per-file metadata union, no data rewrite), so evolving a
+    100 TB dataset costs nothing until rows are actually read; the
+    alternative — rewriting history to the new schema — is the rewrite
+    amplification SCALE.md warns about for MERGE."""
+    out = os.path.join(_STAGE_ROOT, f"{_tag(sf_dir)}_orders_evolved")
+    o = table(spark, sf_dir, "orders")
+    b1 = os.path.join(out, "batch=1")
+    b2 = os.path.join(out, "batch=2")
+    if not os.path.exists(os.path.join(b2, "_SUCCESS")):
+        o.filter(F.year("o_orderdate") == 1995).select(
+            "o_orderkey", "o_totalprice"
+        ).write.mode("overwrite").parquet(b1)
+        o.filter(F.year("o_orderdate") == 1996).select(
+            "o_orderkey", "o_totalprice", "o_orderpriority"
+        ).write.mode("overwrite").parquet(b2)
+    back = spark.read.option("mergeSchema", "true").parquet(b1, b2)
+    return back.select(
+        "o_orderkey",
+        F.round("o_totalprice", 2).alias("o_totalprice"),
+        "o_orderpriority",
+    )
