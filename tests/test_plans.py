@@ -347,3 +347,12 @@ def test_partitioned_read_prunes_directories(spark, sf_dir, qs):
 
     m = re.search(r"PartitionFilters: \[([^\]]*)\]", plan)
     assert m and "o_year" in m.group(1), plan
+
+
+def test_running_distinct_reuses_partitioning(spark, sf_dir, qs):
+    # Two window sorts, both partitioned on user_id: the running-sum
+    # window must reuse the first-occurrence window's Exchange.
+    import re
+
+    plan = explain_str(qs["win_running_distinct"](spark, sf_dir))
+    assert len(re.findall(r"\(\d+\) Exchange", plan)) == 1, plan

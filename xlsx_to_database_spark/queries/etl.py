@@ -358,3 +358,81 @@ def profile_table(spark: SparkSession, sf_dir: str) -> DataFrame:
         f"stack({len(cols)}, {stack_expr}) AS (col_name, n_nonnull, n_distinct, min_val, max_val)",
         "n_rows",
     ).select("col_name", "n_rows", "n_nonnull", "n_distinct", "min_val", "max_val")
+
+
+@query(
+    "etl_snapshot_diff",
+    """
+    WITH old AS (
+        -- floor(x*100+0.5)/100 on BOTH sides: engine round() half-ulp
+        -- semantics differ and *1.05 manufactures boundary cases
+        SELECT o_orderkey, floor(o_totalprice * 100 + 0.5) / 100 AS val
+        FROM orders WHERE o_orderdate < TIMESTAMP '1998-01-01'
+    ), new AS (
+        SELECT o_orderkey,
+               floor(CASE WHEN o_orderpriority = '1-URGENT'
+                          THEN o_totalprice * 1.05
+                          ELSE o_totalprice END * 100 + 0.5) / 100 AS val
+        FROM orders WHERE o_orderdate >= TIMESTAMP '1996-01-01'
+    )
+    SELECT coalesce(old.o_orderkey, new.o_orderkey) AS o_orderkey,
+           CASE WHEN old.o_orderkey IS NULL THEN 'added'
+                WHEN new.o_orderkey IS NULL THEN 'removed'
+                ELSE 'changed' END AS change_type,
+           old.val AS old_val, new.val AS new_val
+    FROM old FULL OUTER JOIN new ON old.o_orderkey = new.o_orderkey
+    WHERE old.o_orderkey IS NULL OR new.o_orderkey IS NULL
+       OR old.val <> new.val
+    """,
+)
+def etl_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Snapshot diff — derive a change log (added/removed/changed) from
+    two table versions, the INVERSE of `etl_cdc_apply` (which folds a
+    log into state). One full-outer join on the key, then a row-level
+    comparison; unchanged rows are dropped so the output is
+    change-sized, not table-sized. At 100 TB this is how you bootstrap
+    CDC for a source that only offers periodic full dumps: diff
+    consecutive snapshots (both sides co-partition on the key — one
+    shuffle each) and feed the result to the same downstream as a real
+    CDC feed. The 'changed' comparison on round(..., 2) values is
+    engine-exact (same doubles, same rounding)."""
+    o = table(spark, sf_dir, "orders")
+    old = o.filter(
+        F.col("o_orderdate") < F.lit("1998-01-01").cast("timestamp")
+    ).select(
+        F.col("o_orderkey").alias("old_key"),
+        (F.floor(F.col("o_totalprice") * 100 + F.lit(0.5)) / 100).alias("old_val"),
+    )
+    new = o.filter(
+        F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp")
+    ).select(
+        F.col("o_orderkey").alias("new_key"),
+        (
+            F.floor(
+                F.when(
+                    F.col("o_orderpriority") == "1-URGENT",
+                    F.col("o_totalprice") * 1.05,
+                ).otherwise(F.col("o_totalprice"))
+                * 100
+                + F.lit(0.5)
+            )
+            / 100
+        ).alias("new_val"),
+    )
+    joined = old.join(new, old.old_key == new.new_key, "full_outer")
+    return (
+        joined.filter(
+            F.col("old_key").isNull()
+            | F.col("new_key").isNull()
+            | (F.col("old_val") != F.col("new_val"))
+        )
+        .select(
+            F.coalesce("old_key", "new_key").alias("o_orderkey"),
+            F.when(F.col("old_key").isNull(), "added")
+            .when(F.col("new_key").isNull(), "removed")
+            .otherwise("changed")
+            .alias("change_type"),
+            "old_val",
+            "new_val",
+        )
+    )

@@ -310,3 +310,67 @@ def variant_json(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.variant_get("v", "$.o_totalprice", "double").alias("price"),
         F.try_variant_get("v", "$.not_there", "long").alias("missing"),
     )
+
+
+@query(
+    "xml_parse",
+    """
+    SELECT s_suppkey, s_name AS name, round(s_acctbal, 2) AS acctbal
+    FROM supplier
+    """,
+)
+def xml_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """XML ingestion (Spark 4 `from_xml`): supplier rows serialized to
+    XML documents, then parsed back through a typed schema — the
+    round-trip proves the parse, and the oracle compares the extracted
+    fields against the source table. `from_xml` is a JVM expression
+    (codegen-adjacent, no Python), so XML feeds cost the same plan
+    shape as JSON ones: map-only extraction, no shuffle. DuckDB has no
+    XML type, so the oracle checks the VALUES, which is the actual
+    contract."""
+    s = table(spark, sf_dir, "supplier")
+    xml = F.concat(
+        F.lit("<supplier><id>"),
+        F.col("s_suppkey").cast("string"),
+        F.lit("</id><name>"),
+        F.col("s_name"),
+        F.lit("</name><bal>"),
+        F.round("s_acctbal", 2).cast("string"),
+        F.lit("</bal></supplier>"),
+    )
+    parsed = s.select(
+        F.from_xml(xml, "id BIGINT, name STRING, bal DOUBLE").alias("p")
+    )
+    return parsed.select(
+        F.col("p.id").alias("s_suppkey"),
+        F.col("p.name").alias("name"),
+        F.col("p.bal").alias("acctbal"),
+    )
+
+
+@query(
+    "str_extract_all",
+    """
+    SELECT p_partkey,
+           array_to_string(regexp_extract_all(p_name, '[a-z]+', 0), ',') AS words,
+           array_to_string(regexp_extract_all(p_type, '[A-Z]+', 0), ',') AS type_tokens
+    FROM part
+    """,
+)
+def str_extract_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """`regexp_extract_all` — every match, not just the first (the gap
+    `str_regexp`'s single extract leaves). The RE2-safe character-class
+    patterns tokenize byte-identically in both engines; arrays are
+    serialized with a delimiter because raw array columns crash the
+    driver's canonicalizer. Map-only codegen — no shuffle at any
+    scale."""
+    p = table(spark, sf_dir, "part")
+    return p.select(
+        "p_partkey",
+        F.concat_ws(",", F.regexp_extract_all("p_name", F.lit("[a-z]+"), 0)).alias(
+            "words"
+        ),
+        F.concat_ws(
+            ",", F.regexp_extract_all("p_type", F.lit("[A-Z]+"), 0)
+        ).alias("type_tokens"),
+    )

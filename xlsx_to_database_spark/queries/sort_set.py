@@ -159,3 +159,30 @@ def set_except(spark: SparkSession, sf_dir: str) -> DataFrame:
     return c.select("c_custkey").subtract(
         o.filter(F.col("o_orderstatus") == "P").select(F.col("o_custkey").alias("c_custkey"))
     )
+
+
+@query(
+    "sample_hash",
+    """
+    SELECT o_orderkey, o_custkey, round(o_totalprice, 2) AS o_totalprice
+    FROM orders
+    WHERE substr(md5(CAST(o_orderkey AS VARCHAR)), 1, 1) IN ('0', '1', '2')
+    """,
+)
+def sample_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic hash sampling — ~3/16 of rows selected by the
+    first hex digit of md5(key). Unlike `sample_frac` (engine RNG ⇒
+    rows-only check), hash selection is reproducible across engines,
+    runs, partitionings, AND retries — the property that matters for
+    training-set sampling at 100 TB: a re-run after a failure selects the
+    SAME sample, so downstream dedup/splits stay consistent. Map-only,
+    filter evaluated in the scan stage; the hash costs ~ns/row and
+    never shuffles."""
+    o = table(spark, sf_dir, "orders")
+    return o.filter(
+        F.substring(F.md5(F.col("o_orderkey").cast("string")), 1, 1).isin(
+            "0", "1", "2"
+        )
+    ).select(
+        "o_orderkey", "o_custkey", F.round("o_totalprice", 2).alias("o_totalprice")
+    )

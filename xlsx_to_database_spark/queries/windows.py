@@ -390,3 +390,69 @@ def win_nth_value(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.nth_value("o_orderkey", 3).over(w).alias("third_order"),
         F.count(F.lit(1)).over(Window.partitionBy("o_custkey")).cast("long").alias("n_orders"),
     )
+
+
+@query(
+    "win_running_distinct",
+    """
+    WITH marked AS (
+        -- first occurrence per (user, type) WITHOUT partitioning on the
+        -- type: order the user's rows by (type, ts, id) and flag block
+        -- starts with lag() - keeps every window on the user_id
+        -- partitioning so the whole op needs ONE shuffle
+        SELECT user_id, ts, event_id, event_type,
+               CASE WHEN lag(event_type) OVER (
+                        PARTITION BY user_id
+                        ORDER BY event_type, ts, event_id)
+                    IS DISTINCT FROM event_type
+                    THEN 1 ELSE 0 END AS first_seen
+        FROM events
+    )
+    SELECT user_id, ts, event_id,
+           CAST(sum(first_seen) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                AS BIGINT) AS distinct_types_so_far
+    FROM marked
+    """,
+)
+def win_running_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Running COUNT(DISTINCT) over a window — which Spark (and ANSI
+    SQL) reject directly. The decomposition: flag each value's FIRST
+    occurrence per (user, value) via a lag() block-start flag over
+    (value, ts) ordering, then a running sum of flags over the user's
+    timeline. The flag window deliberately partitions on user_id ALONE
+    (ordering by type inside) rather than (user_id, type): both windows
+    then share one partitioning and the whole op is a single Exchange
+    with two Sorts (plan-asserted) — a (user, type)-partitioned
+    row_number would force a second shuffle. State is
+    O(1) per row vs the naive collect_set-and-size approach, whose
+    per-row set materialization is O(distinct) memory and no codegen.
+    Total tie-break (ts, event_id) keeps both engines' orderings
+    identical."""
+    ev = table(spark, sf_dir, "events")
+    w_first = Window.partitionBy("user_id").orderBy("event_type", "ts", "event_id")
+    w_run = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    prev_type = F.lag("event_type").over(w_first)
+    return (
+        ev.select(
+            "user_id",
+            "ts",
+            "event_id",
+            F.when(
+                prev_type.isNull() | (prev_type != F.col("event_type")), 1
+            ).otherwise(0).alias("first_seen"),
+        )
+        .select(
+            "user_id",
+            "ts",
+            "event_id",
+            F.sum("first_seen").over(w_run).cast("long").alias(
+                "distinct_types_so_far"
+            ),
+        )
+    )
