@@ -380,3 +380,127 @@ def win_interpolate(spark: SparkSession, sf_dir: str) -> DataFrame:
         "o_orderkey",
         (F.floor(filled * 10000 + F.lit(0.5)) / 10000).alias("filled"),
     )
+
+
+@query(
+    "win_ewma",
+    """
+    WITH RECURSIVE s AS (
+        SELECT user_id, event_id, value,
+               row_number() OVER (PARTITION BY user_id
+                                  ORDER BY ts, event_id) AS rn
+        FROM events
+    ), r AS (
+        SELECT user_id, event_id, rn, CAST(value AS DOUBLE) AS ewma
+        FROM s WHERE rn = 1
+        UNION ALL
+        SELECT s.user_id, s.event_id, s.rn,
+               (1 - 0.3) * r.ewma + 0.3 * s.value
+        FROM r JOIN s ON s.user_id = r.user_id AND s.rn = r.rn + 1
+    )
+    SELECT user_id, event_id,
+           floor(ewma * 1000000 + 0.5) / 1000000 AS ewma
+    FROM r
+    """,
+)
+def win_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exponentially weighted moving average per entity — the
+    recurrence ewma_t = (1-α)·ewma_{t-1} + α·x_t is inherently
+    sequential, which plain window frames can't express (the weight
+    depends on BOTH rows' positions). The Spark-native answer is
+    `applyInPandas`: one shuffle on the entity key, then pandas'
+    C-loop `ewm(adjust=False)` per group — Arrow-batched, vectorized,
+    state O(1) per row. Entity count scales the parallelism; series
+    length is sequential per entity, which is intrinsic to the op.
+
+    The oracle runs the SAME recurrence as a DuckDB recursive CTE —
+    pandas ewm(adjust=False) is proven bit-identical to the
+    (1-α)·prev + α·x float sequence, so parity is exact at 6dp
+    floor-rounding (round() half-ulp semantics differ across
+    engines)."""
+    import pandas as pd
+
+    ev = table(spark, sf_dir, "events").select("user_id", "ts", "event_id", "value")
+
+    def ewma(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(["ts", "event_id"])
+        e = pdf["value"].ewm(alpha=0.3, adjust=False).mean()
+        import numpy as np
+
+        return pd.DataFrame(
+            {
+                "user_id": pdf["user_id"],
+                "event_id": pdf["event_id"],
+                "ewma": np.floor(e * 1000000 + 0.5) / 1000000,
+            }
+        )
+
+    return ev.groupBy("user_id").applyInPandas(
+        ewma, "user_id long, event_id long, ewma double"
+    )
+
+
+@query(
+    "interval_concurrency",
+    """
+    WITH iv AS (
+        SELECT user_id, event_id, epoch_us(ts) AS t0,
+               epoch_us(ts) + CAST(floor(value * 60) AS BIGINT) * 1000000 AS t1
+        FROM events
+    ), points AS (
+        SELECT user_id, event_id, t0 AS t, 1 AS delta FROM iv
+        UNION ALL
+        SELECT user_id, event_id, t1 AS t, -1 AS delta FROM iv
+    ), swept AS (
+        SELECT user_id, event_id, t, delta,
+               CAST(sum(delta) OVER (
+                   PARTITION BY user_id ORDER BY t, delta DESC, event_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                    AS BIGINT) AS concurrency
+        FROM points
+    )
+    SELECT user_id, event_id, concurrency
+    FROM swept WHERE delta = 1
+    """,
+)
+def interval_concurrency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sweep-line interval overlap: how many of the user's sessions
+    (event start → start + value minutes) are simultaneously open when
+    each one begins. The classic O(n log n) algorithm, distributed:
+    every interval emits a +1 at its start and a −1 at its end, and a
+    running sum over the merged timeline reads off the concurrency —
+    no self-join (the naive interval-overlap join is O(n²) per
+    entity). One union of two projections of the same scan, one
+    window shuffle on the entity key. Tie order (t, delta DESC,
+    event_id) is total and counts a session starting exactly when
+    another ends as overlapping — the same rule on both engines.
+    Epoch math uses floor() before the bigint cast: Spark truncates
+    double→long where DuckDB rounds."""
+    ev = table(spark, sf_dir, "events")
+    t0 = F.unix_micros(F.col("ts"))
+    dur = F.floor(F.col("value") * 60).cast("long") * 1000000
+    iv = ev.select(
+        "user_id", "event_id", t0.alias("t0"), (t0 + dur).alias("t1")
+    )
+    points = iv.select(
+        "user_id", "event_id", F.col("t0").alias("t"), F.lit(1).alias("delta")
+    ).unionAll(
+        iv.select(
+            "user_id", "event_id", F.col("t1").alias("t"), F.lit(-1).alias("delta")
+        )
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.col("t"), F.col("delta").desc(), F.col("event_id"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        points.select(
+            "user_id",
+            "event_id",
+            "delta",
+            F.sum("delta").over(w).cast("long").alias("concurrency"),
+        )
+        .filter(F.col("delta") == 1)
+        .select("user_id", "event_id", "concurrency")
+    )
