@@ -9,7 +9,7 @@ in the oracle SQL because summation order differs between engines.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from xlsx_to_database_spark.catalog import table
@@ -435,4 +435,152 @@ def agg_grouping_id(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.grouping("o_orderstatus").cast("long").alias("g_status"),
         F.grouping("o_orderpriority").cast("long").alias("g_priority"),
         F.count(F.lit(1)).cast("long").alias("n_orders"),
+    )
+
+
+@query(
+    "agg_bitmap_distinct",
+    """
+    SELECT user_id,
+           CAST(bit_count(bit_or(CASE event_type
+                WHEN 'click' THEN 1 WHEN 'view' THEN 2
+                WHEN 'purchase' THEN 4 ELSE 8 END)) AS BIGINT)
+               AS distinct_types,
+           CAST(bit_or(CASE event_type
+                WHEN 'click' THEN 1 WHEN 'view' THEN 2
+                WHEN 'purchase' THEN 4 ELSE 8 END) AS BIGINT) AS type_bitmap
+    FROM events
+    GROUP BY user_id
+    """,
+)
+def agg_bitmap_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bitmap-based COUNT(DISTINCT) for small domains: each category
+    maps to a bit, `bit_or` merges partials associatively, `bit_count`
+    reads the answer. This is how engines make distinct-counting cheap
+    when the domain is enumerable — the aggregate state is ONE LONG
+    (vs a hash set per group for count_distinct, or KB-scale HLL
+    sketches for approx): merge is a single OR instruction,
+    partial aggregation before the shuffle is maximally effective, and
+    the bitmap itself is reusable downstream (set ops between groups
+    become bitwise AND/OR). Domain > 64 → bucket into multiple longs
+    or fall back to HLL (`agg_hll_sketch`)."""
+    ev = table(spark, sf_dir, "events")
+    bit = (
+        F.when(F.col("event_type") == "click", 1)
+        .when(F.col("event_type") == "view", 2)
+        .when(F.col("event_type") == "purchase", 4)
+        .otherwise(8)
+    )
+    return ev.groupBy("user_id").agg(
+        F.bit_count(F.bit_or(bit)).cast("long").alias("distinct_types"),
+        F.bit_or(bit).cast("long").alias("type_bitmap"),
+    )
+
+
+@query(
+    "agg_entropy",
+    """
+    WITH counts AS (
+        SELECT c_mktsegment, o_orderpriority, count(*) AS c
+        FROM customer JOIN orders ON c_custkey = o_custkey
+        GROUP BY c_mktsegment, o_orderpriority
+    ), tot AS (
+        SELECT c_mktsegment, sum(c) AS n FROM counts GROUP BY c_mktsegment
+    )
+    SELECT counts.c_mktsegment,
+           round(-CAST(sum(CAST((c / n) * ln(c / n)
+                               AS DECIMAL(28,18))) AS DOUBLE), 6) AS entropy
+    FROM counts JOIN tot ON counts.c_mktsegment = tot.c_mktsegment
+    GROUP BY counts.c_mktsegment
+    """,
+)
+def agg_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shannon entropy of the order-priority mix per market segment —
+    the distribution-skew metric corpus curation uses (low entropy =
+    one source/class dominating). Two hash aggregates (category counts,
+    then per-group entropy); each p·ln p term quantizes to
+    DECIMAL(28,18) before summing so the cross-category total is
+    order-insensitive and engine-exact (ln itself is bit-identical
+    across both engines' libm — verified — but float SUMMATION order
+    is not). Counts are exact integers, so p = c/n is bit-identical by
+    construction."""
+    c = table(spark, sf_dir, "customer")
+    o = table(spark, sf_dir, "orders")
+    counts = (
+        c.join(o, F.col("c_custkey") == F.col("o_custkey"))
+        .groupBy("c_mktsegment", "o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    tot = counts.groupBy("c_mktsegment").agg(F.sum("c").alias("n"))
+    p = F.col("c") / F.col("n")
+    return (
+        counts.join(tot, "c_mktsegment")
+        .groupBy("c_mktsegment")
+        .agg(
+            F.round(
+                -F.sum((p * F.log(p)).cast("decimal(28,18)")).cast("double"), 6
+            ).alias("entropy")
+        )
+    )
+
+
+@query(
+    "stat_ks_test",
+    """
+    WITH a AS (
+        SELECT o_totalprice AS x FROM orders WHERE o_orderpriority = '1-URGENT'
+    ), b AS (
+        SELECT o_totalprice AS x FROM orders WHERE o_orderpriority = '5-LOW'
+    ), pooled AS (
+        SELECT x, 1 AS is_a, 0 AS is_b FROM a
+        UNION ALL
+        SELECT x, 0 AS is_a, 1 AS is_b FROM b
+    ), cdfs AS (
+        SELECT x,
+               CAST(sum(is_a) OVER (ORDER BY x, is_a
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE)
+                   / (SELECT count(*) FROM a) AS cdf_a,
+               CAST(sum(is_b) OVER (ORDER BY x, is_a
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE)
+                   / (SELECT count(*) FROM b) AS cdf_b
+        FROM pooled
+    )
+    SELECT round(max(abs(cdf_a - cdf_b)), 6) AS ks_stat
+    FROM cdfs
+    """,
+)
+def stat_ks_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-sample Kolmogorov–Smirnov statistic (drift detection between
+    the URGENT and LOW price distributions): pool both samples, running
+    per-sample counts over the sorted pool give both empirical CDFs in
+    ONE window pass, KS = max |ΔCDF|. The textbook per-sample
+    sort-and-probe becomes a single global sort + running sums — and
+    since the CDF values are exact integer counts over exact totals,
+    every |ΔCDF| is bit-identical across engines; only the final max
+    is reported (rounded for display). At 100 TB the global sort is the
+    cost — for drift MONITORING at that scale, bucket the domain and
+    compare histograms instead (`stat_histogram`); exact KS is for
+    validation-sized samples. Tie order (x, is_a) is total enough:
+    same-x rows contribute the same cumulative counts once both
+    arrive, and max over the pool is order-insensitive within ties."""
+    o = table(spark, sf_dir, "orders")
+    a = o.filter(F.col("o_orderpriority") == "1-URGENT").select(
+        F.col("o_totalprice").alias("x")
+    )
+    b = o.filter(F.col("o_orderpriority") == "5-LOW").select(
+        F.col("o_totalprice").alias("x")
+    )
+    n_a, n_b = a.count(), b.count()  # two scalars; sizes are metadata
+    pooled = a.select("x", F.lit(1).alias("is_a"), F.lit(0).alias("is_b")).unionAll(
+        b.select("x", F.lit(0).alias("is_a"), F.lit(1).alias("is_b"))
+    )
+    w = Window.orderBy("x", "is_a").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    cdfs = pooled.select(
+        (F.sum("is_a").over(w).cast("double") / n_a).alias("cdf_a"),
+        (F.sum("is_b").over(w).cast("double") / n_b).alias("cdf_b"),
+    )
+    return cdfs.agg(
+        F.round(F.max(F.abs(F.col("cdf_a") - F.col("cdf_b"))), 6).alias("ks_stat")
     )

@@ -518,3 +518,79 @@ def join_existence_flag(spark: SparkSession, sf_dir: str) -> DataFrame:
         "c_mktsegment",
         F.col("u_key").isNotNull().alias("has_urgent"),
     )
+
+
+@query(
+    "join_nearest",
+    """
+    WITH evd AS (
+        SELECT user_id, ts, min(event_id) AS event_id
+        FROM events GROUP BY user_id, ts
+    )
+    SELECT o.o_orderkey, e.event_id AS nearest_event_id,
+           e.dist_us
+    FROM orders o
+    LEFT JOIN LATERAL (
+        SELECT event_id,
+               abs(epoch_us(ts) - epoch_us(o.o_orderdate)) AS dist_us
+        FROM evd WHERE evd.user_id = o.o_custkey
+        ORDER BY abs(epoch_us(ts) - epoch_us(o.o_orderdate)), ts
+        LIMIT 1
+    ) e ON true
+    """,
+)
+def join_nearest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Nearest-match join: for each order, the same user's event CLOSEST
+    in time — either direction (vs `join_asof`/`join_asof_forward`,
+    which are one-sided). Both direction candidates come from ONE
+    union-window pass: tag events and probes, sort per user by
+    (t, side), carry the last event backward and the first event
+    forward, pick the closer (ties → the earlier event, matching the
+    oracle's (distance, ts) order). Still one shuffle on the key —
+    the naive per-row LATERAL re-scan the oracle runs is O(n·m) and
+    exists only to define the semantics. Events are pre-deduped per
+    (user, ts) with min(event_id) so same-timestamp ties are
+    deterministic in both engines."""
+    ev = table(spark, sf_dir, "events")
+    evd = ev.groupBy("user_id", "ts").agg(F.min("event_id").alias("event_id"))
+    e_side = evd.select(
+        F.col("user_id").alias("k"),
+        F.unix_micros("ts").alias("t"),
+        F.lit(0).alias("side"),
+        "event_id",
+        F.lit(None).cast("long").alias("o_orderkey"),
+    )
+    o = table(spark, sf_dir, "orders")
+    p_side = o.select(
+        F.col("o_custkey").alias("k"),
+        F.unix_micros(F.col("o_orderdate").cast("timestamp")).alias("t"),
+        F.lit(1).alias("side"),
+        F.lit(None).cast("long").alias("event_id"),
+        "o_orderkey",
+    )
+    unioned = e_side.unionByName(p_side)
+    w = Window.partitionBy("k").orderBy("t", "side")
+    back = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    fwd = w.rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    ev_mark = F.when(F.col("side") == 0, F.col("t"))
+    anchored = unioned.select(
+        "side",
+        "o_orderkey",
+        "t",
+        F.last("event_id", ignorenulls=True).over(back).alias("b_id"),
+        F.last(ev_mark, ignorenulls=True).over(back).alias("b_t"),
+        F.first("event_id", ignorenulls=True).over(fwd).alias("f_id"),
+        F.first(ev_mark, ignorenulls=True).over(fwd).alias("f_t"),
+    )
+    db = F.abs(F.col("t") - F.col("b_t"))
+    df_ = F.abs(F.col("f_t") - F.col("t"))
+    # closer wins; equal distance -> the earlier (backward) event, the
+    # oracle's (distance, ts) tie rule. One side NULL -> the other.
+    pick_b = F.col("f_t").isNull() | (F.col("b_t").isNotNull() & (db <= df_))
+    return anchored.filter(F.col("side") == 1).select(
+        "o_orderkey",
+        F.when(pick_b, F.col("b_id")).otherwise(F.col("f_id")).alias(
+            "nearest_event_id"
+        ),
+        F.when(pick_b, db).otherwise(df_).alias("dist_us"),
+    )
