@@ -356,3 +356,36 @@ def test_running_distinct_reuses_partitioning(spark, sf_dir, qs):
 
     plan = explain_str(qs["win_running_distinct"](spark, sf_dir))
     assert len(re.findall(r"\(\d+\) Exchange", plan)) == 1, plan
+
+
+def test_fuzzy_join_blocks_not_cartesian(spark, sf_dir, qs):
+    # join_fuzzy must candidate-generate via an equi join on segment keys;
+    # the all-pairs cross product exists only in the oracle's semantics.
+    plan = explain_str(qs["join_fuzzy"](spark, sf_dir))
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+
+
+def test_nearest_join_is_windowed_not_joined(spark, sf_dir, qs):
+    # join_nearest resolves both directions from ONE union+window pass —
+    # no join operator (and so no O(n*m) range explosion) in the plan.
+    plan = explain_str(qs["join_nearest"](spark, sf_dir))
+    for j in ("SortMergeJoin", "BroadcastHashJoin", "ShuffledHashJoin",
+              "CartesianProduct", "BroadcastNestedLoopJoin"):
+        assert j not in plan, plan
+    assert "Window" in plan, plan
+
+
+def test_decontaminate_joins_on_gram_key(spark, sf_dir, qs):
+    # Gram-overlap check is an equi join (hash/broadcast), never nested-loop.
+    plan = explain_str(qs["text_decontaminate"](spark, sf_dir))
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+    assert "BatchEvalPython" not in plan, plan
+
+
+def test_skew_twophase_has_two_agg_stages(spark, sf_dir, qs):
+    # Salted aggregation = two shuffle boundaries (key+salt, then key).
+    plan = explain_str(qs["agg_skew_twophase"](spark, sf_dir))
+    assert plan.count("Exchange") >= 2, plan
+    assert "BatchEvalPython" not in plan, plan

@@ -504,3 +504,126 @@ def interval_concurrency(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("delta") == 1)
         .select("user_id", "event_id", "concurrency")
     )
+
+
+@query(
+    "stat_chi2",
+    """
+    WITH cells AS (
+        SELECT c_mktsegment AS seg, o_orderpriority AS pri,
+               CAST(count(*) AS DOUBLE) AS obs
+        FROM customer JOIN orders ON c_custkey = o_custkey
+        GROUP BY seg, pri
+    ), rowt AS (
+        SELECT seg, sum(obs) AS r FROM cells GROUP BY seg
+    ), colt AS (
+        SELECT pri, sum(obs) AS c FROM cells GROUP BY pri
+    ), tot AS (
+        SELECT sum(obs) AS n FROM cells
+    )
+    SELECT round(CAST(sum(CAST(
+               (obs - r * c / n) * (obs - r * c / n) / (r * c / n)
+               AS DECIMAL(28,12))) AS DOUBLE), 6) AS chi2,
+           CAST((count(DISTINCT seg) - 1) * (count(DISTINCT pri) - 1)
+                AS BIGINT) AS dof
+    FROM cells JOIN rowt USING (seg) JOIN colt USING (pri) CROSS JOIN tot
+    """,
+)
+def stat_chi2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chi-square test of independence between market segment and order
+    priority — the drift/association check data-quality monitoring runs
+    between categorical columns. One contingency aggregate feeds
+    everything: row totals, column totals, and N are re-aggregations of
+    the (seg, pri) cells (cells are |seg|x|pri| rows — KBs at any corpus
+    scale, so the three re-aggs and joins are broadcast-trivial; the
+    only real shuffle is the first fact-table aggregate). Each cell's
+    (obs-exp)^2/exp term is computed in DOUBLE (bit-identical per cell:
+    counts are exact integers, exp = r*c/n the same expression both
+    engines) then quantized to DECIMAL(28,12) before the cross-cell sum
+    so summation order cannot move the hash."""
+    c = table(spark, sf_dir, "customer")
+    o = table(spark, sf_dir, "orders")
+    cells = (
+        c.join(o, F.col("c_custkey") == F.col("o_custkey"))
+        .groupBy(
+            F.col("c_mktsegment").alias("seg"), F.col("o_orderpriority").alias("pri")
+        )
+        .agg(F.count(F.lit(1)).cast("double").alias("obs"))
+    )
+    rowt = cells.groupBy("seg").agg(F.sum("obs").alias("r"))
+    colt = cells.groupBy("pri").agg(F.sum("obs").alias("c"))
+    tot = cells.agg(F.sum("obs").alias("n"))
+    exp = F.col("r") * F.col("c") / F.col("n")
+    term = (F.col("obs") - exp) * (F.col("obs") - exp) / exp
+    return (
+        cells.join(rowt, "seg")
+        .join(colt, "pri")
+        .crossJoin(tot)
+        .agg(
+            F.round(F.sum(term.cast("decimal(28,12)")).cast("double"), 6).alias(
+                "chi2"
+            ),
+            (
+                (F.count_distinct(F.col("seg")) - 1)
+                * (F.count_distinct(F.col("pri")) - 1)
+            ).alias("dof"),
+        )
+    )
+
+
+@query(
+    "stat_winsorize",
+    """
+    WITH q AS (
+        SELECT c_mktsegment,
+               round(quantile_cont(c_acctbal, 0.05), 4) AS lo,
+               round(quantile_cont(c_acctbal, 0.95), 4) AS hi
+        FROM customer GROUP BY c_mktsegment
+    )
+    SELECT c.c_mktsegment,
+           round(CAST(sum(CAST(least(greatest(c_acctbal, lo), hi)
+                               AS DECIMAL(18,6))) AS DOUBLE)
+                 / count(*), 6) AS avg_winsorized,
+           CAST(sum(CASE WHEN c_acctbal < lo THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_clipped_low,
+           CAST(sum(CASE WHEN c_acctbal > hi THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_clipped_high
+    FROM customer c JOIN q USING (c_mktsegment)
+    GROUP BY c.c_mktsegment
+    """,
+)
+def stat_winsorize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winsorized mean per segment — outlier-robust aggregation (clip at
+    the 5th/95th percentile, then average) used to keep corpus quality
+    metrics from being dragged by extreme documents. Two passes over the
+    fact table sharing one scan: an exact-percentile aggregate (per-key,
+    group-bounded sort) produces a SEGMENTS-sized boundary table that
+    AQE broadcasts back onto the second pass — no re-shuffle of the
+    facts for the join. Boundaries are rounded to 4dp on BOTH engines
+    before comparing, so clip decisions at the boundary are spec-defined
+    rather than dependent on the last ulp of each engine's interpolation;
+    clipped values are summed in DECIMAL for order-insensitivity. At
+    100 TB swap the exact percentile for `approx_percentile` (mergeable
+    sketch) without touching the clip side."""
+    c = table(spark, sf_dir, "customer")
+    q = c.groupBy("c_mktsegment").agg(
+        F.round(F.percentile("c_acctbal", 0.05), 4).alias("lo"),
+        F.round(F.percentile("c_acctbal", 0.95), 4).alias("hi"),
+    )
+    clip = F.least(F.greatest(F.col("c_acctbal"), F.col("lo")), F.col("hi"))
+    return (
+        c.join(q, "c_mktsegment")
+        .groupBy("c_mktsegment")
+        .agg(
+            F.round(
+                F.sum(clip.cast("decimal(18,6)")).cast("double") / F.count(F.lit(1)),
+                6,
+            ).alias("avg_winsorized"),
+            F.sum(
+                F.when(F.col("c_acctbal") < F.col("lo"), 1).otherwise(0)
+            ).alias("n_clipped_low"),
+            F.sum(
+                F.when(F.col("c_acctbal") > F.col("hi"), 1).otherwise(0)
+            ).alias("n_clipped_high"),
+        )
+    )

@@ -301,3 +301,187 @@ def dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rn") == 1)
         .select("doc_id", "source")
     )
+
+
+@query(
+    "text_decontaminate",
+    """
+    WITH toks AS (
+        SELECT doc_id, string_split(text, ' ') AS t FROM documents
+    ), grams AS (
+        SELECT doc_id,
+               unnest(list_transform(generate_series(1, len(t) - 4),
+                   i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2] || ' '
+                        || t[i+3] || ' ' || t[i+4])) AS gram
+        FROM toks
+    ), eval_grams AS (
+        SELECT DISTINCT gram FROM grams WHERE doc_id % 97 = 0
+    ), train_grams AS (
+        SELECT DISTINCT doc_id, gram FROM grams WHERE doc_id % 97 <> 0
+    ), hits AS (
+        SELECT doc_id, CAST(count(*) AS BIGINT) AS n_hit_grams
+        FROM train_grams JOIN eval_grams USING (gram)
+        GROUP BY doc_id
+    )
+    SELECT d.doc_id,
+           COALESCE(h.n_hit_grams, 0) AS n_hit_grams,
+           COALESCE(h.n_hit_grams, 0) > 0 AS contaminated
+    FROM documents d LEFT JOIN hits h USING (doc_id)
+    WHERE d.doc_id % 97 <> 0
+    """,
+)
+def text_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination — flag training docs that share any
+    5-gram (word shingle) with the held-out eval slice (here: doc_id %
+    97 == 0 plays the benchmark set). The canonical pre-training hygiene
+    step (GPT-3 §C / PaLM style n-gram overlap). Shape: both sides
+    explode to DISTINCT (doc, gram) pairs — dedup BEFORE the join so a
+    gram repeated inside one doc adds no join fan-out — then an
+    inner-join + group counts hits per train doc. The eval side is tiny
+    by construction (benchmarks are KBs, corpora are TBs), so AQE
+    broadcasts it; the train side's gram explosion never shuffles the
+    full text, only (doc_id, gram-hash)-width rows. At 100 TB: hash the
+    gram to a 64-bit key before the join (gram strings only needed for
+    reporting) and the exchange payload drops ~10x; a bloom filter
+    built from eval grams pre-filters the train side map-side."""
+    d = table(spark, sf_dir, "documents")
+    toks = F.split(F.col("text"), " ")
+    n = 5
+    grams = F.when(
+        F.size(toks) >= n,
+        F.transform(
+            F.sequence(F.lit(1), F.size(toks) - (n - 1)),
+            lambda i: F.concat_ws(" ", F.slice(toks, i, n)),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    exploded = d.select("doc_id", F.explode(grams).alias("gram"))
+    eval_grams = exploded.filter(F.col("doc_id") % 97 == 0).select("gram").distinct()
+    train_grams = exploded.filter(F.col("doc_id") % 97 != 0).distinct()
+    hits = (
+        train_grams.join(eval_grams, "gram")
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n_hit_grams"))
+    )
+    return (
+        d.filter(F.col("doc_id") % 97 != 0)
+        .join(hits, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce(F.col("n_hit_grams"), F.lit(0)).alias("n_hit_grams"),
+            (F.coalesce(F.col("n_hit_grams"), F.lit(0)) > 0).alias("contaminated"),
+        )
+    )
+
+
+@query(
+    "text_vocab_encode",
+    """
+    WITH toks AS (
+        SELECT doc_id,
+               unnest(generate_series(1, len(ts))) AS pos,
+               unnest(ts) AS term
+        FROM (SELECT doc_id, string_split(text, ' ') AS ts FROM documents)
+    ), vocab AS (
+        SELECT term,
+               CAST(row_number() OVER (ORDER BY count(*) DESC, term)
+                    AS BIGINT) AS id
+        FROM toks GROUP BY term
+    )
+    SELECT doc_id,
+           string_agg(id::VARCHAR, ',' ORDER BY pos) AS token_ids,
+           CAST(count(*) AS BIGINT) AS n_tokens
+    FROM toks JOIN vocab USING (term)
+    GROUP BY doc_id
+    """,
+)
+def text_vocab_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenize-to-ids: build a frequency-ranked vocabulary (id 1 = most
+    frequent term, ties broken lexically — the BPE-rank convention) and
+    re-encode every document as its id sequence. The join back is
+    vocab-sized on one side — vocabularies are bounded (50k-1M entries
+    ≈ MBs) no matter the corpus size, so AQE broadcasts it and the token
+    stream never shuffles for the lookup; the only full shuffle is the
+    final per-doc regroup. The vocab ranking window is a single
+    partition by design — rank order is global — but it sorts VOCAB
+    rows, not token occurrences (the count aggregate happened first).
+    Positions ride along so the id sequence reassembles in document
+    order without re-reading the text."""
+    d = table(spark, sf_dir, "documents")
+    toks = d.select(
+        "doc_id",
+        F.posexplode(F.split(F.col("text"), " ")).alias("pos0", "term"),
+    )
+    vocab = (
+        toks.groupBy("term")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .select(
+            "term",
+            F.row_number()
+            .over(Window.orderBy(F.col("cnt").desc(), "term"))
+            .cast("long")
+            .alias("id"),
+        )
+    )
+    return (
+        toks.join(vocab, "term")
+        .groupBy("doc_id")
+        .agg(
+            F.concat_ws(
+                ",",
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("pos0", "id"))),
+                    lambda x: x["id"].cast("string"),
+                ),
+            ).alias("token_ids"),
+            F.count(F.lit(1)).alias("n_tokens"),
+        )
+    )
+
+
+@query(
+    "url_parse",
+    """
+    WITH urls AS (
+        SELECT doc_id,
+               'https://' || source || '.example.com/docs/' || doc_id
+                 || '?page=' || (doc_id % 10) || '&lang=' || lang AS url
+        FROM documents
+    )
+    SELECT doc_id,
+           regexp_extract(url, '^[a-z]+://([^/?#]+)', 1) AS host,
+           regexp_extract(url, '^[a-z]+://[^/?#]+([^?#]*)', 1) AS path,
+           regexp_extract(url, '[?&]page=([^&#]*)', 1) AS page,
+           regexp_extract(regexp_extract(url, '^[a-z]+://([^/?#]+)', 1),
+                          '([^.]+\\.[^.]+)$', 1) AS domain
+    FROM urls
+    """,
+)
+def url_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """URL decomposition for web-corpus curation (host/domain level
+    dedup caps, per-domain quality priors): synthesizes a deterministic
+    URL per document, then extracts host, path, a query parameter, and
+    the registered domain with Spark's built-in `parse_url` (a JVM
+    expression — java.net.URI under the hood, no UDF). The oracle
+    re-derives the same pieces with anchored regexes, pinning
+    `parse_url`'s semantics to a spec DuckDB can check. Map-only — zero
+    shuffles at any scale; at 100 TB this runs inside the scan's
+    whole-stage-codegen pass."""
+    d = table(spark, sf_dir, "documents")
+    url = F.concat(
+        F.lit("https://"),
+        F.col("source"),
+        F.lit(".example.com/docs/"),
+        F.col("doc_id").cast("string"),
+        F.lit("?page="),
+        (F.col("doc_id") % 10).cast("string"),
+        F.lit("&lang="),
+        F.col("lang"),
+    )
+    host = F.parse_url(url, F.lit("HOST"))
+    return d.select(
+        "doc_id",
+        host.alias("host"),
+        F.parse_url(url, F.lit("PATH")).alias("path"),
+        F.parse_url(url, F.lit("QUERY"), F.lit("page")).alias("page"),
+        F.regexp_extract(host, r"([^.]+\.[^.]+)$", 1).alias("domain"),
+    )

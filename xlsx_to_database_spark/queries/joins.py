@@ -594,3 +594,76 @@ def join_nearest(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         F.when(pick_b, db).otherwise(df_).alias("dist_us"),
     )
+
+
+@query(
+    "join_fuzzy",
+    """
+    WITH dirty AS (
+        SELECT s_suppkey AS dirty_id,
+               substr(s_name, 1, 11) || 'Z' || substr(s_name, 13, 6) AS dname
+        FROM supplier
+    )
+    SELECT dirty_id, s_suppkey AS master_key, s_name,
+           CAST(levenshtein(dname, s_name) AS BIGINT) AS dist
+    FROM dirty CROSS JOIN supplier
+    WHERE length(dname) = length(s_name)
+      AND levenshtein(dname, s_name) <= 1
+    """,
+)
+def join_fuzzy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fuzzy entity-resolution join: re-link deterministically corrupted
+    supplier names (one substituted char) back to the master list with
+    edit distance <= 1 under the block-then-verify pattern every
+    record-linkage system uses. Blocking is segment-pigeonhole (PassJoin
+    family): split each equal-length name into 2 position-aligned
+    halves — a single substitution can touch only one half, so every
+    true match shares at least one half EXACTLY. Each side explodes to
+    (segment_no, segment_value, length) keys, an equi-join on those
+    keys yields candidates, and `levenshtein` verifies only candidates —
+    never the cross product the oracle runs to define the semantics.
+    At 100 TB the candidate join is an ordinary hash join on short
+    string keys (broadcast/bloom-prunable); for indel-tolerant distance
+    add PassJoin's +/-tau substring shifts per segment. On this fixture
+    the constant 'Supplier#' prefix makes half-1 blocks degenerate —
+    real names distribute; the verify step keeps results exact either
+    way."""
+    s = table(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
+    dname = F.concat(
+        F.substring("s_name", 1, 11), F.lit("Z"), F.substring("s_name", 13, 6)
+    )
+    dirty = s.select(F.col("s_suppkey").alias("dirty_id"), dname.alias("dname"))
+
+    def seg_keys(df: DataFrame, col: str) -> DataFrame:
+        half = (F.length(col) / 2).cast("int")
+        return df.select(
+            "*",
+            F.explode(
+                F.array(
+                    F.struct(
+                        F.lit(1).alias("seg"),
+                        F.substring(F.col(col), 1, 9).alias("segval"),
+                        F.length(col).alias("slen"),
+                    ),
+                    F.struct(
+                        F.lit(2).alias("seg"),
+                        F.expr(f"substring({col}, 10, 9)").alias("segval"),
+                        F.length(col).alias("slen"),
+                    ),
+                )
+            ).alias("k"),
+        ).select(df.columns + [F.col("k.seg"), F.col("k.segval"), F.col("k.slen")])
+
+    d_keys = seg_keys(dirty, "dname")
+    m_keys = seg_keys(s, "s_name")
+    cand = (
+        d_keys.join(m_keys, ["seg", "segval", "slen"])
+        .select("dirty_id", "dname", "s_suppkey", "s_name")
+        .distinct()
+    )
+    return cand.filter(F.levenshtein("dname", "s_name") <= 1).select(
+        "dirty_id",
+        F.col("s_suppkey").alias("master_key"),
+        "s_name",
+        F.levenshtein("dname", "s_name").cast("long").alias("dist"),
+    )

@@ -516,3 +516,52 @@ def parquet_schema_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round("o_totalprice", 2).alias("o_totalprice"),
         "o_orderpriority",
     )
+
+
+def _stage_binary_from_nation(spark: SparkSession, sf_dir: str) -> str:
+    """Stage one small binary file per nation row (dimension-scale by
+    design, like the xlsx fixtures): nation_<key>.bin containing
+    'name|regionkey' UTF-8 bytes."""
+    out = os.path.join(_STAGE_ROOT, f"{_tag(sf_dir)}_nation_bin")
+    if os.path.isdir(out) and os.listdir(out):
+        return out
+    os.makedirs(out, exist_ok=True)
+    rows = table(spark, sf_dir, "nation").collect()
+    for r in rows:
+        payload = f"{r['n_name']}|{r['n_regionkey']}".encode("utf-8")
+        tmp = os.path.join(out, f".nation_{r['n_nationkey']}.tmp")
+        with open(tmp, "wb") as f:
+            f.write(payload)
+        os.replace(tmp, os.path.join(out, f"nation_{r['n_nationkey']}.bin"))
+    return out
+
+
+@query(
+    "binary_scan",
+    """
+    SELECT 'nation_' || n_nationkey || '.bin' AS fname,
+           CAST(strlen(n_name || '|' || n_regionkey) AS BIGINT) AS n_bytes,
+           n_name || '|' || n_regionkey AS payload
+    FROM nation
+    """,
+)
+def binary_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Opaque-binary ingestion via Spark's built-in `binaryFile` source —
+    the front door for image/audio/video corpora: each file becomes one
+    row of (path, modificationTime, length, content BINARY) with NO
+    decode on read, so bytes flow to downstream mapInPandas decoders
+    (see media_* ops) without a Python round trip at scan time. Files
+    here are staged from the region table so the oracle can re-derive
+    every fact relationally; payload decodes back for the value check.
+    At 100 TB the source lists files in parallel and assigns whole files
+    to partitions — pair it with `spark.sql.files.maxPartitionBytes`
+    sizing and consolidated object-store listings; tiny-file corpora
+    should be compacted into parquet BINARY columns first (the
+    multimodal_cols layout) to avoid per-file open overhead."""
+    path = _stage_binary_from_nation(spark, sf_dir)
+    df = spark.read.format("binaryFile").load(path)
+    return df.select(
+        F.element_at(F.split(F.col("path"), "/"), -1).alias("fname"),
+        F.col("length").alias("n_bytes"),
+        F.col("content").cast("string").alias("payload"),
+    )
