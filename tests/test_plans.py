@@ -389,3 +389,28 @@ def test_skew_twophase_has_two_agg_stages(spark, sf_dir, qs):
     plan = explain_str(qs["agg_skew_twophase"](spark, sf_dir))
     assert plan.count("Exchange") >= 2, plan
     assert "BatchEvalPython" not in plan, plan
+
+
+def test_vec_normalize_is_map_only(spark, sf_dir, qs):
+    # Pure array-lambda math: no shuffle, no Python, single codegen pass.
+    plan = explain_str(qs["vec_normalize"](spark, sf_dir))
+    assert "Exchange" not in plan, plan
+    assert "BatchEvalPython" not in plan, plan
+
+
+def test_ttest_is_single_aggregate(spark, sf_dir, qs):
+    # One conditional aggregate over one scan: exactly one shuffle
+    # (partial -> final), no join, no window sort.
+    plan = explain_str(qs["stat_ttest"](spark, sf_dir))
+    # formatted mode names each node twice (tree line + detail section).
+    assert plan.count("Exchange") <= 2, plan
+    for op in ("SortMergeJoin", "Window"):
+        assert op not in plan, plan
+
+
+def test_asof_tolerance_no_range_join(spark, sf_dir, qs):
+    # Tolerance rides the union-window carry — no join op, no explosion.
+    plan = explain_str(qs["join_asof_tolerance"](spark, sf_dir))
+    for j in ("SortMergeJoin", "BroadcastHashJoin", "CartesianProduct",
+              "BroadcastNestedLoopJoin"):
+        assert j not in plan, plan

@@ -627,3 +627,249 @@ def stat_winsorize(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("n_clipped_high"),
         )
     )
+
+
+@query(
+    "stat_ttest",
+    """
+    WITH m AS (
+        SELECT
+          CAST(sum(CASE WHEN c_mktsegment = 'BUILDING' THEN 1 ELSE 0 END)
+               AS BIGINT) AS n_a,
+          CAST(sum(CASE WHEN c_mktsegment = 'MACHINERY' THEN 1 ELSE 0 END)
+               AS BIGINT) AS n_b,
+          sum(CASE WHEN c_mktsegment = 'BUILDING'
+                   THEN CAST(c_acctbal AS DECIMAL(18,2)) ELSE 0 END) AS s_a,
+          sum(CASE WHEN c_mktsegment = 'MACHINERY'
+                   THEN CAST(c_acctbal AS DECIMAL(18,2)) ELSE 0 END) AS s_b,
+          sum(CASE WHEN c_mktsegment = 'BUILDING'
+                   THEN CAST(c_acctbal * c_acctbal AS DECIMAL(28,8))
+                   ELSE 0 END) AS q_a,
+          sum(CASE WHEN c_mktsegment = 'MACHINERY'
+                   THEN CAST(c_acctbal * c_acctbal AS DECIMAL(28,8))
+                   ELSE 0 END) AS q_b
+        FROM customer
+        WHERE c_mktsegment IN ('BUILDING', 'MACHINERY')
+    )
+    SELECT n_a, n_b,
+           round((CAST(s_a AS DOUBLE) / n_a - CAST(s_b AS DOUBLE) / n_b)
+                 / sqrt(((CAST(q_a AS DOUBLE)
+                          - CAST(s_a AS DOUBLE) * CAST(s_a AS DOUBLE) / n_a)
+                         / (n_a - 1)) / n_a
+                        + ((CAST(q_b AS DOUBLE)
+                            - CAST(s_b AS DOUBLE) * CAST(s_b AS DOUBLE) / n_b)
+                           / (n_b - 1)) / n_b), 6) AS t_stat
+    FROM m
+    """,
+)
+def stat_ttest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Welch's two-sample t statistic between segments — the A/B
+    significance primitive, computed from single-pass mergeable moments
+    (n, sum, sum-of-squares) in ONE conditional aggregate over one scan:
+    no per-group sort, no second pass, trivially partial-aggregated
+    before the shuffle. The moments are DECIMAL (exact, associative), so
+    both engines derive bit-identical means/variances in double from
+    identical inputs; only the final statistic is rounded. The
+    sum-of-squares variance form is cancellation-prone for
+    tight-variance data at extreme magnitudes — at 100 TB with such
+    distributions switch the moments to per-partition Welford merges
+    (`agg_corr`'s co-moment pattern) and keep everything else."""
+    c = table(spark, sf_dir, "customer").filter(
+        F.col("c_mktsegment").isin("BUILDING", "MACHINERY")
+    )
+    is_a = F.col("c_mktsegment") == "BUILDING"
+    bal = F.col("c_acctbal")
+    m = c.agg(
+        F.sum(F.when(is_a, 1).otherwise(0)).alias("n_a"),
+        F.sum(F.when(~is_a, 1).otherwise(0)).alias("n_b"),
+        F.sum(F.when(is_a, bal.cast("decimal(18,2)")).otherwise(F.lit(0))).alias("s_a"),
+        F.sum(F.when(~is_a, bal.cast("decimal(18,2)")).otherwise(F.lit(0))).alias("s_b"),
+        F.sum(
+            F.when(is_a, (bal * bal).cast("decimal(28,8)")).otherwise(F.lit(0))
+        ).alias("q_a"),
+        F.sum(
+            F.when(~is_a, (bal * bal).cast("decimal(28,8)")).otherwise(F.lit(0))
+        ).alias("q_b"),
+    )
+    n_a, n_b = F.col("n_a"), F.col("n_b")
+    s_a, s_b = F.col("s_a").cast("double"), F.col("s_b").cast("double")
+    q_a, q_b = F.col("q_a").cast("double"), F.col("q_b").cast("double")
+    var_a = (q_a - s_a * s_a / n_a) / (n_a - 1)
+    var_b = (q_b - s_b * s_b / n_b) / (n_b - 1)
+    return m.select(
+        n_a.alias("n_a"),
+        n_b.alias("n_b"),
+        F.round(
+            (s_a / n_a - s_b / n_b) / F.sqrt(var_a / n_a + var_b / n_b), 6
+        ).alias("t_stat"),
+    )
+
+
+@query(
+    "stat_equidepth_hist",
+    """
+    WITH b AS (
+        SELECT c_acctbal,
+               ntile(8) OVER (ORDER BY c_acctbal, c_custkey) AS bucket
+        FROM customer
+    )
+    SELECT CAST(bucket AS BIGINT) AS bucket,
+           CAST(count(*) AS BIGINT) AS n,
+           round(min(c_acctbal), 2) AS lo,
+           round(max(c_acctbal), 2) AS hi,
+           round(CAST(sum(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE)
+                 / count(*), 6) AS mean_bal
+    FROM b GROUP BY bucket
+    """,
+)
+def stat_equidepth_hist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equi-depth (equal-count) histogram via `ntile` — the bucket shape
+    query optimizers and drift monitors prefer over equi-width when data
+    is skewed (every bucket carries the same row count, so tails get
+    resolution). Tie-broken by the key column so bucket assignment is a
+    total order both engines replicate. ntile is a GLOBAL sort here —
+    the honest cost of exact equi-depth; at 100 TB you either
+    range-partition first (`repartitionByRange` makes the sort
+    distributed-parallel, same result) or accept approx boundaries from
+    `approx_percentile` and bucket by comparison instead."""
+    c = table(spark, sf_dir, "customer")
+    b = c.select(
+        "c_acctbal",
+        F.ntile(8).over(Window.orderBy("c_acctbal", "c_custkey")).alias("bucket"),
+    )
+    return b.groupBy("bucket").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.min("c_acctbal"), 2).alias("lo"),
+        F.round(F.max("c_acctbal"), 2).alias("hi"),
+        F.round(
+            F.sum(F.col("c_acctbal").cast("decimal(18,2)")).cast("double")
+            / F.count(F.lit(1)),
+            6,
+        ).alias("mean_bal"),
+    ).select(F.col("bucket").cast("long").alias("bucket"), "n", "lo", "hi", "mean_bal")
+
+
+@query(
+    "dq_anomaly_mad",
+    """
+    WITH med AS (
+        SELECT c_mktsegment,
+               round(quantile_cont(c_acctbal, 0.5), 4) AS m
+        FROM customer GROUP BY c_mktsegment
+    ), mad AS (
+        SELECT c.c_mktsegment,
+               round(quantile_cont(abs(c_acctbal - m), 0.5), 4) AS d
+        FROM customer c JOIN med USING (c_mktsegment)
+        GROUP BY c.c_mktsegment
+    )
+    SELECT c.c_mktsegment,
+           CAST(count(*) AS BIGINT) AS n_total,
+           CAST(sum(CASE WHEN abs(c_acctbal - m)
+                              > round(3 * 1.4826 * d, 4)
+                     THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers
+    FROM customer c JOIN med USING (c_mktsegment) JOIN mad USING (c_mktsegment)
+    GROUP BY c.c_mktsegment
+    """,
+)
+def dq_anomaly_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust outlier detection via median absolute deviation — the
+    data-quality screen that, unlike z-scores (`dq_outlier`), is not
+    itself dragged by the outliers it hunts: flag |x - median| >
+    3 * 1.4826 * MAD (1.4826 scales MAD to sigma under normality). Two
+    chained exact-percentile aggregates (median, then median of
+    absolute deviations — the second NEEDS the first, so two passes is
+    the true data dependency), each producing a SEGMENTS-sized table
+    broadcast back onto the scan. Boundaries rounded to 4dp on both
+    engines so flag decisions are spec-defined at the last ulp. At
+    100 TB both medians switch to `approx_percentile` sketches; the
+    flagging pass is unchanged."""
+    c = table(spark, sf_dir, "customer")
+    med = c.groupBy("c_mktsegment").agg(
+        F.round(F.percentile("c_acctbal", 0.5), 4).alias("m")
+    )
+    mad = (
+        c.join(med, "c_mktsegment")
+        .groupBy("c_mktsegment")
+        .agg(
+            F.round(
+                F.percentile(F.abs(F.col("c_acctbal") - F.col("m")), 0.5), 4
+            ).alias("d")
+        )
+    )
+    thresh = F.round(3 * 1.4826 * F.col("d"), 4)
+    return (
+        c.join(med, "c_mktsegment")
+        .join(mad, "c_mktsegment")
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).alias("n_total"),
+            F.sum(
+                F.when(F.abs(F.col("c_acctbal") - F.col("m")) > thresh, 1).otherwise(0)
+            ).alias("n_outliers"),
+        )
+    )
+
+
+@query(
+    "stat_autocorr",
+    """
+    WITH daily AS (
+        SELECT CAST(o_orderdate AS DATE) AS d,
+               round(CAST(sum(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE), 4)
+                   AS rev
+        FROM orders GROUP BY d
+    ), pairs AS (
+        SELECT rev AS x,
+               lag(rev) OVER (ORDER BY d) AS y
+        FROM daily
+    )
+    SELECT round(
+        (count(*) * CAST(sum(CAST(x * y AS DECIMAL(28,6))) AS DOUBLE)
+         - CAST(sum(CAST(x AS DECIMAL(18,4))) AS DOUBLE)
+           * CAST(sum(CAST(y AS DECIMAL(18,4))) AS DOUBLE))
+        / sqrt(
+            (count(*) * CAST(sum(CAST(x * x AS DECIMAL(28,6))) AS DOUBLE)
+             - CAST(sum(CAST(x AS DECIMAL(18,4))) AS DOUBLE)
+               * CAST(sum(CAST(x AS DECIMAL(18,4))) AS DOUBLE))
+            * (count(*) * CAST(sum(CAST(y * y AS DECIMAL(28,6))) AS DOUBLE)
+               - CAST(sum(CAST(y AS DECIMAL(18,4))) AS DOUBLE)
+                 * CAST(sum(CAST(y AS DECIMAL(18,4))) AS DOUBLE))
+          ), 6) AS lag1_autocorr,
+        CAST(count(*) AS BIGINT) AS n_pairs
+    FROM pairs WHERE y IS NOT NULL
+    """,
+)
+def stat_autocorr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lag-1 autocorrelation of the daily revenue series — the
+    time-series health check (is today predictive of tomorrow?) behind
+    seasonality detection and drift alarms. Pipeline: fact-table day
+    aggregate (the only big shuffle; daily revenue rounded to 4dp so
+    both engines feed IDENTICAL doubles forward), a lag window over the
+    DAYS-sized series (thousands of rows regardless of corpus size —
+    the window sort is metadata-scale), then Pearson over (x_t,
+    x_{t-1}) pairs from decimal-quantized co-moments, never float-order
+    accumulation. The same shape computes any lag-k ACF: change the
+    lag offset."""
+    o = table(spark, sf_dir, "orders")
+    daily = o.groupBy(F.col("o_orderdate").cast("date").alias("d")).agg(
+        F.round(
+            F.sum(F.col("o_totalprice").cast("decimal(18,4)")).cast("double"), 4
+        ).alias("rev")
+    )
+    pairs = daily.select(
+        F.col("rev").alias("x"),
+        F.lag("rev").over(Window.orderBy("d")).alias("y"),
+    ).filter(F.col("y").isNotNull())
+    n = F.count(F.lit(1))
+    sx = F.sum(F.col("x").cast("decimal(18,4)")).cast("double")
+    sy = F.sum(F.col("y").cast("decimal(18,4)")).cast("double")
+    sxy = F.sum((F.col("x") * F.col("y")).cast("decimal(28,6)")).cast("double")
+    sxx = F.sum((F.col("x") * F.col("x")).cast("decimal(28,6)")).cast("double")
+    syy = F.sum((F.col("y") * F.col("y")).cast("decimal(28,6)")).cast("double")
+    return pairs.agg(
+        F.round(
+            (n * sxy - sx * sy) / F.sqrt((n * sxx - sx * sx) * (n * syy - sy * sy)),
+            6,
+        ).alias("lag1_autocorr"),
+        n.alias("n_pairs"),
+    )

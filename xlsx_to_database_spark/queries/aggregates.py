@@ -625,3 +625,147 @@ def agg_skew_twophase(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("avg_price"),
         F.sum("c").alias("n_orders"),
     )
+
+
+@query(
+    "agg_approx_topk",
+    """
+    SELECT t AS term, CAST(count(*) AS BIGINT) AS cnt
+    FROM (SELECT unnest(string_split(text, ' ')) AS t FROM documents)
+    GROUP BY t
+    """,
+)
+def agg_approx_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frequent-items sketch (`approx_top_k`, DataSketches frequent-items
+    under the hood) — the mergeable, bounded-memory heavy-hitters path:
+    per-partition sketches of fixed size merge associatively, so the
+    answer costs one shuffle of KB-scale state no matter the corpus.
+    Exact-oracled HERE because the sketch is exact whenever the distinct
+    count fits its maxItemsTracked (31 terms << 10000 default): every
+    counter is precise and k exceeds the domain, so the output equals
+    the plain GROUP BY. At real web scale the tail counts turn into
+    (count, error-bound) estimates — the guarantee degrades gracefully
+    to epsilon*N overcounting, which is what you want for 'top domains
+    by document count' style curation queries."""
+    d = table(spark, sf_dir, "documents")
+    terms = d.select(F.explode(F.split(F.col("text"), " ")).alias("term"))
+    sk = terms.agg(F.expr("approx_top_k(term, 40)").alias("tk"))
+    return sk.select(F.explode("tk").alias("e")).select(
+        F.col("e.item").alias("term"), F.col("e.count").cast("long").alias("cnt")
+    )
+
+
+@query(
+    "agg_weighted",
+    """
+    WITH w AS (
+        SELECT l_returnflag,
+               l_extendedprice AS v,
+               CAST(l_quantity AS DECIMAL(18,2)) AS wt,
+               CAST(l_extendedprice * l_quantity AS DECIMAL(28,6)) AS wv
+        FROM lineitem
+    ), agg AS (
+        SELECT l_returnflag,
+               round(CAST(sum(wv) AS DOUBLE) / CAST(sum(wt) AS DOUBLE), 6)
+                   AS weighted_mean,
+               sum(wt) AS tot_w
+        FROM w GROUP BY l_returnflag
+    ), cum AS (
+        SELECT l_returnflag, v,
+               sum(wt) OVER (PARTITION BY l_returnflag
+                             ORDER BY v, wt
+                             ROWS BETWEEN UNBOUNDED PRECEDING
+                             AND CURRENT ROW) AS cw
+        FROM w
+    ), med AS (
+        SELECT c.l_returnflag, min(v) AS weighted_median
+        FROM cum c JOIN agg a USING (l_returnflag)
+        WHERE 2 * c.cw >= a.tot_w
+        GROUP BY c.l_returnflag
+    )
+    SELECT a.l_returnflag, a.weighted_mean, m.weighted_median
+    FROM agg a JOIN med m USING (l_returnflag)
+    """,
+)
+def agg_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted mean + weighted median per group (the importance-weighted
+    stats corpus mixing uses: weight = sample count / quality score).
+    Mean: decimal-quantized value*weight products so summation order is
+    engine-exact. Median: running cumulative weight over the per-group
+    value order, first value whose 2*cumweight >= total — the comparison
+    is decimal-vs-decimal (associative sums), never float-vs-float.
+    Costs one shuffle for the aggregate plus one window sort per group;
+    at 100 TB the median side switches to a weighted approx-quantile
+    sketch while the mean side is already single-pass."""
+    li = table(spark, sf_dir, "lineitem")
+    w = li.select(
+        "l_returnflag",
+        F.col("l_extendedprice").alias("v"),
+        F.col("l_quantity").cast("decimal(18,2)").alias("wt"),
+        (F.col("l_extendedprice") * F.col("l_quantity"))
+        .cast("decimal(28,6)")
+        .alias("wv"),
+    )
+    agg = w.groupBy("l_returnflag").agg(
+        F.round(F.sum("wv").cast("double") / F.sum("wt").cast("double"), 6).alias(
+            "weighted_mean"
+        ),
+        F.sum("wt").alias("tot_w"),
+    )
+    win = Window.partitionBy("l_returnflag").orderBy("v", "wt").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    cum = w.select("l_returnflag", "v", F.sum("wt").over(win).alias("cw"))
+    med = (
+        cum.join(agg.select("l_returnflag", "tot_w"), "l_returnflag")
+        .filter(2 * F.col("cw") >= F.col("tot_w"))
+        .groupBy("l_returnflag")
+        .agg(F.min("v").alias("weighted_median"))
+    )
+    return agg.select("l_returnflag", "weighted_mean").join(med, "l_returnflag")
+
+
+@query(
+    "agg_gini",
+    """
+    WITH ranked AS (
+        SELECT o_orderpriority,
+               CAST(o_totalprice AS DECIMAL(18,4)) AS x,
+               CAST(row_number() OVER (
+                   PARTITION BY o_orderpriority
+                   ORDER BY o_totalprice, o_orderkey) AS BIGINT) AS i
+        FROM orders
+    )
+    SELECT o_orderpriority,
+           CAST(count(*) AS BIGINT) AS n,
+           round((2 * CAST(sum(CAST(i AS DECIMAL(18,0)) * x) AS DOUBLE)
+                  - (count(*) + 1) * CAST(sum(x) AS DOUBLE))
+                 / (count(*) * CAST(sum(x) AS DOUBLE)), 6) AS gini
+    FROM ranked GROUP BY o_orderpriority
+    """,
+)
+def agg_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gini coefficient of order-value concentration per priority class —
+    the inequality metric corpus curation runs on source/domain token
+    shares (a corpus where one domain holds most tokens has high Gini
+    and poor diversity). Closed-form from the sorted series: G =
+    (2·Σ i·x_i − (n+1)·Σx) / (n·Σx) with i the tie-broken per-group
+    rank — one window sort per group plus one aggregate, both on the
+    natural group key (the sort is per-partition after the key shuffle,
+    never global). Rank-weighted sums stay DECIMAL end to end, so
+    cross-engine summation order is irrelevant; only the final ratio is
+    floating point."""
+    o = table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_orderpriority").orderBy("o_totalprice", "o_orderkey")
+    ranked = o.select(
+        "o_orderpriority",
+        F.col("o_totalprice").cast("decimal(18,4)").alias("x"),
+        F.row_number().over(w).cast("long").alias("i"),
+    )
+    n = F.count(F.lit(1))
+    swx = F.sum(F.col("i").cast("decimal(18,0)") * F.col("x")).cast("double")
+    sx = F.sum("x").cast("double")
+    return ranked.groupBy("o_orderpriority").agg(
+        n.alias("n"),
+        F.round((2 * swx - (n + 1) * sx) / (n * sx), 6).alias("gini"),
+    )

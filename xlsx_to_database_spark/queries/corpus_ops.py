@@ -485,3 +485,174 @@ def url_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.parse_url(url, F.lit("QUERY"), F.lit("page")).alias("page"),
         F.regexp_extract(host, r"([^.]+\.[^.]+)$", 1).alias("domain"),
     )
+
+
+@query(
+    "text_df_prune",
+    """
+    WITH toks AS (
+        SELECT doc_id,
+               unnest(generate_series(1, len(ts))) AS pos,
+               unnest(ts) AS term
+        FROM (SELECT doc_id, string_split(text, ' ') AS ts FROM documents)
+    ), n AS (
+        SELECT count(*) AS n_docs FROM documents
+    ), keep AS (
+        SELECT term FROM toks CROSS JOIN n
+        GROUP BY term, n_docs
+        HAVING 2 * count(DISTINCT doc_id) <= n_docs
+    )
+    SELECT d.doc_id,
+           COALESCE(p.pruned_text, '') AS pruned_text,
+           COALESCE(p.n_kept, 0) AS n_kept
+    FROM documents d LEFT JOIN (
+        SELECT doc_id,
+               string_agg(term, ' ' ORDER BY pos) AS pruned_text,
+               CAST(count(*) AS BIGINT) AS n_kept
+        FROM toks JOIN keep USING (term)
+        GROUP BY doc_id
+    ) p USING (doc_id)
+    """,
+)
+def text_df_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-statistic stopword removal: drop every token whose document
+    frequency exceeds half the corpus (2*df <= n_docs keeps it — an
+    integer comparison, engine-exact) and reassemble each document from
+    its surviving tokens in original position order. This is df-driven
+    boilerplate stripping — the data-derived generalization of a fixed
+    stopword list. The keep-list is vocabulary-sized (bounded, MBs) so
+    AQE broadcasts the pruning join; the df aggregate itself reuses the
+    same exploded (doc, pos, term) stream the reassembly consumes — one
+    explode, one df aggregate, one regroup shuffle. Docs losing every
+    token surface with empty text rather than vanishing (left join)."""
+    d = table(spark, sf_dir, "documents")
+    toks = d.select(
+        "doc_id", F.posexplode(F.split(F.col("text"), " ")).alias("pos", "term")
+    )
+    n_docs = d.count()  # one scalar; corpus cardinality is metadata
+    keep = (
+        toks.groupBy("term")
+        .agg(F.count_distinct("doc_id").alias("df"))
+        .filter(2 * F.col("df") <= n_docs)
+        .select("term")
+    )
+    pruned = (
+        toks.join(keep, "term")
+        .groupBy("doc_id")
+        .agg(
+            F.concat_ws(
+                " ",
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("pos", "term"))),
+                    lambda x: x["term"],
+                ),
+            ).alias("pruned_text"),
+            F.count(F.lit(1)).alias("n_kept"),
+        )
+    )
+    return d.select("doc_id").join(pruned, "doc_id", "left").select(
+        "doc_id",
+        F.coalesce(F.col("pruned_text"), F.lit("")).alias("pruned_text"),
+        F.coalesce(F.col("n_kept"), F.lit(0)).alias("n_kept"),
+    )
+
+
+@query(
+    "vec_normalize",
+    """
+    SELECT vec_id,
+           round(sqrt(list_sum(list_transform(embedding,
+                 x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))), 6) AS l2_norm,
+           array_to_string(list_transform(embedding,
+                 x -> CAST(CAST(floor(CAST(x AS DOUBLE)
+                      / sqrt(list_sum(list_transform(embedding,
+                            y -> CAST(y AS DOUBLE) * CAST(y AS DOUBLE))))
+                      * 1000000 + 0.5) AS BIGINT) AS VARCHAR)), ',')
+               AS unit_vec_q6
+    FROM embeddings
+    """,
+)
+def vec_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L2 normalization of the embedding column — the prep step before
+    any cosine-based dedup/ANN (normalized vectors turn cosine into a
+    plain dot product, halving the per-pair math downstream). Pure
+    codegen array lambdas in float64, map-only, zero shuffle at any
+    scale. Components are emitted quantized to 1e-6 integers
+    (floor(x*1e6+0.5) — round-half-up on both engines, sidestepping
+    round-half-to-even drift AND double->string format divergence; same
+    trick as vec_quantize_int8)."""
+    e = table(spark, sf_dir, "embeddings")
+    xd = lambda x: x.cast("double")  # noqa: E731
+    norm = F.sqrt(
+        F.aggregate(
+            F.col("embedding"),
+            F.lit(0.0),
+            lambda acc, x: acc + xd(x) * xd(x),
+        )
+    )
+    comp = lambda x: F.floor(xd(x) / F.col("l2n") * 1000000 + 0.5).cast("long").cast("string")  # noqa: E731
+    return (
+        e.withColumn("l2n", norm)
+        .select(
+            "vec_id",
+            F.round(F.col("l2n"), 6).alias("l2_norm"),
+            F.concat_ws(",", F.transform(F.col("embedding"), comp)).alias(
+                "unit_vec_q6"
+            ),
+        )
+    )
+
+
+#: Target mixing weights per source for corpus_mix_schedule (sums to 1).
+MIX_WEIGHTS = {"src0": 0.5, "src1": 0.2, "src2": 0.2, "src3": 0.1}
+
+
+@query(
+    "corpus_mix_schedule",
+    f"""
+    WITH weights(source, w) AS (VALUES
+        ('src0', 0.5), ('src1', 0.2), ('src2', 0.2), ('src3', 0.1)
+    ), counts AS (
+        SELECT source,
+               CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS src_tokens
+        FROM documents GROUP BY source
+    ), tot AS (
+        SELECT CAST(sum(src_tokens) AS BIGINT) AS total_tokens FROM counts
+    )
+    SELECT c.source, c.src_tokens, round(w, 2) AS target_weight,
+           round(w * total_tokens / c.src_tokens, 6) AS sample_rate,
+           round(w * total_tokens / c.src_tokens, 6) > 1.0 AS needs_upsampling
+    FROM counts c JOIN weights USING (source) CROSS JOIN tot
+    """,
+)
+def corpus_mix_schedule(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data-mixing schedule (the Pile / DoReMi-style source weighting):
+    given target mixture weights per source, derive each source's
+    sampling rate = weight x total_tokens / source_tokens — rate > 1
+    means the source must be up-sampled (multiple epochs) to hit its
+    target share. One token-count aggregate over the corpus (map-side
+    combined), a one-row total, and a broadcast-trivial join against
+    the literal weight dim. The output IS the control table a sampling
+    pass (`sample_hash` with per-source rates) consumes — rates are
+    pure arithmetic on exact integer token counts, so both engines
+    agree to the last bit before rounding."""
+    d = table(spark, sf_dir, "documents")
+    weights = spark.createDataFrame(
+        list(MIX_WEIGHTS.items()), "source string, w double"
+    )
+    counts = d.groupBy("source").agg(
+        F.sum(F.size(F.split(F.col("text"), " "))).alias("src_tokens")
+    )
+    tot = counts.agg(F.sum("src_tokens").alias("total_tokens"))
+    rate = F.col("w") * F.col("total_tokens") / F.col("src_tokens")
+    return (
+        counts.join(F.broadcast(weights), "source")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "source",
+            "src_tokens",
+            F.round(F.col("w"), 2).alias("target_weight"),
+            F.round(rate, 6).alias("sample_rate"),
+            (F.round(rate, 6) > 1.0).alias("needs_upsampling"),
+        )
+    )

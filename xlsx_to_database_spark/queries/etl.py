@@ -436,3 +436,49 @@ def etl_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
             "new_val",
         )
     )
+
+
+@query(
+    "etl_incremental_agg",
+    """
+    SELECT o_orderpriority,
+           CAST(count(*) AS BIGINT) AS n_orders,
+           round(CAST(sum(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE)
+                 / count(*), 6) AS avg_price,
+           round(CAST(sum(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE), 4)
+               AS total_price
+    FROM orders
+    GROUP BY o_orderpriority
+    """,
+)
+def etl_incremental_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental view maintenance of an aggregate table: the standing
+    state holds per-key mergeable partials (count, decimal sum) over the
+    already-ingested orders (o_orderkey % 5 != 0); a new batch
+    (% 5 == 0) is aggregated to the same partial shape and UNION-merged
+    — final metrics derive from the merged partials. The oracle is the
+    full recompute over everything, proving merge-equals-recompute:
+    count and decimal-sum are commutative monoids, so maintaining the
+    MB-scale state table costs one batch-sized aggregate per ingest
+    instead of re-scanning the (100 TB) fact history. Averages and other
+    non-mergeable metrics are DERIVED from the partials at read time —
+    never stored — which is the entire trick."""
+    o = table(spark, sf_dir, "orders")
+
+    def partials(df: DataFrame) -> DataFrame:
+        return df.groupBy("o_orderpriority").agg(
+            F.count(F.lit(1)).alias("c"),
+            F.sum(F.col("o_totalprice").cast("decimal(18,4)")).alias("s"),
+        )
+
+    state = partials(o.filter(F.col("o_orderkey") % 5 != 0))
+    batch = partials(o.filter(F.col("o_orderkey") % 5 == 0))
+    merged = state.unionByName(batch).groupBy("o_orderpriority").agg(
+        F.sum("c").alias("c"), F.sum("s").alias("s")
+    )
+    return merged.select(
+        "o_orderpriority",
+        F.col("c").alias("n_orders"),
+        F.round(F.col("s").cast("double") / F.col("c"), 6).alias("avg_price"),
+        F.round(F.col("s").cast("double"), 4).alias("total_price"),
+    )

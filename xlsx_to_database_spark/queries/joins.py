@@ -667,3 +667,70 @@ def join_fuzzy(spark: SparkSession, sf_dir: str) -> DataFrame:
         "s_name",
         F.levenshtein("dname", "s_name").cast("long").alias("dist"),
     )
+
+
+@query(
+    "join_asof_tolerance",
+    """
+    WITH purchases AS (
+      SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase'
+    ), clicks AS (
+      SELECT user_id, ts, max(event_id) AS click_id
+      FROM events WHERE event_type = 'click' GROUP BY user_id, ts
+    )
+    SELECT p.event_id, p.user_id,
+           c.click_id AS last_click_id, c.ts AS last_click_ts
+    FROM purchases p
+    LEFT JOIN LATERAL (
+        SELECT click_id, ts FROM clicks
+        WHERE clicks.user_id = p.user_id
+          AND clicks.ts <= p.ts
+          AND clicks.ts >= p.ts - INTERVAL 10 MINUTE
+        ORDER BY ts DESC LIMIT 1
+    ) c ON true
+    """,
+)
+def join_asof_tolerance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join with a staleness tolerance: the user's latest click
+    at-or-before each purchase, but only if it happened within the
+    preceding 10 minutes — the attribution-window semantics (pandas
+    `merge_asof(tolerance=...)`). Same one-shuffle union-window pattern
+    as `join_asof`; the tolerance is a POST-filter on the carried
+    match's timestamp (null out matches older than the window), so it
+    adds zero cost — no extra join, no range explosion. The oracle's
+    per-row LATERAL re-scan defines the semantics; the window pass is
+    the scale path."""
+    ev = table(spark, sf_dir, "events")
+    p_side = ev.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts", F.lit(1).alias("side"),
+        F.lit(None).cast("long").alias("click_id"),
+    )
+    c_side = (
+        ev.filter(F.col("event_type") == "click")
+        .groupBy("user_id", "ts")
+        .agg(F.max("event_id").alias("click_id"))
+        .select(
+            F.lit(None).cast("long").alias("event_id"),
+            "user_id", "ts", F.lit(0).alias("side"), "click_id",
+        )
+    )
+    unioned = p_side.unionByName(c_side)
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.col("ts"), F.col("side"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    carried = unioned.select(
+        "event_id", "user_id", "side", "ts",
+        F.last("click_id", ignorenulls=True).over(w).alias("cand_id"),
+        F.last(F.when(F.col("click_id").isNotNull(), F.col("ts")), ignorenulls=True)
+        .over(w)
+        .alias("cand_ts"),
+    )
+    in_window = F.col("cand_ts") >= F.col("ts") - F.expr("INTERVAL 10 MINUTES")
+    return carried.filter(F.col("side") == 1).select(
+        "event_id",
+        "user_id",
+        F.when(in_window, F.col("cand_id")).alias("last_click_id"),
+        F.when(in_window, F.col("cand_ts")).alias("last_click_ts"),
+    )
