@@ -39,6 +39,11 @@ HEADLINE = [
     # aggregates and the bucket-rewritten pure range join.
     "funnel_steps",
     "join_range_bucketed",
+    # Round-2 additions: the n-gram-overlap decontamination join (explode
+    # + distinct + broadcast-ish join) and the equi-depth histogram's
+    # global-sort ntile — two shapes the rest of the suite doesn't cover.
+    "text_decontaminate",
+    "stat_equidepth_hist",
 ]
 
 
