@@ -414,3 +414,68 @@ def test_asof_tolerance_no_range_join(spark, sf_dir, qs):
     for j in ("SortMergeJoin", "BroadcastHashJoin", "CartesianProduct",
               "BroadcastNestedLoopJoin"):
         assert j not in plan, plan
+
+
+def test_global_rank_window_is_bucket_partitioned(spark, sf_dir, qs):
+    """win_global_rank must NOT plan the naive single-partition global
+    window: the only window over the fact table is partitioned by the
+    range-bucket key, so the sort parallelizes."""
+    df = qs["win_global_rank"](spark, sf_dir)
+    plan = explain_str(df)
+    assert "__gbkt" in plan, plan
+    # every Window node carries a partition spec (no 'Window [..], [..ASC..]'
+    # with an empty partition list over the big input)
+    import re
+
+    for m in re.finditer(r"Window \[[^\]]*\], \[([^\]]*)\]", plan):
+        assert m.group(1).strip(), plan
+
+
+def test_global_rank_matches_naive_window(spark, sf_dir, qs):
+    """Two-phase distributed rank == the single-partition answer."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from xlsx_to_database_spark.catalog import table
+    from xlsx_to_database_spark.operators.global_order import (
+        with_global_ntile,
+        with_global_row_number,
+        with_global_running_sums,
+    )
+
+    c = table(spark, sf_dir, "customer").select("c_custkey", "c_acctbal")
+    order = [F.col("c_acctbal").asc(), F.col("c_custkey").asc()]
+    naive_w = Window.orderBy(*order)
+
+    got = {
+        r["c_custkey"]: r["rn"]
+        for r in with_global_row_number(c, order, "c_acctbal", out="rn").collect()
+    }
+    want = {
+        r["c_custkey"]: r["rn"]
+        for r in c.select(
+            "c_custkey", F.row_number().over(naive_w).alias("rn")
+        ).collect()
+    }
+    assert got == want
+
+    got_nt = {
+        r["c_custkey"]: r["b"]
+        for r in with_global_ntile(c, order, "c_acctbal", 7, out="b").collect()
+    }
+    want_nt = {
+        r["c_custkey"]: r["b"]
+        for r in c.select(
+            "c_custkey", F.ntile(7).over(naive_w).alias("b")
+        ).collect()
+    }
+    assert got_nt == want_nt
+
+    flagged = c.withColumn("one", F.lit(1))
+    got_rs = {
+        r["c_custkey"]: r["cum"]
+        for r in with_global_running_sums(
+            flagged, order, "c_acctbal", {"cum": "one"}
+        ).collect()
+    }
+    assert got_rs == want  # running count over the same total order == rank

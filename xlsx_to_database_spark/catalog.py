@@ -45,10 +45,16 @@ def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         # double precision, so no float math here) — exactly DuckDB's
         # ns→µs truncation, keeping oracle timestamps value-identical.
         from pyspark.sql import functions as F
-        from pyspark.sql.types import LongType
+        from pyspark.sql.types import LongType, TimestampNTZType
 
         if isinstance(df.schema["ts"].dataType, LongType):
             df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        elif isinstance(df.schema["ts"].dataType, TimestampNTZType):
+            # Defensive mirror of spark.sql.parquet.inferTimestampNTZ
+            # (session.py): a session that read the file before our confs
+            # applied surfaces TIMESTAMP_NTZ; with the session tz pinned
+            # UTC the cast is a pure type relabel, value-identical.
+            df = df.withColumn("ts", F.col("ts").cast("timestamp"))
     return df
 
 

@@ -727,16 +727,22 @@ def stat_equidepth_hist(spark: SparkSession, sf_dir: str) -> DataFrame:
     query optimizers and drift monitors prefer over equi-width when data
     is skewed (every bucket carries the same row count, so tails get
     resolution). Tie-broken by the key column so bucket assignment is a
-    total order both engines replicate. ntile is a GLOBAL sort here —
-    the honest cost of exact equi-depth; at 100 TB you either
-    range-partition first (`repartitionByRange` makes the sort
-    distributed-parallel, same result) or accept approx boundaries from
-    `approx_percentile` and bucket by comparison instead."""
+    total order both engines replicate. Exact equi-depth needs a GLOBAL
+    order, but not a single-partition sort: the two-phase distributed
+    ntile (operators/global_order.py — approx-quantile range buckets +
+    per-bucket rank offsets) produces the identical bucket assignment
+    while the sort parallelizes across buckets, so this survives a
+    fact-table-sized input."""
+    from xlsx_to_database_spark.operators.global_order import with_global_ntile
+
     c = table(spark, sf_dir, "customer")
-    b = c.select(
+    b = with_global_ntile(
+        c.select("c_acctbal", "c_custkey"),
+        [F.col("c_acctbal").asc(), F.col("c_custkey").asc()],
         "c_acctbal",
-        F.ntile(8).over(Window.orderBy("c_acctbal", "c_custkey")).alias("bucket"),
-    )
+        8,
+        out="bucket",
+    ).select("c_acctbal", "bucket")
     return b.groupBy("bucket").agg(
         F.count(F.lit(1)).alias("n"),
         F.round(F.min("c_acctbal"), 2).alias("lo"),
@@ -856,6 +862,9 @@ def stat_autocorr(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(F.col("o_totalprice").cast("decimal(18,4)")).cast("double"), 4
         ).alias("rev")
     )
+    # Deliberately a single-partition window: the lag is over the per-DAY
+    # aggregate (time-dimension-bounded, thousands of rows at any corpus
+    # size), never the fact table.
     pairs = daily.select(
         F.col("rev").alias("x"),
         F.lag("rev").over(Window.orderBy("d")).alias("y"),
@@ -872,4 +881,76 @@ def stat_autocorr(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("lag1_autocorr"),
         n.alias("n_pairs"),
+    )
+
+
+@query(
+    "stat_cov_matrix",
+    """
+    WITH s AS (
+        SELECT CAST(count(*) AS BIGINT) AS n,
+               CAST(sum(CAST(l_quantity      AS DECIMAL(28,6))) AS DOUBLE) AS sq,
+               CAST(sum(CAST(l_extendedprice AS DECIMAL(28,6))) AS DOUBLE) AS sp,
+               CAST(sum(CAST(l_discount      AS DECIMAL(28,6))) AS DOUBLE) AS sd,
+               CAST(sum(CAST(l_quantity * l_quantity           AS DECIMAL(38,8))) AS DOUBLE) AS sqq,
+               CAST(sum(CAST(l_quantity * l_extendedprice      AS DECIMAL(38,8))) AS DOUBLE) AS sqp,
+               CAST(sum(CAST(l_quantity * l_discount           AS DECIMAL(38,8))) AS DOUBLE) AS sqd,
+               CAST(sum(CAST(l_extendedprice * l_extendedprice AS DECIMAL(38,8))) AS DOUBLE) AS spp,
+               CAST(sum(CAST(l_extendedprice * l_discount      AS DECIMAL(38,8))) AS DOUBLE) AS spd,
+               CAST(sum(CAST(l_discount * l_discount           AS DECIMAL(38,8))) AS DOUBLE) AS sdd
+        FROM lineitem
+    )
+    SELECT var_a, var_b,
+           round((sxy - sx * sy / n) / (n - 1), 4) AS cov
+    FROM (
+        SELECT 'quantity' AS var_a, 'quantity' AS var_b, sqq AS sxy, sq AS sx, sq AS sy, n FROM s
+        UNION ALL SELECT 'quantity', 'extendedprice', sqp, sq, sp, n FROM s
+        UNION ALL SELECT 'quantity', 'discount', sqd, sq, sd, n FROM s
+        UNION ALL SELECT 'extendedprice', 'extendedprice', spp, sp, sp, n FROM s
+        UNION ALL SELECT 'extendedprice', 'discount', spd, sp, sd, n FROM s
+        UNION ALL SELECT 'discount', 'discount', sdd, sd, sd, n FROM s
+    )
+    """,
+)
+def stat_cov_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sample-covariance matrix (upper triangle) of three lineitem
+    measures in ONE aggregate pass: all 9 co-moment sums come out of a
+    single partial+final hash aggregate over one scan — never one pass
+    per pair — then the 6 covariances are arithmetic on that single row,
+    unpivoted with stack(). Sums are decimal-quantized so both engines
+    accumulate identically (float summation order is engine-specific);
+    cov = (Σxy − ΣxΣy/n)/(n−1) on exact decimals, rounded for display.
+    The same shape yields the correlation matrix (divide by σ_a σ_b)."""
+    li = table(spark, sf_dir, "lineitem")
+    q, p, d = F.col("l_quantity"), F.col("l_extendedprice"), F.col("l_discount")
+
+    def dsum(expr, prec="DECIMAL(28,6)"):
+        return F.sum(expr.cast(prec)).cast("double")
+
+    s = li.agg(
+        F.count(F.lit(1)).alias("n"),
+        dsum(q).alias("sq"),
+        dsum(p).alias("sp"),
+        dsum(d).alias("sd"),
+        dsum(q * q, "DECIMAL(38,8)").alias("sqq"),
+        dsum(q * p, "DECIMAL(38,8)").alias("sqp"),
+        dsum(q * d, "DECIMAL(38,8)").alias("sqd"),
+        dsum(p * p, "DECIMAL(38,8)").alias("spp"),
+        dsum(p * d, "DECIMAL(38,8)").alias("spd"),
+        dsum(d * d, "DECIMAL(38,8)").alias("sdd"),
+    )
+    pairs = [
+        ("quantity", "quantity", "sqq", "sq", "sq"),
+        ("quantity", "extendedprice", "sqp", "sq", "sp"),
+        ("quantity", "discount", "sqd", "sq", "sd"),
+        ("extendedprice", "extendedprice", "spp", "sp", "sp"),
+        ("extendedprice", "discount", "spd", "sp", "sd"),
+        ("discount", "discount", "sdd", "sd", "sd"),
+    ]
+    stack_args = ", ".join(
+        f"'{a}', '{b}', round(({sxy} - {sx} * {sy} / n) / (n - 1), 4)"
+        for a, b, sxy, sx, sy in pairs
+    )
+    return s.selectExpr(
+        f"stack(6, {stack_args}) AS (var_a, var_b, cov)"
     )

@@ -557,12 +557,15 @@ def stat_ks_test(spark: SparkSession, sf_dir: str) -> DataFrame:
     sort-and-probe becomes a single global sort + running sums — and
     since the CDF values are exact integer counts over exact totals,
     every |ΔCDF| is bit-identical across engines; only the final max
-    is reported (rounded for display). At 100 TB the global sort is the
-    cost — for drift MONITORING at that scale, bucket the domain and
-    compare histograms instead (`stat_histogram`); exact KS is for
-    validation-sized samples. Tie order (x, is_a) is total enough:
-    same-x rows contribute the same cumulative counts once both
-    arrive, and max over the pool is order-insensitive within ties."""
+    is reported (rounded for display). The running sums use the
+    two-phase distributed global order (operators/global_order.py):
+    range-bucket on approx-quantile boundaries of x, per-bucket running
+    sums plus exclusive bucket-prefix offsets — exactly the global
+    window's answer, but the sort parallelizes across buckets, so exact
+    KS stays feasible on fact-table-sized samples. Tie order (x, is_a)
+    is total enough: same-x rows contribute the same cumulative counts
+    once both arrive, and max over the pool is order-insensitive
+    within ties."""
     o = table(spark, sf_dir, "orders")
     a = o.filter(F.col("o_orderpriority") == "1-URGENT").select(
         F.col("o_totalprice").alias("x")
@@ -574,12 +577,19 @@ def stat_ks_test(spark: SparkSession, sf_dir: str) -> DataFrame:
     pooled = a.select("x", F.lit(1).alias("is_a"), F.lit(0).alias("is_b")).unionAll(
         b.select("x", F.lit(0).alias("is_a"), F.lit(1).alias("is_b"))
     )
-    w = Window.orderBy("x", "is_a").rowsBetween(
-        Window.unboundedPreceding, Window.currentRow
+    from xlsx_to_database_spark.operators.global_order import (
+        with_global_running_sums,
     )
-    cdfs = pooled.select(
-        (F.sum("is_a").over(w).cast("double") / n_a).alias("cdf_a"),
-        (F.sum("is_b").over(w).cast("double") / n_b).alias("cdf_b"),
+
+    cums = with_global_running_sums(
+        pooled,
+        [F.col("x").asc(), F.col("is_a").asc()],
+        "x",
+        {"cum_a": "is_a", "cum_b": "is_b"},
+    )
+    cdfs = cums.select(
+        (F.col("cum_a").cast("double") / n_a).alias("cdf_a"),
+        (F.col("cum_b").cast("double") / n_b).alias("cdf_b"),
     )
     return cdfs.agg(
         F.round(F.max(F.abs(F.col("cdf_a") - F.col("cdf_b"))), 6).alias("ks_stat")

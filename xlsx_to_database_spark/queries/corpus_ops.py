@@ -411,16 +411,24 @@ def text_vocab_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
         F.posexplode(F.split(F.col("text"), " ")).alias("pos0", "term"),
     )
+    from xlsx_to_database_spark.operators.global_order import (
+        with_global_row_number,
+    )
+
+    # Global frequency rank over the AGGREGATED vocab (bounded MBs, never
+    # the token stream) — still computed with the two-phase distributed
+    # rank so a pathological vocabulary (URLs/numbers blowing it to 1B+
+    # terms) degrades to slower, not to a single-task sort. DESC rank =
+    # ASC rank on the negated count.
+    counts = toks.groupBy("term").agg(F.count(F.lit(1)).alias("cnt"))
     vocab = (
-        toks.groupBy("term")
-        .agg(F.count(F.lit(1)).alias("cnt"))
-        .select(
-            "term",
-            F.row_number()
-            .over(Window.orderBy(F.col("cnt").desc(), "term"))
-            .cast("long")
-            .alias("id"),
+        with_global_row_number(
+            counts.withColumn("__neg", -F.col("cnt")),
+            [F.col("__neg").asc(), F.col("term").asc()],
+            "__neg",
+            out="id",
         )
+        .select("term", "id")
     )
     return (
         toks.join(vocab, "term")
@@ -654,5 +662,248 @@ def corpus_mix_schedule(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.col("w"), 2).alias("target_weight"),
             F.round(rate, 6).alias("sample_rate"),
             (F.round(rate, 6) > 1.0).alias("needs_upsampling"),
+        )
+    )
+
+
+@query(
+    "text_normalize",
+    """
+    SELECT doc_id,
+           trim(regexp_replace(
+               regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g'),
+               ' +', ' ', 'g')) AS norm_text,
+           CAST(length(text) AS BIGINT) AS n_chars_raw,
+           CAST(length(trim(regexp_replace(
+               regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g'),
+               ' +', ' ', 'g'))) AS BIGINT) AS n_chars_norm
+    FROM documents
+    """,
+)
+def text_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus text normalization — the first map pass of every training
+    pipeline: lowercase, strip non-alphanumerics, collapse runs of
+    whitespace, trim. Pure codegen `regexp_replace` (RE2-safe subset so
+    DuckDB byte-matches) — map-only, zero shuffle, scales linearly; at
+    100 TB this pass is I/O-bound by construction."""
+    d = table(spark, sf_dir, "documents")
+    norm = F.trim(
+        F.regexp_replace(
+            F.regexp_replace(F.lower(F.col("text")), "[^a-z0-9 ]", ""),
+            " +",
+            " ",
+        )
+    )
+    return d.select(
+        "doc_id",
+        norm.alias("norm_text"),
+        F.length("text").cast("long").alias("n_chars_raw"),
+        F.length(norm).cast("long").alias("n_chars_norm"),
+    )
+
+
+@query(
+    "text_repetition",
+    """
+    WITH g AS (
+        SELECT doc_id,
+               list_transform(
+                   generate_series(1, len(string_split(text, ' ')) - 1),
+                   i -> string_split(text, ' ')[i] || ' ' ||
+                        string_split(text, ' ')[i + 1]) AS g2,
+               list_transform(
+                   generate_series(1, len(string_split(text, ' ')) - 2),
+                   i -> string_split(text, ' ')[i] || ' ' ||
+                        string_split(text, ' ')[i + 1] || ' ' ||
+                        string_split(text, ' ')[i + 2]) AS g3
+        FROM documents
+    )
+    SELECT doc_id,
+           round(1.0 - CAST(len(list_distinct(g2)) AS DOUBLE)
+                       / nullif(len(g2), 0), 6) AS dup2_frac,
+           round(1.0 - CAST(len(list_distinct(g3)) AS DOUBLE)
+                       / nullif(len(g3), 0), 6) AS dup3_frac
+    FROM g
+    """,
+)
+def text_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Within-document repetition score (the Gopher/MassiveText quality
+    rule): fraction of word 2-grams and 3-grams that are duplicates of
+    an earlier occurrence in the same document. Heavily repeated
+    boilerplate (nav bars, SEO spam) scores high and gets filtered.
+    All array math — grams built with zip_with over shifted slices (the
+    element_at-by-index form re-inlines the token array per access and
+    goes quadratic, see operators/dedup.py) — map-only, no shuffle."""
+    d = table(spark, sf_dir, "documents")
+    toks = F.split(F.col("text"), " ")
+    w2 = F.greatest(F.size(toks) - 1, F.lit(0))
+    g2 = F.zip_with(
+        F.slice(toks, 1, w2),
+        F.slice(toks, 2, w2),
+        lambda a, b: F.concat(a, F.lit(" "), b),
+    )
+    w3 = F.greatest(F.size(toks) - 2, F.lit(0))
+    g3 = F.zip_with(
+        F.zip_with(
+            F.slice(toks, 1, w3),
+            F.slice(toks, 2, w3),
+            lambda a, b: F.concat(a, F.lit(" "), b),
+        ),
+        F.slice(toks, 3, w3),
+        lambda p, c: F.concat(p, F.lit(" "), c),
+    )
+
+    def dup_frac(g):
+        return F.round(
+            F.lit(1.0)
+            - F.size(F.array_distinct(g)).cast("double")
+            / F.nullif(F.size(g), F.lit(0)),
+            6,
+        )
+
+    return d.select(
+        "doc_id", dup_frac(g2).alias("dup2_frac"), dup_frac(g3).alias("dup3_frac")
+    )
+
+
+#: Gopher-rule stopwords: a doc must contain >= 2 of these to pass.
+_GOPHER_STOPS = ("the", "a", "and", "to", "of", "table", "value", "row")
+
+
+@query(
+    "corpus_gopher_rules",
+    f"""
+    WITH t AS (
+        SELECT doc_id, string_split(text, ' ') AS ts FROM documents
+    ), m AS (
+        SELECT doc_id,
+               CAST(len(ts) AS BIGINT) AS n_words,
+               round(list_sum(list_transform(ts, w -> CAST(len(w) AS DOUBLE)))
+                     / len(ts), 6) AS mean_word_len,
+               CAST({' + '.join(
+                   f"CASE WHEN list_contains(ts, '{w}') THEN 1 ELSE 0 END"
+                   for w in _GOPHER_STOPS)} AS BIGINT) AS n_stopwords
+        FROM t
+    )
+    SELECT doc_id, n_words, mean_word_len, n_stopwords,
+           (n_words BETWEEN 50 AND 100000) AS ok_len,
+           (mean_word_len BETWEEN 3 AND 10) AS ok_word_len,
+           (n_stopwords >= 2) AS ok_stopwords,
+           ((n_words BETWEEN 50 AND 100000)
+            AND (mean_word_len BETWEEN 3 AND 10)
+            AND n_stopwords >= 2) AS keep
+    FROM m
+    """,
+)
+def corpus_gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher/MassiveText-style composite quality gate: word-count
+    bounds, mean word length bounds, minimum stopword hits — the cheap
+    heuristics that remove machine-generated junk before any model-based
+    scoring. Every rule is per-row array arithmetic (map-only, no
+    shuffle, no UDF); at 100 TB this is the filter you run FIRST because
+    it costs one scan and typically drops 20-40% of raw web text."""
+    d = table(spark, sf_dir, "documents")
+    toks = F.split(F.col("text"), " ")
+    n_words = F.size(toks).cast("long")
+    mean_wl = F.round(
+        F.aggregate(
+            toks, F.lit(0.0), lambda acc, w: acc + F.length(w).cast("double")
+        )
+        / F.size(toks),
+        6,
+    )
+    n_stops = sum(
+        [F.when(F.array_contains(toks, w), 1).otherwise(0) for w in _GOPHER_STOPS],
+        F.lit(0),
+    ).cast("long")
+    m = d.select(
+        "doc_id",
+        n_words.alias("n_words"),
+        mean_wl.alias("mean_word_len"),
+        n_stops.alias("n_stopwords"),
+    )
+    ok_len = F.col("n_words").between(50, 100000)
+    ok_wl = F.col("mean_word_len").between(3, 10)
+    ok_stop = F.col("n_stopwords") >= 2
+    return m.select(
+        "doc_id",
+        "n_words",
+        "mean_word_len",
+        "n_stopwords",
+        ok_len.alias("ok_len"),
+        ok_wl.alias("ok_word_len"),
+        ok_stop.alias("ok_stopwords"),
+        (ok_len & ok_wl & ok_stop).alias("keep"),
+    )
+
+
+#: Words per pseudo-line for text_line_dedup (the corpus has no real
+#: newlines, so lines are fixed-width word segments).
+_LINE_W = 8
+
+
+@query(
+    "text_line_dedup",
+    f"""
+    WITH toks AS (
+        SELECT doc_id, string_split(text, ' ') AS ts FROM documents
+    ), lines AS (
+        SELECT doc_id, i AS pos,
+               array_to_string(ts[(i * {_LINE_W} + 1):(i * {_LINE_W} + {_LINE_W})], ' ') AS line
+        FROM toks,
+             UNNEST(generate_series(0,
+                 CAST(ceil(len(ts) / {_LINE_W}.0) AS BIGINT) - 1)) AS t(i)
+    ), freq AS (
+        SELECT line, count(DISTINCT doc_id) AS n_docs
+        FROM lines GROUP BY line
+    )
+    SELECT l.doc_id,
+           string_agg(l.line, ' ' ORDER BY l.pos) AS clean_text,
+           CAST(count(*) AS BIGINT) AS n_lines_kept
+    FROM lines l JOIN freq f USING (line)
+    WHERE f.n_docs = 1
+    GROUP BY l.doc_id
+    """,
+)
+def text_line_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4-style line-level boilerplate removal: segment every document
+    into fixed-width pseudo-lines, drop any line whose exact text occurs
+    in MORE THAN ONE document (nav bars, footers, license blurbs), and
+    reassemble the survivors in original order. Shape at 100 TB: one
+    explode, one hash aggregate on the line text (the dedup shuffle —
+    partial aggregation means mostly-unique lines shuffle one row each),
+    one join back (line-frequency table is corpus-bounded; AQE
+    broadcasts when small), one per-doc regroup. No sort of the corpus,
+    no window over it."""
+    d = table(spark, sf_dir, "documents")
+    toks = F.split(F.col("text"), " ")
+    n_lines = F.ceil(F.size(toks) / F.lit(float(_LINE_W))).cast("int")
+    lines = d.select(
+        "doc_id",
+        F.posexplode(
+            F.transform(
+                F.sequence(F.lit(0), n_lines - 1),
+                lambda i: F.array_join(
+                    F.slice(toks, i * _LINE_W + 1, _LINE_W), " "
+                ),
+            )
+        ).alias("pos", "line"),
+    )
+    freq = lines.groupBy("line").agg(
+        F.count_distinct("doc_id").alias("n_docs")
+    )
+    return (
+        lines.join(freq, "line")
+        .filter(F.col("n_docs") == 1)
+        .groupBy("doc_id")
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("pos", "line"))),
+                    lambda s: s["line"],
+                ),
+                " ",
+            ).alias("clean_text"),
+            F.count(F.lit(1)).alias("n_lines_kept"),
         )
     )

@@ -482,3 +482,82 @@ def etl_incremental_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.col("s").cast("double") / F.col("c"), 6).alias("avg_price"),
         F.round(F.col("s").cast("double"), 4).alias("total_price"),
     )
+
+
+@query(
+    "etl_partition_overwrite",
+    """
+    WITH post AS (
+        SELECT o_orderkey, o_orderpriority, o_totalprice
+        FROM orders WHERE o_orderpriority <> '1-URGENT'
+        UNION ALL
+        SELECT o_orderkey, o_orderpriority,
+               CAST(CAST(o_totalprice AS DECIMAL(18,2))
+                    + CAST(25.00 AS DECIMAL(4,2)) AS DOUBLE)
+        FROM orders
+        WHERE o_orderpriority = '1-URGENT' AND o_totalprice > 150000
+    )
+    SELECT o_orderpriority,
+           CAST(count(*) AS BIGINT) AS n,
+           round(CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE), 2)
+               AS total
+    FROM post GROUP BY o_orderpriority
+    """,
+)
+def etl_partition_overwrite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dynamic partition overwrite — the idempotent-backfill primitive:
+    rewriting one hive partition replaces ONLY the files under that
+    partition directory, leaving siblings untouched (mode('overwrite')
+    with partitionOverwriteMode=dynamic; static mode would truncate the
+    whole table). Here: stage orders partitioned by priority, then
+    re-publish the 1-URGENT partition from a filtered+repriced batch;
+    the read-back aggregate proves the other four partitions survived.
+    At 100 TB this is how daily re-runs stay O(changed partition), not
+    O(table) — the poor man's transactional MERGE when no ACID table
+    format is available (see SCALE.md on rewrite amplification)."""
+    import os
+
+    o = table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderpriority", "o_totalprice"
+    )
+    tag = os.path.basename(os.path.normpath(sf_dir))
+    dst = f"{_STAGE_ROOT}/{tag}_orders_dynpart"
+    (
+        o.write.mode("overwrite")
+        .partitionBy("o_orderpriority")
+        .parquet(dst)
+    )
+    batch = (
+        o.filter(
+            (F.col("o_orderpriority") == "1-URGENT")
+            & (F.col("o_totalprice") > 150000)
+        )
+        # Adjust in DECIMAL with no scale reduction (a flat surcharge):
+        # decimal+decimal at 2dp is exact in both engines, whereas any
+        # rounding step (round(x*1.1, 2)) exposes engine rounding-mode
+        # differences — HALF_UP vs truncation — one cent per row.
+        .withColumn(
+            "o_totalprice",
+            (
+                F.col("o_totalprice").cast("decimal(18,2)")
+                + F.lit("25.00").cast("decimal(4,2)")
+            ).cast("double"),
+        )
+    )
+    prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "STATIC")
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    try:
+        (
+            batch.write.mode("overwrite")
+            .partitionBy("o_orderpriority")
+            .parquet(dst)
+        )
+    finally:
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
+    back = spark.read.parquet(dst)
+    return back.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(
+            F.sum(F.col("o_totalprice").cast("decimal(18,2)")).cast("double"), 2
+        ).alias("total"),
+    )

@@ -734,3 +734,78 @@ def join_asof_tolerance(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.when(in_window, F.col("cand_id")).alias("last_click_id"),
         F.when(in_window, F.col("cand_ts")).alias("last_click_ts"),
     )
+
+
+@query(
+    "join_bloom_prefilter",
+    """
+    SELECT o.o_orderkey, o.o_custkey, o.o_totalprice
+    FROM orders o
+    WHERE EXISTS (SELECT 1 FROM customer c
+                  WHERE c.c_custkey = o.o_custkey
+                    AND c.c_mktsegment = 'BUILDING')
+    """,
+)
+def join_bloom_prefilter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi join with a hand-rolled broadcast Bloom prefilter — the
+    pattern for 'selective dim filter, huge probe side' when the engine's
+    runtime row-level filtering doesn't reach your source (Spark 4's
+    `bloom_filter_agg` is not in the public function registry, so this
+    builds the filter from first principles).
+
+    Build: k=3 positions per build key via seeded xxhash64 mod m=16384
+    bits, OR-ed into 64-bit words with a `bit_or` aggregate (<=256 rows).
+    The word->bits table is collected and inlined as a MAP literal —
+    driver-side metadata of at most 2 KB, the same broadcast-scale-
+    literal pattern as sim_ivf_topk's centroids. Probe: membership is
+    pure codegen bit math (element_at + bitwise AND, all k must hit) —
+    a map-only pass that drops most non-matching probe rows BEFORE the
+    semi-join shuffle. False positives are removed by the exact semi
+    join that follows, so the result is exactly the plain semi join
+    (which is also the oracle). At 100 TB: bloom size is O(build keys),
+    independent of probe size; the probe-side shuffle shrinks by the
+    filter's selectivity."""
+    m_bits = 1 << 14
+    k = 3
+    cust, orders = tables(spark, sf_dir, "customer", "orders")
+    build = cust.filter(F.col("c_mktsegment") == "BUILDING").select("c_custkey")
+
+    def positions(key):
+        return [F.pmod(F.xxhash64(F.lit(j), key), F.lit(m_bits)) for j in range(k)]
+
+    slots = build.select(
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        (p / 64).cast("long").alias("word"),
+                        F.call_function(
+                            "shiftleft", F.lit(1).cast("long"), (p % 64).cast("int")
+                        ).alias("mask"),
+                    )
+                    for p in positions(F.col("c_custkey"))
+                ]
+            )
+        ).alias("s")
+    ).select("s.word", "s.mask")
+    words = slots.groupBy("word").agg(F.bit_or("mask").alias("bits")).collect()
+    bloom = F.create_map(
+        *[x for r in words for x in (F.lit(r["word"]), F.lit(r["bits"]))]
+    )
+
+    hit = F.lit(True)
+    for p in positions(F.col("o_custkey")):
+        word = (p / 64).cast("long")
+        mask = F.call_function(
+            "shiftleft", F.lit(1).cast("long"), (p % 64).cast("int")
+        )
+        hit = hit & (
+            F.coalesce(F.element_at(bloom, word), F.lit(0)).bitwiseAND(mask) != 0
+        )
+
+    prefiltered = orders.filter(hit)
+    return prefiltered.join(
+        F.broadcast(build),
+        prefiltered["o_custkey"] == build["c_custkey"],
+        "left_semi",
+    ).select("o_orderkey", "o_custkey", "o_totalprice")

@@ -121,7 +121,11 @@ def stream_watermark(spark: SparkSession, sf_dir: str) -> DataFrame:
     genuinely streaming-only result, hence rows-only."""
     import os
 
-    from xlsx_to_database_spark.streaming.engine import EVENTS_RAW_SCHEMA, _stage_dir
+    from xlsx_to_database_spark.streaming.engine import (
+        _stage_dir,
+        events_raw_schema,
+        with_event_time,
+    )
 
     # Re-stage into 3 ts-range-ordered files so availableNow produces
     # multiple batches and the watermark advances between them.
@@ -131,15 +135,15 @@ def stream_watermark(spark: SparkSession, sf_dir: str) -> DataFrame:
     split_dir = src_dir + "_wm3"
     if not os.path.exists(os.path.join(split_dir, "_SUCCESS")):
         shutil.rmtree(split_dir, ignore_errors=True)
-        spark.read.schema(EVENTS_RAW_SCHEMA).parquet(src_dir).repartitionByRange(
-            3, "ts"
-        ).write.mode("overwrite").parquet(split_dir)
+        spark.read.schema(events_raw_schema(sf_dir)).parquet(
+            src_dir
+        ).repartitionByRange(3, "ts").write.mode("overwrite").parquet(split_dir)
     raw = (
-        spark.readStream.schema(EVENTS_RAW_SCHEMA)
+        spark.readStream.schema(events_raw_schema(sf_dir))
         .option("maxFilesPerTrigger", 1)
         .parquet(split_dir)
     )
-    ev = raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    ev = with_event_time(raw, sf_dir)
     agg = (
         ev.withWatermark("ts", "1 hour")
         .groupBy(F.window("ts", "1 hour"), F.col("event_type"))
@@ -458,3 +462,39 @@ def stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         "click_ts",
     )
     return run_to_memory(joined, "append")
+
+
+@query(
+    "stream_foreach_batch",
+    """
+    SELECT event_type,
+           CAST(count(*) AS BIGINT) AS n,
+           round(CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE), 4) AS total
+    FROM events
+    WHERE value > 50
+    GROUP BY event_type
+    """,
+)
+def stream_foreach_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """foreachBatch sink with an EXACT content oracle (stream_sink's
+    rows-only sibling): filtered event rows drain through the
+    idempotent batch_id-subdir parquet sink, and the read-back aggregate
+    must equal the batch query on the source — proving the sink neither
+    drops nor duplicates rows across micro-batch boundaries. The
+    aggregate runs on the READ-BACK side (after the stream), so any
+    exactly-once violation changes counts and fails the hash. Decimal
+    value sums keep the total engine-exact under any batching."""
+    out_dir = f"/tmp/spark_stream_out/{uuid.uuid4().hex}"
+    ev = (
+        events_stream(spark, sf_dir)
+        .filter(F.col("value") > 50)
+        .select("event_type", "value")
+    )
+    run_foreach_batch_parquet(ev, out_dir)
+    back = spark.read.parquet(out_dir)
+    return back.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(
+            F.sum(F.col("value").cast("decimal(18,6)")).cast("double"), 4
+        ).alias("total"),
+    )

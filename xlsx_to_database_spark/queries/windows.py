@@ -78,10 +78,24 @@ def win_rank_dense(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def win_ntile(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Quartiles by account balance; custkey tiebreak pins bucket edges."""
+    """Quartiles by account balance; custkey tiebreak pins bucket edges.
+
+    A naive global ``ntile`` is a single-partition WindowExec — the one
+    window shape that cannot scale. This computes the identical result
+    with the two-phase distributed global order (range-bucket on
+    approx-quantile boundaries + per-bucket offsets, see
+    operators/global_order.py): the sort parallelizes across buckets
+    and no task ever holds the full table."""
+    from xlsx_to_database_spark.operators.global_order import with_global_ntile
+
     c = table(spark, sf_dir, "customer")
-    w = Window.orderBy(F.col("c_acctbal").asc(), F.col("c_custkey").asc())
-    return c.select("c_custkey", "c_acctbal", F.ntile(4).over(w).alias("bal_quartile"))
+    return with_global_ntile(
+        c,
+        [F.col("c_acctbal").asc(), F.col("c_custkey").asc()],
+        "c_acctbal",
+        4,
+        out="bal_quartile",
+    ).select("c_custkey", "c_acctbal", "bal_quartile")
 
 
 @query(
@@ -455,4 +469,42 @@ def win_running_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
                 "distinct_types_so_far"
             ),
         )
+    )
+
+
+@query(
+    "win_global_rank",
+    """
+    SELECT o_orderkey, o_totalprice,
+           CAST(row_number() OVER (ORDER BY o_totalprice DESC, o_orderkey)
+                AS BIGINT) AS price_rank
+    FROM orders
+    """,
+)
+def win_global_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact GLOBAL rank over the full fact table — the operation that,
+    written naively (``row_number() OVER (ORDER BY ...)`` with no
+    partition), funnels every row through one task. Implemented with the
+    two-phase distributed global order (operators/global_order.py):
+    approx-quantile range buckets over the driving key, per-bucket
+    row_number, exclusive bucket-prefix offsets broadcast back. Exactly
+    the single-partition answer, but the sort runs bucket-parallel and
+    peak per-task memory is ~1/B of the input — this survives 100 TB
+    where the naive plan OOMs one executor. DESC order is handled by
+    ranking on the negated driving key (boundaries stay ascending)."""
+    from xlsx_to_database_spark.operators.global_order import (
+        with_global_row_number,
+    )
+
+    o = table(spark, sf_dir, "orders").select("o_orderkey", "o_totalprice")
+    neg = o.withColumn("__neg", -F.col("o_totalprice"))
+    return (
+        with_global_row_number(
+            neg,
+            [F.col("__neg").asc(), F.col("o_orderkey").asc()],
+            "__neg",
+            out="price_rank",
+        )
+        .drop("__neg")
+        .select("o_orderkey", "o_totalprice", "price_rank")
     )

@@ -74,6 +74,21 @@ _ATTESTED: tuple[str, ...] = (
     "stat_histogram", "agg_condcount", "win_row_number", "win_rank_dense",
     "win_ntile", "win_percent_cume", "win_lag_lead", "win_running_sum",
     "win_moving_avg",
+    # CORRECTNESS_r02.json greens (all 50 evaluated entries passed;
+    # sample_frac is the declared rows-only op).
+    "join_asof_forward", "join_existence_flag", "join_nearest", "join_fuzzy",
+    "join_asof_tolerance", "agg_collect", "agg_grouping_id",
+    "agg_bitmap_distinct", "agg_entropy", "stat_ks_test", "agg_skew_twophase",
+    "agg_approx_topk", "agg_weighted", "agg_gini", "win_range_frame",
+    "win_first_last", "win_time_range", "win_sessionize", "win_fill_forward",
+    "win_nth_value", "win_running_distinct", "sort_multi", "limit_n",
+    "topk_per_group", "sample_frac", "set_union_all", "set_union_distinct",
+    "set_intersect", "set_except", "sample_hash", "str_funcs", "str_regexp",
+    "str_levenshtein", "date_funcs", "math_funcs", "arr_funcs", "arr_explode",
+    "arr_higher_order", "map_funcs", "json_extract", "variant_json",
+    "xml_parse", "str_extract_all", "xlsx_scan", "xlsx_infer",
+    "xlsx_multisheet", "ident_sanitize", "parquet_scan", "csv_scan",
+    "json_scan",
 )
 
 

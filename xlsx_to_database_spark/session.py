@@ -35,6 +35,17 @@ RUNTIME_CONFS: dict[str, str] = {
     # read as raw nanos-since-epoch longs and truncate to micros in the
     # catalog (matching DuckDB's ns→µs truncation on the oracle side).
     "spark.sql.legacy.parquet.nanosAsLong": "true",
+    # Newer testdata stores ts as TIMESTAMP(MICROS) with isAdjustedToUTC
+    # unset; Spark 4 infers that as TIMESTAMP_NTZ by default, which
+    # unix_micros()/watermarks reject. Read it as plain TIMESTAMP — the
+    # session timezone is pinned UTC above, so wall-clock values match
+    # DuckDB's naive reading exactly.
+    "spark.sql.parquet.inferTimestampNTZ.enabled": "false",
+    # Write timestamps as INT64 micros, not deprecated INT96: INT96
+    # columns carry no min/max statistics, which silently disables
+    # footer-only file/row-group pruning on every timestamp predicate —
+    # the whole point of clustered sinks.
+    "spark.sql.parquet.outputTimestampType": "TIMESTAMP_MICROS",
 }
 
 

@@ -24,20 +24,50 @@ from pyspark.sql.types import (
     StringType,
     StructField,
     StructType,
+    TimestampType,
 )
 
-#: File-stream schema for events.parquet — ts arrives as nanos-long
-#: (spark.sql.legacy.parquet.nanosAsLong) and is truncated to µs below.
-EVENTS_RAW_SCHEMA = StructType(
-    [
-        StructField("event_id", LongType()),
-        StructField("ts", LongType()),
-        StructField("user_id", LongType()),
-        StructField("event_type", StringType()),
-        StructField("value", DoubleType()),
-        StructField("props", StringType()),
-    ]
-)
+def _events_field(schema_fields: list) -> StructType:
+    return StructType(
+        [
+            StructField("event_id", LongType()),
+            schema_fields[0],
+            StructField("user_id", LongType()),
+            StructField("event_type", StringType()),
+            StructField("value", DoubleType()),
+            StructField("props", StringType()),
+        ]
+    )
+
+
+#: Legacy testdata stores ts as TIMESTAMP(NANOS), which Spark's reader
+#: only surfaces as a nanos-long (spark.sql.legacy.parquet.nanosAsLong);
+#: newer testdata stores TIMESTAMP(MICROS), read directly as timestamp.
+EVENTS_RAW_SCHEMA_NANOS = _events_field([StructField("ts", LongType())])
+EVENTS_RAW_SCHEMA_MICROS = _events_field([StructField("ts", TimestampType())])
+
+# Backwards-compat alias (legacy layout).
+EVENTS_RAW_SCHEMA = EVENTS_RAW_SCHEMA_NANOS
+
+
+def events_ts_is_nanos(sf_dir: str) -> bool:
+    """True iff the events file stores ts as TIMESTAMP(NANOS)."""
+    import pyarrow.parquet as pq
+
+    t = pq.read_schema(os.path.join(sf_dir, "events.parquet")).field("ts").type
+    return str(t).startswith("timestamp[ns")
+
+
+def events_raw_schema(sf_dir: str) -> StructType:
+    return EVENTS_RAW_SCHEMA_NANOS if events_ts_is_nanos(sf_dir) else EVENTS_RAW_SCHEMA_MICROS
+
+
+def with_event_time(raw: DataFrame, sf_dir: str) -> DataFrame:
+    """Normalize the raw ts column to a µs TIMESTAMP event-time column."""
+    if events_ts_is_nanos(sf_dir):
+        # ns longs ~1.7e18 overflow double precision — integer division.
+        return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return raw.withColumn("ts", F.col("ts").cast("timestamp"))
 
 _name_counter = itertools.count()
 
@@ -53,7 +83,11 @@ def _stage_dir(sf_dir: str, copies: int) -> str:
     dst = f"/tmp/spark_stream_src/{tag}_x{copies}"
     src = os.path.join(sf_dir, "events.parquet")
     expected = [os.path.join(dst, f"events_{i}.parquet") for i in range(copies)]
-    if not all(os.path.exists(p) for p in expected):
+    src_size = os.path.getsize(src)
+    stale = any(
+        not os.path.exists(p) or os.path.getsize(p) != src_size for p in expected
+    )
+    if stale:
         shutil.rmtree(dst, ignore_errors=True)
         os.makedirs(dst, exist_ok=True)
         for p in expected:
@@ -64,8 +98,10 @@ def _stage_dir(sf_dir: str, copies: int) -> str:
 def events_stream(spark: SparkSession, sf_dir: str, copies: int = 1) -> DataFrame:
     """The events table as a streaming DataFrame with a proper µs
     event-time column."""
-    raw = spark.readStream.schema(EVENTS_RAW_SCHEMA).parquet(_stage_dir(sf_dir, copies))
-    return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    raw = spark.readStream.schema(events_raw_schema(sf_dir)).parquet(
+        _stage_dir(sf_dir, copies)
+    )
+    return with_event_time(raw, sf_dir)
 
 
 def run_to_memory(sdf: DataFrame, output_mode: str = "complete") -> DataFrame:
