@@ -355,3 +355,29 @@ def test_vec_quantize_bounds(spark):
     for r in rows.values():
         assert -127 <= r.q_min <= r.q_max <= 127
         assert r.recon_err >= 0.0
+
+
+def test_pca_projection_invariants(spark):
+    """vec_pca_project has no SQL oracle; assert the linear-algebra
+    invariants instead: component variances are non-increasing and the
+    projected components are (near-)uncorrelated."""
+    import numpy as np
+    from xlsx_to_database_spark.registry import all_queries
+
+    df = all_queries()["vec_pca_project"](spark, "/root/testdata/sf0.01")
+    pdf = df.toPandas().sort_values("vec_id")
+    comps = pdf[[c for c in pdf.columns if c.startswith("pc")]].to_numpy()
+    var = comps.var(axis=0)
+    assert all(var[i] >= var[i + 1] - 1e-9 for i in range(len(var) - 1)), var
+    cc = np.corrcoef(comps.T)
+    off = cc - np.diag(np.diag(cc))
+    assert np.abs(off).max() < 0.05, np.abs(off).max()
+
+
+def test_compact_files_counts(spark):
+    import glob
+    from xlsx_to_database_spark.registry import all_queries
+
+    all_queries()["etl_compact_files"](spark, "/root/testdata/sf0.01").count()
+    assert len(glob.glob("/tmp/spark_stage/sf0.01_events_fragmented/part-*.parquet")) == 64
+    assert len(glob.glob("/tmp/spark_stage/sf0.01_events_compacted/part-*.parquet")) == 4

@@ -954,3 +954,126 @@ def stat_cov_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     return s.selectExpr(
         f"stack(6, {stack_args}) AS (var_a, var_b, cov)"
     )
+
+
+_KMEANS_ORACLE = """
+WITH v AS (
+    SELECT vec_id,
+           list_transform(embedding, x -> round(CAST(x AS DOUBLE), 4)) AS e
+    FROM embeddings
+), c0 AS (
+    SELECT vec_id AS cid, e AS c FROM v WHERE vec_id < 4
+), a1 AS (
+    SELECT vec_id, cid, e FROM (
+        SELECT v.vec_id, c0.cid, v.e,
+               row_number() OVER (
+                   PARTITION BY v.vec_id
+                   ORDER BY list_sum(list_transform(
+                       generate_series(1, len(v.e)),
+                       i -> (v.e[i] - c0.c[i]) * (v.e[i] - c0.c[i]))) ASC,
+                   c0.cid ASC) AS rn
+        FROM v CROSS JOIN c0
+    ) WHERE rn = 1
+), c1 AS (
+    SELECT cid, list(m ORDER BY dim) AS c FROM (
+        SELECT a1.cid, i AS dim,
+               round(CAST(sum(CAST(a1.e[i] AS DECIMAL(28,10))) AS DOUBLE)
+                     / count(*), 6) AS m
+        FROM a1, UNNEST(generate_series(1, len(a1.e))) AS t(i)
+        GROUP BY a1.cid, i
+    ) GROUP BY cid
+), a2 AS (
+    SELECT vec_id, cid, d FROM (
+        SELECT v.vec_id, c1.cid,
+               round(list_sum(list_transform(
+                   generate_series(1, len(v.e)),
+                   i -> (v.e[i] - c1.c[i]) * (v.e[i] - c1.c[i]))), 4) AS d,
+               row_number() OVER (
+                   PARTITION BY v.vec_id
+                   ORDER BY list_sum(list_transform(
+                       generate_series(1, len(v.e)),
+                       i -> (v.e[i] - c1.c[i]) * (v.e[i] - c1.c[i]))) ASC,
+                   c1.cid ASC) AS rn
+        FROM v CROSS JOIN c1
+    ) WHERE rn = 1
+)
+SELECT CAST(cid AS BIGINT) AS cluster,
+       CAST(count(*) AS BIGINT) AS n_vecs,
+       round(CAST(sum(CAST(d AS DECIMAL(18,4))) AS DOUBLE) / count(*), 4)
+           AS mean_sq_dist
+FROM a2 GROUP BY cid
+"""
+
+
+@query("ml_kmeans", _KMEANS_ORACLE)
+def ml_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lloyd's k-means (k=4, one full assign→update→assign round) over the
+    embedding table — the iterative-ML template, engine-exact: vectors are
+    quantized to 4dp up front, centroid updates are DECIMAL-summed
+    per (cluster, dimension) and rounded to 6dp before feeding the next
+    assignment (the pagerank discipline: both engines carry IDENTICAL
+    doubles forward, so a fixed-iteration oracle exists at all).
+
+    Scale shape per iteration: centroids are k×d driver metadata
+    (IVF-centroid precedent) inlined as literals, so ASSIGNMENT is a
+    map-only codegen pass — no join, no shuffle of vectors; the UPDATE
+    is one posexplode + (cluster, dim) hash aggregate whose shuffle
+    carries scalars, never vectors (sim_centroids shape). Deterministic
+    ties: argmin breaks on centroid id; init = first k vec_ids."""
+    emb = table(spark, sf_dir, "embeddings")
+    v = emb.select(
+        "vec_id",
+        F.transform(F.col("embedding"), lambda x: F.round(x.cast("double"), 4)).alias(
+            "e"
+        ),
+    )
+    init = {
+        r["vec_id"]: r["e"]
+        for r in v.filter(F.col("vec_id") < 4).collect()
+    }
+
+    def assign(cents: dict[int, list[float]], with_dist: bool):
+        """Map-only argmin over literal centroids (codegen, no shuffle)."""
+        dist_cols = []
+        for cid in sorted(cents):
+            carr = F.array(*[F.lit(float(x)) for x in cents[cid]])
+            d = F.aggregate(
+                F.zip_with(F.col("e"), carr, lambda a, b: (a - b) * (a - b)),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            )
+            dist_cols.append(F.struct(d.alias("d"), F.lit(cid).alias("cid")))
+        best = F.array_min(F.array(*dist_cols))
+        out = v.select(
+            "vec_id",
+            best["cid"].alias("cid"),
+            F.round(best["d"], 4).alias("d"),
+        )
+        return out if with_dist else out.drop("d")
+
+    a1 = assign(init, with_dist=False)
+    upd = (
+        a1.join(v, "vec_id")
+        .select("cid", F.posexplode("e").alias("dim", "x"))
+        .groupBy("cid", "dim")
+        .agg(
+            F.round(
+                F.sum(F.col("x").cast("decimal(28,10)")).cast("double")
+                / F.count(F.lit(1)),
+                6,
+            ).alias("m")
+        )
+    )
+    cents1 = {}
+    for r in upd.collect():  # k*d scalars — driver metadata, like init
+        cents1.setdefault(r["cid"], {})[r["dim"]] = r["m"]
+    cents1 = {cid: [ms[i] for i in sorted(ms)] for cid, ms in cents1.items()}
+    a2 = assign(cents1, with_dist=True)
+    return a2.groupBy(F.col("cid").cast("long").alias("cluster")).agg(
+        F.count(F.lit(1)).alias("n_vecs"),
+        F.round(
+            F.sum(F.col("d").cast("decimal(18,4)")).cast("double")
+            / F.count(F.lit(1)),
+            4,
+        ).alias("mean_sq_dist"),
+    )

@@ -907,3 +907,77 @@ def text_line_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).alias("n_lines_kept"),
         )
     )
+
+
+@query("vec_pca_project")  # rows-only: eigendecomposition is not SQL-expressible
+def vec_pca_project(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PCA projection of the embedding column to its top-8 principal
+    components — the dimensionality-reduction pass before cheap ANN or
+    clustering. Distributed shape (the one every linear-model trainer
+    uses): each PARTITION computes its local Gram matrix and mean-sum
+    with numpy inside one mapInPandas pass (d×d per partition — map-side
+    combine, so the shuffle moves #partitions × d² scalars, never
+    vectors), the driver reduces the partials and eigendecomposes the
+    d×d covariance (64×64 — microseconds, metadata-scale like the IVF
+    centroids), and the projection matrix is inlined as literals so the
+    actual projection is a second map-only pass. Eigenvector sign is
+    pinned (largest-|component| positive) to make output deterministic.
+    Rows-only: no SQL oracle can eigendecompose; invariants (variance
+    ordering, orthogonality) are unit-tested instead."""
+    import numpy as np
+    import pandas as pd
+
+    emb = table(spark, sf_dir, "embeddings")
+    d = 64
+    n_comp = 8
+
+    def partial_gram(batches):
+        for pdf in batches:
+            m = np.stack(pdf["embedding"].to_numpy()).astype("float64")
+            yield pd.DataFrame(
+                {
+                    "n": [float(m.shape[0])],
+                    "s": [m.sum(axis=0).tolist()],
+                    "g": [(m.T @ m).reshape(-1).tolist()],
+                }
+            )
+
+    parts = emb.select("embedding").mapInPandas(
+        partial_gram, schema="n double, s array<double>, g array<double>"
+    ).collect()
+    n = sum(r["n"] for r in parts)
+    s = np.sum([np.array(r["s"]) for r in parts], axis=0)
+    g = np.sum([np.array(r["g"]).reshape(d, d) for r in parts], axis=0)
+    mu = s / n
+    cov = g / n - np.outer(mu, mu)
+    vals, vecs = np.linalg.eigh(cov)
+    order = np.argsort(vals)[::-1][:n_comp]
+    w = vecs[:, order]  # d x n_comp
+    # sign convention: largest-|component| of each eigenvector positive
+    for j in range(w.shape[1]):
+        i = int(np.abs(w[:, j]).argmax())
+        if w[i, j] < 0:
+            w[:, j] = -w[:, j]
+
+    centered = F.transform(
+        F.col("embedding"),
+        lambda x, i: x.cast("double") - F.element_at(
+            F.array(*[F.lit(float(m)) for m in mu]), i + 1
+        ),
+    )
+    comps = [
+        F.round(
+            F.aggregate(
+                F.zip_with(
+                    centered,
+                    F.array(*[F.lit(float(w[i, j])) for i in range(d)]),
+                    lambda a, b: a * b,
+                ),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            ),
+            5,
+        ).alias(f"pc{j + 1}")
+        for j in range(n_comp)
+    ]
+    return emb.select("vec_id", *comps)

@@ -561,3 +561,50 @@ def etl_partition_overwrite(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(F.col("o_totalprice").cast("decimal(18,2)")).cast("double"), 2
         ).alias("total"),
     )
+
+
+@query(
+    "etl_compact_files",
+    """
+    SELECT event_type,
+           CAST(count(*) AS BIGINT) AS n,
+           CAST(count(DISTINCT user_id) AS BIGINT) AS n_users,
+           round(CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE), 4) AS total
+    FROM events GROUP BY event_type
+    """,
+)
+def etl_compact_files(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Small-file compaction — the maintenance job every streaming/
+    incremental pipeline needs: a sink that commits per micro-batch (or
+    per task) leaves thousands of KB-sized files, and at 100 TB the
+    NameNode/listing/task-scheduling overhead of small files dominates
+    scan cost. This op fragments events into 64 splinter files, then
+    compacts with a round-robin `repartition(4)` rewrite (repartition,
+    not coalesce: coalesce(4) would merge map-side and skip the shuffle
+    but chains upstream partitioning — fine for a pure rewrite, but
+    repartition also rebalances skewed splinters; for a sorted layout
+    use repartitionByRange, see parquet_clustered_sink). The exact
+    read-back aggregate proves content integrity through both rewrites;
+    file counts are asserted in tests."""
+    import glob
+    import os
+
+    ev = table(spark, sf_dir, "events").select(
+        "event_id", "user_id", "event_type", "value"
+    )
+    tag = os.path.basename(os.path.normpath(sf_dir))
+    frag = f"{_STAGE_ROOT}/{tag}_events_fragmented"
+    compact = f"{_STAGE_ROOT}/{tag}_events_compacted"
+    ev.repartition(64).write.mode("overwrite").parquet(frag)
+    small = spark.read.parquet(frag)
+    small.repartition(4).write.mode("overwrite").parquet(compact)
+    assert len(glob.glob(f"{frag}/part-*.parquet")) == 64
+    assert len(glob.glob(f"{compact}/part-*.parquet")) == 4
+    back = spark.read.parquet(compact)
+    return back.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.count_distinct("user_id").alias("n_users"),
+        F.round(
+            F.sum(F.col("value").cast("decimal(18,6)")).cast("double"), 4
+        ).alias("total"),
+    )

@@ -508,3 +508,42 @@ def win_global_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
         .drop("__neg")
         .select("o_orderkey", "o_totalprice", "price_rank")
     )
+
+
+@query(
+    "win_rolling_median",
+    """
+    SELECT user_id, event_id,
+           round(quantile_cont(value, 0.5) OVER (
+               PARTITION BY user_id
+               ORDER BY ts ASC, event_id ASC
+               ROWS BETWEEN 6 PRECEDING AND CURRENT ROW), 4) AS value_med7
+    FROM events
+    """,
+)
+def win_rolling_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling exact median over the trailing 7 events per user — the
+    robust sibling of win_moving_avg (medians shrug off the spikes that
+    wreck a mean-based alert). Spark has no windowed percentile, so the
+    frame is materialized with collect_list over the same 7-row frame,
+    sorted, and interpolated with quantile_cont semantics (pos =
+    (n-1)/2, linear between the two bracketing order statistics — the
+    identical arithmetic DuckDB runs). Frame state is O(7) per row, the
+    window is one shuffle+sort on user_id shared with any other window
+    on that key; a 10k-row frame would want a different algorithm
+    (two-heap sketch in applyInPandas), 7 rows want exactly this."""
+    ev = table(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.col("ts").asc(), F.col("event_id").asc())
+        .rowsBetween(-6, Window.currentRow)
+    )
+    a = F.array_sort(F.collect_list("value").over(w))
+    n = F.size(a)
+    pos = (n - 1).cast("double") / 2
+    lo = F.element_at(a, F.floor(pos).cast("int") + 1)
+    hi = F.element_at(a, F.ceil(pos).cast("int") + 1)
+    med = lo + (hi - lo) * (pos - F.floor(pos))
+    return ev.select(
+        "user_id", "event_id", F.round(med, 4).alias("value_med7")
+    )
