@@ -89,22 +89,57 @@ _ATTESTED: tuple[str, ...] = (
     "xml_parse", "str_extract_all", "xlsx_scan", "xlsx_infer",
     "xlsx_multisheet", "ident_sanitize", "parquet_scan", "csv_scan",
     "json_scan",
+    # CORRECTNESS_r03.json greens (all 50 evaluated entries passed;
+    # dedup_minhash/dedup_simhash and the four media_* ops are the
+    # declared rows-only entries).
+    "join_bloom_prefilter", "win_global_rank", "win_rolling_median",
+    "parquet_sink", "jdbc_sink", "xlsx_sink", "orc_sink", "csv_sink",
+    "text_scan", "csv_quoted_scan", "obs_metrics", "parquet_pruned_read",
+    "parquet_schema_merge", "binary_scan", "dedup_exact", "dedup_near",
+    "dedup_cluster", "dedup_minhash", "dedup_simhash", "dedup_embedding",
+    "sim_cosine_topk", "sim_lsh_topk", "sim_ivf_topk", "sim_knn_join",
+    "text_tokenize", "text_tfidf", "text_ngrams", "text_lang_stats",
+    "text_quality", "text_langid", "text_fingerprint", "multimodal_cols",
+    "text_token_count", "sim_centroids", "sim_batch_topk",
+    "media_text_decode", "media_decode", "media_resize",
+    "media_frame_sample", "media_embed", "udf_python", "udf_pandas",
+    "udaf_pandas", "udtf_python", "udf_arrow", "udf_cogrouped",
+    "pivot_wide", "unpivot_long", "subq_exists", "subq_in",
 )
+
+# Attested ops whose IMPLEMENTATION changed after their attestation round
+# (round-4 advice): the prior green row attests the OLD code, so these are
+# treated as unattested until the driver re-verifies them. Round 4 set:
+# the three attested callers of operators/global_order.py, rewritten this
+# round for data-sized bucket counts + NULL-safe running sums.
+_REOPENED: frozenset[str] = frozenset({
+    "win_ntile", "stat_ks_test", "win_global_rank",
+})
+
+#: The driver evaluates this many registry-order entries per round
+#: (empirically: r01 covered exactly the first 50).
+_DRIVER_WINDOW = 50
 
 
 def _prioritized(names: list[str]) -> list[str]:
     """Registry order with driver-attested ops moved to the back (stable
     within each segment) so unattested ops land in the driver's window.
-    Within the unattested segment, streaming ops (each drains a whole
-    micro-batch stream — seconds apiece) go last: if the driver's cut is
-    a time budget rather than a count, cheap ops shouldn't queue behind
-    them."""
-    attested = set(_ATTESTED)
+
+    The head is composed so the whole streaming family fits inside ONE
+    driver window (round-3 verdict #1): never-attested non-stream ops are
+    capped at ``_DRIVER_WINDOW - streams - reopened``, then reopened ops,
+    then every stream_* op. Streams go last within the window (each drains
+    a whole micro-batch run — seconds apiece) so if the driver's cut is a
+    time budget rather than a count, cheap ops don't queue behind them."""
+    attested = set(_ATTESTED) - _REOPENED
     fresh = [n for n in names if n not in attested]
-    fresh = [n for n in fresh if not n.startswith("stream_")] + [
-        n for n in fresh if n.startswith("stream_")
+    stream = [n for n in fresh if n.startswith("stream_")]
+    reopened = [n for n in fresh if n in _REOPENED and not n.startswith("stream_")]
+    never = [n for n in fresh if not n.startswith("stream_") and n not in _REOPENED]
+    cap = max(0, _DRIVER_WINDOW - len(stream) - len(reopened))
+    return never[:cap] + reopened + stream + never[cap:] + [
+        n for n in names if n in attested
     ]
-    return fresh + [n for n in names if n in attested]
 
 
 def all_queries() -> dict[str, QueryFn]:
