@@ -417,10 +417,26 @@ def test_asof_tolerance_no_range_join(spark, sf_dir, qs):
 
 
 def test_global_rank_window_is_bucket_partitioned(spark, sf_dir, qs):
-    """win_global_rank must NOT plan the naive single-partition global
-    window: the only window over the fact table is partitioned by the
-    range-bucket key, so the sort parallelizes."""
-    df = qs["win_global_rank"](spark, sf_dir)
+    """On fact-scale input the global-order operator must NOT plan the
+    naive single-partition window: every window over the big input is
+    partitioned by the range-bucket key, so the sort parallelizes.
+    Fact scale is simulated by pinning ``n_buckets`` — identical plan
+    shape to what auto-sizing produces past _TARGET_ROWS_PER_BUCKET."""
+    from pyspark.sql import functions as F
+
+    from xlsx_to_database_spark.catalog import table
+    from xlsx_to_database_spark.operators.global_order import (
+        with_global_row_number,
+    )
+
+    o = table(spark, sf_dir, "orders").select("o_orderkey", "o_totalprice")
+    df = with_global_row_number(
+        o,
+        [F.col("o_totalprice").asc(), F.col("o_orderkey").asc()],
+        "o_totalprice",
+        out="rn",
+        n_buckets=8,
+    )
     plan = explain_str(df)
     assert "__gbkt" in plan, plan
     # every Window node carries a partition spec (no 'Window [..], [..ASC..]'
@@ -431,8 +447,38 @@ def test_global_rank_window_is_bucket_partitioned(spark, sf_dir, qs):
         assert m.group(1).strip(), plan
 
 
+def test_global_rank_auto_collapses_small_input(spark, sf_dir, qs):
+    """Below _TARGET_ROWS_PER_BUCKET the auto-sized operator must SKIP
+    the two-phase machinery (quantile pass, offsets join, bucket column):
+    one task comfortably sorts the whole input, so the plain global
+    window is the faster plan — the round-3 verdict's small-scale
+    latency reclaim."""
+    plan = explain_str(qs["win_global_rank"](spark, sf_dir))
+    assert "__gbkt" not in plan, plan
+
+
+def test_global_order_auto_bucket_sizing():
+    """clamp(ceil(rows / target), 1, max) — pure arithmetic, no session."""
+    from xlsx_to_database_spark.operators import global_order as go
+
+    t = go._TARGET_ROWS_PER_BUCKET
+
+    class _Fake:  # count() must not be called when n_rows is given
+        def count(self):  # pragma: no cover
+            raise AssertionError("count() called despite n_rows")
+
+    r = lambda n: go._resolve_buckets(_Fake(), None, n)  # noqa: E731
+    assert r(0) == 1 and r(1) == 1 and r(t) == 1
+    assert r(t + 1) == 2
+    assert r(10 * t) == 10
+    assert r(10_000 * t) == go._MAX_BUCKETS
+    assert go._resolve_buckets(_Fake(), 7, None) == 7  # explicit wins
+
+
 def test_global_rank_matches_naive_window(spark, sf_dir, qs):
-    """Two-phase distributed rank == the single-partition answer."""
+    """Two-phase distributed rank == the single-partition answer.
+    ``n_buckets`` is pinned so the BUCKETED path is what's verified
+    (auto-sizing would collapse to the naive plan at test scale)."""
     from pyspark.sql import Window
     from pyspark.sql import functions as F
 
@@ -449,7 +495,9 @@ def test_global_rank_matches_naive_window(spark, sf_dir, qs):
 
     got = {
         r["c_custkey"]: r["rn"]
-        for r in with_global_row_number(c, order, "c_acctbal", out="rn").collect()
+        for r in with_global_row_number(
+            c, order, "c_acctbal", out="rn", n_buckets=8
+        ).collect()
     }
     want = {
         r["c_custkey"]: r["rn"]
@@ -461,7 +509,9 @@ def test_global_rank_matches_naive_window(spark, sf_dir, qs):
 
     got_nt = {
         r["c_custkey"]: r["b"]
-        for r in with_global_ntile(c, order, "c_acctbal", 7, out="b").collect()
+        for r in with_global_ntile(
+            c, order, "c_acctbal", 7, out="b", n_buckets=8
+        ).collect()
     }
     want_nt = {
         r["c_custkey"]: r["b"]
@@ -475,7 +525,52 @@ def test_global_rank_matches_naive_window(spark, sf_dir, qs):
     got_rs = {
         r["c_custkey"]: r["cum"]
         for r in with_global_running_sums(
-            flagged, order, "c_acctbal", {"cum": "one"}
+            flagged, order, "c_acctbal", {"cum": "one"}, n_buckets=8
         ).collect()
     }
     assert got_rs == want  # running count over the same total order == rank
+
+
+def test_global_running_sums_null_semantics(spark):
+    """Bucketed running sums must match the global window on NULLs: a
+    row whose bucket-local prefix is all-NULL still inherits the prior
+    buckets' sum (SQL windowed SUM is NULL only while the whole frame is
+    null) — the round-4 advice fix."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from xlsx_to_database_spark.operators.global_order import (
+        with_global_running_sums,
+    )
+
+    # 40 ordered rows; v is NULL except every 7th row, so several buckets
+    # start with an all-NULL local prefix; the first rows are NULL under
+    # both plans (empty non-null frame).
+    df = (
+        spark.range(40)
+        .withColumn("k", F.col("id").cast("double"))
+        .withColumn(
+            "v", F.when(F.col("id") % 7 == 3, F.col("id")).otherwise(F.lit(None))
+        )
+    )
+    order = [F.col("k").asc()]
+    naive = {
+        r["id"]: r["cum"]
+        for r in df.select(
+            "id",
+            F.sum("v")
+            .over(
+                Window.orderBy(*order).rowsBetween(
+                    Window.unboundedPreceding, Window.currentRow
+                )
+            )
+            .alias("cum"),
+        ).collect()
+    }
+    got = {
+        r["id"]: r["cum"]
+        for r in with_global_running_sums(
+            df, order, "k", {"cum": "v"}, n_buckets=5
+        ).collect()
+    }
+    assert got == naive

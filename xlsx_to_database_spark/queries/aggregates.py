@@ -586,6 +586,7 @@ def stat_ks_test(spark: SparkSession, sf_dir: str) -> DataFrame:
         [F.col("x").asc(), F.col("is_a").asc()],
         "x",
         {"cum_a": "is_a", "cum_b": "is_b"},
+        n_rows=n_a + n_b,  # sizes already counted above — skip the count job
     )
     cdfs = cums.select(
         (F.col("cum_a").cast("double") / n_a).alias("cdf_a"),
