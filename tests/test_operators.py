@@ -381,3 +381,71 @@ def test_compact_files_counts(spark):
     all_queries()["etl_compact_files"](spark, "/root/testdata/sf0.01").count()
     assert len(glob.glob("/tmp/spark_stage/sf0.01_events_fragmented/part-*.parquet")) == 64
     assert len(glob.glob("/tmp/spark_stage/sf0.01_events_compacted/part-*.parquet")) == 4
+
+
+def test_minhash_recall_vs_exact_shingle_jaccard(spark, sf_dir):
+    """Bound the rows-only LSH op with the exact oracle we already have
+    (round-3 verdict #3): every pair whose TRIGRAM-SHINGLE Jaccard —
+    the measure MinHash actually estimates; token-set Jaccard is a
+    different op (`jaccard_pairs`) — clears the high-sim bar must appear
+    in the banded candidate set. With 4 bands of 4 hashes a J=0.9 pair
+    is caught with p = 1-(1-0.9^4)^4 ≈ 0.986, and the fixed xxhash64
+    seeds make the outcome deterministic for fixed testdata, so the
+    asserted floor holds with slack."""
+    from xlsx_to_database_spark.catalog import table
+
+    docs = table(spark, sf_dir, "documents")
+    rows = docs.select("doc_id", "text").collect()
+
+    def shingles(text: str, n: int = 3) -> set[str]:
+        t = text.split(" ")
+        return {" ".join(t[i : i + n]) for i in range(len(t) - n + 1)}
+
+    sh = {r["doc_id"]: shingles(r["text"]) for r in rows}
+    ids = sorted(sh)
+    exact = set()
+    for i, a in enumerate(ids):
+        sa = sh[a]
+        for b in ids[i + 1 :]:
+            sb = sh[b]
+            if not sa or not sb:
+                continue
+            inter = len(sa & sb)
+            if inter / (len(sa) + len(sb) - inter) >= 0.9:
+                exact.add((a, b))
+    cand = {(r["doc_a"], r["doc_b"]) for r in minhash_lsh_pairs(docs).collect()}
+    assert exact, "testdata lost its near-dup cluster — recall test is vacuous"
+    recall = len(exact & cand) / len(exact)
+    assert recall >= 0.95, f"minhash band recall {recall:.3f} over {len(exact)} pairs"
+
+
+def test_simhash_pigeonhole_completeness(spark, sf_dir):
+    """simhash_pairs must find EVERY pair within Hamming distance 3:
+    with 4 chunks of 16 bits, < 4 differing bits leave at least one
+    chunk identical (pigeonhole), so chunk-banding has exact recall —
+    verified against a driver-side brute force over the collected
+    64-bit fingerprints (hamming values compared too, not just the
+    pair set)."""
+    from xlsx_to_database_spark.catalog import table
+    from xlsx_to_database_spark.operators.dedup import simhash64
+
+    docs = table(spark, sf_dir, "documents")
+    got = {
+        (r["doc_a"], r["doc_b"]): r["hamming"]
+        for r in simhash_pairs(docs).collect()
+    }
+    sh = {
+        r["doc"]: r["sh"]
+        for r in docs.select(
+            F.col("doc_id").alias("doc"), simhash64(F.col("text")).alias("sh")
+        ).collect()
+    }
+    ids = sorted(sh)
+    brute = {}
+    for i, a in enumerate(ids):
+        for b in ids[i + 1 :]:
+            h = bin((sh[a] ^ sh[b]) & 0xFFFFFFFFFFFFFFFF).count("1")
+            if h <= 3:
+                brute[(a, b)] = h
+    assert brute, "testdata lost its near-dup cluster — completeness test is vacuous"
+    assert got == brute
