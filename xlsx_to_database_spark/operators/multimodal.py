@@ -120,15 +120,162 @@ class PillowCodec:
         return px.reshape(1, h, w, c), w, h, c, 1
 
 
+class PngCodec:
+    """Stdlib PNG codec — zlib + struct + numpy only, no pip deps.
+
+    Closes the round-3 "media values rest on a synthetic codec" gap: PNG
+    is a real container format (magic, chunked layout, CRCs, per-scanline
+    filters, DEFLATE), and this decoder implements it from the spec —
+    8-bit gray / RGB / RGBA, all five filter types (None/Sub/Up/Average/
+    Paeth), non-interlaced. ``encode`` deliberately cycles the filter
+    type per scanline so a single round-trip exercises every unfilter
+    path, and generates pixels from the same Philox stream as
+    FakeRawCodec — the property that lets tests assert the PNG pipeline
+    byte-exact against the known-good raw pipeline. Single-frame by
+    nature of the format (n_frames must be 1).
+    """
+
+    _SIG = b"\x89PNG\r\n\x1a\n"
+    _COLOR_TYPE = {1: 0, 3: 2, 4: 6}  # channels -> PNG color type
+    _CHANNELS = {0: 1, 2: 3, 6: 4}  # PNG color type -> channels
+
+    @staticmethod
+    def _chunk(tag: bytes, body: bytes) -> bytes:
+        import zlib
+
+        crc = zlib.crc32(tag + body) & 0xFFFFFFFF
+        return struct.pack(">I", len(body)) + tag + body + struct.pack(">I", crc)
+
+    @staticmethod
+    def _paeth(a: np.ndarray, b: np.ndarray, c: np.ndarray) -> np.ndarray:
+        # Predictor over int16 (the spec's arithmetic is on unwrapped values).
+        p = a.astype(np.int16) + b.astype(np.int16) - c.astype(np.int16)
+        pa, pb, pc = np.abs(p - a), np.abs(p - b), np.abs(p - c)
+        out = np.where((pa <= pb) & (pa <= pc), a, np.where(pb <= pc, b, c))
+        return out.astype(np.uint8)
+
+    @classmethod
+    def encode_pixels(cls, px: np.ndarray) -> bytes:
+        """(h, w, c) uint8 → PNG bytes; filter type cycles per scanline."""
+        import zlib
+
+        h, w, c = px.shape
+        bpp = c
+        raw = px.reshape(h, w * c)
+        prev = np.zeros(w * c, dtype=np.uint8)
+        out = bytearray()
+        for y in range(h):
+            row = raw[y]
+            ft = y % 5
+            left = np.concatenate([np.zeros(bpp, np.uint8), row[:-bpp]])
+            upleft = np.concatenate([np.zeros(bpp, np.uint8), prev[:-bpp]])
+            if ft == 0:
+                filt = row
+            elif ft == 1:
+                filt = row - left
+            elif ft == 2:
+                filt = row - prev
+            elif ft == 3:
+                filt = row - (
+                    (left.astype(np.uint16) + prev.astype(np.uint16)) // 2
+                ).astype(np.uint8)
+            else:
+                filt = row - cls._paeth(left, prev, upleft)
+            out.append(ft)
+            out.extend(filt.tobytes())
+            prev = row
+        ihdr = struct.pack(">IIBBBBB", w, h, 8, cls._COLOR_TYPE[c], 0, 0, 0)
+        return (
+            cls._SIG
+            + cls._chunk(b"IHDR", ihdr)
+            + cls._chunk(b"IDAT", zlib.compress(bytes(out), 6))
+            + cls._chunk(b"IEND", b"")
+        )
+
+    @staticmethod
+    def encode(seed: int, width: int, height: int, channels: int = 3, n_frames: int = 1) -> bytes:
+        if n_frames != 1:
+            raise ValueError("PNG is single-frame; use FakeRawCodec for video payloads")
+        rng = np.random.Generator(np.random.Philox(seed))
+        px = rng.integers(0, 256, size=(height, width, channels), dtype=np.uint8)
+        return PngCodec.encode_pixels(px)
+
+    @classmethod
+    def decode(cls, payload: bytes) -> tuple[np.ndarray, int, int, int, int]:
+        import zlib
+
+        if payload[:8] != cls._SIG:
+            raise ValueError("not a PNG payload")
+        pos, idat, ihdr = 8, bytearray(), None
+        while pos + 8 <= len(payload):
+            (length,) = struct.unpack_from(">I", payload, pos)
+            tag = payload[pos + 4 : pos + 8]
+            body = payload[pos + 8 : pos + 8 + length]
+            (crc,) = struct.unpack_from(">I", payload, pos + 8 + length)
+            if zlib.crc32(tag + body) & 0xFFFFFFFF != crc:
+                raise ValueError(f"PNG chunk {tag!r}: CRC mismatch")
+            if tag == b"IHDR":
+                ihdr = struct.unpack(">IIBBBBB", body)
+            elif tag == b"IDAT":
+                idat.extend(body)
+            elif tag == b"IEND":
+                break
+            pos += 12 + length
+        if ihdr is None:
+            raise ValueError("PNG missing IHDR")
+        w, h, depth, color_type, _comp, _filt, interlace = ihdr
+        if depth != 8 or interlace != 0 or color_type not in cls._CHANNELS:
+            raise NotImplementedError(
+                f"PNG depth={depth} color_type={color_type} interlace={interlace}: "
+                "only 8-bit gray/RGB/RGBA, non-interlaced"
+            )
+        c = cls._CHANNELS[color_type]
+        stride = w * c
+        data = zlib.decompress(bytes(idat))
+        px = np.zeros((h, stride), dtype=np.uint8)
+        prev = np.zeros(stride, dtype=np.uint8)
+        for y in range(h):
+            ft = data[y * (stride + 1)]
+            row = np.frombuffer(
+                data, np.uint8, stride, y * (stride + 1) + 1
+            ).copy()
+            if ft == 2:
+                row += prev
+            elif ft == 3:
+                # Left-neighbor terms are sequential; scan bytes in order.
+                for i in range(stride):
+                    left = row[i - c] if i >= c else 0
+                    row[i] += (int(left) + int(prev[i])) // 2
+            elif ft in (1, 4):
+                for i in range(stride):
+                    left = int(row[i - c]) if i >= c else 0
+                    if ft == 1:
+                        row[i] += left
+                    else:
+                        up, ul = int(prev[i]), int(prev[i - c]) if i >= c else 0
+                        p = left + up - ul
+                        pa, pb, pc = abs(p - left), abs(p - up), abs(p - ul)
+                        pred = left if pa <= pb and pa <= pc else (up if pb <= pc else ul)
+                        row[i] += pred
+            elif ft != 0:
+                raise ValueError(f"PNG filter type {ft} invalid")
+            px[y] = row
+            prev = row
+        return px.reshape(1, h, w, c), w, h, c, 1
+
+
 def _codec(name: str):
     if name == "fake":
         return FakeRawCodec
+    if name == "png":
+        return PngCodec
     if name == "real":
         if PillowCodec.available():
             return PillowCodec
         raise NotImplementedError(
             "codec 'real': Pillow is not installed in this environment; "
-            "on a cluster with PIL the same call decodes PNG/JPEG payloads"
+            "on a cluster with PIL the same call decodes PNG/JPEG payloads "
+            "(the stdlib 'png' codec covers PNG without it)"
         )
     raise NotImplementedError(
         f"codec {name!r}: plug a decoder with the FakeRawCodec interface"

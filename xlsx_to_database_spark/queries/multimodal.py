@@ -4,8 +4,12 @@ Binary payloads + Arrow-batched Python kernels. `media_text_decode` is
 exact-oracled by driving the byte pipeline from ``documents.text``
 (UTF-8 bytes are computable in DuckDB too); the codec-backed ops use the
 deterministic FakeRaw payloads (see operators/multimodal.py) and take the
-rows-only check — their exact-value coverage lives in
-tests/test_multimodal.py.
+rows-only check. Their exact-value coverage lives in
+tests/test_multimodal.py, on TWO container formats: the synthetic
+FakeRaw frames AND real PNG bytes via the stdlib PngCodec (zlib inflate
++ per-scanline unfilter, no pip deps) — decode metadata, resize output
+payloads, and feature vectors are asserted byte-equal across the two
+codecs for identical pixel streams.
 """
 
 from __future__ import annotations
