@@ -44,6 +44,12 @@ HEADLINE = [
     # global-sort ntile — two shapes the rest of the suite doesn't cover.
     "text_decontaminate",
     "stat_equidepth_hist",
+    # Round-4 additions (round-3 verdict #8): the two-phase global-order
+    # family at fact scale, and one streaming drain so micro-batch
+    # regressions (source staging, state store, availableNow plumbing)
+    # show up in the per-round numbers.
+    "win_global_rank",
+    "stream_tumbling",
 ]
 
 
