@@ -585,8 +585,10 @@ def etl_compact_files(spark: SparkSession, sf_dir: str) -> DataFrame:
     repartition also rebalances skewed splinters; for a sorted layout
     use repartitionByRange, see parquet_clustered_sink). The exact
     read-back aggregate proves content integrity through both rewrites;
-    file counts are asserted in tests."""
-    import glob
+    file counts are asserted in tests (tests/test_operators.py::
+    test_compact_files_counts — not here: in-op asserts vanish under
+    ``python -O``, and round-robin partitions of a <64-row input
+    legitimately emit fewer part files)."""
     import os
 
     ev = table(spark, sf_dir, "events").select(
@@ -598,8 +600,6 @@ def etl_compact_files(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev.repartition(64).write.mode("overwrite").parquet(frag)
     small = spark.read.parquet(frag)
     small.repartition(4).write.mode("overwrite").parquet(compact)
-    assert len(glob.glob(f"{frag}/part-*.parquet")) == 64
-    assert len(glob.glob(f"{compact}/part-*.parquet")) == 4
     back = spark.read.parquet(compact)
     return back.groupBy("event_type").agg(
         F.count(F.lit(1)).alias("n"),
