@@ -172,3 +172,86 @@ def test_window_running_sum_matches_group_sum(spark, rows):
     assert sorted(map(tuple, running_last.collect())) == sorted(
         map(tuple, direct.collect())
     )
+
+
+# ---------------------------------------------------------------------------
+# PNG codec: encode -> decode identity on arbitrary pixel arrays
+# ---------------------------------------------------------------------------
+
+
+@given(
+    w=st.integers(min_value=1, max_value=12),
+    h=st.integers(min_value=1, max_value=12),
+    c=st.sampled_from([1, 3, 4]),
+    seed=st.integers(min_value=0, max_value=2**31),
+)
+@settings(max_examples=60, deadline=None)
+def test_png_encode_decode_identity(w, h, c, seed):
+    """PNG round-trip is the identity for any 8-bit gray/RGB/RGBA array —
+    every scanline filter participates (encode cycles them), arbitrary
+    geometry, including 1-pixel edges where left/up neighbors vanish."""
+    import numpy as np
+
+    from xlsx_to_database_spark.operators.multimodal import PngCodec
+
+    rng = np.random.Generator(np.random.Philox(seed))
+    px = rng.integers(0, 256, size=(h, w, c), dtype=np.uint8)
+    out, pw, ph, pc, pf = PngCodec.decode(PngCodec.encode_pixels(px))
+    assert (pw, ph, pc, pf) == (w, h, c, 1)
+    assert np.array_equal(out.reshape(h, w, c), px)
+
+
+# ---------------------------------------------------------------------------
+# Distributed global order == naive global window (bucketed path, NULLs)
+# ---------------------------------------------------------------------------
+
+
+@given(
+    vals=st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=50),  # driving key (dup-heavy)
+            st.one_of(st.none(), st.integers(min_value=-100, max_value=100)),
+        ),
+        min_size=1,
+        max_size=60,
+    ),
+    n_buckets=st.integers(min_value=2, max_value=7),
+)
+@settings(max_examples=8, deadline=None, suppress_health_check=list(HealthCheck))
+def test_global_running_sums_law(spark, vals, n_buckets):
+    """For ANY (key, nullable value) multiset and ANY bucket count, the
+    bucketed running sums equal the single-partition window — including
+    all-NULL prefixes, all-NULL buckets, and duplicate driving keys
+    collapsing bucket boundaries."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from xlsx_to_database_spark.operators.global_order import (
+        with_global_running_sums,
+    )
+
+    df = spark.createDataFrame(
+        [(i, float(k), v) for i, (k, v) in enumerate(vals)],
+        "id long, k double, v long",
+    )
+    order = [F.col("k").asc(), F.col("id").asc()]
+    naive = {
+        r["id"]: r["cum"]
+        for r in df.select(
+            "id",
+            F.sum("v")
+            .over(
+                Window.orderBy(*order).rowsBetween(
+                    Window.unboundedPreceding, Window.currentRow
+                )
+            )
+            .alias("cum"),
+        ).collect()
+    }
+    got = {
+        r["id"]: r["cum"]
+        for r in with_global_running_sums(
+            df, order, "k", {"cum": "v"}, n_buckets=n_buckets
+        ).collect()
+    }
+    assert got == naive
