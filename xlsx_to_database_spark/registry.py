@@ -109,9 +109,12 @@ _ATTESTED: tuple[str, ...] = (
 
 # Attested ops whose IMPLEMENTATION changed after their attestation round
 # (round-4 advice): the prior green row attests the OLD code, so these are
-# treated as unattested until the driver re-verifies them. Round 4 set:
-# the three attested callers of operators/global_order.py, rewritten this
-# round for data-sized bucket counts + NULL-safe running sums.
+# treated as unattested until the driver re-verifies them. Lifecycle:
+# once CORRECTNESS_r{N} shows these green again, fold them back into
+# _ATTESTED and reset this set to the ops (if any) rewritten in round
+# N+1. Round 4 set: the three attested callers of
+# operators/global_order.py, rewritten this round for data-sized bucket
+# counts + NULL-safe running sums.
 _REOPENED: frozenset[str] = frozenset({
     "win_ntile", "stat_ks_test", "win_global_rank",
 })
