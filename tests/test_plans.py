@@ -458,20 +458,24 @@ def test_global_rank_auto_collapses_small_input(spark, sf_dir, qs):
 
 
 def test_global_order_auto_bucket_sizing():
-    """clamp(ceil(rows / target), 1, max) — pure arithmetic, no session."""
+    """Pure sizing arithmetic: parallelism-driven between the per-bucket
+    floor and the slot count, memory-driven past it, clamped to the
+    codegen cap; tiny inputs collapse to 1."""
     from xlsx_to_database_spark.operators import global_order as go
 
-    t = go._TARGET_ROWS_PER_BUCKET
+    lo, hi, cap = go._MIN_ROWS_PER_BUCKET, go._MAX_ROWS_PER_BUCKET, go._MAX_BUCKETS
+    b = go._bucket_count
+    assert b(0, 32) == 1 and b(1, 32) == 1 and b(lo, 32) == 1
+    assert b(lo + 1, 32) == 2  # crosses the floor -> split
+    assert b(20 * lo, 32) == 20  # parallelism-driven: ceil(rows/floor)
+    assert b(100 * lo, 32) == max(32, -(-100 * lo // hi))  # slot-capped
+    assert b(1000 * hi, 32) == cap  # memory term keeps growing to the cap
+    assert b(10 * lo, 4) == max(4, -(-10 * lo // hi))  # fewer slots -> fewer buckets
 
-    class _Fake:  # count() must not be called when n_rows is given
+    class _Fake:  # count() must not be called when n_buckets explicit
         def count(self):  # pragma: no cover
-            raise AssertionError("count() called despite n_rows")
+            raise AssertionError("count() called despite explicit n_buckets")
 
-    r = lambda n: go._resolve_buckets(_Fake(), None, n)  # noqa: E731
-    assert r(0) == 1 and r(1) == 1 and r(t) == 1
-    assert r(t + 1) == 2
-    assert r(10 * t) == 10
-    assert r(10_000 * t) == go._MAX_BUCKETS
     assert go._resolve_buckets(_Fake(), 7, None) == 7  # explicit wins
 
 

@@ -24,22 +24,19 @@ single-partition plan. Skewed driving keys collapse buckets (equal
 boundaries are deduped), degrading parallelism gracefully rather than
 breaking correctness.
 
-**Bucket count is sized to the data** (round-3 verdict #4): the two-phase
-plan costs a fixed extra quantile pass + offsets join, which at small
-inputs dwarfs the sort it parallelizes. ``n_buckets=None`` (the default)
-counts the rows (one cheap count job — far cheaper than the sort it
-sizes) and picks ``clamp(ceil(rows / _TARGET_ROWS_PER_BUCKET), 1,
-_MAX_BUCKETS)``; B == 1 short-circuits the quantile pass, the offsets
+**Bucket count is sized to the data and the cluster** (round-3 verdict
+#4): the two-phase plan costs a fixed extra quantile pass + offsets
+join, which at small inputs dwarfs the sort it parallelizes.
+``n_buckets=None`` (the default) counts the rows (one cheap, memoized
+count job — far cheaper than the sort it sizes) and picks enough
+buckets to use the session's task slots without splitting below a
+measured per-bucket floor, while a per-bucket ceiling bounds sort
+memory regardless of slot count (see :func:`_bucket_count` for the
+measured numbers). B == 1 short-circuits the quantile pass, the offsets
 join, and the bucket column entirely, collapsing to the plain global
 window — which is exactly right when the whole input fits one task.
 Callers that already know the row count pass ``n_rows`` to skip the
 count job; callers with genuinely huge inputs can pin ``n_buckets``.
-
-``_MAX_BUCKETS`` bounds the boundary-literal when-chain so it stays
-inside JVM codegen limits (a ~64-term comparison tree compiles; a
-10k-term one falls back to interpreted evaluation). On a real cluster,
-raise it toward the executor-slot count — the cap trades tail
-parallelism for codegen-friendliness, never correctness.
 
 Requirements: the driving key must be the leading, ascending,
 non-null order key (ties within one driving value always land in one
@@ -55,12 +52,29 @@ from pyspark.sql import functions as F
 
 _BKT = "__gbkt"
 
-#: Rows one bucket-task sorts before another bucket is worth its fixed
-#: cost. ~4M rows of a typical (key, payload) projection is ~100-200 MB —
-#: comfortably one task's working set, and far past the crossover where
-#: the extra quantile pass pays for itself.
-_TARGET_ROWS_PER_BUCKET = 4_000_000
+#: Below this many rows a bucket is not worth its share of the fixed
+#: two-phase cost (quantile pass + offsets join): measured on local[32],
+#: an 800k-row input runs 0.09 s as one plain window vs 0.34 s forced
+#: into 16 buckets. This floor sets the B=1 collapse threshold.
+_MIN_ROWS_PER_BUCKET = 1_000_000
+#: Above this many rows per bucket, per-task sort memory (not
+#: parallelism) forces more buckets even past the slot count.
+_MAX_ROWS_PER_BUCKET = 4_000_000
+#: Codegen bound: the boundary when-chain must stay JIT-compilable. On a
+#: large cluster raise toward the executor-slot count — the cap trades
+#: tail parallelism, never correctness.
 _MAX_BUCKETS = 64
+
+
+def _bucket_count(rows: int, slots: int) -> int:
+    """Pure sizing rule: enough buckets to (a) use the cluster's slots —
+    measured at 20M rows on 32 slots: B=20 runs 4.7 s where the
+    memory-bound-only choice B=5 runs 15.2 s and B=64 (buckets smaller
+    than the floor) regresses to 8.9 s — and (b) bound per-task sort
+    memory, while (c) never splitting below the per-bucket floor."""
+    by_parallelism = min(slots, -(-rows // _MIN_ROWS_PER_BUCKET))
+    by_memory = -(-rows // _MAX_ROWS_PER_BUCKET)
+    return int(max(1, min(_MAX_BUCKETS, max(by_parallelism, by_memory))))
 
 #: Sizing-count memo keyed on (Spark application, analyzed-plan semantic
 #: hash). The count sizes B only — correctness NEVER depends on B — so a
@@ -83,11 +97,13 @@ def _sized_count(df: DataFrame) -> int:
 def _resolve_buckets(
     df: DataFrame, n_buckets: Optional[int], n_rows: Optional[int]
 ) -> int:
-    """Explicit ``n_buckets`` wins; otherwise size to the data."""
+    """Explicit ``n_buckets`` wins; otherwise size to the data and the
+    session's parallelism."""
     if n_buckets is not None:
         return max(1, n_buckets)
     n = _sized_count(df) if n_rows is None else n_rows
-    return int(max(1, min(_MAX_BUCKETS, -(-n // _TARGET_ROWS_PER_BUCKET))))
+    slots = df.sparkSession.sparkContext.defaultParallelism
+    return _bucket_count(n, slots)
 
 
 def _boundaries(df: DataFrame, driving: str, n_buckets: int) -> list[float]:
