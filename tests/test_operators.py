@@ -449,3 +449,30 @@ def test_simhash_pigeonhole_completeness(spark, sf_dir):
                 brute[(a, b)] = h
     assert brute, "testdata lost its near-dup cluster — completeness test is vacuous"
     assert got == brute
+
+
+def test_jaccard_join_equals_filtered_self_join(spark, sf_dir):
+    """The asymmetric R-S near-dup join must report exactly the
+    self-join's pairs restricted to (batch, corpus) sides — same
+    threshold, same Jaccard values (the prefix order differs between
+    the two runs, which must not matter: prefixes affect candidates,
+    never the verified result)."""
+    from xlsx_to_database_spark.catalog import table
+    from xlsx_to_database_spark.operators.dedup import jaccard_join
+
+    d = table(spark, sf_dir, "documents")
+    batch = d.filter(F.col("doc_id") % 20 == 0)
+    corpus = d.filter(F.col("doc_id") % 20 != 0)
+    got = {
+        (r["doc_l"], r["doc_r"]): r["jaccard"]
+        for r in jaccard_join(batch, corpus, threshold=0.9).collect()
+    }
+    want = {}
+    for r in jaccard_pairs(d, threshold=0.9).collect():
+        a_in = r["doc_a"] % 20 == 0
+        b_in = r["doc_b"] % 20 == 0
+        if a_in and not b_in:
+            want[(r["doc_a"], r["doc_b"])] = r["jaccard"]
+        elif b_in and not a_in:
+            want[(r["doc_b"], r["doc_a"])] = r["jaccard"]
+    assert got == want and got

@@ -149,6 +149,88 @@ def jaccard_pairs(
     return scored.filter(F.col("jaccard") >= threshold)
 
 
+def jaccard_join(
+    left: DataFrame,
+    right: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    threshold: float = 0.9,
+) -> DataFrame:
+    """Asymmetric (R ⋈ S) near-dup join: pairs (left_id, right_id) with
+    token-set Jaccard ≥ threshold — the "dedup the new batch against the
+    existing corpus" shape, where a self-join over batch ∪ corpus would
+    waste the corpus × corpus work.
+
+    Same prefix-filtering exactness argument as the self-join
+    (module docstring): both sides' tokens are ranked under ONE global
+    order — document frequency over left ∪ right, then token — and each
+    doc blocks on its first ``n − ⌈t·n⌉ + 1`` tokens. A qualifying pair
+    shares ≥ ⌈t·max(|x|,|y|)⌉ tokens, so the smallest shared token under
+    the common order sits inside both prefixes; candidates therefore
+    have 100% recall, and the length filter prunes size-mismatched pairs
+    before the verify join. Candidate volume is left-prefix × right-
+    prefix per rare token — sub-quadratic, and proportional to the BATCH
+    size on the blocking side rather than the corpus."""
+    lt = _token_sets(left, id_col, text_col)
+    rt = _token_sets(right, id_col, text_col)
+    # One consistent token order across both sides: df over the union.
+    blocks_l = lt.select("doc", F.size("toks").alias("n"), F.explode("toks").alias("tok"))
+    blocks_r = rt.select("doc", F.size("toks").alias("n"), F.explode("toks").alias("tok"))
+    tok_df = (
+        blocks_l.select("tok")
+        .unionAll(blocks_r.select("tok"))
+        .groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("tok_df"))
+    )
+    w = Window.partitionBy("doc").orderBy(F.col("tok_df").asc(), F.col("tok").asc())
+    prefix_len = F.col("n") - F.ceil(F.lit(threshold) * F.col("n")) + 1
+
+    def prefixes(blocks: DataFrame) -> DataFrame:
+        return (
+            blocks.join(tok_df, "tok")
+            .withColumn("__rk", F.row_number().over(w))
+            .filter(F.col("__rk") <= prefix_len)
+            .select("doc", "tok", "n")
+        )
+
+    cand = (
+        prefixes(blocks_l).alias("x")
+        .join(prefixes(blocks_r).alias("y"), on="tok")
+        .filter(
+            (F.col("y.n") >= F.lit(threshold) * F.col("x.n") - F.lit(1e-9))
+            & (F.col("x.n") >= F.lit(threshold) * F.col("y.n") - F.lit(1e-9))
+        )
+        .select(F.col("x.doc").alias("doc_l"), F.col("y.doc").alias("doc_r"))
+        .distinct()
+    )
+    a = lt.select(
+        F.col("doc").alias("doc_l"), F.col("toks").alias("toks_l"),
+        F.size("toks").alias("nl"),
+    )
+    b = rt.select(
+        F.col("doc").alias("doc_r"), F.col("toks").alias("toks_r"),
+        F.size("toks").alias("nr"),
+    )
+    scored = (
+        cand.join(a, "doc_l")
+        .join(b, "doc_r")
+        .select(
+            "doc_l", "doc_r",
+            F.size(F.array_intersect("toks_l", "toks_r")).alias("inter"),
+            "nl", "nr",
+        )
+        .select(
+            "doc_l", "doc_r",
+            F.round(
+                F.col("inter").cast("double")
+                / (F.col("nl") + F.col("nr") - F.col("inter")),
+                6,
+            ).alias("jaccard"),
+        )
+    )
+    return scored.filter(F.col("jaccard") >= threshold)
+
+
 def _shingles(text_col, n: int = 3):
     """Word n-gram shingles of a space-tokenized text column. Documents
     shorter than n tokens yield an empty array (guarded — Spark's

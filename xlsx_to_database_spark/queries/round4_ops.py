@@ -1,0 +1,143 @@
+"""Round-4 additions: LM-perplexity quality filtering, cross-corpus
+near-dup joins, and cosine radius search — three training-pipeline
+shapes the §2 inventory did not yet cover.
+
+Registered LAST in the registry import order on purpose: the round-4
+driver window is a curated set (backlog + reopened + the whole streaming
+family); new never-attested ops must queue behind it, not displace it.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from xlsx_to_database_spark.catalog import table
+from xlsx_to_database_spark.operators import dedup as D
+from xlsx_to_database_spark.operators.similarity import cosine_sim
+from xlsx_to_database_spark.registry import query
+
+
+@query(
+    "text_perplexity",
+    """
+    WITH toks AS (
+      SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents
+    ), vocab AS (
+      SELECT tok, count(*) AS c FROM toks GROUP BY tok
+    ), tot AS (
+      SELECT sum(c) AS n FROM vocab
+    )
+    SELECT doc_id,
+           CAST(count(*) AS BIGINT) AS n_tok,
+           round(-CAST(sum(CAST(ln(c / n) AS DECIMAL(28,18))) AS DOUBLE)
+                 / count(*), 6) AS avg_nll
+    FROM toks JOIN vocab USING (tok), tot
+    GROUP BY doc_id
+    """,
+)
+def text_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unigram-LM quality scoring (the CCNet/ccnet-style perplexity
+    filter, degree 1): train token probabilities on the corpus itself,
+    score every document by its average negative log-likelihood — low
+    avg_nll ≈ ordinary language, high ≈ gibberish/boilerplate tails the
+    curation pipeline drops. Real deployments swap the self-trained
+    unigram table for a fixed 5-gram KenLM; the Spark shape is
+    identical: a bounded LM table joined onto the token stream.
+
+    Scale: one token-count aggregate (vocab-sized result — bounded MBs
+    regardless of corpus size, so AQE broadcasts the probability join
+    and the token stream never shuffles for the lookup), then one
+    per-doc re-aggregate — the same two-shuffle budget as text_tfidf.
+    Exactness: p = c/N is a ratio of exact integers, ln is bit-identical
+    across both engines' libm (verified for agg_entropy), and each
+    per-token term quantizes to DECIMAL(28,18) before the per-doc sum so
+    summation order cannot matter."""
+    d = table(spark, sf_dir, "documents")
+    toks = d.select("doc_id", F.explode(F.split(F.col("text"), " ")).alias("tok"))
+    vocab = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("c"))
+    n = vocab.agg(F.sum("c").alias("n"))
+    scored = toks.join(vocab, "tok").crossJoin(F.broadcast(n))
+    return scored.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_tok"),
+        F.round(
+            -F.sum(F.log(F.col("c") / F.col("n")).cast("decimal(28,18)")).cast(
+                "double"
+            )
+            / F.count(F.lit(1)),
+            6,
+        ).alias("avg_nll"),
+    )
+
+
+@query(
+    "dedup_cross_corpus",
+    """
+    WITH toks AS (
+      SELECT doc_id, list_distinct(string_split(text, ' ')) AS t FROM documents
+    )
+    SELECT doc_l, doc_r, jaccard FROM (
+      SELECT b.doc_id AS doc_l, c.doc_id AS doc_r,
+             round(len(list_intersect(b.t, c.t))::DOUBLE
+                   / len(list_distinct(list_concat(b.t, c.t))), 6) AS jaccard
+      FROM toks b JOIN toks c ON b.doc_id % 20 = 0 AND c.doc_id % 20 <> 0
+    ) WHERE jaccard >= 0.9
+    """,
+)
+def dedup_cross_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental near-dup screening: token-set Jaccard ≥ 0.9 pairs
+    between a NEW BATCH (doc_id % 20 = 0 — a deterministic 5% slice
+    standing in for today's ingest) and the existing corpus — the
+    R ⋈ S sibling of `dedup_near`'s self-join, via the asymmetric
+    prefix-filtered join (operators/dedup.py::jaccard_join: one global
+    token order over both sides, candidates = batch-prefix ×
+    corpus-prefix per rare token, exact verify). The self-join
+    alternative over batch ∪ corpus would pay the corpus × corpus
+    quadrant for pairs this op never reports; here candidate volume
+    scales with the batch. The oracle is the defining cross product."""
+    d = table(spark, sf_dir, "documents")
+    batch = d.filter(F.col("doc_id") % 20 == 0)
+    corpus = d.filter(F.col("doc_id") % 20 != 0)
+    return D.jaccard_join(batch, corpus, threshold=0.9)
+
+
+@query(
+    "sim_range_search",
+    """
+    WITH v AS (
+      SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+      FROM embeddings
+    ), n AS (
+      SELECT vec_id, e,
+             sqrt(list_sum(list_transform(e, x -> x * x))) AS nrm
+      FROM v
+    ), q AS (SELECT e AS qe, nrm AS qn FROM n WHERE vec_id = 0)
+    SELECT vec_id, cos_sim FROM (
+      SELECT vec_id,
+             round(list_sum(list_transform(generate_series(1, len(e)),
+                                           i -> e[i] * qe[i]))
+                   / (nrm * qn), 6) AS cos_sim
+      FROM n, q
+    ) WHERE cos_sim >= 0.2
+    """,
+)
+def sim_range_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Radius (range) similarity search: EVERY vector with cosine ≥ 0.2
+    of query vector 0 — top-k's filter-shaped sibling, and at scale the
+    cheaper one: no ordering requirement means no per-partition heaps,
+    no TakeOrderedAndProject merge, no result-size guess; the plan is a
+    broadcast of one query vector + a map-only scored filter that
+    parallelizes perfectly and streams matches out. This is the shape
+    retrieval pipelines want for "give me everything above the
+    relevance bar" (dedup gates, recall-first retrieval) where k is
+    unknowable a priori."""
+    e = table(spark, sf_dir, "embeddings")
+    qv = e.filter(F.col("vec_id") == 0).select(F.col("embedding").alias("qvec"))
+    return (
+        e.crossJoin(F.broadcast(qv))
+        .select(
+            "vec_id",
+            cosine_sim(F.col("embedding"), F.col("qvec")).alias("cos_sim"),
+        )
+        .filter(F.col("cos_sim") >= 0.2)
+    )

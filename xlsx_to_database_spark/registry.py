@@ -186,6 +186,10 @@ def _load_all() -> None:
         "xlsx_to_database_spark.queries.corpus_ops",
         "xlsx_to_database_spark.queries.analytics_ops",
         "xlsx_to_database_spark.queries.advanced_ops",
+        # Imported last ON PURPOSE: new ops queue behind the curated
+        # round-4 driver window instead of displacing it (see
+        # queries/round4_ops.py docstring).
+        "xlsx_to_database_spark.queries.round4_ops",
     ):
         try:
             importlib.import_module(mod)
