@@ -102,6 +102,68 @@ def dedup_cross_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "stat_psi_drift",
+    """
+    WITH b AS (
+      SELECT CASE WHEN o_orderpriority = '1-URGENT' THEN 1 ELSE 0 END AS is_a,
+             CASE WHEN o_orderpriority = '5-LOW' THEN 1 ELSE 0 END AS is_b,
+             CAST(floor(o_totalprice / 50000) AS BIGINT) AS bucket
+      FROM orders
+      WHERE o_orderpriority IN ('1-URGENT', '5-LOW')
+    ), c AS (
+      SELECT bucket, sum(is_a) AS ca, sum(is_b) AS cb FROM b GROUP BY bucket
+    ), t AS (
+      SELECT sum(ca) AS na, sum(cb) AS nb FROM c
+    )
+    SELECT round(CAST(sum(CAST((ca / na - cb / nb) * ln((ca / na) / (cb / nb))
+                              AS DECIMAL(28,18))) AS DOUBLE), 6) AS psi,
+           CAST(count(*) AS BIGINT) AS n_buckets
+    FROM c, t
+    WHERE ca > 0 AND cb > 0
+    """,
+)
+def stat_psi_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Population Stability Index between the URGENT and LOW price
+    distributions — KS's sibling and the other standard production drift
+    gate (PSI < 0.1 stable, > 0.25 shifted): fixed-width price buckets,
+    PSI = Σ (p−q)·ln(p/q) over jointly-populated buckets (the
+    documented convention here; the epsilon-smoothing variant is a
+    parameter choice, not a different plan). One conditional aggregate
+    over the fact table → bucket-count-sized frame; everything after is
+    metadata-scale. Exactness: bucket ids are integer floors, p and q
+    are ratios of exact counts, ln is libm-bit-identical, and each term
+    quantizes to DECIMAL(28,18) before the sum (agg_entropy's recipe).
+    Unlike KS (which needs the distributed global-order operator for its
+    CDFs), PSI never sorts anything — the cheap first-line monitor."""
+    o = table(spark, sf_dir, "orders").filter(
+        F.col("o_orderpriority").isin("1-URGENT", "5-LOW")
+    )
+    c = (
+        o.select(
+            F.when(F.col("o_orderpriority") == "1-URGENT", 1).otherwise(0).alias("is_a"),
+            F.when(F.col("o_orderpriority") == "5-LOW", 1).otherwise(0).alias("is_b"),
+            F.floor(F.col("o_totalprice") / 50000).cast("long").alias("bucket"),
+        )
+        .groupBy("bucket")
+        .agg(F.sum("is_a").alias("ca"), F.sum("is_b").alias("cb"))
+    )
+    t = c.agg(F.sum("ca").alias("na"), F.sum("cb").alias("nb"))
+    p = F.col("ca") / F.col("na")
+    q = F.col("cb") / F.col("nb")
+    return (
+        c.crossJoin(F.broadcast(t))
+        .filter((F.col("ca") > 0) & (F.col("cb") > 0))
+        .agg(
+            F.round(
+                F.sum(((p - q) * F.log(p / q)).cast("decimal(28,18)")).cast("double"),
+                6,
+            ).alias("psi"),
+            F.count(F.lit(1)).alias("n_buckets"),
+        )
+    )
+
+
+@query(
     "sim_range_search",
     """
     WITH v AS (
