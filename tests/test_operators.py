@@ -476,3 +476,35 @@ def test_jaccard_join_equals_filtered_self_join(spark, sf_dir):
         elif b_in and not a_in:
             want[(r["doc_b"], r["doc_a"])] = r["jaccard"]
     assert got == want and got
+
+
+def test_zorder_sink_two_dimensional_locality(spark):
+    """Z-ordered files must have NARROW min/max spans on BOTH clustering
+    dimensions — the property 1-D range clustering cannot give (it
+    yields ~perfect spans on its key and ~full-range spans on every
+    other column). With 16 files over a 2-D Morton layout the ideal
+    per-file span is ~1/4 of each dimension; assert both stay under
+    0.55 with slack for quantization edges."""
+    import glob
+
+    import pyarrow.parquet as pq
+
+    from xlsx_to_database_spark.registry import all_queries
+
+    all_queries()["parquet_zorder_sink"](spark, "/root/testdata/sf0.01").count()
+    files = sorted(glob.glob("/tmp/spark_stage/sf0.01_orders_zorder/part-*.parquet"))
+    assert len(files) >= 8, files
+    for col in ("o_custkey", "o_orderdate"):
+        ranges = []
+        for f in files:
+            md = pq.ParquetFile(f).metadata
+            idx = next(
+                i for i in range(md.num_columns)
+                if md.row_group(0).column(i).path_in_schema == col
+            )
+            ss = [md.row_group(g).column(idx).statistics for g in range(md.num_row_groups)]
+            ranges.append((min(s.min for s in ss), max(s.max for s in ss)))
+        glo = max(hi for _, hi in ranges) - min(lo for lo, _ in ranges)
+        spans = [hi - lo for lo, hi in ranges]
+        mean = sum(spans, spans[0] - spans[0]) / len(spans)
+        assert mean / glo < 0.55, (col, mean, glo)

@@ -101,6 +101,93 @@ def dedup_cross_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     return D.jaccard_join(batch, corpus, threshold=0.9)
 
 
+def _zvalue(a, b, bits: int = 16):
+    """Morton (Z-order) interleave of two non-negative int columns'
+    low ``bits`` bits — a pure codegen expression chain (2·bits shift
+    terms), no UDF."""
+    z = F.lit(0).cast("long")
+    for i in range(bits):
+        z = (
+            z
+            + F.shiftleft(F.shiftright(a, i).bitwiseAND(F.lit(1)).cast("long"), 2 * i)
+            + F.shiftleft(F.shiftright(b, i).bitwiseAND(F.lit(1)).cast("long"), 2 * i + 1)
+        )
+    return z
+
+
+@query(
+    "parquet_zorder_sink",
+    """
+    SELECT CAST(count(*) AS BIGINT) AS n,
+           round(CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE), 2)
+             AS total
+    FROM orders
+    WHERE o_custkey % 65536 < 20000
+      AND o_orderdate >= DATE '1994-01-01' AND o_orderdate < DATE '1995-01-01'
+    """,
+)
+def parquet_zorder_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z-ORDER clustered write — the multi-dimensional sibling of
+    `parquet_clustered_sink`: 1-D range clustering gives perfect
+    min/max stats on ONE column and useless ones on every other, but
+    scans that filter on (customer AND date) need locality in BOTH.
+    Interleaving the two keys' bits into a Morton code and
+    range-partitioning + sorting on it bounds every file to a small
+    rectangle of (custkey, date) space, so footer-only pruning works
+    for predicates on either or both dimensions — what table formats
+    ship as OPTIMIZE ZORDER, expressed in three plain Spark primitives
+    (codegen interleave, repartitionByRange, sortWithinPartitions).
+    Per-file two-dimensional span narrowing is pyarrow-asserted in
+    tests; this query proves content integrity: a two-predicate
+    aggregate on the READ-BACK files must hash-match the source-side
+    oracle."""
+    import os
+
+    o = table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_orderdate", "o_totalprice"
+    )
+    # Equalize bit budgets: raw columns have mismatched magnitudes
+    # (custkey ~ 1e6+, date-days ~ 2.4k), and Morton codes only give 2-D
+    # locality when both dims contribute comparable high bits — otherwise
+    # the wider dim dominates the sort and the narrower one degenerates
+    # to 1-D clustering. Quantize each dim to 8 bits against its actual
+    # domain; the (min, max) pair per dim is 4 driver-side scalars from
+    # one aggregate (metadata, same class as approxQuantile boundaries).
+    # The z-value affects LAYOUT only — correctness never depends on it.
+    day = F.datediff(F.col("o_orderdate"), F.lit("1992-01-01"))
+    lo_c, hi_c, lo_d, hi_d = o.agg(
+        F.min("o_custkey"), F.max("o_custkey"), F.min(day), F.max(day)
+    ).collect()[0]
+
+    def quant(col, lo, hi):
+        return F.floor((col - F.lit(lo)) * 256 / F.lit(hi - lo + 1)).cast("int")
+
+    z = _zvalue(
+        quant(F.col("o_custkey"), lo_c, hi_c), quant(day, lo_d, hi_d), bits=8
+    )
+    tag = os.path.basename(os.path.normpath(sf_dir))
+    dst = f"/tmp/spark_stage/{tag}_orders_zorder"
+    (
+        o.withColumn("__z", z)
+        .repartitionByRange(16, "__z")
+        .sortWithinPartitions("__z")
+        .drop("__z")
+        .write.mode("overwrite")
+        .parquet(dst)
+    )
+    back = spark.read.parquet(dst).filter(
+        (F.pmod(F.col("o_custkey"), F.lit(65536)) < 20000)
+        & (F.col("o_orderdate") >= F.lit("1994-01-01"))
+        & (F.col("o_orderdate") < F.lit("1995-01-01"))
+    )
+    return back.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(
+            F.sum(F.col("o_totalprice").cast("decimal(18,2)")).cast("double"), 2
+        ).alias("total"),
+    )
+
+
 @query(
     "stat_psi_drift",
     """
