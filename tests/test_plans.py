@@ -421,7 +421,7 @@ def test_global_rank_window_is_bucket_partitioned(spark, sf_dir, qs):
     naive single-partition window: every window over the big input is
     partitioned by the range-bucket key, so the sort parallelizes.
     Fact scale is simulated by pinning ``n_buckets`` — identical plan
-    shape to what auto-sizing produces past _TARGET_ROWS_PER_BUCKET."""
+    shape to what auto-sizing produces past _MIN_ROWS_PER_BUCKET."""
     from pyspark.sql import functions as F
 
     from xlsx_to_database_spark.catalog import table
@@ -448,7 +448,7 @@ def test_global_rank_window_is_bucket_partitioned(spark, sf_dir, qs):
 
 
 def test_global_rank_auto_collapses_small_input(spark, sf_dir, qs):
-    """Below _TARGET_ROWS_PER_BUCKET the auto-sized operator must SKIP
+    """Below _MIN_ROWS_PER_BUCKET the auto-sized operator must SKIP
     the two-phase machinery (quantile pass, offsets join, bucket column):
     one task comfortably sorts the whole input, so the plain global
     window is the faster plan — the round-3 verdict's small-scale

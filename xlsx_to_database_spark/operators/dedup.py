@@ -72,7 +72,11 @@ def jaccard_prefix_candidates(toks: DataFrame, threshold: float) -> DataFrame:
     blocks = toks.select("doc", F.size("toks").alias("n"), F.explode("toks").alias("tok"))
     tok_df = blocks.groupBy("tok").agg(F.count(F.lit(1)).alias("tok_df"))
     w = Window.partitionBy("doc").orderBy(F.col("tok_df").asc(), F.col("tok").asc())
-    prefix_len = F.col("n") - F.ceil(F.lit(threshold) * F.col("n")) + 1
+    # The 1e-9 slack mirrors the length filter's: an exact-integer
+    # product nudged one ULP high by float representation (e.g.
+    # 0.7d*10) would otherwise ceil one too far and shorten the
+    # prefix, silently dropping qualifying pairs at such thresholds.
+    prefix_len = F.col("n") - F.ceil(F.lit(threshold) * F.col("n") - F.lit(1e-9)) + 1
     prefixes = (
         blocks.join(tok_df, "tok")
         .withColumn("__rk", F.row_number().over(w))
@@ -183,7 +187,11 @@ def jaccard_join(
         .agg(F.count(F.lit(1)).alias("tok_df"))
     )
     w = Window.partitionBy("doc").orderBy(F.col("tok_df").asc(), F.col("tok").asc())
-    prefix_len = F.col("n") - F.ceil(F.lit(threshold) * F.col("n")) + 1
+    # The 1e-9 slack mirrors the length filter's: an exact-integer
+    # product nudged one ULP high by float representation (e.g.
+    # 0.7d*10) would otherwise ceil one too far and shorten the
+    # prefix, silently dropping qualifying pairs at such thresholds.
+    prefix_len = F.col("n") - F.ceil(F.lit(threshold) * F.col("n") - F.lit(1e-9)) + 1
 
     def prefixes(blocks: DataFrame) -> DataFrame:
         return (

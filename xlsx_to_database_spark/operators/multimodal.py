@@ -209,6 +209,10 @@ class PngCodec:
         pos, idat, ihdr = 8, bytearray(), None
         while pos + 8 <= len(payload):
             (length,) = struct.unpack_from(">I", payload, pos)
+            # Truncation must surface as the same ValueError contract the
+            # CRC check establishes, not as struct.error/IndexError.
+            if pos + 12 + length > len(payload):
+                raise ValueError("PNG chunk truncated")
             tag = payload[pos + 4 : pos + 8]
             body = payload[pos + 8 : pos + 8 + length]
             (crc,) = struct.unpack_from(">I", payload, pos + 8 + length)
@@ -231,7 +235,16 @@ class PngCodec:
             )
         c = cls._CHANNELS[color_type]
         stride = w * c
-        data = zlib.decompress(bytes(idat))
+        try:
+            data = zlib.decompress(bytes(idat))
+        except zlib.error as e:
+            raise ValueError(f"PNG IDAT stream corrupt: {e}") from e
+        # A short/long scanline payload would otherwise surface as
+        # IndexError in the unfilter loop below.
+        if len(data) != h * (stride + 1):
+            raise ValueError(
+                f"PNG IDAT length {len(data)} != expected {h * (stride + 1)}"
+            )
         px = np.zeros((h, stride), dtype=np.uint8)
         prev = np.zeros(stride, dtype=np.uint8)
         for y in range(h):

@@ -160,7 +160,12 @@ def parquet_zorder_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).collect()[0]
 
     def quant(col, lo, hi):
-        return F.floor((col - F.lit(lo)) * 256 / F.lit(hi - lo + 1)).cast("int")
+        # Widen to long BEFORE the ×256: for int32 key domains past ~8.4M
+        # (SF ≳ 56) the product overflows 32-bit — silently wrapping
+        # (non-ANSI) into a near-random layout, or erroring under ANSI.
+        return F.floor(
+            (col - F.lit(lo)).cast("long") * 256 / F.lit(hi - lo + 1)
+        ).cast("int")
 
     z = _zvalue(
         quant(F.col("o_custkey"), lo_c, hi_c), quant(day, lo_d, hi_d), bits=8

@@ -150,13 +150,16 @@ def stream_watermark(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Re-stage into 3 ts-range-ordered files so availableNow produces
     # multiple batches and the watermark advances between them.
     # repartitionByRange writes part-0000N in ascending ts order, which
-    # is also the FileStreamSource listing order. The source size is
-    # embedded in the dir name so regenerated testdata (e.g. the
+    # is also the FileStreamSource listing order. The source (size, mtime)
+    # pair is embedded in the dir name so regenerated testdata (e.g. the
     # nanos->micros ts migration) can never be read through a stale
-    # split staged from the old files (round-4 advice #1).
+    # split staged from the old files — size alone could collide if a
+    # regeneration happened to land on identical bytes-on-disk, and this
+    # op carries an exact oracle (round-4/5 advice).
     src_dir = _stage_dir(sf_dir, 1)
-    src_size = os.path.getsize(os.path.join(sf_dir, "events.parquet"))
-    split_dir = f"{src_dir}_wm3_{src_size}"
+    src_path = os.path.join(sf_dir, "events.parquet")
+    src_size = os.path.getsize(src_path)
+    split_dir = f"{src_dir}_wm3_{src_size}_{int(os.path.getmtime(src_path))}"
     if not os.path.exists(os.path.join(split_dir, "_SUCCESS")):
         shutil.rmtree(split_dir, ignore_errors=True)
         spark.read.schema(events_raw_schema(sf_dir)).parquet(

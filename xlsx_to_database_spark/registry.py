@@ -105,18 +105,36 @@ _ATTESTED: tuple[str, ...] = (
     "media_frame_sample", "media_embed", "udf_python", "udf_pandas",
     "udaf_pandas", "udtf_python", "udf_arrow", "udf_cogrouped",
     "pivot_wide", "unpivot_long", "subq_exists", "subq_in",
+    # CORRECTNESS_r04.json greens (48 exact-pass + sample_stratified /
+    # stream_sink as the declared rows-only entries; win_ntile,
+    # stat_ks_test and win_global_rank re-attested out of round 4's
+    # _REOPENED set and are already listed above).
+    "subq_scalar", "tpch_q2", "tpch_q3", "tpch_q4", "tpch_q5", "tpch_q6",
+    "tpch_q7", "tpch_q8", "tpch_q9", "tpch_q10", "tpch_q11", "tpch_q12",
+    "tpch_q13", "tpch_q14", "tpch_q15", "tpch_q16", "tpch_q17", "tpch_q18",
+    "tpch_q19", "tpch_q20", "tpch_q21", "tpch_q22", "join_lateral",
+    "recursive_cte", "etl_upsert", "etl_scd2", "etl_snapshot_diff",
+    "etl_incremental_agg", "etl_partition_overwrite", "etl_compact_files",
+    "dq_checks", "parquet_clustered_sink", "sample_stratified",
+    "profile_table", "seq_pack", "corpus_cap_per_source", "stream_tumbling",
+    "stream_sliding", "stream_session", "stream_watermark", "stream_dedup",
+    "stream_dedup_watermark", "stream_stateful", "stream_static_join",
+    "stream_sink", "stream_stream_join", "stream_foreach_batch",
 )
 
-# Attested ops whose IMPLEMENTATION changed after their attestation round
-# (round-4 advice): the prior green row attests the OLD code, so these are
-# treated as unattested until the driver re-verifies them. Lifecycle:
-# once CORRECTNESS_r{N} shows these green again, fold them back into
-# _ATTESTED and reset this set to the ops (if any) rewritten in round
-# N+1. Round 4 set: the three attested callers of
-# operators/global_order.py, rewritten this round for data-sized bucket
-# counts + NULL-safe running sums.
+# Attested ops whose IMPLEMENTATION changed after their attestation round:
+# the prior green row attests the OLD code, so these are treated as
+# unattested until the driver re-verifies them. Lifecycle: once
+# CORRECTNESS_r{N} shows these green again, fold them back into _ATTESTED
+# and reset this set to the ops (if any) rewritten in round N+1. Round-4
+# set (win_ntile, stat_ks_test, win_global_rank) re-attested green in r04
+# and is folded back. Round 5 set — the attested callers of code the
+# round-5 advice fixes touched: dedup_near/dedup_cluster consume
+# jaccard_prefix_candidates (epsilon-guarded prefix length,
+# operators/dedup.py) and stream_watermark's staging key gained the
+# source mtime (queries/streaming.py).
 _REOPENED: frozenset[str] = frozenset({
-    "win_ntile", "stat_ks_test", "win_global_rank",
+    "dedup_near", "dedup_cluster", "stream_watermark",
 })
 
 #: The driver evaluates this many registry-order entries per round
