@@ -334,101 +334,13 @@ def stream_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.read.parquet(out_dir).drop("batch_id")
 
 
-def _tws_available() -> bool:
-    """transformWithStateInPandas needs google.protobuf (its state API
-    speaks protobuf to the JVM); not installed in this environment, so
-    the op registers only where the dependency exists (import-gate per
-    the environment contract — no pip installs)."""
-    try:
-        from google.protobuf import descriptor  # noqa: F401
-
-        return True
-    except ImportError:
-        return False
-
-
-_TWS_ORACLE = """
-    SELECT event_type,
-           CAST(count(*) AS BIGINT) AS n_events,
-           round(sum(value), 2) AS total_value
-    FROM events
-    GROUP BY event_type
-    """
-
-
-def stream_tws(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Per-event-type running aggregate via ``transformWithStateInPandas``
-    (the Spark 4 arbitrary-state API superseding applyInPandasWithState):
-    a StatefulProcessor with a ValueState cell per key. Requires the
-    RocksDB state store — the provider that also carries 100 TB-day state
-    volumes (SCALE.md §2.9); set here per-query, restored after.
-
-    With availableNow draining all input, the final update per key equals
-    the batch GROUP BY — the exact-oracle trick of SURVEY §2.9.
-    """
-    from pyspark.sql.streaming.stateful_processor import (
-        StatefulProcessor,
-        StatefulProcessorHandle,
-    )
-    from pyspark.sql.types import (
-        DoubleType,
-        LongType,
-        StringType,
-        StructField,
-        StructType,
-    )
-
-    out_schema = StructType(
-        [
-            StructField("event_type", StringType()),
-            StructField("n_events", LongType()),
-            StructField("total_value", DoubleType()),
-        ]
-    )
-
-    class RunningAgg(StatefulProcessor):
-        def init(self, handle: StatefulProcessorHandle) -> None:
-            self._state = handle.getValueState("agg", "cnt bigint, total double")
-
-        def handleInputRows(self, key, rows, timerValues):
-            cnt, total = self._state.get() if self._state.exists() else (0, 0.0)
-            for pdf in rows:
-                cnt += len(pdf)
-                total += float(pdf["value"].sum())
-            self._state.update((cnt, total))
-            yield pd.DataFrame(
-                {
-                    "event_type": [key[0]],
-                    "n_events": [cnt],
-                    "total_value": [round(total, 2)],
-                }
-            )
-
-        def close(self) -> None:
-            pass
-
-    provider_key = "spark.sql.streaming.stateStore.providerClass"
-    prev = spark.conf.get(provider_key, None)
-    spark.conf.set(
-        provider_key,
-        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
-    )
-    try:
-        ev = events_stream(spark, sf_dir).select("event_type", "value")
-        result = ev.groupBy("event_type").transformWithStateInPandas(
-            RunningAgg(), out_schema, outputMode="Update", timeMode="None"
-        )
-        out = run_to_memory(result, "update")
-    finally:
-        if prev is None:
-            spark.conf.unset(provider_key)
-        else:
-            spark.conf.set(provider_key, prev)
-    return out.orderBy("event_type")
-
-
-if _tws_available():
-    query("stream_tws", _TWS_ORACLE)(stream_tws)
+# `transformWithStateInPandas` (the Spark 4 arbitrary-state API) lives in
+# examples/tws_stateful.py, OUTSIDE the registry: its state protocol needs
+# the google.protobuf runtime, absent here with no honest vendoring path,
+# so the op can never produce a driver/mirror signal in this sandbox and
+# is not counted as a registered op (round-4 verdict #4; SURVEY §2.12
+# carries the SKIPPED note). `stream_stateful` above verifies the same
+# stateful-aggregate semantics through applyInPandasWithState.
 
 
 @query(
