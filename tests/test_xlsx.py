@@ -239,6 +239,74 @@ def test_rich_text_runs_are_concatenated(tmp_path):
     assert rows[1] == ["bold plain"]
 
 
+def test_numfmt_is_the_only_date_signal(spark, tmp_path):
+    """Round-4 verdict #7: a serial-date cell whose ONLY date signal is
+    its number format (styles.xml numFmtId) must decode as a datetime —
+    no ISO text, no writer-default s=\"1\" style. Covers a foreign
+    writer's styles.xml: builtin date id (14) at a non-default xf index,
+    a custom numFmt whose code is a date, and the negative control where
+    y/m/d tokens appear only inside quotes (not a date)."""
+    import zipfile
+
+    from xlsx_to_database_spark.sources.xlsx_io import read_workbook, write_workbook
+
+    path = str(tmp_path / "fmt.xlsx")
+    write_workbook(path, {"s": (["bdate", "cdate", "amount", "plain"], [(0, 0, 0, 0)])})
+    with zipfile.ZipFile(path) as zf:
+        members = {n: zf.read(n) for n in zf.namelist()}
+    members["xl/styles.xml"] = (
+        b'<?xml version="1.0" encoding="UTF-8" standalone="yes"?>'
+        b'<styleSheet xmlns="http://schemas.openxmlformats.org/spreadsheetml/2006/main">'
+        b'<numFmts count="2">'
+        b'<numFmt numFmtId="164" formatCode="dd/mm/yyyy\\ hh:mm"/>'
+        b'<numFmt numFmtId="165" formatCode="0.00&quot;dy&quot;"/>'
+        b"</numFmts>"
+        b'<fonts count="1"><font/></fonts><fills count="1"><fill/></fills>'
+        b'<borders count="1"><border/></borders>'
+        b"<cellStyleXfs count=\"1\"><xf/></cellStyleXfs>"
+        b'<cellXfs count="4"><xf numFmtId="0"/>'
+        b'<xf numFmtId="14" applyNumberFormat="1"/>'
+        b'<xf numFmtId="164" applyNumberFormat="1"/>'
+        b'<xf numFmtId="165" applyNumberFormat="1"/>'
+        b"</cellXfs></styleSheet>"
+    )
+    # Row 2: every cell is a bare <v> serial — the style index is the
+    # only signal distinguishing dates from plain numbers.
+    sheet = members["xl/worksheets/sheet1.xml"].decode()
+    old_row = sheet[sheet.index('<row r="2">') : sheet.index("</row>", sheet.index('<row r="2">')) + 6]
+    members["xl/worksheets/sheet1.xml"] = sheet.replace(
+        old_row,
+        '<row r="2">'
+        '<c r="A2" s="1"><v>45352.4375</v></c>'
+        '<c r="B2" s="2"><v>45292.25</v></c>'
+        '<c r="C2" s="3"><v>45352.4375</v></c>'
+        '<c r="D2"><v>45352.4375</v></c>'
+        "</row>",
+    ).encode()
+    with zipfile.ZipFile(path, "w") as zf:
+        for n, data in members.items():
+            zf.writestr(n, data)
+    wb = read_workbook(path)
+    rows = list(wb.iter_rows("s"))
+    wb.close()
+    assert rows[1][0] == datetime(2024, 3, 1, 10, 30)  # builtin id 14
+    assert rows[1][1] == datetime(2024, 1, 1, 6, 0)  # custom date format
+    assert rows[1][2] == 45352.4375  # quoted "dy" is not a date token
+    assert rows[1][3] == 45352.4375  # unstyled stays numeric
+
+    # And the full Spark scan path types the columns accordingly.
+    from xlsx_to_database_spark.sources.xlsx import register_xlsx_source
+
+    register_xlsx_source(spark)
+    df = spark.read.format("xlsx").load(path)
+    kinds = dict(df.dtypes)
+    assert kinds["bdate"] == "timestamp" and kinds["cdate"] == "timestamp"
+    assert kinds["amount"] == "double" and kinds["plain"] == "double"
+    got = df.collect()[0]
+    assert got["bdate"] == datetime(2024, 3, 1, 10, 30)
+    assert got["cdate"] == datetime(2024, 1, 1, 6, 0)
+
+
 def test_coerce_off_sample_misfit_degrades_to_null():
     from datetime import datetime
 
