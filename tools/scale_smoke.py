@@ -9,6 +9,12 @@ amortize); a superlinear ratio flags a plan that would not survive
 100 TB. Results are recorded in SCALE.md.
 
 Usage: python tools/scale_smoke.py [ops ...]
+       python tools/scale_smoke.py --big [zorder perplexity cross_corpus]
+
+``--big`` runs the round-4 family at the 20M-row synthetic scale the
+global-order sizing was measured at (SCALE.md round-4 section): data is
+generated with spark.range (deterministic, no files), so the measured
+cost is the operator pipeline itself, not parquet scan time.
 """
 
 from __future__ import annotations
@@ -20,7 +26,7 @@ import time
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 SRC = "/root/testdata/sf0.1"
-DST = "/tmp/spark_scale_smoke/sf0.8"
+DST = "/tmp/spark_scale_smoke/sf0.8b"  # b: content-disjoint documents staging
 COPIES = 8
 
 #: table -> columns to offset per copy (disjoint key spaces).
@@ -52,6 +58,10 @@ DEFAULT_OPS = [
     "join_range_bucketed",
     "seq_pack",
     "sim_batch_topk",
+    # Round-4 family (round-4 verdict #6).
+    "text_perplexity",
+    "dedup_cross_corpus",
+    "parquet_zorder_sink",
 ]
 
 
@@ -72,6 +82,18 @@ def stage(spark) -> None:
             cp = src
             for k in keys:
                 cp = cp.withColumn(k, F.col(k) + F.lit(i * OFFSET))
+            if t == "documents":
+                # Content-disjoint copies: tag every token with the copy
+                # index. Verbatim text copies would give every doc 8
+                # content-identical twins, growing the TRUE near-dup pair
+                # set quadratically in the copy factor — a content-op
+                # sibling of the join-selectivity trap the key offsets
+                # prevent (measured: verbatim copies sent
+                # dedup_cross_corpus to an 11.4x "superlinear" ratio that
+                # was real pairs, not a plan defect).
+                cp = cp.withColumn(
+                    "text", F.regexp_replace(F.col("text"), r"(\S+)", f"c{i}_$1")
+                )
             parts.append(cp)
         big = parts[0]
         for p in parts[1:]:
@@ -80,11 +102,119 @@ def stage(spark) -> None:
         print(f"staged {t} x{COPIES}", file=sys.stderr)
 
 
+def _synth_docs(spark, n_docs: int, n_tok: int = 10, vocab: int = 200_000):
+    """Deterministic documents-like frame: doc_id + space-joined tokens.
+
+    Token draw pmod(doc_key·31 + j·17, vocab) is content-keyed, so two
+    rows with the same doc_key are exact near-dups — the hook the
+    cross-corpus smoke uses to plant batch↔corpus duplicate pairs."""
+    from pyspark.sql import functions as F
+
+    toks = [
+        F.concat(F.lit("t"), F.pmod(F.col("doc_key") * 31 + j * 17, F.lit(vocab)))
+        for j in range(n_tok)
+    ]
+    return (
+        spark.range(n_docs)
+        .withColumn("doc_key", F.col("id"))
+        .select(
+            F.col("id").alias("doc_id"),
+            "doc_key",
+            F.array_join(F.array(*toks), " ").alias("text"),
+        )
+    )
+
+
+def big_smoke(spark, which: list[str]) -> None:
+    """20M-row synthetic measurements for the round-4 family."""
+    from pyspark.sql import functions as F
+
+    from xlsx_to_database_spark.operators import dedup as D
+    from xlsx_to_database_spark.queries.round4_ops import _zvalue
+
+    def timed(label, fn):
+        fn()  # warm: codegen + planning
+        t0 = time.perf_counter()
+        out = fn()
+        print(f"{label:40} {time.perf_counter() - t0:8.2f}s  {out}")
+
+    if "zorder" in which:
+        # 20M rows, two 8-bit-quantized dims, Morton sort + parquet write —
+        # versus the 1-D range-clustered write (the cost delta IS the price
+        # of 2-D locality).
+        n = 20_000_000
+        base = spark.range(n).select(
+            F.col("id").alias("k"),
+            F.pmod(F.col("id") * 2654435761, F.lit(1 << 20)).alias("custkey"),
+            F.pmod(F.col("id") * 40503, F.lit(2400)).alias("day"),
+        )
+
+        def zorder_write():
+            q1 = F.floor(F.col("custkey").cast("long") * 256 / F.lit(1 << 20)).cast("int")
+            q2 = F.floor(F.col("day").cast("long") * 256 / F.lit(2400)).cast("int")
+            (
+                base.withColumn("__z", _zvalue(q1, q2, bits=8))
+                .repartitionByRange(64, "__z")
+                .sortWithinPartitions("__z")
+                .drop("__z")
+                .write.mode("overwrite")
+                .parquet("/tmp/spark_scale_smoke/zorder20m")
+            )
+            return f"{n} rows written"
+
+        def cluster1d_write():
+            (
+                base.repartitionByRange(64, "custkey")
+                .sortWithinPartitions("custkey")
+                .write.mode("overwrite")
+                .parquet("/tmp/spark_scale_smoke/cluster1d20m")
+            )
+            return f"{n} rows written"
+
+        timed("zorder_sink 20M (morton 2-D)", zorder_write)
+        timed("clustered_sink 20M (1-D baseline)", cluster1d_write)
+
+    if "perplexity" in which:
+        # 2M docs x 10 tokens = 20M token rows through the full unigram-LM
+        # pipeline (vocab agg -> broadcast prob join -> per-doc NLL).
+        docs = _synth_docs(spark, 2_000_000)
+        toks = docs.select(
+            "doc_id", F.explode(F.split(F.col("text"), " ")).alias("tok")
+        )
+
+        def perplexity():
+            vocab = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("c"))
+            nn = vocab.agg(F.sum("c").alias("n"))
+            scored = toks.join(vocab, "tok").crossJoin(F.broadcast(nn))
+            return f"{scored.groupBy('doc_id').agg(F.count(F.lit(1))).count()} docs scored"
+
+        timed("text_perplexity 20M tokens", perplexity)
+
+    if "cross_corpus" in which:
+        # Fixed 50k batch against growing corpora; every batch doc is an
+        # exact dup of one corpus doc (same doc_key -> same token set).
+        # Healthy shape: pairs stay batch-bound (50k) and time grows
+        # ~linearly with corpus (the corpus-side scan/prefix passes), with
+        # NO corpus-quadratic term.
+        for corpus_n in (250_000, 1_000_000):
+            corpus = _synth_docs(spark, corpus_n)
+            batch = _synth_docs(spark, 50_000).withColumn(
+                "doc_id", F.col("doc_id") + 10_000_000
+            )
+            timed(
+                f"dedup_cross_corpus 50k x {corpus_n // 1000}k",
+                lambda b=batch, c=corpus: f"{D.jaccard_join(b, c, threshold=0.9).count()} pairs",
+            )
+
+
 def main() -> None:
     from xlsx_to_database_spark.registry import all_queries
     from xlsx_to_database_spark.session import get_spark
 
     spark = get_spark("scale_smoke")
+    if len(sys.argv) > 1 and sys.argv[1] == "--big":
+        big_smoke(spark, sys.argv[2:] or ["zorder", "perplexity", "cross_corpus"])
+        return
     stage(spark)
     qs = all_queries()
     ops = sys.argv[1:] or DEFAULT_OPS
