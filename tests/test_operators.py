@@ -508,3 +508,125 @@ def test_zorder_sink_two_dimensional_locality(spark):
         spans = [hi - lo for lo, hi in ranges]
         mean = sum(spans, spans[0] - spans[0]) / len(spans)
         assert mean / glo < 0.55, (col, mean, glo)
+
+
+# ---------------------------------------------------------------------------
+# Round-5 ops: containment, chunking, grid radius join
+# ---------------------------------------------------------------------------
+
+
+def test_containment_directional_vs_brute_force(spark):
+    from xlsx_to_database_spark.operators.dedup import containment_pairs
+
+    # doc 1 is a verbatim quote inside doc 2 (J ~ 0.4, C(1->2) = 1.0);
+    # doc 3 shares tokens but not shingles with doc 1.
+    rows = [
+        (1, "the quick brown fox jumps", "en"),
+        (2, "intro words here the quick brown fox jumps and more trailing text", "en"),
+        (3, "fox brown quick the jumps", "en"),
+    ]
+    df = _docs(spark, rows)
+    got = {
+        (r.doc_a, r.doc_b): r.containment
+        for r in containment_pairs(df, threshold=0.9).collect()
+    }
+    assert got == {(1, 2): 1.0}  # directional: (2,1) does NOT qualify
+
+    # Full recall vs brute force at a lower threshold over sliding dups.
+    texts = [
+        (i, " ".join(f"w{(i * 3 + j) % 11}" for j in range(6)), "en")
+        for i in range(12)
+    ]
+    df2 = _docs(spark, texts)
+    blocked = {
+        (r.doc_a, r.doc_b)
+        for r in containment_pairs(df2, threshold=0.5).collect()
+    }
+    sh = df2.select(
+        "doc_id",
+        F.array_distinct(
+            F.expr(
+                "transform(sequence(1, size(split(text,' '))-2),"
+                " i -> array_join(slice(split(text,' '), i, 3), ' '))"
+            )
+        ).alias("sh"),
+    )
+    a = sh.select(F.col("doc_id").alias("ia"), F.col("sh").alias("sa"))
+    b = sh.select(F.col("doc_id").alias("ib"), F.col("sh").alias("sb"))
+    brute = {
+        (r.ia, r.ib)
+        for r in a.crossJoin(b)
+        .filter(F.col("ia") != F.col("ib"))
+        .withColumn(
+            "c",
+            F.round(
+                F.size(F.array_intersect("sa", "sb")) / F.size("sa"), 6
+            ),
+        )
+        .filter(F.col("c") >= 0.5)
+        .collect()
+    }
+    assert blocked == brute
+
+
+def test_chunk_split_covers_every_token_with_overlap(spark, sf_dir):
+    from xlsx_to_database_spark.queries.round5_ops import text_chunk_split
+
+    rows = text_chunk_split(spark, sf_dir).collect()
+    docs = (
+        spark.read.parquet(f"{sf_dir}/documents.parquet")
+        .select("doc_id", F.split("text", " ").alias("t"))
+        .collect()
+    )
+    by_doc = {}
+    for r in rows:
+        by_doc.setdefault(r.doc_id, []).append(r)
+    for d in docs:
+        chunks = sorted(by_doc[d.doc_id], key=lambda r: r.chunk_id)
+        n = len(d.t)
+        # chunk i starts at token i*16; union covers all n tokens exactly
+        assert chunks[0].chunk.split(" ")[0] == d.t[0]
+        covered = set()
+        for c in chunks:
+            start = c.chunk_id * 16
+            toks = c.chunk.split(" ")
+            assert toks == d.t[start : start + 32]
+            assert c.n_tok == len(toks) <= 32
+            covered.update(range(start, start + len(toks)))
+        assert covered == set(range(n))
+
+
+def test_grid_radius_equals_brute_force(spark):
+    from xlsx_to_database_spark.queries.round5_ops import join_grid_radius
+
+    # brute force over the real table at sf0.001
+    sf = "/root/testdata/sf0.001"
+    got = {(r.id_a, r.id_b) for r in join_grid_radius(spark, sf).collect()}
+    pts = (
+        spark.read.parquet(f"{sf}/embeddings.parquet")
+        .select(
+            "vec_id",
+            F.col("embedding").getItem(0).cast("double").alias("x"),
+            F.col("embedding").getItem(1).cast("double").alias("y"),
+        )
+    )
+    a = pts.select(F.col("vec_id").alias("ia"), F.col("x").alias("xa"), F.col("y").alias("ya"))
+    b = pts.select(F.col("vec_id").alias("ib"), F.col("x").alias("xb"), F.col("y").alias("yb"))
+    brute = {
+        (r.ia, r.ib)
+        for r in a.crossJoin(b)
+        .filter(F.col("ia") < F.col("ib"))
+        .withColumn(
+            "d",
+            F.round(
+                F.sqrt(
+                    F.pow(F.col("xa") - F.col("xb"), 2)
+                    + F.pow(F.col("ya") - F.col("yb"), 2)
+                ),
+                6,
+            ),
+        )
+        .filter(F.col("d") <= 0.02)
+        .collect()
+    }
+    assert got == brute and len(got) > 0

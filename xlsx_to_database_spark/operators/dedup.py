@@ -239,6 +239,75 @@ def jaccard_join(
     return scored.filter(F.col("jaccard") >= threshold)
 
 
+def containment_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    threshold: float = 0.9,
+    shingle: int = 3,
+) -> DataFrame:
+    """Directional containment pairs: (doc_a, doc_b, containment) where
+    C(A→B) = |sh(A) ∩ sh(B)| / |sh(A)| ≥ threshold over word
+    ``shingle``-gram sets — the "is A swallowed by B" screen that
+    Jaccard misses by construction (a tweet quoted inside an article has
+    J ≈ 0 but C ≈ 1; boilerplate wrappers, quote-inclusion, and
+    near-superset templating all live here). Shingles, not tokens: on
+    any real corpus the token-set version is degenerate (every short doc
+    is token-contained in some long one), while shingle containment
+    pins word ORDER, which is what quoting preserves.
+
+    Candidate generation is the asymmetric prefix filter: A blocks on
+    its ``n − ⌈t·n⌉ + 1`` rarest shingles (corpus-df order, same total
+    order as `jaccard_prefix_candidates`), B blocks on ALL its
+    shingles. Zero false negatives: C ≥ t means |shared| ≥ ⌈t·|A|⌉, and
+    were every shared shingle outside A's prefix they would all sit in
+    A's ⌈t·|A|⌉ − 1 suffix slots — contradiction; B carries every
+    shingle, so the pair meets on that prefix shingle. Containment has
+    NO upper length filter (a 10-shingle doc can be contained in a
+    10M-shingle one — that asymmetry is the measure's point), so the
+    candidate bound leans entirely on shingle rarity; shingle df is
+    low by construction (n-gram space is vast), which is also why the
+    B-side's unpruned blocking stays sub-quadratic where token-level
+    blocking would not."""
+    sh = df.select(
+        F.col(id_col).alias("doc"),
+        F.array_distinct(_shingles(F.col(text_col), shingle)).alias("sh"),
+    ).filter(F.size("sh") > 0)
+    blocks = sh.select("doc", F.size("sh").alias("n"), F.explode("sh").alias("tok"))
+    tok_df = blocks.groupBy("tok").agg(F.count(F.lit(1)).alias("tok_df"))
+    w = Window.partitionBy("doc").orderBy(F.col("tok_df").asc(), F.col("tok").asc())
+    # Same 1e-9 ULP slack as the Jaccard prefixes.
+    prefix_len = F.col("n") - F.ceil(F.lit(threshold) * F.col("n") - F.lit(1e-9)) + 1
+    a_prefix = (
+        blocks.join(tok_df, "tok")
+        .withColumn("__rk", F.row_number().over(w))
+        .filter(F.col("__rk") <= prefix_len)
+        .select(F.col("doc").alias("doc_a"), "tok")
+    )
+    cand = (
+        a_prefix.join(blocks.select(F.col("doc").alias("doc_b"), "tok"), on="tok")
+        .filter(F.col("doc_a") != F.col("doc_b"))
+        .select("doc_a", "doc_b")
+        .distinct()
+    )
+    a = sh.select(F.col("doc").alias("doc_a"), F.col("sh").alias("sh_a"),
+                  F.size("sh").alias("na"))
+    b = sh.select(F.col("doc").alias("doc_b"), F.col("sh").alias("sh_b"))
+    scored = (
+        cand.join(a, "doc_a")
+        .join(b, "doc_b")
+        .select(
+            "doc_a", "doc_b",
+            F.round(
+                F.size(F.array_intersect("sh_a", "sh_b")).cast("double")
+                / F.col("na"),
+                6,
+            ).alias("containment"),
+        )
+    )
+    return scored.filter(F.col("containment") >= threshold)
+
+
 def _shingles(text_col, n: int = 3):
     """Word n-gram shingles of a space-tokenized text column. Documents
     shorter than n tokens yield an empty array (guarded — Spark's

@@ -208,6 +208,7 @@ def _load_all() -> None:
         # round-4 driver window instead of displacing it (see
         # queries/round4_ops.py docstring).
         "xlsx_to_database_spark.queries.round4_ops",
+        "xlsx_to_database_spark.queries.round5_ops",
     ):
         try:
             importlib.import_module(mod)
