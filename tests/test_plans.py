@@ -578,3 +578,26 @@ def test_global_running_sums_null_semantics(spark):
         ).collect()
     }
     assert got == naive
+
+
+def test_chunk_split_is_shuffle_free(spark, sf_dir, qs):
+    """Chunking must stay map-only: one codegen transform + posexplode,
+    no Exchange anywhere — the property that makes it free at 100 TB."""
+    plan = explain_str(qs["text_chunk_split"](spark, sf_dir))
+    assert "Exchange" not in plan, plan
+    assert "Generate" in plan, plan  # the posexplode
+
+
+def test_grid_radius_is_equi_join(spark, sf_dir, qs):
+    """The radius join must plan as an equi-join on the cell id (hash or
+    broadcast), never a cartesian/BNLJ — the 9x neighbor expansion
+    exists precisely to buy equi-join keys for a distance predicate."""
+    plan = explain_str(qs["join_grid_radius"](spark, sf_dir))
+    for bad in ("CartesianProduct", "BroadcastNestedLoopJoin"):
+        assert bad not in plan, plan
+
+
+def test_containment_has_no_cartesian(spark, sf_dir, qs):
+    plan = explain_str(qs["text_containment"](spark, sf_dir))
+    for bad in ("CartesianProduct", "BroadcastNestedLoopJoin"):
+        assert bad not in plan, plan
