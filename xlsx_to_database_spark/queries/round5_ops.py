@@ -185,3 +185,239 @@ def join_grid_radius(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("id_a", "id_b", dist.alias("dist"))
         .filter(F.col("dist") <= _RADIUS)
     )
+
+
+# ---------------------------------------------------------------------------
+# Round-5 second batch: rank-sum test, rolling correlation, malformed CSV.
+# Registered beyond the round-5 driver window (50 slots, already full) —
+# mirror-verified this round, window candidates next round.
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "stat_mann_whitney",
+    """
+    WITH g AS (
+      SELECT o_totalprice AS v,
+             CASE WHEN o_orderpriority = '1-URGENT' THEN 1 ELSE 0 END AS is_a
+      FROM orders WHERE o_orderpriority IN ('1-URGENT', '5-LOW')
+    ), pv AS (
+      SELECT v, sum(is_a) AS ca, count(*) AS c FROM g GROUP BY v
+    ), rs AS (
+      SELECT *, sum(c) OVER (ORDER BY v
+                             ROWS UNBOUNDED PRECEDING) AS cum FROM pv
+    ), t AS (
+      SELECT CAST(sum(ca * (2 * (cum - c) + c + 1)) AS DOUBLE) / 2 AS r1,
+             CAST(sum(ca) AS BIGINT) AS n1, CAST(sum(c) AS BIGINT) AS nn,
+             CAST(sum(c * c * c - c) AS DOUBLE) AS ties
+      FROM rs
+    )
+    SELECT n1 AS n_a, nn - n1 AS n_b,
+           round(r1 - CAST(n1 AS DOUBLE) * (n1 + 1) / 2, 1) AS u_stat,
+           round((r1 - CAST(n1 AS DOUBLE) * (n1 + 1) / 2
+                  - CAST(n1 AS DOUBLE) * (nn - n1) / 2)
+                 / sqrt(CAST(n1 AS DOUBLE) * (nn - n1) / 12
+                        * ((nn + 1) - ties / (CAST(nn AS DOUBLE) * (nn - 1)))),
+                 6) AS z
+    FROM t
+    """,
+)
+def stat_mann_whitney(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mann-Whitney U (Wilcoxon rank-sum) with tie correction — the
+    nonparametric two-sample location test beside the KS/t/chi2 family:
+    does '1-URGENT' price-rank above '5-LOW'? Rank-based, so it needs a
+    GLOBAL rank — the classic distributed-stats trap this engine solves
+    once in operators/global_order.py: aggregate per distinct value
+    (one shuffle), then a bucketed exact running count gives every
+    value its cumulative position; no single-partition sort of the
+    data, ever. Tied observations take average ranks, which the
+    per-value aggregate yields in closed form: rank-sum contribution of
+    group A at value v = ca·(2·cum_before + c + 1)/2 — kept as an exact
+    INTEGER (×2) through the final sum, so float summation order cannot
+    exist. The z-score arithmetic then runs on exact scalars with the
+    same literal double expression on both engines."""
+    from xlsx_to_database_spark.operators.global_order import (
+        with_global_running_sums,
+    )
+
+    o = table(spark, sf_dir, "orders").filter(
+        F.col("o_orderpriority").isin("1-URGENT", "5-LOW")
+    )
+    pv = (
+        o.select(
+            F.col("o_totalprice").alias("v"),
+            (F.col("o_orderpriority") == "1-URGENT").cast("long").alias("is_a"),
+        )
+        .groupBy("v")
+        .agg(F.sum("is_a").alias("ca"), F.count(F.lit(1)).alias("c"))
+    )
+    rs = with_global_running_sums(pv, [F.col("v").asc()], "v", {"cum": "c"})
+    t = rs.agg(
+        (
+            F.sum(
+                F.col("ca") * (2 * (F.col("cum") - F.col("c")) + F.col("c") + 1)
+            ).cast("double")
+            / 2
+        ).alias("r1"),
+        F.sum("ca").cast("long").alias("n1"),
+        F.sum("c").cast("long").alias("nn"),
+        F.sum(F.col("c") * F.col("c") * F.col("c") - F.col("c"))
+        .cast("double")
+        .alias("ties"),
+    )
+    n1d = F.col("n1").cast("double")
+    nnd = F.col("nn").cast("double")
+    u = F.col("r1") - n1d * (F.col("n1") + 1) / 2
+    mu = n1d * (F.col("nn") - F.col("n1")) / 2
+    sigma = F.sqrt(
+        n1d
+        * (F.col("nn") - F.col("n1"))
+        / 12
+        * ((F.col("nn") + 1) - F.col("ties") / (nnd * (F.col("nn") - 1)))
+    )
+    return t.select(
+        F.col("n1").alias("n_a"),
+        (F.col("nn") - F.col("n1")).alias("n_b"),
+        F.round(u, 1).alias("u_stat"),
+        F.round((u - mu) / sigma, 6).alias("z"),
+    )
+
+
+@query(
+    "stat_rolling_corr",
+    """
+    WITH daily AS (
+      SELECT CAST(l_shipdate AS DATE) AS day,
+             sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS rev,
+             sum(CAST(l_quantity AS DECIMAL(18,2))) AS qty
+      FROM lineitem GROUP BY 1
+    ), fr AS (
+      SELECT day,
+             count(*) OVER w AS n,
+             CAST(sum(rev) OVER w AS DOUBLE) AS sx,
+             CAST(sum(qty) OVER w AS DOUBLE) AS sy,
+             CAST(sum(rev * rev) OVER w AS DOUBLE) AS sxx,
+             CAST(sum(qty * qty) OVER w AS DOUBLE) AS syy,
+             CAST(sum(rev * qty) OVER w AS DOUBLE) AS sxy
+      FROM daily
+      WINDOW w AS (ORDER BY day ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)
+    )
+    SELECT day, CAST(n AS BIGINT) AS n,
+           CASE WHEN n * sxx - sx * sx > 0 AND n * syy - sy * sy > 0
+                THEN round((n * sxy - sx * sy)
+                           / sqrt((n * sxx - sx * sx) * (n * syy - sy * sy)), 6)
+           END AS corr_7d
+    FROM fr
+    """,
+)
+def stat_rolling_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """7-day rolling Pearson correlation between daily revenue and daily
+    quantity — the moving-frame co-movement monitor (is price mix
+    drifting against volume this week?). NOT computed with a windowed
+    corr() aggregate: the two engines' incremental corr algorithms sum
+    floats in different orders. Instead the frame carries five EXACT
+    DECIMAL sums (Σx, Σy, Σx², Σy², Σxy — products of quantized
+    DECIMAL(18,2) values stay exact), and the textbook formula runs on
+    those exact scalars in identical double arithmetic on both sides.
+    The daily series is date-domain-bounded (~2.5k rows at ANY corpus
+    size — it aggregates before it windows), so the single-partition
+    frame window is the documented fast exact plan, not a scale
+    hazard."""
+    li = table(spark, sf_dir, "lineitem")
+    daily = li.groupBy(
+        F.col("l_shipdate").cast("date").alias("day")
+    ).agg(
+        F.sum(F.col("l_extendedprice").cast("decimal(18,2)")).alias("rev"),
+        F.sum(F.col("l_quantity").cast("decimal(18,2)")).alias("qty"),
+    )
+    from pyspark.sql import Window
+
+    w = Window.orderBy("day").rowsBetween(-6, 0)
+    fr = daily.select(
+        "day",
+        F.count(F.lit(1)).over(w).alias("n"),
+        F.sum("rev").over(w).cast("double").alias("sx"),
+        F.sum("qty").over(w).cast("double").alias("sy"),
+        F.sum(F.col("rev") * F.col("rev")).over(w).cast("double").alias("sxx"),
+        F.sum(F.col("qty") * F.col("qty")).over(w).cast("double").alias("syy"),
+        F.sum(F.col("rev") * F.col("qty")).over(w).cast("double").alias("sxy"),
+    )
+    n, sx, sy = F.col("n"), F.col("sx"), F.col("sy")
+    dx = n * F.col("sxx") - sx * sx
+    dy = n * F.col("syy") - sy * sy
+    num = n * F.col("sxy") - sx * sy
+    return fr.select(
+        "day",
+        n.cast("long").alias("n"),
+        F.when((dx > 0) & (dy > 0), F.round(num / F.sqrt(dx * dy), 6)).alias(
+            "corr_7d"
+        ),
+    )
+
+
+@query(
+    "csv_malformed_scan",
+    """
+    SELECT count(*) AS n_good, CAST(3 AS BIGINT) AS n_bad,
+           CAST(sum(o_orderkey) + sum(o_custkey) AS BIGINT) AS key_checksum,
+           round(CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE), 2)
+             AS revenue
+    FROM orders
+    """,
+)
+def csv_malformed_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Malformed-row policy on CSV ingest — the ETL surface every lake
+    hits: a staged orders extract plus a planted 3-line garbage file in
+    the same directory (one type-corrupt field per line, a different
+    column each). DROPMALFORMED must drop exactly those 3 lines and
+    nothing else; the good-row count, key checksum, and revenue must
+    equal the source table's. n_bad is derived as total_lines − n_good
+    from a schema-free text count, NOT from the corrupt-record column —
+    so no cache() crutch and no corrupt-column-only-filter limitation.
+    The aggregate references every NUMERIC column on purpose: Spark's
+    CSV column pruning only type-checks projected columns, so a query
+    touching fewer columns would legitimately keep rows whose breakage
+    it never parsed (string fields cannot type-fail, so each garbage
+    line corrupts one of the referenced numeric columns)."""
+    import os
+
+    tag = os.path.basename(os.path.normpath(sf_dir))
+    src_size = os.path.getsize(os.path.join(sf_dir, "orders.parquet"))
+    dst = f"/tmp/spark_stage/{tag}_orders_csv_{src_size}"
+    garbage = os.path.join(dst, "zz_garbage.csv")
+    if not os.path.exists(garbage):
+        (
+            table(spark, sf_dir, "orders")
+            .select("o_orderkey", "o_custkey", "o_orderpriority", "o_totalprice")
+            .write.mode("overwrite")
+            .csv(dst)
+        )
+        with open(garbage, "w") as fh:
+            fh.write("x,1,1-URGENT,1.5\n2,y,5-LOW,2.5\n3,3,3-MEDIUM,notadouble\n")
+    schema = (
+        "o_orderkey bigint, o_custkey bigint, o_orderpriority string, "
+        "o_totalprice double"
+    )
+    good = (
+        spark.read.schema(schema)
+        .option("mode", "DROPMALFORMED")
+        .csv(dst)
+        .agg(
+            F.count(F.lit(1)).alias("n_good"),
+            (F.sum("o_orderkey") + F.sum("o_custkey")).alias("key_checksum"),
+            F.round(
+                F.sum(F.col("o_totalprice").cast("decimal(18,2)")).cast("double"),
+                2,
+            ).alias("revenue"),
+        )
+    )
+    total = spark.read.text(dst).agg(F.count(F.lit(1)).alias("n_total"))
+    return (
+        good.crossJoin(F.broadcast(total))
+        .select(
+            "n_good",
+            (F.col("n_total") - F.col("n_good")).alias("n_bad"),
+            "key_checksum",
+            "revenue",
+        )
+    )
