@@ -1,11 +1,17 @@
-"""Round-5 additions: fixed-window chunking, shingle containment pairs,
-and the grid-bucketed 2-D radius join — three pipeline shapes the §2
-inventory did not yet cover (pretraining chunk prep, superset/quote
-dedup, spatial-style radius joins).
+"""Round-5 additions, two batches.
+
+Batch 1 (window-filling): fixed-window chunking, shingle containment
+pairs, and the grid-bucketed 2-D radius join — pretraining chunk prep,
+superset/quote dedup, and spatial-style radius joins.
+
+Batch 2 (beyond the window; next round's candidates): Mann-Whitney
+rank-sum test, exact rolling correlation, malformed-CSV ingest policy,
+incremental surrogate-key assignment, spreadsheet→schema column
+mapping, and the Benford first-digit screen.
 
 Registered LAST in the registry import order (the round4_ops pattern):
-the round-5 driver window is backlog(44) + reopened(3); these three fill
-its three spare slots without displacing anything.
+the round-5 driver window is backlog(44) + reopened(3) + batch 1;
+batch 2 queues behind it without displacing anything.
 """
 
 from __future__ import annotations
@@ -419,5 +425,165 @@ def csv_malformed_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("n_total") - F.col("n_good")).alias("n_bad"),
             "key_checksum",
             "revenue",
+        )
+    )
+
+
+@query(
+    "etl_surrogate_keys",
+    """
+    WITH dim AS (
+      SELECT c_custkey, row_number() OVER (ORDER BY c_custkey) AS sk
+      FROM customer WHERE c_custkey % 10 <> 0
+    ), mx AS (
+      SELECT max(sk) AS k FROM dim
+    ), nw AS (
+      SELECT c_custkey, row_number() OVER (ORDER BY c_custkey) AS rn
+      FROM customer WHERE c_custkey % 10 = 0
+    )
+    SELECT c_custkey, CAST(sk AS BIGINT) AS sk, CAST(0 AS INT) AS is_new
+    FROM dim
+    UNION ALL
+    SELECT c_custkey, CAST(k + rn AS BIGINT) AS sk, CAST(1 AS INT) AS is_new
+    FROM nw, mx
+    """,
+)
+def etl_surrogate_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental surrogate-key assignment — the warehouse load step
+    the reference capability class performs on every spreadsheet import:
+    rows already in the dimension keep their dense keys 1..K; the new
+    batch (here the deterministic c_custkey%10==0 slice standing in for
+    today's file) gets K+1.. in natural-key order. Both numberings use
+    the bucketed exact global row_number (operators/global_order.py) —
+    no single-partition sort at dimension scale — and the K offset rides
+    a broadcast one-row aggregate, not a driver collect, so the whole
+    assignment stays one lazy distributed plan."""
+    from xlsx_to_database_spark.operators.global_order import (
+        with_global_row_number,
+    )
+
+    c = table(spark, sf_dir, "customer").select("c_custkey")
+    order = [F.col("c_custkey").asc()]
+    dim = with_global_row_number(
+        c.filter(F.col("c_custkey") % 10 != 0), order, "c_custkey", out="sk"
+    )
+    mx = dim.agg(F.max("sk").alias("k"))
+    new = with_global_row_number(
+        c.filter(F.col("c_custkey") % 10 == 0), order, "c_custkey", out="rn"
+    )
+    return dim.select(
+        "c_custkey", "sk", F.lit(0).cast("int").alias("is_new")
+    ).unionAll(
+        new.crossJoin(F.broadcast(mx)).select(
+            "c_custkey",
+            (F.col("k") + F.col("rn")).cast("long").alias("sk"),
+            F.lit(1).cast("int").alias("is_new"),
+        )
+    )
+
+
+@query(
+    "xlsx_schema_map",
+    """
+    SELECT CAST(n_nationkey AS BIGINT) AS n_nationkey, n_name,
+           CAST(n_regionkey AS BIGINT) AS n_regionkey,
+           CAST(NULL AS VARCHAR) AS n_comment
+    FROM nation
+    """,
+)
+def xlsx_schema_map(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spreadsheet→table column mapping — the reference capability
+    class's core load semantics: a staged workbook whose headers are
+    human-messy ('Nation Key', 'NAME ', 'region-key') plus an extra
+    audit column, aligned onto the warehouse schema by normalized-name
+    matching (table prefix optional in the source), typed NULLs for
+    target columns the sheet lacks ('n_comment'), extra source columns
+    dropped, types cast. Resolution happens at plan time from schema
+    metadata (sources/infer.py::align_to_schema); the data path is one
+    shuffle-free projection."""
+    import os
+
+    from pyspark.sql.types import StructType
+
+    from xlsx_to_database_spark.sources import xlsx_io
+    from xlsx_to_database_spark.sources.infer import align_to_schema
+    from xlsx_to_database_spark.sources.xlsx import register_xlsx_source
+
+    register_xlsx_source(spark)
+    tag = os.path.basename(os.path.normpath(sf_dir))
+    path = f"/tmp/spark_stage/{tag}_nation_messy.xlsx"
+    if not os.path.exists(path):
+        os.makedirs("/tmp/spark_stage", exist_ok=True)
+        rows = [
+            tuple(r) + ("etl",)
+            for r in table(spark, sf_dir, "nation")
+            .orderBy("n_nationkey")
+            .collect()
+        ]
+        xlsx_io.write_workbook(
+            path + ".tmp",
+            {"sheet1": (["Nation Key", "NAME ", "region-key", "Loaded By"], rows)},
+        )
+        os.replace(path + ".tmp", path)
+    target = StructType.fromDDL(
+        "n_nationkey bigint, n_name string, n_regionkey bigint, n_comment string"
+    )
+    return align_to_schema(
+        spark.read.format("xlsx").load(path), target, prefix="n_"
+    )
+
+
+@query(
+    "stat_benford",
+    """
+    WITH d AS (
+      SELECT CAST(substr(CAST(CAST(o_totalprice AS DECIMAL(18,2)) AS VARCHAR),
+                         1, 1) AS INT) AS digit
+      FROM orders WHERE o_totalprice > 0
+    ), t AS (
+      SELECT count(*) AS total FROM d
+    )
+    SELECT digit, count(*) AS n,
+           round(count(*) / CAST(total AS DOUBLE), 6) AS obs_p,
+           round(ln(1 + 1.0 / digit) / ln(10), 6) AS exp_p,
+           round(power(count(*) / CAST(total AS DOUBLE)
+                       - ln(1 + 1.0 / digit) / ln(10), 2)
+                 / (ln(1 + 1.0 / digit) / ln(10)), 6) AS chi2_term
+    FROM d, t GROUP BY digit, total
+    """,
+)
+def stat_benford(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benford first-digit screen — the classic fraud/data-quality gate
+    on monetary columns: observed leading-digit frequencies vs the
+    log10(1+1/d) law, with per-digit chi-square contributions. The
+    digit comes from the DECIMAL(18,2) string form, NOT from
+    floor(x/10^floor(log10 x)): exact powers of ten sit on a log10
+    rounding boundary where the two engines' libm could disagree by one
+    ULP and bucket a value into digit 10; string extraction of a
+    quantized decimal is engine-stable by construction. exp_p is
+    ln(1+1/d)/ln(10) on BOTH engines (ln is verified bit-identical;
+    log10 intrinsics are not). One conditional aggregate over a single
+    scan + a broadcast total — no sort, map-side combinable."""
+    o = table(spark, sf_dir, "orders").filter(F.col("o_totalprice") > 0)
+    d = o.select(
+        F.substring(
+            F.col("o_totalprice").cast("decimal(18,2)").cast("string"), 1, 1
+        )
+        .cast("int")
+        .alias("digit")
+    )
+    t = d.agg(F.count(F.lit(1)).alias("total"))
+    obs = F.col("n") / F.col("total").cast("double")
+    exp = F.log(1 + 1.0 / F.col("digit")) / F.log(F.lit(10.0))
+    return (
+        d.groupBy("digit")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .crossJoin(F.broadcast(t))
+        .select(
+            "digit",
+            "n",
+            F.round(obs, 6).alias("obs_p"),
+            F.round(exp, 6).alias("exp_p"),
+            F.round(F.pow(obs - exp, 2) / exp, 6).alias("chi2_term"),
         )
     )

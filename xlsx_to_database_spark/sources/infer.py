@@ -153,3 +153,39 @@ def sanitize_headers(headers: list[Any]) -> list[str]:
         used.add(name)
         out.append(name)
     return out
+
+
+def align_to_schema(df, target: StructType, prefix: str = ""):
+    """Map a messily-headed staging DataFrame onto a target table schema —
+    the load-time column mapping every spreadsheet→database pipeline
+    performs: source headers match target fields by NORMALIZED name
+    (lowercase, separators stripped, the target's table prefix like
+    ``n_`` optional in the source), matched columns cast to the target
+    type, unmatched source columns dropped, missing target columns
+    filled with typed NULLs. Pure projection — zero shuffles; the
+    mapping is resolved at plan time from schema metadata only.
+    Ambiguous matches (two source columns normalizing onto one target)
+    raise rather than silently picking one."""
+    from pyspark.sql import functions as F
+
+    def norm(name: str) -> str:
+        return re.sub(r"[^a-z0-9]", "", name.lower())
+
+    by_norm: dict[str, list[str]] = {}
+    for c in df.columns:
+        by_norm.setdefault(norm(c), []).append(c)
+    cols = []
+    for field in target.fields:
+        keys = [norm(field.name)]
+        if prefix and field.name.startswith(prefix):
+            keys.append(norm(field.name[len(prefix):]))
+        matches = [c for k in keys for c in by_norm.get(k, [])]
+        if len(set(matches)) > 1:
+            raise ValueError(
+                f"ambiguous mapping for {field.name!r}: {sorted(set(matches))}"
+            )
+        if matches:
+            cols.append(F.col(matches[0]).cast(field.dataType).alias(field.name))
+        else:
+            cols.append(F.lit(None).cast(field.dataType).alias(field.name))
+    return df.select(*cols)
