@@ -630,3 +630,52 @@ def test_grid_radius_equals_brute_force(spark):
         .collect()
     }
     assert got == brute and len(got) > 0
+
+
+def test_mann_whitney_matches_hand_computed_u(spark, tmp_path):
+    # A = {1, 2, 4}, B = {3, 3, 5}: ranks 1,2,4.5(A) / 3.5?... computed
+    # properly: sorted [1,2,3,3,4,5] -> ranks 1,2,3.5,3.5,5,6.
+    # R_A = 1 + 2 + 5 = 8, U = 8 - 3*4/2 = 2.
+    import os
+
+    from xlsx_to_database_spark.queries.round5_ops import stat_mann_whitney
+
+    d = str(tmp_path / "mw")
+    os.makedirs(d)
+    spark.createDataFrame(
+        [(1.0, "1-URGENT"), (2.0, "1-URGENT"), (4.0, "1-URGENT"),
+         (3.0, "5-LOW"), (3.0, "5-LOW"), (5.0, "5-LOW")],
+        "o_totalprice double, o_orderpriority string",
+    ).write.parquet(os.path.join(d, "orders.parquet"))
+    r = stat_mann_whitney(spark, d).collect()[0]
+    assert (r.n_a, r.n_b, r.u_stat) == (3, 3, 2.0)
+    # z = (U - 4.5) / sqrt(3*3/12 * (7 - (2^3-2)/(6*5))) = -2.5/sqrt(5.1)
+    import math
+
+    assert abs(r.z - round(-2.5 / math.sqrt(9 / 12 * (7 - 6 / 30)), 6)) < 1e-9
+
+
+def test_align_to_schema_mapping_rules(spark):
+    import pytest as _pytest
+    from pyspark.sql.types import StructType
+
+    from xlsx_to_database_spark.sources.infer import align_to_schema
+
+    df = spark.createDataFrame(
+        [(1, "x", 9, "drop me")],
+        "`Nation Key` long, `NAME ` string, `region-key` long, `Loaded By` string",
+    )
+    target = StructType.fromDDL(
+        "n_nationkey bigint, n_name string, n_regionkey int, n_comment string"
+    )
+    out = align_to_schema(df, target, prefix="n_")
+    assert out.columns == ["n_nationkey", "n_name", "n_regionkey", "n_comment"]
+    row = out.collect()[0]
+    assert (row.n_nationkey, row.n_name, row.n_regionkey, row.n_comment) == (
+        1, "x", 9, None,
+    )
+    assert dict(out.dtypes)["n_regionkey"] == "int"  # cast applied
+    # Two source columns normalizing onto one target must raise.
+    dup = spark.createDataFrame([(1, 2)], "`nation key` long, `NationKey` long")
+    with _pytest.raises(ValueError, match="ambiguous"):
+        align_to_schema(dup, target, prefix="n_")
