@@ -26,7 +26,7 @@ import time
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 SRC = "/root/testdata/sf0.1"
-DST = "/tmp/spark_scale_smoke/sf0.8b"  # b: content-disjoint documents staging
+DST = "/tmp/spark_scale_smoke/sf0.8c"  # c: content-disjoint documents + embeddings
 COPIES = 8
 
 #: table -> columns to offset per copy (disjoint key spaces).
@@ -62,6 +62,9 @@ DEFAULT_OPS = [
     "text_perplexity",
     "dedup_cross_corpus",
     "parquet_zorder_sink",
+    # Round-5 join-shaped additions.
+    "text_containment",
+    "join_grid_radius",
 ]
 
 
@@ -93,6 +96,21 @@ def stage(spark) -> None:
                 # was real pairs, not a plan defect).
                 cp = cp.withColumn(
                     "text", F.regexp_replace(F.col("text"), r"(\S+)", f"c{i}_$1")
+                )
+            if t == "embeddings":
+                # Content-disjoint copies for vector ops: shift dim 0 by
+                # 10·copy so copies occupy far-apart regions — verbatim
+                # vector copies would give every point 8 zero-distance
+                # twins and inflate radius/near-dup pair sets 64x (the
+                # vector sibling of the documents text trap above).
+                cp = cp.withColumn(
+                    "embedding",
+                    F.concat(
+                        F.array(
+                            F.element_at("embedding", 1) + F.lit(float(i * 10))
+                        ),
+                        F.slice("embedding", 2, 10_000),
+                    ),
                 )
             parts.append(cp)
         big = parts[0]

@@ -268,42 +268,67 @@ def containment_pairs(
     candidate bound leans entirely on shingle rarity; shingle df is
     low by construction (n-gram space is vast), which is also why the
     B-side's unpruned blocking stays sub-quadratic where token-level
-    blocking would not."""
-    sh = df.select(
+    blocking would not.
+
+    Shape note — fully RELATIONAL on purpose: shingles are (doc, tok)
+    ROWS built from posexplode + lead windows, the per-doc set via
+    DISTINCT, and |A∩B| via a join-aggregate over candidate pairs. The
+    array formulation (transform-lambda shingles + array_intersect
+    verify) is pathological under Catalyst: higher-order functions are
+    CodegenFallback, and projection collapse inlines the whole shingle
+    expression into Filter/Generate/scan nodes where it re-evaluates
+    per EXPLODED row — measured 8 s versus 0.4 s for the same blocks
+    stage on 5k docs. Rows keep every stage in whole-stage codegen and
+    shuffle only (doc, tok) pairs, which is also the shape that scales:
+    no per-row array payloads ride the exchanges."""
+    toks = df.select(
         F.col(id_col).alias("doc"),
-        F.array_distinct(_shingles(F.col(text_col), shingle)).alias("sh"),
-    ).filter(F.size("sh") > 0)
-    blocks = sh.select("doc", F.size("sh").alias("n"), F.explode("sh").alias("tok"))
-    tok_df = blocks.groupBy("tok").agg(F.count(F.lit(1)).alias("tok_df"))
+        F.posexplode(F.split(F.col(text_col), " ")).alias("pos", "w"),
+    )
+    wd = Window.partitionBy("doc").orderBy("pos")
+    parts = [F.col("w")] + [F.lead("w", j).over(wd) for j in range(1, shingle)]
+    # when() guards the tail: a (shingle-1)-token suffix must not emit a
+    # short gram (concat_ws silently skips NULLs).
+    sh_rows = (
+        toks.select(
+            "doc",
+            F.when(parts[-1].isNotNull(), F.concat_ws(" ", *parts)).alias("tok"),
+        )
+        .filter(F.col("tok").isNotNull())
+        .distinct()
+    )
+    n_rows = sh_rows.groupBy("doc").agg(F.count(F.lit(1)).alias("n"))
+    tok_df = sh_rows.groupBy("tok").agg(F.count(F.lit(1)).alias("tok_df"))
     w = Window.partitionBy("doc").orderBy(F.col("tok_df").asc(), F.col("tok").asc())
     # Same 1e-9 ULP slack as the Jaccard prefixes.
     prefix_len = F.col("n") - F.ceil(F.lit(threshold) * F.col("n") - F.lit(1e-9)) + 1
     a_prefix = (
-        blocks.join(tok_df, "tok")
+        sh_rows.join(n_rows, "doc")
+        .join(tok_df, "tok")
         .withColumn("__rk", F.row_number().over(w))
         .filter(F.col("__rk") <= prefix_len)
         .select(F.col("doc").alias("doc_a"), "tok")
     )
     cand = (
-        a_prefix.join(blocks.select(F.col("doc").alias("doc_b"), "tok"), on="tok")
+        a_prefix.join(sh_rows.select(F.col("doc").alias("doc_b"), "tok"), on="tok")
         .filter(F.col("doc_a") != F.col("doc_b"))
         .select("doc_a", "doc_b")
         .distinct()
     )
-    a = sh.select(F.col("doc").alias("doc_a"), F.col("sh").alias("sh_a"),
-                  F.size("sh").alias("na"))
-    b = sh.select(F.col("doc").alias("doc_b"), F.col("sh").alias("sh_b"))
-    scored = (
-        cand.join(a, "doc_a")
-        .join(b, "doc_b")
-        .select(
-            "doc_a", "doc_b",
-            F.round(
-                F.size(F.array_intersect("sh_a", "sh_b")).cast("double")
-                / F.col("na"),
-                6,
-            ).alias("containment"),
-        )
+    # |A∩B| as a join-aggregate: expand candidates by A's shingles, keep
+    # those B also has, count per pair.
+    inter = (
+        cand.join(sh_rows.select(F.col("doc").alias("doc_a"), "tok"), "doc_a")
+        .join(sh_rows.select(F.col("doc").alias("doc_b"), "tok"), ["doc_b", "tok"])
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
+    scored = inter.join(
+        n_rows.select(F.col("doc").alias("doc_a"), F.col("n").alias("na")), "doc_a"
+    ).select(
+        "doc_a",
+        "doc_b",
+        F.round(F.col("inter").cast("double") / F.col("na"), 6).alias("containment"),
     )
     return scored.filter(F.col("containment") >= threshold)
 
