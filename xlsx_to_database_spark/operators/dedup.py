@@ -333,19 +333,11 @@ def containment_pairs(
     return scored.filter(F.col("containment") >= threshold)
 
 
-def _shingles(text_col, n: int = 3):
-    """Word n-gram shingles of a space-tokenized text column. Documents
-    shorter than n tokens yield an empty array (guarded — Spark's
-    sequence(1, 0) would DESCEND, not return empty)."""
-    toks = F.split(text_col, " ")
-    idx = F.sequence(F.lit(1), F.size(toks) - (n - 1))
-    grams = F.transform(
-        idx,
-        lambda i: F.concat_ws(
-            " ", *[F.element_at(toks, (i + j).cast("int")) for j in range(n)]
-        ),
-    )
-    return F.when(F.size(toks) >= n, grams).otherwise(F.array().cast("array<string>"))
+# (The old transform-lambda `_shingles` array builder was removed: every
+# consumer now builds shingles either as relational (doc, tok) rows
+# (containment_pairs) or as combined token hashes (minhash/simhash) —
+# both immune to the CollapseProject HOF re-inlining trap documented in
+# containment_pairs and SCALE.md round 5.)
 
 
 def minhash_lsh_pairs(
