@@ -255,3 +255,78 @@ def test_global_running_sums_law(spark, vals, n_buckets):
         ).collect()
     }
     assert got == naive
+
+
+# ---------------------------------------------------------------------------
+# Round-5 operator laws
+# ---------------------------------------------------------------------------
+
+
+@given(
+    docs=st.lists(
+        st.lists(st.integers(min_value=0, max_value=6), min_size=1, max_size=12),
+        min_size=2,
+        max_size=10,
+    ),
+    tau=st.sampled_from([0.5, 0.7, 0.9]),
+)
+@settings(max_examples=6, deadline=None, suppress_health_check=list(HealthCheck))
+def test_containment_matches_brute_force_python(spark, docs, tau):
+    """Blocked containment == the set-arithmetic definition, for random
+    corpora and thresholds (incl. thresholds whose t*n products sit on
+    float boundaries — the epsilon-guard territory)."""
+    from xlsx_to_database_spark.operators.dedup import containment_pairs
+
+    rows = [(i, " ".join(f"w{t}" for t in toks), "en") for i, toks in enumerate(docs)]
+    df = spark.createDataFrame(rows, "doc_id long, text string, lang string")
+    got = {
+        (r.doc_a, r.doc_b): r.containment
+        for r in containment_pairs(df, threshold=tau, shingle=3).collect()
+    }
+    sh = {
+        i: {tuple(toks[j : j + 3]) for j in range(len(toks) - 2)}
+        for i, toks in enumerate(docs)
+    }
+    want = {}
+    for a, sa in sh.items():
+        if not sa:
+            continue
+        for b, sb in sh.items():
+            if a == b or not sb:
+                continue
+            c = round(len(sa & sb) / len(sa), 6)
+            if c >= tau:
+                want[(a, b)] = c
+    assert got == want
+
+
+@given(
+    toks=st.lists(st.integers(min_value=0, max_value=9), min_size=1, max_size=80),
+)
+@settings(max_examples=6, deadline=None, suppress_health_check=list(HealthCheck))
+def test_chunk_split_reconstructs_document(spark, toks, tmp_path_factory):
+    """Concatenating the NON-overlapped halves of consecutive chunks
+    reconstructs the document exactly: chunk i contributes tokens
+    [i*S, (i+1)*S) except the last chunk, which runs to the end."""
+    import os
+
+    from xlsx_to_database_spark.queries.round5_ops import text_chunk_split
+
+    d = str(tmp_path_factory.mktemp("cs"))
+    text = " ".join(f"t{t}" for t in toks)
+    spark.createDataFrame(
+        [(0, text, "en", "s", len(text))],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    ).write.parquet(os.path.join(d, "documents.parquet"))
+    chunks = sorted(
+        text_chunk_split(spark, d).collect(), key=lambda r: r.chunk_id
+    )
+    S = 16
+    rebuilt = []
+    for r in chunks[:-1]:
+        rebuilt.extend(r.chunk.split(" ")[:S])
+    rebuilt.extend(chunks[-1].chunk.split(" "))
+    assert rebuilt == text.split(" ")
+    # every chunk except the last spans a full stride
+    for r in chunks[:-1]:
+        assert r.n_tok >= S
