@@ -629,11 +629,18 @@ def graph_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
     a = li.select(F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("u"))
     b = li.select(F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("v"))
+    # localCheckpoint: the edge list feeds FOUR consumers (degrees, two
+    # orientation joins via de, wedge closer, edge count) and alias
+    # divergence defeats ReusedExchange — without it the self-join +
+    # distinct recomputes per branch (measured 51-exchange plan, 0
+    # reuses). Same materialize-the-graph-once convention as
+    # connected_components / pagerank.
     e = (
         a.join(b, "o")
         .filter(F.col("u") < F.col("v"))
         .select("u", "v")
         .distinct()
+        .localCheckpoint(eager=True)
     )
     deg = (
         e.select(F.col("u").alias("node"))
@@ -658,7 +665,7 @@ def graph_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
             .otherwise(F.col("u"))
             .alias("t"),
         )
-    )
+    ).localCheckpoint(eager=True)
     e1 = de.select(F.col("s").alias("s1"), F.col("t").alias("t1"))
     e2 = de.select(F.col("s").alias("s2"), F.col("t").alias("t2"))
     wedges = e1.join(e2, F.col("t1") == F.col("s2")).select(
