@@ -353,3 +353,34 @@ def test_xlsx_write_path_round_trip(spark, tmp_path):
     got = sorted(map(tuple, back.collect()))
     want = sorted(map(tuple, src.collect()))
     assert got == want
+
+
+def test_merged_cells_fill(tmp_path):
+    """A merged range's anchor value propagates to every covered cell
+    under fill_merged=True and stays None without it."""
+    import zipfile
+
+    from xlsx_to_database_spark.sources.xlsx_io import read_workbook, write_workbook
+
+    path = str(tmp_path / "merged.xlsx")
+    write_workbook(
+        path,
+        {"s": (["g", "v"], [("alpha", 1), (None, 2), (None, 3), ("beta", 4)])},
+    )
+    with zipfile.ZipFile(path) as zf:
+        members = {n: zf.read(n) for n in zf.namelist()}
+    sheet = members["xl/worksheets/sheet1.xml"].decode()
+    members["xl/worksheets/sheet1.xml"] = sheet.replace(
+        "</worksheet>",
+        '<mergeCells count="1"><mergeCell ref="A2:A4"/></mergeCells></worksheet>',
+    ).encode()
+    with zipfile.ZipFile(path, "w") as zf:
+        for n, data in members.items():
+            zf.writestr(n, data)
+    wb = read_workbook(path)
+    assert wb.merged_ranges("s") == [(1, 0, 3, 0)]
+    plain = list(wb.iter_rows("s"))
+    filled = list(wb.iter_rows("s", fill_merged=True))
+    wb.close()
+    assert [r[0] for r in plain[1:]] == ["alpha", None, None, "beta"]
+    assert [r[0] for r in filled[1:]] == ["alpha", "alpha", "alpha", "beta"]

@@ -680,3 +680,75 @@ def graph_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n_edges").cast("long"),
         F.col("n_triangles").cast("long"),
     )
+
+
+@query(
+    "xlsx_merged_scan",
+    """
+    SELECT r_name AS region_name, n_name AS nation_name
+    FROM region JOIN nation ON r_regionkey = n_regionkey
+    """,
+)
+def xlsx_merged_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Merged-cell report layout → proper relation: a staged workbook
+    where each region's name is ONE merged cell spanning its nations'
+    rows (the ubiquitous human-report shape), read back with
+    ``option("mergedCells", "fill")`` so the anchor value propagates
+    down the range and every row carries its region. Without the fill
+    the non-anchor cells are None — exactly what naive readers produce
+    and exactly why spreadsheet ETL needs this unpivot. The merge
+    geometry is parsed from ``<mergeCells>`` in one extra streaming
+    pass (xlsx_io.py::merged_ranges); row-major order means the anchor
+    is always seen before the cells it fills."""
+    import os
+    import re as _re
+    import zipfile
+
+    from xlsx_to_database_spark.sources import xlsx_io
+    from xlsx_to_database_spark.sources.xlsx import register_xlsx_source
+
+    register_xlsx_source(spark)
+    tag = os.path.basename(os.path.normpath(sf_dir))
+    path = f"/tmp/spark_stage/{tag}_region_report.xlsx"
+    if not os.path.exists(path):
+        os.makedirs("/tmp/spark_stage", exist_ok=True)
+        nat = table(spark, sf_dir, "nation")
+        reg = table(spark, sf_dir, "region")
+        joined = (
+            nat.join(reg, nat.n_regionkey == reg.r_regionkey)
+            .select("r_name", "n_name", "n_regionkey", "n_nationkey")
+            .orderBy("n_regionkey", "n_nationkey")
+            .collect()
+        )
+        rows, merges, rix = [], [], 2  # data starts at sheet row 2
+        prev = None
+        for r in joined:
+            if r.r_name != prev:
+                if prev is not None and rix - 1 > merges[-1][0]:
+                    merges[-1] = (merges[-1][0], rix - 1)
+                merges.append((rix, rix))
+                rows.append((r.r_name, r.n_name))
+                prev = r.r_name
+            else:
+                rows.append((None, r.n_name))
+            rix += 1
+        if merges and rix - 1 > merges[-1][0]:
+            merges[-1] = (merges[-1][0], rix - 1)
+        xlsx_io.write_workbook(
+            path + ".tmp", {"report": (["region_name", "nation_name"], rows)}
+        )
+        with zipfile.ZipFile(path + ".tmp") as zf:
+            members = {n: zf.read(n) for n in zf.namelist()}
+        mc = "".join(f'<mergeCell ref="A{a}:A{b}"/>' for a, b in merges if b > a)
+        sheet = members["xl/worksheets/sheet1.xml"].decode()
+        members["xl/worksheets/sheet1.xml"] = _re.sub(
+            "</worksheet>",
+            f'<mergeCells count="{len(merges)}">{mc}</mergeCells></worksheet>',
+            sheet,
+        ).encode()
+        with zipfile.ZipFile(path + ".tmp2", "w") as zf:
+            for n, data in members.items():
+                zf.writestr(n, data)
+        os.replace(path + ".tmp2", path)
+        os.remove(path + ".tmp")
+    return spark.read.format("xlsx").option("mergedCells", "fill").load(path)

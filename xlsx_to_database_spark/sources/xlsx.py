@@ -70,6 +70,16 @@ def _selected_sheets(path: str, options: dict) -> list[str]:
     return sheet_opt.split(",")
 
 
+def _fill_merged(options: dict) -> bool:
+    """option("mergedCells", "fill") propagates each merged range's
+    top-left value across the range (report-layout unpivot); the default
+    leaves non-anchor cells None, byte-identical to the pre-option
+    reader. Spark lower-cases Python DataSource option keys, so both
+    spellings are accepted."""
+    v = options.get("mergedCells", options.get("mergedcells", ""))
+    return str(v).lower() == "fill"
+
+
 def _header_and_kinds(path: str, sheet: str, options: dict) -> tuple[list[str], list[str]]:
     """One streaming pass over the first sampleRows rows → sanitized
     names + inferred column kinds."""
@@ -77,7 +87,7 @@ def _header_and_kinds(path: str, sheet: str, options: dict) -> tuple[list[str], 
     sample_n = int(options.get("sampleRows", "200"))
     wb = xlsx_io.read_workbook(path)
     try:
-        rows = wb.iter_rows(sheet)
+        rows = wb.iter_rows(sheet, fill_merged=_fill_merged(options))
         first = next(rows, None)
         if first is None:
             return [], []
@@ -161,7 +171,9 @@ class XlsxReader(DataSourceReader):
         ]
         wb = xlsx_io.read_workbook(partition.path)
         try:
-            rows = wb.iter_rows(partition.sheet)
+            rows = wb.iter_rows(
+                partition.sheet, fill_merged=_fill_merged(self.options)
+            )
             if has_header:
                 next(rows, None)
             for row in rows:

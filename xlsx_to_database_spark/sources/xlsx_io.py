@@ -189,20 +189,60 @@ class Workbook:
                             self._date_styles.add(i)
         return self._date_styles
 
-    def iter_rows(self, sheet_name: str) -> Iterator[list[Any]]:
+    def merged_ranges(self, sheet_name: str) -> list[tuple[int, int, int, int]]:
+        """(row1, col1, row2, col2) 0-based inclusive bounds of each
+        ``<mergeCell ref="A2:B4"/>`` on the sheet. One cheap streaming
+        pre-pass; sheets without merges return []."""
+        out: list[tuple[int, int, int, int]] = []
+        for _, el in ET.iterparse(self._zf.open(self.sheets[sheet_name])):
+            if el.tag == f"{NS}mergeCell":
+                ref = el.get("ref", "")
+                if ":" in ref:
+                    a, b = ref.split(":", 1)
+                    r1 = int("".join(ch for ch in a if ch.isdigit())) - 1
+                    r2 = int("".join(ch for ch in b if ch.isdigit())) - 1
+                    out.append((r1, _col_index(a), r2, _col_index(b)))
+            el.clear()
+        return out
+
+    def iter_rows(
+        self, sheet_name: str, fill_merged: bool = False
+    ) -> Iterator[list[Any]]:
         """Yield rows as lists of decoded python values (None for empty
-        cells; ragged rows padded on read by the caller)."""
+        cells; ragged rows padded on read by the caller).
+
+        ``fill_merged=True`` propagates each merged range's top-left
+        value to every cell of the range — the report-layout unpivot
+        every spreadsheet ETL needs (a region label merged down its
+        group's rows becomes a proper column). Costs one extra streaming
+        pass to collect ``<mergeCells>`` (they live AFTER sheetData);
+        row-major order guarantees the top-left value is seen before any
+        cell it must fill, so the fill is one dict of active ranges."""
         member = self.sheets[sheet_name]
         shared, date_styles = self.shared_strings, self.date_styles
+        ranges = self.merged_ranges(sheet_name) if fill_merged else []
+        fills: dict[int, Any] = {}  # range index -> top-left value
+        rn = -1
         for _, el in ET.iterparse(self._zf.open(member)):
             if el.tag != f"{NS}row":
                 continue
+            rn = int(el.get("r", rn + 2)) - 1
             row: list[Any] = []
             for c in el.iter(f"{NS}c"):
                 idx = _col_index(c.get("r", "")) if c.get("r") else len(row)
                 while len(row) < idx:
                     row.append(None)
                 row.append(self._decode_cell(c, shared, date_styles))
+            if ranges:
+                for k, (r1, c1, r2, c2) in enumerate(ranges):
+                    if rn == r1 and len(row) > c1 and row[c1] is not None:
+                        fills[k] = row[c1]
+                    if r1 <= rn <= r2 and k in fills:
+                        while len(row) <= c2:
+                            row.append(None)
+                        for cc in range(c1, c2 + 1):
+                            if row[cc] is None:
+                                row[cc] = fills[k]
             yield row
             el.clear()
 
