@@ -679,3 +679,48 @@ def test_align_to_schema_mapping_rules(spark):
     dup = spark.createDataFrame([(1, 2)], "`nation key` long, `NationKey` long")
     with _pytest.raises(ValueError, match="ambiguous"):
         align_to_schema(dup, target, prefix="n_")
+
+
+def test_jdbc_scan_is_range_partitioned(spark, sf_dir):
+    from xlsx_to_database_spark.queries.round5_ops import jdbc_partitioned_scan
+
+    df = jdbc_partitioned_scan(spark, sf_dir)
+    # 8 disjoint BETWEEN predicates -> 8 input partitions, no overlap/loss.
+    assert df.rdd.getNumPartitions() == 8
+    assert df.count() == df.select("o_orderkey").distinct().count()
+
+
+def test_bloom_sink_writes_bloom_filters(spark, sf_dir, tmp_path):
+    """The bloom-enabled write must physically carry the filter. This
+    pyarrow build's ColumnChunkMetaData does not surface
+    bloom_filter_offset, so the assertion is the filter's size
+    footprint: identical data written with and without the option must
+    differ by roughly the filter size (~NDV-sized bitset), and the
+    bloom-enabled read must return identical rows."""
+    import os
+
+    from xlsx_to_database_spark.catalog import table as _table
+    from xlsx_to_database_spark.queries.round5_ops import parquet_bloom_sink
+
+    parquet_bloom_sink(spark, sf_dir).collect()
+    tag = os.path.basename(os.path.normpath(sf_dir))
+    dst = f"/tmp/spark_stage/{tag}_lineitem_bloom"
+
+    li = _table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_partkey", "l_quantity"
+    )
+    plain = str(tmp_path / "plain")
+    li.write.mode("overwrite").parquet(plain)
+
+    def psize(d):
+        return sum(
+            os.path.getsize(os.path.join(d, f))
+            for f in os.listdir(d)
+            if f.endswith(".parquet")
+        )
+
+    grew = psize(dst) - psize(plain)
+    assert grew > 50_000, f"bloom write grew only {grew} bytes — filter missing?"
+    assert (
+        spark.read.parquet(dst).count() == spark.read.parquet(plain).count()
+    )

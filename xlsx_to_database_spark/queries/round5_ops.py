@@ -752,3 +752,110 @@ def xlsx_merged_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
         os.replace(path + ".tmp2", path)
         os.remove(path + ".tmp")
     return spark.read.format("xlsx").option("mergedCells", "fill").load(path)
+
+
+@query(
+    "jdbc_partitioned_scan",
+    """
+    SELECT CAST(o_orderkey AS BIGINT) AS o_orderkey,
+           CAST(o_custkey AS BIGINT) AS o_custkey,
+           o_orderpriority,
+           CAST(o_totalprice AS DOUBLE) AS o_totalprice
+    FROM orders WHERE o_orderkey <= 5000
+    """,
+)
+def jdbc_partitioned_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Range-partitioned parallel JDBC ingest — the scan-side sibling of
+    `jdbc_sink`, and the read shape that matters at scale: one
+    connection per partition, each issuing a disjoint
+    ``o_orderkey BETWEEN lo AND hi`` predicate, so a 1000-executor
+    cluster drains a warehouse table without a single-connection
+    bottleneck (partitionColumn / lowerBound / upperBound /
+    numPartitions — the standard Spark JDBC parallelism contract).
+    Derby in-memory stands in for the warehouse; the oracle is the
+    source rows the table was loaded from."""
+    import os
+
+    from xlsx_to_database_spark.sources import sinks as SK
+
+    tag = os.path.basename(os.path.normpath(sf_dir))
+    url = os.environ.get(
+        "SPARK_GRAFT_JDBC_URL", f"jdbc:derby:memory:graft_scan_{tag};create=true"
+    )
+    src = (
+        table(spark, sf_dir, "orders")
+        .filter(F.col("o_orderkey") <= 5000)
+        .select(
+            F.col("o_orderkey").cast("long"),
+            F.col("o_custkey").cast("long"),
+            "o_orderpriority",
+            "o_totalprice",
+        )
+    )
+    SK.to_database(src, url, "orders_part", mode="truncate")
+    back = SK.from_database(
+        spark,
+        url,
+        "orders_part",
+        partitionColumn="o_orderkey",
+        lowerBound="1",
+        upperBound="5000",
+        numPartitions="8",
+    )
+    return back.select(
+        F.col("o_orderkey").cast("long"),
+        F.col("o_custkey").cast("long"),
+        "o_orderpriority",
+        F.col("o_totalprice").cast("double"),
+    )
+
+
+@query(
+    "parquet_bloom_sink",
+    """
+    SELECT CAST(count(*) AS BIGINT) AS n,
+           CAST(sum(l_orderkey) AS BIGINT) AS key_sum,
+           round(CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE), 2)
+             AS qty_sum
+    FROM lineitem WHERE l_orderkey % 1000 = 7
+    """,
+)
+def parquet_bloom_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Parquet write with a COLUMN BLOOM FILTER on the join/filter key —
+    the lake-format feature that turns selective point predicates into
+    row-group skips even where min/max stats are useless (high-cardinality
+    unsorted keys: a key's presence is scattered uniformly, so every
+    row group's [min,max] covers it, but the bloom filter answers
+    'definitely absent' per group). Written via the standard parquet
+    writer options (parquet.bloom.filter.enabled#col) — no table format
+    needed; the footer carries the filters (pyarrow-asserted in tests).
+    The oracle checks content integrity through the write+read cycle on
+    a selective predicate of the kind blooms serve."""
+    import os
+
+    tag = os.path.basename(os.path.normpath(sf_dir))
+    dst = f"/tmp/spark_stage/{tag}_lineitem_bloom"
+    li = table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_partkey", "l_quantity"
+    )
+    (
+        li.write.mode("overwrite")
+        .option("parquet.bloom.filter.enabled#l_orderkey", "true")
+        .option("parquet.bloom.filter.expected.ndv#l_orderkey", "200000")
+        # parquet-mr only emits a bloom when the column is NOT fully
+        # dictionary-encoded (a complete dictionary already answers
+        # membership exactly). Test-scale keys all fit the dictionary,
+        # so disable it for this column to exercise the regime that
+        # holds at real scale, where high-cardinality keys overflow the
+        # dictionary and the bloom is what saves the row-group reads.
+        .option("parquet.enable.dictionary#l_orderkey", "false")
+        .parquet(dst)
+    )
+    back = spark.read.parquet(dst).filter(F.pmod("l_orderkey", F.lit(1000)) == 7)
+    return back.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("l_orderkey").cast("long").alias("key_sum"),
+        F.round(
+            F.sum(F.col("l_quantity").cast("decimal(18,2)")).cast("double"), 2
+        ).alias("qty_sum"),
+    )
