@@ -859,3 +859,78 @@ def parquet_bloom_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(F.col("l_quantity").cast("decimal(18,2)")).cast("double"), 2
         ).alias("qty_sum"),
     )
+
+
+@query(
+    "win_ohlc",
+    """
+    WITH r AS (
+      SELECT event_type, date_trunc('hour', ts) AS bucket, value,
+             row_number() OVER (PARTITION BY event_type, date_trunc('hour', ts)
+                                ORDER BY ts, event_id) AS rn_a,
+             row_number() OVER (PARTITION BY event_type, date_trunc('hour', ts)
+                                ORDER BY ts DESC, event_id DESC) AS rn_d
+      FROM events
+    )
+    SELECT event_type, bucket,
+           round(CAST(max(CASE WHEN rn_a = 1 THEN value END) AS DOUBLE), 4)
+             AS open,
+           round(CAST(max(value) AS DOUBLE), 4) AS high,
+           round(CAST(min(value) AS DOUBLE), 4) AS low,
+           round(CAST(max(CASE WHEN rn_d = 1 THEN value END) AS DOUBLE), 4)
+             AS close,
+           CAST(count(*) AS BIGINT) AS n
+    FROM r GROUP BY event_type, bucket
+    """,
+)
+def win_ohlc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OHLC downsampling — the time-series rollup every metrics/market
+    pipeline runs: per (series, hour) the first, max, min, and last
+    value. First/last use ``min_by``/``max_by`` on a (ts, event_id)
+    STRUCT — a total order, so ties at the same timestamp resolve
+    identically on both engines — and the whole op is ONE hash
+    aggregate with map-side partials: no window function over the fact
+    stream, no sort, shuffle carries one row per (series, hour). The
+    oracle spells the same semantics with rank windows (DuckDB's
+    arg_min does not take composite keys)."""
+    ev = table(spark, sf_dir, "events")
+    key = F.struct(F.col("ts"), F.col("event_id"))
+    return (
+        ev.groupBy(
+            "event_type", F.date_trunc("hour", "ts").alias("bucket")
+        ).agg(
+            F.round(F.min_by("value", key).cast("double"), 4).alias("open"),
+            F.round(F.max("value").cast("double"), 4).alias("high"),
+            F.round(F.min("value").cast("double"), 4).alias("low"),
+            F.round(F.max_by("value", key).cast("double"), 4).alias("close"),
+            F.count(F.lit(1)).alias("n"),
+        )
+    )
+
+
+@query(
+    "sample_systematic",
+    """
+    SELECT c_custkey, c_name
+    FROM (SELECT c_custkey, c_name,
+                 row_number() OVER (ORDER BY c_custkey) AS rn
+          FROM customer)
+    WHERE rn % 100 = 0
+    """,
+)
+def sample_systematic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Systematic (every k-th) sampling under a global order — the
+    auditor's sample: deterministic, order-respecting, exactly n/k
+    rows, unlike Bernoulli (sample_frac) or hash buckets (sample_hash).
+    Needs a global position, which is exactly what the bucketed global
+    row_number provides without a single-partition sort
+    (operators/global_order.py); the modulo filter is then map-only."""
+    from xlsx_to_database_spark.operators.global_order import (
+        with_global_row_number,
+    )
+
+    c = table(spark, sf_dir, "customer").select("c_custkey", "c_name")
+    ranked = with_global_row_number(
+        c, [F.col("c_custkey").asc()], "c_custkey", out="rn"
+    )
+    return ranked.filter(F.col("rn") % 100 == 0).select("c_custkey", "c_name")
