@@ -934,3 +934,120 @@ def sample_systematic(spark: SparkSession, sf_dir: str) -> DataFrame:
         c, [F.col("c_custkey").asc()], "c_custkey", out="rn"
     )
     return ranked.filter(F.col("rn") % 100 == 0).select("c_custkey", "c_name")
+
+
+@query(
+    "interval_coverage",
+    """
+    WITH iv AS (
+      SELECT o_custkey AS k, CAST(o_orderdate AS DATE) AS s,
+             CAST(o_orderdate AS DATE) + 30 AS e
+      FROM orders
+    ), m AS (
+      SELECT k, s, e,
+             max(e) OVER (PARTITION BY k ORDER BY s, e
+                          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+               AS prev_max
+      FROM iv
+    ), isl AS (
+      SELECT k, s, e,
+             sum(CASE WHEN prev_max IS NULL OR s > prev_max THEN 1 ELSE 0 END)
+               OVER (PARTITION BY k ORDER BY s, e ROWS UNBOUNDED PRECEDING)
+               AS island
+      FROM m
+    ), per AS (
+      SELECT k, island, date_diff('day', min(s), max(e)) AS dur
+      FROM isl GROUP BY k, island
+    )
+    SELECT k AS c_custkey, CAST(count(*) AS BIGINT) AS n_islands,
+           CAST(sum(dur) AS BIGINT) AS covered_days
+    FROM per GROUP BY k
+    """,
+)
+def interval_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Merged-interval coverage per customer — each order opens a 30-day
+    activity window; overlapping windows merge, and the answer is how
+    many distinct islands exist and how many days they cover (the union
+    length of an interval set — SLA coverage, sensor uptime, campaign
+    reach all reduce to this). The classic sweep, expressed in two
+    windows over (customer)-partitioned data: a running max of interval
+    ends detects island starts (a start past everything seen so far),
+    a running sum numbers the islands, then one aggregate per island.
+    Deterministic under ties: equal (s,e) rows contribute the same
+    running max regardless of their relative order, so both engines
+    agree. Partitions are per-customer (bounded), never global."""
+    from pyspark.sql import Window
+
+    o = table(spark, sf_dir, "orders")
+    iv = o.select(
+        F.col("o_custkey").alias("k"),
+        F.col("o_orderdate").cast("date").alias("s"),
+        F.date_add(F.col("o_orderdate").cast("date"), 30).alias("e"),
+    )
+    w_prev = (
+        Window.partitionBy("k")
+        .orderBy("s", "e")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    w_run = (
+        Window.partitionBy("k")
+        .orderBy("s", "e")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    isl = iv.withColumn("prev_max", F.max("e").over(w_prev)).withColumn(
+        "island",
+        F.sum(
+            F.when(
+                F.col("prev_max").isNull() | (F.col("s") > F.col("prev_max")), 1
+            ).otherwise(0)
+        ).over(w_run),
+    )
+    per = isl.groupBy("k", "island").agg(
+        F.datediff(F.max("e"), F.min("s")).alias("dur")
+    )
+    return per.groupBy(F.col("k").alias("c_custkey")).agg(
+        F.count(F.lit(1)).alias("n_islands"),
+        F.sum("dur").cast("long").alias("covered_days"),
+    )
+
+
+@query(
+    "win_streaks",
+    """
+    WITH d AS (
+      SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events
+    ), g AS (
+      SELECT user_id, day,
+             day - CAST(row_number() OVER (PARTITION BY user_id
+                                           ORDER BY day) AS INT) AS grp
+      FROM d
+    ), s AS (
+      SELECT user_id, grp, count(*) AS len FROM g GROUP BY user_id, grp
+    )
+    SELECT user_id, CAST(max(len) AS BIGINT) AS longest_streak,
+           CAST(count(*) AS BIGINT) AS n_streaks,
+           CAST(sum(len) AS BIGINT) AS active_days
+    FROM s GROUP BY user_id
+    """,
+)
+def win_streaks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Longest consecutive-day streak per user — the engagement metric
+    behind every 'N-day streak' badge, and the calendar cousin of
+    `win_sessionize` (whose islands are time-GAP based, not
+    calendar-consecutive). The date-minus-rank trick: within a user,
+    consecutive days share ``day - row_number()`` (each next day
+    advances both by one), so streaks become plain GROUP BY keys — no
+    self-join, no recursive walk. Per-user partitions bound every
+    window; days are deduped first so multi-event days count once."""
+    from pyspark.sql import Window
+
+    ev = table(spark, sf_dir, "events")
+    d = ev.select("user_id", F.col("ts").cast("date").alias("day")).distinct()
+    rn = F.row_number().over(Window.partitionBy("user_id").orderBy("day"))
+    g = d.withColumn("grp", F.date_sub(F.col("day"), rn))
+    s = g.groupBy("user_id", "grp").agg(F.count(F.lit(1)).alias("len"))
+    return s.groupBy("user_id").agg(
+        F.max("len").cast("long").alias("longest_streak"),
+        F.count(F.lit(1)).cast("long").alias("n_streaks"),
+        F.sum("len").cast("long").alias("active_days"),
+    )
