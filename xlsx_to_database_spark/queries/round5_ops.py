@@ -4,14 +4,18 @@ Batch 1 (window-filling): fixed-window chunking, shingle containment
 pairs, and the grid-bucketed 2-D radius join — pretraining chunk prep,
 superset/quote dedup, and spatial-style radius joins.
 
-Batch 2 (beyond the window; next round's candidates): Mann-Whitney
-rank-sum test, exact rolling correlation, malformed-CSV ingest policy,
-incremental surrogate-key assignment, spreadsheet→schema column
-mapping, and the Benford first-digit screen.
+Batch 2 (beyond the window; next round's window candidates, all
+mirror-green): Mann-Whitney rank-sum test, exact rolling correlation,
+malformed-CSV ingest policy, incremental surrogate-key assignment,
+spreadsheet→schema column mapping, the Benford first-digit screen,
+degree-ordered triangle counting, merged-cell workbook scan,
+range-partitioned JDBC ingest, parquet column bloom filters, OHLC
+downsampling, systematic sampling, merged-interval coverage, and
+consecutive-day streaks.
 
 Registered LAST in the registry import order (the round4_ops pattern):
 the round-5 driver window is backlog(44) + reopened(3) + batch 1;
-batch 2 queues behind it without displacing anything.
+batch 2 queues immediately after the window without displacing it.
 """
 
 from __future__ import annotations
