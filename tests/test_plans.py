@@ -601,3 +601,25 @@ def test_containment_has_no_cartesian(spark, sf_dir, qs):
     plan = explain_str(qs["text_containment"](spark, sf_dir))
     for bad in ("CartesianProduct", "BroadcastNestedLoopJoin"):
         assert bad not in plan, plan
+
+
+def test_plan_hazard_sweep_no_unexpected(spark, sf_dir, qs):
+    """The dragnet behind the hand-picked assertions above: every
+    non-streaming op's physical plan is scanned for quadratic joins and
+    row-at-a-time Python, and anything not on tools/plan_audit.py's
+    documented allowlist fails here. Streaming ops are excluded (each
+    plan build drains a micro-batch run — seconds apiece; their shapes
+    are pinned by the streaming tests and driver attestation)."""
+    from tools.plan_audit import ALLOWED, HAZARDS
+
+    unexpected = {}
+    for name, fn in qs.items():
+        if name.startswith("stream_"):
+            continue
+        plan = explain_str(fn(spark, sf_dir))
+        bad = [
+            h for h in HAZARDS if h in plan and h not in ALLOWED.get(name, {})
+        ]
+        if bad:
+            unexpected[name] = bad
+    assert not unexpected, unexpected

@@ -1,0 +1,133 @@
+"""Plan-hazard sweep over EVERY registered op.
+
+tests/test_plans.py asserts plan properties for ~25 hand-picked ops;
+this tool is the dragnet: it builds each op's physical plan (no
+execution for pure queries — ops that stage files or drain streams do
+run) and greps it for the constructs that kill 100 TB jobs:
+
+- ``CartesianProduct`` / ``BroadcastNestedLoopJoin`` — quadratic joins;
+- ``BatchEvalPython`` — row-at-a-time Python UDFs in the data path;
+- ``PythonUDTF`` fallback paths are fine (udtf op's point);
+
+and prints one JSON line per offending op plus a summary. Ops whose
+SEMANTICS require a hazard are allowlisted with the reason — the audit
+exists to catch the UNINTENDED ones. tests/test_plans.py::
+test_plan_hazard_allowlist pins the sweep's result so a new hazard
+fails CI, not a reviewer's eye.
+
+Usage: python tools/plan_audit.py [op ...]
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.001")
+
+#: The scalar-attach pattern: ``crossJoin(F.broadcast(<one-row frame>))``
+#: plans as BroadcastNestedLoopJoin but is O(n·1) — the build side is a
+#: global aggregate (corpus total, threshold, Gram matrix) or a one-row
+#: query-vector filter. It is the INTENDED way to hand every row a
+#: scalar without a driver collect.
+_SCALAR_ATTACH = (
+    "BNLJ is crossJoin(broadcast(one-row frame)) — O(n*1) scalar attach"
+)
+
+#: op -> (hazard, reason) pairs that are BY DESIGN.
+ALLOWED: dict[str, dict[str, str]] = {
+    "join_cross": {
+        "CartesianProduct": "the op IS a cross join (bounded dims)",
+        "BroadcastNestedLoopJoin": "Spark plans small cross joins as BNLJ",
+    },
+    "join_theta": {
+        "BroadcastNestedLoopJoin": "non-equi predicate on a bounded build side",
+        "CartesianProduct": "theta joins without equi-conjuncts are cartesian by definition",
+    },
+    "join_interval": {
+        "BroadcastNestedLoopJoin": "range-overlap predicate; bucket rewrite is join_range_bucketed",
+    },
+    "udf_python": {
+        "BatchEvalPython": "the op demonstrates the row-at-a-time UDF surface",
+    },
+    "udtf_python": {
+        "BatchEvalPython": "UDTF evaluation is Python by definition (the op's surface)",
+    },
+    "join_lateral": {
+        "BroadcastNestedLoopJoin": "lateral correlation over a bounded per-row subquery",
+    },
+    "recursive_cte": {
+        "BroadcastNestedLoopJoin": "fixpoint step joins a bounded frontier",
+    },
+    "tpch_q22": {
+        "BroadcastNestedLoopJoin": "scalar AVG subquery broadcast — Q22's defining shape",
+    },
+    # Scalar-attach crossJoins (see _SCALAR_ATTACH): global totals,
+    # percentile thresholds, Gram/centroid matrices, one-row query
+    # vectors.
+    **{
+        op: {"BroadcastNestedLoopJoin": _SCALAR_ATTACH}
+        for op in (
+            "corpus_quality_gate",    # percentile thresholds (1 row)
+            "corpus_mix_schedule",    # corpus totals (1 row)
+            "stat_chi2",              # expected-counts totals (1 row)
+            "text_perplexity",        # vocab-mass total N (1 row)
+            "stat_psi_drift",         # the two distributions' totals (1 row)
+            "sim_range_search",       # query vector (1 row)
+            "csv_malformed_scan",     # schema-free line count (1 row)
+            "etl_surrogate_keys",     # max existing key K (1 row)
+            "stat_benford",           # digit total (1 row)
+            "graph_triangles",        # triangle-count scalar (1 row)
+            "dedup_embedding",        # label-block centroid stats (1 row)
+            "sim_cosine_topk",        # query vector (1 row)
+            "sim_ivf_topk",           # query vector (1 row)
+            "text_tfidf",             # corpus doc count N (1 row)
+            "sim_batch_topk",         # batched query vectors (k rows, k small)
+            "dq_checks",              # per-check scalar aggregates unioned
+        )
+    },
+}
+
+HAZARDS = ("CartesianProduct", "BroadcastNestedLoopJoin", "BatchEvalPython")
+
+
+def main() -> int:
+    from xlsx_to_database_spark.plans import explain_str
+    from xlsx_to_database_spark.registry import all_queries
+    from xlsx_to_database_spark.session import get_spark
+
+    spark = get_spark("plan_audit")
+    qs = all_queries()
+    only = sys.argv[1:]
+    names = only or list(qs)
+    unexpected: list[dict] = []
+    checked = 0
+    for name in names:
+        try:
+            plan = explain_str(qs[name](spark, SF_DIR))
+        except Exception as e:  # staging/stream ops can fail offline paths
+            print(json.dumps({"op": name, "error": str(e)[:120]}))
+            continue
+        checked += 1
+        found = [h for h in HAZARDS if h in plan]
+        bad = [h for h in found if h not in ALLOWED.get(name, {})]
+        if bad:
+            unexpected.append({"op": name, "hazards": bad})
+            print(json.dumps({"op": name, "hazards": bad}))
+    print(
+        json.dumps(
+            {
+                "checked": checked,
+                "unexpected_hazards": len(unexpected),
+                "allowlisted": sorted(ALLOWED),
+            }
+        )
+    )
+    return 1 if unexpected else 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
