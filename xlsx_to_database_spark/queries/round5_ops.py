@@ -1055,3 +1055,59 @@ def win_streaks(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).cast("long").alias("n_streaks"),
         F.sum("len").cast("long").alias("active_days"),
     )
+
+
+@query(
+    "corpus_token_budget",
+    """
+    WITH scored AS (
+      SELECT doc_id, n_chars,
+             len(string_split(text, ' ')) AS n_tok
+      FROM documents
+    ), ranked AS (
+      SELECT doc_id, n_tok,
+             sum(n_tok) OVER (ORDER BY n_chars DESC, doc_id
+                              ROWS UNBOUNDED PRECEDING) AS cum_tok
+      FROM scored
+    )
+    SELECT doc_id, CAST(n_tok AS BIGINT) AS n_tok,
+           CAST(cum_tok AS BIGINT) AS cum_tok
+    FROM ranked WHERE cum_tok - n_tok < 10000
+    """,
+)
+def corpus_token_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-budget selection — the data-mixing primitive every
+    pretraining run executes: rank the corpus by a quality proxy
+    (n_chars here; any score column in production) and keep documents
+    greedily until the token budget is spent. A document is admitted
+    iff the budget is not already exhausted BEFORE it (cum − own < B),
+    so exactly one document straddles the boundary — the greedy rule
+    that makes budgets reproducible. The global running token sum is
+    the bucketed exact operator (operators/global_order.py): quantile
+    bucketing + per-bucket windows + broadcast offsets, never a
+    single-partition sort of the corpus."""
+    from xlsx_to_database_spark.operators.global_order import (
+        with_global_running_sums,
+    )
+
+    d = table(spark, sf_dir, "documents")
+    # The bucketed operator's contract is DRIVING KEY ASCENDING (bucket
+    # offsets accumulate in that direction), so the quality-descending
+    # order rides a negated driving column — identical total order to
+    # (n_chars DESC, doc_id ASC), valid at any bucket count.
+    scored = d.select(
+        "doc_id",
+        F.size(F.split(F.col("text"), " ")).alias("n_tok"),
+        (-F.col("n_chars")).alias("__negc"),
+    )
+    ranked = with_global_running_sums(
+        scored,
+        [F.col("__negc").asc(), F.col("doc_id").asc()],
+        "__negc",
+        {"cum_tok": "n_tok"},
+    )
+    return ranked.filter(F.col("cum_tok") - F.col("n_tok") < 10_000).select(
+        "doc_id",
+        F.col("n_tok").cast("long"),
+        F.col("cum_tok").cast("long"),
+    )
