@@ -1111,3 +1111,127 @@ def corpus_token_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n_tok").cast("long"),
         F.col("cum_tok").cast("long"),
     )
+
+
+@query(
+    "stat_cuped",
+    """
+    WITH per AS (
+      SELECT o_custkey AS k, o_custkey % 2 AS arm,
+             sum(CASE WHEN o_orderdate >= DATE '1995-01-01'
+                       AND o_orderdate < DATE '1996-01-01'
+                      THEN CAST(o_totalprice AS DECIMAL(18,2)) ELSE 0 END) AS x,
+             sum(CASE WHEN o_orderdate >= DATE '1996-01-01'
+                       AND o_orderdate < DATE '1997-01-01'
+                      THEN CAST(o_totalprice AS DECIMAL(18,2)) ELSE 0 END) AS y
+      FROM orders GROUP BY o_custkey
+    ), mo AS (
+      SELECT CAST(count(*) AS DOUBLE) AS n, CAST(sum(x) AS DOUBLE) AS sx,
+             CAST(sum(y) AS DOUBLE) AS sy, CAST(sum(x*x) AS DOUBLE) AS sxx,
+             CAST(sum(x*y) AS DOUBLE) AS sxy
+      FROM per
+    )
+    SELECT arm, CAST(count(*) AS BIGINT) AS n_users,
+           round(CAST(sum(y) AS DOUBLE) / count(*), 6) AS mean_y,
+           round(CAST(sum(y) AS DOUBLE) / count(*)
+                 - ((mo.n * mo.sxy - mo.sx * mo.sy)
+                    / (mo.n * mo.sxx - mo.sx * mo.sx))
+                   * (CAST(sum(x) AS DOUBLE) / count(*) - mo.sx / mo.n), 6)
+             AS mean_y_cuped
+    FROM per, mo GROUP BY arm, mo.n, mo.sx, mo.sy, mo.sxx, mo.sxy
+    """,
+)
+def stat_cuped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUPED variance reduction — the standard experimentation
+    adjustment: subtract θ·(covariate − its mean) from each unit's
+    metric, with θ = cov(x,y)/var(x) learned from pre-period data
+    (first-year spend as covariate, second-year spend as metric,
+    custkey parity as the arm). Exactness: per-unit x/y are DECIMAL sums, the moments are
+    sums of DECIMAL products cast to double ONCE, and θ plus both
+    adjusted means are then identical double arithmetic on both
+    engines. Shape: one per-unit aggregate (shuffle on custkey), one
+    broadcast one-row moment frame, one per-arm aggregate — the same
+    plan at 1e9 units."""
+    o = table(spark, sf_dir, "orders")
+    in_year = lambda y: (  # noqa: E731
+        (F.col("o_orderdate") >= F.lit(f"{y}-01-01"))
+        & (F.col("o_orderdate") < F.lit(f"{y + 1}-01-01"))
+    )
+    price = F.col("o_totalprice").cast("decimal(18,2)")
+    per = o.groupBy(F.col("o_custkey").alias("k")).agg(
+        F.sum(F.when(in_year(1995), price).otherwise(F.lit(0).cast("decimal(18,2)"))).alias("x"),
+        F.sum(F.when(in_year(1996), price).otherwise(F.lit(0).cast("decimal(18,2)"))).alias("y"),
+    ).withColumn("arm", F.pmod("k", F.lit(2)))
+    mo = per.agg(
+        F.count(F.lit(1)).cast("double").alias("n"),
+        F.sum("x").cast("double").alias("sx"),
+        F.sum("y").cast("double").alias("sy"),
+        F.sum(F.col("x") * F.col("x")).cast("double").alias("sxx"),
+        F.sum(F.col("x") * F.col("y")).cast("double").alias("sxy"),
+    )
+    arm = per.groupBy("arm").agg(
+        F.count(F.lit(1)).alias("n_users"),
+        F.sum("y").cast("double").alias("ay"),
+        F.sum("x").cast("double").alias("ax"),
+    )
+    theta = (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")) / (
+        F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")
+    )
+    mean_y = F.col("ay") / F.col("n_users")
+    mean_x = F.col("ax") / F.col("n_users")
+    return arm.crossJoin(F.broadcast(mo)).select(
+        "arm",
+        F.col("n_users").cast("long"),
+        F.round(mean_y, 6).alias("mean_y"),
+        F.round(
+            mean_y - theta * (mean_x - F.col("sx") / F.col("n")), 6
+        ).alias("mean_y_cuped"),
+    )
+
+
+@query(
+    "graph_degree_distribution",
+    """
+    WITH e AS (
+      SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v
+      FROM lineitem a JOIN lineitem b
+        ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+    ), deg AS (
+      SELECT u AS node, count(*) AS d FROM (
+        SELECT u FROM e UNION ALL SELECT v FROM e
+      ) t(u) GROUP BY u
+    )
+    SELECT CAST(length(bin(d)) AS INT) AS log2_bucket,
+           CAST(count(*) AS BIGINT) AS n_nodes,
+           CAST(min(d) AS BIGINT) AS min_degree,
+           CAST(max(d) AS BIGINT) AS max_degree
+    FROM deg GROUP BY 1
+    """,
+)
+def graph_degree_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Log-binned degree histogram of the co-purchase graph — the
+    first thing anyone asks of a large graph (is it heavy-tailed? where
+    do the hubs start?), and the planning input for skew handling in
+    `graph_triangles`. Buckets are ⌊log2 d⌋+1 computed as the BINARY
+    STRING LENGTH of the degree — pure integer formatting, immune to
+    the libm boundary problem floor(log2(2^k)) has at exact powers of
+    two (bit-identical 'is it 3.0 or 2.9999…' is not a question both
+    engines answer alike). Two aggregates over the edge list; the
+    histogram is ≤ 64 rows at any scale."""
+    li = table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    a = li.select(F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("u"))
+    b = li.select(F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("v"))
+    e = a.join(b, "o").filter(F.col("u") < F.col("v")).select("u", "v").distinct()
+    deg = (
+        e.select(F.col("u").alias("node"))
+        .unionAll(e.select(F.col("v").alias("node")))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).alias("d"))
+    )
+    return deg.groupBy(
+        F.length(F.bin("d")).cast("int").alias("log2_bucket")
+    ).agg(
+        F.count(F.lit(1)).alias("n_nodes"),
+        F.min("d").cast("long").alias("min_degree"),
+        F.max("d").cast("long").alias("max_degree"),
+    )
