@@ -80,6 +80,7 @@ ALLOWED: dict[str, dict[str, str]] = {
             "csv_malformed_scan",     # schema-free line count (1 row)
             "etl_surrogate_keys",     # max existing key K (1 row)
             "stat_benford",           # digit total (1 row)
+            "stat_cuped",             # CUPED moment frame (1 row)
             "graph_triangles",        # triangle-count scalar (1 row)
             "dedup_embedding",        # label-block centroid stats (1 row)
             "sim_cosine_topk",        # query vector (1 row)
