@@ -724,3 +724,81 @@ def test_bloom_sink_writes_bloom_filters(spark, sf_dir, tmp_path):
     assert (
         spark.read.parquet(dst).count() == spark.read.parquet(plain).count()
     )
+
+
+def test_survival_km_matches_hand_computed(spark, tmp_path):
+    # durations: 10 (d=2 of 2), 20 (1 event + 1 censored-at-horizon),
+    # 31 (d=1). n_risk: 5, 3, 1 -> S = .6, .6*(2/3)=.4, then d=n -> 0.
+    import datetime as dt
+    import os
+
+    from xlsx_to_database_spark.queries.round5_ops import stat_survival_km
+
+    d = str(tmp_path / "km")
+    os.makedirs(d)
+    rows = []
+    for ck, (d0, d1) in enumerate(
+        [("1995-01-01", "1995-01-11"), ("1995-01-01", "1995-01-11"),
+         ("1995-01-01", "1995-01-21"), ("1998-02-01", "1998-02-21"),
+         ("1995-01-01", "1995-02-01")],
+        start=1,
+    ):
+        rows += [(ck, dt.date.fromisoformat(d0)), (ck, dt.date.fromisoformat(d1))]
+    spark.createDataFrame(
+        rows, "o_custkey long, o_orderdate date"
+    ).write.parquet(os.path.join(d, "orders.parquet"))
+    got = {
+        r.duration_days: (r.n_at_risk, r.d_events, r.survival)
+        for r in stat_survival_km(spark, d).collect()
+    }
+    assert got == {10: (5, 2, 0.6), 20: (3, 1, 0.4), 31: (1, 1, 0.0)}
+
+
+def test_changepoint_finds_level_shift(spark, tmp_path):
+    # daily series 10,10,10,20,20,20 -> centered cusum -5,-10,-15,-10,-5,0:
+    # |max| = 15 on day 3.
+    import datetime as dt
+    import os
+
+    from xlsx_to_database_spark.queries.round5_ops import stat_changepoint
+
+    d = str(tmp_path / "cp")
+    os.makedirs(d)
+    spark.createDataFrame(
+        [(dt.date(1995, 1, i + 1), 10.0 if i < 3 else 20.0) for i in range(6)],
+        "o_orderdate date, o_totalprice double",
+    ).write.parquet(os.path.join(d, "orders.parquet"))
+    r = stat_changepoint(spark, d).collect()[0]
+    assert (str(r.changepoint_day), r.cusum_abs, r.n_days) == (
+        "1995-01-03", 15.0, 6,
+    )
+
+
+def test_bpe_pairs_hand_computed(spark, tmp_path):
+    # "ab ab cd" + "abc" -> pairs ab:3 (2 tokens + prefix of abc), bc:1, cd:1.
+    import os
+
+    from xlsx_to_database_spark.queries.round5_ops import text_bpe_pairs
+
+    d = str(tmp_path / "bpe")
+    os.makedirs(d)
+    spark.createDataFrame(
+        [(1, "ab ab cd"), (2, "abc")], "doc_id long, text string"
+    ).write.parquet(os.path.join(d, "documents.parquet"))
+    got = [(r.pair, r.cnt) for r in text_bpe_pairs(spark, d).collect()]
+    assert got == [("ab", 3), ("bc", 1), ("cd", 1)]
+
+
+def test_bootstrap_ci_single_scan_and_brackets_mean(spark, sf_dir):
+    """All 64 replicates must compile into ONE pass over orders (one
+    FileScan — the Poisson-bootstrap point), and the CI must bracket
+    the point estimate."""
+    from xlsx_to_database_spark.plans import explain_str
+    from xlsx_to_database_spark.queries.round5_ops import stat_bootstrap_ci
+
+    df = stat_bootstrap_ci(spark, sf_dir)
+    plan = explain_str(df)
+    assert plan.count("Location: InMemoryFileIndex") == 1, plan
+    r = df.collect()[0]
+    assert r.n_reps == 64
+    assert r.mean_lo < r.mean_point < r.mean_hi

@@ -384,3 +384,35 @@ def test_merged_cells_fill(tmp_path):
     wb.close()
     assert [r[0] for r in plain[1:]] == ["alpha", None, None, "beta"]
     assert [r[0] for r in filled[1:]] == ["alpha", "alpha", "alpha", "beta"]
+
+
+def test_formula_cells_decode_cached_values(tmp_path):
+    """A formula cell stores <f>expr</f> plus the last-evaluated <v>;
+    readers that don't evaluate formulas (ours, by design) must surface
+    the cached value — numeric for t='n', literal text for t='str' —
+    not None and not the formula text."""
+    import zipfile
+
+    from xlsx_to_database_spark.sources.xlsx_io import read_workbook, write_workbook
+
+    path = str(tmp_path / "formula.xlsx")
+    write_workbook(path, {"s": (["a", "b"], [(0.0, "x")])})
+    with zipfile.ZipFile(path) as zf:
+        members = {n: zf.read(n) for n in zf.namelist()}
+    ns = "http://schemas.openxmlformats.org/spreadsheetml/2006/main"
+    members["xl/worksheets/sheet1.xml"] = (
+        f'<?xml version="1.0" encoding="UTF-8" standalone="yes"?>'
+        f'<worksheet xmlns="{ns}"><sheetData>'
+        f'<row r="1"><c r="A1" t="str"><v>a</v></c>'
+        f'<c r="B1" t="str"><v>b</v></c></row>'
+        f'<row r="2"><c r="A2"><f>1+1</f><v>2</v></c>'
+        f'<c r="B2" t="str"><f>CONCAT("a","b")</f><v>ab</v></c></row>'
+        f"</sheetData></worksheet>"
+    ).encode()
+    with zipfile.ZipFile(path, "w") as zf:
+        for n, data in members.items():
+            zf.writestr(n, data)
+    wb = read_workbook(path)
+    rows = list(wb.iter_rows("s"))
+    wb.close()
+    assert rows[1] == [2, "ab"]

@@ -1235,3 +1235,427 @@ def graph_degree_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("d").cast("long").alias("min_degree"),
         F.max("d").cast("long").alias("max_degree"),
     )
+
+
+@query(
+    "stat_survival_km",
+    """
+    WITH life AS (
+      SELECT o_custkey,
+             date_diff('day', min(o_orderdate), max(o_orderdate)) AS dur,
+             CASE WHEN max(o_orderdate) < DATE '1998-01-01'
+                  THEN 1 ELSE 0 END AS ev
+      FROM orders GROUP BY o_custkey
+    ), byd AS (
+      SELECT dur, sum(ev) AS d, count(*) AS c FROM life GROUP BY dur
+    ), risk AS (
+      SELECT dur, d,
+             sum(c) OVER (ORDER BY dur DESC
+                          ROWS UNBOUNDED PRECEDING) AS n_risk
+      FROM byd
+    ), terms AS (
+      SELECT dur, d, n_risk,
+             CASE WHEN d = n_risk THEN NULL
+                  ELSE CAST(ln(1 - CAST(d AS DOUBLE) / n_risk)
+                            AS DECIMAL(28,18)) END AS t,
+             CASE WHEN d = n_risk THEN 1 ELSE 0 END AS dead
+      FROM risk
+    )
+    SELECT dur AS duration_days,
+           CAST(n_risk AS BIGINT) AS n_at_risk,
+           CAST(d AS BIGINT) AS d_events,
+           CASE WHEN max(dead) OVER (ORDER BY dur
+                                     ROWS UNBOUNDED PRECEDING) = 1 THEN 0.0
+                ELSE round(exp(CAST(sum(t) OVER (ORDER BY dur
+                                  ROWS UNBOUNDED PRECEDING) AS DOUBLE)), 6)
+           END AS survival
+    FROM terms
+    """,
+)
+def stat_survival_km(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kaplan-Meier survival curve over customer lifetimes — the
+    censoring-aware estimator behind every churn/retention curve.
+    Lifetime = days between a customer's first and last order; the
+    event (churn observed) fires when the last order predates 1998,
+    otherwise the lifetime is right-censored at the horizon. At each
+    distinct duration t: n_risk = customers with duration >= t (a
+    DESC-ordered running sum over the per-duration counts), d = events
+    exactly at t, and S(t) multiplies in (1 - d/n_risk) — computed as
+    exp of a running sum of ln terms, each term quantized to
+    DECIMAL(28,18) BEFORE summing so the accumulation is
+    order-insensitive and engine-exact (the agg_entropy discipline).
+    d = n_risk zeroes the curve from there on — guarded explicitly
+    rather than routed through ln(0).
+
+    Scale shape: one shuffle (per-customer aggregate), one tiny
+    per-duration aggregate, then global windows over AT MOST one row
+    per distinct duration — bounded by the date-range span in days
+    (~2.4k), NOT by row count, at any SF. Same class as the
+    histogram/global-order ops."""
+    from pyspark.sql import Window
+
+    o = table(spark, sf_dir, "orders")
+    life = o.groupBy("o_custkey").agg(
+        F.datediff(F.max("o_orderdate"), F.min("o_orderdate")).alias("dur"),
+        F.when(F.max("o_orderdate") < F.lit("1998-01-01"), 1)
+        .otherwise(0)
+        .alias("ev"),
+    )
+    byd = life.groupBy("dur").agg(
+        F.sum("ev").alias("d"), F.count(F.lit(1)).alias("c")
+    )
+    w_desc = Window.orderBy(F.col("dur").desc()).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    w_asc = Window.orderBy("dur").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    risk = byd.withColumn("n_risk", F.sum("c").over(w_desc))
+    terms = risk.withColumn(
+        "t",
+        F.when(F.col("d") == F.col("n_risk"), F.lit(None)).otherwise(
+            F.log(1 - F.col("d").cast("double") / F.col("n_risk")).cast(
+                "decimal(28,18)"
+            )
+        ),
+    ).withColumn("dead", F.when(F.col("d") == F.col("n_risk"), 1).otherwise(0))
+    return terms.select(
+        F.col("dur").alias("duration_days"),
+        F.col("n_risk").cast("long").alias("n_at_risk"),
+        F.col("d").cast("long").alias("d_events"),
+        F.when(F.max("dead").over(w_asc) == 1, F.lit(0.0))
+        .otherwise(F.round(F.exp(F.sum("t").over(w_asc).cast("double")), 6))
+        .alias("survival"),
+    )
+
+
+@query(
+    "stat_changepoint",
+    """
+    WITH daily AS (
+      SELECT o_orderdate AS day,
+             sum(CAST(o_totalprice AS DECIMAL(18,2))) AS x
+      FROM orders GROUP BY o_orderdate
+    ), c AS (
+      SELECT day,
+             abs(CAST(sum(x) OVER (ORDER BY day ROWS UNBOUNDED PRECEDING)
+                      AS DOUBLE)
+                 - CAST(row_number() OVER (ORDER BY day) AS DOUBLE)
+                   * (CAST(sum(x) OVER () AS DOUBLE) / count(*) OVER ()))
+               AS cusum_abs,
+             count(*) OVER () AS n_days
+      FROM daily
+    )
+    SELECT day AS changepoint_day, round(cusum_abs, 2) AS cusum_abs,
+           CAST(n_days AS BIGINT) AS n_days
+    FROM c ORDER BY round(cusum_abs, 2) DESC, day LIMIT 1
+    """,
+)
+def stat_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUSUM changepoint detection on the daily-revenue series — where
+    did the level shift? The classic offline estimator: center the
+    series on its mean, cumulative-sum, and the |CUSUM| argmax is the
+    most likely single changepoint (AMOC). Exactness: daily totals and
+    their running sum are DECIMAL (exact, order-insensitive); the one
+    double conversion happens on the finished sums, and rn·mu is then
+    identical IEEE arithmetic on both engines. The argmax orders by the
+    ROUNDED statistic with the day as total tie-break.
+
+    Scale shape: one shuffle (per-day aggregate), then global windows
+    over one row per distinct day — bounded by the calendar span
+    (~2.4k rows at any SF), the histogram-op class. The raw scan is the
+    only data-sized stage."""
+    from pyspark.sql import Window
+
+    o = table(spark, sf_dir, "orders")
+    daily = o.groupBy(F.col("o_orderdate").alias("day")).agg(
+        F.sum(F.col("o_totalprice").cast("decimal(18,2)")).alias("x")
+    )
+    w_run = Window.orderBy("day").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    w_all = Window.orderBy("day").rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    c = daily.select(
+        F.col("day").alias("changepoint_day"),
+        F.round(
+            F.abs(
+                F.sum("x").over(w_run).cast("double")
+                - F.row_number().over(Window.orderBy("day")).cast("double")
+                * (F.sum("x").over(w_all).cast("double")
+                   / F.count(F.lit(1)).over(w_all))
+            ),
+            2,
+        ).alias("cusum_abs"),
+        F.count(F.lit(1)).over(w_all).cast("long").alias("n_days"),
+    )
+    return c.orderBy(F.col("cusum_abs").desc(), "changepoint_day").limit(1)
+
+
+@query(
+    "interval_gaps",
+    """
+    WITH iv AS (
+      SELECT o_custkey AS k, CAST(o_orderdate AS DATE) AS s,
+             CAST(o_orderdate AS DATE) + 30 AS e
+      FROM orders
+    ), m AS (
+      SELECT k, s,
+             max(e) OVER (PARTITION BY k ORDER BY s, e
+                          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+               AS prev_max
+      FROM iv
+    )
+    SELECT k AS c_custkey, CAST(count(*) AS BIGINT) AS n_gaps,
+           CAST(max(gap) AS BIGINT) AS max_gap_days,
+           CAST(sum(gap) AS BIGINT) AS idle_days
+    FROM (
+      SELECT k, date_diff('day', prev_max, s) AS gap
+      FROM m WHERE prev_max IS NOT NULL AND s > prev_max
+    ) t GROUP BY k
+    """,
+)
+def interval_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Idle-gap analysis — the complement of `interval_coverage`: how
+    long were the dark periods between a customer's activity islands
+    (the SLA question is always 'what was the longest outage', never
+    'what was covered'). Shares the sweep skeleton: a per-customer
+    running max of interval ends; a row whose start clears everything
+    seen so far opens a gap of (start - prev_max) days. One
+    per-customer window + one aggregate; partitions are per-customer
+    (bounded), never global. Customers with no gap (one island)
+    disappear, matching the oracle's inner aggregation."""
+    from pyspark.sql import Window
+
+    o = table(spark, sf_dir, "orders")
+    iv = o.select(
+        F.col("o_custkey").alias("k"),
+        F.col("o_orderdate").cast("date").alias("s"),
+        F.date_add(F.col("o_orderdate").cast("date"), 30).alias("e"),
+    )
+    w_prev = (
+        Window.partitionBy("k")
+        .orderBy("s", "e")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    m = iv.withColumn("prev_max", F.max("e").over(w_prev))
+    gaps = m.filter(
+        F.col("prev_max").isNotNull() & (F.col("s") > F.col("prev_max"))
+    ).select("k", F.datediff("s", "prev_max").alias("gap"))
+    return gaps.groupBy(F.col("k").alias("c_custkey")).agg(
+        F.count(F.lit(1)).alias("n_gaps"),
+        F.max("gap").cast("long").alias("max_gap_days"),
+        F.sum("gap").cast("long").alias("idle_days"),
+    )
+
+
+_BOOT_B = 64  #: bootstrap replicates
+#: Poisson(1) CDF cut points: P(0), P(0..1), P(0..2) — weights 3+ pooled.
+_BOOT_CDF = (0.367879441, 0.735758882, 0.919698603)
+
+
+def _boot_weight(key, r):
+    """Deterministic Poisson(1)-ish resample weight for (row key, rep r).
+
+    A multiplicative-hash uniform — (key·1103515245 + (r+1)·2654435761)
+    mod 2^31, scaled to [0,1) — thresholded at the Poisson(1) CDF. Pure
+    BIGINT mod arithmetic + one exact IEEE division: bit-identical in
+    any engine, which is what lets the oracle replay the 'randomness'.
+    """
+    h = F.pmod(key * F.lit(1103515245) + F.lit((r + 1) * 2654435761),
+               F.lit(2147483648))
+    u = h / F.lit(2147483648.0)
+    return (
+        F.when(u < _BOOT_CDF[0], 0)
+        .when(u < _BOOT_CDF[1], 1)
+        .when(u < _BOOT_CDF[2], 2)
+        .otherwise(3)
+    )
+
+
+@query(
+    "stat_bootstrap_ci",
+    f"""
+    WITH w AS (
+      SELECT r,
+             CASE WHEN u < {_BOOT_CDF[0]} THEN 0
+                  WHEN u < {_BOOT_CDF[1]} THEN 1
+                  WHEN u < {_BOOT_CDF[2]} THEN 2 ELSE 3 END AS w,
+             x
+      FROM (
+        SELECT r,
+               ((o_orderkey * 1103515245 + (r+1) * 2654435761)
+                % 2147483648) / 2147483648.0 AS u,
+               CAST(o_totalprice AS DECIMAL(18,2)) AS x
+        FROM orders, (SELECT unnest(range({_BOOT_B})) AS r)
+      )
+    ), per AS (
+      SELECT r, CAST(sum(w * x) AS DOUBLE) / sum(w) AS m
+      FROM w GROUP BY r
+    )
+    SELECT CAST(count(*) AS BIGINT) AS n_reps,
+           round(percentile_cont(0.025) WITHIN GROUP (ORDER BY m), 4)
+             AS mean_lo,
+           round(percentile_cont(0.975) WITHIN GROUP (ORDER BY m), 4)
+             AS mean_hi,
+           (SELECT round(CAST(sum(CAST(o_totalprice AS DECIMAL(18,2)))
+                              AS DOUBLE) / count(*), 4) FROM orders)
+             AS mean_point
+    FROM per
+    """,
+)
+def stat_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Poisson bootstrap confidence interval for the mean order value —
+    THE distributed bootstrap: instead of resampling n rows with
+    replacement (which needs global coordination), each row draws an
+    independent Poisson(1) replicate count per rep, which converges to
+    the same resample distribution and never leaves the row (Chamandy
+    et al., 'Estimating Uncertainty for Massive Data Streams', the
+    pattern behind every large-scale A/B platform's CIs). Randomness is
+    a deterministic multiplicative hash of (orderkey, rep) so the
+    oracle replays it exactly; per-rep sums are DECIMAL (exact), and
+    the 2.5/97.5 percentiles interpolate over B=64 identical doubles.
+
+    Scale shape: the Spark side compiles ALL reps into ONE aggregate
+    pass — 2·B partial-agg expressions (sum(w·x), sum(w) per rep), no
+    row explosion, no shuffle beyond the single-row merge; the rep
+    means then posexplode from one row. The oracle's rows×B cross join
+    is the readable equivalent, not the executed plan. At 100 TB this
+    is one scan + 128 running partials per task."""
+    o = table(spark, sf_dir, "orders")
+    x = F.col("o_totalprice").cast("decimal(18,2)")
+    key = F.col("o_orderkey")
+    aggs = []
+    for r in range(_BOOT_B):
+        w = _boot_weight(key, r)
+        aggs.append(F.sum(w * x).alias(f"s{r}"))
+        aggs.append(F.sum(w).alias(f"n{r}"))
+    aggs.append(F.sum(x).alias("sx"))
+    aggs.append(F.count(F.lit(1)).alias("nx"))
+    one = o.agg(*aggs)
+    means = one.select(
+        F.explode(
+            F.array(*[
+                (F.col(f"s{r}").cast("double") / F.col(f"n{r}")).alias("m")
+                for r in range(_BOOT_B)
+            ])
+        ).alias("m"),
+        (F.col("sx").cast("double") / F.col("nx")).alias("point"),
+    )
+    return means.agg(
+        F.count(F.lit(1)).alias("n_reps"),
+        F.round(F.percentile("m", F.lit(0.025)), 4).alias("mean_lo"),
+        F.round(F.percentile("m", F.lit(0.975)), 4).alias("mean_hi"),
+        F.round(F.first("point"), 4).alias("mean_point"),
+    )
+
+
+@query(
+    "text_bpe_pairs",
+    """
+    WITH toks AS (
+      SELECT unnest(string_split(lower(text), ' ')) AS w FROM documents
+    )
+    SELECT pair, CAST(count(*) AS BIGINT) AS cnt
+    FROM (
+      SELECT substring(w, CAST(unnest(range(1, length(w))) AS INT), 2)
+               AS pair
+      FROM toks WHERE length(w) >= 2
+    ) p
+    GROUP BY pair ORDER BY cnt DESC, pair LIMIT 20
+    """,
+)
+def text_bpe_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Adjacent-symbol pair frequencies — the inner statistic of BPE
+    tokenizer training: every merge step picks the most frequent
+    adjacent pair, and this op is that argmax (top 20) over the corpus
+    at the character stage. Two codegen explodes (tokens, then a
+    transform over in-token offsets — no Python, no UDF) feed ONE hash
+    aggregate; the pair domain is tiny (alphabet²), so partial
+    aggregation collapses the explosion map-side and the shuffle
+    carries only per-task pair counts. Iterating the actual merge loop
+    would re-run this with a growing symbol table; one step is the
+    honest distributed kernel (the loop is driver-side orchestration).
+    """
+    d = table(spark, sf_dir, "documents")
+    toks = d.select(
+        F.explode(F.split(F.lower("text"), " ")).alias("w")
+    ).filter(F.length("w") >= 2)
+    pairs = toks.select(
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(1), F.length("w") - 1),
+                lambda i: F.col("w").substr(i, F.lit(2)),
+            )
+        ).alias("pair")
+    )
+    return (
+        pairs.groupBy("pair")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .orderBy(F.col("cnt").desc(), "pair")
+        .limit(20)
+    )
+
+
+@query(
+    "stat_seasonal_decompose",
+    """
+    WITH daily AS (
+      SELECT o_orderdate AS day,
+             sum(CAST(o_totalprice AS DECIMAL(18,2))) AS x
+      FROM orders GROUP BY o_orderdate
+    ), t AS (
+      SELECT day, x,
+             CAST(sum(x) OVER w7 AS DOUBLE) / count(*) OVER w7 AS trend,
+             count(*) OVER w7 AS nwin
+      FROM daily
+      WINDOW w7 AS (ORDER BY day ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING)
+    )
+    SELECT dayofweek(day) AS dow,
+           round(CAST(sum(CAST(CAST(x AS DOUBLE) - trend
+                                AS DECIMAL(28,10))) AS DOUBLE)
+                 / count(*), 2) AS seasonal,
+           CAST(count(*) AS BIGINT) AS n_days
+    FROM t WHERE nwin = 7
+    GROUP BY dayofweek(day)
+    """,
+)
+def stat_seasonal_decompose(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Classical seasonal decomposition (additive, weekly): detrend the
+    daily-revenue series with a centered 7-day moving average, then the
+    seasonal index per weekday is the mean residual — the
+    moving-average step of STL, which is what 'is Tuesday really our
+    big day or is that just growth' actually asks. Exactness: the MA is
+    an exact DECIMAL window sum divided by an exact count (one double
+    conversion, no subtract-on-slide drift — DuckDB's segment-tree
+    window aggregation regroups float additions, DECIMAL is immune);
+    each residual quantizes to DECIMAL(28,10) before the per-weekday
+    sum so accumulation order can't matter. Edge days without a full
+    7-row frame are excluded (textbook centered MA).
+
+    Scale shape: one shuffle to the per-day aggregate, then windows
+    over one row per calendar day (~2.4k at any SF) — histogram-class.
+    Weekday numbering aligned to DuckDB's Sunday=0 by shifting Spark's
+    Sunday=1."""
+    from pyspark.sql import Window
+
+    o = table(spark, sf_dir, "orders")
+    daily = o.groupBy(F.col("o_orderdate").alias("day")).agg(
+        F.sum(F.col("o_totalprice").cast("decimal(18,2)")).alias("x")
+    )
+    w7 = Window.orderBy("day").rowsBetween(-3, 3)
+    t = daily.select(
+        "day",
+        "x",
+        (F.sum("x").over(w7).cast("double") / F.count(F.lit(1)).over(w7)
+         ).alias("trend"),
+        F.count(F.lit(1)).over(w7).alias("nwin"),
+    ).filter(F.col("nwin") == 7)
+    resid = (F.col("x").cast("double") - F.col("trend")).cast("decimal(28,10)")
+    return t.groupBy((F.dayofweek("day") - 1).alias("dow")).agg(
+        F.round(F.sum(resid).cast("double") / F.count(F.lit(1)), 2).alias(
+            "seasonal"
+        ),
+        F.count(F.lit(1)).alias("n_days"),
+    )
