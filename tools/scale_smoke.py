@@ -65,6 +65,10 @@ DEFAULT_OPS = [
     # Round-5 join-shaped additions.
     "text_containment",
     "join_grid_radius",
+    # Round-5 batch 3.
+    "stat_survival_km",
+    "stat_bootstrap_ci",
+    "text_bpe_pairs",
 ]
 
 
@@ -225,13 +229,59 @@ def big_smoke(spark, which: list[str]) -> None:
             )
 
 
+    if "round5" in which:
+        # 20M-row orders staged ONCE to /tmp parquet, then the REGISTERED
+        # round-5 stat ops run end-to-end (scan included — these ops'
+        # claim is that everything after the first aggregate is bounded
+        # by the calendar/replicate count, so total time must track the
+        # scan+first-agg, ~linear in rows).
+        d5 = "/tmp/spark_scale_smoke/r5_20m"
+        out = os.path.join(d5, "orders.parquet")
+        if not os.path.exists(os.path.join(out, "_SUCCESS")):
+            (
+                spark.range(20_000_000)
+                .select(
+                    F.col("id").alias("o_orderkey"),
+                    F.pmod(F.col("id") * F.lit(2654435761), F.lit(2_500_000)
+                           ).alias("o_custkey"),
+                    F.date_add(
+                        F.lit("1992-01-01").cast("date"),
+                        F.pmod(F.col("id") * F.lit(40503), F.lit(2400)
+                               ).cast("int"),
+                    ).alias("o_orderdate"),
+                    (F.pmod(F.col("id") * F.lit(97), F.lit(100000))
+                     .cast("double") / 100.0).alias("o_totalprice"),
+                )
+                .write.mode("overwrite")
+                .parquet(out)
+            )
+        from xlsx_to_database_spark.queries.round5_ops import (
+            stat_bootstrap_ci,
+            stat_changepoint,
+            stat_survival_km,
+        )
+
+        timed(
+            "stat_bootstrap_ci 20M (one-pass agg)",
+            lambda: f"{stat_bootstrap_ci(spark, d5).count()} row",
+        )
+        timed(
+            "stat_survival_km 20M",
+            lambda: f"{stat_survival_km(spark, d5).count()} durations",
+        )
+        timed(
+            "stat_changepoint 20M",
+            lambda: f"{stat_changepoint(spark, d5).count()} row",
+        )
+
+
 def main() -> None:
     from xlsx_to_database_spark.registry import all_queries
     from xlsx_to_database_spark.session import get_spark
 
     spark = get_spark("scale_smoke")
     if len(sys.argv) > 1 and sys.argv[1] == "--big":
-        big_smoke(spark, sys.argv[2:] or ["zorder", "perplexity", "cross_corpus"])
+        big_smoke(spark, sys.argv[2:] or ["zorder", "perplexity", "cross_corpus", "round5"])
         return
     stage(spark)
     qs = all_queries()
