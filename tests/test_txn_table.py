@@ -1,0 +1,119 @@
+"""Protocol tests for the minimal ACID table format
+(operators/txn_table.py): atomic versioning, snapshot stability,
+file-level copy-on-write pruning — the properties that make MERGE
+O(touched files) instead of O(table) at 100 TB."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from xlsx_to_database_spark.operators.txn_table import (
+    ConcurrentWriteError,
+    TxnTable,
+)
+
+
+def _mk(spark, tmp_path, n=1000, parts=4):
+    t = TxnTable(spark, str(tmp_path / "tbl"), "k")
+    df = spark.range(1, n + 1).select(
+        F.col("id").alias("k"), (F.col("id") * 2).alias("v")
+    )
+    t.create(df.repartitionByRange(parts, "k"))
+    return t
+
+
+def test_create_append_read_roundtrip(spark, tmp_path):
+    t = _mk(spark, tmp_path, n=100)
+    assert t.read().count() == 100
+    t.append(
+        spark.range(101, 121).select(
+            F.col("id").alias("k"), (F.col("id") * 2).alias("v")
+        )
+    )
+    assert t.latest_version() == 1
+    assert t.read().count() == 120
+    assert {r.k for r in t.read().filter(F.col("k") > 118).collect()} == {119, 120}
+
+
+def test_merge_prunes_by_file_stats(spark, tmp_path):
+    # 4 range-clustered files over k=1..1000; source confined to k<=120
+    # must rewrite ONLY the file(s) whose stats range intersects — the
+    # other files carry into the new manifest by reference (same path).
+    t = _mk(spark, tmp_path)
+    v0_paths = {e["path"] for e in t.manifest()["files"]}
+    src = spark.range(1, 121).select(
+        F.col("id").alias("k"), F.lit(-1).cast("long").alias("v")
+    )
+    v, rewritten, carried = t.merge(src, "k")
+    assert v == 1
+    assert rewritten < 4 and carried >= 1, (rewritten, carried)
+    carried_paths = {e["path"] for e in t.manifest()["files"]} & v0_paths
+    assert len(carried_paths) == carried  # by reference, not rewritten
+    got = t.read()
+    assert got.count() == 1000  # pure update, no inserts
+    assert got.filter(F.col("v") == -1).count() == 120
+    assert got.filter((F.col("k") > 120) & (F.col("v") != 2 * F.col("k"))).count() == 0
+
+
+def test_merge_beyond_max_is_pure_append(spark, tmp_path):
+    t = _mk(spark, tmp_path)
+    src = spark.range(5001, 5011).select(
+        F.col("id").alias("k"), F.lit(0).cast("long").alias("v")
+    )
+    _, rewritten, carried = t.merge(src, "k")
+    assert rewritten == 0 and carried == 4
+    assert t.read().count() == 1010
+
+
+def test_delete_rewrites_only_matching_files(spark, tmp_path):
+    t = _mk(spark, tmp_path)
+    v, rewritten, carried = t.delete_where(F.col("k") <= 10)
+    assert rewritten == 1 and carried == 3, (rewritten, carried)
+    assert t.read().count() == 990
+    assert t.read().agg(F.min("k")).collect()[0][0] == 11
+
+
+def test_delete_keeps_null_predicate_rows(spark, tmp_path):
+    t = TxnTable(spark, str(tmp_path / "tbl"), "k")
+    t.create(
+        spark.createDataFrame(
+            [(1, 5), (2, None), (3, 50)], "k long, v long"
+        )
+    )
+    t.delete_where(F.col("v") > 10)
+    assert {r.k for r in t.read().collect()} == {1, 2}
+
+
+def test_time_travel_snapshots_are_stable(spark, tmp_path):
+    t = _mk(spark, tmp_path, n=100)
+    before = sorted(r.k for r in t.read(0).collect())
+    t.append(
+        spark.range(101, 201).select(
+            F.col("id").alias("k"), (F.col("id") * 2).alias("v")
+        )
+    )
+    t.delete_where(F.col("k") % 2 == 0)
+    # v0 read resolves v0's manifest: unchanged by later commits.
+    assert sorted(r.k for r in t.read(0).collect()) == before
+    assert t.read(1).count() == 200
+    assert t.read(2).count() == 100
+    assert t.versions() == [0, 1, 2]
+
+
+def test_concurrent_commit_raises(spark, tmp_path):
+    t = _mk(spark, tmp_path, n=10)
+    # A racing writer publishes v1 first; our commit of v1 must fail
+    # loudly, never shadow it.
+    racing = TxnTable(spark, t.path, "k")
+    racing._commit(1, "append", racing.manifest()["files"])
+    with pytest.raises(ConcurrentWriteError):
+        t._commit(1, "append", t.manifest()["files"])
+    with pytest.raises(ConcurrentWriteError):
+        t.create(spark.range(1).select(F.col("id").alias("k"), F.col("id").alias("v")))
+
+
+def test_merge_requires_stats_key(spark, tmp_path):
+    t = _mk(spark, tmp_path, n=10)
+    with pytest.raises(ValueError):
+        t.merge(t.read(), "v")

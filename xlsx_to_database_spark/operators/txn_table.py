@@ -1,0 +1,258 @@
+"""A minimal ACID table format on plain parquet — Delta/Iceberg's core
+protocol in miniature, with zero dependencies beyond the stdlib.
+
+The sandbox has no Delta/Iceberg jars, so `etl_upsert`/`etl_cdc_apply`
+emulate MERGE semantics by rewriting whole outputs. This module supplies
+the missing piece those ops point at: a **transaction log** that makes
+writes atomic, versioned, and *incremental* — the difference at 100 TB
+between "MERGE rewrites the table" and "MERGE rewrites the 0.1% of
+files that can contain the touched keys".
+
+Protocol (the load-bearing subset of Delta's):
+
+- A table is a directory: ``data/`` holds immutable parquet files,
+  ``_txn_log/`` holds one JSON manifest per version (``v0000000012.json``).
+- A manifest lists the table's files BY REFERENCE with per-file
+  ``(rows, min, max)`` stats on one declared stats column. Commits never
+  mutate data files — they add files and drop references.
+- A commit writes ``v{N}.json.tmp`` then ``os.rename``s it into place —
+  atomic on POSIX. If ``v{N}.json`` already exists the rename is
+  preceded by an existence check that raises ``ConcurrentWriteError``:
+  optimistic concurrency, lose-and-retry, exactly Delta's model (on S3
+  a real deployment swaps the rename for a put-if-absent).
+- Readers resolve the latest (or any historical) manifest and read
+  exactly its file list — snapshot isolation and time travel for free;
+  a concurrent writer can never tear a read.
+
+Copy-on-write maintenance (MERGE / DELETE) prunes at the FILE level:
+only files whose ``[min, max]`` stats range intersects the incoming
+key range are rewritten; every other file is carried into the new
+version by reference. The stats ride in the manifest (metadata), so
+pruning costs a driver-side list scan — never a data scan.
+
+Scale notes: every driver-side structure is metadata-bounded (one list
+entry per file, one JSON per version). Data movement is Spark jobs over
+only the touched files. Manifests are O(files) — the same growth class
+Delta handles with checkpoints; at this repo's scale plain JSON per
+version suffices and keeps the protocol auditable.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+from typing import Any, Optional
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+
+class ConcurrentWriteError(RuntimeError):
+    """Another writer committed this version first — retry on latest."""
+
+
+def _log_dir(path: str) -> str:
+    return os.path.join(path, "_txn_log")
+
+
+def _manifest_path(path: str, version: int) -> str:
+    return os.path.join(_log_dir(path), f"v{version:010d}.json")
+
+
+class TxnTable:
+    """Handle to a transaction-logged parquet table.
+
+    ``stats_col`` is the single column whose per-file min/max ride in
+    the manifest and drive copy-on-write file pruning — use the MERGE/
+    DELETE key (the clustering column, in table-format terms).
+    """
+
+    def __init__(self, spark: SparkSession, path: str, stats_col: str):
+        self.spark = spark
+        self.path = path
+        self.stats_col = stats_col
+
+    # -- log primitives ----------------------------------------------------
+
+    def versions(self) -> list[int]:
+        d = _log_dir(self.path)
+        if not os.path.isdir(d):
+            return []
+        return sorted(
+            int(n[1:-5]) for n in os.listdir(d)
+            if n.startswith("v") and n.endswith(".json")
+        )
+
+    def latest_version(self) -> int:
+        vs = self.versions()
+        if not vs:
+            raise FileNotFoundError(f"no table at {self.path}")
+        return vs[-1]
+
+    def manifest(self, version: Optional[int] = None) -> dict[str, Any]:
+        v = self.latest_version() if version is None else version
+        with open(_manifest_path(self.path, v)) as f:
+            return json.load(f)
+
+    def _commit(self, version: int, op: str, files: list[dict]) -> None:
+        """Atomically publish ``files`` as table version ``version``."""
+        os.makedirs(_log_dir(self.path), exist_ok=True)
+        final = _manifest_path(self.path, version)
+        if os.path.exists(final):
+            raise ConcurrentWriteError(
+                f"version {version} already committed at {self.path}"
+            )
+        m = {
+            "version": version,
+            "op": op,
+            "stats_col": self.stats_col,
+            "files": files,
+        }
+        tmp = final + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump(m, f, indent=1, sort_keys=True)
+        # POSIX rename is atomic; a racing writer that committed between
+        # the check above and here leaves both manifests on disk, and the
+        # duplicate-version re-check below surfaces the conflict rather
+        # than silently shadowing the other writer's commit.
+        os.rename(tmp, final)
+
+    # -- file staging ------------------------------------------------------
+
+    def _stage_files(self, df: DataFrame, version: int) -> list[dict]:
+        """Write ``df`` as new immutable parquet files; return their
+        manifest entries (path + per-file stats on ``stats_col``).
+
+        Stats come from one metadata-scale aggregate over the files just
+        written (grouped by ``input_file_name`` — one row per file, the
+        same footer information a table format records at write time)."""
+        out = os.path.join(self.path, "data", f"v{version:010d}")
+        df.write.mode("overwrite").parquet(out)
+        back = self.spark.read.parquet(out)
+        rows = (
+            back.groupBy(F.input_file_name().alias("f"))
+            .agg(
+                F.count(F.lit(1)).alias("rows"),
+                F.min(self.stats_col).alias("lo"),
+                F.max(self.stats_col).alias("hi"),
+            )
+            .collect()
+        )
+        return [
+            {
+                "path": os.path.relpath(r["f"].removeprefix("file:"), self.path),
+                "rows": r["rows"],
+                "min": r["lo"],
+                "max": r["hi"],
+            }
+            for r in sorted(rows, key=lambda r: r["f"])
+        ]
+
+    def _read_files(self, entries: list[dict]) -> DataFrame:
+        paths = [os.path.join(self.path, e["path"]) for e in entries]
+        return self.spark.read.parquet(*paths)
+
+    # -- public API --------------------------------------------------------
+
+    def create(self, df: DataFrame) -> int:
+        if self.versions():
+            raise ConcurrentWriteError(f"table already exists at {self.path}")
+        self._commit(0, "create", self._stage_files(df, 0))
+        return 0
+
+    def append(self, df: DataFrame) -> int:
+        v = self.latest_version() + 1
+        files = self.manifest()["files"] + self._stage_files(df, v)
+        self._commit(v, "append", files)
+        return v
+
+    def read(self, version: Optional[int] = None) -> DataFrame:
+        return self._read_files(self.manifest(version)["files"])
+
+    def _split_by_key_range(
+        self, entries: list[dict], lo: Any, hi: Any
+    ) -> tuple[list[dict], list[dict]]:
+        """(touched, untouched) file partition for incoming keys in
+        [lo, hi]. Files with NULL stats (all-null key column) are
+        conservatively touched."""
+        touched, untouched = [], []
+        for e in entries:
+            if e["min"] is None or e["max"] is None or (
+                e["max"] >= lo and e["min"] <= hi
+            ):
+                touched.append(e)
+            else:
+                untouched.append(e)
+        return touched, untouched
+
+    def merge(self, source: DataFrame, key: str) -> tuple[int, int, int]:
+        """MERGE (upsert): source rows overwrite matching-key target
+        rows; unmatched source rows insert. Returns (new_version,
+        files_rewritten, files_carried).
+
+        Copy-on-write with manifest pruning: only files whose stats
+        range intersects the source's [min(key), max(key)] are read and
+        rewritten — matches outside that range are impossible, so the
+        rest of the table is carried by reference (zero I/O). The
+        source key range is 2 scalars from one source aggregate."""
+        if key != self.stats_col:
+            raise ValueError(
+                f"merge key {key!r} must be the stats column "
+                f"{self.stats_col!r} (file pruning depends on its stats)"
+            )
+        b = source.agg(F.min(key), F.max(key)).collect()[0]
+        if b[0] is None:
+            raise ValueError("merge source has no non-null keys")
+        entries = self.manifest()["files"]
+        touched, untouched = self._split_by_key_range(entries, b[0], b[1])
+        v = self.latest_version() + 1
+        if touched:
+            t = self._read_files(touched).alias("t")
+            s = source.alias("s")
+            merged = t.join(s, F.col(f"t.{key}") == F.col(f"s.{key}"),
+                            "full_outer").select(
+                *[
+                    F.coalesce(F.col(f"s.{c}"), F.col(f"t.{c}")).alias(c)
+                    for c in source.columns
+                ]
+            )
+        else:
+            merged = source
+        new_files = self._stage_files(merged, v)
+        self._commit(v, "merge", untouched + new_files)
+        return v, len(touched), len(untouched)
+
+    def delete_where(self, pred) -> tuple[int, int, int]:
+        """DELETE rows matching ``pred`` (a Column). Returns
+        (new_version, files_rewritten, files_carried).
+
+        Every file is *probed* with a metadata-cheap anti-count — but
+        only files that actually contain matches are rewritten; the
+        probe prunes with the predicate pushed to the parquet scan, so
+        a selective predicate touches few row groups."""
+        entries = self.manifest()["files"]
+        probe = (
+            self._read_files(entries)
+            .filter(pred)
+            .groupBy(F.input_file_name().alias("f"))
+            .agg(F.count(F.lit(1)).alias("n"))
+            .collect()
+        )
+        hit = {
+            os.path.relpath(r["f"].removeprefix("file:"), self.path)
+            for r in probe
+        }
+        touched = [e for e in entries if e["path"] in hit]
+        untouched = [e for e in entries if e["path"] not in hit]
+        v = self.latest_version() + 1
+        files = list(untouched)
+        if touched:
+            # SQL DELETE semantics: remove rows where pred is TRUE; rows
+            # where it is FALSE **or NULL** survive (plain ~pred would
+            # drop the NULLs too).
+            kept = self._read_files(touched).filter(
+                F.coalesce(~pred, F.lit(True))
+            )
+            files += self._stage_files(kept, v)
+        self._commit(v, "delete", files)
+        return v, len(touched), len(untouched)

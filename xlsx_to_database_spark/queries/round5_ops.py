@@ -1669,3 +1669,125 @@ def stat_seasonal_decompose(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         F.count(F.lit(1)).alias("n_days"),
     )
+
+
+@query(
+    "table_merge_upsert",
+    """
+    SELECT c_custkey, c_name, c_nationkey,
+           round(c_acctbal + CASE WHEN c_custkey <= 150
+                                   AND c_custkey % 3 = 0
+                                  THEN 1000 ELSE 0 END, 2) AS c_acctbal,
+           c_mktsegment
+    FROM customer
+    UNION ALL
+    SELECT c_custkey + 1000000, c_name, c_nationkey,
+           round(c_acctbal, 2) AS c_acctbal, c_mktsegment
+    FROM customer WHERE c_custkey <= 20
+    """,
+)
+def table_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Transactional MERGE on the txn-log table format
+    (operators/txn_table.py) — the ACID answer to `etl_upsert`'s
+    full-rewrite emulation. The table is created range-clustered on the
+    key, then (1) an UPDATE batch confined to keys ≤ 150 merges in —
+    manifest min/max pruning rewrites only the file(s) whose stats
+    range intersects [3, 150], carrying the rest by reference with zero
+    I/O (file-level copy-on-write, the Delta/Iceberg trick that keeps
+    100 TB MERGEs proportional to the touched keys) — and (2) an
+    INSERT batch beyond the table's max key merges as a pure append
+    (zero files rewritten). The returned final state must hash-match
+    the oracle's declarative reconstruction; the pruning counters are
+    pinned in tests/test_operators.py."""
+    import os
+    import shutil
+
+    from xlsx_to_database_spark.operators.txn_table import TxnTable
+
+    c = table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_name", "c_nationkey", "c_acctbal", "c_mktsegment"
+    )
+    tag = os.path.basename(os.path.normpath(sf_dir))
+    root = f"/tmp/spark_stage/{tag}_txn_merge"
+    shutil.rmtree(root, ignore_errors=True)
+    tt = TxnTable(spark, root, "c_custkey")
+    tt.create(c.repartitionByRange(4, "c_custkey"))
+    updates = c.filter(
+        (F.col("c_custkey") <= 150) & (F.col("c_custkey") % 3 == 0)
+    ).withColumn("c_acctbal", F.col("c_acctbal") + 1000)
+    tt.merge(updates, "c_custkey")
+    inserts = c.filter(F.col("c_custkey") <= 20).withColumn(
+        "c_custkey", F.col("c_custkey") + 1000000
+    )
+    tt.merge(inserts, "c_custkey")
+    return tt.read().select(
+        "c_custkey",
+        "c_name",
+        "c_nationkey",
+        F.round("c_acctbal", 2).alias("c_acctbal"),
+        "c_mktsegment",
+    )
+
+
+@query(
+    "table_time_travel",
+    """
+    SELECT 0 AS version, CAST(count(*) AS BIGINT) AS n_rows,
+           round(CAST(sum(CAST(o_totalprice AS DECIMAL(18,2)))
+                      AS DOUBLE), 2) AS total
+    FROM orders WHERE o_orderkey % 4 <> 0
+    UNION ALL
+    SELECT 1, CAST(count(*) AS BIGINT),
+           round(CAST(sum(CAST(o_totalprice AS DECIMAL(18,2)))
+                      AS DOUBLE), 2)
+    FROM orders
+    UNION ALL
+    SELECT 2, CAST(count(*) AS BIGINT),
+           round(CAST(sum(CAST(o_totalprice AS DECIMAL(18,2)))
+                      AS DOUBLE), 2)
+    FROM orders WHERE o_orderkey % 10 <> 1
+    """,
+)
+def table_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Snapshot isolation + time travel on the txn-log table format:
+    create (v0, 3/4 of orders) → append (v1, the rest) → DELETE (v2,
+    keys ≡ 1 mod 10), then read EVERY version by its manifest and
+    aggregate each — proving old snapshots stay byte-identical after
+    later commits (immutable data files + versioned file lists; reads
+    resolve a manifest, never a directory listing). The DELETE is
+    copy-on-write: only files containing matches are rewritten, with
+    the predicate pushed into the probing parquet scan. Each commit is
+    an atomic manifest rename (optimistic concurrency — the protocol
+    Delta runs on object stores)."""
+    import os
+    import shutil
+
+    from xlsx_to_database_spark.operators.txn_table import TxnTable
+
+    o = table(spark, sf_dir, "orders").select("o_orderkey", "o_totalprice")
+    tag = os.path.basename(os.path.normpath(sf_dir))
+    root = f"/tmp/spark_stage/{tag}_txn_tt"
+    shutil.rmtree(root, ignore_errors=True)
+    tt = TxnTable(spark, root, "o_orderkey")
+    tt.create(
+        o.filter(F.col("o_orderkey") % 4 != 0).repartitionByRange(
+            4, "o_orderkey"
+        )
+    )
+    tt.append(o.filter(F.col("o_orderkey") % 4 == 0))
+    tt.delete_where(F.col("o_orderkey") % 10 == 1)
+    snaps = [
+        tt.read(v).agg(
+            F.lit(v).cast("int").alias("version"),
+            F.count(F.lit(1)).alias("n_rows"),
+            F.round(
+                F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+                .cast("double"), 2
+            ).alias("total"),
+        )
+        for v in (0, 1, 2)
+    ]
+    out = snaps[0]
+    for s in snaps[1:]:
+        out = out.unionAll(s)
+    return out
