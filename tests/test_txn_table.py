@@ -117,3 +117,45 @@ def test_merge_requires_stats_key(spark, tmp_path):
     t = _mk(spark, tmp_path, n=10)
     with pytest.raises(ValueError):
         t.merge(t.read(), "v")
+
+
+def test_compact_preserves_content_and_history(spark, tmp_path):
+    t = _mk(spark, tmp_path, n=200, parts=8)
+    t.append(
+        spark.range(201, 211).select(
+            F.col("id").alias("k"), (F.col("id") * 2).alias("v")
+        )
+    )
+    before = sorted((r.k, r.v) for r in t.read().collect())
+    v, n_before = t.compact(target_files=2)
+    assert v == 2 and n_before >= 9
+    assert len(t.manifest()["files"]) == 2
+    assert sorted((r.k, r.v) for r in t.read().collect()) == before
+    # pre-compaction snapshot still resolves its original file set
+    assert t.read(1).count() == 210
+
+
+def test_read_changes_returns_exactly_the_appends(spark, tmp_path):
+    t = _mk(spark, tmp_path, n=100)
+    t.append(
+        spark.range(101, 151).select(
+            F.col("id").alias("k"), (F.col("id") * 2).alias("v")
+        )
+    )
+    t.append(
+        spark.range(151, 161).select(
+            F.col("id").alias("k"), (F.col("id") * 2).alias("v")
+        )
+    )
+    ks = sorted(r.k for r in t.read_changes(0, 2).collect())
+    assert ks == list(range(101, 161))
+    assert t.read_changes(1, 2).count() == 10
+    assert t.read_changes(0, 0).count() == 0
+
+
+def test_schema_evolution_nulls_old_files(spark, tmp_path):
+    t = TxnTable(spark, str(tmp_path / "tbl"), "k")
+    t.create(spark.createDataFrame([(1, 10)], "k long, v long"))
+    t.append(spark.createDataFrame([(2, 20, "x")], "k long, v long, w string"))
+    got = {r.k: r.w for r in t.read().collect()}
+    assert got == {1: None, 2: "x"}

@@ -150,7 +150,10 @@ class TxnTable:
 
     def _read_files(self, entries: list[dict]) -> DataFrame:
         paths = [os.path.join(self.path, e["path"]) for e in entries]
-        return self.spark.read.parquet(*paths)
+        # mergeSchema: files written before a column was added read as
+        # NULL for it — additive schema evolution without rewriting
+        # history (the parquet-footer union Delta calls schema merging).
+        return self.spark.read.option("mergeSchema", "true").parquet(*paths)
 
     # -- public API --------------------------------------------------------
 
@@ -221,6 +224,41 @@ class TxnTable:
         new_files = self._stage_files(merged, v)
         self._commit(v, "merge", untouched + new_files)
         return v, len(touched), len(untouched)
+
+    def compact(self, target_files: int = 4) -> tuple[int, int]:
+        """OPTIMIZE: bin-pack the current file set into ``target_files``
+        range-clustered files as a new version — logical content
+        unchanged, old snapshots untouched (their manifests still
+        reference the original files). Returns (new_version,
+        files_before). The small-file problem this solves is the #1
+        operational issue of high-frequency ingestion at scale; doing
+        it as a COMMIT (not an in-place rewrite) is what keeps
+        concurrent readers consistent."""
+        entries = self.manifest()["files"]
+        v = self.latest_version() + 1
+        df = self._read_files(entries).repartitionByRange(
+            target_files, self.stats_col
+        )
+        self._commit(v, "compact", self._stage_files(df, v))
+        return v, len(entries)
+
+    def read_changes(self, from_version: int, to_version: int) -> DataFrame:
+        """Incremental read (CDC-lite): rows in files ADDED between the
+        two versions — exactly the new data for append-only flows, and
+        the rewritten-file contents for merge/delete flows (coarser
+        than row-level CDC, the same granularity Iceberg incremental
+        scans give). File identity is the manifest path: carried-by-
+        reference files never reappear in a changes read."""
+        old = {e["path"] for e in self.manifest(from_version)["files"]}
+        new = [
+            e for e in self.manifest(to_version)["files"]
+            if e["path"] not in old
+        ]
+        if not new:
+            return self._read_files(
+                self.manifest(to_version)["files"]
+            ).limit(0)
+        return self._read_files(new)
 
     def delete_where(self, pred) -> tuple[int, int, int]:
         """DELETE rows matching ``pred`` (a Column). Returns

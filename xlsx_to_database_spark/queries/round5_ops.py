@@ -1791,3 +1791,82 @@ def table_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
     for s in snaps[1:]:
         out = out.unionAll(s)
     return out
+
+
+@query(
+    "table_incremental_read",
+    """
+    SELECT o_orderkey, round(o_totalprice, 2) AS o_totalprice
+    FROM orders WHERE o_orderkey % 3 <> 0
+    """,
+)
+def table_incremental_read(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental (CDC-lite) read off the txn-log table format: three
+    append commits partition orders by key mod 3; ``read_changes(0, 2)``
+    must return EXACTLY the rows of the two later appends — resolved
+    from manifest file-set differences (carried-by-reference files never
+    reappear), zero data diffing. This is the consumer half of
+    streaming ingestion at scale: downstream jobs tail the log and
+    process only new files, never rescanning the table."""
+    import os
+    import shutil
+
+    from xlsx_to_database_spark.operators.txn_table import TxnTable
+
+    o = table(spark, sf_dir, "orders").select("o_orderkey", "o_totalprice")
+    tag = os.path.basename(os.path.normpath(sf_dir))
+    root = f"/tmp/spark_stage/{tag}_txn_incr"
+    shutil.rmtree(root, ignore_errors=True)
+    tt = TxnTable(spark, root, "o_orderkey")
+    tt.create(o.filter(F.col("o_orderkey") % 3 == 0))
+    tt.append(o.filter(F.col("o_orderkey") % 3 == 1))
+    tt.append(o.filter(F.col("o_orderkey") % 3 == 2))
+    return tt.read_changes(0, 2).select(
+        "o_orderkey", F.round("o_totalprice", 2).alias("o_totalprice")
+    )
+
+
+@query(
+    "table_schema_evolution",
+    """
+    SELECT o_orderkey, round(o_totalprice, 2) AS price,
+           CASE WHEN o_orderkey % 2 = 0 THEN NULL
+                ELSE o_orderstatus END AS status_tag
+    FROM orders
+    """,
+)
+def table_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Additive schema evolution on the txn-log table format: the table
+    is created WITHOUT ``status_tag``, a later append carries it, and
+    reads merge the parquet footers (`mergeSchema`) so pre-evolution
+    files surface NULL — history is never rewritten. A final
+    ``compact()`` (OPTIMIZE) bin-packs the mixed-schema file set into
+    range-clustered files as a NEW COMMIT and must leave the logical
+    content — including the evolved NULLs — bit-identical, while old
+    snapshots keep resolving their original manifests."""
+    import os
+    import shutil
+
+    from xlsx_to_database_spark.operators.txn_table import TxnTable
+
+    o = table(spark, sf_dir, "orders")
+    tag = os.path.basename(os.path.normpath(sf_dir))
+    root = f"/tmp/spark_stage/{tag}_txn_evolve"
+    shutil.rmtree(root, ignore_errors=True)
+    tt = TxnTable(spark, root, "o_orderkey")
+    tt.create(
+        o.filter(F.col("o_orderkey") % 2 == 0).select(
+            "o_orderkey", F.col("o_totalprice").alias("price")
+        )
+    )
+    tt.append(
+        o.filter(F.col("o_orderkey") % 2 == 1).select(
+            "o_orderkey",
+            F.col("o_totalprice").alias("price"),
+            F.col("o_orderstatus").alias("status_tag"),
+        )
+    )
+    tt.compact(target_files=4)
+    return tt.read().select(
+        "o_orderkey", F.round("price", 2).alias("price"), "status_tag"
+    )
