@@ -1870,3 +1870,182 @@ def table_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
     return tt.read().select(
         "o_orderkey", F.round("price", 2).alias("price"), "status_tag"
     )
+
+
+@query(
+    "stat_qq",
+    """
+    WITH q AS (
+      SELECT percentile_cont([0.1,0.2,0.3,0.4,0.5,0.6,0.7,0.8,0.9])
+               WITHIN GROUP (ORDER BY CASE WHEN o_orderpriority = '1-URGENT'
+                                           THEN o_totalprice END) AS qa,
+             percentile_cont([0.1,0.2,0.3,0.4,0.5,0.6,0.7,0.8,0.9])
+               WITHIN GROUP (ORDER BY CASE WHEN o_orderpriority = '5-LOW'
+                                           THEN o_totalprice END) AS qb
+      FROM orders
+    )
+    SELECT i AS decile, round(qa[i], 2) AS q_urgent, round(qb[i], 2) AS q_low,
+           round(qa[i] / qb[i], 4) AS qq_ratio
+    FROM q, (SELECT unnest(range(1, 10)) AS i)
+    """,
+)
+def stat_qq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q-Q (quantile-quantile) comparison of two order-price
+    distributions — the distribution-shift diagnostic that answers
+    'same shape, different scale, or different shape?' where a mean
+    comparison answers nothing. Both deciles vectors come from ONE
+    aggregate pass (conditional-NULL metric: aggregates skip NULLs, so
+    each percentile sees only its segment — no second scan, no join);
+    the 9-point curve then posexplodes from a single row. Exact
+    percentile interpolation is identical IEEE arithmetic on both
+    engines (the agg_percentile precedent); at 100 TB the substitute
+    is percentile_approx on the same shape."""
+    o = table(spark, sf_dir, "orders")
+    ps = [i / 10 for i in range(1, 10)]
+    ua = F.when(F.col("o_orderpriority") == "1-URGENT", F.col("o_totalprice"))
+    lb = F.when(F.col("o_orderpriority") == "5-LOW", F.col("o_totalprice"))
+    q = o.agg(
+        F.percentile(ua, F.lit(ps)).alias("qa"),
+        F.percentile(lb, F.lit(ps)).alias("qb"),
+    )
+    z = q.select(F.posexplode(F.arrays_zip("qa", "qb")))
+    return z.select(
+        (F.col("pos") + 1).cast("int").alias("decile"),
+        F.round(F.col("col.qa"), 2).alias("q_urgent"),
+        F.round(F.col("col.qb"), 2).alias("q_low"),
+        F.round(F.col("col.qa") / F.col("col.qb"), 4).alias("qq_ratio"),
+    )
+
+
+@query(
+    "stat_pareto",
+    """
+    WITH rev AS (
+      SELECT o_custkey AS k,
+             sum(CAST(o_totalprice AS DECIMAL(18,2))) AS r
+      FROM orders GROUP BY o_custkey
+    ), rk AS (
+      SELECT k, r, ntile(10) OVER (ORDER BY r DESC, k) AS decile FROM rev
+    ), d AS (
+      SELECT decile, CAST(count(*) AS BIGINT) AS n_customers,
+             sum(r) AS drev
+      FROM rk GROUP BY decile
+    )
+    SELECT decile, n_customers,
+           round(CAST(drev AS DOUBLE)
+                 / CAST(sum(drev) OVER () AS DOUBLE), 6) AS rev_share,
+           round(CAST(sum(drev) OVER (ORDER BY decile
+                                      ROWS UNBOUNDED PRECEDING) AS DOUBLE)
+                 / CAST(sum(drev) OVER () AS DOUBLE), 6) AS cum_share
+    FROM d
+    """,
+)
+def stat_pareto(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pareto / revenue-concentration curve — 'the top 10% of customers
+    carry what share of revenue?', the whale-detection readout behind
+    every account-tiering decision. Customers rank into revenue deciles
+    with the BUCKETED global-order machinery (`with_global_ntile` —
+    boundaries from a data-sized sample, per-bucket windows, never one
+    global partition over the fact-scale customer set; the driving key
+    is the negated revenue to honor the ascending-bucket contract).
+    Everything after the decile assignment operates on ≤ 10 rows.
+    DECIMAL revenue end to end; doubles appear only in the final share
+    divisions."""
+    from xlsx_to_database_spark.operators.global_order import (
+        with_global_ntile,
+    )
+
+    o = table(spark, sf_dir, "orders")
+    rev = o.groupBy(F.col("o_custkey").alias("k")).agg(
+        F.sum(F.col("o_totalprice").cast("decimal(18,2)")).alias("r")
+    ).withColumn("rneg", -F.col("r"))
+    rk = with_global_ntile(
+        rev, [F.col("rneg").asc(), F.col("k").asc()], "rneg", 10,
+        out="decile",
+    )
+    d = rk.groupBy("decile").agg(
+        F.count(F.lit(1)).alias("n_customers"), F.sum("r").alias("drev")
+    )
+    from pyspark.sql import Window
+
+    w_all = Window.orderBy("decile").rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    w_run = Window.orderBy("decile").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    tot = F.sum("drev").over(w_all).cast("double")
+    return d.select(
+        F.col("decile").cast("int").alias("decile"),
+        "n_customers",
+        F.round(F.col("drev").cast("double") / tot, 6).alias("rev_share"),
+        F.round(F.sum("drev").over(w_run).cast("double") / tot, 6).alias(
+            "cum_share"
+        ),
+    )
+
+
+@query(
+    "text_stem",
+    r"""
+    WITH toks AS (
+      SELECT unnest(string_split(lower(text), ' ')) AS w FROM documents
+    ), st AS (
+      SELECT CASE WHEN length(s3) > 5 AND s3 LIKE '%ing'
+                  THEN regexp_replace(s3, 'ing$', '')
+                  WHEN length(s3) > 4 AND s3 LIKE '%ed'
+                  THEN regexp_replace(s3, 'ed$', '')
+                  ELSE s3 END AS stem
+      FROM (
+        SELECT regexp_replace(
+                 regexp_replace(
+                   regexp_replace(w, 'ies$', 'y'),
+                   'sses$', 'ss'),
+                 '([^su])s$', '\1') AS s3
+        FROM toks WHERE w <> ''
+      )
+    )
+    SELECT stem, CAST(count(*) AS BIGINT) AS cnt
+    FROM st GROUP BY stem ORDER BY cnt DESC, stem LIMIT 20
+    """,
+)
+def text_stem(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rule-based suffix stemming (Porter step-1 lite: ies→y, sses→ss,
+    plural -s, gated -ing/-ed) with top-stem counts — the
+    vocabulary-collapse step classical search/TF-IDF pipelines run
+    before counting. All codegen regexp_replace chains (each engine
+    uses its own backreference syntax, same semantics); one explode,
+    one hash aggregate with map-side collapse. The LIKE-gates keep
+    short tokens intact ('sing' and 'red' survive), matching the
+    length guards real stemmers carry."""
+    d = table(spark, sf_dir, "documents")
+    w = F.lower(F.col("w"))
+    s3 = F.regexp_replace(
+        F.regexp_replace(
+            F.regexp_replace(w, r"ies$", "y"), r"sses$", "ss"
+        ),
+        r"([^su])s$", r"$1",
+    )
+    toks = (
+        d.select(F.explode(F.split(F.lower("text"), " ")).alias("w"))
+        .filter(F.col("w") != "")
+        .select(s3.alias("s3"))
+    )
+    stem = toks.select(
+        F.when(
+            (F.length("s3") > 5) & F.col("s3").endswith("ing"),
+            F.regexp_replace("s3", r"ing$", ""),
+        )
+        .when(
+            (F.length("s3") > 4) & F.col("s3").endswith("ed"),
+            F.regexp_replace("s3", r"ed$", ""),
+        )
+        .otherwise(F.col("s3"))
+        .alias("stem")
+    )
+    return (
+        stem.groupBy("stem")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .orderBy(F.col("cnt").desc(), "stem")
+        .limit(20)
+    )
