@@ -2049,3 +2049,62 @@ def text_stem(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("cnt").desc(), "stem")
         .limit(20)
     )
+
+
+@query(
+    "graph_connected_components",
+    """
+    WITH RECURSIVE e AS (
+      SELECT a.l_partkey AS u, b.l_partkey AS v
+      FROM lineitem a JOIN lineitem b
+        ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+      GROUP BY 1, 2 HAVING count(*) >= 2
+    ), sym AS (
+      SELECT u, v FROM e UNION ALL SELECT v AS u, u AS v FROM e
+    ), cc(node, lbl) AS (
+      SELECT u, u FROM (SELECT DISTINCT u FROM sym) t
+      UNION
+      SELECT s.u, cc.lbl FROM sym s JOIN cc ON cc.node = s.v
+      WHERE cc.lbl < s.u
+    ), comp AS (
+      SELECT node, min(lbl) AS component FROM cc GROUP BY node
+    )
+    SELECT component, CAST(count(*) AS BIGINT) AS n_nodes
+    FROM comp GROUP BY component
+    """,
+)
+def graph_connected_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Connected components of the STRONG-TIE co-purchase graph (parts
+    co-ordered ≥ 2 times — the single-order ties that glue everything
+    into one blob are dropped, leaving real product-affinity clusters).
+    The same converged hash-to-min label propagation that powers
+    `dedup_cluster` (operators/dedup.py::connected_components:
+    per-round join + min-aggregate, localCheckpoint'd lineage,
+    label-sum fixpoint detection — exact, not bounded-iteration), on a
+    general graph instead of dup pairs. The oracle replays it as a
+    recursive CTE (transitive min-label closure) — exponentially more
+    expensive but declaratively obviously-correct, the right
+    division of labor between the engines."""
+    from xlsx_to_database_spark.operators.dedup import connected_components
+
+    li = table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    a = li.select(F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("u"))
+    b = li.select(F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("v"))
+    e = (
+        a.join(b, "o")
+        .filter(F.col("u") < F.col("v"))
+        .groupBy("u", "v")
+        .agg(F.count(F.lit(1)).alias("m"))
+        .filter(F.col("m") >= 2)
+        .select("u", "v")
+    )
+    nodes = (
+        e.select(F.col("u").alias("node"))
+        .unionByName(e.select(F.col("v").alias("node")))
+        .distinct()
+    )
+    comp = connected_components(nodes, e, node_col="node",
+                                src_col="u", dst_col="v")
+    return comp.groupBy(F.col("cluster_id").alias("component")).agg(
+        F.count(F.lit(1)).alias("n_nodes")
+    )
