@@ -65,6 +65,12 @@ ALLOWED: dict[str, dict[str, str]] = {
     "tpch_q22": {
         "BroadcastNestedLoopJoin": "scalar AVG subquery broadcast — Q22's defining shape",
     },
+    "etl_calendar_scaffold": {
+        "BroadcastNestedLoopJoin": (
+            "day-spine × event-type scaffold cross join — both sides "
+            "metadata-bounded (calendar span × distinct types)"
+        ),
+    },
     # Scalar-attach crossJoins (see _SCALAR_ATTACH): global totals,
     # percentile thresholds, Gram/centroid matrices, one-row query
     # vectors.

@@ -2108,3 +2108,126 @@ def graph_connected_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     return comp.groupBy(F.col("cluster_id").alias("component")).agg(
         F.count(F.lit(1)).alias("n_nodes")
     )
+
+
+@query(
+    "event_attribution",
+    """
+    WITH ordered AS (
+      SELECT user_id, ts, event_id, event_type, value,
+             CASE WHEN event_type IN ('click', 'view')
+                  THEN event_type END AS touch
+      FROM events
+    ), carried AS (
+      SELECT user_id, ts, event_id, event_type, value,
+             last_value(touch IGNORE NULLS) OVER w AS last_touch,
+             first_value(touch IGNORE NULLS) OVER w AS first_touch
+      FROM ordered
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+                   ROWS UNBOUNDED PRECEDING)
+    )
+    SELECT model, touch_type, CAST(count(*) AS BIGINT) AS conversions,
+           round(CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE), 2)
+             AS revenue
+    FROM (
+      SELECT 'last' AS model, last_touch AS touch_type, value
+      FROM carried WHERE event_type = 'purchase'
+      UNION ALL
+      SELECT 'first', first_touch, value
+      FROM carried WHERE event_type = 'purchase'
+    ) t GROUP BY model, touch_type
+    """,
+)
+def event_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-touch vs last-touch marketing attribution: every purchase
+    credits the first (and, separately, the last) preceding click/view
+    of the same user — the two bookend models every attribution debate
+    starts from. One per-user window pass carries both candidate
+    touches via first/last(ignoreNulls) over a running frame (no
+    self-join, no per-conversion re-scan); purchases with no preceding
+    touch fall into the NULL-touch bucket, stated rather than dropped.
+    Total order (ts, event_id) makes tie-carrying engine-identical;
+    revenue quantizes to DECIMAL before the cross-user sum. One shuffle
+    on user_id, per-user partitions bounded."""
+    from pyspark.sql import Window
+
+    ev = table(spark, sf_dir, "events")
+    touch = F.when(
+        F.col("event_type").isin("click", "view"), F.col("event_type")
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    carried = ev.select(
+        "event_type",
+        F.col("value").cast("decimal(18,6)").alias("v"),
+        F.last(touch, ignorenulls=True).over(w).alias("last_touch"),
+        F.first(touch, ignorenulls=True).over(w).alias("first_touch"),
+    ).filter(F.col("event_type") == "purchase")
+    both = carried.select(
+        F.lit("last").alias("model"),
+        F.col("last_touch").alias("touch_type"), "v"
+    ).unionByName(
+        carried.select(
+            F.lit("first").alias("model"),
+            F.col("first_touch").alias("touch_type"), "v"
+        )
+    )
+    return both.groupBy("model", "touch_type").agg(
+        F.count(F.lit(1)).alias("conversions"),
+        F.round(F.sum("v").cast("double"), 2).alias("revenue"),
+    )
+
+
+@query(
+    "etl_calendar_scaffold",
+    """
+    WITH span AS (
+      SELECT CAST(min(ts) AS DATE) AS lo, CAST(max(ts) AS DATE) AS hi
+      FROM events
+    ), days AS (
+      SELECT unnest(generate_series(lo, hi, INTERVAL 1 DAY))::DATE AS day
+      FROM span
+    ), types AS (SELECT DISTINCT event_type FROM events),
+    actual AS (
+      SELECT CAST(ts AS DATE) AS day, event_type,
+             count(*) AS n
+      FROM events GROUP BY 1, 2
+    )
+    SELECT d.day, t.event_type,
+           CAST(coalesce(a.n, 0) AS BIGINT) AS n_events
+    FROM days d CROSS JOIN types t
+    LEFT JOIN actual a ON a.day = d.day AND a.event_type = t.event_type
+    """,
+)
+def etl_calendar_scaffold(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Calendar scaffolding / gap backfill — the densification every
+    time-series consumer needs before window math: a (day × event_type)
+    grid spanning the data's full date range, left-joined onto actual
+    daily counts with zero-fill, so silent days EXIST as rows (a moving
+    average over a frame with missing days is silently wrong — the
+    frame must see the zeros). The day spine explodes from a one-row
+    (min, max) aggregate via `sequence` — never a driver-side range
+    loop; the type dimension is data-derived and bounded. Scaffold size
+    is calendar-span × types (metadata-scale); only the daily aggregate
+    touches data."""
+    ev = table(spark, sf_dir, "events")
+    span = ev.agg(
+        F.min(F.col("ts").cast("date")).alias("lo"),
+        F.max(F.col("ts").cast("date")).alias("hi"),
+    )
+    days = span.select(
+        F.explode(F.sequence("lo", "hi")).alias("day")
+    )
+    types = ev.select("event_type").distinct()
+    actual = ev.groupBy(
+        F.col("ts").cast("date").alias("day"), "event_type"
+    ).agg(F.count(F.lit(1)).alias("n"))
+    grid = days.crossJoin(types)
+    return grid.join(actual, ["day", "event_type"], "left").select(
+        "day",
+        "event_type",
+        F.coalesce("n", F.lit(0)).cast("long").alias("n_events"),
+    )
