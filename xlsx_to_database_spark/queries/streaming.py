@@ -131,8 +131,10 @@ def stream_watermark(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     EXACT oracle (round-3 verdict #7): the replay is ordered —
     ``repartitionByRange(3, "ts")`` writes disjoint ascending ts ranges
-    and FileStreamSource lists part files in that order — so no row ever
-    arrives below the watermark and nothing is dropped. availableNow
+    and the staged part files get explicitly pinned ascending mtimes so
+    FileStreamSource (which replays oldest-mtime-first, NOT path order)
+    processes them in ts order — so no row ever arrives below the
+    watermark and nothing is dropped. availableNow
     finishes with a no-data batch that advances the watermark to
     max(ts) - 1h, emitting every window with ``window.end <= watermark``;
     the un-emitted tail (windows still above the final watermark) is
@@ -149,8 +151,9 @@ def stream_watermark(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     # Re-stage into 3 ts-range-ordered files so availableNow produces
     # multiple batches and the watermark advances between them.
-    # repartitionByRange writes part-0000N in ascending ts order, which
-    # is also the FileStreamSource listing order. The source (size, mtime)
+    # repartitionByRange assigns part-0000N ascending ts ranges; the
+    # utime pass below makes that also the mtime order FileStreamSource
+    # replays by. The source (size, mtime)
     # pair is embedded in the dir name so regenerated testdata (e.g. the
     # nanos->micros ts migration) can never be read through a stale
     # split staged from the old files — size alone could collide if a
@@ -165,6 +168,22 @@ def stream_watermark(spark: SparkSession, sf_dir: str) -> DataFrame:
         spark.read.schema(events_raw_schema(sf_dir)).parquet(
             src_dir
         ).repartitionByRange(3, "ts").write.mode("overwrite").parquet(split_dir)
+        # FileStreamSource replays oldest-mtime-first, but the parallel
+        # write commits part files in task-finish order — whichever
+        # range lands the newest mtime replays LAST even if it holds the
+        # EARLIEST rows, advancing the watermark past them (they'd be
+        # dropped as late, silently shrinking the result; caught by the
+        # exact oracle after a re-stage happened to commit out of
+        # order). Pin ascending mtimes in part-file name order — the
+        # same order repartitionByRange assigned ts ranges.
+        parts = sorted(
+            f for f in os.listdir(split_dir)
+            if f.startswith("part-") and f.endswith(".parquet")
+        )
+        base = int(os.path.getmtime(os.path.join(split_dir, parts[0])))
+        for i, f in enumerate(parts):
+            p = os.path.join(split_dir, f)
+            os.utime(p, (base + i * 10, base + i * 10))
     raw = (
         spark.readStream.schema(events_raw_schema(sf_dir))
         .option("maxFilesPerTrigger", 1)
