@@ -89,3 +89,18 @@ def test_cli_requires_a_sink(workbook):
     from xlsx_to_database_spark.__main__ import main
 
     assert main([workbook]) == 2
+
+
+def test_cli_txn_table_sink_versions(spark, workbook, tmp_path, capsys):
+    """--txn-out creates the table on first load and appends on the
+    next; the versioned reads see cumulative state (CLI → api → txn
+    table end to end)."""
+    from xlsx_to_database_spark.__main__ import main
+    from xlsx_to_database_spark.operators.txn_table import TxnTable
+
+    out = str(tmp_path / "ttbl")
+    assert main([workbook, "--txn-out", out]) == 0
+    assert main([workbook, "--txn-out", out]) == 0
+    t = TxnTable(spark, out, "id")
+    assert t.versions() == [0, 1]
+    assert t.read(1).count() == 2 * t.read(0).count()

@@ -30,16 +30,18 @@ def build_parser() -> argparse.ArgumentParser:
     sink.add_argument("--jdbc-url", default=None, help="JDBC connection string")
     sink.add_argument("--jdbc-driver", default=None, help="JDBC driver class, if not inferable")
     sink.add_argument("--parquet-out", default=None, help="parquet output directory")
+    sink.add_argument("--txn-out", default=None, help="transaction-logged table root (versioned, time-travelable)")
     sink.add_argument("--show", action="store_true", help="print schema + first rows, write nothing")
     p.add_argument("--table", default=None, help="target table (default: from file/sheet name)")
     p.add_argument("--partition-by", default=None, help="comma list of parquet partition columns")
+    p.add_argument("--txn-key", default=None, help="stats/clustering column for --txn-out (default: first column)")
     return p
 
 
 def main(argv: list[str] | None = None) -> int:
     args = build_parser().parse_args(argv)
-    if not (args.jdbc_url or args.parquet_out or args.show):
-        print("error: pick a sink: --jdbc-url, --parquet-out, or --show", file=sys.stderr)
+    if not (args.jdbc_url or args.parquet_out or args.txn_out or args.show):
+        print("error: pick a sink: --jdbc-url, --parquet-out, --txn-out, or --show", file=sys.stderr)
         return 2
 
     from xlsx_to_database_spark.api import Engine
@@ -63,6 +65,17 @@ def main(argv: list[str] | None = None) -> int:
         if args.show:
             t.df.printSchema()
             t.df.show(20, truncate=False)
+            continue
+        if args.txn_out:
+            import os
+
+            # create the first time, append after — per-file versions
+            # when loading many workbooks into one table root.
+            out = os.path.join(args.txn_out, t.name) if multi else args.txn_out
+            exists = os.path.isdir(os.path.join(out, "_txn_log"))
+            mode = "append" if (exists or args.mode == "append") else "create"
+            v = t.to_txn_table(out, key=args.txn_key, mode=mode)
+            print(f"{t.name}: committed version {v} at {out}")
             continue
         if args.parquet_out:
             import os

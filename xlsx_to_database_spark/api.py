@@ -63,6 +63,29 @@ class LoadedTable:
     ) -> None:
         sinks.to_parquet(self.df, path, mode=mode, partition_by=partition_by)
 
+    def to_txn_table(
+        self,
+        path: str,
+        key: Optional[str] = None,
+        mode: str = "create",
+    ) -> int:
+        """Load into the transaction-logged table format
+        (operators/txn_table.py): ``create`` starts a new table,
+        ``append`` commits a new version onto an existing one —
+        atomic, versioned, time-travelable, unlike a plain parquet
+        write. ``key`` is the stats/clustering column (default: first
+        column). Returns the committed version."""
+        from xlsx_to_database_spark.operators.txn_table import TxnTable
+
+        t = TxnTable(
+            self.df.sparkSession, path, key or self.df.columns[0]
+        )
+        if mode == "create":
+            return t.create(self.df)
+        if mode == "append":
+            return t.append(self.df)
+        raise ValueError(f"txn table mode must be create|append, got {mode!r}")
+
     def to_view(self, name: Optional[str] = None) -> str:
         n = name or self.name
         self.df.createOrReplaceTempView(n)
