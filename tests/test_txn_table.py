@@ -159,3 +159,37 @@ def test_schema_evolution_nulls_old_files(spark, tmp_path):
     t.append(spark.createDataFrame([(2, 20, "x")], "k long, v long, w string"))
     got = {r.k: r.w for r in t.read().collect()}
     assert got == {1: None, 2: "x"}
+
+
+def test_append_once_is_idempotent(spark, tmp_path):
+    t = _mk(spark, tmp_path, n=10)
+    df = spark.range(11, 16).select(
+        F.col("id").alias("k"), (F.col("id") * 2).alias("v")
+    )
+    assert t.append_once(df, "batch-7") == 1
+    assert t.append_once(df, "batch-7") is None  # replay: no-op
+    assert t.read().count() == 15
+    assert t.versions() == [0, 1]
+
+
+def test_vacuum_deletes_only_unreferenced_files(spark, tmp_path):
+    import glob
+    import os
+
+    t = _mk(spark, tmp_path, n=100, parts=4)
+    t.merge(
+        spark.range(1, 30).select(
+            F.col("id").alias("k"), F.lit(-1).cast("long").alias("v")
+        ),
+        "k",
+    )
+    t.compact(target_files=2)
+    n_parquet = len(
+        glob.glob(os.path.join(t.path, "data", "**", "*.parquet"),
+                  recursive=True)
+    )
+    deleted, kept = t.vacuum(retain_versions=1)
+    assert kept == 2 and deleted == n_parquet - 2
+    # the retained snapshot is intact; history manifests survive
+    assert t.read().count() == 100
+    assert t.versions() == [0, 1, 2]

@@ -94,7 +94,13 @@ class TxnTable:
         with open(_manifest_path(self.path, v)) as f:
             return json.load(f)
 
-    def _commit(self, version: int, op: str, files: list[dict]) -> None:
+    def _commit(
+        self,
+        version: int,
+        op: str,
+        files: list[dict],
+        txn_id: Optional[str] = None,
+    ) -> None:
         """Atomically publish ``files`` as table version ``version``."""
         os.makedirs(_log_dir(self.path), exist_ok=True)
         final = _manifest_path(self.path, version)
@@ -108,6 +114,8 @@ class TxnTable:
             "stats_col": self.stats_col,
             "files": files,
         }
+        if txn_id is not None:
+            m["txn_id"] = txn_id
         tmp = final + ".tmp"
         with open(tmp, "w") as f:
             json.dump(m, f, indent=1, sort_keys=True)
@@ -168,6 +176,44 @@ class TxnTable:
         files = self.manifest()["files"] + self._stage_files(df, v)
         self._commit(v, "append", files)
         return v
+
+    def append_once(self, df: DataFrame, txn_id: str) -> Optional[int]:
+        """Idempotent append: if ANY committed manifest already carries
+        ``txn_id``, this is a no-op returning None — the writer-side
+        half of exactly-once for retrying producers (a replayed
+        streaming micro-batch, a re-run ingestion job). Delta's
+        txn appId/version device, reduced to one token. The txn_id
+        check scans the log (O(versions), metadata)."""
+        for v in self.versions():
+            if self.manifest(v).get("txn_id") == txn_id:
+                return None
+        v = self.latest_version() + 1
+        files = self.manifest()["files"] + self._stage_files(df, v)
+        self._commit(v, "append", files, txn_id=txn_id)
+        return v
+
+    def vacuum(self, retain_versions: int = 1) -> tuple[int, int]:
+        """Delete data files unreferenced by the newest
+        ``retain_versions`` manifests. Returns (deleted, kept). After a
+        vacuum, reads of retained versions are unaffected; older
+        versions' manifests remain in the log (auditable) but their
+        exclusive files are gone — exactly Delta VACUUM's trade (time
+        travel horizon = retention)."""
+        vs = self.versions()
+        keep_vs = vs[-retain_versions:]
+        live = {
+            e["path"] for v in keep_vs for e in self.manifest(v)["files"]
+        }
+        deleted = 0
+        data_root = os.path.join(self.path, "data")
+        for dirpath, _, names in os.walk(data_root):
+            for n in names:
+                full = os.path.join(dirpath, n)
+                rel = os.path.relpath(full, self.path)
+                if n.endswith(".parquet") and rel not in live:
+                    os.remove(full)
+                    deleted += 1
+        return deleted, len(live)
 
     def read(self, version: Optional[int] = None) -> DataFrame:
         return self._read_files(self.manifest(version)["files"])

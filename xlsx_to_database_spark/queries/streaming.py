@@ -113,6 +113,46 @@ def stream_session(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _ordered_split_dir(spark: SparkSession, sf_dir: str) -> str:
+    """Stage events into 3 ts-range-ordered files replayed as 3 ordered
+    micro-batches (shared by stream_watermark and stream_txn_sink).
+
+    repartitionByRange assigns part-0000N ascending ts ranges; an
+    explicit utime pass then makes that also the mtime order, because
+    FileStreamSource replays oldest-mtime-first, NOT path order — the
+    parallel write commits part files in task-finish order, and a split
+    whose latest ts range landed the oldest mtime would replay FIRST,
+    advancing the watermark past the earlier ranges so their rows drop
+    as late (observed as a silently-shrunken result; caught by the
+    exact oracle). The source (size, mtime) pair is embedded in the dir
+    name so regenerated testdata can never be read through a stale
+    split (size alone could collide)."""
+    import os
+
+    from xlsx_to_database_spark.streaming.engine import (
+        _stage_dir,
+        events_raw_schema,
+    )
+
+    src_dir = _stage_dir(sf_dir, 1)
+    src_path = os.path.join(sf_dir, "events.parquet")
+    src_size = os.path.getsize(src_path)
+    split_dir = f"{src_dir}_wm3_{src_size}_{int(os.path.getmtime(src_path))}"
+    if not os.path.exists(os.path.join(split_dir, "_SUCCESS")):
+        shutil.rmtree(split_dir, ignore_errors=True)
+        spark.read.schema(events_raw_schema(sf_dir)).parquet(
+            src_dir
+        ).repartitionByRange(3, "ts").write.mode("overwrite").parquet(split_dir)
+        parts = sorted(
+            f for f in os.listdir(split_dir)
+            if f.startswith("part-") and f.endswith(".parquet")
+        )
+        base = int(os.path.getmtime(os.path.join(split_dir, parts[0])))
+        for i, f in enumerate(parts):
+            os.utime(os.path.join(split_dir, f), (base + i * 10, base + i * 10))
+    return split_dir
+
+
 @query(
     "stream_watermark",
     """
@@ -141,49 +181,12 @@ def stream_watermark(spark: SparkSession, sf_dir: str) -> DataFrame:
     exactly the SQL predicate in the oracle. Emission below a final
     watermark thus IS batch-expressible for ordered replays — only
     disordered replays (rows genuinely dropped) stay rows-only."""
-    import os
-
     from xlsx_to_database_spark.streaming.engine import (
-        _stage_dir,
         events_raw_schema,
         with_event_time,
     )
 
-    # Re-stage into 3 ts-range-ordered files so availableNow produces
-    # multiple batches and the watermark advances between them.
-    # repartitionByRange assigns part-0000N ascending ts ranges; the
-    # utime pass below makes that also the mtime order FileStreamSource
-    # replays by. The source (size, mtime)
-    # pair is embedded in the dir name so regenerated testdata (e.g. the
-    # nanos->micros ts migration) can never be read through a stale
-    # split staged from the old files — size alone could collide if a
-    # regeneration happened to land on identical bytes-on-disk, and this
-    # op carries an exact oracle (round-4/5 advice).
-    src_dir = _stage_dir(sf_dir, 1)
-    src_path = os.path.join(sf_dir, "events.parquet")
-    src_size = os.path.getsize(src_path)
-    split_dir = f"{src_dir}_wm3_{src_size}_{int(os.path.getmtime(src_path))}"
-    if not os.path.exists(os.path.join(split_dir, "_SUCCESS")):
-        shutil.rmtree(split_dir, ignore_errors=True)
-        spark.read.schema(events_raw_schema(sf_dir)).parquet(
-            src_dir
-        ).repartitionByRange(3, "ts").write.mode("overwrite").parquet(split_dir)
-        # FileStreamSource replays oldest-mtime-first, but the parallel
-        # write commits part files in task-finish order — whichever
-        # range lands the newest mtime replays LAST even if it holds the
-        # EARLIEST rows, advancing the watermark past them (they'd be
-        # dropped as late, silently shrinking the result; caught by the
-        # exact oracle after a re-stage happened to commit out of
-        # order). Pin ascending mtimes in part-file name order — the
-        # same order repartitionByRange assigned ts ranges.
-        parts = sorted(
-            f for f in os.listdir(split_dir)
-            if f.startswith("part-") and f.endswith(".parquet")
-        )
-        base = int(os.path.getmtime(os.path.join(split_dir, parts[0])))
-        for i, f in enumerate(parts):
-            p = os.path.join(split_dir, f)
-            os.utime(p, (base + i * 10, base + i * 10))
+    split_dir = _ordered_split_dir(spark, sf_dir)
     raw = (
         spark.readStream.schema(events_raw_schema(sf_dir))
         .option("maxFilesPerTrigger", 1)
@@ -451,6 +454,69 @@ def stream_foreach_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
     run_foreach_batch_parquet(ev, out_dir)
     back = spark.read.parquet(out_dir)
     return back.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(
+            F.sum(F.col("value").cast("decimal(18,6)")).cast("double"), 4
+        ).alias("total"),
+    )
+
+
+@query(
+    "stream_txn_sink",
+    """
+    SELECT event_type,
+           CAST(count(*) AS BIGINT) AS n,
+           round(CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE), 4)
+             AS total
+    FROM events GROUP BY event_type
+    """,
+)
+def stream_txn_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming ingestion INTO the transaction-logged table format:
+    each micro-batch of the 3-way ordered replay commits as one
+    idempotent version (``append_once`` keyed on the batch id — a
+    replayed batch is a no-op, Delta's txn-appId device), so the stream
+    lands as an atomic, versioned, time-travelable table instead of a
+    bag of files. The read-back aggregate over the FINAL table must
+    equal the batch query on the source — any dropped batch, duplicated
+    retry, or torn commit changes the hash. Exactly-once here is
+    end-to-end: source replay (checkpointed offsets) × idempotent
+    transactional sink."""
+    import os
+    import uuid as _uuid
+
+    from xlsx_to_database_spark.operators.txn_table import TxnTable
+    from xlsx_to_database_spark.streaming.engine import (
+        events_raw_schema,
+        with_event_time,
+    )
+
+    split_dir = _ordered_split_dir(spark, sf_dir)
+    raw = (
+        spark.readStream.schema(events_raw_schema(sf_dir))
+        .option("maxFilesPerTrigger", 1)
+        .parquet(split_dir)
+    )
+    ev = with_event_time(raw, sf_dir).select("event_id", "event_type", "value")
+    root = f"/tmp/spark_stream_out/txn_{_uuid.uuid4().hex}"
+    tt = TxnTable(spark, root, "event_id")
+    ckpt = f"/tmp/spark_stream_ckpt/{_uuid.uuid4().hex}"
+
+    def commit_batch(batch_df: DataFrame, batch_id: int) -> None:
+        if not tt.versions():
+            tt.create(batch_df)
+        else:
+            tt.append_once(batch_df, f"events-batch-{batch_id}")
+
+    q = (
+        ev.writeStream.foreachBatch(commit_batch)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    shutil.rmtree(ckpt, ignore_errors=True)
+    return tt.read().groupBy("event_type").agg(
         F.count(F.lit(1)).alias("n"),
         F.round(
             F.sum(F.col("value").cast("decimal(18,6)")).cast("double"), 4
