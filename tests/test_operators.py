@@ -802,3 +802,63 @@ def test_bootstrap_ci_single_scan_and_brackets_mean(spark, sf_dir):
     r = df.collect()[0]
     assert r.n_reps == 64
     assert r.mean_lo < r.mean_point < r.mean_hi
+
+
+def test_coverage_plus_gaps_spans_the_lifetime(spark, sf_dir):
+    """Cross-op invariant: for every customer, merged-interval coverage
+    plus idle-gap days must exactly equal the end-to-end span
+    (first start → last end) — the two ops partition each lifetime, so
+    any double-count or off-by-one in either sweep breaks the sum."""
+    from pyspark.sql import functions as F
+
+    from xlsx_to_database_spark.registry import all_queries
+
+    qs = all_queries()
+
+    cov = qs["interval_coverage"](spark, sf_dir).alias("c")
+    gap = qs["interval_gaps"](spark, sf_dir).alias("g")
+    o = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    span = o.groupBy(F.col("o_custkey").alias("c_custkey")).agg(
+        F.datediff(
+            F.date_add(F.max("o_orderdate").cast("date"), 30),
+            F.min("o_orderdate").cast("date"),
+        ).alias("span")
+    ).alias("s")
+    joined = (
+        cov.join(gap, "c_custkey", "left")
+        .join(span, "c_custkey")
+        .select(
+            (F.col("c.covered_days") + F.coalesce(F.col("g.idle_days"), F.lit(0))
+             ).alias("total"),
+            "s.span",
+        )
+    )
+    assert joined.filter(F.col("total") != F.col("span")).count() == 0
+
+
+def test_survival_curve_is_monotone_nonincreasing(spark, sf_dir):
+    from xlsx_to_database_spark.registry import all_queries
+
+    qs = all_queries()
+    rows = sorted(
+        qs["stat_survival_km"](spark, sf_dir).collect(),
+        key=lambda r: r.duration_days,
+    )
+    for a, b in zip(rows, rows[1:]):
+        assert b.survival <= a.survival + 1e-9
+    assert all(0.0 <= r.survival <= 1.0 for r in rows)
+
+
+def test_pareto_shares_are_cumulative_to_one(spark, sf_dir):
+    from xlsx_to_database_spark.registry import all_queries
+
+    qs = all_queries()
+    rows = sorted(
+        qs["stat_pareto"](spark, sf_dir).collect(), key=lambda r: r.decile
+    )
+    assert [r.decile for r in rows] == list(range(1, 11))
+    for a, b in zip(rows, rows[1:]):
+        assert b.cum_share >= a.cum_share
+        # deciles rank by DESCENDING revenue: per-decile share shrinks
+        assert b.rev_share <= a.rev_share + 1e-9
+    assert abs(rows[-1].cum_share - 1.0) < 1e-6
