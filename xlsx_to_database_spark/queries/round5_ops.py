@@ -2231,3 +2231,183 @@ def etl_calendar_scaffold(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_type",
         F.coalesce("n", F.lit(0)).cast("long").alias("n_events"),
     )
+
+
+@query(
+    "win_drawdown",
+    """
+    WITH daily AS (
+      SELECT o_orderdate AS day,
+             sum(CAST(o_totalprice AS DECIMAL(18,2))) AS x
+      FROM orders GROUP BY o_orderdate
+    ), cm AS (
+      SELECT day,
+             sum(x) OVER (ORDER BY day ROWS UNBOUNDED PRECEDING) AS cum
+      FROM daily
+    ), c AS (
+      SELECT day,
+             max(cum) OVER (ORDER BY day ROWS UNBOUNDED PRECEDING) - cum
+               AS dd,
+             count(*) OVER () AS n_days
+      FROM cm
+    )
+    SELECT day AS trough_day, round(CAST(dd AS DOUBLE), 2) AS max_drawdown,
+           CAST(n_days AS BIGINT) AS n_days
+    FROM c ORDER BY dd DESC, day LIMIT 1
+    """,
+)
+def win_drawdown(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Maximum drawdown of the cumulative daily-revenue series — the
+    canonical running-peak-to-trough statistic (risk in finance, 'how
+    far below our best have we fallen' anywhere else). Running sum,
+    running max of it, and their difference are ALL exact DECIMAL (the
+    one double conversion is display-side), so the argmax is
+    engine-exact with the day as tie-break. Windows run over one row
+    per calendar day (histogram-class, bounded at any SF); the scan +
+    per-day aggregate is the only data-sized stage."""
+    from pyspark.sql import Window
+
+    o = table(spark, sf_dir, "orders")
+    daily = o.groupBy(F.col("o_orderdate").alias("day")).agg(
+        F.sum(F.col("o_totalprice").cast("decimal(18,2)")).alias("x")
+    )
+    w_run = Window.orderBy("day").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    w_all = Window.orderBy("day").rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    cum = F.sum("x").over(w_run)
+    c = daily.select(
+        F.col("day").alias("trough_day"),
+        (F.max(cum).over(w_run) - cum).alias("dd"),
+        F.count(F.lit(1)).over(w_all).cast("long").alias("n_days"),
+    )
+    return c.orderBy(F.col("dd").desc(), "trough_day").limit(1).select(
+        "trough_day",
+        F.round(F.col("dd").cast("double"), 2).alias("max_drawdown"),
+        "n_days",
+    )
+
+
+@query(
+    "text_markov_bigrams",
+    """
+    WITH toks AS (
+      SELECT doc_id, string_split(lower(text), ' ') AS t FROM documents
+    ), bg AS (
+      SELECT t[i] AS w1, t[i+1] AS w2
+      FROM (
+        SELECT t, CAST(unnest(range(1, len(t))) AS INT) AS i FROM toks
+      ) WHERE len(t) >= 2
+    ), cnt AS (
+      SELECT w1, w2, count(*) AS c FROM bg GROUP BY w1, w2
+    )
+    SELECT w1, w2, CAST(c AS BIGINT) AS cnt,
+           round(CAST(c AS DOUBLE)
+                 / sum(c) OVER (PARTITION BY w1), 4) AS p_w2_given_w1
+    FROM cnt ORDER BY c DESC, w1, w2 LIMIT 20
+    """,
+)
+def text_markov_bigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Word-bigram transition model — the order-1 Markov LM over the
+    corpus (next-token prediction's simplest ancestor, and the
+    colocation statistic behind phrase mining): adjacent token pairs
+    within each document, with P(w2|w1) from a per-prefix window over
+    the aggregated counts (runs on the bigram-vocabulary aggregate,
+    never the raw pair stream). Pair generation is one codegen
+    `transform` over token indices + `posexplode` — no shuffle until
+    the count aggregate, which collapses map-side on the
+    vocabulary-bounded key."""
+    d = table(spark, sf_dir, "documents")
+    toks = d.select(F.split(F.lower("text"), " ").alias("t")).filter(
+        F.size("t") >= 2
+    )
+    bg = toks.select(
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(0), F.size("t") - 2),
+                lambda i: F.struct(
+                    F.element_at(F.col("t"), i + 1).alias("w1"),
+                    F.element_at(F.col("t"), i + 2).alias("w2"),
+                ),
+            )
+        ).alias("p")
+    ).select("p.w1", "p.w2")
+    cnt = bg.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c"))
+    from pyspark.sql import Window
+
+    tot = F.sum("c").over(Window.partitionBy("w1"))
+    return (
+        cnt.select(
+            "w1", "w2",
+            F.col("c").cast("long").alias("cnt"),
+            F.round(F.col("c").cast("double") / tot, 4).alias(
+                "p_w2_given_w1"
+            ),
+        )
+        .orderBy(F.col("cnt").desc(), "w1", "w2")
+        .limit(20)
+    )
+
+
+@query(
+    "etl_scd2_lookup",
+    """
+    WITH dim AS (
+      SELECT c_custkey, DATE '1992-01-01' AS ef,
+             CASE WHEN c_custkey % 7 = 0 THEN DATE '1996-01-01'
+                  ELSE DATE '9999-12-31' END AS et,
+             1 AS ver
+      FROM customer
+      UNION ALL
+      SELECT c_custkey, DATE '1996-01-01', DATE '9999-12-31', 2
+      FROM customer WHERE c_custkey % 7 = 0
+    )
+    SELECT ver, CAST(count(*) AS BIGINT) AS n_orders,
+           round(CAST(sum(CAST(o_totalprice AS DECIMAL(18,2)))
+                      AS DOUBLE), 2) AS revenue
+    FROM orders o JOIN dim d ON o.o_custkey = d.c_custkey
+      AND o.o_orderdate >= d.ef AND o.o_orderdate < d.et
+    GROUP BY ver
+    """,
+)
+def etl_scd2_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point-in-time dimension lookup — the consumer half of `etl_scd2`
+    and THE join of dimensional modeling: each fact row joins the
+    dimension VERSION whose [effective_from, effective_to) validity
+    interval contains the fact date (every 7th customer re-versions on
+    1996-01-01). Plan shape: an EQUI-join on the business key with the
+    validity range as a post-join filter — versions per key are bounded
+    small (append-only history, single digits in practice), so the
+    bounded fan-out equi-join is strictly better than any interval-join
+    rewrite at 100 TB; AQE picks broadcast vs shuffle from the dim's
+    measured size."""
+    o = table(spark, sf_dir, "orders")
+    c = table(spark, sf_dir, "customer")
+    v1 = c.select(
+        "c_custkey",
+        F.lit("1992-01-01").cast("date").alias("ef"),
+        F.when(
+            F.col("c_custkey") % 7 == 0, F.lit("1996-01-01")
+        ).otherwise(F.lit("9999-12-31")).cast("date").alias("et"),
+        F.lit(1).alias("ver"),
+    )
+    v2 = c.filter(F.col("c_custkey") % 7 == 0).select(
+        "c_custkey",
+        F.lit("1996-01-01").cast("date").alias("ef"),
+        F.lit("9999-12-31").cast("date").alias("et"),
+        F.lit(2).alias("ver"),
+    )
+    dim = v1.unionByName(v2)
+    j = o.join(dim, o.o_custkey == dim.c_custkey).filter(
+        (F.col("o_orderdate") >= F.col("ef"))
+        & (F.col("o_orderdate") < F.col("et"))
+    )
+    return j.groupBy("ver").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.round(
+            F.sum(F.col("o_totalprice").cast("decimal(18,2)")).cast("double"),
+            2,
+        ).alias("revenue"),
+    )
