@@ -193,3 +193,48 @@ def test_vacuum_deletes_only_unreferenced_files(spark, tmp_path):
     # the retained snapshot is intact; history manifests survive
     assert t.read().count() == 100
     assert t.versions() == [0, 1, 2]
+
+
+def test_random_op_sequences_match_model(spark, tmp_path):
+    """Model-based check: a random sequence of append/merge/delete
+    commits must leave the table equal to a plain dict replaying the
+    same semantics, with v0 time travel intact — catches interaction
+    bugs (e.g. a merge against a post-delete manifest, a delete probing
+    carried files) that single-op tests never compose. Deterministic
+    seeded sequences; each runs against a fresh table."""
+    import random
+
+    from pyspark.sql import functions as F  # noqa: F811
+
+    for seed in (7, 23, 99):
+        rng = random.Random(seed)
+        root = str(tmp_path / f"seq{seed}")
+        t = TxnTable(spark, root, "k")
+        model = {k: 2 * k for k in range(1, 21)}
+        t.create(
+            spark.createDataFrame(
+                [(k, v) for k, v in model.items()], "k long, v long"
+            ).repartitionByRange(3, "k")
+        )
+        v0_model = dict(model)
+        next_key = 1000
+        for step in range(rng.randint(3, 5)):
+            op = rng.choice(["append", "merge", "delete"])
+            if op == "append":
+                rows = [(next_key + i, -step) for i in range(rng.randint(1, 5))]
+                next_key += len(rows)
+                t.append(spark.createDataFrame(rows, "k long, v long"))
+                model.update(dict(rows))
+            elif op == "merge":
+                lo = rng.randint(1, 15)
+                hi = lo + rng.randint(0, 10)
+                rows = [(k, 100 + step) for k in range(lo, hi + 1)]
+                t.merge(spark.createDataFrame(rows, "k long, v long"), "k")
+                model.update(dict(rows))
+            else:
+                m = rng.choice([2, 3, 5])
+                t.delete_where(F.col("k") % m == 0)
+                model = {k: v for k, v in model.items() if k % m != 0}
+        got = {r.k: r.v for r in t.read().collect()}
+        assert got == model, f"seed {seed}: table != model"
+        assert {r.k: r.v for r in t.read(0).collect()} == v0_model
