@@ -229,6 +229,43 @@ def big_smoke(spark, which: list[str]) -> None:
             )
 
 
+    if "txn" in which:
+        # The table format's scale claim measured: a clustered-key MERGE
+        # against a 20M-row / 64-file table must cost ~1/64th of the
+        # key-range-spanning equivalent, because manifest min/max stats
+        # prune the copy-on-write to intersecting files only.
+        import shutil as _sh
+
+        from xlsx_to_database_spark.operators.txn_table import TxnTable
+
+        root = "/tmp/spark_scale_smoke/txn20m"
+        _sh.rmtree(root, ignore_errors=True)
+        n = 20_000_000
+        t = TxnTable(spark, root, "k")
+        base = spark.range(1, n + 1).select(
+            F.col("id").alias("k"), (F.col("id") * 2).alias("v")
+        )
+        t.create(base.repartitionByRange(64, "k"))
+
+        def merge_narrow():
+            src = spark.range(1, 100_001).select(
+                F.col("id").alias("k"), F.lit(-1).cast("long").alias("v")
+            )
+            v, rw, car = t.merge(src, "k")
+            return f"rewrote {rw}/{rw + car} files"
+
+        def merge_wide():
+            # same row count, keys spread over the full domain
+            src = spark.range(1, 100_001).select(
+                (F.col("id") * (n // 100_000)).alias("k"),
+                F.lit(-2).cast("long").alias("v"),
+            )
+            v, rw, car = t.merge(src, "k")
+            return f"rewrote {rw}/{rw + car} files"
+
+        timed("txn merge 100k clustered keys @20M", merge_narrow)
+        timed("txn merge 100k scattered keys @20M", merge_wide)
+
     if "round5" in which:
         # 20M-row orders staged ONCE to /tmp parquet, then the REGISTERED
         # round-5 stat ops run end-to-end (scan included — these ops'
