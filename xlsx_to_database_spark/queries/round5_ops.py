@@ -2411,3 +2411,69 @@ def etl_scd2_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
             2,
         ).alias("revenue"),
     )
+
+
+@query(
+    "stat_anova",
+    """
+    WITH g AS (
+      SELECT o_orderpriority,
+             count(*) AS n_g,
+             sum(CAST(o_totalprice AS DECIMAL(18,2))) AS s_g,
+             sum(CAST(o_totalprice AS DECIMAL(18,2))
+                 * CAST(o_totalprice AS DECIMAL(18,2))) AS ss_g
+      FROM orders GROUP BY o_orderpriority
+    ), m AS (
+      SELECT CAST(count(*) AS BIGINT) AS k,
+             CAST(sum(n_g) AS BIGINT) AS n,
+             CAST(sum(s_g) AS DOUBLE) AS s,
+             CAST(sum(CAST(ss_g AS DECIMAL(38,6))) AS DOUBLE) AS ss,
+             CAST(sum(CAST(CAST(s_g AS DOUBLE) * CAST(s_g AS DOUBLE) / n_g
+                           AS DECIMAL(38,6))) AS DOUBLE) AS sq
+      FROM g
+    )
+    SELECT k, n,
+           round((sq - s * s / n) / (k - 1)
+                 / ((ss - sq) / (n - k)), 6) AS f_stat,
+           round((sq - s * s / n) / (ss - s * s / n), 6) AS eta_sq
+    FROM m
+    """,
+)
+def stat_anova(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-way ANOVA across the five order priorities — does ANY group
+    mean differ? (the k-group generalization of `stat_ttest`; the
+    F-statistic and effect size η² every experiment readout with >2
+    arms needs). Sufficient statistics only: per-group (n, Σx, Σx²) as
+    exact DECIMAL sums in ONE aggregate pass, then a 5-row metadata
+    re-aggregate — between/within sums of squares never touch
+    individual rows again. The per-group double terms (s_g²/n_g)
+    quantize to DECIMAL(38,6) before the cross-group sum so
+    accumulation order can't matter (the agg_entropy discipline).
+    Shape: one shuffle, everything after is ≤ k rows at any SF."""
+    o = table(spark, sf_dir, "orders")
+    x = F.col("o_totalprice").cast("decimal(18,2)")
+    g = o.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n_g"),
+        F.sum(x).alias("s_g"),
+        F.sum(x * x).alias("ss_g"),
+    )
+    m = g.agg(
+        F.count(F.lit(1)).alias("k"),
+        F.sum("n_g").cast("long").alias("n"),
+        F.sum("s_g").cast("double").alias("s"),
+        F.sum(F.col("ss_g").cast("decimal(38,6)")).cast("double").alias("ss"),
+        F.sum(
+            (F.col("s_g").cast("double") * F.col("s_g").cast("double")
+             / F.col("n_g")).cast("decimal(38,6)")
+        ).cast("double").alias("sq"),
+    )
+    ssb = F.col("sq") - F.col("s") * F.col("s") / F.col("n")
+    ssw = F.col("ss") - F.col("sq")
+    sst = F.col("ss") - F.col("s") * F.col("s") / F.col("n")
+    return m.select(
+        "k",
+        "n",
+        F.round(ssb / (F.col("k") - 1) / (ssw / (F.col("n") - F.col("k"))),
+                6).alias("f_stat"),
+        F.round(ssb / sst, 6).alias("eta_sq"),
+    )
