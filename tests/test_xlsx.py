@@ -416,3 +416,59 @@ def test_formula_cells_decode_cached_values(tmp_path):
     rows = list(wb.iter_rows("s"))
     wb.close()
     assert rows[1] == [2, "ab"]
+
+
+def test_date1904_system_shifts_the_epoch(tmp_path):
+    """A workbook with <workbookPr date1904="1"/> counts serials from
+    1904-01-01 (no phantom leap day); the same serial read without the
+    flag must land 4 years + 1 day later — both decodes are pinned so
+    the flag is proven to be read, not defaulted."""
+    import zipfile
+
+    from xlsx_to_database_spark.sources.xlsx_io import read_workbook, write_workbook
+
+    def build(path, date1904):
+        write_workbook(path, {"s": (["d"], [(0.0,)])})
+        with zipfile.ZipFile(path) as zf:
+            members = {n: zf.read(n) for n in zf.namelist()}
+        ns = "http://schemas.openxmlformats.org/spreadsheetml/2006/main"
+        pr = '<workbookPr date1904="1"/>' if date1904 else ""
+        wb = members["xl/workbook.xml"].decode()
+        wb = wb.replace("<sheets>", f"{pr}<sheets>")
+        members["xl/workbook.xml"] = wb.encode()
+        # serial 100.5 with the default date style (s=1 exists from the
+        # writer's date style? use a styles-carrying cell): reuse numFmt
+        # machinery by writing styles.xml with style 1 = date
+        members["xl/styles.xml"] = (
+            f'<?xml version="1.0"?><styleSheet xmlns="{ns}">'
+            f'<cellXfs count="2"><xf numFmtId="0"/>'
+            f'<xf numFmtId="14" applyNumberFormat="1"/></cellXfs>'
+            f"</styleSheet>"
+        ).encode()
+        members["xl/worksheets/sheet1.xml"] = (
+            f'<?xml version="1.0"?><worksheet xmlns="{ns}"><sheetData>'
+            f'<row r="1"><c r="A1" t="str"><v>d</v></c></row>'
+            f'<row r="2"><c r="A2" s="1"><v>100.5</v></c></row>'
+            f"</sheetData></worksheet>"
+        ).encode()
+        with zipfile.ZipFile(path, "w") as zf:
+            for n, data in members.items():
+                zf.writestr(n, data)
+
+    import datetime as dt
+
+    p04 = str(tmp_path / "mac.xlsx")
+    build(p04, True)
+    wb = read_workbook(p04)
+    assert wb.date1904 is True
+    v04 = list(wb.iter_rows("s"))[1][0]
+    wb.close()
+    assert v04 == dt.datetime(1904, 4, 10, 12, 0)
+
+    p00 = str(tmp_path / "win.xlsx")
+    build(p00, False)
+    wb = read_workbook(p00)
+    assert wb.date1904 is False
+    v00 = list(wb.iter_rows("s"))[1][0]
+    wb.close()
+    assert v00 == dt.datetime(1900, 4, 9, 12, 0)

@@ -76,12 +76,21 @@ _EPOCH_POST = datetime(1899, 12, 30)
 _EPOCH_PRE = datetime(1899, 12, 31)
 
 
-def excel_serial_to_datetime(serial: float) -> datetime:
-    """Excel 1900-system date serial → datetime (SURVEY.md §5.4: the
-    1900-leap-year quirk is handled, not ignored). Result is rounded to
-    the millisecond — a float64 day-serial only carries ~µs precision
+def excel_serial_to_datetime(serial: float, date1904: bool = False) -> datetime:
+    """Excel date serial → datetime (SURVEY.md §5.4: the 1900-leap-year
+    quirk is handled, not ignored). Result is rounded to the
+    millisecond — a float64 day-serial only carries ~µs precision
     around modern dates, and sub-ms noise from the round-trip would
-    otherwise leak into timestamps."""
+    otherwise leak into timestamps.
+
+    ``date1904``: workbooks written with ``<workbookPr date1904="1"/>``
+    (classic Mac Excel) count days from 1904-01-01 and have NO phantom
+    1900-02-29 — ignoring the flag reads every date 4 years + 1 day
+    early, silently."""
+    if date1904:
+        return datetime(1904, 1, 1) + timedelta(
+            milliseconds=round(serial * 86400e3)
+        )
     if serial >= 61:
         epoch, days = _EPOCH_POST, serial
     elif serial >= 60:  # the phantom 1900-02-29 → clamp to Feb 28
@@ -149,6 +158,10 @@ class Workbook:
                 rels[rel.get("Id")] = target
         out: dict[str, str] = {}
         wb = ET.fromstring(self._zf.read("xl/workbook.xml"))
+        pr = wb.find(f"{NS}workbookPr")
+        self.date1904 = pr is not None and pr.get("date1904") in (
+            "1", "true",
+        )
         for sheet in wb.find(f"{NS}sheets"):
             rid = sheet.get(f"{REL_NS}id")
             out[sheet.get("name")] = rels.get(rid, f"xl/worksheets/sheet{sheet.get('sheetId')}.xml")
@@ -266,7 +279,7 @@ class Workbook:
         # numeric; date if the cell style carries a date number format
         num = float(raw)
         if int(c.get("s", "-1")) in date_styles:
-            return excel_serial_to_datetime(num)
+            return excel_serial_to_datetime(num, self.date1904)
         return int(num) if num.is_integer() and "e" not in raw.lower() and "." not in raw else num
 
     def close(self) -> None:
