@@ -2477,3 +2477,73 @@ def stat_anova(spark: SparkSession, sf_dir: str) -> DataFrame:
                 6).alias("f_stat"),
         F.round(ssb / sst, 6).alias("eta_sq"),
     )
+
+
+@query(
+    "funnel_time_window",
+    """
+    WITH s1 AS (
+      SELECT user_id, min(ts) AS t1 FROM events
+      WHERE event_type = 'signup' GROUP BY user_id
+    ), s2 AS (
+      SELECT e.user_id, min(e.ts) AS t2
+      FROM events e JOIN s1 ON e.user_id = s1.user_id
+      WHERE e.event_type = 'click' AND e.ts >= s1.t1
+        AND e.ts <= s1.t1 + INTERVAL '7 days'
+      GROUP BY e.user_id
+    ), s3 AS (
+      SELECT e.user_id, min(e.ts) AS t3
+      FROM events e
+      JOIN s2 ON e.user_id = s2.user_id
+      JOIN s1 ON e.user_id = s1.user_id
+      WHERE e.event_type = 'purchase' AND e.ts >= s2.t2
+        AND e.ts <= s1.t1 + INTERVAL '7 days'
+      GROUP BY e.user_id
+    )
+    SELECT 1 AS step, CAST(count(*) AS BIGINT) AS users FROM s1
+    UNION ALL SELECT 2, CAST(count(*) AS BIGINT) FROM s2
+    UNION ALL SELECT 3, CAST(count(*) AS BIGINT) FROM s3
+    """,
+)
+def funnel_time_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Conversion funnel with a bounded window — windowFunnel
+    semantics: signup → click → purchase must ALL land within 7 days of
+    the user's first signup (the unconstrained `funnel_steps` answers
+    'ever converted'; product analytics always asks 'converted within
+    N days'). Same scale skeleton: staged per-user min aggregates, all
+    shuffles keyed on user_id, each stage's scan pre-filtered to one
+    event type — the window constraint is a per-row predicate against
+    the anchoring t1, adding zero extra shuffles."""
+    ev = table(spark, sf_dir, "events")
+    week = F.expr("INTERVAL 7 DAYS")
+    s1 = (
+        ev.filter(F.col("event_type") == "signup")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t1"))
+    )
+    s2 = (
+        ev.filter(F.col("event_type") == "click")
+        .join(s1, "user_id")
+        .filter((F.col("ts") >= F.col("t1"))
+                & (F.col("ts") <= F.col("t1") + week))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t2"))
+    )
+    s3 = (
+        ev.filter(F.col("event_type") == "purchase")
+        .join(s2, "user_id")
+        .join(s1, "user_id")
+        .filter((F.col("ts") >= F.col("t2"))
+                & (F.col("ts") <= F.col("t1") + week))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t3"))
+    )
+    return (
+        s1.agg(F.lit(1).alias("step"), F.count(F.lit(1)).alias("users"))
+        .unionAll(
+            s2.agg(F.lit(2).alias("step"), F.count(F.lit(1)).alias("users"))
+        )
+        .unionAll(
+            s3.agg(F.lit(3).alias("step"), F.count(F.lit(1)).alias("users"))
+        )
+    )
