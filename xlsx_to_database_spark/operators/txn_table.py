@@ -42,6 +42,7 @@ from __future__ import annotations
 import json
 import os
 from typing import Any, Optional
+from urllib.parse import unquote
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -148,7 +149,11 @@ class TxnTable:
         )
         return [
             {
-                "path": os.path.relpath(r["f"].removeprefix("file:"), self.path),
+                # input_file_name() yields a URI (file:/...,
+                # percent-encoded) — decode before treating as a path.
+                "path": os.path.relpath(
+                    unquote(r["f"].removeprefix("file:")), self.path
+                ),
                 "rows": r["rows"],
                 "min": r["lo"],
                 "max": r["hi"],
@@ -323,7 +328,7 @@ class TxnTable:
             .collect()
         )
         hit = {
-            os.path.relpath(r["f"].removeprefix("file:"), self.path)
+            os.path.relpath(unquote(r["f"].removeprefix("file:")), self.path)
             for r in probe
         }
         touched = [e for e in entries if e["path"] in hit]

@@ -2019,7 +2019,7 @@ def text_stem(spark: SparkSession, sf_dir: str) -> DataFrame:
     short tokens intact ('sing' and 'red' survive), matching the
     length guards real stemmers carry."""
     d = table(spark, sf_dir, "documents")
-    w = F.lower(F.col("w"))
+    w = F.col("w")  # already lowercased by the split below
     s3 = F.regexp_replace(
         F.regexp_replace(
             F.regexp_replace(w, r"ies$", "y"), r"sses$", "ss"
