@@ -2547,3 +2547,91 @@ def funnel_time_window(spark: SparkSession, sf_dir: str) -> DataFrame:
             s3.agg(F.lit(3).alias("step"), F.count(F.lit(1)).alias("users"))
         )
     )
+
+
+@query(
+    "etl_train_test_split",
+    """
+    WITH tagged AS (
+      SELECT doc_id,
+             CASE WHEN h < 90 THEN 'train'
+                  WHEN h < 95 THEN 'val' ELSE 'test' END AS split
+      FROM (
+        SELECT doc_id,
+               (doc_id * 2654435761 + 12345) % 100 AS h
+        FROM documents
+      )
+    )
+    SELECT split, CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(min(doc_id) AS BIGINT) AS min_id,
+           CAST(max(doc_id) AS BIGINT) AS max_id
+    FROM tagged GROUP BY split
+    """,
+)
+def etl_train_test_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic 90/5/5 train/val/test assignment by a
+    multiplicative hash of the document id — the split every training
+    pipeline needs, with the two properties random splits silently
+    lose at scale: (1) STABILITY — re-running on a grown corpus never
+    moves an old document between splits (its id hashes the same), so
+    eval sets stay uncontaminated across refreshes; (2) JOIN-FREE —
+    the label is a map-only expression, never a membership table to
+    look up. Disjointness and assignment are pinned by the exact
+    oracle replaying identical integer arithmetic."""
+    d = table(spark, sf_dir, "documents")
+    h = F.pmod(F.col("doc_id") * F.lit(2654435761) + F.lit(12345),
+               F.lit(100))
+    split = (
+        F.when(h < 90, "train").when(h < 95, "val").otherwise("test")
+    )
+    return d.groupBy(split.alias("split")).agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.min("doc_id").cast("long").alias("min_id"),
+        F.max("doc_id").cast("long").alias("max_id"),
+    )
+
+
+@query(
+    "vec_truncate_renorm",
+    """
+    WITH t AS (
+      SELECT vec_id,
+             list_transform(embedding[1:8], x -> CAST(x AS DOUBLE)) AS e
+      FROM embeddings
+    ), n AS (
+      SELECT vec_id, e,
+             sqrt(list_sum(list_transform(e, x -> x * x))) AS nrm
+      FROM t
+    )
+    SELECT vec_id, round(nrm, 6) AS trunc_norm,
+           array_to_string(list_transform(e,
+                 x -> CAST(CAST(floor(x / nrm * 1000000 + 0.5) AS BIGINT)
+                           AS VARCHAR)), ',') AS unit_vec_q6
+    FROM n
+    """,
+)
+def vec_truncate_renorm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Matryoshka-style embedding truncation: keep the first 8
+    dimensions and re-normalize — how MRL-trained embeddings trade
+    accuracy for a k/d storage+compute cut (the coarse tier of a
+    two-tier ANN: search truncated, re-rank full). Map-only codegen
+    array lambdas, zero shuffle; components emitted as 1e-6-quantized
+    integers (floor(x·1e6 + 0.5), the vec_normalize discipline —
+    round-half-up on both engines, no double→string divergence)."""
+    e = table(spark, sf_dir, "embeddings")
+    xd = lambda x: x.cast("double")  # noqa: E731
+    t = e.select("vec_id", F.slice("embedding", 1, 8).alias("emb8"))
+    norm = F.sqrt(
+        F.aggregate(
+            F.col("emb8"), F.lit(0.0), lambda acc, x: acc + xd(x) * xd(x)
+        )
+    )
+    comp = (
+        lambda x: F.floor(xd(x) / F.col("nrm") * 1000000 + 0.5)
+        .cast("long").cast("string")
+    )  # noqa: E731
+    return t.withColumn("nrm", norm).select(
+        "vec_id",
+        F.round("nrm", 6).alias("trunc_norm"),
+        F.concat_ws(",", F.transform("emb8", comp)).alias("unit_vec_q6"),
+    )
