@@ -2635,3 +2635,142 @@ def vec_truncate_renorm(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round("nrm", 6).alias("trunc_norm"),
         F.concat_ws(",", F.transform("emb8", comp)).alias("unit_vec_q6"),
     )
+
+
+@query(
+    "stat_powerlaw",
+    """
+    WITH e AS (
+      SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v
+      FROM lineitem a JOIN lineitem b
+        ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+    ), deg AS (
+      SELECT u AS node, count(*) AS d FROM (
+        SELECT u FROM e UNION ALL SELECT v FROM e
+      ) t(u) GROUP BY u
+    )
+    SELECT CAST(count(*) AS BIGINT) AS n_tail,
+           CAST(min(d) AS BIGINT) AS d_min,
+           round(1.0 + count(*) / CAST(sum(CAST(ln(CAST(d AS DOUBLE) / 4)
+                                               AS DECIMAL(28,18)))
+                                        AS DOUBLE), 6) AS alpha
+    FROM deg WHERE d > 4
+    """,
+)
+def stat_powerlaw(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Power-law (Pareto) exponent of the co-purchase degree tail via
+    the Hill/Clauset MLE — α = 1 + n / Σ ln(d/d_min) over degrees above
+    the cutoff — the quantitative follow-up to
+    `graph_degree_distribution`'s 'is it heavy-tailed?' (α ≈ 2–3 is the
+    scale-free regime; the estimate drives hub-skew planning). Each ln
+    term quantizes to DECIMAL(28,18) before summation (order-immune,
+    engine-exact); the tail is strictly above the cutoff so no ln(1)=0
+    degeneracy inflates n. Two aggregates over the edge list; the MLE
+    itself is a one-row re-aggregate."""
+    li = table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    a = li.select(F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("u"))
+    b = li.select(F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("v"))
+    e = a.join(b, "o").filter(F.col("u") < F.col("v")).select("u", "v").distinct()
+    deg = (
+        e.select(F.col("u").alias("node"))
+        .unionAll(e.select(F.col("v").alias("node")))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).alias("d"))
+    )
+    d_min = 4
+    tail = deg.filter(F.col("d") > d_min)
+    return tail.agg(
+        F.count(F.lit(1)).alias("n_tail"),
+        F.min("d").cast("long").alias("d_min"),
+        F.round(
+            1.0
+            + F.count(F.lit(1))
+            / F.sum(
+                F.log(F.col("d").cast("double") / d_min).cast("decimal(28,18)")
+            ).cast("double"),
+            6,
+        ).alias("alpha"),
+    )
+
+
+@query(
+    "etl_dead_letter",
+    """
+    SELECT 'good' AS route, CAST(count(*) AS BIGINT) AS n,
+           CAST(sum(o_orderkey) + sum(o_custkey) AS BIGINT) AS key_checksum,
+           round(CAST(sum(CAST(o_totalprice AS DECIMAL(18,2)))
+                      AS DOUBLE), 2) AS revenue
+    FROM orders
+    UNION ALL
+    SELECT 'dead_letter', 3, NULL, NULL
+    """,
+)
+def etl_dead_letter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dead-letter routing — `csv_malformed_scan`'s DROP policy loses
+    the broken rows; production ingestion ROUTES them: PERMISSIVE parse
+    with a corrupt-record column, good rows flow on, raw broken lines
+    land in a dead-letter store for replay/forensics. The DLQ row count
+    comes from READING BACK the written dead-letter files (not the
+    in-flight frame), so the op proves the quarantine actually
+    persisted. The parsed frame is cached for the one good/bad split —
+    the documented exception to the no-cache habit: Spark disallows
+    queries referencing ONLY the corrupt column precisely because each
+    access would re-parse; a DLQ split wants exactly one parse."""
+    import os
+
+    tag = os.path.basename(os.path.normpath(sf_dir))
+    src_size = os.path.getsize(os.path.join(sf_dir, "orders.parquet"))
+    dst = f"/tmp/spark_stage/{tag}_orders_csv_{src_size}"
+    garbage = os.path.join(dst, "zz_garbage.csv")
+    if not os.path.exists(garbage):
+        (
+            table(spark, sf_dir, "orders")
+            .select("o_orderkey", "o_custkey", "o_orderpriority", "o_totalprice")
+            .write.mode("overwrite")
+            .csv(dst)
+        )
+        with open(garbage, "w") as fh:
+            fh.write("x,1,1-URGENT,1.5\n2,y,5-LOW,2.5\n3,3,3-MEDIUM,notadouble\n")
+    schema = (
+        "o_orderkey bigint, o_custkey bigint, o_orderpriority string, "
+        "o_totalprice double, _corrupt string"
+    )
+    df = (
+        spark.read.schema(schema)
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", "_corrupt")
+        .csv(dst)
+        .cache()
+    )
+    dlq = f"{dst}_dlq"
+    (
+        df.filter(F.col("_corrupt").isNotNull())
+        .select("_corrupt")
+        .write.mode("overwrite")
+        .text(dlq)
+    )
+    # Reference EVERY numeric column: CSV type-checking is pruned to
+    # the referenced columns (even through the cache), so an aggregate
+    # touching only o_totalprice would pass rows whose breakage lives
+    # in an unreferenced field (the csv_malformed_scan lesson, and the
+    # cause of an observed 2-row leak into the good route).
+    good = df.filter(F.col("_corrupt").isNull()).agg(
+        F.lit("good").alias("route"),
+        F.count(F.lit(1)).alias("n"),
+        (F.sum("o_orderkey") + F.sum("o_custkey")).cast("long").alias(
+            "key_checksum"
+        ),
+        F.round(
+            F.sum(F.col("o_totalprice").cast("decimal(18,2)")).cast("double"),
+            2,
+        ).alias("revenue"),
+    )
+    dead = spark.read.text(dlq).agg(
+        F.lit("dead_letter").alias("route"),
+        F.count(F.lit(1)).alias("n"),
+        F.lit(None).cast("long").alias("key_checksum"),
+        F.lit(None).cast("double").alias("revenue"),
+    )
+    out = good.unionAll(dead)
+    df.unpersist()
+    return out
