@@ -2774,3 +2774,157 @@ def etl_dead_letter(spark: SparkSession, sf_dir: str) -> DataFrame:
     out = good.unionAll(dead)
     df.unpersist()
     return out
+
+
+@query(
+    "stat_control_chart",
+    """
+    WITH daily AS (
+      SELECT o_orderdate AS day,
+             sum(CAST(o_totalprice AS DECIMAL(18,2))) AS x
+      FROM orders GROUP BY o_orderdate
+    ), m AS (
+      SELECT day, CAST(x AS DOUBLE) AS xd,
+             CAST(sum(x) OVER () AS DOUBLE) / count(*) OVER () AS mu,
+             count(*) OVER () AS n,
+             CAST(sum(CAST(CAST(x AS DOUBLE) * CAST(x AS DOUBLE)
+                           AS DECIMAL(38,6))) OVER () AS DOUBLE) AS sxx
+      FROM daily
+    )
+    SELECT day, round(xd, 2) AS revenue,
+           round((xd - mu) / sqrt((sxx - mu * mu * n) / (n - 1)), 4)
+             AS z_score,
+           CASE WHEN abs(xd - mu)
+                     > 3 * sqrt((sxx - mu * mu * n) / (n - 1))
+                THEN 1 ELSE 0 END AS out_of_control
+    FROM m
+    WHERE abs(xd - mu) > 3 * sqrt((sxx - mu * mu * n) / (n - 1))
+    """,
+)
+def stat_control_chart(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shewhart control chart over daily revenue — the online process-
+    monitoring counterpart to `stat_changepoint`'s offline argmax:
+    flag every day outside mean ± 3σ control limits (the page-one SPC
+    rule, and the simplest useful production alert). Sufficient
+    statistics via windows over the per-day aggregate (Σx exact
+    DECIMAL; each x² term DECIMAL-quantized before the window sum, the
+    cross-engine summation discipline); z-scores and limits are then
+    identical double arithmetic. Calendar-bounded windows — one
+    data-sized stage (the scan + per-day aggregate), everything after
+    runs on ≤ span rows."""
+    from pyspark.sql import Window
+
+    o = table(spark, sf_dir, "orders")
+    daily = o.groupBy(F.col("o_orderdate").alias("day")).agg(
+        F.sum(F.col("o_totalprice").cast("decimal(18,2)")).alias("x")
+    )
+    w_all = Window.orderBy("day").rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    xd = F.col("x").cast("double")
+    m = daily.select(
+        "day",
+        xd.alias("xd"),
+        (F.sum("x").over(w_all).cast("double")
+         / F.count(F.lit(1)).over(w_all)).alias("mu"),
+        F.count(F.lit(1)).over(w_all).alias("n"),
+        F.sum((xd * xd).cast("decimal(38,6)")).over(w_all).cast("double")
+        .alias("sxx"),
+    )
+    sd = F.sqrt(
+        (F.col("sxx") - F.col("mu") * F.col("mu") * F.col("n"))
+        / (F.col("n") - 1)
+    )
+    return m.filter(F.abs(F.col("xd") - F.col("mu")) > 3 * sd).select(
+        "day",
+        F.round("xd", 2).alias("revenue"),
+        F.round((F.col("xd") - F.col("mu")) / sd, 4).alias("z_score"),
+        F.when(F.abs(F.col("xd") - F.col("mu")) > 3 * sd, 1)
+        .otherwise(0).alias("out_of_control"),
+    )
+
+
+@query(
+    "graph_common_neighbors",
+    """
+    WITH e AS (
+      SELECT a.l_partkey AS u, b.l_partkey AS v
+      FROM lineitem a JOIN lineitem b
+        ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+      GROUP BY 1, 2 HAVING count(*) >= 2
+    ), sym AS (
+      SELECT u, v FROM e UNION ALL SELECT v AS u, u AS v FROM e
+    ), deg AS (
+      SELECT u AS node, count(*) AS d FROM sym GROUP BY u
+    ), wedge AS (
+      SELECT x.u AS a, y.v AS b, count(*) AS common
+      FROM sym x JOIN sym y ON x.v = y.u AND x.u < y.v
+      GROUP BY x.u, y.v
+    ), cand AS (
+      SELECT w.a, w.b, w.common FROM wedge w
+      LEFT JOIN e ON e.u = w.a AND e.v = w.b
+      WHERE e.u IS NULL
+    )
+    SELECT a, b, CAST(common AS BIGINT) AS common_neighbors,
+           round(CAST(common AS DOUBLE)
+                 / (da.d + db.d - common), 6) AS jaccard
+    FROM cand JOIN deg da ON da.node = a JOIN deg db ON db.node = b
+    ORDER BY common DESC, a, b LIMIT 20
+    """,
+)
+def graph_common_neighbors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Link prediction on the strong-tie co-purchase graph: rank
+    UNCONNECTED part pairs by common-neighbor count and neighborhood
+    Jaccard — the classic 'products bought with the same things sell
+    together next' recommender signal (Liben-Nowell & Kleinberg's
+    strongest simple baselines). Shape: one wedge equi-join through the
+    shared neighbor (the `graph_triangles` primitive pointed outward —
+    candidates with ≥1 common neighbor, never all pairs), an anti-join
+    drops already-connected pairs, degrees attach by equi-join. All
+    shuffles on node keys; wedge volume is Σ deg² — the degree-ordered
+    orientation from graph_triangles is the documented upgrade if hubs
+    dominate."""
+    li = table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    a = li.select(F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("u"))
+    b = li.select(F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("v"))
+    e = (
+        a.join(b, "o")
+        .filter(F.col("u") < F.col("v"))
+        .groupBy("u", "v")
+        .agg(F.count(F.lit(1)).alias("m"))
+        .filter(F.col("m") >= 2)
+        .select("u", "v")
+    )
+    sym = e.unionAll(e.select(F.col("v").alias("u"), F.col("u").alias("v")))
+    deg = sym.groupBy(F.col("u").alias("node")).agg(
+        F.count(F.lit(1)).alias("d")
+    )
+    x = sym.select(F.col("u").alias("a"), F.col("v").alias("n"))
+    y = sym.select(F.col("u").alias("n"), F.col("v").alias("b"))
+    wedge = (
+        x.join(y, "n")
+        .filter(F.col("a") < F.col("b"))
+        .groupBy("a", "b")
+        .agg(F.count(F.lit(1)).alias("common"))
+    )
+    cand = wedge.join(
+        e, (e.u == wedge.a) & (e.v == wedge.b), "left_anti"
+    )
+    da = deg.select(F.col("node").alias("a"), F.col("d").alias("da"))
+    db = deg.select(F.col("node").alias("b"), F.col("d").alias("db"))
+    return (
+        cand.join(da, "a")
+        .join(db, "b")
+        .select(
+            "a",
+            "b",
+            F.col("common").cast("long").alias("common_neighbors"),
+            F.round(
+                F.col("common").cast("double")
+                / (F.col("da") + F.col("db") - F.col("common")),
+                6,
+            ).alias("jaccard"),
+        )
+        .orderBy(F.col("common_neighbors").desc(), "a", "b")
+        .limit(20)
+    )
