@@ -2708,14 +2708,21 @@ def stat_powerlaw(spark: SparkSession, sf_dir: str) -> DataFrame:
 def etl_dead_letter(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Dead-letter routing — `csv_malformed_scan`'s DROP policy loses
     the broken rows; production ingestion ROUTES them: PERMISSIVE parse
-    with a corrupt-record column, good rows flow on, raw broken lines
-    land in a dead-letter store for replay/forensics. The DLQ row count
-    comes from READING BACK the written dead-letter files (not the
-    in-flight frame), so the op proves the quarantine actually
-    persisted. The parsed frame is cached for the one good/bad split —
-    the documented exception to the no-cache habit: Spark disallows
-    queries referencing ONLY the corrupt column precisely because each
-    access would re-parse; a DLQ split wants exactly one parse."""
+    with a corrupt-record column, good rows land in the warehouse, raw
+    broken lines land in a dead-letter store for replay/forensics. BOTH
+    route counts come from READING BACK the written files (not the
+    in-flight frame), so the op proves both sides of the quarantine
+    actually persisted. The parsed frame is cached for the one good/bad
+    split — the documented exception to the no-cache habit: Spark
+    disallows queries referencing ONLY the corrupt column precisely
+    because each access would re-parse; a DLQ split wants exactly one
+    parse. Returning read-backs (never the raw-CSV frame) is ALSO a
+    correctness requirement, not a style choice: a downstream
+    ``count()`` over a returned raw-CSV plan would column-prune the
+    good branch to `_corrupt` alone and trip
+    UNSUPPORTED_FEATURE.QUERY_ONLY_CORRUPT_RECORD_COLUMN once the
+    cache is gone (observed: mirror `collect()` passed, entry
+    `count()` failed); parquet/text read-backs are pruning-proof."""
     import os
 
     tag = os.path.basename(os.path.normpath(sf_dir))
@@ -2749,12 +2756,22 @@ def etl_dead_letter(spark: SparkSession, sf_dir: str) -> DataFrame:
         .write.mode("overwrite")
         .text(dlq)
     )
-    # Reference EVERY numeric column: CSV type-checking is pruned to
-    # the referenced columns (even through the cache), so an aggregate
-    # touching only o_totalprice would pass rows whose breakage lives
-    # in an unreferenced field (the csv_malformed_scan lesson, and the
-    # cause of an observed 2-row leak into the good route).
-    good = df.filter(F.col("_corrupt").isNull()).agg(
+    # Selecting EVERY real column here does double duty: (1) CSV
+    # type-checking is pruned to the referenced columns (even through
+    # the cache), so a projection without o_totalprice would pass rows
+    # whose breakage lives in an unreferenced field (the
+    # csv_malformed_scan lesson, and the cause of an observed 2-row
+    # leak into the good route); (2) the good route persists the full
+    # parsed record, which is what the warehouse side of a DLQ split
+    # stores anyway.
+    good_dst = f"{dst}_good"
+    (
+        df.filter(F.col("_corrupt").isNull())
+        .select("o_orderkey", "o_custkey", "o_orderpriority", "o_totalprice")
+        .write.mode("overwrite")
+        .parquet(good_dst)
+    )
+    good = spark.read.parquet(good_dst).agg(
         F.lit("good").alias("route"),
         F.count(F.lit(1)).alias("n"),
         (F.sum("o_orderkey") + F.sum("o_custkey")).cast("long").alias(
