@@ -238,3 +238,72 @@ def test_random_op_sequences_match_model(spark, tmp_path):
         got = {r.k: r.v for r in t.read().collect()}
         assert got == model, f"seed {seed}: table != model"
         assert {r.k: r.v for r in t.read(0).collect()} == v0_model
+
+
+def test_compact_order_by_zorder_narrows_both_dims(spark, tmp_path):
+    """compact(order_by=morton) is OPTIMIZE ZORDER: starting from a
+    hash-distributed layout (every file spans both full domains), the
+    rewritten files must carry NARROW min/max spans on BOTH interleaved
+    dimensions, while content and the pre-optimize snapshot stay
+    intact. 8 files over an 8-bit 2-D Morton layout → ideal span ~= 1/2
+    sqrt-ish of each dim; assert mean spans < 0.6 with quantization
+    slack (vs ~1.0 for the hash layout)."""
+    import glob
+    import os
+
+    import pyarrow.parquet as pq
+
+    from xlsx_to_database_spark.queries.round4_ops import _zvalue
+
+    t = TxnTable(spark, str(tmp_path / "ztbl"), "k")
+    df = spark.range(1, 4097).select(
+        F.col("id").alias("k"),
+        (F.col("id") % 64).alias("x"),
+        ((F.col("id") * 37) % 64).alias("y"),
+    )
+    t.create(df.repartition(8))
+
+    def spans(col):
+        out = []
+        for e in t.manifest()["files"]:
+            f = os.path.join(str(tmp_path / "ztbl"), e["path"])
+            md = pq.ParquetFile(f).metadata
+            idx = next(
+                i for i in range(md.num_columns)
+                if md.row_group(0).column(i).path_in_schema == col
+            )
+            ss = [
+                md.row_group(g).column(idx).statistics
+                for g in range(md.num_row_groups)
+            ]
+            out.append(
+                max(s.max for s in ss) - min(s.min for s in ss)
+            )
+        return sum(out) / len(out)
+
+    # hash layout: every file spans essentially the whole 0..63 domain
+    assert spans("x") > 50 and spans("y") > 50
+    z = _zvalue(F.col("x").cast("int"), F.col("y").cast("int"), bits=6)
+    v, n_before = t.compact(target_files=8, order_by=z)
+    assert v == 1 and n_before == 8
+    assert spans("x") < 0.6 * 64 and spans("y") < 0.6 * 64
+    # content identical, pre-optimize snapshot untouched
+    assert t.read().count() == 4096
+    assert sorted(r.k for r in t.read().collect()) == list(range(1, 4097))
+    assert t.read(0).count() == 4096
+
+
+def test_bfs_hops_hand_graph(spark):
+    """bfs_hops on a hand-built graph: path 1-2-3-4-5 plus a chord 1-3
+    and an unreachable island {10, 11}. Distances from node 1 must be
+    {1:0, 2:1, 3:1, 4:2, 5:3}; the island never appears; a hop cap of 2
+    truncates at distance 2."""
+    from xlsx_to_database_spark.queries.round5_ops import bfs_hops
+
+    edges = [(1, 2), (2, 3), (3, 4), (4, 5), (1, 3), (10, 11)]
+    e = spark.createDataFrame(edges, "u long, v long")
+    sym = e.unionAll(e.select(F.col("v").alias("u"), F.col("u").alias("v")))
+    got = {r.node: r.hops for r in bfs_hops(sym, max_hops=6).collect()}
+    assert got == {1: 0, 2: 1, 3: 1, 4: 2, 5: 3}
+    capped = {r.node: r.hops for r in bfs_hops(sym, max_hops=2).collect()}
+    assert capped == {1: 0, 2: 1, 3: 1, 4: 2}

@@ -94,6 +94,9 @@ ALLOWED: dict[str, dict[str, str]] = {
             "text_tfidf",             # corpus doc count N (1 row)
             "sim_batch_topk",         # batched query vectors (k rows, k small)
             "dq_checks",              # per-check scalar aggregates unioned
+            "assoc_rules",            # order-count total N (1 row)
+            "sim_two_tier",           # query vector (1 row)
+            "stat_mutual_info",       # cell-count total N (1 row)
         )
     },
 }

@@ -13,9 +13,13 @@ range-partitioned JDBC ingest, parquet column bloom filters, OHLC
 downsampling, systematic sampling, merged-interval coverage, and
 consecutive-day streaks.
 
+Batch 3 (late round 5): market-basket association rules, the
+two-proportion z-test, single-source BFS hop distances, and OPTIMIZE
+ZORDER as a transactional commit on the txn-log table format.
+
 Registered LAST in the registry import order (the round4_ops pattern):
 the round-5 driver window is backlog(44) + reopened(3) + batch 1;
-batch 2 queues immediately after the window without displacing it.
+batches 2–3 queue immediately after the window without displacing it.
 """
 
 from __future__ import annotations
@@ -2944,4 +2948,490 @@ def graph_common_neighbors(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy(F.col("common_neighbors").desc(), "a", "b")
         .limit(20)
+    )
+
+
+@query(
+    "assoc_rules",
+    """
+    WITH item AS (
+      SELECT DISTINCT l_orderkey AS o, l_partkey AS i FROM lineitem
+    ), n AS (
+      SELECT count(DISTINCT o) AS n_orders FROM item
+    ), cnt AS (
+      SELECT i, count(*) AS c FROM item GROUP BY i
+    ), pair AS (
+      SELECT a.i AS u, b.i AS v, count(*) AS c_uv
+      FROM item a JOIN item b ON a.o = b.o AND a.i < b.i
+      GROUP BY 1, 2 HAVING count(*) >= 2
+    ), rules AS (
+      SELECT u AS antecedent, v AS consequent, c_uv FROM pair
+      UNION ALL
+      SELECT v, u, c_uv FROM pair
+    )
+    SELECT antecedent, consequent, CAST(c_uv AS BIGINT) AS pair_orders,
+           round(CAST(c_uv AS DOUBLE) / n.n_orders, 6) AS support,
+           round(CAST(c_uv AS DOUBLE) / ca.c, 6) AS confidence,
+           round(CAST(c_uv * n.n_orders AS DOUBLE) / (ca.c * cb.c), 6)
+             AS lift
+    FROM rules
+    JOIN cnt ca ON ca.i = antecedent
+    JOIN cnt cb ON cb.i = consequent
+    CROSS JOIN n
+    ORDER BY lift DESC, antecedent, consequent LIMIT 25
+    """,
+)
+def assoc_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Market-basket association rules (support / confidence / lift) over
+    the order→part incidence — the 'customers who bought X also bought
+    Y' primitive, and the frequent-itemset k=2 pass of Apriori/FP-growth.
+    Candidate pairs come from a self-equi-join on the ORDER key (bounded
+    fan-out: C(items_per_order, 2) per order, ~7 items in TPC-H — never
+    parts²); item supports and the order total attach by equi-join /
+    one-row broadcast. Lift is computed as (c_uv·N) / (c_a·c_b) with the
+    integer products taken exactly in int64 and ONE double division, so
+    both engines emit the identical double; ties at the LIMIT boundary
+    break on (antecedent, consequent).
+
+    Scale shape: shuffles on order key then pair key — both hash
+    partitioned, both combiner-friendly; the ≥2-order support floor
+    prunes the long pair tail before the rule join. The N scalar rides a
+    broadcast one-row aggregate, never a driver collect."""
+    li = (
+        table(spark, sf_dir, "lineitem")
+        .select(F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("i"))
+        .distinct()
+    )
+    n = li.agg(F.countDistinct("o").alias("n_orders"))
+    cnt = li.groupBy("i").agg(F.count(F.lit(1)).alias("c"))
+    a = li.select(F.col("o"), F.col("i").alias("u"))
+    b = li.select(F.col("o"), F.col("i").alias("v"))
+    pair = (
+        a.join(b, "o")
+        .filter(F.col("u") < F.col("v"))
+        .groupBy("u", "v")
+        .agg(F.count(F.lit(1)).alias("c_uv"))
+        .filter(F.col("c_uv") >= 2)
+    )
+    rules = pair.select(
+        F.col("u").alias("antecedent"), F.col("v").alias("consequent"), "c_uv"
+    ).unionAll(
+        pair.select(
+            F.col("v").alias("antecedent"), F.col("u").alias("consequent"),
+            "c_uv",
+        )
+    )
+    ca = cnt.select(F.col("i").alias("antecedent"), F.col("c").alias("ca"))
+    cb = cnt.select(F.col("i").alias("consequent"), F.col("c").alias("cb"))
+    return (
+        rules.join(ca, "antecedent")
+        .join(cb, "consequent")
+        .crossJoin(F.broadcast(n))
+        .select(
+            "antecedent",
+            "consequent",
+            F.col("c_uv").cast("long").alias("pair_orders"),
+            F.round(F.col("c_uv").cast("double") / F.col("n_orders"), 6).alias(
+                "support"
+            ),
+            F.round(F.col("c_uv").cast("double") / F.col("ca"), 6).alias(
+                "confidence"
+            ),
+            F.round(
+                (F.col("c_uv") * F.col("n_orders")).cast("double")
+                / (F.col("ca") * F.col("cb")),
+                6,
+            ).alias("lift"),
+        )
+        .orderBy(F.col("lift").desc(), "antecedent", "consequent")
+        .limit(25)
+    )
+
+
+@query(
+    "stat_proportion_ztest",
+    """
+    WITH s AS (
+      SELECT
+        count(*) FILTER (o_orderpriority IN ('1-URGENT', '2-HIGH'))
+          AS n1,
+        count(*) FILTER (o_orderpriority IN ('1-URGENT', '2-HIGH')
+                         AND o_orderstatus = 'F') AS x1,
+        count(*) FILTER (o_orderpriority NOT IN ('1-URGENT', '2-HIGH'))
+          AS n2,
+        count(*) FILTER (o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+                         AND o_orderstatus = 'F') AS x2
+      FROM orders
+    )
+    SELECT CAST(n1 AS BIGINT) AS n1, CAST(x1 AS BIGINT) AS x1,
+           CAST(n2 AS BIGINT) AS n2, CAST(x2 AS BIGINT) AS x2,
+           round(CAST(x1 AS DOUBLE) / n1, 6) AS p1,
+           round(CAST(x2 AS DOUBLE) / n2, 6) AS p2,
+           round((CAST(x1 AS DOUBLE) / n1 - CAST(x2 AS DOUBLE) / n2)
+                 / sqrt((CAST(x1 + x2 AS DOUBLE) / (n1 + n2))
+                        * (1 - CAST(x1 + x2 AS DOUBLE) / (n1 + n2))
+                        * (1.0 / n1 + 1.0 / n2)), 6) AS z
+    FROM s
+    """,
+)
+def stat_proportion_ztest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-proportion pooled z-test — the conversion-rate A/B gate
+    (`stat_ttest` is its means sibling, `stat_chi2` its k-way cousin):
+    does the high-priority arm finalize orders at a different rate? All
+    four sufficient statistics (n, successes per arm) come from ONE
+    conditional-count aggregate pass; p1, p2, the pooled p and the z
+    statistic are pure scalar arithmetic on them. Double determinism:
+    every input is an exact int64 count, each derived term is written
+    with the identical operation tree in both engines (single divisions,
+    left-associated products, one correctly-rounded sqrt), so the
+    rounded z matches bit-for-bit.
+
+    Scale shape: one map-side-combined aggregate to a single row —
+    min-possible cost at any SF; no shuffle beyond the 1-row final."""
+    o = table(spark, sf_dir, "orders")
+    hi = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    succ = F.col("o_orderstatus") == "F"
+    s = o.agg(
+        F.count_if(hi).alias("n1"),
+        F.count_if(hi & succ).alias("x1"),
+        F.count_if(~hi).alias("n2"),
+        F.count_if(~hi & succ).alias("x2"),
+    )
+    p1 = F.col("x1").cast("double") / F.col("n1")
+    p2 = F.col("x2").cast("double") / F.col("n2")
+    pp = (F.col("x1") + F.col("x2")).cast("double") / (
+        F.col("n1") + F.col("n2")
+    )
+    se = F.sqrt(
+        pp * (F.lit(1) - pp)
+        * (F.lit(1.0) / F.col("n1") + F.lit(1.0) / F.col("n2"))
+    )
+    return s.select(
+        F.col("n1").cast("long").alias("n1"),
+        F.col("x1").cast("long").alias("x1"),
+        F.col("n2").cast("long").alias("n2"),
+        F.col("x2").cast("long").alias("x2"),
+        F.round(p1, 6).alias("p1"),
+        F.round(p2, 6).alias("p2"),
+        F.round((p1 - p2) / se, 6).alias("z"),
+    )
+
+
+def bfs_hops(sym: DataFrame, max_hops: int) -> DataFrame:
+    """Level-synchronous BFS from the minimum node id of a symmetric
+    edge list ``sym(u, v)``: returns (node, hops) for every node within
+    ``max_hops``, where hops is the exact shortest-path distance (each
+    node enters the visited set at its first frontier level). Each
+    level is localCheckpointed so lineage stays O(1) per level and the
+    visited set re-enters the anti-join as materialized partitions; the
+    per-level isEmpty is a bounded driver-side check (≤ max_hops)."""
+    sym = sym.localCheckpoint()
+    dist = (
+        sym.agg(F.min("u").alias("node"))
+        .select("node", F.lit(0).cast("int").alias("hops"))
+        .localCheckpoint()
+    )
+    frontier = dist.select("node")
+    for d in range(1, max_hops + 1):
+        nxt = (
+            frontier.join(sym, frontier["node"] == sym["u"])
+            .select(F.col("v").alias("node"))
+            .distinct()
+            .join(dist.select("node"), "node", "left_anti")
+            .select("node", F.lit(d).cast("int").alias("hops"))
+            .localCheckpoint()
+        )
+        if nxt.isEmpty():
+            break
+        dist = dist.unionAll(nxt).localCheckpoint()
+        frontier = nxt.select("node")
+    return dist
+
+
+@query(
+    "graph_shortest_hops",
+    """
+    WITH RECURSIVE e AS (
+      SELECT a.l_partkey AS u, b.l_partkey AS v
+      FROM lineitem a JOIN lineitem b
+        ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+      GROUP BY 1, 2 HAVING count(*) >= 2
+    ), sym AS (
+      SELECT u, v FROM e UNION ALL SELECT v AS u, u AS v FROM e
+    ), bfs AS (
+      SELECT min(u) AS node, 0 AS d FROM sym
+      UNION
+      SELECT sym.v, bfs.d + 1
+      FROM bfs JOIN sym ON sym.u = bfs.node WHERE bfs.d < 6
+    )
+    SELECT CAST(d AS INT) AS hops, CAST(count(*) AS BIGINT) AS n_nodes
+    FROM (SELECT node, min(d) AS d FROM bfs GROUP BY node)
+    GROUP BY d ORDER BY d
+    """,
+)
+def graph_shortest_hops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Single-source BFS hop distances (≤ 6 hops) over the strong-tie
+    co-purchase graph from its lowest-id node — reach-in-k-hops is the
+    'how far does influence/recall spread' question, and the frontier
+    pattern here is the template for any per-source graph traversal
+    (`graph_connected_components` labels everything; this measures
+    DISTANCE from one seed). Per level: frontier ⋈ edges (hash shuffle
+    on node key), distinct, anti-join against the visited set — each
+    node enters `dist` at its FIRST (minimal) level, which IS the BFS
+    distance. Each level is localCheckpointed: the visited set
+    re-enters the next anti-join as materialized partitions, not a
+    re-derivation, so lineage stays O(1) per level (the
+    connected-components lesson). Termination: hop cap 6 (matching the
+    oracle's recursion guard) or an empty frontier — checked with a
+    bounded driver-side isEmpty per level, ≤ 6 checks total.
+
+    Scale shape: level-synchronous BFS — exactly how Pregel/GraphX run
+    it; every join keys on the node id, the frontier is the only
+    growing set and it's bounded by the reachable vertex set."""
+    li = table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    a = li.select(F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("u"))
+    b = li.select(F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("v"))
+    e = (
+        a.join(b, "o")
+        .filter(F.col("u") < F.col("v"))
+        .groupBy("u", "v")
+        .agg(F.count(F.lit(1)).alias("m"))
+        .filter(F.col("m") >= 2)
+        .select("u", "v")
+    )
+    sym = e.unionAll(e.select(F.col("v").alias("u"), F.col("u").alias("v")))
+    return (
+        bfs_hops(sym, max_hops=6)
+        .groupBy("hops")
+        .agg(F.count(F.lit(1)).alias("n_nodes"))
+        .orderBy("hops")
+    )
+
+
+@query(
+    "table_zorder_optimize",
+    """
+    SELECT CAST(count(*) AS BIGINT) AS n,
+           round(CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE), 2)
+             AS total
+    FROM orders
+    WHERE o_custkey % 65536 >= 40000
+      AND o_orderdate >= DATE '1995-07-01' AND o_orderdate < DATE '1996-07-01'
+    """,
+)
+def table_zorder_optimize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OPTIMIZE ZORDER as a transactional commit — `parquet_zorder_sink`
+    proves the Morton layout; this op runs the same re-clustering AS A
+    VERSIONED COMMIT on the txn-log table format (what Delta ships as
+    `OPTIMIZE ... ZORDER BY`): the table is created hash-distributed
+    (the worst layout — every file spans the full key space, the state
+    real ingestion leaves behind), then `compact(order_by=morton_key)`
+    rewrites it range-partitioned + sorted on the interleaved
+    (custkey, orderdate) code as version 1, old snapshot untouched and
+    still readable. Content integrity is the oracle (a two-predicate
+    aggregate over the POST-OPTIMIZE read must match the source);
+    the 2-D span narrowing and snapshot immutability are pinned in
+    tests/test_txn_table.py. The quantization (min, max) scalars are 4
+    driver-side values from one metadata aggregate, and the Morton key
+    is the same pure codegen expression chain as the sink op — layout
+    only, never part of row values."""
+    import os
+    import shutil
+
+    from xlsx_to_database_spark.operators.txn_table import TxnTable
+    from xlsx_to_database_spark.queries.round4_ops import _zvalue
+
+    o = table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_orderdate", "o_totalprice"
+    )
+    tag = os.path.basename(os.path.normpath(sf_dir))
+    root = f"/tmp/spark_stage/{tag}_txn_zorder"
+    shutil.rmtree(root, ignore_errors=True)
+    tt = TxnTable(spark, root, "o_orderkey")
+    tt.create(o.repartition(8))
+    day = F.datediff(F.col("o_orderdate"), F.lit("1992-01-01"))
+    lo_c, hi_c, lo_d, hi_d = o.agg(
+        F.min("o_custkey"), F.max("o_custkey"), F.min(day), F.max(day)
+    ).collect()[0]
+
+    def quant(col, lo, hi):
+        return F.floor(
+            (col - F.lit(lo)).cast("long") * 256 / F.lit(hi - lo + 1)
+        ).cast("int")
+
+    z = _zvalue(
+        quant(F.col("o_custkey"), lo_c, hi_c), quant(day, lo_d, hi_d), bits=8
+    )
+    tt.compact(target_files=8, order_by=z)
+    return (
+        tt.read()
+        .filter(
+            (F.col("o_custkey") % 65536 >= 40000)
+            & (F.col("o_orderdate") >= F.lit("1995-07-01"))
+            & (F.col("o_orderdate") < F.lit("1996-07-01"))
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(
+                F.sum(F.col("o_totalprice").cast("decimal(18,2)")).cast(
+                    "double"
+                ),
+                2,
+            ).alias("total"),
+        )
+    )
+
+
+@query(
+    "sim_two_tier",
+    """
+    WITH v AS (
+      SELECT vec_id,
+             list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e,
+             list_transform(embedding[1:8], x -> CAST(x AS DOUBLE)) AS e8
+      FROM embeddings
+    ), n AS (
+      SELECT vec_id, e, e8,
+             sqrt(list_sum(list_transform(e, x -> x * x))) AS nrm,
+             sqrt(list_sum(list_transform(e8, x -> x * x))) AS nrm8
+      FROM v
+    ), q AS (
+      SELECT e AS qe, e8 AS qe8, nrm AS qn, nrm8 AS qn8
+      FROM n WHERE vec_id = 0
+    ), coarse AS (
+      SELECT vec_id, e, nrm, qe, qn,
+             round(list_sum(list_transform(generate_series(1, len(e8)),
+                                           i -> e8[i] * qe8[i]))
+                   / (nrm8 * qn8), 6) AS coarse_sim
+      FROM n, q
+      ORDER BY coarse_sim DESC, vec_id LIMIT 50
+    )
+    SELECT vec_id, coarse_sim,
+           round(list_sum(list_transform(generate_series(1, len(e)),
+                                         i -> e[i] * qe[i]))
+                 / (nrm * qn), 6) AS cos_sim
+    FROM coarse ORDER BY cos_sim DESC, vec_id LIMIT 10
+    """,
+)
+def sim_two_tier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-tier (Matryoshka) ANN retrieval — the production pattern
+    `vec_truncate_renorm` is the storage half of: tier 1 scores EVERY
+    vector against the query in the truncated 8-dim space (a d/k
+    compute cut; here 8/d of the FLOPs) and keeps the top-50
+    candidates, tier 2 re-ranks ONLY those 50 with the exact full-dim
+    cosine and returns the top-10. Both cuts are rounded-6 scores with
+    vec_id tie-breaks — total order, so the candidate set (and thus
+    the final ranking) is engine-deterministic, making the whole
+    two-tier pipeline exactly SQL-oracle-able (unlike hash-dependent
+    LSH/IVF, which are bounded-in-tests instead).
+
+    Scale shape: tier 1 is a map-only broadcast-scalar scan +
+    TakeOrdered(50) (no shuffle of the corpus); tier 2 touches 50 rows
+    — free. At 100 TB the coarse tier is the only full pass and it
+    reads 8 floats/row instead of d; recall depends on MRL training
+    quality, which is the model's contract, not the engine's."""
+    from xlsx_to_database_spark.operators.similarity import (
+        _dot,
+        _norm,
+        cosine_sim,
+    )
+
+    e = table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    e8 = F.slice("embedding", 1, 8)
+    q = (
+        e.filter(F.col("vec_id") == 0)
+        .select(
+            F.col("embedding").alias("qe"),
+            F.slice("embedding", 1, 8).alias("qe8"),
+        )
+    )
+    coarse = (
+        e.crossJoin(F.broadcast(q))
+        .select(
+            "vec_id",
+            "embedding",
+            "qe",
+            F.round(
+                _dot(e8, F.col("qe8")) / (_norm(e8) * _norm(F.col("qe8"))), 6
+            ).alias("coarse_sim"),
+        )
+        .orderBy(F.col("coarse_sim").desc(), "vec_id")
+        .limit(50)
+    )
+    return (
+        coarse.select(
+            "vec_id",
+            "coarse_sim",
+            cosine_sim(F.col("embedding"), F.col("qe")).alias("cos_sim"),
+        )
+        .orderBy(F.col("cos_sim").desc(), "vec_id")
+        .limit(10)
+    )
+
+
+@query(
+    "stat_mutual_info",
+    """
+    WITH joint AS (
+      SELECT o_orderpriority AS x, o_orderstatus AS y, count(*) AS c
+      FROM orders GROUP BY 1, 2
+    ), mx AS (
+      SELECT x, sum(c) AS cx FROM joint GROUP BY x
+    ), my AS (
+      SELECT y, sum(c) AS cy FROM joint GROUP BY y
+    ), n AS (
+      SELECT sum(c) AS n FROM joint
+    )
+    SELECT CAST(max(n.n) AS BIGINT) AS n,
+           round(CAST(sum(CAST((CAST(c AS DOUBLE) / n.n)
+                     * ln(CAST(c * n.n AS DOUBLE) / (cx * cy))
+                     AS DECIMAL(28,18))) AS DOUBLE), 6) AS mi_nats,
+           round(CAST(sum(CAST(-(CAST(c AS DOUBLE) / n.n)
+                     * ln(CAST(c AS DOUBLE) / n.n)
+                     AS DECIMAL(28,18))) AS DOUBLE), 6) AS h_joint
+    FROM joint
+    JOIN mx USING (x) JOIN my USING (y) CROSS JOIN n
+    """,
+)
+def stat_mutual_info(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mutual information (nats) between order priority and order
+    status, plus the joint entropy — the feature-selection /
+    dependence-detection primitive (`stat_chi2` tests the same
+    independence; MI QUANTIFIES it in bits-like units, and is what
+    ranks features for a classifier). One hash aggregate to the joint
+    contingency table (≤ |X|·|Y| rows — metadata scale), marginals and
+    the total re-aggregated FROM the joint (no second pass over the
+    fact table), then Σ p·ln(p_xy/(p_x·p_y)) with each ln term
+    DECIMAL(28,18)-quantized before summation (the stat_powerlaw/
+    agg_entropy discipline: the ln argument is one double division of
+    exact int64 products, identical in both engines; quantization
+    removes any summation-order sensitivity).
+
+    Scale shape: one map-side-combined shuffle to ≤ 15 cells; every
+    join after it is cell-count-sized."""
+    o = table(spark, sf_dir, "orders")
+    joint = o.groupBy(
+        F.col("o_orderpriority").alias("x"), F.col("o_orderstatus").alias("y")
+    ).agg(F.count(F.lit(1)).alias("c"))
+    mx = joint.groupBy("x").agg(F.sum("c").alias("cx"))
+    my = joint.groupBy("y").agg(F.sum("c").alias("cy"))
+    n = joint.agg(F.sum("c").alias("n"))
+    t = (
+        joint.join(mx, "x")
+        .join(my, "y")
+        .crossJoin(F.broadcast(n))
+    )
+    p = F.col("c").cast("double") / F.col("n")
+    mi_term = (
+        p
+        * F.log(
+            (F.col("c") * F.col("n")).cast("double")
+            / (F.col("cx") * F.col("cy"))
+        )
+    ).cast("decimal(28,18)")
+    h_term = (-p * F.log(p)).cast("decimal(28,18)")
+    return t.agg(
+        F.max("n").cast("long").alias("n"),
+        F.round(F.sum(mi_term).cast("double"), 6).alias("mi_nats"),
+        F.round(F.sum(h_term).cast("double"), 6).alias("h_joint"),
     )
