@@ -122,8 +122,8 @@ def _zvalue(a, b, bits: int = 16):
            round(CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE), 2)
              AS total
     FROM orders
-    WHERE o_custkey % 65536 < 20000
-      AND o_orderdate >= DATE '1994-01-01' AND o_orderdate < DATE '1995-01-01'
+    WHERE o_custkey % 4 = 1
+      AND o_orderdate >= DATE '1996-01-01' AND o_orderdate < DATE '1997-01-01'
     """,
 )
 def parquet_zorder_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -140,7 +140,10 @@ def parquet_zorder_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
     Per-file two-dimensional span narrowing is pyarrow-asserted in
     tests; this query proves content integrity: a two-predicate
     aggregate on the READ-BACK files must hash-match the source-side
-    oracle."""
+    oracle. The predicate uses a custkey MODULO and an in-range date
+    year so its selectivity is ~1/4 x ~1/6 at EVERY SF — a fixed
+    absolute range would silently select 0 rows on this testdata's
+    1995–2001 date domain and make the content check vacuous."""
     import os
 
     o = table(spark, sf_dir, "orders").select(
@@ -181,9 +184,9 @@ def parquet_zorder_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
         .parquet(dst)
     )
     back = spark.read.parquet(dst).filter(
-        (F.pmod(F.col("o_custkey"), F.lit(65536)) < 20000)
-        & (F.col("o_orderdate") >= F.lit("1994-01-01"))
-        & (F.col("o_orderdate") < F.lit("1995-01-01"))
+        (F.pmod(F.col("o_custkey"), F.lit(4)) == 1)
+        & (F.col("o_orderdate") >= F.lit("1996-01-01"))
+        & (F.col("o_orderdate") < F.lit("1997-01-01"))
     )
     return back.agg(
         F.count(F.lit(1)).alias("n"),

@@ -3215,8 +3215,8 @@ def graph_shortest_hops(spark: SparkSession, sf_dir: str) -> DataFrame:
            round(CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE), 2)
              AS total
     FROM orders
-    WHERE o_custkey % 65536 >= 40000
-      AND o_orderdate >= DATE '1995-07-01' AND o_orderdate < DATE '1996-07-01'
+    WHERE o_custkey % 3 = 2
+      AND o_orderdate >= DATE '1997-01-01' AND o_orderdate < DATE '1998-07-01'
     """,
 )
 def table_zorder_optimize(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -3266,9 +3266,9 @@ def table_zorder_optimize(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         tt.read()
         .filter(
-            (F.col("o_custkey") % 65536 >= 40000)
-            & (F.col("o_orderdate") >= F.lit("1995-07-01"))
-            & (F.col("o_orderdate") < F.lit("1996-07-01"))
+            (F.col("o_custkey") % 3 == 2)
+            & (F.col("o_orderdate") >= F.lit("1997-01-01"))
+            & (F.col("o_orderdate") < F.lit("1998-07-01"))
         )
         .agg(
             F.count(F.lit(1)).alias("n"),
@@ -3435,3 +3435,181 @@ def stat_mutual_info(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.sum(mi_term).cast("double"), 6).alias("mi_nats"),
         F.round(F.sum(h_term).cast("double"), 6).alias("h_joint"),
     )
+
+
+@query(
+    "dq_schema_drift",
+    """
+    WITH old AS (SELECT * FROM orders WHERE o_orderdate < DATE '1998-01-01'),
+         new AS (SELECT * FROM orders WHERE o_orderdate >= DATE '1998-01-01')
+    SELECT col_name, n_old, n_new, null_rate_old, null_rate_new,
+           distinct_old, distinct_new,
+           (abs(CAST(distinct_new AS DOUBLE) / n_new
+                - CAST(distinct_old AS DOUBLE) / n_old) > 0.05
+            OR abs(null_rate_new - null_rate_old) > 0.05) AS drift
+    FROM (
+      SELECT 'o_orderstatus' AS col_name,
+             CAST((SELECT count(*) FROM old) AS BIGINT) AS n_old,
+             CAST((SELECT count(*) FROM new) AS BIGINT) AS n_new,
+             round(1 - CAST((SELECT count(o_orderstatus) FROM old) AS DOUBLE)
+                       / (SELECT count(*) FROM old), 6) AS null_rate_old,
+             round(1 - CAST((SELECT count(o_orderstatus) FROM new) AS DOUBLE)
+                       / (SELECT count(*) FROM new), 6) AS null_rate_new,
+             CAST((SELECT count(DISTINCT o_orderstatus) FROM old) AS BIGINT)
+               AS distinct_old,
+             CAST((SELECT count(DISTINCT o_orderstatus) FROM new) AS BIGINT)
+               AS distinct_new
+      UNION ALL
+      SELECT 'o_orderpriority',
+             CAST((SELECT count(*) FROM old) AS BIGINT),
+             CAST((SELECT count(*) FROM new) AS BIGINT),
+             round(1 - CAST((SELECT count(o_orderpriority) FROM old) AS DOUBLE)
+                       / (SELECT count(*) FROM old), 6),
+             round(1 - CAST((SELECT count(o_orderpriority) FROM new) AS DOUBLE)
+                       / (SELECT count(*) FROM new), 6),
+             CAST((SELECT count(DISTINCT o_orderpriority) FROM old) AS BIGINT),
+             CAST((SELECT count(DISTINCT o_orderpriority) FROM new) AS BIGINT)
+      UNION ALL
+      SELECT 'o_custkey',
+             CAST((SELECT count(*) FROM old) AS BIGINT),
+             CAST((SELECT count(*) FROM new) AS BIGINT),
+             round(1 - CAST((SELECT count(o_custkey) FROM old) AS DOUBLE)
+                       / (SELECT count(*) FROM old), 6),
+             round(1 - CAST((SELECT count(o_custkey) FROM new) AS DOUBLE)
+                       / (SELECT count(*) FROM new), 6),
+             CAST((SELECT count(DISTINCT o_custkey) FROM old) AS BIGINT),
+             CAST((SELECT count(DISTINCT o_custkey) FROM new) AS BIGINT)
+    )
+    ORDER BY col_name
+    """,
+)
+def dq_schema_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Snapshot-over-snapshot data drift report (the Deequ/Great-
+    Expectations 'profile diff' job): for each monitored column,
+    compare null rate and distinct cardinality between the old
+    (< 1998) and new (≥ 1998) order snapshots and flag columns whose
+    null-rate or distinct-ratio moved more than 5 points —
+    `stat_psi_drift` watches one numeric distribution; this watches
+    the SCHEMA-level health of many columns at once (the check that
+    catches an upstream producer silently nulling a field or a
+    cardinality explosion). ONE pass over the fact table: every
+    (snapshot × column) statistic is a conditional aggregate in a
+    single groupBy-less agg — count distincts per snapshot via
+    count(DISTINCT when(cond, col)); Spark plans multi-distinct
+    aggregates with one Expand, still a single scan.
+
+    Scale shape: one scan + Expand(6 distinct groups) + 1-row final;
+    the per-column report is built metadata-side from that row via a
+    bounded 3-element explode — no per-column rescans at any SF."""
+    o = table(spark, sf_dir, "orders")
+    old = F.col("o_orderdate") < "1998-01-01"
+    new = ~old
+    cols = ["o_orderstatus", "o_orderpriority", "o_custkey"]
+    aggs = [
+        F.count_if(old).alias("n_old"),
+        F.count_if(new).alias("n_new"),
+    ]
+    for c in cols:
+        aggs += [
+            F.count(F.when(old, F.col(c))).alias(f"nn_old_{c}"),
+            F.count(F.when(new, F.col(c))).alias(f"nn_new_{c}"),
+            F.countDistinct(F.when(old, F.col(c))).alias(f"nd_old_{c}"),
+            F.countDistinct(F.when(new, F.col(c))).alias(f"nd_new_{c}"),
+        ]
+    one = o.agg(*aggs)
+    per = F.explode(
+        F.array(
+            *[
+                F.struct(
+                    F.lit(c).alias("col_name"),
+                    F.col(f"nn_old_{c}").alias("nn_old"),
+                    F.col(f"nn_new_{c}").alias("nn_new"),
+                    F.col(f"nd_old_{c}").alias("nd_old"),
+                    F.col(f"nd_new_{c}").alias("nd_new"),
+                )
+                for c in cols
+            ]
+        )
+    ).alias("s")
+    t = one.select("n_old", "n_new", per).select(
+        "s.col_name", "n_old", "n_new",
+        "s.nn_old", "s.nn_new", "s.nd_old", "s.nd_new",
+    )
+    nr_old = F.round(
+        F.lit(1) - F.col("nn_old").cast("double") / F.col("n_old"), 6
+    )
+    nr_new = F.round(
+        F.lit(1) - F.col("nn_new").cast("double") / F.col("n_new"), 6
+    )
+    return t.select(
+        "col_name",
+        F.col("n_old").cast("long").alias("n_old"),
+        F.col("n_new").cast("long").alias("n_new"),
+        nr_old.alias("null_rate_old"),
+        nr_new.alias("null_rate_new"),
+        F.col("nd_old").cast("long").alias("distinct_old"),
+        F.col("nd_new").cast("long").alias("distinct_new"),
+        (
+            (
+                F.abs(
+                    F.col("nd_new").cast("double") / F.col("n_new")
+                    - F.col("nd_old").cast("double") / F.col("n_old")
+                )
+                > 0.05
+            )
+            | (F.abs(nr_new - nr_old) > 0.05)
+        ).alias("drift"),
+    ).orderBy("col_name")
+
+
+@query(
+    "etl_k_anonymize",
+    """
+    WITH g AS (
+      SELECT c_nationkey, c_mktsegment, count(*) AS n
+      FROM customer GROUP BY 1, 2
+    )
+    SELECT CAST(c_nationkey AS VARCHAR) AS nation, c_mktsegment AS segment,
+           CAST(n AS BIGINT) AS n_rows, FALSE AS suppressed
+    FROM g WHERE n >= 5
+    UNION ALL
+    SELECT '*', '*', CAST(sum(n) AS BIGINT), TRUE
+    FROM g WHERE n < 5 HAVING count(*) > 0
+    """,
+)
+def etl_k_anonymize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-anonymity suppression (k=5) over the quasi-identifier pair
+    (nation, market segment): publishable groups keep their counts;
+    every group smaller than k is generalized into ONE suppressed
+    bucket ('*', '*') so no released row describes fewer than k
+    people — the minimum viable privacy gate for sharing aggregates
+    out of a 100 TB user corpus (`pii_redact` scrubs values INSIDE
+    rows; this bounds re-identification across rows). One hash
+    aggregate to the quasi-identifier groups, then a metadata-scale
+    split on the k threshold; the suppressed bucket is a one-row
+    re-aggregate guarded to vanish when nothing needs suppression.
+
+    Scale shape: one combiner-friendly shuffle on the QI key; the
+    k-filter and bucket union run on group counts (≤ |QI| rows)."""
+    c = table(spark, sf_dir, "customer")
+    g = c.groupBy("c_nationkey", "c_mktsegment").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    keep = g.filter(F.col("n") >= 5).select(
+        F.col("c_nationkey").cast("string").alias("nation"),
+        F.col("c_mktsegment").alias("segment"),
+        F.col("n").cast("long").alias("n_rows"),
+        F.lit(False).alias("suppressed"),
+    )
+    supp = (
+        g.filter(F.col("n") < 5)
+        .agg(F.sum("n").alias("s"), F.count(F.lit(1)).alias("ng"))
+        .filter(F.col("ng") > 0)
+        .select(
+            F.lit("*").alias("nation"),
+            F.lit("*").alias("segment"),
+            F.col("s").cast("long").alias("n_rows"),
+            F.lit(True).alias("suppressed"),
+        )
+    )
+    return keep.unionAll(supp)
