@@ -862,3 +862,106 @@ def test_pareto_shares_are_cumulative_to_one(spark, sf_dir):
         # deciles rank by DESCENDING revenue: per-decile share shrinks
         assert b.rev_share <= a.rev_share + 1e-9
     assert abs(rows[-1].cum_share - 1.0) < 1e-6
+
+
+def test_frank2_matches_hand_computed_tie_averaged_ranks(spark):
+    # x = [10, 10, 20, 30, 30, 30]: fractional ranks 1.5,1.5,3,5,5,5
+    # -> 2*rank = 3,3,6,10,10,10
+    from xlsx_to_database_spark.queries.round5b_ops import _frank2
+
+    df = spark.createDataFrame([(10,), (10,), (20,), (30,), (30,), (30,)], "x int")
+    got = {int(r.x): int(r.r2) for r in _frank2(df, "x", "r2").collect()}
+    assert got == {10: 3, 20: 6, 30: 10}
+
+
+def test_spearman_is_plus_one_on_monotone_data(spark, tmp_path, sf_dir):
+    # rho must be exactly 1 when y is a strictly increasing function of x
+    # (rank invariance) — stage a monotone lineitem and run the real op.
+    import shutil
+
+    from xlsx_to_database_spark.registry import all_queries
+
+    stage = tmp_path / "sf_mono"
+    stage.mkdir()
+    for t in (
+        "region nation customer supplier part orders lineitem events "
+        "documents embeddings".split()
+    ):
+        shutil.copy(f"{sf_dir}/{t}.parquet", stage / f"{t}.parquet")
+    spark.range(1, 201).select(
+        (F.col("id") % 37).cast("double").alias("l_quantity"),
+        ((F.col("id") % 37) * 3 + 1).cast("double").alias("l_extendedprice"),
+    ).coalesce(1).write.mode("overwrite").parquet(str(stage / "lineitem.parquet"))
+    row = all_queries()["stat_spearman"](spark, str(stage)).collect()[0]
+    assert row.n_rows == 200
+    assert row.rho_spearman == 1.0
+
+
+def test_event_pattern_conv_pos_is_minimal_subsequence_end(spark, sf_dir):
+    # Recompute the earliest v..c..p subsequence end per user in Python
+    # over the raw events and compare against the operator output.
+    from xlsx_to_database_spark.catalog import table
+    from xlsx_to_database_spark.registry import all_queries
+
+    ev = (
+        table(spark, sf_dir, "events")
+        .select("user_id", "ts", "event_id", "event_type")
+        .collect()
+    )
+    seqs = {}
+    for r in sorted(ev, key=lambda r: (r.user_id, r.ts, r.event_id)):
+        seqs.setdefault(r.user_id, []).append(r.event_type[0])
+    expect = {}
+    for u, chars in seqs.items():
+        s = "".join(chars)
+        i1 = s.find("v")
+        i2 = s.find("c", i1 + 1) if i1 >= 0 else -1
+        i3 = s.find("p", i2 + 1) if i2 >= 0 else -1
+        if i3 >= 0:
+            expect[u] = (len(chars), i3 + 1)  # 1-based
+    got = {
+        r.user_id: (r.n_events, r.conv_pos)
+        for r in all_queries()["event_pattern_match"](spark, sf_dir).collect()
+    }
+    assert got == expect
+
+
+def test_sample_weighted_matches_python_replay(spark, sf_dir):
+    from xlsx_to_database_spark.catalog import table
+    from xlsx_to_database_spark.registry import all_queries
+
+    orders = table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_totalprice"
+    ).collect()
+    expect = set()
+    for r in orders:
+        u = (r.o_orderkey * 2654435761 + 7919) % 1048576
+        p = min(int(r.o_totalprice * 1048576.0 / 600000.0), 1048576)
+        if u < p:
+            expect.add(r.o_orderkey)
+    got = {
+        r.o_orderkey
+        for r in all_queries()["sample_weighted"](spark, sf_dir).collect()
+    }
+    assert got == expect and len(got) > 0
+
+
+def test_pmi_lift_exceeds_one_for_top_collocations(spark, sf_dir):
+    from xlsx_to_database_spark.registry import all_queries
+
+    rows = all_queries()["text_pmi"](spark, sf_dir).collect()
+    assert 0 < len(rows) <= 20
+    assert all(r.cnt >= 5 for r in rows)
+    # top-k by lift, descending, ties broken (w1, w2)
+    keys = [(-r.pmi_lift, r.w1, r.w2) for r in rows]
+    assert keys == sorted(keys)
+
+
+def test_ref_integrity_full_dim_has_zero_orphans(spark, sf_dir):
+    from xlsx_to_database_spark.registry import all_queries
+
+    rows = {r.rel: r for r in all_queries()["dq_ref_integrity"](spark, sf_dir).collect()}
+    assert rows["orders->customer"].n_orphans == 0
+    for r in rows.values():
+        assert 0 <= r.n_orphans <= r.n_child
+        assert 0.0 <= r.orphan_rate <= 1.0

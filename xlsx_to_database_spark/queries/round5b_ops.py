@@ -1,0 +1,443 @@
+"""Round-5 additions, second module (batch 4+).
+
+Registered after round5_ops so these queue behind the curated round-5
+driver window (see round5_ops docstring): rank-based correlation,
+sequence-pattern matching over event streams, deterministic weighted
+sampling, referential-integrity auditing, and PMI collocation mining.
+
+Oracle discipline (SURVEY.md §5): every statistic here is computed from
+EXACT integer/decimal sufficient statistics on both engines, with any
+floating-point combination confined to an identical final expression
+over identical inputs — so the driver's value-hash comparison is exact,
+not tolerance-based.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from xlsx_to_database_spark.catalog import table
+from xlsx_to_database_spark.operators import global_order as GO
+from xlsx_to_database_spark.registry import query
+
+
+def _frank2(df: DataFrame, col: str, out: str) -> DataFrame:
+    """(value, 2·fractional-rank) for ``col``: the tie-averaged rank used
+    by Spearman's rho, doubled so it stays an exact integer (ties average
+    to halves). frank = cnt_less + (cnt+1)/2, so 2·frank = 2·cnt_le −
+    cnt + 1 where cnt_le is the inclusive running count over the value
+    order. Runs on the DISTINCT-VALUE aggregate (vocabulary-scale, not
+    row-scale) and uses the bucketed global running sum
+    (operators/global_order.py) so the value table itself never forces a
+    single-partition window at 100 TB."""
+    vals = df.groupBy(F.col(col).alias("__v")).agg(
+        F.count(F.lit(1)).alias("__cnt")
+    )
+    ranked = GO.with_global_running_sums(
+        vals, [F.col("__v")], "__v", {"__cle": "__cnt"}
+    )
+    return ranked.select(
+        F.col("__v").alias(col),
+        (F.lit(2) * F.col("__cle") - F.col("__cnt") + F.lit(1))
+        .cast("decimal(19,0)")
+        .alias(out),
+    )
+
+
+@query(
+    "stat_spearman",
+    """
+    WITH rx AS (
+      SELECT x, 2 * sum(cnt) OVER (ORDER BY x) - cnt + 1 AS rx2
+      FROM (SELECT l_quantity AS x, count(*) AS cnt
+            FROM lineitem GROUP BY 1)
+    ), ry AS (
+      SELECT y, 2 * sum(cnt) OVER (ORDER BY y) - cnt + 1 AS ry2
+      FROM (SELECT l_extendedprice AS y, count(*) AS cnt
+            FROM lineitem GROUP BY 1)
+    ), j AS (
+      SELECT rx2, ry2
+      FROM lineitem
+      JOIN rx ON l_quantity = rx.x
+      JOIN ry ON l_extendedprice = ry.y
+    ), s AS (
+      SELECT CAST(count(*) AS DOUBLE) AS n,
+             CAST(sum(rx2) AS DOUBLE) AS sx,
+             CAST(sum(ry2) AS DOUBLE) AS sy,
+             CAST(sum(rx2 * rx2) AS DOUBLE) AS sxx,
+             CAST(sum(ry2 * ry2) AS DOUBLE) AS syy,
+             CAST(sum(rx2 * ry2) AS DOUBLE) AS sxy
+      FROM j
+    )
+    SELECT CAST(n AS BIGINT) AS n_rows,
+           round((n * sxy - sx * sy)
+                 / sqrt((n * sxx - sx * sx) * (n * syy - sy * sy)),
+                 6) AS rho_spearman
+    FROM s
+    """,
+)
+def stat_spearman(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spearman rank correlation (tie-corrected) between quantity and
+    extended price — the robust, monotone-invariant complement to the
+    Pearson family (`agg_corr`, `stat_rolling_corr`): outliers can't
+    dominate because values enter only through their ranks.
+
+    Exactness across engines: fractional ranks are half-integers, so we
+    carry 2·rank as exact integers; all five sufficient statistics are
+    exact DECIMAL/hugeint sums; the only float math is one shared final
+    expression over identical doubles, rounded to 6.
+
+    Scale shape: ranks are computed on the DISTINCT-VALUE aggregates
+    (quantity: 50 values; price: bounded by the price book, ≪ rows),
+    each via the bucketed global running sum — no row-scale global
+    window anywhere. The rank joins are equi-joins Catalyst broadcasts
+    when the value table is small; the final reduce is a single
+    6-column aggregate."""
+    li = table(spark, sf_dir, "lineitem").select(
+        "l_quantity", "l_extendedprice"
+    )
+    rx = _frank2(li, "l_quantity", "rx2")
+    ry = _frank2(li, "l_extendedprice", "ry2")
+    j = li.join(rx, "l_quantity").join(ry, "l_extendedprice")
+    s = j.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("rx2").alias("sx"),
+        F.sum("ry2").alias("sy"),
+        F.sum(F.col("rx2") * F.col("rx2")).alias("sxx"),
+        F.sum(F.col("ry2") * F.col("ry2")).alias("syy"),
+        F.sum(F.col("rx2") * F.col("ry2")).alias("sxy"),
+    )
+    nd = F.col("n").cast("double")
+    sx, sy = F.col("sx").cast("double"), F.col("sy").cast("double")
+    sxx, syy = F.col("sxx").cast("double"), F.col("syy").cast("double")
+    sxy = F.col("sxy").cast("double")
+    return s.select(
+        F.col("n").cast("long").alias("n_rows"),
+        F.round(
+            (nd * sxy - sx * sy)
+            / F.sqrt((nd * sxx - sx * sx) * (nd * syy - sy * sy)),
+            6,
+        ).alias("rho_spearman"),
+    )
+
+
+@query(
+    "event_pattern_match",
+    """
+    WITH seqs AS (
+      SELECT user_id,
+             string_agg(substr(event_type, 1, 1), ''
+                        ORDER BY ts, event_id) AS seq,
+             count(*) AS n_events
+      FROM events GROUP BY user_id
+    ), hits AS (
+      SELECT user_id, n_events, seq,
+             strpos(seq, 'v') AS i1
+      FROM seqs WHERE seq LIKE '%v%c%p%'
+    ), step2 AS (
+      SELECT user_id, n_events, seq, i1,
+             i1 + strpos(substr(seq, i1 + 1), 'c') AS i2
+      FROM hits
+    )
+    SELECT user_id, CAST(n_events AS BIGINT) AS n_events,
+           CAST(i2 + strpos(substr(seq, i2 + 1), 'p') AS INT) AS conv_pos
+    FROM step2
+    """,
+)
+def event_pattern_match(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence-pattern matching over per-user event streams — the
+    MATCH_RECOGNIZE / funnel-regex primitive: encode each user's ordered
+    event history as a compact symbol string (one char per event), then
+    pattern-match `view …then… click …then… purchase` as a subsequence
+    and report WHERE the earliest conversion completes (`funnel_steps`
+    counts stage reach; this finds the position of the completing event,
+    the input to time-to-convert and path-length analytics).
+
+    Deterministic: the symbol string is ordered by (ts, event_id) —
+    event_id is unique, so both engines build byte-identical sequences;
+    matching and position arithmetic are integer/string ops.
+
+    Scale shape: ONE shuffle (groupBy user) builds the sequences via
+    collect_list + array_sort — per-user payload is bounded by the
+    user's own history, the same envelope any sessionization needs; the
+    match + position scan is map-only codegen over strings that are ~1
+    byte per event."""
+    e = table(spark, sf_dir, "events")
+    seqs = e.groupBy("user_id").agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(
+                    F.collect_list(
+                        F.struct(
+                            F.col("ts"),
+                            F.col("event_id"),
+                            F.substring("event_type", 1, 1).alias("c"),
+                        )
+                    )
+                ),
+                lambda s: s.c,
+            ),
+            "",
+        ).alias("seq"),
+        F.count(F.lit(1)).alias("n_events"),
+    )
+    hits = seqs.filter(F.col("seq").like("%v%c%p%"))
+    i1 = F.instr(F.col("seq"), "v")
+    h2 = hits.select(
+        "user_id",
+        "n_events",
+        "seq",
+        i1.alias("i1"),
+        (i1 + F.instr(F.substring(F.col("seq"), i1 + 1, 2147483647), "c")).alias(
+            "i2"
+        ),
+    )
+    return h2.select(
+        "user_id",
+        F.col("n_events").cast("long").alias("n_events"),
+        (
+            F.col("i2")
+            + F.instr(F.substring(F.col("seq"), F.col("i2") + 1, 2147483647), "p")
+        )
+        .cast("int")
+        .alias("conv_pos"),
+    )
+
+
+@query(
+    "sample_weighted",
+    """
+    WITH t AS (
+      SELECT o_orderkey, o_totalprice,
+             (o_orderkey * 2654435761 + 7919) % 1048576 AS u,
+             least(CAST(floor(o_totalprice * 1048576.0 / 600000.0)
+                        AS BIGINT), 1048576) AS p
+      FROM orders
+    )
+    SELECT o_orderkey, round(o_totalprice, 2) AS o_totalprice,
+           round(1048576.0 / p, 6) AS ht_weight
+    FROM t WHERE u < p
+    """,
+)
+def sample_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted Poisson sampling with deterministic pseudo-randomness —
+    each order is kept with probability proportional to its price
+    (p = totalprice/600k), decided by an integer multiplicative hash of
+    the key instead of engine RNG. That buys the three properties
+    `sample_frac` (RNG, rows-only check) can't give a 100 TB pipeline:
+    EXACT reproducibility across engines/retries/partitionings, an
+    exact oracle (this op hash-matches, not rows-only), and stability —
+    re-runs keep the same sample. The Horvitz–Thompson weight 1/p is
+    emitted so downstream sums stay unbiased.
+
+    All the selection math is integer (hash mod 2^20 vs a floored
+    scaled probability); the only doubles are one correctly-rounded
+    multiply/divide pair, identical on both engines. Map-only: the
+    filter evaluates in the scan stage, no shuffle."""
+    o = table(spark, sf_dir, "orders")
+    u = (F.col("o_orderkey") * F.lit(2654435761) + F.lit(7919)) % F.lit(1048576)
+    p = F.least(
+        F.floor(F.col("o_totalprice") * F.lit(1048576.0) / F.lit(600000.0))
+        .cast("long"),
+        F.lit(1048576).cast("long"),
+    )
+    return (
+        o.select("o_orderkey", "o_totalprice", u.alias("u"), p.alias("p"))
+        .filter(F.col("u") < F.col("p"))
+        .select(
+            "o_orderkey",
+            F.round("o_totalprice", 2).alias("o_totalprice"),
+            F.round(F.lit(1048576.0) / F.col("p"), 6).alias("ht_weight"),
+        )
+    )
+
+
+@query(
+    "dq_ref_integrity",
+    """
+    WITH v1 AS (
+      SELECT count(*) AS n_child,
+             count(*) FILTER (WHERE c_custkey IS NULL) AS n_orphans
+      FROM orders LEFT JOIN customer ON o_custkey = c_custkey
+    ), v2 AS (
+      SELECT count(*) AS n_child,
+             count(*) FILTER (WHERE s_suppkey IS NULL) AS n_orphans
+      FROM lineitem LEFT JOIN (
+        SELECT s_suppkey FROM supplier WHERE s_acctbal > 0
+      ) s ON l_suppkey = s_suppkey
+    ), v3 AS (
+      SELECT count(*) AS n_child,
+             count(*) FILTER (WHERE p_partkey IS NULL) AS n_orphans
+      FROM lineitem LEFT JOIN (
+        SELECT p_partkey FROM part WHERE p_size < 40
+      ) p ON l_partkey = p_partkey
+    )
+    SELECT rel, CAST(n_child AS BIGINT) AS n_child,
+           CAST(n_orphans AS BIGINT) AS n_orphans,
+           round(CAST(n_orphans AS DOUBLE) / n_child, 6) AS orphan_rate
+    FROM (
+      SELECT 'orders->customer' AS rel, * FROM v1
+      UNION ALL SELECT 'lineitem->supplier(acctbal>0)', * FROM v2
+      UNION ALL SELECT 'lineitem->part(size<40)', * FROM v3
+    )
+    """,
+)
+def dq_ref_integrity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Referential-integrity audit — orphan counts and rates for three
+    FK relationships, two of them against RESTRICTED dimension views so
+    the report exercises real violations (`dq_checks` validates
+    row-local predicates; this validates CROSS-TABLE consistency, the
+    check that catches a bad partition of a dimension load before it
+    poisons every downstream join).
+
+    Each relation is one left join probing the dimension's key with a
+    conditional count — Catalyst broadcasts the small dimension side,
+    so the audit costs one map-side pass per child table; the three
+    one-row results union metadata-side. At 100 TB the same plan holds:
+    dimensions broadcast, fact tables stream."""
+    o = table(spark, sf_dir, "orders").select("o_custkey")
+    li = table(spark, sf_dir, "lineitem").select("l_suppkey", "l_partkey")
+    c = table(spark, sf_dir, "customer").select("c_custkey")
+    s = (
+        table(spark, sf_dir, "supplier")
+        .filter(F.col("s_acctbal") > 0)
+        .select("s_suppkey")
+    )
+    p = (
+        table(spark, sf_dir, "part")
+        .filter(F.col("p_size") < 40)
+        .select("p_partkey")
+    )
+
+    def audit(child, ckey, dim, dkey, rel):
+        return (
+            child.join(dim, child[ckey] == dim[dkey], "left")
+            .agg(
+                F.count(F.lit(1)).alias("n_child"),
+                F.count_if(dim[dkey].isNull()).alias("n_orphans"),
+            )
+            .select(
+                F.lit(rel).alias("rel"),
+                F.col("n_child").cast("long"),
+                F.col("n_orphans").cast("long"),
+                F.round(
+                    F.col("n_orphans").cast("double") / F.col("n_child"), 6
+                ).alias("orphan_rate"),
+            )
+        )
+
+    return (
+        audit(o, "o_custkey", c, "c_custkey", "orders->customer")
+        .unionAll(
+            audit(li, "l_suppkey", s, "s_suppkey",
+                  "lineitem->supplier(acctbal>0)")
+        )
+        .unionAll(
+            audit(li, "l_partkey", p, "p_partkey", "lineitem->part(size<40)")
+        )
+    )
+
+
+@query(
+    "text_pmi",
+    """
+    WITH toks AS (
+      SELECT string_split(lower(text), ' ') AS t FROM documents
+    ), bg AS (
+      SELECT t[i] AS w1, t[i+1] AS w2
+      FROM (SELECT t, CAST(unnest(range(1, len(t))) AS INT) AS i
+            FROM toks) WHERE len(t) >= 2
+    ), uni AS (
+      SELECT w, count(*) AS cu FROM (
+        SELECT unnest(t) AS w FROM toks
+      ) GROUP BY w
+    ), bgc AS (
+      SELECT w1, w2, count(*) AS c FROM bg GROUP BY w1, w2
+    ), tot AS (
+      SELECT (SELECT count(*) FROM bg) AS nbg,
+             (SELECT sum(cu) FROM uni) AS nuni
+    )
+    SELECT w1, w2, CAST(c AS BIGINT) AS cnt,
+           round(CAST(c * nuni * nuni AS DOUBLE)
+                 / CAST(nbg * u1.cu * u2.cu AS DOUBLE), 6) AS pmi_lift
+    FROM bgc
+    JOIN uni u1 ON w1 = u1.w
+    JOIN uni u2 ON w2 = u2.w
+    CROSS JOIN tot
+    WHERE c >= 5
+    ORDER BY pmi_lift DESC, w1, w2 LIMIT 20
+    """,
+)
+def text_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pointwise-mutual-information collocation mining: rank adjacent
+    bigrams by how much more often they co-occur than independence
+    predicts — lift = P(w1,w2)/(P(w1)·P(w2)) — the classic phrase-mining
+    signal (PMI is log(lift); the log is monotone, so ranking by the
+    exact rational lift avoids cross-engine transcendental drift
+    entirely). Builds on `text_markov_bigrams`' pair stream; differs in
+    normalizing against BOTH marginals, which is what separates "common
+    because its words are common" from a true collocation.
+
+    Exactness: the lift's numerator and denominator are exact integer
+    products (DECIMAL/hugeint), divided once in double on both engines,
+    rounded to 6. Min-count ≥ 5 keeps the rare-pair noise PMI is
+    notorious for out of the top-k.
+
+    Scale shape: pair generation is a codegen transform+explode
+    (map-only); both count aggregates collapse map-side onto
+    vocabulary-bounded keys; the two marginal joins run at
+    bigram-vocabulary scale, never the raw pair stream; totals attach
+    via a broadcast one-row cross join."""
+    d = table(spark, sf_dir, "documents")
+    toks = d.select(F.split(F.lower("text"), " ").alias("t"))
+    bg = (
+        toks.filter(F.size("t") >= 2)
+        .select(
+            F.explode(
+                F.transform(
+                    F.sequence(F.lit(0), F.size("t") - 2),
+                    lambda i: F.struct(
+                        F.element_at(F.col("t"), i + 1).alias("w1"),
+                        F.element_at(F.col("t"), i + 2).alias("w2"),
+                    ),
+                )
+            ).alias("p")
+        )
+        .select("p.w1", "p.w2")
+    )
+    uni = (
+        toks.select(F.explode("t").alias("w"))
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("cu"))
+    )
+    bgc = bg.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c"))
+    tot = bgc.agg(F.sum("c").alias("nbg")).crossJoin(
+        F.broadcast(uni.agg(F.sum("cu").alias("nuni")))
+    )
+    num = (
+        F.col("c").cast("decimal(19,0)")
+        * F.col("nuni").cast("decimal(19,0)")
+        * F.col("nuni").cast("decimal(19,0)")
+    )
+    den = (
+        F.col("nbg").cast("decimal(19,0)")
+        * F.col("u1_cu").cast("decimal(19,0)")
+        * F.col("u2_cu").cast("decimal(19,0)")
+    )
+    return (
+        bgc.filter(F.col("c") >= 5)
+        .join(uni.select(F.col("w").alias("w1"), F.col("cu").alias("u1_cu")), "w1")
+        .join(uni.select(F.col("w").alias("w2"), F.col("cu").alias("u2_cu")), "w2")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "w1",
+            "w2",
+            F.col("c").cast("long").alias("cnt"),
+            F.round(num.cast("double") / den.cast("double"), 6).alias(
+                "pmi_lift"
+            ),
+        )
+        .orderBy(F.col("pmi_lift").desc(), "w1", "w2")
+        .limit(20)
+    )

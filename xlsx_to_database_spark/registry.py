@@ -209,6 +209,7 @@ def _load_all() -> None:
         # queries/round4_ops.py docstring).
         "xlsx_to_database_spark.queries.round4_ops",
         "xlsx_to_database_spark.queries.round5_ops",
+        "xlsx_to_database_spark.queries.round5b_ops",
     ):
         try:
             importlib.import_module(mod)
