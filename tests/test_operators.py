@@ -965,3 +965,94 @@ def test_ref_integrity_full_dim_has_zero_orphans(spark, sf_dir):
     for r in rows.values():
         assert 0 <= r.n_orphans <= r.n_child
         assert 0.0 <= r.orphan_rate <= 1.0
+
+
+def test_rolling_slope_matches_python_replay(spark, sf_dir):
+    from xlsx_to_database_spark.catalog import table
+    from xlsx_to_database_spark.registry import all_queries
+
+    ev = table(spark, sf_dir, "events").select(
+        "user_id", "event_id", F.unix_timestamp("ts").alias("xs"),
+        F.floor(F.col("value") * 100 + F.lit(0.5)).cast("long").alias("y"),
+    ).collect()
+    byu = {}
+    for r in ev:
+        byu.setdefault(r.user_id, []).append(r)
+    expect = {}
+    for u, rows in byu.items():
+        x0 = min(r.xs for r in rows)
+        rows = sorted(rows, key=lambda r: (r.xs - x0, r.event_id))
+        for i, r in enumerate(rows):
+            fr = rows[max(0, i - 10): i + 1]
+            n = len(fr)
+            sx = sum(q.xs - x0 for q in fr)
+            sy = sum(q.y for q in fr)
+            sxx = sum((q.xs - x0) ** 2 for q in fr)
+            sxy = sum((q.xs - x0) * q.y for q in fr)
+            den = float(n) * float(sxx) - float(sx) * float(sx)
+            slope = (
+                None if den == 0
+                else round((float(n) * float(sxy) - float(sx) * float(sy)) / den, 6)
+            )
+            expect[(u, r.event_id)] = (n, slope)
+    got = {
+        (r.user_id, r.event_id): (r.n_frame, r.slope_cents_per_s)
+        for r in all_queries()["win_rolling_slope"](spark, sf_dir).collect()
+    }
+    assert got == expect
+
+
+def test_clustering_coeff_is_one_on_a_clique(spark, tmp_path, sf_dir):
+    import shutil
+
+    from xlsx_to_database_spark.registry import all_queries
+
+    stage = tmp_path / "sf_clique"
+    stage.mkdir()
+    for t in (
+        "region nation customer supplier part orders lineitem events "
+        "documents embeddings".split()
+    ):
+        shutil.copy(f"{sf_dir}/{t}.parquet", stage / f"{t}.parquet")
+    # order 1 holds parts {1,2,3,4} -> K4 (every node coeff 1, d=3);
+    # orders 2,3 hold {5,6} and {6,7} -> a path, no node reaches d>=3
+    rows = [(1, p) for p in (1, 2, 3, 4)] + [(2, 5), (2, 6), (3, 6), (3, 7)]
+    spark.createDataFrame(rows, "l_orderkey long, l_partkey long").coalesce(
+        1
+    ).write.mode("overwrite").parquet(str(stage / "lineitem.parquet"))
+    got = all_queries()["graph_clustering_coeff"](spark, str(stage)).collect()
+    assert sorted(r.part_key for r in got) == [1, 2, 3, 4]
+    assert all(r.degree == 3 and r.n_triangles == 3 and r.clustering == 1.0
+               for r in got)
+
+
+def test_naive_bayes_ranks_are_dense_per_lang(spark, sf_dir):
+    from xlsx_to_database_spark.registry import all_queries
+
+    rows = all_queries()["ml_naive_bayes"](spark, sf_dir).collect()
+    bylang = {}
+    for r in rows:
+        assert r.cnt >= 5 and r.nb_lift > 0
+        bylang.setdefault(r.lang, []).append(r)
+    for lang, rs in bylang.items():
+        rs = sorted(rs, key=lambda r: r.rk)
+        assert [r.rk for r in rs] == list(range(1, len(rs) + 1))
+        for a, b in zip(rs, rs[1:]):
+            assert b.nb_lift <= a.nb_lift + 1e-9
+
+
+def test_wilson_interval_brackets_p_hat(spark, sf_dir):
+    import math as m
+
+    from xlsx_to_database_spark.registry import all_queries
+
+    rows = all_queries()["stat_binomial_ci"](spark, sf_dir).collect()
+    assert len(rows) == 5
+    for r in rows:
+        assert 0.0 <= r.wilson_lo <= r.p_hat <= r.wilson_hi <= 1.0
+        # replay the closed form
+        n, p = float(r.n), r.k / r.n
+        half = 1.96 * m.sqrt(p * (1 - p) / n + 0.9604 / (n * n))
+        lo = (p + 1.9208 / n - half) / (1 + 3.8416 / n)
+        hi = (p + 1.9208 / n + half) / (1 + 3.8416 / n)
+        assert abs(r.wilson_lo - lo) < 1e-6 and abs(r.wilson_hi - hi) < 1e-6

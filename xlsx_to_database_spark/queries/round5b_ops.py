@@ -441,3 +441,352 @@ def text_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("pmi_lift").desc(), "w1", "w2")
         .limit(20)
     )
+
+
+@query(
+    "win_rolling_slope",
+    """
+    WITH base AS (
+      SELECT user_id, event_id,
+             CAST(floor(epoch(ts)) AS BIGINT)
+               - min(CAST(floor(epoch(ts)) AS BIGINT))
+                   OVER (PARTITION BY user_id) AS x,
+             CAST(floor(value * 100 + 0.5) AS BIGINT) AS y
+      FROM events
+    ), w AS (
+      SELECT user_id, event_id,
+             count(*) OVER f AS n,
+             sum(x) OVER f AS sx, sum(y) OVER f AS sy,
+             sum(x * x) OVER f AS sxx, sum(x * y) OVER f AS sxy
+      FROM base
+      WINDOW f AS (PARTITION BY user_id ORDER BY x, event_id
+                   ROWS BETWEEN 10 PRECEDING AND CURRENT ROW)
+    )
+    SELECT user_id, event_id, CAST(n AS INT) AS n_frame,
+           round((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+                  - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+                 / nullif(CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+                          - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE), 0),
+                 6) AS slope_cents_per_s
+    FROM w
+    """,
+)
+def win_rolling_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling OLS slope of event value over time, per user, trailing
+    11-row frame — the windowed trend detector (is this metric rising
+    and how fast?) that rolling means/correlations don't answer
+    (`win_moving_avg` gives level, `stat_rolling_corr` direction
+    strength; the slope gives RATE in units/second).
+
+    Exactness: x is epoch-seconds re-based to the user's first event
+    (keeps x² sums within long range at any horizon — slope is
+    shift-invariant), y is value quantized to integer cents, so every
+    windowed sum is exact integer; both engines combine the same five
+    exact stats in one identical double expression, rounded to 6.
+    NULL when the frame's x-variance is zero (first row / equal
+    timestamps) via a NULLIF guard.
+
+    Scale shape: one shuffle on user_id; frames are ROWS-bounded so
+    state per window is O(11); no global window anywhere."""
+    e = table(spark, sf_dir, "events")
+    base = e.select(
+        "user_id",
+        "event_id",
+        (
+            F.unix_timestamp("ts")
+            - F.min(F.unix_timestamp("ts")).over(Window.partitionBy("user_id"))
+        ).alias("x"),
+        F.floor(F.col("value") * 100 + F.lit(0.5)).cast("long").alias("y"),
+    )
+    f = (
+        Window.partitionBy("user_id")
+        .orderBy("x", "event_id")
+        .rowsBetween(-10, Window.currentRow)
+    )
+    w = base.select(
+        "user_id",
+        "event_id",
+        F.count(F.lit(1)).over(f).alias("n"),
+        F.sum("x").over(f).alias("sx"),
+        F.sum("y").over(f).alias("sy"),
+        F.sum(F.col("x") * F.col("x")).over(f).alias("sxx"),
+        F.sum(F.col("x") * F.col("y")).over(f).alias("sxy"),
+    )
+    nd = F.col("n").cast("double")
+    sx, sy = F.col("sx").cast("double"), F.col("sy").cast("double")
+    sxx, sxy = F.col("sxx").cast("double"), F.col("sxy").cast("double")
+    return w.select(
+        "user_id",
+        "event_id",
+        F.col("n").cast("int").alias("n_frame"),
+        F.round(
+            (nd * sxy - sx * sy)
+            / F.nullif(nd * sxx - sx * sx, F.lit(0.0)),
+            6,
+        ).alias("slope_cents_per_s"),
+    )
+
+
+@query(
+    "graph_clustering_coeff",
+    """
+    WITH e AS (
+      SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v
+      FROM lineitem a JOIN lineitem b
+        ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+    ), deg AS (
+      SELECT u AS node, count(*) AS d FROM (
+        SELECT u FROM e UNION ALL SELECT v FROM e
+      ) t(u) GROUP BY u
+    ), de AS (
+      SELECT CASE WHEN (du.d, e.u) < (dv.d, e.v) THEN e.u ELSE e.v END AS s,
+             CASE WHEN (du.d, e.u) < (dv.d, e.v) THEN e.v ELSE e.u END AS t
+      FROM e JOIN deg du ON du.node = e.u JOIN deg dv ON dv.node = e.v
+    ), tri AS (
+      SELECT e1.s AS a, e1.t AS b, e2.t AS c
+      FROM de e1 JOIN de e2 ON e1.t = e2.s
+      JOIN de e3 ON e3.s = e1.s AND e3.t = e2.t
+    ), pertri AS (
+      SELECT node, count(*) AS n_tri FROM (
+        SELECT a AS node FROM tri UNION ALL
+        SELECT b FROM tri UNION ALL
+        SELECT c FROM tri
+      ) GROUP BY node
+    )
+    SELECT deg.node AS part_key, CAST(deg.d AS BIGINT) AS degree,
+           CAST(coalesce(n_tri, 0) AS BIGINT) AS n_triangles,
+           round(CAST(2 * coalesce(n_tri, 0) AS DOUBLE)
+                 / CAST(deg.d * (deg.d - 1) AS DOUBLE), 6) AS clustering
+    FROM deg LEFT JOIN pertri ON pertri.node = deg.node
+    WHERE deg.d >= 3
+    ORDER BY clustering DESC, part_key LIMIT 20
+    """,
+)
+def graph_clustering_coeff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Local clustering coefficient per node — 2·tri(v)/(d(v)·(d(v)−1)),
+    how close a node's neighborhood is to a clique (the community-
+    structure statistic beside `graph_triangles`' global count). The
+    triangle stream reuses the degree-ordered node-iterator (each
+    triangle materialized exactly once, wedge volume bounded by
+    arboricity), then one explode charges each triangle to its three
+    corners and a left join folds zero-triangle nodes back in.
+
+    Exact: triangle/degree counts are integers; the coefficient is one
+    shared double division, rounded to 6; top-k ordering tie-breaks on
+    node id.
+
+    Scale shape: identical join graph to graph_triangles (equi-joins on
+    node ids, AQE-managed skew) plus one vocabulary-scale aggregate
+    and a TakeOrderedAndProject top-k — no new scale risk."""
+    li = table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    a = li.select(F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("u"))
+    b = li.select(F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("v"))
+    e = (
+        a.join(b, "o")
+        .filter(F.col("u") < F.col("v"))
+        .select("u", "v")
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    deg = (
+        e.select(F.col("u").alias("node"))
+        .unionAll(e.select(F.col("v").alias("node")))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).alias("d"))
+    )
+    du = deg.select(F.col("node").alias("u"), F.col("d").alias("du"))
+    dv = deg.select(F.col("node").alias("v"), F.col("d").alias("dv"))
+    lower = F.struct(F.col("du"), F.col("u")) < F.struct(F.col("dv"), F.col("v"))
+    de = (
+        e.join(du, "u")
+        .join(dv, "v")
+        .select(
+            F.when(lower, F.col("u")).otherwise(F.col("v")).alias("s"),
+            F.when(lower, F.col("v")).otherwise(F.col("u")).alias("t"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    e1 = de.select(F.col("s").alias("s1"), F.col("t").alias("t1"))
+    e2 = de.select(F.col("s").alias("s2"), F.col("t").alias("t2"))
+    closer = de.select(F.col("s").alias("ws"), F.col("t").alias("wt"))
+    tri = (
+        e1.join(e2, F.col("t1") == F.col("s2"))
+        .select(
+            F.col("s1").alias("ws"), F.col("t1").alias("mid"),
+            F.col("t2").alias("wt"),
+        )
+        .join(closer, ["ws", "wt"])
+    )
+    pertri = (
+        tri.select(
+            F.explode(F.array("ws", "mid", "wt")).alias("node")
+        )
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).alias("n_tri"))
+    )
+    dd = F.col("d").cast("double")
+    return (
+        deg.filter(F.col("d") >= 3)
+        .join(pertri, "node", "left")
+        .select(
+            F.col("node").alias("part_key"),
+            F.col("d").cast("long").alias("degree"),
+            F.coalesce(F.col("n_tri"), F.lit(0)).cast("long").alias(
+                "n_triangles"
+            ),
+            F.round(
+                (F.lit(2.0) * F.coalesce(F.col("n_tri"), F.lit(0)).cast("double"))
+                / (dd * (dd - F.lit(1.0))),
+                6,
+            ).alias("clustering"),
+        )
+        .orderBy(F.col("clustering").desc(), "part_key")
+        .limit(20)
+    )
+
+
+@query(
+    "ml_naive_bayes",
+    """
+    WITH toks AS (
+      SELECT lang, unnest(string_split(lower(text), ' ')) AS tok
+      FROM documents
+    ), lt AS (
+      SELECT lang, tok, count(*) AS c_lt FROM toks GROUP BY lang, tok
+    ), lc AS (
+      SELECT lang, sum(c_lt) AS n_l FROM lt GROUP BY lang
+    ), tc AS (
+      SELECT tok, sum(c_lt) AS c_t FROM lt GROUP BY tok
+    ), tot AS (
+      SELECT sum(c_lt) AS n, count(DISTINCT tok) AS v FROM lt
+    ), scored AS (
+      SELECT lt.lang, lt.tok, c_lt,
+             CAST((c_lt + 1) * n AS DOUBLE)
+               / CAST((n_l + v) * c_t AS DOUBLE) AS lift
+      FROM lt JOIN lc USING (lang) JOIN tc USING (tok) CROSS JOIN tot
+      WHERE c_lt >= 5
+    )
+    SELECT lang, tok, CAST(c_lt AS BIGINT) AS cnt,
+           round(lift, 6) AS nb_lift, CAST(rk AS INT) AS rk
+    FROM (
+      SELECT *, row_number() OVER (PARTITION BY lang
+                                   ORDER BY lift DESC, tok) AS rk
+      FROM scored
+    ) WHERE rk <= 3
+    """,
+)
+def ml_naive_bayes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multinomial naive-Bayes class-feature weights with Laplace
+    smoothing — per language, the tokens whose smoothed in-class
+    probability most exceeds their corpus probability (the per-class
+    log-likelihood-ratio table IS the trained NB model; emitting the
+    top-3 per class keeps the oracle bounded). The lift
+    (c_lt+1)·N / ((N_l+V)·c_t) orders identically to the log weight.
+
+    Exact: all counts integer; lift is one shared double division over
+    exact integer products (DECIMAL on Spark, hugeint in DuckDB);
+    per-class ranking tie-breaks on token.
+
+    Scale shape: training a text classifier on 100 TB reduces to these
+    three vocabulary-bounded aggregates (class-token, class, token) —
+    map-side combine everywhere, one broadcast one-row totals attach,
+    and the rank window partitions by class (bounded)."""
+    d = table(spark, sf_dir, "documents")
+    toks = d.select(
+        "lang", F.explode(F.split(F.lower("text"), " ")).alias("tok")
+    )
+    lt = toks.groupBy("lang", "tok").agg(F.count(F.lit(1)).alias("c_lt"))
+    lt = lt.localCheckpoint(eager=True)  # feeds 4 consumers below
+    lc = lt.groupBy("lang").agg(F.sum("c_lt").alias("n_l"))
+    tc = lt.groupBy("tok").agg(F.sum("c_lt").alias("c_t"))
+    tot = lt.agg(
+        F.sum("c_lt").alias("n"), F.countDistinct("tok").alias("v")
+    )
+    num = (F.col("c_lt") + 1).cast("decimal(19,0)") * F.col("n").cast(
+        "decimal(19,0)"
+    )
+    den = (F.col("n_l") + F.col("v")).cast("decimal(19,0)") * F.col(
+        "c_t"
+    ).cast("decimal(19,0)")
+    scored = (
+        lt.filter(F.col("c_lt") >= 5)
+        .join(lc, "lang")
+        .join(tc, "tok")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "lang", "tok", "c_lt",
+            (num.cast("double") / den.cast("double")).alias("lift"),
+        )
+    )
+    rk = F.row_number().over(
+        Window.partitionBy("lang").orderBy(F.col("lift").desc(), "tok")
+    )
+    return (
+        scored.withColumn("rk", rk)
+        .filter(F.col("rk") <= 3)
+        .select(
+            "lang", "tok",
+            F.col("c_lt").cast("long").alias("cnt"),
+            F.round("lift", 6).alias("nb_lift"),
+            F.col("rk").cast("int").alias("rk"),
+        )
+    )
+
+
+@query(
+    "stat_binomial_ci",
+    """
+    WITH g AS (
+      SELECT o_orderpriority AS grp, count(*) AS n,
+             count(*) FILTER (WHERE o_orderstatus = 'F') AS k
+      FROM orders GROUP BY 1
+    )
+    SELECT grp, CAST(n AS BIGINT) AS n, CAST(k AS BIGINT) AS k,
+           round(CAST(k AS DOUBLE) / CAST(n AS DOUBLE), 6) AS p_hat,
+           round((CAST(k AS DOUBLE) / CAST(n AS DOUBLE)
+                  + 1.9208 / CAST(n AS DOUBLE)
+                  - 1.96 * sqrt((CAST(k AS DOUBLE) / CAST(n AS DOUBLE))
+                        * (1 - CAST(k AS DOUBLE) / CAST(n AS DOUBLE))
+                        / CAST(n AS DOUBLE)
+                        + 0.9604 / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE))))
+                 / (1 + 3.8416 / CAST(n AS DOUBLE)), 6) AS wilson_lo,
+           round((CAST(k AS DOUBLE) / CAST(n AS DOUBLE)
+                  + 1.9208 / CAST(n AS DOUBLE)
+                  + 1.96 * sqrt((CAST(k AS DOUBLE) / CAST(n AS DOUBLE))
+                        * (1 - CAST(k AS DOUBLE) / CAST(n AS DOUBLE))
+                        / CAST(n AS DOUBLE)
+                        + 0.9604 / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE))))
+                 / (1 + 3.8416 / CAST(n AS DOUBLE)), 6) AS wilson_hi
+    FROM g
+    """,
+)
+def stat_binomial_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wilson-score 95% confidence interval for a proportion, per
+    group — the interval that stays inside [0,1] and behaves at small n
+    or extreme rates where the naive Wald interval collapses (the
+    dashboard statistic for any conversion/failure-rate metric;
+    `stat_proportion_ztest` compares two groups, this bounds each).
+    Constants are pre-folded literals of z=1.96 (z²=3.8416, z²/2=1.9208,
+    z²/4=0.9604) so both engines evaluate the identical expression tree
+    over exact integer (n, k) — one conditional aggregate per group,
+    map-side combinable, then metadata-scale scalar math, round 6."""
+    o = table(spark, sf_dir, "orders")
+    g = o.groupBy(F.col("o_orderpriority").alias("grp")).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.count_if(F.col("o_orderstatus") == "F").alias("k"),
+    )
+    nd, kd = F.col("n").cast("double"), F.col("k").cast("double")
+    p = kd / nd
+    half = F.lit(1.96) * F.sqrt(
+        p * (F.lit(1.0) - p) / nd + F.lit(0.9604) / (nd * nd)
+    )
+    center = p + F.lit(1.9208) / nd
+    denom = F.lit(1.0) + F.lit(3.8416) / nd
+    return g.select(
+        "grp",
+        F.col("n").cast("long").alias("n"),
+        F.col("k").cast("long").alias("k"),
+        F.round(p, 6).alias("p_hat"),
+        F.round((center - half) / denom, 6).alias("wilson_lo"),
+        F.round((center + half) / denom, 6).alias("wilson_hi"),
+    )
