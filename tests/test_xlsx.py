@@ -472,3 +472,81 @@ def test_date1904_system_shifts_the_epoch(tmp_path):
     v00 = list(wb.iter_rows("s"))[1][0]
     wb.close()
     assert v00 == dt.datetime(1900, 4, 9, 12, 0)
+
+
+def test_defined_names_parse_and_range_slice(tmp_path):
+    """definedNames round-trip through the writer, quoted sheet names
+    and $-absolute refs resolve, non-rectangular refs are skipped, and
+    iter_range slices rows AND columns to the rectangle."""
+    import zipfile
+
+    from xlsx_to_database_spark.sources.xlsx_io import read_workbook, write_workbook
+
+    path = str(tmp_path / "named.xlsx")
+    write_workbook(
+        path,
+        {"my data": (["a", "b", "c"],
+                     [(1, "x", 10), (2, "y", 20), (3, "z", 30)])},
+        defined_names={
+            "mid": "'my data'!$B$2:$C$3",
+            "one_cell": "'my data'!B4",
+            "broken": "#REF!",
+            "formulaic": "OFFSET('my data'!A1,0,0)",
+        },
+    )
+    wb = read_workbook(path)
+    dns = wb.defined_names
+    assert dns["mid"] == ("my data", 1, 1, 2, 2)
+    assert dns["one_cell"] == ("my data", 3, 1, 3, 1)
+    assert "broken" not in dns and "formulaic" not in dns
+    assert list(wb.iter_range("mid")) == [["x", 10.0], ["y", 20.0]]
+    assert list(wb.iter_range("one_cell")) == [["z"]]
+    try:
+        list(wb.iter_range("nope"))
+        raise AssertionError("expected KeyError")
+    except KeyError:
+        pass
+    finally:
+        wb.close()
+    # sparse-row safety: drop row 3 entirely from the sheet XML — the
+    # range slice must follow TRUE row numbers, not yield positions
+    with zipfile.ZipFile(path) as zf:
+        members = {n: zf.read(n) for n in zf.namelist()}
+    sheet = members["xl/worksheets/sheet1.xml"].decode()
+    import re
+
+    sheet2 = re.sub(r'<row r="3">.*?</row>', "", sheet)
+    assert sheet2 != sheet
+    members["xl/worksheets/sheet1.xml"] = sheet2.encode()
+    with zipfile.ZipFile(path, "w") as zf:
+        for n, data in members.items():
+            zf.writestr(n, data)
+    wb = read_workbook(path)
+    assert list(wb.iter_range("mid")) == [["x", 10.0]]
+    wb.close()
+
+
+def test_datasource_named_range_scan(spark, tmp_path):
+    """.option('range', name) returns exactly the named rectangle —
+    title/noise/footer rows outside the name never reach the DataFrame."""
+    from xlsx_to_database_spark.sources.xlsx_io import write_workbook
+    from xlsx_to_database_spark.sources.xlsx import register_xlsx_source
+
+    register_xlsx_source(spark)
+    path = str(tmp_path / "report.xlsx")
+    rows = [
+        ("internal use only", None),
+        ("metric", "amount"),
+        ("alpha", 10),
+        ("beta", 20),
+        ("total", 30),
+    ]
+    write_workbook(
+        path,
+        {"report": (["Q3 report", ""], rows)},
+        defined_names={"tbl": "report!$A$3:$B$5"},
+    )
+    df = spark.read.format("xlsx").option("range", "tbl").load(path)
+    got = sorted((r.metric, r.amount) for r in df.collect())
+    assert got == [("alpha", 10), ("beta", 20)]
+    assert df.columns == ["metric", "amount"]

@@ -790,3 +790,66 @@ def stat_binomial_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round((center - half) / denom, 6).alias("wilson_lo"),
         F.round((center + half) / denom, 6).alias("wilson_hi"),
     )
+
+
+@query(
+    "xlsx_named_range",
+    """
+    SELECT CAST(c_custkey AS BIGINT) AS c_custkey, c_name,
+           round(c_acctbal, 2) AS c_acctbal
+    FROM customer WHERE c_custkey <= 300
+    """,
+)
+def xlsx_named_range(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scan a workbook-level DEFINED NAME (named range) instead of a
+    whole sheet — the xlsx-class behavior that makes real spreadsheets
+    readable: authors surround the data rectangle with titles, blank
+    rows, and footers, and publish the rectangle as a name. The staged
+    sheet has a title row, a metadata noise row, and a trailing footer;
+    the name covers exactly header+data, so the scan must return the
+    data rows and NOTHING else. `.option("range", ...)` resolves the
+    name from `<definedNames>` (quoted sheet names, $-absolute refs),
+    slices rows by TRUE sheet row numbers (sparse-row safe) and columns
+    to the rectangle, and yields one partition (a named range is one
+    rectangle). Round-trips through our own writer's definedNames
+    emission."""
+    import os
+
+    from xlsx_to_database_spark.queries.sources_sinks import (
+        _STAGE_ROOT, _tag,
+    )
+    from xlsx_to_database_spark.sources import xlsx_io
+    from xlsx_to_database_spark.sources.xlsx import register_xlsx_source
+
+    register_xlsx_source(spark)
+    path = os.path.join(_STAGE_ROOT, f"{_tag(sf_dir)}_named_range.xlsx")
+    if not os.path.exists(path):
+        os.makedirs(_STAGE_ROOT, exist_ok=True)
+        data = [
+            (r.c_custkey, r.c_name, r.c_acctbal)
+            for r in table(spark, sf_dir, "customer")
+            .filter(F.col("c_custkey") <= 300)
+            .select("c_custkey", "c_name", "c_acctbal")
+            .orderBy("c_custkey")
+            .collect()
+        ]
+        rows = (
+            [("generated by export job #42", None, None)]
+            + [("c_custkey", "c_name", "c_acctbal")]
+            + data
+            + [("end of export", None, None)]
+        )
+        # sheet rows: 1=title(header slot), 2=noise, 3=header, 4..=data,
+        # last=footer; the name covers rows 3..3+len(data) only.
+        xlsx_io.write_workbook(
+            path + ".tmp",
+            {"export": (["Quarterly customer export", "", ""], rows)},
+            defined_names={
+                "customer_table": f"export!$A$3:$C${3 + len(data)}"
+            },
+        )
+        os.replace(path + ".tmp", path)
+    df = spark.read.format("xlsx").option("range", "customer_table").load(path)
+    return df.select(
+        "c_custkey", "c_name", F.round("c_acctbal", 2).alias("c_acctbal")
+    )

@@ -43,9 +43,17 @@ from xlsx_to_database_spark.sources import xlsx_io
 
 
 class SheetPartition(InputPartition):
-    def __init__(self, path: str, sheet: str):
+    def __init__(self, path: str, sheet: str, range_name: str | None = None):
         self.path = path
         self.sheet = sheet
+        self.range_name = range_name
+
+
+def _range_opt(options: dict) -> str | None:
+    """.option("range", "MyTable") scans a workbook-level defined name
+    (named range) instead of whole sheets — how spreadsheet authors mark
+    the data rectangle on a sheet of titles and notes."""
+    return options.get("range") or None
 
 
 def _selected_sheets(path: str, options: dict) -> list[str]:
@@ -87,7 +95,12 @@ def _header_and_kinds(path: str, sheet: str, options: dict) -> tuple[list[str], 
     sample_n = int(options.get("sampleRows", "200"))
     wb = xlsx_io.read_workbook(path)
     try:
-        rows = wb.iter_rows(sheet, fill_merged=_fill_merged(options))
+        rng = _range_opt(options)
+        rows = (
+            wb.iter_range(rng)
+            if rng
+            else wb.iter_rows(sheet, fill_merged=_fill_merged(options))
+        )
         first = next(rows, None)
         if first is None:
             return [], []
@@ -154,6 +167,9 @@ class XlsxReader(DataSourceReader):
                 yield f  # unsupported → Spark re-applies
 
     def partitions(self) -> list[SheetPartition]:
+        rng = _range_opt(self.options)
+        if rng:  # a named range is one rectangle: one partition
+            return [SheetPartition(self.path, "", range_name=rng)]
         return [SheetPartition(self.path, s) for s in _selected_sheets(self.path, self.options)]
 
     def read(self, partition: SheetPartition) -> Iterator[tuple]:
@@ -171,8 +187,12 @@ class XlsxReader(DataSourceReader):
         ]
         wb = xlsx_io.read_workbook(partition.path)
         try:
-            rows = wb.iter_rows(
-                partition.sheet, fill_merged=_fill_merged(self.options)
+            rows = (
+                wb.iter_range(partition.range_name)
+                if partition.range_name
+                else wb.iter_rows(
+                    partition.sheet, fill_merged=_fill_merged(self.options)
+                )
             )
             if has_header:
                 next(rows, None)

@@ -202,6 +202,63 @@ class Workbook:
                             self._date_styles.add(i)
         return self._date_styles
 
+    @property
+    def defined_names(self) -> dict[str, tuple[str, int, int, int, int]]:
+        """Workbook-level defined names (named ranges): name →
+        (sheet, row1, col1, row2, col2), 0-based inclusive. Parses
+        ``<definedNames><definedName name="X">Sheet1!$A$2:$C$10``
+        (quoted sheet names and single-cell refs included); names whose
+        refersTo is not a simple rectangular ref (formulas, unions,
+        #REF! errors) are skipped — scan semantics only exist for
+        rectangles."""
+        out: dict[str, tuple[str, int, int, int, int]] = {}
+        wb = ET.fromstring(self._zf.read("xl/workbook.xml"))
+        dns = wb.find(f"{NS}definedNames")
+        if dns is None:
+            return out
+        for dn in dns:
+            name, ref = dn.get("name"), (dn.text or "").strip()
+            if not name or "!" not in ref:
+                continue
+            sheet, _, cells = ref.rpartition("!")
+            if sheet.startswith("'") and sheet.endswith("'"):
+                sheet = sheet[1:-1].replace("''", "'")
+            cells = cells.replace("$", "")
+            a, _, b = cells.partition(":")
+            b = b or a
+            try:
+                r1 = int("".join(ch for ch in a if ch.isdigit())) - 1
+                r2 = int("".join(ch for ch in b if ch.isdigit())) - 1
+                c1, c2 = _col_index(a), _col_index(b)
+            except ValueError:
+                continue
+            if sheet in self.sheets and 0 <= r1 <= r2 and 0 <= c1 <= c2:
+                out[name] = (sheet, r1, c1, r2, c2)
+        return out
+
+    def iter_range(self, name: str) -> Iterator[list[Any]]:
+        """Yield the rows of defined name ``name``, column-sliced to the
+        range's rectangle and padded to its full width — the
+        read-a-named-table surface (ranges are how spreadsheet authors
+        mark the DATA region of a sheet full of titles and notes)."""
+        try:
+            sheet, r1, c1, r2, c2 = self.defined_names[name]
+        except KeyError:
+            raise KeyError(
+                f"defined name {name!r} not in workbook {self.path} "
+                f"(has {sorted(self.defined_names)})"
+            ) from None
+        width = c2 - c1 + 1
+        for rn, row in self.iter_rows(sheet, numbered=True):
+            if rn < r1:
+                continue
+            if rn > r2:
+                break
+            sliced = row[c1: c2 + 1]
+            while len(sliced) < width:
+                sliced.append(None)
+            yield sliced
+
     def merged_ranges(self, sheet_name: str) -> list[tuple[int, int, int, int]]:
         """(row1, col1, row2, col2) 0-based inclusive bounds of each
         ``<mergeCell ref="A2:B4"/>`` on the sheet. One cheap streaming
@@ -219,10 +276,15 @@ class Workbook:
         return out
 
     def iter_rows(
-        self, sheet_name: str, fill_merged: bool = False
-    ) -> Iterator[list[Any]]:
+        self, sheet_name: str, fill_merged: bool = False,
+        numbered: bool = False,
+    ) -> Iterator[Any]:
         """Yield rows as lists of decoded python values (None for empty
         cells; ragged rows padded on read by the caller).
+        ``numbered=True`` yields ``(row_number, row)`` with the sheet's
+        TRUE 0-based row number (sparse sheets omit blank ``<row>``
+        elements, so positional counting would drift) — the contract
+        ``iter_range`` slices against.
 
         ``fill_merged=True`` propagates each merged range's top-left
         value to every cell of the range — the report-layout unpivot
@@ -256,7 +318,7 @@ class Workbook:
                         for cc in range(c1, c2 + 1):
                             if row[cc] is None:
                                 row[cc] = fills[k]
-            yield row
+            yield (rn, row) if numbered else row
             el.clear()
 
     def _decode_cell(self, c, shared: list[str], date_styles: set[int]) -> Any:
@@ -328,13 +390,21 @@ def _col_letter(idx: int) -> str:
     return out
 
 
-def write_workbook(path: str, sheets: dict[str, tuple[list[str], list[tuple]]]) -> None:
+def write_workbook(
+    path: str,
+    sheets: dict[str, tuple[list[str], list[tuple]]],
+    defined_names: dict[str, str] | None = None,
+) -> None:
     """Write a multi-sheet xlsx: {sheet_name: (header, rows)}.
 
     Strings go through the shared-string table (exercising the reader's
     main path); bool/int/float are native cells; datetimes become date
     serials with a date style. xlsx is a small-data format — callers
     stage dimensions/samples, never fact tables.
+
+    ``defined_names``: name → A1-style ref (``"Sheet1!$A$2:$C$10"``),
+    emitted as workbook-level ``<definedNames>`` — the named-range
+    surface ``Workbook.iter_range`` reads back.
     """
     shared: dict[str, int] = {}
 
@@ -376,11 +446,17 @@ def write_workbook(path: str, sheets: dict[str, tuple[list[str], list[tuple]]]) 
         f'<sheet name={quoteattr(name)} sheetId="{i + 1}" r:id="rId{i + 1}"/>'
         for i, name in enumerate(sheets)
     )
+    dn_xml = ""
+    if defined_names:
+        dn_xml = "<definedNames>" + "".join(
+            f"<definedName name={quoteattr(n)}>{escape(ref)}</definedName>"
+            for n, ref in defined_names.items()
+        ) + "</definedNames>"
     workbook = (
         '<?xml version="1.0" encoding="UTF-8" standalone="yes"?>'
         '<workbook xmlns="http://schemas.openxmlformats.org/spreadsheetml/2006/main" '
         'xmlns:r="http://schemas.openxmlformats.org/officeDocument/2006/relationships">'
-        f"<sheets>{sheet_entries}</sheets></workbook>"
+        f"<sheets>{sheet_entries}</sheets>{dn_xml}</workbook>"
     )
     wb_rels = (
         '<?xml version="1.0" encoding="UTF-8" standalone="yes"?>'
