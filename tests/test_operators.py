@@ -1056,3 +1056,100 @@ def test_wilson_interval_brackets_p_hat(spark, sf_dir):
         lo = (p + 1.9208 / n - half) / (1 + 3.8416 / n)
         hi = (p + 1.9208 / n + half) / (1 + 3.8416 / n)
         assert abs(r.wilson_lo - lo) < 1e-6 and abs(r.wilson_hi - hi) < 1e-6
+
+
+def test_kendall_tau_matches_itertools_brute_force(spark, tmp_path, sf_dir):
+    import itertools
+    import math as m
+    import shutil
+
+    from xlsx_to_database_spark.registry import all_queries
+
+    stage = tmp_path / "sf_tau"
+    stage.mkdir()
+    for t in (
+        "region nation customer supplier part orders lineitem events "
+        "documents embeddings".split()
+    ):
+        shutil.copy(f"{sf_dir}/{t}.parquet", stage / f"{t}.parquet")
+    pts = [(1, 1), (1, 2), (2, 1), (2, 2), (3, 1), (3, 3), (4, 2), (4, 2)]
+    spark.createDataFrame(
+        [(float(x), y) for x, y in pts], "l_quantity double, l_linenumber int"
+    ).coalesce(1).write.mode("overwrite").parquet(str(stage / "lineitem.parquet"))
+    row = all_queries()["stat_kendall_tau"](spark, str(stage)).collect()[0]
+    conc = disc = tx = ty = 0
+    for (x1, y1), (x2, y2) in itertools.combinations(pts, 2):
+        if x1 == x2:
+            tx += 1
+            if y1 == y2:
+                ty += 1
+            continue
+        if y1 == y2:
+            ty += 1
+            continue
+        if (x2 - x1) * (y2 - y1) > 0:
+            conc += 1
+        else:
+            disc += 1
+    n = len(pts)
+    n0 = n * (n - 1) // 2
+    n1 = sum(1 for (a, b) in itertools.combinations(pts, 2) if a[0] == b[0])
+    n2 = sum(1 for (a, b) in itertools.combinations(pts, 2) if a[1] == b[1])
+    tau = (conc - disc) / m.sqrt((n0 - n1) * (n0 - n2))
+    assert (row.n_rows, row.concordant, row.discordant) == (n, conc, disc)
+    assert abs(row.tau_b - round(tau, 6)) < 1e-9
+
+
+def test_cramers_v_is_normalized_effect_size(spark, sf_dir):
+    from xlsx_to_database_spark.registry import all_queries
+
+    qs = all_queries()
+    r = qs["stat_cramers_v"](spark, sf_dir).collect()[0]
+    chi = qs["stat_chi2"](spark, sf_dir).collect()[0]
+    assert abs(r.chi2 - chi.chi2) < 1e-6  # same contingency, same statistic
+    assert 0.0 <= r.cramers_v <= 1.0
+
+
+def test_nested_json_round_trip_is_lossless(spark, sf_dir):
+    from pyspark.sql import functions as FF
+
+    from xlsx_to_database_spark.catalog import table
+    from xlsx_to_database_spark.registry import all_queries
+
+    got = {
+        r.o_orderkey: (r.n_items, r.sum_qty)
+        for r in all_queries()["json_nested_scan"](spark, sf_dir).collect()
+    }
+    li = table(spark, sf_dir, "lineitem")
+    exp = {
+        r.l_orderkey: (r.n, r.s)
+        for r in li.filter(FF.col("l_orderkey") % 16 == 1)
+        .groupBy("l_orderkey")
+        .agg(
+            FF.count(FF.lit(1)).alias("n"),
+            FF.sum(FF.col("l_quantity").cast("long")).alias("s"),
+        )
+        .collect()
+    }
+    assert got == exp
+
+
+def test_gzip_csv_stage_is_multi_file(spark, sf_dir):
+    import glob
+    import os
+
+    from xlsx_to_database_spark.queries.sources_sinks import _STAGE_ROOT, _tag
+    from xlsx_to_database_spark.registry import all_queries
+
+    df = all_queries()["csv_gzip_scan"](spark, sf_dir)
+    assert df.count() > 0
+    root = os.path.join(_STAGE_ROOT, f"{_tag(sf_dir)}_part_gzip_csv")
+    gz = glob.glob(os.path.join(root, "*.csv.gz"))
+    # gzip is unsplittable: parallel grain = file count, so the stage
+    # must write several compressed files, each a valid gzip member
+    assert len(gz) >= 2
+    import gzip as gz_mod
+
+    with gz_mod.open(gz[0], "rt") as fh:
+        header = fh.readline().strip()
+    assert header == "p_partkey,p_name,p_size,p_retailprice"

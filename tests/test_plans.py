@@ -623,3 +623,25 @@ def test_plan_hazard_sweep_no_unexpected(spark, sf_dir, qs):
         if bad:
             unexpected[name] = bad
     assert not unexpected, unexpected
+
+
+def test_partition_pruned_join_uses_dpp(spark, sf_dir, qs):
+    """The dimension-side filter must prune fact PARTITIONS at runtime:
+    the staged year-partitioned scan carries a dynamicpruningexpression
+    in its PartitionFilters (fed by the reused broadcast), so five of
+    seven year directories are never opened."""
+    df = qs["join_partition_pruned"](spark, sf_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "dynamicpruning" in plan.lower(), plan[:2000]
+    assert "PartitionFilters" in plan, plan[:2000]
+
+
+def test_kendall_cell_join_is_metadata_scale(spark, sf_dir, qs):
+    """tau-b must run its pair mass on the contingency cells (|X|·|Y|
+    rows), broadcast — never a fact-table self-join."""
+    from xlsx_to_database_spark.plans import explain_str
+
+    df = qs["stat_kendall_tau"](spark, sf_dir)
+    s = explain_str(df)
+    assert "BroadcastNestedLoopJoin" in s or "BroadcastHashJoin" in s, s[:1500]
+    assert "CartesianProduct" not in s, s[:1500]

@@ -853,3 +853,359 @@ def xlsx_named_range(spark: SparkSession, sf_dir: str) -> DataFrame:
     return df.select(
         "c_custkey", "c_name", F.round("c_acctbal", 2).alias("c_acctbal")
     )
+
+
+@query(
+    "stat_kendall_tau",
+    """
+    WITH cells AS (
+      SELECT l_quantity AS x, l_linenumber AS y, count(*) AS n
+      FROM lineitem GROUP BY 1, 2
+    ), cd AS (
+      SELECT sum(CASE WHEN b.y > a.y THEN a.n * b.n ELSE 0 END) AS conc,
+             sum(CASE WHEN b.y < a.y THEN a.n * b.n ELSE 0 END) AS disc
+      FROM cells a JOIN cells b ON b.x > a.x
+    ), m AS (
+      SELECT sum(n) AS nn,
+             sum(n * (n - 1) / 2) FILTER (WHERE TRUE) AS _unused
+      FROM cells
+    ), t AS (
+      SELECT (SELECT sum(n) FROM cells) AS nn,
+             (SELECT sum(tn * (tn - 1) / 2) FROM (
+                SELECT sum(n) AS tn FROM cells GROUP BY x)) AS n1,
+             (SELECT sum(tn * (tn - 1) / 2) FROM (
+                SELECT sum(n) AS tn FROM cells GROUP BY y)) AS n2
+    )
+    SELECT CAST(nn AS BIGINT) AS n_rows,
+           CAST(conc AS BIGINT) AS concordant,
+           CAST(disc AS BIGINT) AS discordant,
+           round(CAST(conc - disc AS DOUBLE)
+                 / sqrt(CAST(nn * (nn - 1) / 2 - n1 AS DOUBLE)
+                        * CAST(nn * (nn - 1) / 2 - n2 AS DOUBLE)),
+                 6) AS tau_b
+    FROM cd CROSS JOIN t
+    """,
+)
+def stat_kendall_tau(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kendall's tau-b (tie-corrected) between quantity and line number
+    — the pair-concordance rank correlation (`stat_spearman` measures
+    monotone position agreement; tau measures pairwise ORDER agreement,
+    the statistic behind trend tests like Mann-Kendall). Naive tau is
+    O(n²) pairs; over two bounded-cardinality columns it collapses to
+    the CONTINGENCY TABLE: concordant/discordant mass is a cell-pair
+    join over |X|·|Y| cells (350 here — metadata scale at ANY corpus
+    size), tie corrections are marginal re-aggregates, and only the
+    initial cell aggregate ever touches the fact table.
+
+    Exact: all pair counts are exact integer products of cell counts;
+    tau combines them in one shared double expression, rounded to 6."""
+    li = table(spark, sf_dir, "lineitem")
+    cells = li.groupBy(
+        F.col("l_quantity").alias("x"), F.col("l_linenumber").alias("y")
+    ).agg(F.count(F.lit(1)).alias("n"))
+    cells = cells.localCheckpoint(eager=True)  # 4 consumers below
+    a = cells.select(
+        F.col("x").alias("ax"), F.col("y").alias("ay"), F.col("n").alias("an")
+    )
+    b = cells.select(
+        F.col("x").alias("bx"), F.col("y").alias("by"), F.col("n").alias("bn")
+    )
+    pair = F.col("an").cast("decimal(19,0)") * F.col("bn").cast("decimal(19,0)")
+    cd = a.join(F.broadcast(b), F.col("bx") > F.col("ax")).agg(
+        F.sum(F.when(F.col("by") > F.col("ay"), pair).otherwise(F.lit(0))).alias(
+            "conc"
+        ),
+        F.sum(F.when(F.col("by") < F.col("ay"), pair).otherwise(F.lit(0))).alias(
+            "disc"
+        ),
+    )
+    half = lambda c: (c * (c - 1) / 2).cast("decimal(19,0)")  # noqa: E731
+    nn = cells.agg(F.sum("n").alias("nn"))
+    n1 = (
+        cells.groupBy("x").agg(F.sum("n").alias("tn"))
+        .agg(F.sum(half(F.col("tn"))).alias("n1"))
+    )
+    n2 = (
+        cells.groupBy("y").agg(F.sum("n").alias("tn"))
+        .agg(F.sum(half(F.col("tn"))).alias("n2"))
+    )
+    t = nn.crossJoin(F.broadcast(n1)).crossJoin(F.broadcast(n2))
+    n0 = half(F.col("nn"))
+    return cd.crossJoin(F.broadcast(t)).select(
+        F.col("nn").cast("long").alias("n_rows"),
+        F.col("conc").cast("long").alias("concordant"),
+        F.col("disc").cast("long").alias("discordant"),
+        F.round(
+            (F.col("conc") - F.col("disc")).cast("double")
+            / F.sqrt(
+                (n0 - F.col("n1")).cast("double")
+                * (n0 - F.col("n2")).cast("double")
+            ),
+            6,
+        ).alias("tau_b"),
+    )
+
+
+@query(
+    "stat_cramers_v",
+    """
+    WITH cells AS (
+        SELECT c_mktsegment AS seg, o_orderpriority AS pri,
+               CAST(count(*) AS DOUBLE) AS obs
+        FROM customer JOIN orders ON c_custkey = o_custkey
+        GROUP BY seg, pri
+    ), rowt AS (
+        SELECT seg, sum(obs) AS r FROM cells GROUP BY seg
+    ), colt AS (
+        SELECT pri, sum(obs) AS c FROM cells GROUP BY pri
+    ), tot AS (
+        SELECT sum(obs) AS n FROM cells
+    ), chi AS (
+        SELECT CAST(sum(CAST(
+                   (obs - r * c / n) * (obs - r * c / n) / (r * c / n)
+                   AS DECIMAL(28,12))) AS DOUBLE) AS chi2,
+               min(n) AS n,
+               least(count(DISTINCT seg) - 1, count(DISTINCT pri) - 1) AS k
+        FROM cells JOIN rowt USING (seg) JOIN colt USING (pri) CROSS JOIN tot
+    )
+    SELECT round(chi2, 6) AS chi2,
+           round(sqrt(chi2 / (n * CAST(k AS DOUBLE))), 6) AS cramers_v
+    FROM chi
+    """,
+)
+def stat_cramers_v(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cramér's V effect size — chi-square normalized onto [0,1] so
+    association strength is comparable ACROSS tables and sample sizes
+    (the quantity `stat_chi2`'s raw statistic can't give: chi2 grows
+    with n even when the association is negligible; V answers "how
+    strong", not "how unlikely"). Same single contingency aggregate and
+    DECIMAL-quantized per-cell terms as stat_chi2 (identical per-cell
+    doubles both engines), then V = sqrt(chi2 / (n·min(r−1,c−1))) as
+    one shared scalar expression. One fact-table shuffle; everything
+    after runs on the |seg|×|pri| cells."""
+    c = table(spark, sf_dir, "customer")
+    o = table(spark, sf_dir, "orders")
+    cells = (
+        c.join(o, F.col("c_custkey") == F.col("o_custkey"))
+        .groupBy(
+            F.col("c_mktsegment").alias("seg"),
+            F.col("o_orderpriority").alias("pri"),
+        )
+        .agg(F.count(F.lit(1)).cast("double").alias("obs"))
+    )
+    rowt = cells.groupBy("seg").agg(F.sum("obs").alias("r"))
+    colt = cells.groupBy("pri").agg(F.sum("obs").alias("c"))
+    tot = cells.agg(F.sum("obs").alias("n"))
+    exp = F.col("r") * F.col("c") / F.col("n")
+    chi = (
+        cells.join(F.broadcast(rowt), "seg")
+        .join(F.broadcast(colt), "pri")
+        .crossJoin(F.broadcast(tot))
+        .agg(
+            F.sum(
+                ((F.col("obs") - exp) * (F.col("obs") - exp) / exp).cast(
+                    "decimal(28,12)"
+                )
+            )
+            .cast("double")
+            .alias("chi2"),
+            F.min("n").alias("n"),
+            F.least(
+                F.countDistinct("seg") - 1, F.countDistinct("pri") - 1
+            ).alias("k"),
+        )
+    )
+    return chi.select(
+        F.round("chi2", 6).alias("chi2"),
+        F.round(
+            F.sqrt(F.col("chi2") / (F.col("n") * F.col("k").cast("double"))), 6
+        ).alias("cramers_v"),
+    )
+
+
+@query(
+    "join_partition_pruned",
+    """
+    SELECT CAST(year(o_orderdate) AS INT) AS o_year,
+           CAST(count(*) AS BIGINT) AS n_orders,
+           round(CAST(sum(CAST(o_totalprice AS DECIMAL(18,2)))
+                      AS DOUBLE), 2) AS revenue
+    FROM orders
+    WHERE year(o_orderdate) IN (1995, 1996)
+    GROUP BY 1
+    """,
+)
+def join_partition_pruned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dynamic partition pruning — THE scan-elimination mechanism for
+    star joins at 100 TB: the fact table is laid out partitioned by
+    year, the filter lives on the DIMENSION side, and Spark reuses the
+    broadcast dim to prune fact PARTITIONS at runtime (static pruning
+    can't see through the join; without DPP this plan scans all seven
+    years to keep two). The staged layout is the standard
+    date-partitioned warehouse shape; the dim is a year attribute table
+    filtered to a 2-of-7 selection.
+
+    The plan carries `dynamicpruningexpression` on the fact scan's
+    PartitionFilters (pinned in tests/test_plans.py) — files for the
+    five pruned years are never opened. Result hash-matches the
+    declarative year-IN reconstruction."""
+    import os
+
+    from xlsx_to_database_spark.queries.sources_sinks import (
+        _STAGE_ROOT, _tag,
+    )
+
+    root = os.path.join(_STAGE_ROOT, f"{_tag(sf_dir)}_orders_by_year")
+    if not os.path.exists(os.path.join(root, "_SUCCESS")):
+        os.makedirs(_STAGE_ROOT, exist_ok=True)
+        (
+            table(spark, sf_dir, "orders")
+            .withColumn("o_year", F.year("o_orderdate").cast("int"))
+            .write.mode("overwrite")
+            .partitionBy("o_year")
+            .parquet(root)
+        )
+    fact = spark.read.parquet(root)
+    dim = spark.range(1992, 1999).select(
+        F.col("id").cast("int").alias("d_year"),
+        (F.col("id").isin(1995, 1996)).alias("is_focus"),
+    )
+    return (
+        fact.join(
+            F.broadcast(dim.filter(F.col("is_focus"))),
+            fact["o_year"] == F.col("d_year"),
+        )
+        .groupBy("o_year")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.round(
+                F.sum(F.col("o_totalprice").cast("decimal(18,2)")).cast(
+                    "double"
+                ),
+                2,
+            ).alias("revenue"),
+        )
+        .select("o_year", "n_orders", "revenue")
+    )
+
+
+@query(
+    "json_nested_scan",
+    """
+    SELECT o.o_orderkey, CAST(count(*) AS BIGINT) AS n_items,
+           CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty,
+           round(o_totalprice, 2) AS o_totalprice
+    FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+    WHERE o.o_orderkey % 16 = 1
+    GROUP BY o.o_orderkey, o_totalprice
+    """,
+)
+def json_nested_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Nested-JSON ingestion: order documents with an embedded `items`
+    array of structs (the ubiquitous API-export shape), staged from the
+    testdata, then read back through Spark's JSON source — exercising
+    NESTED schema inference (array<struct> discovered, numeric widths
+    unified across lines) and re-normalization via explode. The oracle
+    reconstructs the same aggregates relationally, so the whole
+    nest→infer→explode→re-aggregate loop must be lossless.
+
+    Scale shape: JSON lines split by newline, so the read parallelizes
+    per file-split like CSV; explode is map-only; the one shuffle is
+    the per-order re-aggregate. (At 100 TB you'd land this as parquet
+    once and never re-parse — `etl_dead_letter` covers the malformed
+    path; this op covers the happy nested path.)"""
+    import os
+
+    from xlsx_to_database_spark.queries.sources_sinks import (
+        _STAGE_ROOT, _tag,
+    )
+
+    root = os.path.join(_STAGE_ROOT, f"{_tag(sf_dir)}_orders_nested_json")
+    if not os.path.exists(os.path.join(root, "_SUCCESS")):
+        os.makedirs(_STAGE_ROOT, exist_ok=True)
+        o = table(spark, sf_dir, "orders").filter(
+            F.col("o_orderkey") % 16 == 1
+        )
+        li = table(spark, sf_dir, "lineitem")
+        nested = (
+            o.join(li, F.col("o_orderkey") == F.col("l_orderkey"))
+            .groupBy("o_orderkey", "o_totalprice")
+            .agg(
+                F.array_sort(
+                    F.collect_list(
+                        F.struct(
+                            F.col("l_linenumber").alias("ln"),
+                            F.col("l_quantity").alias("qty"),
+                            F.col("l_extendedprice").alias("price"),
+                        )
+                    )
+                ).alias("items")
+            )
+        )
+        nested.coalesce(2).write.mode("overwrite").json(root)
+    doc = spark.read.json(root)
+    return (
+        doc.select(
+            "o_orderkey", "o_totalprice", F.explode("items").alias("it")
+        )
+        .groupBy("o_orderkey", "o_totalprice")
+        .agg(
+            F.count(F.lit(1)).alias("n_items"),
+            F.sum(F.col("it.qty").cast("long")).alias("sum_qty"),
+        )
+        .select(
+            "o_orderkey",
+            "n_items",
+            "sum_qty",
+            F.round("o_totalprice", 2).alias("o_totalprice"),
+        )
+    )
+
+
+@query(
+    "csv_gzip_scan",
+    """
+    SELECT CAST(p_partkey AS BIGINT) AS p_partkey, p_name,
+           CAST(p_size AS BIGINT) AS p_size,
+           round(p_retailprice, 2) AS p_retailprice
+    FROM part
+    """,
+)
+def csv_gzip_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Compressed-CSV ingestion: the part table staged as gzip CSV and
+    read back with header + schema inference. gzip is NOT splittable —
+    each .csv.gz decompresses in one task, which is precisely why the
+    stage writes MULTIPLE compressed files (4 here): at 100 TB the
+    parallel grain of a gzip landing zone is the file count, so the
+    op's layout choice is the scale lesson, not an accident. Inference
+    must land BIGINT keys/sizes and DOUBLE prices from text; the
+    round-trip hash-matches the parquet-born oracle."""
+    import os
+
+    from xlsx_to_database_spark.queries.sources_sinks import (
+        _STAGE_ROOT, _tag,
+    )
+
+    root = os.path.join(_STAGE_ROOT, f"{_tag(sf_dir)}_part_gzip_csv")
+    if not os.path.exists(os.path.join(root, "_SUCCESS")):
+        os.makedirs(_STAGE_ROOT, exist_ok=True)
+        (
+            table(spark, sf_dir, "part")
+            .select("p_partkey", "p_name", "p_size", "p_retailprice")
+            .repartition(4)
+            .write.mode("overwrite")
+            .option("header", "true")
+            .option("compression", "gzip")
+            .csv(root)
+        )
+    df = (
+        spark.read.option("header", "true")
+        .option("inferSchema", "true")
+        .csv(root)
+    )
+    return df.select(
+        F.col("p_partkey").cast("long").alias("p_partkey"),
+        "p_name",
+        F.col("p_size").cast("long").alias("p_size"),
+        F.round("p_retailprice", 2).alias("p_retailprice"),
+    )
