@@ -1153,3 +1153,52 @@ def test_gzip_csv_stage_is_multi_file(spark, sf_dir):
     with gz_mod.open(gz[0], "rt") as fh:
         header = fh.readline().strip()
     assert header == "p_partkey,p_name,p_size,p_retailprice"
+
+
+def test_fifo_allocation_conserves_budget(spark, sf_dir):
+    from pyspark.sql import functions as FF
+
+    from xlsx_to_database_spark.catalog import table
+    from xlsx_to_database_spark.registry import all_queries
+
+    out = all_queries()["etl_fifo_allocate"](spark, sf_dir)
+    per_cust = (
+        out.groupBy("c_custkey")
+        .agg(
+            FF.round(FF.sum("allocated"), 2).alias("total_alloc"),
+            FF.count_if(FF.col("status") == "partial").alias("n_partial"),
+        )
+        .collect()
+    )
+    bal = {
+        r.c_custkey: round(r.c_acctbal, 2)
+        for r in table(spark, sf_dir, "customer")
+        .filter(FF.col("c_acctbal") > 0)
+        .collect()
+    }
+    for r in per_cust:
+        # at most one partially-filled order per customer, and the
+        # total allocated never exceeds the budget
+        assert r.n_partial <= 1
+        assert r.total_alloc <= bal[r.c_custkey] + 1e-6
+
+
+def test_logreg_newton_direction_matches_class_means(spark, sf_dir):
+    """One Newton step from beta=0 has slope sign equal to the sign of
+    cov(x, y): F-status orders are the OLDER (pre-1995 cheap-after-
+    discount?) population — just assert the slope agrees with the
+    empirical mean difference between classes."""
+    from pyspark.sql import functions as FF
+
+    from xlsx_to_database_spark.catalog import table
+    from xlsx_to_database_spark.registry import all_queries
+
+    row = all_queries()["ml_logreg_newton"](spark, sf_dir).collect()[0]
+    o = table(spark, sf_dir, "orders")
+    means = o.groupBy((FF.col("o_orderstatus") == "F").alias("y")).agg(
+        FF.avg("o_totalprice").alias("m")
+    ).collect()
+    m = {r.y: r.m for r in means}
+    want_positive = m[True] > m[False]
+    assert (row.beta1_per_m_cents > 0) == want_positive
+    assert row.n_rows == o.count()

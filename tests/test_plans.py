@@ -645,3 +645,12 @@ def test_kendall_cell_join_is_metadata_scale(spark, sf_dir, qs):
     s = explain_str(df)
     assert "BroadcastNestedLoopJoin" in s or "BroadcastHashJoin" in s, s[:1500]
     assert "CartesianProduct" not in s, s[:1500]
+
+
+def test_jdbc_filters_push_into_the_database(spark, sf_dir, qs):
+    """The 2-predicate conjunction must compile into the JDBC scan
+    (PushedFilters), not evaluate Spark-side after a full-table copy."""
+    df = qs["jdbc_pushdown_scan"](spark, sf_dir)
+    s = df._jdf.queryExecution().executedPlan().toString()
+    assert "PushedFilters" in s, s[:1500]
+    assert "GreaterThan(O_TOTALPRICE" in s.replace("o_totalprice", "O_TOTALPRICE"), s[:1500]

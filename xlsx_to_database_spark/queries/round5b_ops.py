@@ -1209,3 +1209,210 @@ def csv_gzip_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("p_size").cast("long").alias("p_size"),
         F.round("p_retailprice", 2).alias("p_retailprice"),
     )
+
+
+@query(
+    "etl_fifo_allocate",
+    """
+    WITH o AS (
+      SELECT c_custkey,
+             CAST(floor(c_acctbal * 100 + 0.5) AS BIGINT) AS budget,
+             o_orderkey, o_orderdate,
+             CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS price,
+             sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT))
+               OVER (PARTITION BY c_custkey
+                     ORDER BY o_orderdate, o_orderkey
+                     ROWS UNBOUNDED PRECEDING) AS cum
+      FROM customer JOIN orders ON c_custkey = o_custkey
+      WHERE c_acctbal > 0
+    )
+    SELECT o_orderkey, c_custkey,
+           CASE WHEN cum <= budget THEN 'full'
+                WHEN cum - price < budget THEN 'partial'
+                ELSE 'none' END AS status,
+           round(CAST(greatest(least(budget - (cum - price), price), 0)
+                      AS DOUBLE) / 100, 2) AS allocated
+    FROM o
+    """,
+)
+def etl_fifo_allocate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FIFO allocation — spread each customer's account balance across
+    their orders oldest-first, splitting at the order where the budget
+    runs out (the matching kernel of AR reconciliation, inventory
+    costing, and quota spend: 'consume a bounded resource in arrival
+    order'). One running sum per customer gives each order's interval
+    [cum−price, cum); clamping the budget into that interval yields
+    full / partial / none with the partial amount — no loop, no
+    recursion, one window.
+
+    Exact: balances and prices quantized to integer cents before the
+    running sum, so the clamp arithmetic is pure int64; the only double
+    is the final cents→dollars display division. Deterministic under
+    ties via the (date, orderkey) total order.
+
+    Scale shape: one shuffle on the customer key (broadcast dim join
+    attaches the budget); per-customer partitions are bounded by a
+    customer's own order history."""
+    c = (
+        table(spark, sf_dir, "customer")
+        .filter(F.col("c_acctbal") > 0)
+        .select(
+            "c_custkey",
+            F.floor(F.col("c_acctbal") * 100 + F.lit(0.5))
+            .cast("long")
+            .alias("budget"),
+        )
+    )
+    o = table(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        "o_custkey",
+        "o_orderdate",
+        F.floor(F.col("o_totalprice") * 100 + F.lit(0.5))
+        .cast("long")
+        .alias("price"),
+    )
+    w = (
+        Window.partitionBy("c_custkey")
+        .orderBy("o_orderdate", "o_orderkey")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    j = o.join(c, F.col("o_custkey") == F.col("c_custkey")).withColumn(
+        "cum", F.sum("price").over(w)
+    )
+    rem = F.col("budget") - (F.col("cum") - F.col("price"))
+    return j.select(
+        "o_orderkey",
+        "c_custkey",
+        F.when(F.col("cum") <= F.col("budget"), "full")
+        .when(F.col("cum") - F.col("price") < F.col("budget"), "partial")
+        .otherwise("none")
+        .alias("status"),
+        F.round(
+            F.greatest(F.least(rem, F.col("price")), F.lit(0)).cast("double")
+            / 100,
+            2,
+        ).alias("allocated"),
+    )
+
+
+@query(
+    "ml_logreg_newton",
+    """
+    WITH b AS (
+      SELECT CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS x,
+             CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END AS y
+      FROM orders
+    ), s AS (
+      SELECT count(*) AS n, sum(x) AS sx, sum(x * x) AS sxx,
+             sum(y) AS sy, sum(x * y) AS sxy
+      FROM b
+    )
+    SELECT CAST(n AS BIGINT) AS n_rows,
+           round(CAST(2 * (sxx * (2 * sy - n) - sx * (2 * sxy - sx))
+                      AS DOUBLE)
+                 / CAST(n * sxx - sx * sx AS DOUBLE), 6) AS beta0,
+           round(CAST(2 * (n * (2 * sxy - sx) - sx * (2 * sy - n))
+                      AS DOUBLE)
+                 / CAST(n * sxx - sx * sx AS DOUBLE) * 1e6, 6)
+             AS beta1_per_m_cents
+    FROM s
+    """,
+)
+def ml_logreg_newton(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Logistic regression, one exact Newton-Raphson step from β=0 —
+    the IRLS iteration that trains every GLM, materialized as closed
+    form: at β=0, p=½ and W=¼I, so β₁ = 4(XᵀX)⁻¹Xᵀ(y−½), which for
+    [intercept, price] is a 2×2 Cramer solve over five sufficient
+    statistics. The full model is this step iterated; one step is
+    already the calibrated direction (and the exact quantity a
+    distributed L-BFGS/IRLS computes per pass at 100 TB: one scan →
+    five sums → driver-side 2×2 solve).
+
+    Exact: price in integer cents, so n/Σx/Σx²/Σy/Σxy are exact
+    DECIMAL/hugeint; half-integer targets are cleared by carrying
+    2(y−½) as the integer 2y−1; both engines divide the same exact
+    integer determinant pair in double, rounded to 6 (slope reported
+    per 10⁶ cents so the rounded digits are informative)."""
+    o = table(spark, sf_dir, "orders")
+    b = o.select(
+        F.floor(F.col("o_totalprice") * 100 + F.lit(0.5))
+        .cast("decimal(19,0)")
+        .alias("x"),
+        F.when(F.col("o_orderstatus") == "F", 1).otherwise(0).alias("y"),
+    )
+    s = b.agg(
+        F.count(F.lit(1)).cast("decimal(19,0)").alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+        F.sum("y").cast("decimal(19,0)").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+    )
+    n, sx, sxx = F.col("n"), F.col("sx"), F.col("sxx")
+    sy, sxy = F.col("sy"), F.col("sxy")
+    det = (n * sxx - sx * sx).cast("double")
+    num0 = (F.lit(2) * (sxx * (F.lit(2) * sy - n) - sx * (F.lit(2) * sxy - sx))).cast(
+        "double"
+    )
+    num1 = (F.lit(2) * (n * (F.lit(2) * sxy - sx) - sx * (F.lit(2) * sy - n))).cast(
+        "double"
+    )
+    return s.select(
+        F.col("n").cast("long").alias("n_rows"),
+        F.round(num0 / det, 6).alias("beta0"),
+        F.round(num1 / det * F.lit(1e6), 6).alias("beta1_per_m_cents"),
+    )
+
+
+@query(
+    "jdbc_pushdown_scan",
+    """
+    SELECT CAST(o_orderkey AS BIGINT) AS o_orderkey,
+           o_orderpriority, round(o_totalprice, 2) AS o_totalprice
+    FROM orders
+    WHERE o_orderkey <= 5000 AND o_totalprice > 150000
+      AND o_orderpriority = '1-URGENT'
+    """,
+)
+def jdbc_pushdown_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JDBC predicate pushdown: the filters must travel INTO the
+    database as SQL (`PushedFilters` on the JDBC scan — pinned in
+    tests/test_plans.py), so the database sends back only matching rows
+    instead of streaming the whole table through the connector — the
+    difference between a 100 TB federated query that works and one that
+    copies the source. Stages a Derby table once (reusing the
+    jdbc_partitioned_scan staging), then reads it back with a
+    3-predicate conjunction the connector compiles to WHERE."""
+    import os
+
+    from xlsx_to_database_spark.queries.sources_sinks import _tag
+    from xlsx_to_database_spark.sources import sinks as SK
+
+    tag = _tag(sf_dir)
+    url = os.environ.get(
+        "SPARK_GRAFT_JDBC_URL",
+        f"jdbc:derby:memory:graft_push_{tag};create=true",
+    )
+    src = (
+        table(spark, sf_dir, "orders")
+        .filter(F.col("o_orderkey") <= 5000)
+        .select(
+            F.col("o_orderkey").cast("long"),
+            "o_orderpriority",
+            "o_totalprice",
+        )
+    )
+    # Derby maps StringType to CLOB by default, and CLOB comparisons
+    # cannot serve a pushed-down predicate — force a comparable VARCHAR.
+    SK.to_database(
+        src, url, "orders_push", mode="truncate",
+        createTableColumnTypes="o_orderpriority VARCHAR(20)",
+    )
+    back = SK.from_database(spark, url, "orders_push")
+    return back.filter(
+        (F.col("o_totalprice") > 150000)
+        & (F.col("o_orderpriority") == "1-URGENT")
+    ).select(
+        F.col("o_orderkey").cast("long"),
+        "o_orderpriority",
+        F.round("o_totalprice", 2).alias("o_totalprice"),
+    )
