@@ -69,6 +69,16 @@ DEFAULT_OPS = [
     "stat_survival_km",
     "stat_bootstrap_ci",
     "text_bpe_pairs",
+    # Round-5 batches 4-7 (round5b_ops).
+    "stat_spearman",
+    "stat_kendall_tau",
+    "event_pattern_match",
+    "win_rolling_slope",
+    "text_pmi",
+    "graph_clustering_coeff",
+    "etl_fifo_allocate",
+    "ml_naive_bayes",
+    "ml_logreg_newton",
 ]
 
 
