@@ -1202,3 +1202,32 @@ def test_logreg_newton_direction_matches_class_means(spark, sf_dir):
     want_positive = m[True] > m[False]
     assert (row.beta1_per_m_cents > 0) == want_positive
     assert row.n_rows == o.count()
+
+
+def test_assortativity_is_a_correlation(spark, sf_dir):
+    from xlsx_to_database_spark.registry import all_queries
+
+    r = all_queries()["graph_assortativity"](spark, sf_dir).collect()[0]
+    assert -1.0 <= r.assortativity <= 1.0
+    assert r.n_edges > 0
+
+
+def test_tost_equivalent_iff_both_sides_reject(spark, sf_dir):
+    from xlsx_to_database_spark.registry import all_queries
+
+    r = all_queries()["stat_equivalence_tost"](spark, sf_dir).collect()[0]
+    assert r.equivalent == (r.t_upper < -1.645 and r.t_lower > 1.645)
+    # t_upper tests against +delta, t_lower against -delta: they must
+    # straddle (t_lower > t_upper always, margin = 2*delta/se > 0)
+    assert r.t_lower > r.t_upper
+    assert r.n_a > 0 and r.n_b > 0
+
+
+def test_preamble_lines_never_leak(spark, sf_dir):
+    from xlsx_to_database_spark.catalog import table
+    from xlsx_to_database_spark.registry import all_queries
+
+    out = all_queries()["csv_preamble_scan"](spark, sf_dir)
+    n_sup = table(spark, sf_dir, "supplier").count()
+    assert out.count() == n_sup
+    assert out.filter(F.col("s_suppkey").isNull()).count() == 0

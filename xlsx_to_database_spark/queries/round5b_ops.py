@@ -1416,3 +1416,242 @@ def jdbc_pushdown_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
         "o_orderpriority",
         F.round("o_totalprice", 2).alias("o_totalprice"),
     )
+
+
+@query(
+    "graph_assortativity",
+    """
+    WITH e AS (
+      SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v
+      FROM lineitem a JOIN lineitem b
+        ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+    ), deg AS (
+      SELECT u AS node, count(*) AS d FROM (
+        SELECT u FROM e UNION ALL SELECT v FROM e
+      ) t(u) GROUP BY u
+    ), ends AS (
+      SELECT du.d AS x, dv.d AS y
+      FROM e JOIN deg du ON du.node = e.u JOIN deg dv ON dv.node = e.v
+      UNION ALL
+      SELECT dv.d, du.d
+      FROM e JOIN deg du ON du.node = e.u JOIN deg dv ON dv.node = e.v
+    ), s AS (
+      SELECT CAST(count(*) AS DOUBLE) AS m,
+             CAST(sum(x) AS DOUBLE) AS sx,
+             CAST(sum(x * x) AS DOUBLE) AS sxx,
+             CAST(sum(x * y) AS DOUBLE) AS sxy
+      FROM ends
+    )
+    SELECT CAST(m / 2 AS BIGINT) AS n_edges,
+           round((m * sxy - sx * sx)
+                 / (m * sxx - sx * sx), 6) AS assortativity
+    FROM s
+    """,
+)
+def graph_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Degree assortativity of the co-purchase graph — the Pearson
+    correlation of degrees across edge endpoints (Newman's r): positive
+    means hubs attach to hubs (social-network shape), negative means
+    hub-and-spoke (infrastructure shape) — the one-number summary of
+    whether hub-targeted sampling/salting strategies will pay off on
+    this graph. Directionalizing each undirected edge BOTH ways makes
+    the two endpoint marginals identical, so r needs only m, Σx, Σx²,
+    Σxy — four exact integer sums over the 2m endpoint pairs.
+
+    Exact: degrees are integers; the four sufficient statistics are
+    exact (hugeint/long) sums; one shared double expression, round 6.
+
+    Scale shape: the same materialize-once edge list as
+    graph_triangles, two degree attaches (equi-joins on node id), one
+    aggregate. No wedge join at all — strictly cheaper than the
+    triangle family."""
+    li = table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    a = li.select(F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("u"))
+    b = li.select(F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("v"))
+    e = (
+        a.join(b, "o")
+        .filter(F.col("u") < F.col("v"))
+        .select("u", "v")
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    deg = (
+        e.select(F.col("u").alias("node"))
+        .unionAll(e.select(F.col("v").alias("node")))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).alias("d"))
+    )
+    du = deg.select(F.col("node").alias("u"), F.col("d").alias("du"))
+    dv = deg.select(F.col("node").alias("v"), F.col("d").alias("dv"))
+    ej = e.join(du, "u").join(dv, "v")
+    ends = ej.select(
+        F.col("du").alias("x"), F.col("dv").alias("y")
+    ).unionAll(ej.select(F.col("dv").alias("x"), F.col("du").alias("y")))
+    s = ends.agg(
+        F.count(F.lit(1)).alias("m"),
+        F.sum("x").alias("sx"),
+        F.sum(F.col("x").cast("decimal(19,0)") * F.col("x")).alias("sxx"),
+        F.sum(F.col("x").cast("decimal(19,0)") * F.col("y")).alias("sxy"),
+    )
+    md = F.col("m").cast("double")
+    sx = F.col("sx").cast("double")
+    sxx, sxy = F.col("sxx").cast("double"), F.col("sxy").cast("double")
+    return s.select(
+        (F.col("m") / 2).cast("long").alias("n_edges"),
+        F.round(
+            (md * sxy - sx * sx) / (md * sxx - sx * sx), 6
+        ).alias("assortativity"),
+    )
+
+
+@query(
+    "stat_equivalence_tost",
+    """
+    WITH g AS (
+      SELECT count(*) FILTER (WHERE o_orderpriority = '1-URGENT') AS na,
+             sum(CASE WHEN o_orderpriority = '1-URGENT'
+                      THEN CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)
+                      ELSE 0 END) AS sa,
+             sum(CASE WHEN o_orderpriority = '1-URGENT'
+                      THEN CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)
+                           * CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)
+                      ELSE 0 END) AS qa,
+             count(*) FILTER (WHERE o_orderpriority = '5-LOW') AS nb,
+             sum(CASE WHEN o_orderpriority = '5-LOW'
+                      THEN CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)
+                      ELSE 0 END) AS sb,
+             sum(CASE WHEN o_orderpriority = '5-LOW'
+                      THEN CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)
+                           * CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)
+                      ELSE 0 END) AS qb
+      FROM orders
+    ), d AS (
+      SELECT CAST(na AS DOUBLE) AS na, CAST(sa AS DOUBLE) / na AS ma,
+             (CAST(qa AS DOUBLE) - CAST(sa AS DOUBLE) * CAST(sa AS DOUBLE)
+              / na) / (na - 1) AS va,
+             CAST(nb AS DOUBLE) AS nb, CAST(sb AS DOUBLE) / nb AS mb,
+             (CAST(qb AS DOUBLE) - CAST(sb AS DOUBLE) * CAST(sb AS DOUBLE)
+              / nb) / (nb - 1) AS vb
+      FROM g
+    )
+    SELECT CAST(na AS BIGINT) AS n_a, CAST(nb AS BIGINT) AS n_b,
+           round((ma - mb) / 100, 2) AS mean_diff,
+           round((ma - mb - 500000) / sqrt(va / na + vb / nb), 6) AS t_upper,
+           round((ma - mb + 500000) / sqrt(va / na + vb / nb), 6) AS t_lower,
+           ((ma - mb - 500000) / sqrt(va / na + vb / nb) < -1.645
+            AND (ma - mb + 500000) / sqrt(va / na + vb / nb) > 1.645)
+             AS equivalent
+    FROM d
+    """,
+)
+def stat_equivalence_tost(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equivalence testing by TOST (two one-sided tests) — the inference
+    `stat_ttest` cannot give: failing to find a difference is NOT
+    evidence of equivalence; TOST declares two groups equivalent only
+    when BOTH one-sided Welch t statistics reject at the ±δ margin
+    (δ = $5,000 here, z₀.₀₅ = 1.645) — the A/B "do no harm" gate for
+    rollouts and the validation test for pipeline migrations (old vs
+    new engine outputs equivalent within tolerance).
+
+    Exact: all six sufficient statistics are integer-cent sums from ONE
+    conditional aggregate; both engines then evaluate one shared double
+    expression (Welch se, two shifted t's, the conjunction), round 6.
+    Single fact-table pass, 1-row result."""
+    o = table(spark, sf_dir, "orders")
+    cents = F.floor(F.col("o_totalprice") * 100 + F.lit(0.5)).cast(
+        "decimal(19,0)"
+    )
+    isa = F.col("o_orderpriority") == "1-URGENT"
+    isb = F.col("o_orderpriority") == "5-LOW"
+    g = o.agg(
+        F.count_if(isa).alias("na"),
+        F.sum(F.when(isa, cents).otherwise(F.lit(0))).alias("sa"),
+        F.sum(F.when(isa, cents * cents).otherwise(F.lit(0))).alias("qa"),
+        F.count_if(isb).alias("nb"),
+        F.sum(F.when(isb, cents).otherwise(F.lit(0))).alias("sb"),
+        F.sum(F.when(isb, cents * cents).otherwise(F.lit(0))).alias("qb"),
+    )
+    na, nb = F.col("na").cast("double"), F.col("nb").cast("double")
+    sa, sb = F.col("sa").cast("double"), F.col("sb").cast("double")
+    qa, qb = F.col("qa").cast("double"), F.col("qb").cast("double")
+    ma, mb = sa / na, sb / nb
+    va = (qa - sa * sa / na) / (na - 1)
+    vb = (qb - sb * sb / nb) / (nb - 1)
+    se = F.sqrt(va / na + vb / nb)
+    delta = F.lit(500000.0)  # $5,000 in cents
+    tu = (ma - mb - delta) / se
+    tl = (ma - mb + delta) / se
+    return g.select(
+        F.col("na").cast("long").alias("n_a"),
+        F.col("nb").cast("long").alias("n_b"),
+        F.round((ma - mb) / 100, 2).alias("mean_diff"),
+        F.round(tu, 6).alias("t_upper"),
+        F.round(tl, 6).alias("t_lower"),
+        ((tu < -1.645) & (tl > 1.645)).alias("equivalent"),
+    )
+
+
+@query(
+    "csv_preamble_scan",
+    """
+    SELECT CAST(s_suppkey AS BIGINT) AS s_suppkey, s_name,
+           CAST(s_nationkey AS BIGINT) AS s_nationkey,
+           round(s_acctbal, 2) AS s_acctbal
+    FROM supplier
+    """,
+)
+def csv_preamble_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Preamble-tolerant CSV ingestion: real exports open with banner
+    lines ('Report generated...', blank lines, a tool signature) BEFORE
+    the header, which breaks naive header=true readers. The scan reads
+    the file as text, drops comment/blank/header lines (the preamble
+    grammar of this export family), then parses the remainder with
+    from_csv against an explicit schema — all map-side (text source →
+    filter → from_csv), no driver preprocessing, so a directory of such
+    files at 100 TB parallelizes per file-split like any text scan.
+    Hash-matches the clean relational oracle, proving the preamble
+    never leaks a row."""
+    import os
+
+    from xlsx_to_database_spark.queries.sources_sinks import (
+        _STAGE_ROOT, _tag,
+    )
+
+    root = os.path.join(_STAGE_ROOT, f"{_tag(sf_dir)}_supplier_preamble.csv")
+    if not os.path.exists(root):
+        os.makedirs(_STAGE_ROOT, exist_ok=True)
+        rows = (
+            table(spark, sf_dir, "supplier")
+            .select("s_suppkey", "s_name", "s_nationkey", "s_acctbal")
+            .collect()
+        )
+        with open(root + ".tmp", "w") as fh:
+            fh.write("# Supplier extract -- generated by legacy tool v2.3\n")
+            fh.write("# contact: ops@example.invalid\n")
+            fh.write("\n")
+            fh.write("s_suppkey,s_name,s_nationkey,s_acctbal\n")
+            for r in rows:
+                fh.write(
+                    f"{r.s_suppkey},{r.s_name},{r.s_nationkey},"
+                    f"{r.s_acctbal!r}\n"
+                )
+        os.replace(root + ".tmp", root)
+    header = "s_suppkey,s_name,s_nationkey,s_acctbal"
+    txt = spark.read.text(root)
+    body = txt.filter(
+        (F.col("value") != header)
+        & ~F.col("value").startswith("#")
+        & (F.length("value") > 0)
+    )
+    parsed = body.select(
+        F.from_csv(
+            F.col("value"),
+            "s_suppkey long, s_name string, s_nationkey long, s_acctbal double",
+        ).alias("r")
+    )
+    return parsed.select(
+        F.col("r.s_suppkey").alias("s_suppkey"),
+        F.col("r.s_name").alias("s_name"),
+        F.col("r.s_nationkey").alias("s_nationkey"),
+        F.round("r.s_acctbal", 2).alias("s_acctbal"),
+    )
