@@ -97,7 +97,18 @@ ALLOWED: dict[str, dict[str, str]] = {
             "assoc_rules",            # order-count total N (1 row)
             "sim_two_tier",           # query vector (1 row)
             "stat_mutual_info",       # cell-count total N (1 row)
+            "text_pmi",               # bigram/unigram totals (1 row)
+            "ml_naive_bayes",         # corpus total N + vocab size V (1 row)
+            "stat_cramers_v",         # contingency totals (1 row, as stat_chi2)
         )
+    },
+    "stat_kendall_tau": {
+        "BroadcastNestedLoopJoin": (
+            "inequality cell-pair join over the CONTINGENCY TABLE "
+            "(|X|·|Y| rows — metadata scale at any corpus size), "
+            "broadcast by construction; the fact table is touched only "
+            "by the first equi-aggregate"
+        ),
     },
 }
 
