@@ -1231,3 +1231,56 @@ def test_preamble_lines_never_leak(spark, sf_dir):
     n_sup = table(spark, sf_dir, "supplier").count()
     assert out.count() == n_sup
     assert out.filter(F.col("s_suppkey").isNull()).count() == 0
+
+
+def test_url_canonicalize_collapses_each_trio(spark, sf_dir):
+    from xlsx_to_database_spark.catalog import table
+    from xlsx_to_database_spark.registry import all_queries
+
+    out = all_queries()["url_canonicalize"](spark, sf_dir).collect()
+    n_docs = table(spark, sf_dir, "documents").count()
+    assert len(out) == n_docs  # one canonical URL per document
+    for r in out:
+        assert r.n_variants == 3 and r.n_distinct_raw == 3
+        u = r.canonical_url
+        assert u.startswith("https://src")
+        assert "utm_" not in u and "#" not in u and ":443" not in u
+        assert u.endswith("?a=1&b=2")  # params survive, sorted
+
+
+def test_decision_stump_beats_every_other_cut(spark, sf_dir):
+    from pyspark.sql import functions as FF
+
+    from xlsx_to_database_spark.catalog import table
+    from xlsx_to_database_spark.registry import all_queries
+
+    best = all_queries()["ml_decision_stump"](spark, sf_dir).collect()[0]
+    o = table(spark, sf_dir, "orders").select(
+        FF.floor(FF.col("o_totalprice") / 10000).cast("long").alias("b"),
+        (FF.col("o_orderstatus") == "F").cast("int").alias("y"),
+    ).collect()
+    import collections
+
+    n = collections.Counter()
+    k = collections.Counter()
+    for r in o:
+        n[r.b] += 1
+        k[r.b] += r.y
+    nt, kt = sum(n.values()), sum(k.values())
+    bs = sorted(n)
+    nl = kl = 0
+    best_g, best_b = None, None
+    for b in bs:
+        nl += n[b]
+        kl += k[b]
+        nr, kr = nt - nl, kt - kl
+        if nl == 0 or nr == 0:
+            continue
+        g = round(
+            (kl * kl + (nl - kl) ** 2) / nl + (kr * kr + (nr - kr) ** 2) / nr,
+            9,
+        )
+        if best_g is None or g > best_g:
+            best_g, best_b = g, b
+    assert best.split_below == (best_b + 1) * 10000
+    assert abs(best.gini_after - round((nt - best_g) / nt, 6)) < 1e-9

@@ -1655,3 +1655,227 @@ def csv_preamble_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("r.s_nationkey").alias("s_nationkey"),
         F.round("r.s_acctbal", 2).alias("s_acctbal"),
     )
+
+
+def _canon_url(u):
+    """Canonicalize a URL column: lowercase scheme+host, strip a default
+    :443 port, drop the #fragment, drop utm_* tracking params, sort the
+    surviving query params, strip one trailing path slash. Pure codegen
+    string/array ops — identical semantics spelled in the DuckDB oracle."""
+    scheme = F.lower(F.regexp_extract(u, r"^([A-Za-z]+)://", 1))
+    rest = F.regexp_replace(u, r"^[A-Za-z]+://", "")
+    rest = F.regexp_replace(rest, r"#.*$", "")          # fragment
+    host = F.lower(F.regexp_extract(rest, r"^([^/?]+)", 1))
+    host = F.regexp_replace(host, r":443$", "")
+    pq = F.regexp_replace(rest, r"^[^/?]+", "")         # /path?query
+    path = F.regexp_replace(pq, r"\?.*$", "")
+    path = F.regexp_replace(path, r"/$", "")
+    query = F.when(
+        pq.contains("?"), F.regexp_replace(pq, r"^[^?]*\?", "")
+    ).otherwise(F.lit(""))
+    params = F.array_sort(
+        F.filter(
+            F.split(query, "&"),
+            lambda p: (~p.startswith("utm_")) & (p != ""),
+        )
+    )
+    qcanon = F.when(
+        F.size(params) > 0, F.concat(F.lit("?"), F.array_join(params, "&"))
+    ).otherwise(F.lit(""))
+    return F.concat(scheme, F.lit("://"), host, path, qcanon)
+
+
+@query(
+    "url_canonicalize",
+    """
+    WITH urls AS (
+      SELECT doc_id, unnest([
+        'HTTPS://' || upper(source) || '.Example.COM:443/docs/'
+          || CAST(doc_id AS VARCHAR) || '/?b=2&a=1#section-3',
+        'https://' || source || '.example.com/docs/'
+          || CAST(doc_id AS VARCHAR) || '?a=1&b=2&utm_source=feed',
+        'https://' || source || '.example.com/docs/'
+          || CAST(doc_id AS VARCHAR) || '/?utm_campaign=x&b=2&a=1'
+      ]) AS u
+      FROM documents
+    ), c AS (
+      SELECT doc_id, u,
+             lower(regexp_extract(u, '^([A-Za-z]+)://', 1)) || '://' ||
+             regexp_replace(
+               lower(regexp_extract(regexp_replace(regexp_replace(u,
+                     '^[A-Za-z]+://', ''), '#.*$', ''), '^([^/?]+)', 1)),
+               ':443$', '') ||
+             regexp_replace(regexp_replace(regexp_replace(
+                 regexp_replace(regexp_replace(u, '^[A-Za-z]+://', ''),
+                                '#.*$', ''),
+                 '^[^/?]+', ''), '\\?.*$', ''), '/$', '') ||
+             CASE WHEN len(list_sort(list_filter(
+                      string_split(CASE WHEN contains(
+                          regexp_replace(regexp_replace(regexp_replace(u,
+                              '^[A-Za-z]+://', ''), '#.*$', ''),
+                              '^[^/?]+', ''), '?')
+                        THEN regexp_replace(regexp_replace(regexp_replace(
+                            regexp_replace(u, '^[A-Za-z]+://', ''),
+                            '#.*$', ''), '^[^/?]+', ''), '^[^?]*\\?', '')
+                        ELSE '' END, '&'),
+                      p -> NOT starts_with(p, 'utm_') AND p <> ''))) > 0
+                  THEN '?' || array_to_string(list_sort(list_filter(
+                      string_split(CASE WHEN contains(
+                          regexp_replace(regexp_replace(regexp_replace(u,
+                              '^[A-Za-z]+://', ''), '#.*$', ''),
+                              '^[^/?]+', ''), '?')
+                        THEN regexp_replace(regexp_replace(regexp_replace(
+                            regexp_replace(u, '^[A-Za-z]+://', ''),
+                            '#.*$', ''), '^[^/?]+', ''), '^[^?]*\\?', '')
+                        ELSE '' END, '&'),
+                      p -> NOT starts_with(p, 'utm_') AND p <> '')), '&')
+                  ELSE '' END AS canon
+      FROM urls
+    )
+    SELECT canon AS canonical_url,
+           CAST(count(*) AS BIGINT) AS n_variants,
+           CAST(count(DISTINCT u) AS BIGINT) AS n_distinct_raw
+    FROM c GROUP BY canon
+    """,
+)
+def url_canonicalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """URL canonicalization + dedup — the FIRST pass of every web-corpus
+    pipeline (CommonCrawl-style): the same page arrives as casing
+    variants, tracking-parameter variants, fragment variants and
+    trailing-slash variants; canonicalizing (lowercase scheme/host,
+    strip :443, drop #fragment and utm_*, sort params, strip trailing
+    slash) collapses them BEFORE any content hashing, making the
+    expensive dedup stages smaller. Three deterministic raw variants
+    are synthesized per document; the op must collapse each trio to ONE
+    canonical URL (pinned by the exact oracle replaying the identical
+    string pipeline).
+
+    Scale shape: canonicalization is map-only codegen (regex + array
+    sort on short strings); the only shuffle is the canonical-key
+    count, combiner-friendly. No UDF anywhere."""
+    d = table(spark, sf_dir, "documents").select("doc_id", "source")
+    did = F.col("doc_id").cast("string")
+    urls = d.select(
+        "doc_id",
+        F.explode(
+            F.array(
+                F.concat(
+                    F.lit("HTTPS://"), F.upper("source"),
+                    F.lit(".Example.COM:443/docs/"), did,
+                    F.lit("/?b=2&a=1#section-3"),
+                ),
+                F.concat(
+                    F.lit("https://"), F.col("source"),
+                    F.lit(".example.com/docs/"), did,
+                    F.lit("?a=1&b=2&utm_source=feed"),
+                ),
+                F.concat(
+                    F.lit("https://"), F.col("source"),
+                    F.lit(".example.com/docs/"), did,
+                    F.lit("/?utm_campaign=x&b=2&a=1"),
+                ),
+            )
+        ).alias("u"),
+    )
+    return (
+        urls.select("u", _canon_url(F.col("u")).alias("canon"))
+        .groupBy(F.col("canon").alias("canonical_url"))
+        .agg(
+            F.count(F.lit(1)).alias("n_variants"),
+            F.countDistinct("u").alias("n_distinct_raw"),
+        )
+    )
+
+
+@query(
+    "ml_decision_stump",
+    """
+    WITH cells AS (
+      SELECT CAST(floor(o_totalprice / 10000) AS BIGINT) AS b,
+             count(*) AS n,
+             count(*) FILTER (WHERE o_orderstatus = 'F') AS k
+      FROM orders GROUP BY 1
+    ), cum AS (
+      SELECT b,
+             sum(n) OVER (ORDER BY b) AS nl,
+             sum(k) OVER (ORDER BY b) AS kl,
+             (SELECT sum(n) FROM cells) AS nt,
+             (SELECT sum(k) FROM cells) AS kt
+      FROM cells
+    ), scored AS (
+      SELECT b, nl, nt - nl AS nr,
+             round((CAST(kl * kl + (nl - kl) * (nl - kl) AS DOUBLE)
+                    / CAST(nl AS DOUBLE))
+                   + (CAST((kt - kl) * (kt - kl)
+                           + ((nt - nl) - (kt - kl))
+                             * ((nt - nl) - (kt - kl)) AS DOUBLE)
+                      / CAST(nt - nl AS DOUBLE)), 9) AS g,
+             CAST(nt AS DOUBLE) AS ntd
+      FROM cum WHERE nl > 0 AND nt - nl > 0
+    )
+    SELECT CAST((b + 1) * 10000 AS BIGINT) AS split_below,
+           CAST(nl AS BIGINT) AS n_left, CAST(nr AS BIGINT) AS n_right,
+           round((ntd - g) / ntd, 6) AS gini_after
+    FROM scored
+    ORDER BY g DESC, b LIMIT 1
+    """,
+)
+def ml_decision_stump(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Best single-feature split by Gini impurity — the depth-1 decision
+    tree, and more importantly the EXACT inner computation every
+    distributed tree learner (GBT/RF) runs per feature per node:
+    histogram the feature (value buckets × class counts), prefix-sum
+    the histogram, score every cut from the cumulative counts, take the
+    argmax. One fact-table aggregate to ≤ |buckets| cells; everything
+    after runs at histogram scale.
+
+    Exact: cell counts are integers; the split score g = ΣcL²/nL +
+    ΣcR²/nR (monotone inverse of weighted Gini) is computed from exact
+    integer squares with one shared double division per side, rounded
+    to 9 BEFORE the argmax so both engines rank identically, bucket id
+    as tie-break. Degenerate cuts (empty side) are excluded."""
+    o = table(spark, sf_dir, "orders")
+    cells = o.groupBy(
+        F.floor(F.col("o_totalprice") / 10000).cast("long").alias("b")
+    ).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.count_if(F.col("o_orderstatus") == "F").alias("k"),
+    )
+    w = Window.orderBy("b").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    tot = cells.agg(
+        F.sum("n").alias("nt"), F.sum("k").alias("kt")
+    )
+    cum = (
+        cells.withColumn("nl", F.sum("n").over(w))
+        .withColumn("kl", F.sum("k").over(w))
+        .crossJoin(F.broadcast(tot))
+    )
+    nl, kl = F.col("nl"), F.col("kl")
+    nr, kr = F.col("nt") - nl, F.col("kt") - kl
+    g = F.round(
+        (kl * kl + (nl - kl) * (nl - kl)).cast("double") / nl.cast("double")
+        + (kr * kr + (nr - kr) * (nr - kr)).cast("double")
+        / nr.cast("double"),
+        9,
+    )
+    scored = cum.filter((nl > 0) & (nr > 0)).select(
+        "b",
+        nl.alias("nl2"),
+        nr.alias("nr2"),
+        g.alias("g"),
+        F.col("nt").cast("double").alias("ntd"),
+    )
+    return (
+        scored.orderBy(F.col("g").desc(), "b")
+        .limit(1)
+        .select(
+            ((F.col("b") + 1) * 10000).cast("long").alias("split_below"),
+            F.col("nl2").cast("long").alias("n_left"),
+            F.col("nr2").cast("long").alias("n_right"),
+            F.round((F.col("ntd") - F.col("g")) / F.col("ntd"), 6).alias(
+                "gini_after"
+            ),
+        )
+    )
