@@ -1284,3 +1284,80 @@ def test_decision_stump_beats_every_other_cut(spark, sf_dir):
             best_g, best_b = g, b
     assert best.split_below == (best_b + 1) * 10000
     assert abs(best.gini_after - round((nt - best_g) / nt, 6)) < 1e-9
+
+
+def test_runs_test_consistency(spark, sf_dir):
+    from xlsx_to_database_spark.registry import all_queries
+
+    r = all_queries()["stat_runs_test"](spark, sf_dir).collect()[0]
+    # runs count is bounded by [1, n1+n2] and at least 2 when both
+    # labels occur; z replays from the closed form
+    import math as m
+
+    n1, n2, R = r.n_above, r.n_below, r.n_runs
+    n = n1 + n2
+    assert 2 <= R <= n
+    mu = 2 * n1 * n2 / n + 1
+    var = 2 * n1 * n2 * (2 * n1 * n2 - n) / (n * n * (n - 1))
+    assert abs(r.z - round((R - mu) / m.sqrt(var), 6)) < 1e-9
+
+
+def test_jackknife_se_matches_numpy_replay(spark, sf_dir):
+    import math as m
+
+    from xlsx_to_database_spark.catalog import table
+    from xlsx_to_database_spark.registry import all_queries
+
+    got = all_queries()["stat_jackknife_ratio_se"](spark, sf_dir).collect()[0]
+    rows = table(spark, sf_dir, "lineitem").select(
+        F.floor(F.col("l_extendedprice") * 100 + F.lit(0.5)).cast("long").alias("y"),
+        F.col("l_quantity").cast("long").alias("x"),
+    ).collect()
+    sy = sum(r.y for r in rows)
+    sx = sum(r.x for r in rows)
+    n = len(rows)
+    R = sy / sx
+    ds = [(sy - r.y) / (sx - r.x) - R for r in rows]
+    sd = sum(ds)
+    sdd = sum(d * d for d in ds)
+    se = m.sqrt((n - 1) / n * (sdd - sd * sd / n)) / 100
+    assert got.n_rows == n
+    assert abs(got.ratio_dollars_per_unit - round(R / 100, 6)) < 1e-9
+    # python replay sums unquantized doubles in list order: agree loosely
+    assert abs(got.jackknife_se_dollars - se) < 1e-6 * max(se, 1.0)
+
+
+def test_compression_ratio_separates_repetitive_from_diverse(spark, tmp_path, sf_dir):
+    import shutil
+
+    from xlsx_to_database_spark.registry import all_queries
+
+    stage = tmp_path / "sf_comp"
+    stage.mkdir()
+    for t in (
+        "region nation customer supplier part orders lineitem events "
+        "documents embeddings".split()
+    ):
+        shutil.copy(f"{sf_dir}/{t}.parquet", stage / f"{t}.parquet")
+    rep = "spam " * 200
+    div = " ".join(f"tok{i}x{i * 7 % 97}" for i in range(200))
+    spark.createDataFrame(
+        [(1, rep, "en", "s", len(rep)), (2, div, "en", "s", len(div))],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    ).coalesce(1).write.mode("overwrite").parquet(str(stage / "documents.parquet"))
+    got = {
+        r.doc_id: r.ratio
+        for r in all_queries()["text_compression_ratio"](
+            spark, str(stage)
+        ).collect()
+    }
+    assert got[1] < 0.1          # repetitive junk crushes
+    assert got[2] > 3 * got[1]   # diverse text resists compression
+    # determinism: second run identical
+    got2 = {
+        r.doc_id: r.ratio
+        for r in all_queries()["text_compression_ratio"](
+            spark, str(stage)
+        ).collect()
+    }
+    assert got == got2

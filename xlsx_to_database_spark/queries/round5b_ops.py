@@ -1879,3 +1879,235 @@ def ml_decision_stump(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+@query(
+    "stat_runs_test",
+    """
+    WITH daily AS (
+      SELECT o_orderdate AS d,
+             sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)) AS v
+      FROM orders GROUP BY 1
+    ), med AS (
+      SELECT max(v) AS md FROM (
+        SELECT v, row_number() OVER (ORDER BY v) AS rn,
+               count(*) OVER () AS n
+        FROM daily
+      ) WHERE rn <= (n + 1) // 2
+    ), lab AS (
+      SELECT d, v > md AS above
+      FROM daily CROSS JOIN med WHERE v <> md
+    ), chg AS (
+      SELECT above,
+             CASE WHEN above <> lag(above) OVER (ORDER BY d)
+                  THEN 1 ELSE 0 END AS c
+      FROM lab
+    ), runs AS (
+      SELECT count(*) AS n,
+             count(*) FILTER (WHERE above) AS n1,
+             count(*) FILTER (WHERE NOT above) AS n2,
+             1 + sum(c) AS r
+      FROM chg
+    )
+    SELECT CAST(n1 AS BIGINT) AS n_above, CAST(n2 AS BIGINT) AS n_below,
+           CAST(r AS BIGINT) AS n_runs,
+           round((CAST(r AS DOUBLE)
+                  - (2.0 * n1 * n2 / n + 1))
+                 / sqrt(2.0 * n1 * n2 * (2.0 * n1 * n2 - n)
+                        / (CAST(n AS DOUBLE) * n * (n - 1))), 6) AS z
+    FROM runs
+    """,
+)
+def stat_runs_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wald–Wolfowitz runs test on the daily-revenue series — is the
+    sequence of above/below-median days RANDOM, or does it cluster
+    (momentum / regime behavior the mean-level tests can't see)? Too
+    few runs ⇒ positive serial dependence; too many ⇒ oscillation.
+    Median is the exact ⌈n/2⌉-th smallest daily total (replicated
+    verbatim in both engines — no engine quantile semantics); days
+    equal to the median are excluded per the standard test; runs are
+    1 + sign changes over the date order.
+
+    Exact: daily totals are integer cents; (n1, n2, R) are integers;
+    z is one shared double expression, rounded 6. The series is
+    calendar-bounded (~2.4k rows at ANY corpus scale), so the rank /
+    lag windows are metadata-scale by construction — only the daily
+    aggregate touches the fact table."""
+    o = table(spark, sf_dir, "orders")
+    daily = o.groupBy(F.col("o_orderdate").alias("d")).agg(
+        F.sum(
+            F.floor(F.col("o_totalprice") * 100 + F.lit(0.5)).cast("long")
+        ).alias("v")
+    )
+    daily = daily.localCheckpoint(eager=True)  # feeds median + labels
+    ranked = daily.select(
+        "v",
+        F.row_number().over(Window.orderBy("v")).alias("rn"),
+        F.count(F.lit(1)).over(
+            Window.rowsBetween(
+                Window.unboundedPreceding, Window.unboundedFollowing
+            )
+        ).alias("n"),
+    )
+    med = ranked.filter(
+        F.col("rn") <= (F.col("n") + 1) / 2
+    ).agg(F.max("v").alias("md"))
+    lab = (
+        daily.crossJoin(F.broadcast(med))
+        .filter(F.col("v") != F.col("md"))
+        .select("d", (F.col("v") > F.col("md")).alias("above"))
+    )
+    chg = F.when(
+        F.col("above") != F.lag("above").over(Window.orderBy("d")), 1
+    ).otherwise(0)
+    runs = lab.select("d", "above", chg.alias("c")).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.count_if(F.col("above")).alias("n1"),
+        F.count_if(~F.col("above")).alias("n2"),
+        (F.lit(1) + F.sum("c")).alias("r"),
+    )
+    n = F.col("n").cast("double")
+    n1, n2 = F.col("n1").cast("double"), F.col("n2").cast("double")
+    mu = F.lit(2.0) * n1 * n2 / n + 1
+    var = (
+        F.lit(2.0) * n1 * n2 * (F.lit(2.0) * n1 * n2 - n)
+        / (n * n * (n - 1))
+    )
+    return runs.select(
+        F.col("n1").cast("long").alias("n_above"),
+        F.col("n2").cast("long").alias("n_below"),
+        F.col("r").cast("long").alias("n_runs"),
+        F.round((F.col("r").cast("double") - mu) / F.sqrt(var), 6).alias("z"),
+    )
+
+
+@query(
+    "stat_jackknife_ratio_se",
+    """
+    WITH b AS (
+      SELECT CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT) AS y,
+             CAST(l_quantity AS BIGINT) AS x
+      FROM lineitem
+    ), tot AS (
+      SELECT CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(y) AS BIGINT) AS sy, CAST(sum(x) AS BIGINT) AS sx
+      FROM b
+    ), d AS (
+      SELECT n, sy, sx,
+             CAST(CAST(sy - y AS DOUBLE) / CAST(sx - x AS DOUBLE)
+                  - CAST(sy AS DOUBLE) / CAST(sx AS DOUBLE)
+                  AS DECIMAL(28,18)) AS di
+      FROM b CROSS JOIN tot
+    ), s AS (
+      SELECT min(n) AS n, min(sy) AS sy, min(sx) AS sx,
+             sum(di) AS sd,
+             sum(CAST(CAST(di AS DOUBLE) * CAST(di AS DOUBLE)
+                      AS DECIMAL(28,18))) AS sdd
+      FROM d
+    )
+    SELECT n AS n_rows,
+           round(CAST(sy AS DOUBLE) / CAST(sx AS DOUBLE) / 100, 6)
+             AS ratio_dollars_per_unit,
+           round(sqrt((CAST(n AS DOUBLE) - 1) / CAST(n AS DOUBLE)
+                      * (CAST(sdd AS DOUBLE)
+                         - CAST(sd AS DOUBLE) * CAST(sd AS DOUBLE) / n))
+                 / 100, 9) AS jackknife_se_dollars
+    FROM s
+    """,
+)
+def stat_jackknife_ratio_se(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Delete-1 jackknife standard error of a RATIO estimator (revenue
+    per unit = Σprice/Σqty) — ratio metrics are the norm in experiment
+    readouts (CTR, revenue/user) and their SE has no closed form; the
+    jackknife is the estimator that distributes: each row's leave-one-
+    out replicate R₍ᵢ₎ = (Sy−yᵢ)/(Sx−xᵢ) is a MAP-ONLY expression
+    against broadcast totals — no resampling loop, no data movement
+    beyond one total-computing pass.
+
+    Numerical discipline: replicates are centered on the full-sample
+    ratio FIRST (dᵢ = R₍ᵢ₎ − R, magnitudes ~1e-2), so the variance sum
+    has no catastrophic cancellation; each dᵢ and dᵢ² is quantized to
+    DECIMAL(28,18) before summation (the chi2/entropy discipline:
+    per-row doubles are engine-identical, cross-row SUM ORDER is not —
+    quantized decimal sums are). SE combines the exact sums in one
+    shared double expression."""
+    li = table(spark, sf_dir, "lineitem")
+    b = li.select(
+        F.floor(F.col("l_extendedprice") * 100 + F.lit(0.5))
+        .cast("long")
+        .alias("y"),
+        F.col("l_quantity").cast("long").alias("x"),
+    )
+    tot = b.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("y").alias("sy"),
+        F.sum("x").alias("sx"),
+    )
+    r_full = F.col("sy").cast("double") / F.col("sx").cast("double")
+    di = (
+        (F.col("sy") - F.col("y")).cast("double")
+        / (F.col("sx") - F.col("x")).cast("double")
+        - r_full
+    ).cast("decimal(28,18)")
+    d = b.crossJoin(F.broadcast(tot)).select(
+        "n", "sy", "sx", di.alias("di")
+    )
+    s = d.agg(
+        F.min("n").alias("n"),
+        F.min("sy").alias("sy"),
+        F.min("sx").alias("sx"),
+        F.sum("di").alias("sd"),
+        F.sum(
+            (F.col("di").cast("double") * F.col("di").cast("double")).cast(
+                "decimal(28,18)"
+            )
+        ).alias("sdd"),
+    )
+    nd = F.col("n").cast("double")
+    se = F.sqrt(
+        (nd - 1) / nd
+        * (
+            F.col("sdd").cast("double")
+            - F.col("sd").cast("double") * F.col("sd").cast("double") / F.col("n")
+        )
+    )
+    return s.select(
+        F.col("n").alias("n_rows"),
+        F.round(
+            F.col("sy").cast("double") / F.col("sx").cast("double") / 100, 6
+        ).alias("ratio_dollars_per_unit"),
+        F.round(se / 100, 9).alias("jackknife_se_dollars"),
+    )
+
+
+@query("text_compression_ratio")  # rows-only: zlib is not SQL-expressible
+def text_compression_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Compression-ratio quality signal — zlib(text)/len(text): highly
+    repetitive machine junk compresses far below natural prose, making
+    this one of the standard cheap filters in pretraining pipelines
+    (used alongside `text_repetition`'s n-gram rates; compression
+    catches LONG-range repetition n-grams miss). No SQL engine exposes
+    zlib, so this is a legitimate Arrow-batched `mapInPandas` op — the
+    UDF carries its own CPU cost per byte, which is the honest price of
+    the signal; everything around it (projection, filter, aggregation)
+    stays JVM-side. Deterministic: zlib level 6 output length is fixed
+    for fixed input, so the per-doc ratios are stable across runs/
+    engines — verified by unit test, row-count checked by the driver."""
+    import pandas as pd  # noqa: F401
+
+    d = table(spark, sf_dir, "documents").select("doc_id", "text")
+
+    def ratio_batches(batches):
+        import zlib
+
+        for pdf in batches:
+            raw = pdf["text"].str.encode("utf-8")
+            comp = raw.map(lambda bs: len(zlib.compress(bs, 6)))
+            out = pdf[["doc_id"]].copy()
+            out["n_bytes"] = raw.map(len).astype("int64")
+            out["ratio"] = (comp / raw.map(len).clip(lower=1)).round(4)
+            yield out
+
+    return d.mapInPandas(
+        ratio_batches, "doc_id long, n_bytes long, ratio double"
+    )
