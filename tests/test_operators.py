@@ -1361,3 +1361,65 @@ def test_compression_ratio_separates_repetitive_from_diverse(spark, tmp_path, sf
         ).collect()
     }
     assert got == got2
+
+
+def test_weighted_median_crossing_rule(spark, sf_dir):
+    from xlsx_to_database_spark.catalog import table
+    from xlsx_to_database_spark.registry import all_queries
+
+    got = all_queries()["agg_weighted_median"](spark, sf_dir).collect()[0]
+    rows = table(spark, sf_dir, "lineitem").select(
+        F.floor(F.col("l_extendedprice") * 100 + F.lit(0.5)).cast("long").alias("v"),
+        F.col("l_quantity").cast("long").alias("w"),
+    ).collect()
+    agg = {}
+    for r in rows:
+        agg[r.v] = agg.get(r.v, 0) + r.w
+    tw = sum(agg.values())
+    cw = 0
+    for v in sorted(agg):
+        cw += agg[v]
+        if 2 * cw >= tw:
+            assert got.weighted_median == round(v / 100, 2)
+            break
+    assert got.total_weight == tw
+
+
+def test_capture_recapture_estimate_is_plausible(spark, sf_dir):
+    from xlsx_to_database_spark.registry import all_queries
+
+    r = all_queries()["stat_capture_recapture"](spark, sf_dir).collect()[0]
+    assert r.n_overlap <= min(r.n_sample_a, r.n_sample_b)
+    # Chapman is consistent: with ~1/7 marking of many orders per
+    # customer the samples are large; estimate within 2x of truth
+    assert 0.5 * r.n_true_customers < r.chapman_estimate < 2 * r.n_true_customers
+
+
+def test_vwap_equals_flat_price_when_constant(spark, tmp_path, sf_dir):
+    import shutil
+
+    from xlsx_to_database_spark.registry import all_queries
+
+    stage = tmp_path / "sf_vwap"
+    stage.mkdir()
+    for t in (
+        "region nation customer supplier part orders lineitem events "
+        "documents embeddings".split()
+    ):
+        shutil.copy(f"{sf_dir}/{t}.parquet", stage / f"{t}.parquet")
+    # part 7 ships 5 fills at a CONSTANT unit price of $3 -> vwap == 3
+    rows = [
+        (7, f"1995-0{i}-01", i, 3.0 * (i + 1), float(i + 1))
+        for i in range(1, 6)
+    ]
+    spark.createDataFrame(
+        rows,
+        "l_partkey long, l_shipdate string, l_orderkey long,"
+        " l_extendedprice double, l_quantity double",
+    ).selectExpr(
+        "l_partkey", "CAST(l_shipdate AS DATE) l_shipdate", "l_orderkey",
+        "l_extendedprice", "l_quantity",
+    ).coalesce(1).write.mode("overwrite").parquet(str(stage / "lineitem.parquet"))
+    got = all_queries()["win_rolling_vwap"](spark, str(stage)).collect()
+    assert len(got) == 5
+    assert all(r.vwap == 3.0 for r in got)

@@ -2111,3 +2111,190 @@ def text_compression_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
     return d.mapInPandas(
         ratio_batches, "doc_id long, n_bytes long, ratio double"
     )
+
+
+@query(
+    "win_rolling_vwap",
+    """
+    WITH b AS (
+      SELECT l_partkey, l_shipdate, l_orderkey,
+             CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT) AS pc,
+             CAST(l_quantity AS BIGINT) AS q
+      FROM lineitem WHERE l_partkey % 50 = 7
+    ), w AS (
+      SELECT l_partkey, l_shipdate, l_orderkey,
+             sum(pc) OVER f AS spq, sum(q) OVER f AS sq,
+             count(*) OVER f AS n
+      FROM b
+      WINDOW f AS (PARTITION BY l_partkey
+                   ORDER BY l_shipdate, l_orderkey
+                   ROWS BETWEEN 9 PRECEDING AND CURRENT ROW)
+    )
+    SELECT l_partkey, l_orderkey, CAST(n AS INT) AS n_frame,
+           round(CAST(spq AS DOUBLE) / CAST(sq AS DOUBLE) / 100, 4)
+             AS vwap
+    FROM w
+    """,
+)
+def win_rolling_vwap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling volume-weighted average price per part over its shipment
+    history (trailing 10 fills) — the weighted-window ratio pattern
+    `win_moving_avg` (unweighted) can't express: the denominator is the
+    window's QUANTITY mass, so heavy fills dominate, which is the
+    correct price signal for execution analytics and cost-basis
+    tracking. Extended price is already price×qty, so VWAP =
+    Σ(extendedprice)/Σ(qty) over the frame.
+
+    Exact: integer-cent and integer-quantity windowed sums; one shared
+    double division, rounded 4. One shuffle on the part key;
+    ROWS-bounded frames keep per-row state O(10). The part filter
+    (2% of parts) keeps the oracle bounded without changing the plan
+    shape."""
+    li = table(spark, sf_dir, "lineitem").filter(
+        F.col("l_partkey") % 50 == 7
+    )
+    b = li.select(
+        "l_partkey",
+        "l_shipdate",
+        "l_orderkey",
+        F.floor(F.col("l_extendedprice") * 100 + F.lit(0.5))
+        .cast("long")
+        .alias("pc"),
+        F.col("l_quantity").cast("long").alias("q"),
+    )
+    f = (
+        Window.partitionBy("l_partkey")
+        .orderBy("l_shipdate", "l_orderkey")
+        .rowsBetween(-9, Window.currentRow)
+    )
+    return b.select(
+        "l_partkey",
+        "l_orderkey",
+        F.count(F.lit(1)).over(f).cast("int").alias("n_frame"),
+        F.round(
+            F.sum("pc").over(f).cast("double")
+            / F.sum("q").over(f).cast("double")
+            / 100,
+            4,
+        ).alias("vwap"),
+    )
+
+
+@query(
+    "stat_capture_recapture",
+    """
+    WITH m AS (
+      SELECT o_custkey,
+             max(CASE WHEN (o_orderkey * 2654435761 + 11) % 7 = 0
+                      THEN 1 ELSE 0 END) AS in_a,
+             max(CASE WHEN (o_orderkey * 40503 + 29) % 7 = 0
+                      THEN 1 ELSE 0 END) AS in_b
+      FROM orders GROUP BY o_custkey
+    ), c AS (
+      SELECT sum(in_a) AS na, sum(in_b) AS nb,
+             sum(in_a * in_b) AS nab, count(*) AS n_true
+      FROM m
+    )
+    SELECT CAST(na AS BIGINT) AS n_sample_a,
+           CAST(nb AS BIGINT) AS n_sample_b,
+           CAST(nab AS BIGINT) AS n_overlap,
+           CAST(n_true AS BIGINT) AS n_true_customers,
+           round((CAST(na + 1 AS DOUBLE) * (nb + 1)) / (nab + 1) - 1, 2)
+             AS chapman_estimate
+    FROM c
+    """,
+)
+def stat_capture_recapture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Capture–recapture (Chapman-corrected Lincoln–Petersen) estimate
+    of a population you can only sample — the back-of-the-envelope that
+    answers "how many distinct customers/documents are there REALLY"
+    from two cheap independent probes and their overlap, without a full
+    distinct count (the survey-statistics cousin of HLL: no sketch
+    state, just two marked subsets; also the standard way to estimate
+    RESIDUAL DUPLICATES after a dedup pass — mark two random slices,
+    re-dedup the union, count recaptures). Two deterministic hash
+    probes over orders mark customers; N̂ = (nA+1)(nB+1)/(nAB+1) − 1.
+    The true distinct count rides along so the estimate's quality is
+    visible in the result. One aggregate pass; all counts exact
+    integers; the estimator is one shared double expression."""
+    o = table(spark, sf_dir, "orders")
+    in_a = F.max(
+        F.when((F.col("o_orderkey") * 2654435761 + 11) % 7 == 0, 1).otherwise(0)
+    )
+    in_b = F.max(
+        F.when((F.col("o_orderkey") * 40503 + 29) % 7 == 0, 1).otherwise(0)
+    )
+    m = o.groupBy("o_custkey").agg(in_a.alias("in_a"), in_b.alias("in_b"))
+    c = m.agg(
+        F.sum("in_a").alias("na"),
+        F.sum("in_b").alias("nb"),
+        F.sum(F.col("in_a") * F.col("in_b")).alias("nab"),
+        F.count(F.lit(1)).alias("n_true"),
+    )
+    return c.select(
+        F.col("na").cast("long").alias("n_sample_a"),
+        F.col("nb").cast("long").alias("n_sample_b"),
+        F.col("nab").cast("long").alias("n_overlap"),
+        F.col("n_true").cast("long").alias("n_true_customers"),
+        F.round(
+            (F.col("na").cast("double") + 1)
+            * (F.col("nb").cast("double") + 1)
+            / (F.col("nab").cast("double") + 1)
+            - 1,
+            2,
+        ).alias("chapman_estimate"),
+    )
+
+
+@query(
+    "agg_weighted_median",
+    """
+    WITH vals AS (
+      SELECT CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT) AS v,
+             sum(CAST(l_quantity AS BIGINT)) AS w
+      FROM lineitem GROUP BY 1
+    ), cum AS (
+      SELECT v, w, sum(w) OVER (ORDER BY v) AS cw,
+             (SELECT sum(w) FROM vals) AS tw
+      FROM vals
+    )
+    SELECT round(CAST(min(v) AS DOUBLE) / 100, 2) AS weighted_median,
+           CAST(min(tw) AS BIGINT) AS total_weight
+    FROM cum WHERE 2 * cw >= tw
+    """,
+)
+def agg_weighted_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted median — the quantile a weighted sample actually needs
+    (`agg_percentile` treats every row equally; after weighted sampling
+    à la `sample_weighted`, or with rows that each represent w units,
+    the unweighted median is simply wrong). Lower weighted median:
+    smallest value whose cumulative weight reaches half the total.
+
+    Computed on the DISTINCT-VALUE aggregate (value → weight mass),
+    then one running weight sum over the value order — the same
+    vocabulary-scale global-order shape as stat_spearman's ranks
+    (bucketed running sum at scale), never a row-scale sort. Exact:
+    values are integer cents, weights integer units; the crossing rule
+    2·cw ≥ tw is pure integer arithmetic."""
+    li = table(spark, sf_dir, "lineitem")
+    vals = li.groupBy(
+        F.floor(F.col("l_extendedprice") * 100 + F.lit(0.5))
+        .cast("long")
+        .alias("v")
+    ).agg(F.sum(F.col("l_quantity").cast("long")).alias("w"))
+    cum = GO.with_global_running_sums(
+        vals, [F.col("v")], "v", {"cw": "w"}
+    )
+    tot = vals.agg(F.sum("w").alias("tw"))
+    hit = (
+        cum.crossJoin(F.broadcast(tot))
+        .filter(2 * F.col("cw") >= F.col("tw"))
+        .agg(
+            F.min("v").alias("mv"),
+            F.min("tw").alias("tw"),
+        )
+    )
+    return hit.select(
+        F.round(F.col("mv").cast("double") / 100, 2).alias("weighted_median"),
+        F.col("tw").cast("long").alias("total_weight"),
+    )
