@@ -1423,3 +1423,77 @@ def test_vwap_equals_flat_price_when_constant(spark, tmp_path, sf_dir):
     got = all_queries()["win_rolling_vwap"](spark, str(stage)).collect()
     assert len(got) == 5
     assert all(r.vwap == 3.0 for r in got)
+
+
+def test_peaks_are_strict_local_maxima(spark, sf_dir):
+    from pyspark.sql import functions as FF
+
+    from xlsx_to_database_spark.catalog import table
+    from xlsx_to_database_spark.registry import all_queries
+
+    peaks = all_queries()["win_peaks"](spark, sf_dir).collect()
+    daily = {
+        r.d: r.v
+        for r in table(spark, sf_dir, "orders")
+        .groupBy(FF.col("o_orderdate").alias("d"))
+        .agg(
+            FF.sum(
+                FF.floor(FF.col("o_totalprice") * 100 + FF.lit(0.5)).cast("long")
+            ).alias("v")
+        )
+        .collect()
+    }
+    days = sorted(daily)
+    idx = {d: i for i, d in enumerate(days)}
+    for p in peaks:
+        i = idx[p.peak_date]
+        assert 0 < i < len(days) - 1
+        assert daily[days[i]] > daily[days[i - 1]]
+        assert daily[days[i]] > daily[days[i + 1]]
+        assert p.prominence > 1.25
+
+
+def test_theil_sen_resists_an_outlier(spark, tmp_path, sf_dir):
+    import shutil
+
+    from xlsx_to_database_spark.registry import all_queries
+
+    stage = tmp_path / "sf_ts"
+    stage.mkdir()
+    for t in (
+        "region nation customer supplier part orders lineitem events "
+        "documents embeddings".split()
+    ):
+        shutil.copy(f"{sf_dir}/{t}.parquet", stage / f"{t}.parquet")
+    # part 13: unit price climbs exactly $1/day... except one wild
+    # fat-finger (x100) that OLS would chase and Theil-Sen must ignore
+    rows = []
+    for i in range(9):
+        price = 100.0 + i if i != 4 else (100.0 + i) * 100
+        rows.append((13, f"1995-01-{i + 1:02d}", price, 1.0))
+    spark.createDataFrame(
+        rows,
+        "l_partkey long, l_shipdate string, l_extendedprice double,"
+        " l_quantity double",
+    ).selectExpr(
+        "l_partkey", "CAST(l_shipdate AS DATE) l_shipdate",
+        "l_extendedprice", "l_quantity",
+    ).coalesce(1).write.mode("overwrite").parquet(str(stage / "lineitem.parquet"))
+    got = all_queries()["stat_theil_sen"](spark, str(stage)).collect()
+    assert len(got) == 1
+    # true slope $1/day = 100 cents/day; the outlier can't move the median
+    assert abs(got[0].theil_sen_slope - 100.0) < 1e-6
+
+
+def test_katz_first_term_is_degree(spark, sf_dir):
+    from xlsx_to_database_spark.registry import all_queries
+
+    rows = all_queries()["graph_katz_bounded"](spark, sf_dir).collect()
+    assert 0 < len(rows) <= 20
+    for r in rows:
+        # walk counts grow with k on a connected co-purchase graph
+        assert r.walks_1 <= r.walks_2 <= r.walks_3
+        expect = round(
+            0.05 * r.walks_1 + 0.0025 * r.walks_2 + 0.000125 * r.walks_3, 6
+        )
+        assert abs(r.katz - expect) < 1e-9

@@ -2298,3 +2298,239 @@ def agg_weighted_median(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.col("mv").cast("double") / 100, 2).alias("weighted_median"),
         F.col("tw").cast("long").alias("total_weight"),
     )
+
+
+@query(
+    "win_peaks",
+    """
+    WITH daily AS (
+      SELECT o_orderdate AS d,
+             sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)) AS v
+      FROM orders GROUP BY 1
+    ), nb AS (
+      SELECT d, v,
+             lag(v)  OVER (ORDER BY d) AS pv,
+             lead(v) OVER (ORDER BY d) AS nv,
+             avg(CAST(v AS DOUBLE)) OVER (ORDER BY d
+                 ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING) AS loc
+      FROM daily
+    )
+    SELECT d AS peak_date, round(CAST(v AS DOUBLE) / 100, 2) AS revenue,
+           round(CAST(v AS DOUBLE) / loc, 4) AS prominence
+    FROM nb
+    WHERE pv IS NOT NULL AND nv IS NOT NULL
+      AND v > pv AND v > nv AND CAST(v AS DOUBLE) > 1.25 * loc
+    """,
+)
+def win_peaks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Peak detection on the daily-revenue series — strict local maxima
+    (above both neighbors) with a PROMINENCE gate (≥1.25× the centered
+    7-day local mean), which is what separates a real spike from the
+    ambient sawtooth every daily series has (the alerting primitive
+    behind anomaly feeds; `stat_control_chart` gates on global σ, this
+    gates on LOCAL context, catching spikes inside high-variance
+    regimes). Series is calendar-bounded, so the lag/lead/centered-mean
+    windows are metadata-scale; only the daily aggregate touches the
+    fact table. Integer-cent values; the prominence ratio is a shared
+    double division, rounded 4."""
+    o = table(spark, sf_dir, "orders")
+    daily = o.groupBy(F.col("o_orderdate").alias("d")).agg(
+        F.sum(
+            F.floor(F.col("o_totalprice") * 100 + F.lit(0.5)).cast("long")
+        ).alias("v")
+    )
+    w = Window.orderBy("d")
+    wloc = Window.orderBy("d").rowsBetween(-3, 3)
+    nb = daily.select(
+        "d",
+        "v",
+        F.lag("v").over(w).alias("pv"),
+        F.lead("v").over(w).alias("nv"),
+        F.avg(F.col("v").cast("double")).over(wloc).alias("loc"),
+    )
+    return nb.filter(
+        F.col("pv").isNotNull()
+        & F.col("nv").isNotNull()
+        & (F.col("v") > F.col("pv"))
+        & (F.col("v") > F.col("nv"))
+        & (F.col("v").cast("double") > 1.25 * F.col("loc"))
+    ).select(
+        F.col("d").alias("peak_date"),
+        F.round(F.col("v").cast("double") / 100, 2).alias("revenue"),
+        F.round(F.col("v").cast("double") / F.col("loc"), 4).alias(
+            "prominence"
+        ),
+    )
+
+
+@query(
+    "stat_theil_sen",
+    """
+    WITH pts AS (
+      SELECT l_partkey AS k, l_shipdate AS d,
+             CAST(floor(l_extendedprice / l_quantity * 100 + 0.5)
+                  AS BIGINT) AS p
+      FROM lineitem WHERE l_partkey % 100 = 13
+    ), pairs AS (
+      SELECT a.k,
+             round(CAST(b.p - a.p AS DOUBLE)
+                   / date_diff('day', a.d, b.d), 9) AS slope
+      FROM pts a JOIN pts b ON a.k = b.k AND a.d < b.d
+    ), ranked AS (
+      SELECT k, slope,
+             row_number() OVER (PARTITION BY k ORDER BY slope) AS rn,
+             count(*) OVER (PARTITION BY k) AS n
+      FROM pairs
+    )
+    SELECT k AS part_key, CAST(min(n) AS BIGINT) AS n_pairs,
+           min(slope) AS theil_sen_slope
+    FROM ranked WHERE rn = (n + 1) // 2 GROUP BY k
+    """,
+)
+def stat_theil_sen(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Theil–Sen robust trend per part — the median of all pairwise
+    unit-price slopes over the part's shipment history. Up to ~29% of
+    corrupted points cannot move it (the breakdown property OLS lacks
+    entirely — one fat-finger price wrecks `stat_linreg`'s slope, not
+    this). Pairwise enumeration is confined WITHIN each part's own
+    bounded history (C(n,2) per part for per-part n of dozens), keyed
+    by an equi-join on the part — the total pair volume is Σ C(nᵢ,2),
+    never corpus²; partitions are per-part, so 100 TB parallelizes on
+    the part key.
+
+    Exact: unit prices quantized to integer cents, day deltas integer,
+    each slope one shared double division rounded to 9 BEFORE the
+    per-part median pick (lower median at rank ⌈n/2⌉ under the slope
+    order — deterministic across engines)."""
+    li = table(spark, sf_dir, "lineitem").filter(
+        F.col("l_partkey") % 100 == 13
+    )
+    pts = li.select(
+        F.col("l_partkey").alias("k"),
+        F.col("l_shipdate").alias("d"),
+        F.floor(
+            F.col("l_extendedprice") / F.col("l_quantity") * 100 + F.lit(0.5)
+        )
+        .cast("long")
+        .alias("p"),
+    )
+    a = pts.select(
+        F.col("k"), F.col("d").alias("da"), F.col("p").alias("pa")
+    )
+    b = pts.select(
+        F.col("k").alias("kb"), F.col("d").alias("db"), F.col("p").alias("pb")
+    )
+    pairs = (
+        a.join(b, (F.col("k") == F.col("kb")) & (F.col("da") < F.col("db")))
+        .select(
+            "k",
+            F.round(
+                (F.col("pb") - F.col("pa")).cast("double")
+                / F.datediff(F.col("db"), F.col("da")),
+                9,
+            ).alias("slope"),
+        )
+    )
+    wn = Window.partitionBy("k")
+    ranked = pairs.select(
+        "k",
+        "slope",
+        F.row_number().over(wn.orderBy("slope")).alias("rn"),
+        F.count(F.lit(1)).over(wn).alias("n"),
+    )
+    return (
+        ranked.filter(F.col("rn") == F.floor((F.col("n") + 1) / 2))
+        .groupBy(F.col("k").alias("part_key"))
+        .agg(
+            F.min("n").cast("long").alias("n_pairs"),
+            F.min("slope").alias("theil_sen_slope"),
+        )
+    )
+
+
+@query(
+    "graph_katz_bounded",
+    """
+    WITH e AS (
+      SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v
+      FROM lineitem a JOIN lineitem b
+        ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+    ), ed AS (
+      SELECT u, v FROM e UNION ALL SELECT v, u FROM e
+    ), v1 AS (
+      SELECT u AS node, count(*) AS c FROM ed GROUP BY u
+    ), v2 AS (
+      SELECT ed.u AS node, sum(v1.c) AS c
+      FROM ed JOIN v1 ON v1.node = ed.v GROUP BY ed.u
+    ), v3 AS (
+      SELECT ed.u AS node, sum(v2.c) AS c
+      FROM ed JOIN v2 ON v2.node = ed.v GROUP BY ed.u
+    )
+    SELECT v1.node AS part_key,
+           CAST(v1.c AS BIGINT) AS walks_1,
+           CAST(coalesce(v2.c, 0) AS BIGINT) AS walks_2,
+           CAST(coalesce(v3.c, 0) AS BIGINT) AS walks_3,
+           round(CAST(0.05 AS DOUBLE) * v1.c
+                 + CAST(0.0025 AS DOUBLE) * coalesce(v2.c, 0)
+                 + CAST(0.000125 AS DOUBLE) * coalesce(v3.c, 0), 6) AS katz
+    FROM v1 LEFT JOIN v2 ON v2.node = v1.node
+            LEFT JOIN v3 ON v3.node = v1.node
+    ORDER BY katz DESC, part_key LIMIT 20
+    """,
+)
+def graph_katz_bounded(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Katz centrality, 3-term truncation — Σₖ αᵏ·(walks of length k
+    ending at the node), α=0.05: the influence measure that counts ALL
+    short walks, not just direct edges (degree = the k=1 term;
+    `graph_pagerank` normalizes by degree, Katz rewards raw reach).
+    Truncating at k=3 with α·λmax < 1 bounds the tail geometrically —
+    and makes the computation three sparse matrix-vector products,
+    i.e. three (edges ⋈ vector → groupBy) rounds, the exact shape a
+    1000-executor Pregel/GraphX pass has. Walk counts are exact
+    integers; the αᵏ weights are exact decimal literals; one shared
+    final expression, rounded 6, id tie-break on the top-k."""
+    li = table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    a = li.select(F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("u"))
+    b = li.select(F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("v"))
+    e = (
+        a.join(b, "o")
+        .filter(F.col("u") < F.col("v"))
+        .select("u", "v")
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    ed = e.unionAll(e.select(F.col("v").alias("u"), F.col("u").alias("v")))
+    v1 = ed.groupBy(F.col("u").alias("node")).agg(
+        F.count(F.lit(1)).alias("c1")
+    )
+    v2 = (
+        ed.join(
+            v1.select(F.col("node").alias("v"), F.col("c1").alias("cv")), "v"
+        )
+        .groupBy(F.col("u").alias("node"))
+        .agg(F.sum("cv").alias("c2"))
+    )
+    v3 = (
+        ed.join(
+            v2.select(F.col("node").alias("v"), F.col("c2").alias("cv")), "v"
+        )
+        .groupBy(F.col("u").alias("node"))
+        .agg(F.sum("cv").alias("c3"))
+    )
+    out = (
+        v1.join(v2, "node", "left")
+        .join(v3, "node", "left")
+        .select(
+            F.col("node").alias("part_key"),
+            F.col("c1").cast("long").alias("walks_1"),
+            F.coalesce(F.col("c2"), F.lit(0)).cast("long").alias("walks_2"),
+            F.coalesce(F.col("c3"), F.lit(0)).cast("long").alias("walks_3"),
+            F.round(
+                F.lit(0.05) * F.col("c1")
+                + F.lit(0.0025) * F.coalesce(F.col("c2"), F.lit(0))
+                + F.lit(0.000125) * F.coalesce(F.col("c3"), F.lit(0)),
+                6,
+            ).alias("katz"),
+        )
+    )
+    return out.orderBy(F.col("katz").desc(), "part_key").limit(20)
