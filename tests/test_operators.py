@@ -1497,3 +1497,35 @@ def test_katz_first_term_is_degree(spark, sf_dir):
             0.05 * r.walks_1 + 0.0025 * r.walks_2 + 0.000125 * r.walks_3, 6
         )
         assert abs(r.katz - expect) < 1e-9
+
+
+def test_maxsim_self_match_is_top_with_score_4(spark, sf_dir):
+    from xlsx_to_database_spark.registry import all_queries
+
+    rows = all_queries()["sim_maxsim"](spark, sf_dir).collect()
+    assert rows[0].vec_id == 0
+    # each of the 4 query sub-vectors best-matches itself at cos=1
+    assert abs(rows[0].maxsim - 4.0) < 1e-9
+    scores = [r.maxsim for r in rows]
+    assert scores == sorted(scores, reverse=True)
+    assert all(-4.0 <= s <= 4.0 for s in scores)
+
+
+def test_latin1_bytes_are_not_valid_utf8(spark, sf_dir):
+    import os
+
+    from xlsx_to_database_spark.queries.sources_sinks import _STAGE_ROOT, _tag
+    from xlsx_to_database_spark.registry import all_queries
+
+    out = all_queries()["csv_latin1_scan"](spark, sf_dir)
+    assert out.count() == 25
+    path = os.path.join(_STAGE_ROOT, f"{_tag(sf_dir)}_nation_cp1252.csv")
+    raw = open(path, "rb").read()
+    assert b"\xe9" in raw  # é as a single Latin-1 byte
+    try:
+        raw.decode("utf-8")
+        raise AssertionError("fixture must NOT be valid UTF-8")
+    except UnicodeDecodeError:
+        pass
+    # decoded labels carry the accents intact
+    assert all("à résumé über" in r.label for r in out.collect())

@@ -550,3 +550,62 @@ def test_datasource_named_range_scan(spark, tmp_path):
     got = sorted((r.metric, r.amount) for r in df.collect())
     assert got == [("alpha", 10), ("beta", 20)]
     assert df.columns == ["metric", "amount"]
+
+
+def test_hidden_sheets_excluded_from_wildcard_not_by_name(spark, tmp_path):
+    """state='hidden' sheets drop out of default/wildcard selection
+    (visibleOnly default) but stay readable when named explicitly or
+    with visibleOnly=false."""
+    import zipfile
+
+    from xlsx_to_database_spark.sources.xlsx import register_xlsx_source
+    from xlsx_to_database_spark.sources.xlsx_io import read_workbook, write_workbook
+
+    register_xlsx_source(spark)
+    path = str(tmp_path / "hidden.xlsx")
+    write_workbook(
+        path,
+        {
+            "vis1": (["k", "v"], [(1, 10)]),
+            "scratch": (["k", "v"], [(2, 20)]),
+            "vis2": (["k", "v"], [(3, 30)]),
+        },
+    )
+    with zipfile.ZipFile(path) as zf:
+        members = {n: zf.read(n) for n in zf.namelist()}
+    wbxml = members["xl/workbook.xml"].decode()
+    wbxml = wbxml.replace(
+        '<sheet name="scratch" sheetId="2"',
+        '<sheet name="scratch" state="hidden" sheetId="2"',
+    )
+    assert 'state="hidden"' in wbxml
+    members["xl/workbook.xml"] = wbxml.encode()
+    with zipfile.ZipFile(path, "w") as zf:
+        for n, data in members.items():
+            zf.writestr(n, data)
+
+    wb = read_workbook(path)
+    assert wb.hidden_sheets == {"scratch"}
+    wb.close()
+    # wildcard: hidden sheet's row 2/20 must NOT appear
+    got = {
+        (r.k, r.v)
+        for r in spark.read.format("xlsx").option("sheet", "*").load(path).collect()
+    }
+    assert got == {(1, 10), (3, 30)}
+    # named explicitly: readable
+    got2 = {
+        (r.k, r.v)
+        for r in spark.read.format("xlsx").option("sheet", "scratch").load(path).collect()
+    }
+    assert got2 == {(2, 20)}
+    # visibleOnly=false: wildcard includes it
+    got3 = {
+        (r.k, r.v)
+        for r in spark.read.format("xlsx")
+        .option("sheet", "*")
+        .option("visibleOnly", "false")
+        .load(path)
+        .collect()
+    }
+    assert got3 == {(1, 10), (2, 20), (3, 30)}

@@ -2534,3 +2534,151 @@ def graph_katz_bounded(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return out.orderBy(F.col("katz").desc(), "part_key").limit(20)
+
+
+@query(
+    "sim_maxsim",
+    """
+    WITH v AS (
+      SELECT vec_id,
+             list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+      FROM embeddings
+    ), sub AS (
+      SELECT vec_id,
+             [e[1:16], e[17:32], e[33:48], e[49:64]] AS s,
+             [sqrt(list_sum(list_transform(e[1:16],  x -> x * x))),
+              sqrt(list_sum(list_transform(e[17:32], x -> x * x))),
+              sqrt(list_sum(list_transform(e[33:48], x -> x * x))),
+              sqrt(list_sum(list_transform(e[49:64], x -> x * x)))] AS nr
+      FROM v
+    ), q AS (
+      SELECT s AS qs, nr AS qn FROM sub WHERE vec_id = 0
+    ), scored AS (
+      SELECT vec_id,
+             list_sum(list_transform(generate_series(1, 4), qi ->
+               list_max(list_transform(generate_series(1, 4), dj ->
+                 round(list_sum(list_transform(generate_series(1, 16),
+                         k -> qs[qi][k] * s[dj][k]))
+                       / (qn[qi] * nr[dj]), 6))))) AS maxsim
+      FROM sub, q
+    )
+    SELECT vec_id, round(maxsim, 6) AS maxsim
+    FROM scored ORDER BY maxsim DESC, vec_id LIMIT 10
+    """,
+)
+def sim_maxsim(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Late-interaction retrieval (ColBERT-style MaxSim): treat each
+    64-dim embedding as FOUR 16-dim sub-vectors (the multi-vector
+    representation), score a document by Σ over query sub-vectors of
+    the BEST-matching document sub-vector — the scoring family that
+    beats single-vector cosine when different parts of a query match
+    different parts of a document. Top-10 against sub-query 0.
+
+    The whole scan is MAP-ONLY: sub-norms are row-local, the query's
+    four sub-vectors attach via a one-row broadcast, the 4×4 sub-cosine
+    matrix is codegen array math, TakeOrderedAndProject cuts the
+    top-10. At 100 TB this is one bandwidth-bound pass — the same
+    envelope as `sim_cosine_topk`, ×(#sub-vectors)² FLOPs, and the
+    natural pre-filter tier for an exact multi-vector re-rank.
+
+    Determinism: each sub-cosine is rounded to 6 BEFORE max; the four
+    maxima add in a fixed order; final round 6 + vec_id tie-break."""
+    e = table(spark, sf_dir, "embeddings")
+    xd = lambda x: x.cast("double")  # noqa: E731
+
+    def sub(col, i):
+        return F.slice(col, 1 + 16 * i, 16)
+
+    def norm(arr):
+        return F.sqrt(
+            F.aggregate(arr, F.lit(0.0), lambda a, x: a + xd(x) * xd(x))
+        )
+
+    def dot(qa, da):
+        return F.aggregate(
+            F.zip_with(qa, da, lambda a, b: xd(a) * xd(b)),
+            F.lit(0.0),
+            lambda a, x: a + x,
+        )
+
+    base = e.select(
+        "vec_id",
+        *[sub(F.col("embedding"), i).alias(f"s{i}") for i in range(4)],
+    ).select(
+        "vec_id",
+        *[F.col(f"s{i}") for i in range(4)],
+        *[norm(F.col(f"s{i}")).alias(f"n{i}") for i in range(4)],
+    )
+    q = base.filter(F.col("vec_id") == 0).select(
+        *[F.col(f"s{i}").alias(f"qs{i}") for i in range(4)],
+        *[F.col(f"n{i}").alias(f"qn{i}") for i in range(4)],
+    )
+    per_q = [
+        F.greatest(
+            *[
+                F.round(
+                    dot(F.col(f"qs{qi}"), F.col(f"s{dj}"))
+                    / (F.col(f"qn{qi}") * F.col(f"n{dj}")),
+                    6,
+                )
+                for dj in range(4)
+            ]
+        )
+        for qi in range(4)
+    ]
+    scored = base.crossJoin(F.broadcast(q)).select(
+        "vec_id",
+        F.round(per_q[0] + per_q[1] + per_q[2] + per_q[3], 6).alias("maxsim"),
+    )
+    return scored.orderBy(F.col("maxsim").desc(), "vec_id").limit(10)
+
+
+@query(
+    "csv_latin1_scan",
+    """
+    SELECT CAST(n_nationkey AS BIGINT) AS n_nationkey,
+           n_name || ' à résumé über' AS label,
+           CAST(n_regionkey AS BIGINT) AS n_regionkey
+    FROM nation
+    """,
+)
+def csv_latin1_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Legacy-encoding CSV ingestion: an ISO-8859-1 (Latin-1) export
+    with non-ASCII labels, read back through the CSV source's
+    `encoding` option — the unglamorous reality of enterprise landing
+    zones, and a silent-corruption source if the default UTF-8 path
+    mojibakes every accented byte. The staged file is WRITTEN in
+    Latin-1 (é→0xE9, ü→0xFC single bytes — invalid as UTF-8), so a
+    UTF-8 read would produce replacement garbage; the oracle builds
+    the same labels from clean parquet, so the hash match proves
+    byte-exact decode. Map-side like any text scan; a single-byte
+    codepage is per-split decodable, so parallelism is unaffected."""
+    import os
+
+    from xlsx_to_database_spark.queries.sources_sinks import (
+        _STAGE_ROOT, _tag,
+    )
+
+    path = os.path.join(_STAGE_ROOT, f"{_tag(sf_dir)}_nation_cp1252.csv")
+    if not os.path.exists(path):
+        os.makedirs(_STAGE_ROOT, exist_ok=True)
+        rows = (
+            table(spark, sf_dir, "nation")
+            .select("n_nationkey", "n_name", "n_regionkey")
+            .orderBy("n_nationkey")
+            .collect()
+        )
+        with open(path + ".tmp", "w", encoding="iso-8859-1") as fh:
+            fh.write("n_nationkey,label,n_regionkey\n")
+            for r in rows:
+                fh.write(
+                    f"{r.n_nationkey},{r.n_name} à résumé "
+                    f"über,{r.n_regionkey}\n"
+                )
+        os.replace(path + ".tmp", path)
+    return (
+        spark.read.option("header", "true")
+        .option("encoding", "iso-8859-1")
+        .schema("n_nationkey long, label string, n_regionkey long")
+        .csv(path)
+    )

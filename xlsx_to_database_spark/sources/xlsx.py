@@ -60,13 +60,23 @@ def _selected_sheets(path: str, options: dict) -> list[str]:
     wb = xlsx_io.read_workbook(path)
     try:
         names = list(wb.sheets)
+        hidden = wb.hidden_sheets
     finally:
         wb.close()
+    # visibleOnly (default true) drops state="hidden"/"veryHidden"
+    # sheets from DEFAULT and WILDCARD selection — scratch sheets don't
+    # silently pollute a union read. Explicitly-named sheets are always
+    # honored: asking for a sheet by name IS the override.
+    if str(options.get("visibleOnly", options.get("visibleonly", "true"))
+           ).lower() != "false":
+        visible = [n for n in names if n not in hidden]
+    else:
+        visible = names
     sheet_opt = options.get("sheet")
     if sheet_opt in (None, ""):
-        return names[:1]
+        return (visible or names)[:1]
     if sheet_opt == "*":
-        return names
+        return visible or names
     if sheet_opt in names:
         # An exact match wins before comma-splitting, so a single sheet
         # whose own name contains a comma (legal in Excel) is selectable;

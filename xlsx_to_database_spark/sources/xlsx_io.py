@@ -162,9 +162,15 @@ class Workbook:
         self.date1904 = pr is not None and pr.get("date1904") in (
             "1", "true",
         )
+        self.hidden_sheets: set[str] = set()
         for sheet in wb.find(f"{NS}sheets"):
             rid = sheet.get(f"{REL_NS}id")
             out[sheet.get("name")] = rels.get(rid, f"xl/worksheets/sheet{sheet.get('sheetId')}.xml")
+            # state="hidden"/"veryHidden": authors park scratch sheets
+            # there; they stay readable by name but are excluded from
+            # wildcard selection under visibleOnly (xlsx data source).
+            if sheet.get("state") in ("hidden", "veryHidden"):
+                self.hidden_sheets.add(sheet.get("name"))
         return out
 
     @property
