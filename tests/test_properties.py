@@ -330,3 +330,80 @@ def test_chunk_split_reconstructs_document(spark, toks, tmp_path_factory):
     # every chunk except the last spans a full stride
     for r in chunks[:-1]:
         assert r.n_tok >= S
+
+
+# ---------------------------------------------------------------------------
+# Fractional-rank law: 2·franks over any multiset are a permutation-invariant
+# relabeling with mean exactly n+1 (so Spearman's centering is exact)
+# ---------------------------------------------------------------------------
+
+
+@given(
+    values=st.lists(
+        st.integers(min_value=-50, max_value=50), min_size=1, max_size=60
+    )
+)
+@settings(max_examples=8, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+def test_frank2_matches_reference_ranks(spark, values):
+    from xlsx_to_database_spark.queries.round5b_ops import _frank2
+
+    df = spark.createDataFrame([(v,) for v in values], "x int")
+    got = {r.x: int(r.r2) for r in _frank2(df, "x", "r2").collect()}
+    # reference: 2*frank = 2*cnt_less + cnt_eq + 1
+    import collections
+
+    cnt = collections.Counter(values)
+    for v, c in cnt.items():
+        less = sum(k for x, k in cnt.items() if x < v)
+        assert got[v] == 2 * less + c + 1
+    # mean of 2*frank over the MULTISET is exactly n+1
+    n = len(values)
+    assert sum(got[v] * cnt[v] for v in cnt) == n * (n + 1)
+
+
+# ---------------------------------------------------------------------------
+# URL canonicalization is idempotent and case/tracking-invariant
+# ---------------------------------------------------------------------------
+
+
+@given(
+    host=st.text(alphabet="abcDEF", min_size=1, max_size=8),
+    path=st.lists(st.text(alphabet="abc123", min_size=1, max_size=5),
+                  max_size=3),
+    params=st.lists(
+        st.tuples(st.text(alphabet="abxy", min_size=1, max_size=4),
+                  st.text(alphabet="0189", min_size=1, max_size=3)),
+        max_size=4, unique_by=lambda kv: kv[0],
+    ),
+    utm=st.booleans(),
+    frag=st.booleans(),
+)
+@settings(max_examples=6, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+def test_url_canonicalize_idempotent_and_invariant(spark, host, path, params, utm, frag):
+    from pyspark.sql import functions as F
+
+    from xlsx_to_database_spark.queries.round5b_ops import _canon_url
+
+    q = "&".join(f"{k}={v}" for k, v in params)
+    raw = f"HTTPS://{host}.Example.COM:443/" + "/".join(path)
+    if q or utm:
+        raw += "?" + "&".join(
+            ([q] if q else []) + (["utm_source=x"] if utm else [])
+        )
+    if frag:
+        raw += "#frag"
+    df = spark.createDataFrame([(raw,)], "u string")
+    c1 = df.select(_canon_url(F.col("u")).alias("c")).collect()[0].c
+    # idempotent: canonicalizing the canonical form is a fixpoint
+    df2 = spark.createDataFrame([(c1,)], "u string")
+    c2 = df2.select(_canon_url(F.col("u")).alias("c")).collect()[0].c
+    assert c1 == c2
+    # invariants: lowercase host, no fragment/utm/port
+    assert c1.startswith(f"https://{host.lower()}.example.com")
+    assert "#" not in c1 and "utm_" not in c1 and ":443" not in c1
+    # surviving params are sorted
+    if "?" in c1:
+        ps = c1.split("?", 1)[1].split("&")
+        assert ps == sorted(ps)
