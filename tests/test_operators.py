@@ -1529,3 +1529,72 @@ def test_latin1_bytes_are_not_valid_utf8(spark, sf_dir):
         pass
     # decoded labels carry the accents intact
     assert all("à résumé über" in r.label for r in out.collect())
+
+
+def test_table_checksum_detects_any_single_row_change(spark, tmp_path, sf_dir):
+    import shutil
+
+    from xlsx_to_database_spark.registry import all_queries
+
+    base = {
+        r.tbl: (r.n_rows, r.checksum)
+        for r in all_queries()["dq_table_checksum"](spark, sf_dir).collect()
+    }
+    stage = tmp_path / "sf_ck"
+    stage.mkdir()
+    for t in (
+        "region nation customer supplier part orders lineitem events "
+        "documents embeddings".split()
+    ):
+        shutil.copy(f"{sf_dir}/{t}.parquet", stage / f"{t}.parquet")
+    # corrupt ONE nation name, REORDER suppliers (must not move digest)
+    n = spark.read.parquet(f"{sf_dir}/nation.parquet")
+    n.withColumn(
+        "n_name",
+        F.when(F.col("n_nationkey") == 3, F.lit("TAMPERED")).otherwise(
+            F.col("n_name")
+        ),
+    ).coalesce(1).write.mode("overwrite").parquet(str(stage / "nation.parquet"))
+    s = spark.read.parquet(f"{sf_dir}/supplier.parquet")
+    s.orderBy(F.col("s_acctbal").desc()).repartition(7).write.mode(
+        "overwrite"
+    ).parquet(str(stage / "supplier.parquet"))
+    got = {
+        r.tbl: (r.n_rows, r.checksum)
+        for r in all_queries()["dq_table_checksum"](spark, str(stage)).collect()
+    }
+    assert got["nation"][1] != base["nation"][1]      # tamper detected
+    assert got["supplier"] == base["supplier"]        # order-insensitive
+    assert got["customer"] == base["customer"]
+
+
+def test_winnowing_guarantees_shared_fingerprint_on_long_overlap(spark, tmp_path, sf_dir):
+    import shutil
+
+    from xlsx_to_database_spark.registry import all_queries
+
+    stage = tmp_path / "sf_winnow"
+    stage.mkdir()
+    for t in (
+        "region nation customer supplier part orders lineitem events "
+        "documents embeddings".split()
+    ):
+        shutil.copy(f"{sf_dir}/{t}.parquet", stage / f"{t}.parquet")
+    # docs 1 and 2 share a verbatim 12-token quote (>= k+w-1 = 6 tokens
+    # -> winnowing GUARANTEES >= 1 shared fingerprint; 12 gives >= 3);
+    # doc 3 is disjoint
+    quote = " ".join(f"q{i}" for i in range(12))
+    docs = [
+        (1, f"alpha beta {quote} gamma delta", "en", "s", 1),
+        (2, f"zeta eta {quote} theta iota kappa", "en", "s", 1),
+        (3, " ".join(f"z{i}" for i in range(20)), "en", "s", 1),
+    ]
+    spark.createDataFrame(
+        docs, "doc_id long, text string, lang string, source string, n_chars long"
+    ).coalesce(1).write.mode("overwrite").parquet(str(stage / "documents.parquet"))
+    pairs = {
+        (r.doc_a, r.doc_b): r.shared_fps
+        for r in all_queries()["dedup_winnowing"](spark, str(stage)).collect()
+    }
+    assert (1, 2) in pairs and pairs[(1, 2)] >= 3
+    assert all(3 not in p for p in pairs)

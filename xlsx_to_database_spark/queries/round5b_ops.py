@@ -2682,3 +2682,196 @@ def csv_latin1_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
         .schema("n_nationkey long, label string, n_regionkey long")
         .csv(path)
     )
+
+
+@query(
+    "dq_table_checksum",
+    """
+    WITH n AS (
+      SELECT count(*) AS n_rows,
+             sum(CAST(concat('0x', substr(md5(
+                 concat_ws('|', CAST(n_nationkey AS VARCHAR), n_name,
+                           CAST(n_regionkey AS VARCHAR))), 1, 12))
+               AS BIGINT)) AS ck
+      FROM nation
+    ), s AS (
+      SELECT count(*) AS n_rows,
+             sum(CAST(concat('0x', substr(md5(
+                 concat_ws('|', CAST(s_suppkey AS VARCHAR), s_name,
+                           CAST(s_nationkey AS VARCHAR),
+                           CAST(CAST(floor(s_acctbal * 100 + 0.5)
+                                     AS BIGINT) AS VARCHAR))), 1, 12))
+               AS BIGINT)) AS ck
+      FROM supplier
+    ), c AS (
+      SELECT count(*) AS n_rows,
+             sum(CAST(concat('0x', substr(md5(
+                 concat_ws('|', CAST(c_custkey AS VARCHAR), c_name,
+                           CAST(c_nationkey AS VARCHAR), c_mktsegment,
+                           CAST(CAST(floor(c_acctbal * 100 + 0.5)
+                                     AS BIGINT) AS VARCHAR))), 1, 12))
+               AS BIGINT)) AS ck
+      FROM customer
+    )
+    SELECT tbl, CAST(n_rows AS BIGINT) AS n_rows,
+           CAST(ck AS DECIMAL(38,0)) AS checksum
+    FROM (
+      SELECT 'nation' AS tbl, * FROM n
+      UNION ALL SELECT 'supplier', * FROM s
+      UNION ALL SELECT 'customer', * FROM c
+    )
+    """,
+)
+def dq_table_checksum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Order-insensitive table content checksum — THE reconciliation
+    primitive for migrations and replication at 100 TB: hash each row
+    canonically, SUM the hashes (commutative ⇒ no sort, no shuffle
+    order sensitivity), compare one number per table between source and
+    target. A row changed/lost/duplicated anywhere moves the digest;
+    partitioning, file order, and engine are all invisible to it. This
+    op digests three tables; the oracle recomputes the identical digest
+    in DuckDB, so the hash match IS a cross-engine reconciliation.
+
+    Canonical row form: '|'-joined key fields with money quantized to
+    integer cents and NULLs impossible by schema — float formatting
+    never reaches the hash. Digest = 48-bit prefix of md5 per row,
+    summed into DECIMAL(38,0) (exact far past 10^12 rows). Map-side
+    combinable single aggregate per table."""
+    def digest(df, cols):
+        canon = F.concat_ws("|", *cols)
+        h = F.conv(F.substring(F.md5(canon), 1, 12), 16, 10).cast("long")
+        return df.agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.sum(h).cast("decimal(38,0)").alias("checksum"),
+        )
+
+    cents = lambda c: F.floor(F.col(c) * 100 + F.lit(0.5)).cast("long").cast("string")  # noqa: E731
+    n = table(spark, sf_dir, "nation")
+    s = table(spark, sf_dir, "supplier")
+    c = table(spark, sf_dir, "customer")
+    outs = [
+        digest(n, [F.col("n_nationkey").cast("string"), F.col("n_name"),
+                   F.col("n_regionkey").cast("string")])
+        .select(F.lit("nation").alias("tbl"), "n_rows", "checksum"),
+        digest(s, [F.col("s_suppkey").cast("string"), F.col("s_name"),
+                   F.col("s_nationkey").cast("string"), cents("s_acctbal")])
+        .select(F.lit("supplier").alias("tbl"), "n_rows", "checksum"),
+        digest(c, [F.col("c_custkey").cast("string"), F.col("c_name"),
+                   F.col("c_nationkey").cast("string"),
+                   F.col("c_mktsegment"), cents("c_acctbal")])
+        .select(F.lit("customer").alias("tbl"), "n_rows", "checksum"),
+    ]
+    out = outs[0]
+    for o in outs[1:]:
+        out = out.unionAll(o)
+    return out.select("tbl", F.col("n_rows").cast("long").alias("n_rows"), "checksum")
+
+
+_WIN_M = 2147483647          #: Mersenne-prime modulus for k-gram hashes
+_WIN_C1 = 1000003 * 1000003 % _WIN_M
+_WIN_C2 = 1000003
+
+
+@query(
+    "dedup_winnowing",
+    f"""
+    WITH toks AS (
+      SELECT doc_id, string_split(lower(text), ' ') AS t FROM documents
+    ), th AS (
+      SELECT doc_id,
+             list_transform(t, x ->
+               CAST(concat('0x', substr(md5(x), 1, 8)) AS BIGINT)) AS h
+      FROM toks WHERE len(t) >= 6
+    ), grams AS (
+      SELECT doc_id,
+             list_transform(range(1, len(h) - 1), i ->
+               ((h[i] % {_WIN_M}) * {_WIN_C1} % {_WIN_M}
+                + (h[i+1] % {_WIN_M}) * {_WIN_C2} % {_WIN_M}
+                + (h[i+2] % {_WIN_M})) % {_WIN_M}) AS g
+      FROM th
+    ), fps AS (
+      SELECT DISTINCT doc_id, fp
+      FROM (
+        SELECT doc_id,
+               unnest(list_transform(range(1, len(g) - 2), i ->
+                 list_min(g[i:i+3]))) AS fp
+        FROM grams
+      )
+    ), pairs AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS shared
+      FROM fps a JOIN fps b ON a.fp = b.fp AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    )
+    SELECT doc_a, doc_b, CAST(shared AS BIGINT) AS shared_fps
+    FROM pairs WHERE shared >= 3
+    """,
+)
+def dedup_winnowing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winnowing fingerprints (Schleimer–Wilkerson–Aiken, the MOSS
+    algorithm): hash every 3-gram, slide a window of 4 consecutive
+    k-gram hashes, keep each window's MINIMUM — the guarantee MinHash
+    can't give: any shared run of ≥ k+w−1 tokens between two documents
+    is CERTAIN to share a fingerprint (position-based selection, no
+    probabilistic recall), which is why it's the standard for code
+    plagiarism and quote detection. Pairs sharing ≥3 fingerprints are
+    emitted with their overlap count.
+
+    Exact cross-engine: token hashes are md5-prefix integers; k-gram
+    combination is modular integer arithmetic (Mersenne modulus, all
+    intermediates < 2⁶³) replicated verbatim in the oracle; window
+    minima are integer mins — no floats anywhere.
+
+    Scale shape: fingerprinting is MAP-ONLY codegen array math (no
+    shuffle until the distinct); candidate pairs come from the
+    fingerprint posting lists (equi-join on fp — pair volume rides the
+    posting-list sizes like every inverted-index join, with AQE
+    handling hot fingerprints), never all-pairs."""
+    d = table(spark, sf_dir, "documents")
+    toks = d.select(
+        "doc_id", F.split(F.lower("text"), " ").alias("t")
+    ).filter(F.size("t") >= 6)
+    th = toks.select(
+        "doc_id",
+        F.transform(
+            F.col("t"),
+            lambda x: F.conv(F.substring(F.md5(x), 1, 8), 16, 10).cast(
+                "long"
+            ),
+        ).alias("h"),
+    )
+    M, C1, C2 = _WIN_M, _WIN_C1, _WIN_C2
+    grams = th.select(
+        "doc_id",
+        F.transform(
+            F.sequence(F.lit(1), F.size("h") - 2),
+            lambda i: (
+                (F.element_at(F.col("h"), i) % M) * C1 % M
+                + (F.element_at(F.col("h"), i + 1) % M) * C2 % M
+                + (F.element_at(F.col("h"), i + 2) % M)
+            )
+            % M,
+        ).alias("g"),
+    )
+    fps = (
+        grams.select(
+            "doc_id",
+            F.explode(
+                F.transform(
+                    F.sequence(F.lit(1), F.size("g") - 3),
+                    lambda i: F.array_min(F.slice(F.col("g"), i, 4)),
+                )
+            ).alias("fp"),
+        )
+        .distinct()
+    )
+    a = fps.select(F.col("doc_id").alias("doc_a"), "fp")
+    b = fps.select(F.col("doc_id").alias("doc_b"), "fp")
+    pairs = (
+        a.join(b, "fp")
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("shared"))
+    )
+    return pairs.filter(F.col("shared") >= 3).select(
+        "doc_a", "doc_b", F.col("shared").cast("long").alias("shared_fps")
+    )
