@@ -1598,3 +1598,55 @@ def test_winnowing_guarantees_shared_fingerprint_on_long_overlap(spark, tmp_path
     }
     assert (1, 2) in pairs and pairs[(1, 2)] >= 3
     assert all(3 not in p for p in pairs)
+
+
+def test_sprt_decision_is_first_boundary_crossing(spark, sf_dir):
+    import math as m
+
+    from xlsx_to_database_spark.catalog import table
+    from xlsx_to_database_spark.registry import all_queries
+
+    got = all_queries()["stat_sprt"](spark, sf_dir).collect()[0]
+    daily = (
+        table(spark, sf_dir, "orders")
+        .groupBy(F.col("o_orderdate").alias("d"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.count_if(F.col("o_orderstatus") == "F").alias("k"),
+        )
+        .collect()
+    )
+    la, lb = m.log(0.55 / 0.45), m.log(0.45 / 0.55)
+    hi, lo = m.log(0.95 / 0.05), m.log(0.05 / 0.95)
+    s = 0.0
+    first = None
+    for r in sorted(daily, key=lambda r: r.d):
+        s += r.k * la + (r.n - r.k) * lb
+        if s >= hi or s <= lo:
+            first = (r.d, "accept_h1" if s >= hi else "accept_h0")
+            break
+    assert first is not None
+    assert (got.decision_date, got.verdict) == first
+
+
+def test_knn_classify_votes_sum_to_k(spark, sf_dir):
+    from xlsx_to_database_spark.registry import all_queries
+
+    rows = all_queries()["ml_knn_classify"](spark, sf_dir).collect()
+    assert len(rows) == 10
+    for r in rows:
+        assert 1 <= r.votes <= 5
+        assert isinstance(r.correct, bool)
+
+
+def test_odds_ratio_replays_from_cells(spark, sf_dir):
+    import math as m
+
+    from xlsx_to_database_spark.registry import all_queries
+
+    r = all_queries()["stat_odds_ratio"](spark, sf_dir).collect()[0]
+    orr = (r.a * r.d) / (r.b * r.c)
+    se = m.sqrt(1 / r.a + 1 / r.b + 1 / r.c + 1 / r.d)
+    assert abs(r.odds_ratio - round(orr, 6)) < 1e-9
+    assert r.log_or_lo < m.log(orr) < r.log_or_hi
+    assert abs((r.log_or_hi - r.log_or_lo) / 2 - 1.96 * se) < 1e-5

@@ -2875,3 +2875,253 @@ def dedup_winnowing(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pairs.filter(F.col("shared") >= 3).select(
         "doc_a", "doc_b", F.col("shared").cast("long").alias("shared_fps")
     )
+
+
+@query(
+    "stat_sprt",
+    """
+    WITH daily AS (
+      SELECT o_orderdate AS d, count(*) AS n,
+             count(*) FILTER (WHERE o_orderstatus = 'F') AS k
+      FROM orders GROUP BY 1
+    ), llr AS (
+      SELECT d, n, k,
+             sum(CAST(CAST(k AS DOUBLE) * ln(0.55 / 0.45)
+                      + CAST(n - k AS DOUBLE) * ln(0.45 / 0.55)
+                      AS DECIMAL(28,18)))
+               OVER (ORDER BY d ROWS UNBOUNDED PRECEDING) AS s
+      FROM daily
+    ), crossed AS (
+      SELECT d, CAST(s AS DOUBLE) AS s,
+             CASE WHEN CAST(s AS DOUBLE) >= ln((1 - 0.05) / 0.05)
+                  THEN 'accept_h1'
+                  WHEN CAST(s AS DOUBLE) <= ln(0.05 / (1 - 0.05))
+                  THEN 'accept_h0' END AS verdict
+      FROM llr
+    )
+    SELECT min(d) AS decision_date,
+           round(min_by(s, d), 6) AS llr_at_decision,
+           min_by(verdict, d) AS verdict
+    FROM crossed WHERE verdict IS NOT NULL
+    """,
+)
+def stat_sprt(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wald's Sequential Probability Ratio Test over the daily order
+    stream — H0: P(F-status) = 0.45 vs H1: 0.55, α = β = 0.05: the
+    cumulative log-likelihood ratio walks until it exits
+    [ln(β/(1−α)), ln((1−α)/α)], and the op reports the FIRST crossing
+    day — the always-valid sequential decision modern experimentation
+    uses instead of fixed-horizon tests (`stat_proportion_ztest` needs
+    n chosen in advance; SPRT stops itself, typically much earlier).
+
+    Exactness: per-day LLR increments are k·ln(p1/p0)+(n−k)·ln(q1/q0)
+    with exact integer (n,k); each increment is DECIMAL(28,18)-
+    quantized BEFORE the running sum (the entropy/perplexity
+    discipline), so the cumulative path is bit-identical in both
+    engines; boundaries are shared double constants. The walk is
+    calendar-bounded, so everything after the daily aggregate is
+    metadata-scale."""
+    o = table(spark, sf_dir, "orders")
+    daily = o.groupBy(F.col("o_orderdate").alias("d")).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.count_if(F.col("o_orderstatus") == "F").alias("k"),
+    )
+    import math
+
+    la, lb = math.log(0.55 / 0.45), math.log(0.45 / 0.55)
+    hi, lo = math.log(0.95 / 0.05), math.log(0.05 / 0.95)
+    inc = (
+        F.col("k").cast("double") * F.lit(la)
+        + (F.col("n") - F.col("k")).cast("double") * F.lit(lb)
+    ).cast("decimal(28,18)")
+    w = Window.orderBy("d").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    llr = daily.select("d", inc.alias("i")).select(
+        "d", F.sum("i").over(w).cast("double").alias("s")
+    )
+    crossed = llr.select(
+        "d",
+        "s",
+        F.when(F.col("s") >= hi, "accept_h1")
+        .when(F.col("s") <= lo, "accept_h0")
+        .alias("verdict"),
+    ).filter(F.col("verdict").isNotNull())
+    return crossed.agg(
+        F.min("d").alias("decision_date"),
+        F.round(F.min_by("s", F.col("d")), 6).alias("llr_at_decision"),
+        F.min_by("verdict", F.col("d")).alias("verdict"),
+    )
+
+
+@query(
+    "ml_knn_classify",
+    """
+    WITH v AS (
+      SELECT vec_id, label,
+             list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+      FROM embeddings
+    ), n AS (
+      SELECT vec_id, label, e,
+             sqrt(list_sum(list_transform(e, x -> x * x))) AS nrm
+      FROM v
+    ), q AS (
+      SELECT vec_id AS qid, label AS true_label, e AS qe, nrm AS qn
+      FROM n WHERE vec_id < 10
+    ), scored AS (
+      SELECT qid, true_label, n.vec_id, n.label,
+             round(list_sum(list_transform(generate_series(1, len(e)),
+                     i -> e[i] * qe[i])) / (nrm * qn), 6) AS sim,
+             row_number() OVER (PARTITION BY qid
+                                ORDER BY round(list_sum(
+                                    list_transform(generate_series(1, len(e)),
+                                      i -> e[i] * qe[i])) / (nrm * qn), 6)
+                                  DESC, n.vec_id) AS rk
+      FROM n CROSS JOIN q WHERE n.vec_id <> qid
+    ), votes AS (
+      SELECT qid, true_label, label, count(*) AS c
+      FROM scored WHERE rk <= 5 GROUP BY 1, 2, 3
+    ), pick AS (
+      SELECT qid, true_label, label AS predicted, c,
+             row_number() OVER (PARTITION BY qid
+                                ORDER BY c DESC, label) AS pr
+      FROM votes
+    )
+    SELECT qid AS vec_id, true_label, predicted,
+           CAST(c AS BIGINT) AS votes,
+           predicted = true_label AS correct
+    FROM pick WHERE pr = 1
+    """,
+)
+def ml_knn_classify(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-NN classification (k=5, cosine, majority vote) for ten query
+    vectors against the labeled corpus — the zero-training baseline
+    every embedding space gets evaluated with, and structurally the
+    INFERENCE half of `sim_knn_join` (neighbors → votes → argmax
+    label). One corpus pass scores all ten queries (queries broadcast,
+    per-query top-5 via a bounded rank window), then vote counting and
+    the argmax run at (queries × labels) scale. True labels ride along
+    so the result doubles as a leave-one-out accuracy probe.
+
+    Determinism: sims rounded to 6 BEFORE ranking with vec_id
+    tie-break; vote argmax tie-breaks on the smaller label."""
+    e = table(spark, sf_dir, "embeddings")
+    xd = lambda x: x.cast("double")  # noqa: E731
+    n = e.select(
+        "vec_id",
+        "label",
+        F.col("embedding").alias("e"),
+        F.sqrt(
+            F.aggregate(
+                F.col("embedding"), F.lit(0.0), lambda a, x: a + xd(x) * xd(x)
+            )
+        ).alias("nrm"),
+    )
+    q = n.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("qid"),
+        F.col("label").alias("true_label"),
+        F.col("e").alias("qe"),
+        F.col("nrm").alias("qn"),
+    )
+    dot = F.aggregate(
+        F.zip_with(F.col("e"), F.col("qe"), lambda a, b: xd(a) * xd(b)),
+        F.lit(0.0),
+        lambda a, x: a + x,
+    )
+    scored = (
+        n.crossJoin(F.broadcast(q))
+        .filter(F.col("vec_id") != F.col("qid"))
+        .select(
+            "qid",
+            "true_label",
+            "vec_id",
+            "label",
+            F.round(dot / (F.col("nrm") * F.col("qn")), 6).alias("sim"),
+        )
+    )
+    rk = F.row_number().over(
+        Window.partitionBy("qid").orderBy(F.col("sim").desc(), "vec_id")
+    )
+    votes = (
+        scored.withColumn("rk", rk)
+        .filter(F.col("rk") <= 5)
+        .groupBy("qid", "true_label", "label")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    pr = F.row_number().over(
+        Window.partitionBy("qid").orderBy(F.col("c").desc(), "label")
+    )
+    return (
+        votes.withColumn("pr", pr)
+        .filter(F.col("pr") == 1)
+        .select(
+            F.col("qid").alias("vec_id"),
+            "true_label",
+            F.col("label").alias("predicted"),
+            F.col("c").cast("long").alias("votes"),
+            (F.col("label") == F.col("true_label")).alias("correct"),
+        )
+    )
+
+
+@query(
+    "stat_odds_ratio",
+    """
+    WITH t AS (
+      SELECT count(*) FILTER (WHERE o_orderpriority = '1-URGENT'
+                                AND o_orderstatus = 'F') AS a,
+             count(*) FILTER (WHERE o_orderpriority = '1-URGENT'
+                                AND o_orderstatus <> 'F') AS b,
+             count(*) FILTER (WHERE o_orderpriority <> '1-URGENT'
+                                AND o_orderstatus = 'F') AS c,
+             count(*) FILTER (WHERE o_orderpriority <> '1-URGENT'
+                                AND o_orderstatus <> 'F') AS d
+      FROM orders
+    )
+    SELECT CAST(a AS BIGINT) AS a, CAST(b AS BIGINT) AS b,
+           CAST(c AS BIGINT) AS c, CAST(d AS BIGINT) AS d,
+           round(CAST(a * d AS DOUBLE) / CAST(b * c AS DOUBLE), 6)
+             AS odds_ratio,
+           round(ln(CAST(a * d AS DOUBLE) / CAST(b * c AS DOUBLE))
+                 - 1.96 * sqrt(1.0/a + 1.0/b + 1.0/c + 1.0/d), 6)
+             AS log_or_lo,
+           round(ln(CAST(a * d AS DOUBLE) / CAST(b * c AS DOUBLE))
+                 + 1.96 * sqrt(1.0/a + 1.0/b + 1.0/c + 1.0/d), 6)
+             AS log_or_hi
+    FROM t
+    """,
+)
+def stat_odds_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Odds ratio with Woolf 95% CI on the log scale — THE effect
+    measure for 2×2 exposure/outcome tables (urgent-priority × final
+    status here): unlike the risk difference `stat_proportion_ztest`
+    tests, the OR is invariant to which margin was sampled, which is
+    why case-control analyses must use it. The point estimate ad/bc is
+    an exact integer ratio divided once in double; the CI uses Woolf's
+    se = √(1/a+1/b+1/c+1/d) around ln(OR) — shared expression trees
+    over the four exact cell counts from ONE conditional aggregate."""
+    o = table(spark, sf_dir, "orders")
+    urgent = F.col("o_orderpriority") == "1-URGENT"
+    fstat = F.col("o_orderstatus") == "F"
+    t = o.agg(
+        F.count_if(urgent & fstat).alias("a"),
+        F.count_if(urgent & ~fstat).alias("b"),
+        F.count_if(~urgent & fstat).alias("c"),
+        F.count_if(~urgent & ~fstat).alias("d"),
+    )
+    orr = (F.col("a") * F.col("d")).cast("double") / (
+        F.col("b") * F.col("c")
+    ).cast("double")
+    se = F.sqrt(
+        1.0 / F.col("a") + 1.0 / F.col("b") + 1.0 / F.col("c")
+        + 1.0 / F.col("d")
+    )
+    return t.select(
+        F.col("a").cast("long").alias("a"),
+        F.col("b").cast("long").alias("b"),
+        F.col("c").cast("long").alias("c"),
+        F.col("d").cast("long").alias("d"),
+        F.round(orr, 6).alias("odds_ratio"),
+        F.round(F.log(orr) - F.lit(1.96) * se, 6).alias("log_or_lo"),
+        F.round(F.log(orr) + F.lit(1.96) * se, 6).alias("log_or_hi"),
+    )
