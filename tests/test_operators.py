@@ -1470,13 +1470,13 @@ def test_theil_sen_resists_an_outlier(spark, tmp_path, sf_dir):
     rows = []
     for i in range(9):
         price = 100.0 + i if i != 4 else (100.0 + i) * 100
-        rows.append((13, f"1995-01-{i + 1:02d}", price, 1.0))
+        rows.append((13, f"1995-01-{i + 1:02d}", i + 1, price, 1.0))
     spark.createDataFrame(
         rows,
-        "l_partkey long, l_shipdate string, l_extendedprice double,"
-        " l_quantity double",
+        "l_partkey long, l_shipdate string, l_orderkey long,"
+        " l_extendedprice double, l_quantity double",
     ).selectExpr(
-        "l_partkey", "CAST(l_shipdate AS DATE) l_shipdate",
+        "l_partkey", "CAST(l_shipdate AS DATE) l_shipdate", "l_orderkey",
         "l_extendedprice", "l_quantity",
     ).coalesce(1).write.mode("overwrite").parquet(str(stage / "lineitem.parquet"))
     got = all_queries()["stat_theil_sen"](spark, str(stage)).collect()

@@ -79,6 +79,16 @@ DEFAULT_OPS = [
     "etl_fifo_allocate",
     "ml_naive_bayes",
     "ml_logreg_newton",
+    # Round-5 batches 8-15.
+    "graph_assortativity",
+    "url_canonicalize",
+    "ml_decision_stump",
+    "stat_jackknife_ratio_se",
+    "agg_weighted_median",
+    "dedup_winnowing",
+    "dq_table_checksum",
+    "sim_maxsim",
+    "stat_theil_sen",
 ]
 
 

@@ -2366,11 +2366,16 @@ def win_peaks(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "stat_theil_sen",
     """
-    WITH pts AS (
+    WITH pts0 AS (
       SELECT l_partkey AS k, l_shipdate AS d,
              CAST(floor(l_extendedprice / l_quantity * 100 + 0.5)
-                  AS BIGINT) AS p
+                  AS BIGINT) AS p,
+             row_number() OVER (PARTITION BY l_partkey
+                                ORDER BY l_shipdate DESC, l_orderkey DESC)
+               AS recency
       FROM lineitem WHERE l_partkey % 100 = 13
+    ), pts AS (
+      SELECT k, d, p FROM pts0 WHERE recency <= 64
     ), pairs AS (
       SELECT a.k,
              round(CAST(b.p - a.p AS DOUBLE)
@@ -2393,10 +2398,11 @@ def stat_theil_sen(spark: SparkSession, sf_dir: str) -> DataFrame:
     corrupted points cannot move it (the breakdown property OLS lacks
     entirely — one fat-finger price wrecks `stat_linreg`'s slope, not
     this). Pairwise enumeration is confined WITHIN each part's own
-    bounded history (C(n,2) per part for per-part n of dozens), keyed
-    by an equi-join on the part — the total pair volume is Σ C(nᵢ,2),
-    never corpus²; partitions are per-part, so 100 TB parallelizes on
-    the part key.
+    history, CAPPED at the 64 most recent fills (≤2016 pairs/key flat
+    at any density — per-key quadratic cost is intrinsic to Theil–Sen,
+    so the cap, not hope, is what bounds it at scale), keyed by an
+    equi-join on the part; partitions are per-part, so 100 TB
+    parallelizes on the part key.
 
     Exact: unit prices quantized to integer cents, day deltas integer,
     each slope one shared double division rounded to 9 BEFORE the
@@ -2405,14 +2411,29 @@ def stat_theil_sen(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = table(spark, sf_dir, "lineitem").filter(
         F.col("l_partkey") % 100 == 13
     )
-    pts = li.select(
-        F.col("l_partkey").alias("k"),
-        F.col("l_shipdate").alias("d"),
-        F.floor(
-            F.col("l_extendedprice") / F.col("l_quantity") * 100 + F.lit(0.5)
+    # Bound each part's history to its 64 most recent fills: Theil-Sen
+    # is quadratic in PER-KEY history by definition, so an unbounded
+    # hot key blows up C(n,2) as data densifies (measured 10.2x wall
+    # at 8x density before this cap). 64 points -> <= 2016 pairs per
+    # key, flat at any corpus scale.
+    recency = F.row_number().over(
+        Window.partitionBy("l_partkey").orderBy(
+            F.col("l_shipdate").desc(), F.col("l_orderkey").desc()
         )
-        .cast("long")
-        .alias("p"),
+    )
+    pts = (
+        li.withColumn("recency", recency)
+        .filter(F.col("recency") <= 64)
+        .select(
+            F.col("l_partkey").alias("k"),
+            F.col("l_shipdate").alias("d"),
+            F.floor(
+                F.col("l_extendedprice") / F.col("l_quantity") * 100
+                + F.lit(0.5)
+            )
+            .cast("long")
+            .alias("p"),
+        )
     )
     a = pts.select(
         F.col("k"), F.col("d").alias("da"), F.col("p").alias("pa")
