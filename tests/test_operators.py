@@ -1650,3 +1650,59 @@ def test_odds_ratio_replays_from_cells(spark, sf_dir):
     assert abs(r.odds_ratio - round(orr, 6)) < 1e-9
     assert r.log_or_lo < m.log(orr) < r.log_or_hi
     assert abs((r.log_or_hi - r.log_or_lo) / 2 - 1.96 * se) < 1e-5
+
+
+def test_rake_phrases_contain_no_stopwords(spark, sf_dir):
+    from xlsx_to_database_spark.operators.text import STOPWORDS
+    from xlsx_to_database_spark.registry import all_queries
+
+    rows = all_queries()["text_rake_keyphrases"](spark, sf_dir).collect()
+    assert 0 < len(rows) <= 15
+    for r in rows:
+        words = r.phrase.split(" ")
+        assert len(words) == r.n_words
+        assert not set(words) & set(STOPWORDS)
+        assert r.rake_score > 0
+    scores = [r.rake_score for r in rows]
+    assert scores == sorted(scores, reverse=True)
+
+
+def test_evolving_union_aligns_by_name(spark, sf_dir):
+    from xlsx_to_database_spark.registry import all_queries
+
+    out = all_queries()["csv_evolving_union"](spark, sf_dir).collect()
+    v1 = [r for r in out if r.schema_rev == "v1"]
+    v2 = [r for r in out if r.schema_rev == "v2"]
+    assert v1 and v2
+    assert all(r.s_nationkey is None and r.s_acctbal is not None for r in v1)
+    assert all(r.s_acctbal is None and r.s_nationkey is not None for r in v2)
+    assert all(r.s_suppkey % 2 == 0 for r in v1)
+    assert all(r.s_suppkey % 2 == 1 for r in v2)
+
+
+def test_reset_running_sum_restarts_at_signup(spark, sf_dir):
+    from xlsx_to_database_spark.catalog import table
+    from xlsx_to_database_spark.registry import all_queries
+
+    out = {
+        (r.user_id, r.event_id): (r.segment, r.running_since_signup)
+        for r in all_queries()["win_reset_running_sum"](spark, sf_dir).collect()
+    }
+    ev = table(spark, sf_dir, "events").select(
+        "user_id", "event_id", "ts", "event_type", "value"
+    ).collect()
+    byu = {}
+    for r in sorted(ev, key=lambda r: (r.user_id, r.ts, r.event_id)):
+        byu.setdefault(r.user_id, []).append(r)
+    import random
+
+    for u in random.Random(7).sample(sorted(byu), 10):
+        seg, run = 0, 0
+        for r in byu[u]:
+            if r.event_type == "signup":
+                seg += 1
+                run = 0
+            run += int(r.value * 100 + 0.5)
+            g_seg, g_run = out[(u, r.event_id)]
+            assert g_seg == seg
+            assert abs(g_run - round(run / 100, 2)) < 1e-9

@@ -3146,3 +3146,273 @@ def stat_odds_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.log(orr) - F.lit(1.96) * se, 6).alias("log_or_lo"),
         F.round(F.log(orr) + F.lit(1.96) * se, 6).alias("log_or_hi"),
     )
+
+
+_RAKE_STOP_SQL = "['the','a','of','and','to','in','is','on','for','with']"
+
+
+@query(
+    "text_rake_keyphrases",
+    f"""
+    WITH toks AS (
+      SELECT doc_id, i, t[i] AS w,
+             list_contains({_RAKE_STOP_SQL}, t[i]) AS stop
+      FROM (
+        SELECT doc_id, string_split(lower(text), ' ') AS t FROM documents
+      ), (SELECT unnest(range(1, 4097)) AS i) ix
+      WHERE i <= len(t)
+    ), isl AS (
+      SELECT doc_id, i, w, stop,
+             sum(CASE WHEN stop THEN 1 ELSE 0 END)
+               OVER (PARTITION BY doc_id ORDER BY i) AS island
+      FROM toks
+    ), phrases AS (
+      SELECT doc_id, island,
+             string_agg(w, ' ' ORDER BY i) AS phrase,
+             count(*) AS plen
+      FROM isl WHERE NOT stop GROUP BY doc_id, island
+    ), wstats AS (
+      SELECT w, count(*) AS freq, sum(plen) AS deg
+      FROM isl JOIN phrases USING (doc_id, island)
+      WHERE NOT stop GROUP BY w
+    ), pdistinct AS (
+      SELECT phrase, count(*) AS n_occur,
+             min(plen) AS n_words
+      FROM phrases GROUP BY phrase
+    ), scored AS (
+      SELECT phrase, n_occur, n_words,
+             sum(CAST(CAST(deg AS DOUBLE) / freq AS DECIMAL(28,18))) AS sc
+      FROM (
+        SELECT p.phrase, p.n_occur, p.n_words,
+               pw.t[pw.i] AS w
+        FROM pdistinct p, LATERAL (
+          SELECT string_split(p.phrase, ' ') AS t,
+                 unnest(range(1, p.n_words + 1)) AS i
+        ) pw
+      ) px JOIN wstats USING (w)
+      GROUP BY phrase, n_occur, n_words
+    )
+    SELECT phrase, CAST(n_words AS BIGINT) AS n_words,
+           CAST(n_occur AS BIGINT) AS n_occur,
+           round(CAST(sc AS DOUBLE), 6) AS rake_score
+    FROM scored
+    ORDER BY rake_score DESC, phrase LIMIT 15
+    """,
+)
+def text_rake_keyphrases(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RAKE keyphrase extraction (Rapid Automatic Keyword Extraction):
+    split each document into candidate phrases at stopword boundaries,
+    score each word by degree/frequency over the phrase co-occurrence
+    graph (degree = Σ length of phrases containing it — words living in
+    long phrases score up), and score a phrase as the sum of its
+    words' ratios — the classic unsupervised keyphrase baseline, and a
+    corpus-curation signal (what is this corpus ABOUT) that TF-IDF's
+    single-token view can't give. Top-15 phrases.
+
+    Determinism: per-word deg/freq ratios are engine-identical doubles
+    quantized to DECIMAL(28,18) BEFORE the per-phrase sum (sum-order
+    discipline); top-k tie-breaks on the phrase text.
+
+    Scale shape: island detection is a per-document window (bounded by
+    doc length); phrase and word statistics are vocabulary-bounded
+    aggregates with map-side combine; scoring joins run at
+    distinct-phrase × phrase-length scale."""
+    from xlsx_to_database_spark.operators.text import STOPWORDS
+
+    d = table(spark, sf_dir, "documents")
+    toks = d.select(
+        "doc_id",
+        F.posexplode(F.split(F.lower("text"), " ")).alias("i0", "w"),
+    ).select(
+        "doc_id",
+        (F.col("i0") + 1).alias("i"),
+        "w",
+        F.col("w").isin(*STOPWORDS).alias("stop"),
+    )
+    isl = toks.withColumn(
+        "island",
+        F.sum(F.when(F.col("stop"), 1).otherwise(0)).over(
+            Window.partitionBy("doc_id")
+            .orderBy("i")
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        ),
+    )
+    body = isl.filter(~F.col("stop"))
+    phrases = body.groupBy("doc_id", "island").agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(
+                    F.collect_list(F.struct(F.col("i"), F.col("w")))
+                ),
+                lambda s: s.w,
+            ),
+            " ",
+        ).alias("phrase"),
+        F.count(F.lit(1)).alias("plen"),
+    )
+    wstats = (
+        body.join(phrases.select("doc_id", "island", "plen"),
+                  ["doc_id", "island"])
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("freq"), F.sum("plen").alias("deg"))
+    )
+    pdistinct = phrases.groupBy("phrase").agg(
+        F.count(F.lit(1)).alias("n_occur"), F.min("plen").alias("n_words")
+    )
+    px = pdistinct.select(
+        "phrase",
+        "n_occur",
+        "n_words",
+        F.explode(F.split(F.col("phrase"), " ")).alias("w"),
+    )
+    ratio = (
+        F.col("deg").cast("double") / F.col("freq")
+    ).cast("decimal(28,18)")
+    scored = (
+        px.join(wstats, "w")
+        .groupBy("phrase", "n_occur", "n_words")
+        .agg(F.sum(ratio).alias("sc"))
+    )
+    return (
+        scored.select(
+            "phrase",
+            F.col("n_words").cast("long").alias("n_words"),
+            F.col("n_occur").cast("long").alias("n_occur"),
+            F.round(F.col("sc").cast("double"), 6).alias("rake_score"),
+        )
+        .orderBy(F.col("rake_score").desc(), "phrase")
+        .limit(15)
+    )
+
+
+@query(
+    "csv_evolving_union",
+    """
+    SELECT CAST(s_suppkey AS BIGINT) AS s_suppkey, s_name,
+           round(s_acctbal, 2) AS s_acctbal,
+           CAST(NULL AS BIGINT) AS s_nationkey, 'v1' AS schema_rev
+    FROM supplier WHERE s_suppkey % 2 = 0
+    UNION ALL
+    SELECT CAST(s_suppkey AS BIGINT), s_name, NULL,
+           CAST(s_nationkey AS BIGINT), 'v2'
+    FROM supplier WHERE s_suppkey % 2 = 1
+    """,
+)
+def csv_evolving_union(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Schema-evolution union across CSV generations: the v1 export
+    carries (key, name, acctbal), the v2 export reordered columns and
+    swapped acctbal for nationkey — the landing-zone reality after any
+    upstream release. Position-based union would silently misalign
+    columns; `unionByName(allowMissingColumns=True)` aligns BY NAME
+    and nulls the gaps, which is the only union that survives schema
+    drift. Each generation parses with its own explicit schema
+    (header-validated), map-side; the oracle reconstructs the aligned
+    union with NULL placeholders."""
+    import os
+
+    from xlsx_to_database_spark.queries.sources_sinks import (
+        _STAGE_ROOT, _tag,
+    )
+
+    root = os.path.join(_STAGE_ROOT, f"{_tag(sf_dir)}_supplier_evolving")
+    if not os.path.exists(os.path.join(root, "v2.csv")):
+        os.makedirs(root, exist_ok=True)
+        rows = (
+            table(spark, sf_dir, "supplier")
+            .select("s_suppkey", "s_name", "s_nationkey", "s_acctbal")
+            .collect()
+        )
+        with open(os.path.join(root, "v1.csv.tmp"), "w") as fh:
+            fh.write("s_suppkey,s_name,s_acctbal\n")
+            for r in rows:
+                if r.s_suppkey % 2 == 0:
+                    fh.write(f"{r.s_suppkey},{r.s_name},{r.s_acctbal!r}\n")
+        with open(os.path.join(root, "v2.csv.tmp"), "w") as fh:
+            fh.write("s_nationkey,s_suppkey,s_name\n")
+            for r in rows:
+                if r.s_suppkey % 2 == 1:
+                    fh.write(f"{r.s_nationkey},{r.s_suppkey},{r.s_name}\n")
+        os.replace(os.path.join(root, "v1.csv.tmp"),
+                   os.path.join(root, "v1.csv"))
+        os.replace(os.path.join(root, "v2.csv.tmp"),
+                   os.path.join(root, "v2.csv"))
+    v1 = (
+        spark.read.option("header", "true")
+        .schema("s_suppkey long, s_name string, s_acctbal double")
+        .csv(os.path.join(root, "v1.csv"))
+        .withColumn("schema_rev", F.lit("v1"))
+    )
+    v2 = (
+        spark.read.option("header", "true")
+        .schema("s_nationkey long, s_suppkey long, s_name string")
+        .csv(os.path.join(root, "v2.csv"))
+        .withColumn("schema_rev", F.lit("v2"))
+    )
+    return v1.unionByName(v2, allowMissingColumns=True).select(
+        "s_suppkey",
+        "s_name",
+        F.round("s_acctbal", 2).alias("s_acctbal"),
+        "s_nationkey",
+        "schema_rev",
+    )
+
+
+@query(
+    "win_reset_running_sum",
+    """
+    WITH b AS (
+      SELECT user_id, event_id, ts,
+             CAST(floor(value * 100 + 0.5) AS BIGINT) AS cents,
+             CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END AS reset
+      FROM events
+    ), seg AS (
+      SELECT user_id, event_id, ts, cents,
+             sum(reset) OVER (PARTITION BY user_id
+                              ORDER BY ts, event_id
+                              ROWS UNBOUNDED PRECEDING) AS segment
+      FROM b
+    )
+    SELECT user_id, event_id, CAST(segment AS BIGINT) AS segment,
+           round(CAST(sum(cents) OVER (PARTITION BY user_id, segment
+                                       ORDER BY ts, event_id
+                                       ROWS UNBOUNDED PRECEDING)
+                      AS DOUBLE) / 100, 2) AS running_since_signup
+    FROM seg
+    """,
+)
+def win_reset_running_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Conditionally-resetting running sum — cumulative spend since the
+    user's LAST signup event: the reset-on-flag accumulator plain
+    running sums can't express, composed as two stacked windows
+    (a running count of reset markers defines segments; the running
+    sum re-partitions on (user, segment)). Counters since last
+    deploy/login/error all reduce to this. Exact integer cents; the
+    segment trick adds no extra shuffle beyond re-sorting within the
+    user partition."""
+    e = table(spark, sf_dir, "events")
+    b = e.select(
+        "user_id",
+        "event_id",
+        "ts",
+        F.floor(F.col("value") * 100 + F.lit(0.5)).cast("long").alias("cents"),
+        F.when(F.col("event_type") == "signup", 1).otherwise(0).alias("reset"),
+    )
+    w1 = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    seg = b.withColumn("segment", F.sum("reset").over(w1))
+    w2 = (
+        Window.partitionBy("user_id", "segment")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return seg.select(
+        "user_id",
+        "event_id",
+        F.col("segment").cast("long").alias("segment"),
+        F.round(
+            F.sum("cents").over(w2).cast("double") / 100, 2
+        ).alias("running_since_signup"),
+    )
