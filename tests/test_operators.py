@@ -1706,3 +1706,49 @@ def test_reset_running_sum_restarts_at_signup(spark, sf_dir):
             g_seg, g_run = out[(u, r.event_id)]
             assert g_seg == seg
             assert abs(g_run - round(run / 100, 2)) < 1e-9
+
+
+def test_tpch_refresh_preserves_prerefresh_snapshot(spark, sf_dir):
+    from xlsx_to_database_spark.catalog import table
+    from xlsx_to_database_spark.operators.txn_table import TxnTable
+    from xlsx_to_database_spark.queries.sources_sinks import _tag
+    from xlsx_to_database_spark.registry import all_queries
+
+    row = all_queries()["tpch_refresh"](spark, sf_dir).collect()[0]
+    n_orig = table(spark, sf_dir, "orders").count()
+    # post-refresh count replay: base minus deleted plus surviving inserts
+    o = table(spark, sf_dir, "orders").select("o_orderkey").collect()
+    ins = [r.o_orderkey + 3000000 for r in o if r.o_orderkey % 17 == 3]
+    after = [k.o_orderkey for k in o if k.o_orderkey % 31 != 0] + [
+        k for k in ins if k % 31 != 0
+    ]
+    assert row.n_orders == len(after)
+    assert row.max_key == max(after)
+    # time travel: version 0 (pre-refresh) still reads the original set
+    tt = TxnTable(
+        spark, f"/tmp/spark_stage/{_tag(sf_dir)}_tpch_refresh", "o_orderkey"
+    )
+    assert tt.read(0).count() == n_orig
+
+
+def test_roc_auc_equals_row_level_mannwhitney(spark, sf_dir):
+    from xlsx_to_database_spark.catalog import table
+    from xlsx_to_database_spark.registry import all_queries
+
+    got = all_queries()["ml_roc_auc"](spark, sf_dir).collect()[0]
+    rows = table(spark, sf_dir, "orders").select(
+        F.floor(F.col("o_totalprice") / 5000).cast("long").alias("s"),
+        (F.col("o_orderstatus") == "F").cast("int").alias("y"),
+    ).collect()
+    pos = sorted(r.s for r in rows if r.y == 1)
+    neg = sorted(r.s for r in rows if r.y == 0)
+    import bisect
+
+    conc = sum(bisect.bisect_left(neg, s) for s in pos)
+    ties = sum(
+        bisect.bisect_right(neg, s) - bisect.bisect_left(neg, s) for s in pos
+    )
+    auc = conc / (len(pos) * len(neg)) + 0.5 * ties / (len(pos) * len(neg))
+    assert abs(got.auc - round(auc, 6)) < 1e-9
+    assert -1.0 <= got.youden_j <= 1.0
+    assert got.youden_threshold % 5000 == 0

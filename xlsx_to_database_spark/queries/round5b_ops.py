@@ -3416,3 +3416,183 @@ def win_reset_running_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("cents").over(w2).cast("double") / 100, 2
         ).alias("running_since_signup"),
     )
+
+
+@query(
+    "tpch_refresh",
+    """
+    WITH ins AS (
+      SELECT o_orderkey + 3000000 AS o_orderkey, o_totalprice
+      FROM orders WHERE o_orderkey % 17 = 3
+    ), after AS (
+      SELECT o_orderkey, o_totalprice FROM orders WHERE o_orderkey % 31 <> 0
+      UNION ALL
+      SELECT o_orderkey, o_totalprice FROM ins WHERE o_orderkey % 31 <> 0
+    )
+    SELECT CAST(count(*) AS BIGINT) AS n_orders,
+           round(CAST(sum(CAST(o_totalprice AS DECIMAL(18,2)))
+                      AS DOUBLE), 2) AS total_revenue,
+           CAST(min(o_orderkey) AS BIGINT) AS min_key,
+           CAST(max(o_orderkey) AS BIGINT) AS max_key
+    FROM after
+    """,
+)
+def tpch_refresh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H refresh functions RF1/RF2 on the ACID table format — the
+    part of the benchmark most engines skip: RF1 INSERTs a batch of new
+    orders, RF2 DELETEs a slice of old ones, and the scoreboard query
+    must see exactly the post-refresh state. Here both refreshes are
+    transactional commits on the txn-log table (`operators/
+    txn_table.py`): the insert is a pure append (zero rewrites), the
+    delete is copy-on-write confined to stats-intersecting files, and
+    the final aggregate reads the latest manifest — while the
+    pre-refresh snapshot stays readable (time travel), which is what
+    ACID buys over `etl_partition_overwrite`-style rewrites. The
+    oracle reconstructs the post-refresh state declaratively."""
+    import os
+    import shutil
+
+    from xlsx_to_database_spark.operators.txn_table import TxnTable
+    from xlsx_to_database_spark.queries.sources_sinks import _tag
+
+    o = table(spark, sf_dir, "orders").select("o_orderkey", "o_totalprice")
+    root = f"/tmp/spark_stage/{_tag(sf_dir)}_tpch_refresh"
+    shutil.rmtree(root, ignore_errors=True)
+    tt = TxnTable(spark, root, "o_orderkey")
+    tt.create(o.repartitionByRange(4, "o_orderkey"))
+    # RF1: new sales arrive beyond the current key domain (pure append)
+    tt.append(
+        o.filter(F.col("o_orderkey") % 17 == 3).withColumn(
+            "o_orderkey", F.col("o_orderkey") + 3000000
+        )
+    )
+    # RF2: purge old orders (copy-on-write delete, file-pruned)
+    tt.delete_where(F.col("o_orderkey") % 31 == 0)
+    return tt.read().agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.round(
+            F.sum(F.col("o_totalprice").cast("decimal(18,2)")).cast("double"),
+            2,
+        ).alias("total_revenue"),
+        F.min("o_orderkey").cast("long").alias("min_key"),
+        F.max("o_orderkey").cast("long").alias("max_key"),
+    )
+
+
+@query(
+    "ml_roc_auc",
+    """
+    WITH b AS (
+      SELECT CAST(floor(o_totalprice / 5000) AS BIGINT) AS s,
+             CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END AS y
+      FROM orders
+    ), cells AS (
+      SELECT s, count(*) AS n, sum(y) AS pos FROM b GROUP BY s
+    ), tot AS (
+      SELECT sum(pos) AS p, sum(n - pos) AS q FROM cells
+    ), below AS (
+      SELECT s, pos, n,
+             coalesce(sum(n - pos) OVER (ORDER BY s
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+               AS neg_below
+      FROM cells
+    ), auc AS (
+      SELECT sum(CAST(pos AS DECIMAL(38,0)) * neg_below) AS conc,
+             sum(CAST(pos AS DECIMAL(38,0)) * (n - pos)) AS ties
+      FROM below
+    ), sweep AS (
+      SELECT s,
+             sum(pos) OVER (ORDER BY s DESC ROWS UNBOUNDED PRECEDING)
+               AS tp,
+             sum(n - pos) OVER (ORDER BY s DESC ROWS UNBOUNDED PRECEDING)
+               AS fp
+      FROM cells
+    ), youden AS (
+      SELECT s, tp, fp,
+             round(CAST(tp AS DOUBLE) / p - CAST(fp AS DOUBLE) / q, 9) AS j
+      FROM sweep CROSS JOIN tot
+    )
+    SELECT round(CAST((SELECT conc FROM auc) AS DOUBLE)
+                 / (CAST(p AS DOUBLE) * CAST(q AS DOUBLE))
+                 + 0.5 * CAST((SELECT ties FROM auc) AS DOUBLE)
+                 / (CAST(p AS DOUBLE) * CAST(q AS DOUBLE)), 6) AS auc,
+           (SELECT CAST(min(s) * 5000 AS BIGINT) FROM youden
+            WHERE j = (SELECT max(j) FROM youden)) AS youden_threshold,
+           (SELECT max(j) FROM youden) AS youden_j
+    FROM tot
+    """,
+)
+def ml_roc_auc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact ROC AUC + the Youden-optimal operating threshold for a
+    score (order value, bucketed to $5k) against a binary outcome
+    (final status) — the standard evaluation pair for any scoring
+    model, computed WITHOUT sorting individual rows: AUC is the
+    Mann–Whitney probability assembled from the score HISTOGRAM
+    (concordant mass = Σ pos_bucket × negatives-below via one prefix
+    sum; bucket ties get half credit), and the Youden sweep (max
+    TPR−FPR) is a reverse prefix sum over the same histogram. Both run
+    at histogram scale after one fact aggregate — the decision_stump
+    pattern pointed at ranking quality instead of Gini.
+
+    Exact: all masses are integer products in DECIMAL(38,0); AUC and J
+    are shared double expressions (J rounded to 9 before the argmax,
+    threshold tie-break = smallest score)."""
+    o = table(spark, sf_dir, "orders")
+    cells = o.groupBy(
+        F.floor(F.col("o_totalprice") / 5000).cast("long").alias("s")
+    ).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.count_if(F.col("o_orderstatus") == "F").alias("pos"),
+    )
+    cells = cells.localCheckpoint(eager=True)
+    tot = cells.agg(
+        F.sum("pos").alias("p"), F.sum(F.col("n") - F.col("pos")).alias("q")
+    )
+    wneg = Window.orderBy("s").rowsBetween(Window.unboundedPreceding, -1)
+    conc_ties = cells.select(
+        "s",
+        "pos",
+        "n",
+        F.coalesce(
+            F.sum(F.col("n") - F.col("pos")).over(wneg), F.lit(0)
+        ).alias("neg_below"),
+    ).agg(
+        F.sum(
+            F.col("pos").cast("decimal(38,0)") * F.col("neg_below")
+        ).alias("conc"),
+        F.sum(
+            F.col("pos").cast("decimal(38,0)") * (F.col("n") - F.col("pos"))
+        ).alias("ties"),
+    )
+    wrev = Window.orderBy(F.col("s").desc()).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    sweep = cells.select(
+        "s",
+        F.sum("pos").over(wrev).alias("tp"),
+        F.sum(F.col("n") - F.col("pos")).over(wrev).alias("fp"),
+    )
+    youden = sweep.crossJoin(F.broadcast(tot)).select(
+        "s",
+        F.round(
+            F.col("tp").cast("double") / F.col("p")
+            - F.col("fp").cast("double") / F.col("q"),
+            9,
+        ).alias("j"),
+    )
+    best = youden.orderBy(F.col("j").desc(), "s").limit(1).select(
+        (F.col("s") * 5000).cast("long").alias("youden_threshold"),
+        F.col("j").alias("youden_j"),
+    )
+    pd_, qd = F.col("p").cast("double"), F.col("q").cast("double")
+    return (
+        conc_ties.crossJoin(F.broadcast(tot))
+        .select(
+            F.round(
+                F.col("conc").cast("double") / (pd_ * qd)
+                + F.lit(0.5) * F.col("ties").cast("double") / (pd_ * qd),
+                6,
+            ).alias("auc")
+        )
+        .crossJoin(F.broadcast(best))
+    )
