@@ -1752,3 +1752,49 @@ def test_roc_auc_equals_row_level_mannwhitney(spark, sf_dir):
     assert abs(got.auc - round(auc, 6)) < 1e-9
     assert -1.0 <= got.youden_j <= 1.0
     assert got.youden_threshold % 5000 == 0
+
+
+def test_pseudonymized_aggregates_equal_cleartext(spark, sf_dir):
+    from xlsx_to_database_spark.catalog import table
+    from xlsx_to_database_spark.registry import all_queries
+
+    tok = {
+        r.segment: (r.n_orders, r.n_customers, r.revenue)
+        for r in all_queries()["etl_pseudonymize_keys"](spark, sf_dir).collect()
+    }
+    c = table(spark, sf_dir, "customer")
+    o = table(spark, sf_dir, "orders")
+    clear = {
+        r.seg: (r.n, r.nc, r.rev)
+        for r in o.join(c, F.col("o_custkey") == F.col("c_custkey"))
+        .groupBy(F.col("c_mktsegment").alias("seg"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.countDistinct("c_custkey").alias("nc"),
+            F.round(
+                F.sum(F.col("o_totalprice").cast("decimal(18,2)")).cast("double"), 2
+            ).alias("rev"),
+        )
+        .collect()
+    }
+    assert tok == clear  # de-identification must not change analytics
+
+
+def test_threshold_sweep_is_monotone_nonincreasing(spark, sf_dir):
+    from xlsx_to_database_spark.registry import all_queries
+
+    rows = sorted(
+        all_queries()["dedup_threshold_sweep"](spark, sf_dir).collect(),
+        key=lambda r: r.threshold,
+    )
+    assert [round(r.threshold, 1) for r in rows] == [0.5, 0.6, 0.7, 0.8, 0.9]
+    for a, b in zip(rows, rows[1:]):
+        assert b.n_dup_pairs <= a.n_dup_pairs
+
+
+def test_time_since_error_excludes_self_and_is_positive(spark, sf_dir):
+    from xlsx_to_database_spark.registry import all_queries
+
+    rows = all_queries()["win_time_since_last_error"](spark, sf_dir).collect()
+    assert rows
+    assert all(r.secs_since_error >= 0 for r in rows)

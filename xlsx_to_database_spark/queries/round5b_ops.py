@@ -3596,3 +3596,180 @@ def ml_roc_auc(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .crossJoin(F.broadcast(best))
     )
+
+
+@query(
+    "etl_pseudonymize_keys",
+    """
+    WITH c AS (
+      SELECT substr(md5('pepper-' || CAST(c_custkey AS VARCHAR)), 1, 16)
+               AS ckey, c_mktsegment
+      FROM customer
+    ), o AS (
+      SELECT substr(md5('pepper-' || CAST(o_custkey AS VARCHAR)), 1, 16)
+               AS ckey, o_totalprice
+      FROM orders
+    )
+    SELECT c_mktsegment AS segment,
+           CAST(count(*) AS BIGINT) AS n_orders,
+           CAST(count(DISTINCT c.ckey) AS BIGINT) AS n_customers,
+           round(CAST(sum(CAST(o_totalprice AS DECIMAL(18,2)))
+                      AS DOUBLE), 2) AS revenue
+    FROM o JOIN c USING (ckey)
+    GROUP BY 1
+    """,
+)
+def etl_pseudonymize_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Referential-integrity-preserving pseudonymization: replace the
+    customer key in BOTH tables with a peppered keyed hash, then prove
+    analytics still work by joining and aggregating ON THE TOKENS —
+    the data-sharing pattern GDPR-style pipelines need (the raw key
+    never leaves; the same key always maps to the same token, so joins
+    and distinct-counts survive; without the pepper the tokens would be
+    a trivially reversible dictionary over a small key space).
+    `pii_redact` destroys values, `etl_k_anonymize` suppresses groups;
+    this keeps the RELATIONAL STRUCTURE intact under de-identification.
+    The per-segment revenue/customer counts must hash-match the oracle
+    running the identical tokenization — one broadcast-joined aggregate
+    whose plan is unchanged from the cleartext equivalent (tokenization
+    is map-side codegen md5)."""
+    tok = lambda c: F.substring(  # noqa: E731
+        F.md5(F.concat(F.lit("pepper-"), c.cast("string"))), 1, 16
+    )
+    c = table(spark, sf_dir, "customer").select(
+        tok(F.col("c_custkey")).alias("ckey"), "c_mktsegment"
+    )
+    o = table(spark, sf_dir, "orders").select(
+        tok(F.col("o_custkey")).alias("ckey"), "o_totalprice"
+    )
+    return (
+        o.join(c, "ckey")
+        .groupBy(F.col("c_mktsegment").alias("segment"))
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.countDistinct("ckey").alias("n_customers"),
+            F.round(
+                F.sum(F.col("o_totalprice").cast("decimal(18,2)")).cast(
+                    "double"
+                ),
+                2,
+            ).alias("revenue"),
+        )
+    )
+
+
+@query(
+    "win_time_since_last_error",
+    """
+    WITH b AS (
+      SELECT user_id, event_id, event_type,
+             CAST(floor(epoch(ts)) AS BIGINT) AS es
+      FROM events
+    ), w AS (
+      SELECT user_id, event_id, event_type, es,
+             last_value(CASE WHEN event_type = 'error' THEN es END
+                        IGNORE NULLS)
+               OVER (PARTITION BY user_id ORDER BY es, event_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+               AS last_err
+      FROM b
+    )
+    SELECT user_id, event_id,
+           CAST(es - last_err AS BIGINT) AS secs_since_error
+    FROM w WHERE last_err IS NOT NULL
+    """,
+)
+def win_time_since_last_error(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time since the user's most recent PRIOR error — the
+    ignore-nulls last_value pattern (`win_fill_forward`'s mechanism
+    pointed at event PROVENANCE): every event is annotated with how
+    long its user had been error-free, the covariate incident-impact
+    and rage-click analyses key on. The marker column is NULL except
+    on error rows; IGNORE NULLS + a 1-PRECEDING frame carries the
+    latest error timestamp forward without self-inclusion (an error
+    row measures from the PREVIOUS error). One user shuffle; exact
+    integer epoch seconds (oracle floors DuckDB's fractional epoch to
+    match unix_timestamp)."""
+    e = table(spark, sf_dir, "events")
+    b = e.select(
+        "user_id",
+        "event_id",
+        "event_type",
+        F.unix_timestamp("ts").alias("es"),
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("es", "event_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    marked = b.withColumn(
+        "last_err",
+        F.last(
+            F.when(F.col("event_type") == "error", F.col("es")),
+            ignorenulls=True,
+        ).over(w),
+    )
+    return marked.filter(F.col("last_err").isNotNull()).select(
+        "user_id",
+        "event_id",
+        (F.col("es") - F.col("last_err")).cast("long").alias(
+            "secs_since_error"
+        ),
+    )
+
+
+@query(
+    "dedup_threshold_sweep",
+    """
+    WITH v AS (
+      SELECT vec_id, label,
+             list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+      FROM embeddings
+    ), n AS (
+      SELECT vec_id, label, e,
+             sqrt(list_sum(list_transform(e, x -> x * x))) AS nrm
+      FROM v
+    ), pairs AS (
+      SELECT round(list_sum(list_transform(generate_series(1, len(a.e)),
+                     i -> a.e[i] * b.e[i])) / (a.nrm * b.nrm), 6) AS cs
+      FROM n a JOIN n b
+        ON a.label = b.label AND a.vec_id < b.vec_id
+    )
+    SELECT t AS threshold,
+           CAST(count(*) FILTER (WHERE cs >= t) AS BIGINT) AS n_dup_pairs
+    FROM pairs CROSS JOIN (
+      SELECT unnest([0.5, 0.6, 0.7, 0.8, 0.9]) AS t
+    )
+    GROUP BY t
+    """,
+)
+def dedup_threshold_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Threshold-sensitivity sweep for embedding dedup — duplicate-pair
+    counts at FIVE cosine thresholds from ONE pass over the
+    label-blocked candidate pairs (the tuning curve every dedup rollout
+    needs before committing to a τ: too low deletes real data, too
+    high ships duplicates; re-running the pipeline per candidate τ is
+    the naive alternative this op replaces). Pair cosines are computed
+    once (rounded 6, the dedup_embedding discipline), then a bounded
+    threshold spine cross-joins and counts conditionally — candidate
+    generation stays blocked (label equality here; LSH buckets at
+    scale), never all-pairs."""
+    from xlsx_to_database_spark.operators.dedup import embedding_near_pairs
+
+    e = table(spark, sf_dir, "embeddings")
+    pairs = embedding_near_pairs(
+        e, block_col="label", threshold=-1.0
+    ).select(F.round(F.col("cos_sim"), 6).alias("cs"))
+    # literal doubles, NOT 0.5 + i*0.1 arithmetic: the latter lands one
+    # ulp above the 0.7 literal the oracle uses, and a pair whose cosine
+    # rounds to exactly 0.700000 would then count differently per engine
+    spine = spark.createDataFrame(
+        [(0.5,), (0.6,), (0.7,), (0.8,), (0.9,)], "threshold double"
+    )
+    return (
+        pairs.crossJoin(F.broadcast(spine))
+        .groupBy("threshold")
+        .agg(
+            F.count_if(F.col("cs") >= F.col("threshold")).alias("n_dup_pairs")
+        )
+    )
