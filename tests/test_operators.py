@@ -1798,3 +1798,33 @@ def test_time_since_error_excludes_self_and_is_positive(spark, sf_dir):
     rows = all_queries()["win_time_since_last_error"](spark, sf_dir).collect()
     assert rows
     assert all(r.secs_since_error >= 0 for r in rows)
+
+
+def test_extreme_value_return_level_dominates_mu(spark, sf_dir):
+    from xlsx_to_database_spark.registry import all_queries
+
+    r = all_queries()["stat_extreme_value"](spark, sf_dir).collect()[0]
+    assert r.n_blocks >= 12
+    assert r.gumbel_beta > 0
+    # 100-period return level sits far above the location parameter
+    assert r.return_level_100 > r.gumbel_mu
+
+
+def test_ht_estimator_is_tight_for_pps_on_target(spark, sf_dir):
+    from xlsx_to_database_spark.registry import all_queries
+
+    r = all_queries()["stat_ht_estimate"](spark, sf_dir).collect()[0]
+    assert 0 < r.n_sampled < r.n_population
+    # PPS sampling on the measured variable itself -> very tight
+    assert 0.9 < r.ratio < 1.1
+
+
+def test_homoglyph_normalize_restores_every_doc(spark, sf_dir):
+    from xlsx_to_database_spark.catalog import table
+    from xlsx_to_database_spark.registry import all_queries
+
+    r = all_queries()["text_homoglyph_normalize"](spark, sf_dir).collect()[0]
+    n = table(spark, sf_dir, "documents").count()
+    assert r.n_docs == n
+    assert r.n_changed > 0  # the staged poisoning must be detected
+    assert r.net_a_restored > 0

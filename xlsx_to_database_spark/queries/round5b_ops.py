@@ -3773,3 +3773,225 @@ def dedup_threshold_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count_if(F.col("cs") >= F.col("threshold")).alias("n_dup_pairs")
         )
     )
+
+
+@query(
+    "stat_extreme_value",
+    """
+    WITH daily AS (
+      SELECT o_orderdate AS d,
+             sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)) AS v
+      FROM orders GROUP BY 1
+    ), blocks AS (
+      SELECT date_trunc('month', d) AS m, max(v) AS mx FROM daily GROUP BY 1
+    ), s AS (
+      SELECT count(*) AS n, sum(mx) AS sm,
+             sum(CAST(mx AS DECIMAL(38,0)) * mx) AS sq
+      FROM blocks
+    ), fit AS (
+      SELECT CAST(n AS BIGINT) AS n_blocks,
+             CAST(sm AS DOUBLE) / n AS mean,
+             sqrt((CAST(sq AS DOUBLE) - CAST(sm AS DOUBLE)
+                   * CAST(sm AS DOUBLE) / n) / (n - 1)) AS sd
+      FROM s
+    )
+    SELECT n_blocks,
+           round((mean - 0.5772156649015329
+                  * (sd * 0.7796968012336293)) / 100, 2) AS gumbel_mu,
+           round(sd * 0.7796968012336293 / 100, 2) AS gumbel_beta,
+           round((mean - 0.5772156649015329
+                  * (sd * 0.7796968012336293)
+                  - (sd * 0.7796968012336293) * ln(-ln(0.99))) / 100, 2)
+             AS return_level_100
+    FROM fit
+    """,
+)
+def stat_extreme_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Extreme-value (Gumbel) fit on monthly revenue maxima — the
+    capacity-planning statistic means and percentiles can't give: "what
+    daily peak should we provision for once in 100 months?" Block
+    maxima are Gumbel-distributed (Fisher–Tippett); method-of-moments
+    gives β = sd·√6/π and μ = mean − γ·β closed-form (γ = Euler's
+    constant), and the T-period return level is μ − β·ln(−ln(1−1/T)).
+
+    Exact: daily totals and their monthly maxima are integer cents;
+    mean/sd come from exact DECIMAL sums; the fit and return level are
+    one shared double expression with the constants pre-folded
+    (√6/π = 0.7796968…, γ = 0.5772156…). Calendar-bounded after the
+    daily aggregate — the only fact-table cost is one scan."""
+    o = table(spark, sf_dir, "orders")
+    daily = o.groupBy(F.col("o_orderdate").alias("d")).agg(
+        F.sum(
+            F.floor(F.col("o_totalprice") * 100 + F.lit(0.5)).cast("long")
+        ).alias("v")
+    )
+    blocks = daily.groupBy(F.date_trunc("month", "d").alias("m")).agg(
+        F.max("v").alias("mx")
+    )
+    s = blocks.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("mx").alias("sm"),
+        F.sum(F.col("mx").cast("decimal(38,0)") * F.col("mx")).alias("sq"),
+    )
+    nd = F.col("n").cast("double")
+    mean = F.col("sm").cast("double") / F.col("n")
+    sd = F.sqrt(
+        (
+            F.col("sq").cast("double")
+            - F.col("sm").cast("double") * F.col("sm").cast("double") / F.col("n")
+        )
+        / (nd - 1)
+    )
+    beta = sd * F.lit(0.7796968012336293)
+    mu = mean - F.lit(0.5772156649015329) * beta
+    import math
+
+    rl = mu - beta * F.lit(math.log(-math.log(0.99)))
+    return s.select(
+        F.col("n").cast("long").alias("n_blocks"),
+        F.round(mu / 100, 2).alias("gumbel_mu"),
+        F.round(beta / 100, 2).alias("gumbel_beta"),
+        F.round(rl / 100, 2).alias("return_level_100"),
+    )
+
+
+@query(
+    "stat_ht_estimate",
+    """
+    WITH t AS (
+      SELECT o_orderkey, o_totalprice,
+             (o_orderkey * 2654435761 + 7919) % 1048576 AS u,
+             least(CAST(floor(o_totalprice * 1048576.0 / 600000.0)
+                        AS BIGINT), 1048576) AS p
+      FROM orders
+    ), est AS (
+      SELECT count(*) AS n_sampled,
+             sum(CAST(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)
+                      * 1048576 AS DECIMAL(38,6)) / p) AS ht_total_cents
+      FROM t WHERE u < p
+    ), truth AS (
+      SELECT sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)) AS tot,
+             count(*) AS n_all
+      FROM orders
+    )
+    SELECT CAST(n_sampled AS BIGINT) AS n_sampled,
+           CAST(n_all AS BIGINT) AS n_population,
+           round(CAST(ht_total_cents AS DOUBLE) / 100, 2) AS ht_revenue,
+           round(CAST(tot AS DOUBLE) / 100, 2) AS true_revenue,
+           round(CAST(ht_total_cents AS DOUBLE) / CAST(tot AS DOUBLE), 6)
+             AS ratio
+    FROM est CROSS JOIN truth
+    """,
+)
+def stat_ht_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Horvitz–Thompson estimation from the deterministic weighted
+    sample — close the loop `sample_weighted` opens: re-weight each
+    sampled order by 1/π (π = price/600k, the known inclusion
+    probability) and the sample's weighted sum estimates the FULL
+    population total without scanning it — the survey-sampling
+    identity that makes proportional-to-size sampling USEFUL (big
+    orders are certain to be kept, small ones carry large weights; the
+    estimator is unbiased by construction). Truth rides along so the
+    realized accuracy is visible (PPS sampling on the target variable
+    itself makes it very tight).
+
+    Exact: inclusion is the integer hash rule shared with
+    sample_weighted; per-row HT terms are exact DECIMAL(38,6)
+    rationals (cents·2²⁰/p_scaled — integer-over-integer at fixed
+    scale), summed exactly; doubles appear only in the final display
+    division."""
+    o = table(spark, sf_dir, "orders")
+    u = (F.col("o_orderkey") * F.lit(2654435761) + F.lit(7919)) % F.lit(1048576)
+    p = F.least(
+        F.floor(F.col("o_totalprice") * F.lit(1048576.0) / F.lit(600000.0))
+        .cast("long"),
+        F.lit(1048576).cast("long"),
+    )
+    cents = F.floor(F.col("o_totalprice") * 100 + F.lit(0.5)).cast("long")
+    t = o.select(cents.alias("c"), u.alias("u"), p.alias("p"))
+    est = t.filter(F.col("u") < F.col("p")).agg(
+        F.count(F.lit(1)).alias("n_sampled"),
+        F.sum(
+            (F.col("c") * F.lit(1048576)).cast("decimal(38,6)") / F.col("p")
+        ).alias("ht_total_cents"),
+    )
+    truth = t.agg(
+        F.sum("c").alias("tot"), F.count(F.lit(1)).alias("n_all")
+    )
+    return est.crossJoin(F.broadcast(truth)).select(
+        F.col("n_sampled").cast("long").alias("n_sampled"),
+        F.col("n_all").cast("long").alias("n_population"),
+        F.round(F.col("ht_total_cents").cast("double") / 100, 2).alias(
+            "ht_revenue"
+        ),
+        F.round(F.col("tot").cast("double") / 100, 2).alias("true_revenue"),
+        F.round(
+            F.col("ht_total_cents").cast("double")
+            / F.col("tot").cast("double"),
+            6,
+        ).alias("ratio"),
+    )
+
+
+@query(
+    "text_homoglyph_normalize",
+    """
+    WITH variants AS (
+      SELECT doc_id,
+             translate(text,
+               'аеорсухil|',
+               'aeopcyxll!') AS fixed,
+             text
+      FROM (
+        SELECT doc_id,
+               CASE doc_id % 3
+                 WHEN 0 THEN replace(text, 'a', 'а')
+                 WHEN 1 THEN replace(text, 'e', 'е')
+                 ELSE replace(text, 'o', 'о')
+               END AS text
+        FROM documents
+      )
+    )
+    SELECT CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(count(*) FILTER (WHERE fixed <> text) AS BIGINT)
+             AS n_changed,
+           CAST(sum(len(text) - len(replace(fixed, 'a', '') )
+                    - (len(text) - len(replace(text, 'a', '')))) AS BIGINT)
+             AS net_a_restored
+    FROM variants
+    """,
+)
+def text_homoglyph_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Homoglyph normalization — map Cyrillic/visual look-alikes
+    (а→a, е→e, о→o, р→p, с→c, у→y, х→x, і→i, l-likes) back to ASCII
+    via a single translate() pass: the spam/evasion cleanup every
+    web-scale text pipeline runs BEFORE dedup and quality scoring,
+    because one substituted glyph defeats exact-hash dedup and poisons
+    token statistics (which is precisely why spammers do it). The
+    staged corpus swaps one vowel per doc for its Cyrillic twin; the
+    op must restore every document (counted via the per-char length
+    accounting the oracle replays). translate() is map-only codegen —
+    a per-byte table lookup, the cheapest possible normalization."""
+    d = table(spark, sf_dir, "documents")
+    poisoned = d.select(
+        "doc_id",
+        F.when(F.col("doc_id") % 3 == 0,
+               F.regexp_replace("text", "a", "а"))
+        .when(F.col("doc_id") % 3 == 1,
+              F.regexp_replace("text", "e", "е"))
+        .otherwise(F.regexp_replace("text", "o", "о"))
+        .alias("text"),
+    )
+    fixed = poisoned.select(
+        "doc_id",
+        "text",
+        F.translate(F.col("text"), "аеорсухil|", "aeopcyxll!").alias("fixed"),
+    )
+    a_in = lambda c: F.length(c) - F.length(F.regexp_replace(c, "a", ""))  # noqa: E731
+    return fixed.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.count_if(F.col("fixed") != F.col("text")).alias("n_changed"),
+        F.sum(a_in(F.col("fixed")) - a_in(F.col("text")))
+        .cast("long")
+        .alias("net_a_restored"),
+    )
