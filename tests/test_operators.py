@@ -1828,3 +1828,32 @@ def test_homoglyph_normalize_restores_every_doc(spark, sf_dir):
     assert r.n_docs == n
     assert r.n_changed > 0  # the staged poisoning must be detected
     assert r.net_a_restored > 0
+
+
+def test_time_decay_bounded_by_plain_sum(spark, sf_dir):
+    from xlsx_to_database_spark.catalog import table
+    from xlsx_to_database_spark.registry import all_queries
+
+    dec = {
+        r.user_id: r.decayed_value
+        for r in all_queries()["agg_time_decay"](spark, sf_dir).collect()
+    }
+    plain = {
+        r.user_id: r.s
+        for r in table(spark, sf_dir, "events")
+        .groupBy("user_id")
+        .agg(F.round(F.sum("value"), 2).alias("s"))
+        .collect()
+    }
+    assert set(dec) == set(plain)
+    for u in dec:
+        assert 0 < dec[u] <= plain[u] + 0.01  # decay only shrinks
+
+
+def test_temporal_consistency_clean_on_testdata(spark, sf_dir):
+    from xlsx_to_database_spark.registry import all_queries
+
+    r = all_queries()["dq_temporal_consistency"](spark, sf_dir).collect()[0]
+    assert r.ship_before_order == 0   # generator keeps the invariant
+    assert r.min_lag_days >= 0
+    assert r.min_lag_days <= r.avg_lag_days <= r.max_lag_days

@@ -3995,3 +3995,97 @@ def text_homoglyph_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("net_a_restored"),
     )
+
+
+@query(
+    "agg_time_decay",
+    """
+    WITH mx AS (
+      SELECT max(CAST(floor(epoch(ts)) AS BIGINT)) AS tmax FROM events
+    ), terms AS (
+      SELECT user_id,
+             CAST(exp(-(tmax - CAST(floor(epoch(ts)) AS BIGINT))
+                      / 2592000.0)
+                  * CAST(floor(value * 100 + 0.5) AS BIGINT)
+                  AS DECIMAL(28,12)) AS w
+      FROM events CROSS JOIN mx
+    )
+    SELECT user_id,
+           round(CAST(sum(w) AS DOUBLE) / 100, 4) AS decayed_value
+    FROM terms GROUP BY user_id
+    """,
+)
+def agg_time_decay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exponentially time-decayed value per user (30-day half-life-ish
+    decay, λ = 1/30d) — the recency-weighted aggregate behind LTV
+    scoring, decayed engagement, and trending rankings: yesterday's
+    purchase counts almost fully, last quarter's barely. The anchor is
+    the corpus max timestamp (one broadcast scalar), so the result is
+    deterministic and re-runnable — never wall-clock `now()`, which the
+    oracle could not replay.
+
+    Exactness: each per-row term exp(−Δt/τ)·cents is an
+    engine-identical double (exp over identical integer inputs)
+    quantized to DECIMAL(28,12) BEFORE the per-user sum — the entropy/
+    perplexity discipline that makes a transcendental-weighted
+    aggregate hash-exact. One scalar broadcast + one combiner-friendly
+    shuffle."""
+    e = table(spark, sf_dir, "events")
+    mx = e.agg(F.max(F.unix_timestamp("ts")).alias("tmax"))
+    term = (
+        F.exp(
+            -(F.col("tmax") - F.unix_timestamp("ts")) / F.lit(2592000.0)
+        )
+        * F.floor(F.col("value") * 100 + F.lit(0.5)).cast("long")
+    ).cast("decimal(28,12)")
+    return (
+        e.crossJoin(F.broadcast(mx))
+        .select("user_id", term.alias("w"))
+        .groupBy("user_id")
+        .agg(
+            F.round(F.sum("w").cast("double") / 100, 4).alias("decayed_value")
+        )
+    )
+
+
+@query(
+    "dq_temporal_consistency",
+    """
+    WITH j AS (
+      SELECT date_diff('day', o_orderdate, l_shipdate) AS lag
+      FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+    )
+    SELECT CAST(count(*) AS BIGINT) AS n_facts,
+           CAST(count(*) FILTER (WHERE lag < 0) AS BIGINT)
+             AS ship_before_order,
+           CAST(min(lag) AS BIGINT) AS min_lag_days,
+           CAST(max(lag) AS BIGINT) AS max_lag_days,
+           round(avg(CAST(lag AS DOUBLE)), 4) AS avg_lag_days
+    FROM j
+    """,
+)
+def dq_temporal_consistency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-table temporal-consistency audit: a lineitem must not ship
+    before its order was placed — the class of invariant `dq_checks`'
+    single-table rules cannot see (it lives ACROSS the join), and the
+    first thing a corrupted backfill breaks. Reports the violation
+    count plus the ship-lag envelope (min/max/avg days), which doubles
+    as the freshness profile capacity planning reads. One equi-join
+    (orders' two columns broadcast when small, shuffled otherwise) and
+    one aggregate; integer day arithmetic, avg rounded."""
+    li = table(spark, sf_dir, "lineitem").select("l_orderkey", "l_shipdate")
+    o = table(spark, sf_dir, "orders").select("o_orderkey", "o_orderdate")
+    lag = F.datediff(F.col("l_shipdate"), F.col("o_orderdate"))
+    return (
+        li.join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+        .select(lag.alias("lag"))
+        .agg(
+            F.count(F.lit(1)).alias("n_facts"),
+            F.count_if(F.col("lag") < 0).alias("ship_before_order"),
+            F.min("lag").cast("long").alias("min_lag_days"),
+            F.max("lag").cast("long").alias("max_lag_days"),
+            F.round(F.avg(F.col("lag").cast("double")), 4).alias(
+                "avg_lag_days"
+            ),
+        )
+    )
