@@ -1850,10 +1850,20 @@ def test_time_decay_bounded_by_plain_sum(spark, sf_dir):
         assert 0 < dec[u] <= plain[u] + 0.01  # decay only shrinks
 
 
-def test_temporal_consistency_clean_on_testdata(spark, sf_dir):
+def test_temporal_consistency_matches_python_replay(spark, sf_dir):
+    from xlsx_to_database_spark.catalog import table
     from xlsx_to_database_spark.registry import all_queries
 
     r = all_queries()["dq_temporal_consistency"](spark, sf_dir).collect()[0]
-    assert r.ship_before_order == 0   # generator keeps the invariant
-    assert r.min_lag_days >= 0
-    assert r.min_lag_days <= r.avg_lag_days <= r.max_lag_days
+    li = table(spark, sf_dir, "lineitem").select("l_orderkey", "l_shipdate").collect()
+    od = {
+        o.o_orderkey: o.o_orderdate
+        for o in table(spark, sf_dir, "orders").select("o_orderkey", "o_orderdate").collect()
+    }
+    lags = [(x.l_shipdate - od[x.l_orderkey]).days for x in li]
+    # the synthetic generator draws shipdates independently of order
+    # dates, so the audit MUST surface violations — a zero here would
+    # mean the check is vacuous on this data
+    assert r.ship_before_order == sum(1 for d in lags if d < 0) > 0
+    assert (r.min_lag_days, r.max_lag_days) == (min(lags), max(lags))
+    assert r.n_facts == len(lags)
