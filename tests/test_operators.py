@@ -1867,3 +1867,78 @@ def test_temporal_consistency_matches_python_replay(spark, sf_dir):
     assert r.ship_before_order == sum(1 for d in lags if d < 0) > 0
     assert (r.min_lag_days, r.max_lag_days) == (min(lags), max(lags))
     assert r.n_facts == len(lags)
+
+
+def test_skyline_no_member_dominates_another(spark, sf_dir):
+    from xlsx_to_database_spark.catalog import table
+    from xlsx_to_database_spark.registry import all_queries
+
+    sky = all_queries()["agg_skyline_2d"](spark, sf_dir).collect()
+    pts = [
+        (r.p_size, round(r.p_retailprice * 100))
+        for r in table(spark, sf_dir, "part")
+        .select("p_size", "p_retailprice")
+        .collect()
+    ]
+    members = [(r.p_size, round(r.p_retailprice * 100)) for r in sky]
+    assert members
+
+    def dominates(a, b):
+        return a[0] <= b[0] and a[1] >= b[1] and a != b
+
+    # every member is undominated by the WHOLE point set
+    for m in members:
+        assert not any(dominates(p, m) for p in pts if p != m)
+    # every non-member is dominated by some member
+    member_set = set(members)
+    for p in pts:
+        if p not in member_set:
+            assert any(dominates(m, p) for m in members)
+
+
+def test_penny_drift_replay(spark, sf_dir):
+    from decimal import Decimal
+
+    from xlsx_to_database_spark.catalog import table
+    from xlsx_to_database_spark.registry import all_queries
+
+    got = {
+        r.grp: (r.n_lines, r.sum_of_rounded_cents, r.rounded_sum_cents)
+        for r in all_queries()["dq_penny_reconcile"](spark, sf_dir).collect()
+    }
+    rows = table(spark, sf_dir, "lineitem").select(
+        "l_returnflag", "l_extendedprice", "l_discount", "l_tax"
+    ).collect()
+    agg = {}
+    for r in rows:
+        ex = (
+            Decimal(str(round(r.l_extendedprice, 2)))
+            * (1 - Decimal(str(round(r.l_discount, 2))))
+            * (1 + Decimal(str(round(r.l_tax, 2))))
+        )
+        rc = int((ex * 100).quantize(Decimal("1"), rounding="ROUND_FLOOR")
+                 + (1 if (ex * 100) % 1 >= Decimal("0.5") else 0))
+        n, src, tot = agg.get(r.l_returnflag, (0, 0, Decimal(0)))
+        agg[r.l_returnflag] = (n + 1, src + rc, tot + ex)
+    for g, (n, src, tot) in agg.items():
+        want_rsc = int((tot * 100 + Decimal("0.5")).quantize(
+            Decimal("1"), rounding="ROUND_FLOOR"))
+        assert got[g] == (n, src, want_rsc)
+
+
+def test_standardize_zero_mean_unit_var_per_group(spark, sf_dir):
+    import math as m
+
+    from xlsx_to_database_spark.registry import all_queries
+
+    rows = all_queries()["etl_feature_standardize"](spark, sf_dir).collect()
+    byn = {}
+    for r in rows:
+        byn.setdefault(r.c_nationkey, []).append(r.acctbal_z)
+    for nk, zs in byn.items():
+        if len(zs) < 2:
+            continue
+        mean = sum(zs) / len(zs)
+        var = sum((z - mean) ** 2 for z in zs) / (len(zs) - 1)
+        assert abs(mean) < 1e-4
+        assert abs(m.sqrt(var) - 1.0) < 1e-3

@@ -4089,3 +4089,180 @@ def dq_temporal_consistency(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+@query(
+    "dq_penny_reconcile",
+    """
+    WITH lines AS (
+      SELECT l_returnflag AS grp,
+             CAST(floor(CAST(l_extendedprice AS DECIMAL(18,2))
+                        * (1 - CAST(l_discount AS DECIMAL(8,2)))
+                        * (1 + CAST(l_tax AS DECIMAL(8,2)))
+                        * 100 + 0.5) AS BIGINT) AS rounded_cents,
+             CAST(l_extendedprice AS DECIMAL(18,2))
+               * (1 - CAST(l_discount AS DECIMAL(8,2)))
+               * (1 + CAST(l_tax AS DECIMAL(8,2))) AS exact_charge
+      FROM lineitem
+    )
+    SELECT grp, CAST(count(*) AS BIGINT) AS n_lines,
+           CAST(sum(rounded_cents) AS BIGINT) AS sum_of_rounded_cents,
+           CAST(floor(sum(exact_charge) * 100 + 0.5) AS BIGINT)
+             AS rounded_sum_cents,
+           CAST(sum(rounded_cents)
+                - CAST(floor(sum(exact_charge) * 100 + 0.5) AS BIGINT)
+                AS BIGINT) AS penny_drift_cents
+    FROM lines GROUP BY grp
+    """,
+)
+def dq_penny_reconcile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Penny reconciliation — Σ(round(line)) vs round(Σ(exact)): the
+    finance-pipeline audit that catches where per-line rounding policy
+    and ledger-total policy disagree (they legally CAN'T silently
+    differ; invoices round per line, the GL rounds the sum, and the
+    drift must be known and booked). The charge
+    price·(1−discount)·(1+tax) is computed in EXACT DECIMAL
+    arithmetic; per-line round-half-up to cents sums against the
+    rounded exact total per return-flag group, and the drift is
+    reported in integer cents. Pure decimal/integer math on both
+    engines — one scan, one combiner-friendly aggregate."""
+    li = table(spark, sf_dir, "lineitem")
+    exact = (
+        F.col("l_extendedprice").cast("decimal(18,2)")
+        * (F.lit(1) - F.col("l_discount").cast("decimal(8,2)"))
+        * (F.lit(1) + F.col("l_tax").cast("decimal(8,2)"))
+    )
+    rounded = F.floor(exact * 100 + F.lit(0.5)).cast("long")
+    g = li.select(
+        F.col("l_returnflag").alias("grp"),
+        rounded.alias("rc"),
+        exact.alias("ex"),
+    ).groupBy("grp").agg(
+        F.count(F.lit(1)).alias("n_lines"),
+        F.sum("rc").alias("src"),
+        F.floor(F.sum("ex") * 100 + F.lit(0.5)).cast("long").alias("rsc"),
+    )
+    return g.select(
+        "grp",
+        F.col("n_lines").cast("long").alias("n_lines"),
+        F.col("src").cast("long").alias("sum_of_rounded_cents"),
+        F.col("rsc").alias("rounded_sum_cents"),
+        (F.col("src") - F.col("rsc")).cast("long").alias("penny_drift_cents"),
+    )
+
+
+@query(
+    "agg_skyline_2d",
+    """
+    WITH pts AS (
+      SELECT p_partkey, p_size,
+             CAST(floor(p_retailprice * 100 + 0.5) AS BIGINT) AS pc
+      FROM part
+    ), best AS (
+      SELECT p_partkey, p_size, pc,
+             max(pc) OVER (ORDER BY p_size, pc DESC, p_partkey
+                           ROWS BETWEEN UNBOUNDED PRECEDING
+                           AND 1 PRECEDING) AS best_before
+      FROM pts
+    )
+    SELECT p_partkey, CAST(p_size AS BIGINT) AS p_size,
+           round(CAST(pc AS DOUBLE) / 100, 2) AS p_retailprice
+    FROM best
+    WHERE best_before IS NULL OR pc > best_before
+    """,
+)
+def agg_skyline_2d(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """2-D skyline (Pareto frontier) — parts not DOMINATED by any other
+    part that is both smaller (≤ size) and pricier (≥ price, one
+    strictly): the multi-criteria shortlist operator (cheapest-fastest
+    flights, smallest-most-valuable parts) relational engines famously
+    lack. In 2-D it collapses to one sorted pass: order by (size asc,
+    price desc), keep a row iff its price strictly exceeds the running
+    max of everything before it — a window, not an O(n²) dominance
+    join. Ties: equal (size, price) duplicates all survive (none
+    strictly dominates another), realized by putting price DESC then
+    key in the sort so equals see only STRICTLY better predecessors…
+    and the running max over the 1-PRECEDING frame makes the first row
+    trivially kept.
+
+    Scale shape: the global order runs on the (size, price) DISTINCT
+    domain in principle; here the window is a single sort at
+    part-table scale — at 100 TB the same pass rides the bucketed
+    global-order machinery (operators/global_order.py), since the
+    comparison key is 1-D once sorted. Integer cents; no floats in the
+    dominance test."""
+    p = table(spark, sf_dir, "part")
+    pts = p.select(
+        "p_partkey",
+        "p_size",
+        F.floor(F.col("p_retailprice") * 100 + F.lit(0.5))
+        .cast("long")
+        .alias("pc"),
+    )
+    w = Window.orderBy(
+        "p_size", F.col("pc").desc(), "p_partkey"
+    ).rowsBetween(Window.unboundedPreceding, -1)
+    best = pts.withColumn("best_before", F.max("pc").over(w))
+    return best.filter(
+        F.col("best_before").isNull() | (F.col("pc") > F.col("best_before"))
+    ).select(
+        "p_partkey",
+        F.col("p_size").cast("long").alias("p_size"),
+        F.round(F.col("pc").cast("double") / 100, 2).alias("p_retailprice"),
+    )
+
+
+@query(
+    "etl_feature_standardize",
+    """
+    WITH stats AS (
+      SELECT c_nationkey AS nk, count(*) AS n,
+             sum(CAST(floor(c_acctbal * 100 + 0.5) AS BIGINT)) AS s,
+             sum(CAST(floor(c_acctbal * 100 + 0.5) AS BIGINT)
+                 * CAST(floor(c_acctbal * 100 + 0.5) AS BIGINT)) AS q
+      FROM customer GROUP BY 1
+    )
+    SELECT c_custkey,
+           CAST(c_nationkey AS BIGINT) AS c_nationkey,
+           round((CAST(floor(c_acctbal * 100 + 0.5) AS BIGINT)
+                  - CAST(s AS DOUBLE) / n)
+                 / sqrt((CAST(q AS DOUBLE)
+                         - CAST(s AS DOUBLE) * CAST(s AS DOUBLE) / n)
+                        / (n - 1)), 6) AS acctbal_z
+    FROM customer JOIN stats ON c_nationkey = nk
+    """,
+)
+def etl_feature_standardize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group feature standardization (z-score within nation) — the
+    preprocessing step every distance-based model needs, in the only
+    shape that scales: group sufficient statistics (n, Σx, Σx²) from
+    ONE aggregate, broadcast back, z computed map-side — never a
+    per-group collect or a second scan per feature. Exact integer-cent
+    sums; mean/sd/z are one shared double expression per row, rounded
+    6. The (aggregate → broadcast join → map) plan is the template for
+    standardizing ANY number of features in one pass (one struct per
+    feature)."""
+    c = table(spark, sf_dir, "customer")
+    cents = F.floor(F.col("c_acctbal") * 100 + F.lit(0.5)).cast("long")
+    stats = c.groupBy(F.col("c_nationkey").alias("nk")).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(cents).alias("s"),
+        F.sum(cents * cents).alias("q"),
+    )
+    nd = F.col("n").cast("double")
+    mean = F.col("s").cast("double") / F.col("n")
+    sd = F.sqrt(
+        (
+            F.col("q").cast("double")
+            - F.col("s").cast("double") * F.col("s").cast("double") / F.col("n")
+        )
+        / (nd - 1)
+    )
+    return (
+        c.join(F.broadcast(stats), c["c_nationkey"] == F.col("nk"))
+        .select(
+            "c_custkey",
+            F.col("c_nationkey").cast("long").alias("c_nationkey"),
+            F.round((cents - mean) / sd, 6).alias("acctbal_z"),
+        )
+    )
