@@ -1942,3 +1942,52 @@ def test_standardize_zero_mean_unit_var_per_group(spark, sf_dir):
         var = sum((z - mean) ** 2 for z in zs) / (len(zs) - 1)
         assert abs(mean) < 1e-4
         assert abs(m.sqrt(var) - 1.0) < 1e-3
+
+
+def test_snaive_backtest_is_gap_correct(spark, sf_dir):
+    from xlsx_to_database_spark.catalog import table
+    from xlsx_to_database_spark.registry import all_queries
+
+    r = all_queries()["stat_backtest_snaive"](spark, sf_dir).collect()[0]
+    daily = {
+        x.d: x.v
+        for x in table(spark, sf_dir, "orders")
+        .groupBy(F.col("o_orderdate").cast("date").alias("d"))
+        .agg(
+            F.sum(
+                F.floor(F.col("o_totalprice") * 100 + F.lit(0.5)).cast("long")
+            ).alias("v")
+        )
+        .collect()
+    }
+    import datetime
+
+    pairs = [
+        (v, daily[d - datetime.timedelta(days=7)])
+        for d, v in daily.items()
+        if d - datetime.timedelta(days=7) in daily
+    ]
+    assert r.n_days == len(pairs)
+    mae = sum(abs(v - p) for v, p in pairs) / len(pairs) / 100
+    assert abs(r.mae_dollars - round(mae, 2)) < 1e-9
+
+
+def test_allen_census_covers_all_consecutive_pairs(spark, sf_dir):
+    from xlsx_to_database_spark.catalog import table
+    from xlsx_to_database_spark.registry import all_queries
+
+    rows = all_queries()["interval_allen_relations"](spark, sf_dir).collect()
+    total_pairs = sum(r.n_pairs for r in rows)
+    per_cust = (
+        table(spark, sf_dir, "orders")
+        .groupBy("o_custkey")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    )
+    assert total_pairs == sum(r.n - 1 for r in per_cust)
+    names = {r.relation for r in rows}
+    # start-order makes inverse relations unreachable
+    assert names <= {
+        "before", "meets", "overlaps", "starts", "during", "finishes",
+        "equal", "contains",
+    }

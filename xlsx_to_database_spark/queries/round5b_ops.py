@@ -4266,3 +4266,161 @@ def etl_feature_standardize(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round((cents - mean) / sd, 6).alias("acctbal_z"),
         )
     )
+
+
+@query(
+    "stat_backtest_snaive",
+    """
+    WITH daily AS (
+      SELECT CAST(o_orderdate AS DATE) AS d,
+             sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)) AS v
+      FROM orders GROUP BY 1
+    ), j AS (
+      SELECT a.d, a.v, b.v AS pred
+      FROM daily a JOIN daily b ON b.d = a.d - 7
+    )
+    SELECT CAST(count(*) AS BIGINT) AS n_days,
+           round(CAST(sum(abs(v - pred)) AS DOUBLE) / count(*) / 100, 2)
+             AS mae_dollars,
+           round(CAST(sum(CAST(abs(v - pred) AS DOUBLE) / v)
+                 AS DOUBLE) / count(*), 6) AS mape
+    FROM j
+    """,
+)
+def stat_backtest_snaive(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Seasonal-naive forecast backtest — predict each day's revenue
+    with the value from 7 days earlier and score MAE/MAPE: the
+    BASELINE every forecasting effort must beat before it earns
+    compute (if a model can't beat copy-last-week, ship copy-last-
+    week). Implemented as a self-equi-join on the shifted date — NOT a
+    window lag, because calendar gaps would silently misalign
+    lag(7 ROWS) with 7 DAYS; the join is gap-correct by construction.
+
+    Exact: daily totals integer cents; MAE from exact integer sums;
+    MAPE's per-day ratios are engine-identical doubles summed after
+    the join (calendar-bounded row count, one aggregation order per
+    engine — both sum ≤2.4k quantized terms... per-day terms are NOT
+    quantized here because the series is calendar-bounded and both
+    engines reduce in the same single partition; mae is integer-exact
+    regardless)."""
+    o = table(spark, sf_dir, "orders")
+    daily = o.groupBy(F.col("o_orderdate").alias("d")).agg(
+        F.sum(
+            F.floor(F.col("o_totalprice") * 100 + F.lit(0.5)).cast("long")
+        ).alias("v")
+    )
+    a = daily.select(F.col("d"), F.col("v"))
+    b = daily.select(
+        F.date_add(F.col("d"), 7).alias("d"), F.col("v").alias("pred")
+    )
+    j = a.join(b, "d")
+    ae = F.abs(F.col("v") - F.col("pred"))
+    return j.agg(
+        F.count(F.lit(1)).alias("n_days"),
+        F.round(
+            F.sum(ae).cast("double") / F.count(F.lit(1)) / 100, 2
+        ).alias("mae_dollars"),
+        F.round(
+            F.sum(
+                (ae.cast("double") / F.col("v")).cast("decimal(28,18)")
+            ).cast("double")
+            / F.count(F.lit(1)),
+            6,
+        ).alias("mape"),
+    )
+
+
+@query(
+    "interval_allen_relations",
+    """
+    WITH iv AS (
+      SELECT o_custkey AS k, o_orderkey,
+             CAST(o_orderdate AS DATE) AS s,
+             CAST(o_orderdate AS DATE) + 30 AS e
+      FROM orders
+    ), seq AS (
+      SELECT k, s, e,
+             lag(s) OVER (PARTITION BY k ORDER BY s, e, o_orderkey) AS ps,
+             lag(e) OVER (PARTITION BY k ORDER BY s, e, o_orderkey) AS pe
+      FROM iv
+    ), rel AS (
+      SELECT CASE
+               WHEN ps IS NULL THEN NULL
+               WHEN pe < s THEN 'before'
+               WHEN pe = s THEN 'meets'
+               WHEN ps = s AND pe = e THEN 'equal'
+               WHEN ps = s AND e > pe THEN 'starts'
+               WHEN s > ps AND e < pe THEN 'during'
+               WHEN s > ps AND e = pe THEN 'finishes'
+               WHEN s > ps AND s < pe AND e > pe THEN 'overlaps'
+               ELSE 'contains'
+             END AS relation
+      FROM seq
+    )
+    SELECT relation, CAST(count(*) AS BIGINT) AS n_pairs
+    FROM rel WHERE relation IS NOT NULL
+    GROUP BY relation
+    """,
+)
+def interval_allen_relations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Allen's interval algebra over consecutive activity windows — each
+    order opens a 30-day window; for every consecutive pair within a
+    customer (ordered by start), classify the temporal relation
+    (before / meets / overlaps / starts / during / finishes / equal /
+    contains) and count the census. Allen's 13 relations are the
+    vocabulary of temporal reasoning (overlap-billing detection,
+    contract-continuity audits, care-episode analysis); restricted to
+    consecutive pairs in start order, the census costs ONE lag window
+    instead of an O(n²) interval self-join, and start-order ≥
+    guarantees make the inverse relations unreachable — which is why
+    eight cases suffice.
+
+    Exact: pure date arithmetic and a CASE ladder, identical both
+    engines; ties in (start, end) are ordered by the unique order key,
+    so lag pairs are engine-deterministic."""
+    o = table(spark, sf_dir, "orders")
+    iv = o.select(
+        F.col("o_custkey").alias("k"),
+        "o_orderkey",
+        F.col("o_orderdate").alias("s"),
+        F.date_add(F.col("o_orderdate"), 30).alias("e"),
+    )
+    w = Window.partitionBy("k").orderBy("s", "e", "o_orderkey")
+    seq = iv.select(
+        "k",
+        "s",
+        "e",
+        F.lag("s").over(w).alias("ps"),
+        F.lag("e").over(w).alias("pe"),
+    )
+    rel = seq.select(
+        F.when(F.col("ps").isNull(), None)
+        .when(F.col("pe") < F.col("s"), "before")
+        .when(F.col("pe") == F.col("s"), "meets")
+        .when(
+            (F.col("ps") == F.col("s")) & (F.col("pe") == F.col("e")), "equal"
+        )
+        .when(
+            (F.col("ps") == F.col("s")) & (F.col("e") > F.col("pe")), "starts"
+        )
+        .when(
+            (F.col("s") > F.col("ps")) & (F.col("e") < F.col("pe")), "during"
+        )
+        .when(
+            (F.col("s") > F.col("ps")) & (F.col("e") == F.col("pe")),
+            "finishes",
+        )
+        .when(
+            (F.col("s") > F.col("ps"))
+            & (F.col("s") < F.col("pe"))
+            & (F.col("e") > F.col("pe")),
+            "overlaps",
+        )
+        .otherwise("contains")
+        .alias("relation")
+    )
+    return (
+        rel.filter(F.col("relation").isNotNull())
+        .groupBy("relation")
+        .agg(F.count(F.lit(1)).alias("n_pairs"))
+    )
