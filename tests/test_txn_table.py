@@ -307,3 +307,24 @@ def test_bfs_hops_hand_graph(spark):
     assert got == {1: 0, 2: 1, 3: 1, 4: 2, 5: 3}
     capped = {r.node: r.hops for r in bfs_hops(sym, max_hops=2).collect()}
     assert capped == {1: 0, 2: 1, 3: 1, 4: 2}
+
+
+def test_restore_is_zero_copy_and_keeps_history(spark, tmp_path):
+    from pyspark.sql import functions as F
+
+    from xlsx_to_database_spark.operators.txn_table import TxnTable
+
+    root = str(tmp_path / "restore_t")
+    tt = TxnTable(spark, root, "k")
+    base = spark.range(100).select(F.col("id").alias("k"))
+    tt.create(base.repartitionByRange(2, "k"))
+    tt.delete_where(F.col("k") % 2 == 0)
+    tt.append(spark.range(100, 110).select(F.col("id").alias("k")))
+    v = tt.restore(0)
+    assert v == 3
+    # zero-copy: the restore manifest references v0's entries verbatim
+    assert tt.manifest(3)["files"] == tt.manifest(0)["files"]
+    # final state == v0; damaged versions remain readable history
+    assert sorted(r.k for r in tt.read().collect()) == list(range(100))
+    assert tt.read(1).count() == 50
+    assert tt.read(2).count() == 60

@@ -223,6 +223,18 @@ class TxnTable:
     def read(self, version: Optional[int] = None) -> DataFrame:
         return self._read_files(self.manifest(version)["files"])
 
+    def restore(self, version: int) -> int:
+        """RESTORE the table to an earlier snapshot as a NEW commit - Delta's RESTORE semantics: the new manifest references the old
+        version's file entries VERBATIM, so the operation is zero-copy
+        and O(manifest) regardless of table size, the restored-over
+        versions remain readable (history is append-only), and a later
+        VACUUM governs when their exclusive files actually go away.
+        Returns the new version number."""
+        files = self.manifest(version)["files"]
+        new_v = self.latest_version() + 1
+        self._commit(new_v, f"restore({version})", files)
+        return new_v
+
     def _split_by_key_range(
         self, entries: list[dict], lo: Any, hi: Any
     ) -> tuple[list[dict], list[dict]]:

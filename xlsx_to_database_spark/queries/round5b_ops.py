@@ -4424,3 +4424,46 @@ def interval_allen_relations(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("relation")
         .agg(F.count(F.lit(1)).alias("n_pairs"))
     )
+
+
+@query(
+    "table_restore",
+    """
+    SELECT CAST(count(*) AS BIGINT) AS n_rows,
+           round(CAST(sum(CAST(o_totalprice AS DECIMAL(18,2)))
+                      AS DOUBLE), 2) AS total
+    FROM orders
+    """,
+)
+def table_restore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zero-copy RESTORE on the txn-log table: create (v0 = full
+    orders) → delete a slice (v1) → append noise (v2) → RESTORE v0
+    (v3) — the "undo the bad deploy" button. The restore commit
+    re-references v0's file entries verbatim: no data I/O, O(manifest)
+    cost at ANY table size, and v1/v2 stay readable (history is
+    append-only; VACUUM, not RESTORE, retires their files). The final
+    read must hash-match the ORIGINAL table exactly — proving the
+    round-trip through damage and restore is lossless."""
+    import os
+    import shutil
+
+    from xlsx_to_database_spark.operators.txn_table import TxnTable
+    from xlsx_to_database_spark.queries.sources_sinks import _tag
+
+    o = table(spark, sf_dir, "orders").select("o_orderkey", "o_totalprice")
+    root = f"/tmp/spark_stage/{_tag(sf_dir)}_table_restore"
+    shutil.rmtree(root, ignore_errors=True)
+    tt = TxnTable(spark, root, "o_orderkey")
+    tt.create(o.repartitionByRange(4, "o_orderkey"))
+    tt.delete_where(F.col("o_orderkey") % 5 == 0)          # the bad deploy
+    tt.append(o.limit(7).withColumn("o_orderkey",          # and its noise
+                                    F.col("o_orderkey") + 9000000))
+    v = tt.restore(0)
+    assert tt.manifest(v)["op"] == "restore(0)"
+    return tt.read().agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.round(
+            F.sum(F.col("o_totalprice").cast("decimal(18,2)")).cast("double"),
+            2,
+        ).alias("total"),
+    )
