@@ -1991,3 +1991,120 @@ def test_allen_census_covers_all_consecutive_pairs(spark, sf_dir):
         "before", "meets", "overlaps", "starts", "during", "finishes",
         "equal", "contains",
     }
+
+
+def test_rsi_matches_decimal_replay(spark, sf_dir):
+    """RSI-14 per customer must equal a driver-side Decimal replay of
+    Cutler's formula over the same (orderdate, orderkey)-sorted series —
+    pinning frame alignment (rn > 14), the gain/loss split, and the
+    decimal-exact windowed sums."""
+    from decimal import Decimal
+
+    from xlsx_to_database_spark.catalog import table
+    from xlsx_to_database_spark.registry import all_queries
+
+    got = {
+        (r.o_custkey, r.o_orderkey): r.rsi
+        for r in all_queries()["win_rsi"](spark, sf_dir).collect()
+    }
+    series: dict[int, list] = {}
+    for r in (
+        table(spark, sf_dir, "orders")
+        .select("o_custkey", "o_orderkey", "o_orderdate", "o_totalprice")
+        .collect()
+    ):
+        series.setdefault(r.o_custkey, []).append(r)
+    want = {}
+    q = Decimal("0.01")
+    for ck, rows in series.items():
+        rows.sort(key=lambda r: (r.o_orderdate, r.o_orderkey))
+        px = [Decimal(repr(r.o_totalprice)).quantize(q) for r in rows]
+        deltas = [None] + [px[i] - px[i - 1] for i in range(1, len(px))]
+        for i in range(14, len(rows)):  # rn = i+1 > 14
+            frame = [d for d in deltas[max(0, i - 13): i + 1] if d is not None]
+            gain = sum((d for d in frame if d > 0), Decimal(0))
+            loss = sum((-d for d in frame if d < 0), Decimal(0))
+            if gain + loss != 0:
+                want[(ck, rows[i].o_orderkey)] = round(
+                    100.0 * float(gain) / float(gain + loss), 6
+                )
+    assert got == want
+    assert all(0.0 <= v <= 100.0 for v in got.values())
+
+
+def test_reservoir_sample_is_k_deterministic_and_uniformly_keyed(spark, sf_dir):
+    """Exactly min(k, |group|) rows per priority class, stable across
+    runs, and every sampled row exists in the source — the properties
+    that make hash-rank reservoir sampling a drop-in for the sequential
+    algorithm."""
+    from xlsx_to_database_spark.catalog import table
+    from xlsx_to_database_spark.registry import all_queries
+
+    fn = all_queries()["sample_reservoir"]
+    a = sorted(map(tuple, fn(spark, sf_dir).collect()))
+    b = sorted(map(tuple, fn(spark, sf_dir).collect()))
+    assert a == b, "hash-keyed sample must be deterministic"
+    sizes = (
+        table(spark, sf_dir, "orders")
+        .groupBy("o_orderpriority")
+        .count()
+        .collect()
+    )
+    expected = {r.o_orderpriority: min(5, r["count"]) for r in sizes}
+    per_group: dict[str, int] = {}
+    for prio, _, _ in a:
+        per_group[prio] = per_group.get(prio, 0) + 1
+    assert per_group == expected
+    src = {
+        (r.o_orderkey, r.o_custkey)
+        for r in table(spark, sf_dir, "orders")
+        .select("o_orderkey", "o_custkey")
+        .collect()
+    }
+    assert all((k, c) in src for _, k, c in a)
+
+
+def test_table_vacuum_breaks_only_collected_history(spark, sf_dir):
+    """After the op's vacuum(retain=1), the latest snapshot must still
+    read (and match a direct Spark recomputation), while v0 — whose
+    exclusive pre-merge files were collected — must no longer be
+    readable. Physical GC, zero logical effect on retained versions."""
+    import pytest as _pytest
+
+    from pyspark.errors.exceptions.captured import AnalysisException
+
+    from xlsx_to_database_spark.catalog import table
+    from xlsx_to_database_spark.operators.txn_table import TxnTable
+    from xlsx_to_database_spark.queries.sources_sinks import _tag
+    from xlsx_to_database_spark.registry import all_queries
+
+    got = {
+        r.o_orderstatus: (r.n_rows, r.total)
+        for r in all_queries()["table_vacuum"](spark, sf_dir).collect()
+    }
+    o = table(spark, sf_dir, "orders")
+    p = F.col("o_totalprice").cast("decimal(18,2)")
+    want = {
+        r.o_orderstatus: (r.n_rows, r.total)
+        for r in o.groupBy("o_orderstatus")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.round(
+                F.sum(
+                    F.when(
+                        F.col("o_orderkey").between(200, 299),
+                        (F.lit(2) * p).cast("decimal(18,2)"),
+                    ).otherwise(p)
+                ).cast("double"),
+                2,
+            ).alias("total"),
+        )
+        .collect()
+    }
+    assert got == want
+    tt = TxnTable(
+        spark, f"/tmp/spark_stage/{_tag(sf_dir)}_table_vacuum", "o_orderkey"
+    )
+    assert tt.read().count() == o.count()  # retained snapshot intact
+    with _pytest.raises(AnalysisException):
+        tt.read(version=0).count()  # collected history is gone

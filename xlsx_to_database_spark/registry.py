@@ -210,6 +210,7 @@ def _load_all() -> None:
         "xlsx_to_database_spark.queries.round4_ops",
         "xlsx_to_database_spark.queries.round5_ops",
         "xlsx_to_database_spark.queries.round5b_ops",
+        "xlsx_to_database_spark.queries.round5c_ops",
     ):
         try:
             importlib.import_module(mod)
