@@ -2108,3 +2108,76 @@ def test_table_vacuum_breaks_only_collected_history(spark, sf_dir):
     assert tt.read().count() == o.count()  # retained snapshot intact
     with _pytest.raises(AnalysisException):
         tt.read(version=0).count()  # collected history is gone
+
+
+def test_bitemporal_late_axis_sees_every_correction(spark, sf_dir):
+    """At the late cutoff (past every record time) the believed total
+    must equal base prices + 100 per corrected (k % 7 == 0) order, and
+    the early axis must count exactly the orders already RECORDED by
+    then — the two-axis semantics in one check."""
+    from decimal import Decimal
+
+    from xlsx_to_database_spark.catalog import table
+    from xlsx_to_database_spark.registry import all_queries
+
+    rows = all_queries()["etl_bitemporal"](spark, sf_dir).collect()
+    late = {r.status: r for r in rows if r.as_of.year == 2002}
+    early_n = sum(r.n_orders for r in rows if r.as_of.year == 1998)
+    o = table(spark, sf_dir, "orders").collect()
+    q = Decimal("0.01")
+    want: dict[str, Decimal] = {}
+    counts: dict[str, int] = {}
+    for r in o:
+        p = Decimal(repr(r.o_totalprice)).quantize(q)
+        if r.o_orderkey % 7 == 0:
+            p += 100
+        want[r.o_orderstatus] = want.get(r.o_orderstatus, Decimal(0)) + p
+        counts[r.o_orderstatus] = counts.get(r.o_orderstatus, 0) + 1
+    assert {s: r.n_orders for s, r in late.items()} == counts
+    for s, r in late.items():
+        assert r.believed_total == round(float(want[s]), 2)
+    from datetime import datetime
+
+    cutoff = datetime(1998, 1, 1)
+    assert early_n == sum(1 for r in o if r.o_orderdate <= cutoff)
+
+
+def test_freshness_lags_are_anchored_and_nonnegative(spark, sf_dir):
+    """Exactly one event type carries the global max (lag 0, not
+    stale), every lag is >= 0, and per-type counts sum to the table."""
+    from xlsx_to_database_spark.catalog import table
+    from xlsx_to_database_spark.registry import all_queries
+
+    rows = all_queries()["dq_freshness"](spark, sf_dir).collect()
+    assert sum(1 for r in rows if r.lag_sec == 0) == 1
+    freshest = next(r for r in rows if r.lag_sec == 0)
+    assert not freshest.stale
+    assert all(r.lag_sec >= 0 for r in rows)
+    assert all(r.stale == (r.lag_sec > 1800) for r in rows)
+    assert sum(r.n for r in rows) == table(spark, sf_dir, "events").count()
+
+
+def test_pr_curve_is_threshold_monotone(spark, sf_dir):
+    """Raising the threshold can only shrink the predicted-positive set:
+    recall is non-increasing, tp+fn is the constant positive count, and
+    every ratio matches its integer counts."""
+    from xlsx_to_database_spark.catalog import table
+    from xlsx_to_database_spark.registry import all_queries
+
+    rows = sorted(
+        all_queries()["ml_pr_curve"](spark, sf_dir).collect(),
+        key=lambda r: r.threshold,
+    )
+    pos = (
+        table(spark, sf_dir, "orders")
+        .filter(F.col("o_orderpriority").isin("1-URGENT", "2-HIGH"))
+        .count()
+    )
+    assert all(r.tp + r.fn == pos for r in rows)
+    recalls = [r.recall for r in rows]
+    assert recalls == sorted(recalls, reverse=True)
+    for r in rows:
+        if r.tp + r.fp:
+            assert r.precision == round(r.tp / (r.tp + r.fp), 6)
+        if r.tp + r.fn:
+            assert r.recall == round(r.tp / (r.tp + r.fn), 6)

@@ -100,6 +100,19 @@ ALLOWED: dict[str, dict[str, str]] = {
             "text_pmi",               # bigram/unigram totals (1 row)
             "ml_naive_bayes",         # corpus total N + vocab size V (1 row)
             "stat_cramers_v",         # contingency totals (1 row, as stat_chi2)
+            "ml_decision_stump",      # class-prior totals (1 row)
+            "stat_runs_test",         # run/median totals (1 row)
+            "stat_jackknife_ratio_se",  # leave-one-out base totals (1 row)
+            "agg_weighted_median",    # half-weight threshold W/2 (1 row)
+            "sim_maxsim",             # query sub-vectors (1 row)
+            "ml_knn_classify",        # query batch (10 rows)
+            "ml_roc_auc",             # pos/neg totals + Youden argmax (1 row)
+            "dedup_threshold_sweep",  # threshold spine (5 rows)
+            "stat_ht_estimate",       # ground-truth total (1 row)
+            "agg_time_decay",         # corpus max timestamp (1 row)
+            "etl_bitemporal",         # as-of axis (2 rows)
+            "dq_freshness",           # global max timestamp (1 row)
+            "ml_pr_curve",            # threshold spine (5 rows)
         )
     },
     "stat_kendall_tau": {

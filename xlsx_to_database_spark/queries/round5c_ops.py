@@ -212,3 +212,195 @@ def sample_reservoir(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rn") <= _RESERVOIR_K)
         .drop("rn")
     )
+
+
+@query(
+    "etl_bitemporal",
+    """
+    WITH v0 AS (
+      SELECT o_orderkey AS k, o_orderstatus AS status,
+             CAST(o_totalprice AS DECIMAL(18,2)) AS price,
+             o_orderdate AS recorded_at
+      FROM orders
+    ), corr AS (
+      SELECT k, status,
+             CAST(price + 100 AS DECIMAL(18,2)) AS price,
+             recorded_at + INTERVAL 10 DAY AS recorded_at
+      FROM v0 WHERE k % 7 = 0
+    ), versions AS (
+      SELECT * FROM v0 UNION ALL SELECT * FROM corr
+    ), axes AS (
+      SELECT unnest(ARRAY[TIMESTAMP '1998-01-01', TIMESTAMP '2002-01-01'])
+             AS as_of
+    ), believed AS (
+      SELECT a.as_of, v.k, v.status,
+             max_by(v.price, v.recorded_at) AS price
+      FROM versions v JOIN axes a ON v.recorded_at <= a.as_of
+      GROUP BY a.as_of, v.k, v.status
+    )
+    SELECT as_of, status, CAST(count(*) AS BIGINT) AS n_orders,
+           round(CAST(sum(price) AS DOUBLE), 2) AS believed_total
+    FROM believed GROUP BY as_of, status
+    """,
+)
+def etl_bitemporal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bitemporal reconstruction — "what did we BELIEVE on date T?" —
+    the second time axis `etl_scd2` doesn't have: every order is
+    recorded on its order date, every 7th gets a +100 price correction
+    recorded 10 days later, and the query rebuilds the believed state
+    per order at two transaction-time cutoffs (mid-history and post-history). An as-of on RECORD time
+    (audit, restatement, ML training-set reproduction: "train only on
+    what was known then") rather than on validity time.
+
+    Shape: versions ⋈ as-of axis (a 2-row broadcast), then
+    ``max_by(price, recorded_at)`` per (as_of, key) — latest-belief
+    selection as a single mergeable aggregate, no window sort. One
+    shuffle on (as_of, k); version fan-in per key is bounded (≤2 here,
+    single digits in any real ledger), so partial aggregation collapses
+    it map-side. Decimal prices keep both engines hash-identical."""
+    o = table(spark, sf_dir, "orders")
+    v0 = o.select(
+        F.col("o_orderkey").alias("k"),
+        F.col("o_orderstatus").alias("status"),
+        F.col("o_totalprice").cast("decimal(18,2)").alias("price"),
+        F.col("o_orderdate").alias("recorded_at"),
+    )
+    corr = v0.filter(F.col("k") % 7 == 0).select(
+        "k", "status",
+        (F.col("price") + 100).cast("decimal(18,2)").alias("price"),
+        (F.col("recorded_at") + F.expr("INTERVAL 10 DAY")).alias("recorded_at"),
+    )
+    versions = v0.unionByName(corr)
+    axes = spark.sql(
+        "SELECT explode(array(TIMESTAMP '1998-01-01',"
+        " TIMESTAMP '2002-01-01')) AS as_of"
+    )
+    believed = (
+        versions.join(axes, F.col("recorded_at") <= F.col("as_of"))
+        .groupBy("as_of", "k", "status")
+        .agg(F.max_by("price", "recorded_at").alias("price"))
+    )
+    return believed.groupBy("as_of", "status").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.round(F.sum("price").cast("double"), 2).alias("believed_total"),
+    )
+
+
+_FRESH_SLA_SEC = 1800  #: staleness SLA (30 min)
+
+
+@query(
+    "dq_freshness",
+    f"""
+    WITH per AS (
+      SELECT event_type, max(ts) AS last_ts, CAST(count(*) AS BIGINT) AS n
+      FROM events GROUP BY event_type
+    ), g AS (SELECT max(ts) AS gmax FROM events)
+    SELECT event_type, last_ts, n,
+           CAST((epoch_us(gmax) - epoch_us(last_ts)) // 1000000
+                AS BIGINT) AS lag_sec,
+           (epoch_us(gmax) - epoch_us(last_ts)) // 1000000
+             > {_FRESH_SLA_SEC} AS stale
+    FROM per CROSS JOIN g
+    """,
+)
+def dq_freshness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Source-freshness audit — per event type: latest event, row count,
+    staleness lag behind the newest event anywhere, and an SLA breach
+    flag (30 min). The first check every ingestion dashboard runs: a
+    source whose max(ts) stopped advancing is silently dead long before
+    volume alarms notice.
+
+    Shape: one partial-aggregating pass for the per-type maxima, one
+    single-row global aggregate broadcast back over them (Spark plans
+    the 1×K cross join as BroadcastNestedLoopJoin — K rows, metadata
+    cost). Lag is computed in integer epoch-microseconds on both
+    engines; no timestamp-difference builtin is used because Spark's
+    `timestampdiff` counts complete units while DuckDB's `date_diff`
+    counts boundary crossings — the epoch arithmetic sidesteps that
+    semantic trap exactly."""
+    ev = table(spark, sf_dir, "events")
+    per = ev.groupBy("event_type").agg(
+        F.max("ts").alias("last_ts"), F.count(F.lit(1)).alias("n")
+    )
+    g = ev.agg(F.max("ts").alias("gmax"))
+    lag = (
+        (F.unix_micros(F.col("gmax")) - F.unix_micros(F.col("last_ts")))
+        / F.lit(1000000)
+    ).cast("long")
+    return per.crossJoin(F.broadcast(g)).select(
+        "event_type", "last_ts", "n",
+        lag.alias("lag_sec"),
+        (lag > _FRESH_SLA_SEC).alias("stale"),
+    )
+
+
+_PR_THRESHOLDS = (50000, 100000, 150000, 200000, 250000)
+
+
+@query(
+    "ml_pr_curve",
+    f"""
+    WITH t AS (
+      SELECT unnest(ARRAY{list(_PR_THRESHOLDS)}) AS threshold
+    ), c AS (
+      SELECT t.threshold,
+             CAST(count(*) FILTER (WHERE o_orderpriority IN
+               ('1-URGENT', '2-HIGH') AND o_totalprice >= t.threshold)
+               AS BIGINT) AS tp,
+             CAST(count(*) FILTER (WHERE o_orderpriority NOT IN
+               ('1-URGENT', '2-HIGH') AND o_totalprice >= t.threshold)
+               AS BIGINT) AS fp,
+             CAST(count(*) FILTER (WHERE o_orderpriority IN
+               ('1-URGENT', '2-HIGH') AND o_totalprice < t.threshold)
+               AS BIGINT) AS fn
+      FROM orders CROSS JOIN t GROUP BY t.threshold
+    )
+    SELECT CAST(threshold AS BIGINT) AS threshold, tp, fp, fn,
+           round(CAST(tp AS DOUBLE) / nullif(tp + fp, 0), 6) AS precision,
+           round(CAST(tp AS DOUBLE) / nullif(tp + fn, 0), 6) AS recall
+    FROM c
+    """,
+)
+def ml_pr_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Precision/recall sweep over fixed score thresholds — the
+    classifier-eval companion to `ml_roc_auc` (which integrates over ALL
+    thresholds; this reports the operating points you'd actually pick).
+    Score = order price, label = urgent/high priority.
+
+    Shape: fan the fact table out over the literal threshold axis and
+    conditionally count — per-partition aggregate state is |thresholds|
+    rows, so map-side combine collapses the 5× explode before the
+    shuffle ever sees it: one pass, one metadata-size exchange,
+    no global score sort anywhere. That is the property that lets the
+    same query run at 100 TB — a rank-based PR curve (sort by score,
+    cumulative counts) would need a total order; the fixed-grid sweep
+    needs none. Counts are exact integers; the two ratios are the
+    identical double expression on both engines."""
+    o = table(spark, sf_dir, "orders")
+    t = spark.range(1).select(
+        F.explode(F.array(*[F.lit(x) for x in _PR_THRESHOLDS]))
+        .alias("threshold")
+    )
+    pos = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    hi = F.col("o_totalprice") >= F.col("threshold")
+    c = (
+        o.crossJoin(F.broadcast(t))
+        .groupBy("threshold")
+        .agg(
+            F.count_if(pos & hi).alias("tp"),
+            F.count_if(~pos & hi).alias("fp"),
+            F.count_if(pos & ~hi).alias("fn"),
+        )
+    )
+    return c.select(
+        F.col("threshold").cast("long").alias("threshold"), "tp", "fp", "fn",
+        F.round(
+            F.col("tp").cast("double") / F.nullif(F.col("tp") + F.col("fp"), F.lit(0)),
+            6,
+        ).alias("precision"),
+        F.round(
+            F.col("tp").cast("double") / F.nullif(F.col("tp") + F.col("fn"), F.lit(0)),
+            6,
+        ).alias("recall"),
+    )
