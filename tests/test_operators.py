@@ -1994,7 +1994,7 @@ def test_allen_census_covers_all_consecutive_pairs(spark, sf_dir):
 
 
 def test_rsi_matches_decimal_replay(spark, sf_dir):
-    """RSI-14 per customer must equal a driver-side Decimal replay of
+    """RSI-14 per supplier must equal a driver-side Decimal replay of
     Cutler's formula over the same (orderdate, orderkey)-sorted series —
     pinning frame alignment (rn > 14), the gain/loss split, and the
     decimal-exact windowed sums."""
@@ -2004,28 +2004,30 @@ def test_rsi_matches_decimal_replay(spark, sf_dir):
     from xlsx_to_database_spark.registry import all_queries
 
     got = {
-        (r.o_custkey, r.o_orderkey): r.rsi
+        (r.l_suppkey, r.l_orderkey, r.l_linenumber): r.rsi
         for r in all_queries()["win_rsi"](spark, sf_dir).collect()
     }
+    assert got, "sf0.001 suppliers each ship hundreds of lines"
     series: dict[int, list] = {}
     for r in (
-        table(spark, sf_dir, "orders")
-        .select("o_custkey", "o_orderkey", "o_orderdate", "o_totalprice")
+        table(spark, sf_dir, "lineitem")
+        .select("l_suppkey", "l_orderkey", "l_linenumber", "l_shipdate",
+                "l_extendedprice")
         .collect()
     ):
-        series.setdefault(r.o_custkey, []).append(r)
+        series.setdefault(r.l_suppkey, []).append(r)
     want = {}
     q = Decimal("0.01")
-    for ck, rows in series.items():
-        rows.sort(key=lambda r: (r.o_orderdate, r.o_orderkey))
-        px = [Decimal(repr(r.o_totalprice)).quantize(q) for r in rows]
+    for sk, rows in series.items():
+        rows.sort(key=lambda r: (r.l_shipdate, r.l_orderkey, r.l_linenumber))
+        px = [Decimal(repr(r.l_extendedprice)).quantize(q) for r in rows]
         deltas = [None] + [px[i] - px[i - 1] for i in range(1, len(px))]
         for i in range(14, len(rows)):  # rn = i+1 > 14
             frame = [d for d in deltas[max(0, i - 13): i + 1] if d is not None]
             gain = sum((d for d in frame if d > 0), Decimal(0))
             loss = sum((-d for d in frame if d < 0), Decimal(0))
             if gain + loss != 0:
-                want[(ck, rows[i].o_orderkey)] = round(
+                want[(sk, rows[i].l_orderkey, rows[i].l_linenumber)] = round(
                     100.0 * float(gain) / float(gain + loss), 6
                 )
     assert got == want
@@ -2181,3 +2183,65 @@ def test_pr_curve_is_threshold_monotone(spark, sf_dir):
             assert r.precision == round(r.tp / (r.tp + r.fp), 6)
         if r.tp + r.fn:
             assert r.recall == round(r.tp / (r.tp + r.fn), 6)
+
+
+def test_bollinger_bands_are_symmetric_and_complete(spark, sf_dir):
+    """Bands must straddle the mid symmetrically (their mean IS the
+    mid, up to the 6dp round), never invert, and emit exactly one row
+    per full 20-order frame."""
+    from xlsx_to_database_spark.catalog import table
+    from xlsx_to_database_spark.registry import all_queries
+
+    rows = all_queries()["win_bollinger"](spark, sf_dir).collect()
+    assert rows, "sf0.001 suppliers each ship hundreds of lines"
+    for r in rows:
+        assert r.lower <= r.mid <= r.upper
+        assert abs((r.upper + r.lower) / 2 - r.mid) < 2e-6
+    per = (
+        table(spark, sf_dir, "lineitem")
+        .groupBy("l_suppkey")
+        .count()
+        .collect()
+    )
+    assert len(rows) == sum(max(0, r["count"] - 19) for r in per)
+
+
+def test_transition_matrix_rows_normalize(spark, sf_dir):
+    """Each prev-state's outgoing probabilities sum to 1 (up to 6dp
+    rounding) and pair counts equal events minus one per active user."""
+    from xlsx_to_database_spark.catalog import table
+    from xlsx_to_database_spark.registry import all_queries
+
+    rows = all_queries()["event_transition_matrix"](spark, sf_dir).collect()
+    by_prev: dict[str, float] = {}
+    n_pairs = 0
+    for r in rows:
+        by_prev[r.prev] = by_prev.get(r.prev, 0.0) + r.p
+        n_pairs += r.n
+    assert all(abs(s - 1.0) < 1e-4 for s in by_prev.values()), by_prev
+    ev = table(spark, sf_dir, "events")
+    n_events = ev.count()
+    n_users = ev.select("user_id").distinct().count()
+    assert n_pairs == n_events - n_users
+
+
+def test_late_arriving_dim_attributes_every_fact(spark, sf_dir):
+    """No fact is dropped (n_orders sums to the fact table), and the
+    UNKNOWN-transit count per nation is exactly the %13 customers'
+    orders — the inferred-member bookkeeping, checked end to end."""
+    from xlsx_to_database_spark.catalog import table
+    from xlsx_to_database_spark.registry import all_queries
+
+    rows = all_queries()["etl_late_arriving_dim"](spark, sf_dir).collect()
+    o = table(spark, sf_dir, "orders")
+    c = table(spark, sf_dir, "customer")
+    assert sum(r.n_orders for r in rows) == o.count()
+    late = {
+        r.nationkey: r.n
+        for r in o.join(c, o["o_custkey"] == c["c_custkey"])
+        .filter(F.col("c_custkey") % 13 == 0)
+        .groupBy(F.col("c_nationkey").alias("nationkey"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    assert {r.nationkey: r.n_late_attributed for r in rows if r.n_late_attributed} == late

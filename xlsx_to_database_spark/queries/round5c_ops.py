@@ -88,26 +88,26 @@ _RSI_N = 14  #: lookback periods (the standard RSI-14)
     "win_rsi",
     f"""
     WITH px AS (
-      SELECT o_custkey, o_orderkey,
-             CAST(o_totalprice AS DECIMAL(18,2)) AS p,
-             CAST(o_totalprice AS DECIMAL(18,2))
-               - lag(CAST(o_totalprice AS DECIMAL(18,2))) OVER w AS d,
+      SELECT l_suppkey, l_orderkey, l_linenumber,
+             CAST(l_extendedprice AS DECIMAL(18,2)) AS p,
+             CAST(l_extendedprice AS DECIMAL(18,2))
+               - lag(CAST(l_extendedprice AS DECIMAL(18,2))) OVER w AS d,
              row_number() OVER w AS rn
-      FROM orders
-      WINDOW w AS (PARTITION BY o_custkey
-                   ORDER BY o_orderdate, o_orderkey)
+      FROM lineitem
+      WINDOW w AS (PARTITION BY l_suppkey
+                   ORDER BY l_shipdate, l_orderkey, l_linenumber)
     ), g AS (
-      SELECT o_custkey, o_orderkey, rn,
+      SELECT l_suppkey, l_orderkey, l_linenumber, rn,
              sum(CASE WHEN d > 0 THEN d ELSE CAST(0 AS DECIMAL(18,2)) END)
                OVER f AS gain,
              sum(CASE WHEN d < 0 THEN -d ELSE CAST(0 AS DECIMAL(18,2)) END)
                OVER f AS loss
       FROM px
-      WINDOW f AS (PARTITION BY o_custkey
+      WINDOW f AS (PARTITION BY l_suppkey
                    ORDER BY rn
                    ROWS BETWEEN {_RSI_N - 1} PRECEDING AND CURRENT ROW)
     )
-    SELECT o_custkey, o_orderkey,
+    SELECT l_suppkey, l_orderkey, l_linenumber,
            round(100.0 * CAST(gain AS DOUBLE)
                  / CAST(gain + loss AS DOUBLE), 6) AS rsi
     FROM g
@@ -115,8 +115,8 @@ _RSI_N = 14  #: lookback periods (the standard RSI-14)
     """,
 )
 def win_rsi(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """RSI-14 (Cutler's simple-average variant) per customer over their
-    order-price series — the momentum oscillator beside `win_ohlc` /
+    """RSI-14 (Cutler's simple-average variant) per supplier over their
+    shipped-line price series — the momentum oscillator beside `win_ohlc` /
     `win_rolling_vwap` / `win_drawdown` in the finance-window family.
     Delta = price − lag(price); RSI = 100·Σgain / (Σgain + Σloss) over
     the trailing 14 deltas, emitted only once the frame is full
@@ -127,26 +127,28 @@ def win_rsi(spark: SparkSession, sf_dir: str) -> DataFrame:
     order; the one float step (the final ratio) is the identical
     expression over identical decimals on both sides.
 
-    Scale shape: one shuffle on o_custkey feeds BOTH windows (same
+    Scale shape: one shuffle on l_suppkey feeds BOTH windows (same
     partitioning, same sort — Catalyst reuses the exchange and the
     sort), and the frame is ROWS-bounded so state per row is O(14).
     No global sort anywhere: the series is per-key, exactly how a
     1000-executor cluster wants tick data partitioned."""
-    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
-    p = F.col("o_totalprice").cast("decimal(18,2)")
-    px = table(spark, sf_dir, "orders").select(
-        "o_custkey", "o_orderkey",
+    w = Window.partitionBy("l_suppkey").orderBy(
+        "l_shipdate", "l_orderkey", "l_linenumber"
+    )
+    p = F.col("l_extendedprice").cast("decimal(18,2)")
+    px = table(spark, sf_dir, "lineitem").select(
+        "l_suppkey", "l_orderkey", "l_linenumber",
         (p - F.lag(p).over(w)).alias("d"),
         F.row_number().over(w).alias("rn"),
     )
     zero = F.lit(0).cast("decimal(18,2)")
     f = (
-        Window.partitionBy("o_custkey")
+        Window.partitionBy("l_suppkey")
         .orderBy("rn")
         .rowsBetween(-(_RSI_N - 1), 0)
     )
     g = px.select(
-        "o_custkey", "o_orderkey", "rn",
+        "l_suppkey", "l_orderkey", "l_linenumber", "rn",
         F.sum(F.when(F.col("d") > 0, F.col("d")).otherwise(zero))
         .over(f).alias("gain"),
         F.sum(F.when(F.col("d") < 0, -F.col("d")).otherwise(zero))
@@ -155,7 +157,7 @@ def win_rsi(spark: SparkSession, sf_dir: str) -> DataFrame:
     return g.filter(
         (F.col("rn") > _RSI_N) & (F.col("gain") + F.col("loss") != 0)
     ).select(
-        "o_custkey", "o_orderkey",
+        "l_suppkey", "l_orderkey", "l_linenumber",
         F.round(
             F.lit(100.0) * F.col("gain").cast("double")
             / (F.col("gain") + F.col("loss")).cast("double"),
@@ -403,4 +405,198 @@ def ml_pr_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("tp").cast("double") / F.nullif(F.col("tp") + F.col("fn"), F.lit(0)),
             6,
         ).alias("recall"),
+    )
+
+
+_BOLL_N = 20  #: Bollinger window length
+
+
+@query(
+    "win_bollinger",
+    f"""
+    WITH px AS (
+      SELECT l_suppkey, l_orderkey, l_linenumber,
+             CAST(l_extendedprice AS DECIMAL(18,2)) AS p,
+             row_number() OVER (PARTITION BY l_suppkey
+                                ORDER BY l_shipdate, l_orderkey,
+                                         l_linenumber) AS rn
+      FROM lineitem
+    ), s AS (
+      SELECT l_suppkey, l_orderkey, l_linenumber, p, rn,
+             sum(p) OVER f AS sp,
+             sum(CAST(p * p AS DECIMAL(38,4))) OVER f AS spp
+      FROM px
+      WINDOW f AS (PARTITION BY l_suppkey ORDER BY rn
+                   ROWS BETWEEN {_BOLL_N - 1} PRECEDING AND CURRENT ROW)
+    )
+    SELECT l_suppkey, l_orderkey, l_linenumber,
+           round(CAST(sp AS DOUBLE) / {_BOLL_N}, 6) AS mid,
+           round(CAST(sp AS DOUBLE) / {_BOLL_N}
+                 + 2 * sqrt((CAST(spp AS DOUBLE)
+                             - CAST(sp AS DOUBLE) * CAST(sp AS DOUBLE)
+                               / {_BOLL_N}) / {_BOLL_N - 1}), 6) AS upper,
+           round(CAST(sp AS DOUBLE) / {_BOLL_N}
+                 - 2 * sqrt((CAST(spp AS DOUBLE)
+                             - CAST(sp AS DOUBLE) * CAST(sp AS DOUBLE)
+                               / {_BOLL_N}) / {_BOLL_N - 1}), 6) AS lower
+    FROM s WHERE rn >= {_BOLL_N}
+    """,
+)
+def win_bollinger(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bollinger bands (20-row mean ± 2 sample-σ) per supplier
+    shipped-line price series — the volatility envelope beside `win_rsi` in the finance
+    family. Emitted only on full frames (rn ≥ 20).
+
+    Exactness: the two windowed moments are DECIMAL sums (exact in any
+    summation order); mean/σ/bands are ONE identical double expression
+    over those decimals on both engines, so IEEE evaluation matches
+    bit-for-bit and the 6dp round is cosmetic, not a tolerance.
+
+    Scale shape: identical to win_rsi — one shuffle on l_suppkey, both
+    moments from the same ROWS-bounded frame in one window pass, O(1)
+    state per row. The textbook two-pass σ (mean first, then squared
+    deviations) would double the window work; the sufficient-statistic
+    form [Σp, Σp²] needs one."""
+    w = Window.partitionBy("l_suppkey").orderBy(
+        "l_shipdate", "l_orderkey", "l_linenumber"
+    )
+    px = table(spark, sf_dir, "lineitem").select(
+        "l_suppkey", "l_orderkey", "l_linenumber",
+        F.col("l_extendedprice").cast("decimal(18,2)").alias("p"),
+        F.row_number().over(w).alias("rn"),
+    )
+    f = (
+        Window.partitionBy("l_suppkey")
+        .orderBy("rn")
+        .rowsBetween(-(_BOLL_N - 1), 0)
+    )
+    s = px.select(
+        "l_suppkey", "l_orderkey", "l_linenumber", "rn",
+        F.sum("p").over(f).alias("sp"),
+        F.sum((F.col("p") * F.col("p")).cast("decimal(38,4)"))
+        .over(f).alias("spp"),
+    )
+    mean = F.col("sp").cast("double") / _BOLL_N
+    sd = F.sqrt(
+        (
+            F.col("spp").cast("double")
+            - F.col("sp").cast("double") * F.col("sp").cast("double") / _BOLL_N
+        )
+        / (_BOLL_N - 1)
+    )
+    return s.filter(F.col("rn") >= _BOLL_N).select(
+        "l_suppkey", "l_orderkey", "l_linenumber",
+        F.round(mean, 6).alias("mid"),
+        F.round(mean + 2 * sd, 6).alias("upper"),
+        F.round(mean - 2 * sd, 6).alias("lower"),
+    )
+
+
+@query(
+    "event_transition_matrix",
+    """
+    WITH seq AS (
+      SELECT user_id, event_type,
+             lag(event_type) OVER (PARTITION BY user_id
+                                   ORDER BY ts, event_id) AS prev
+      FROM events
+    ), c AS (
+      SELECT prev, event_type AS next, CAST(count(*) AS BIGINT) AS n
+      FROM seq WHERE prev IS NOT NULL GROUP BY prev, event_type
+    )
+    SELECT prev, next, n,
+           round(CAST(n AS DOUBLE)
+                 / sum(n) OVER (PARTITION BY prev), 6) AS p
+    FROM c
+    """,
+)
+def event_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order Markov transition matrix over per-user event streams
+    — P(next event type | current) with empirical row-normalized
+    probabilities. The session-model primitive behind next-action
+    prediction, anomaly scoring ("this transition never happens"), and
+    clickstream simulation; `text_markov_bigrams` is the same math on
+    token streams, this is the behavioral-events instance keyed and
+    ordered the way event data actually arrives.
+
+    Shape: one shuffle on user_id for the lag window, then a partial
+    (map-side combining) aggregate down to the |types|² transition grid
+    — metadata scale regardless of corpus size; the final normalizing
+    window runs over that grid, not the data. Total order (ts,
+    event_id) makes the lag — and thus the hash — deterministic under
+    timestamp ties."""
+    seq = table(spark, sf_dir, "events").select(
+        "event_type",
+        F.lag("event_type")
+        .over(Window.partitionBy("user_id").orderBy("ts", "event_id"))
+        .alias("prev"),
+    )
+    c = (
+        seq.filter(F.col("prev").isNotNull())
+        .groupBy("prev", F.col("event_type").alias("next"))
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    return c.select(
+        "prev", "next", "n",
+        F.round(
+            F.col("n").cast("double")
+            / F.sum("n").over(Window.partitionBy("prev")),
+            6,
+        ).alias("p"),
+    )
+
+
+@query(
+    "etl_late_arriving_dim",
+    """
+    WITH present AS (
+      SELECT * FROM customer WHERE c_custkey % 13 <> 0
+    ), phase1 AS (
+      SELECT o.o_orderkey, o.o_custkey,
+             CAST(o.o_totalprice AS DECIMAL(18,2)) AS price,
+             p.c_nationkey AS nk1
+      FROM orders o LEFT JOIN present p ON o.o_custkey = p.c_custkey
+    )
+    SELECT c.c_nationkey AS nationkey,
+           CAST(count(*) AS BIGINT) AS n_orders,
+           CAST(count(*) FILTER (WHERE ph.nk1 IS NULL) AS BIGINT)
+             AS n_late_attributed,
+           round(CAST(sum(ph.price) AS DOUBLE), 2) AS total
+    FROM phase1 ph JOIN customer c ON ph.o_custkey = c.c_custkey
+    GROUP BY c.c_nationkey
+    """,
+)
+def etl_late_arriving_dim(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Late-arriving dimension handling (Kimball's inferred-member
+    pattern): facts load while every 13th customer's dimension row has
+    not arrived yet — phase 1 attributes them to an UNKNOWN member
+    instead of dropping or stalling the load; phase 2 re-attributes once
+    the full dimension lands, reporting per nation how many orders
+    transited through UNKNOWN. The alternative designs both fail at
+    scale: dropping unmatched facts loses revenue silently, and stalling
+    the load turns one late dim row into an SLA breach for the whole
+    pipeline.
+
+    Shape: two equi-joins against the dimension (AQE broadcasts it when
+    small, shuffles otherwise) + one aggregate; the UNKNOWN transit flag
+    is just the phase-1 join's null-ness carried forward — no second
+    scan of the facts."""
+    o = table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey",
+        F.col("o_totalprice").cast("decimal(18,2)").alias("price"),
+    )
+    c = table(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    present = c.filter(F.col("c_custkey") % 13 != 0)
+    phase1 = o.join(
+        present, o["o_custkey"] == present["c_custkey"], "left"
+    ).select("o_orderkey", "o_custkey", "price",
+             F.col("c_nationkey").alias("nk1"))
+    return (
+        phase1.join(c, phase1["o_custkey"] == c["c_custkey"])
+        .groupBy(F.col("c_nationkey").alias("nationkey"))
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.count_if(F.col("nk1").isNull()).alias("n_late_attributed"),
+            F.round(F.sum("price").cast("double"), 2).alias("total"),
+        )
     )
