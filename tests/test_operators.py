@@ -2245,3 +2245,66 @@ def test_late_arriving_dim_attributes_every_fact(spark, sf_dir):
         .collect()
     }
     assert {r.nationkey: r.n_late_attributed for r in rows if r.n_late_attributed} == late
+
+
+def test_kcore_matches_python_peeling(spark, sf_dir):
+    """The distributed bounded-iteration peel must reach the exact same
+    3-core membership and within-core degrees as a sequential driver
+    replay — the rows-only op's full-value pin."""
+    from xlsx_to_database_spark.catalog import table
+    from xlsx_to_database_spark.registry import all_queries
+
+    got = {
+        (r.part, r.core_degree)
+        for r in all_queries()["graph_kcore"](spark, sf_dir).collect()
+    }
+    li = table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_partkey"
+    ).collect()
+    by_order: dict[int, set] = {}
+    for r in li:
+        by_order.setdefault(r.l_orderkey, set()).add(r.l_partkey)
+    from itertools import combinations
+
+    pair_counts: dict[tuple, int] = {}
+    for parts in by_order.values():
+        for u, v in combinations(sorted(parts), 2):
+            pair_counts[(u, v)] = pair_counts.get((u, v), 0) + 1
+    edges = {e for e, m in pair_counts.items() if m >= 2}
+    while True:
+        deg: dict[int, int] = {}
+        for u, v in edges:
+            deg[u] = deg.get(u, 0) + 1
+            deg[v] = deg.get(v, 0) + 1
+        keep = {n for n, d in deg.items() if d >= 3}
+        nxt = {(u, v) for (u, v) in edges if u in keep and v in keep}
+        if nxt == edges:
+            break
+        edges = nxt
+    deg = {}
+    for u, v in edges:
+        deg[u] = deg.get(u, 0) + 1
+        deg[v] = deg.get(v, 0) + 1
+    assert got == set(deg.items())
+
+
+def test_lorenz_curve_is_monotone_and_complete(spark, sf_dir):
+    """Ten points, balanced decile sizes (±1 row), strictly
+    non-decreasing cumulative share ending at exactly 1."""
+    from xlsx_to_database_spark.catalog import table
+    from xlsx_to_database_spark.registry import all_queries
+
+    rows = sorted(
+        all_queries()["stat_lorenz_curve"](spark, sf_dir).collect(),
+        key=lambda r: r.decile,
+    )
+    assert [r.decile for r in rows] == list(range(1, 11))
+    n = table(spark, sf_dir, "lineitem").count()
+    assert sum(r.n_rows for r in rows) == n
+    assert max(r.n_rows for r in rows) - min(r.n_rows for r in rows) <= 1
+    shares = [r.cum_share for r in rows]
+    assert shares == sorted(shares)
+    assert shares[-1] == 1.0
+    # value-sorted deciles: each decile's sum dominates the previous
+    sums = [r.decile_sum for r in rows]
+    assert sums == sorted(sums)

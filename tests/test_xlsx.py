@@ -609,3 +609,24 @@ def test_hidden_sheets_excluded_from_wildcard_not_by_name(spark, tmp_path):
         .collect()
     }
     assert got3 == {(1, 10), (2, 20), (3, 30)}
+
+
+def test_formula_cells_decode_cached_values(tmp_path):
+    """Formula cells must yield their cached <v> — incl. a shared-
+    formula follower that carries NO formula text — and an error-result
+    formula must decode to None, not the '#DIV/0!' literal."""
+    from xlsx_to_database_spark.queries.round5c_ops import (
+        _stage_formula_workbook,
+    )
+    from xlsx_to_database_spark.sources.xlsx_io import read_workbook
+
+    path = str(tmp_path / "formulas.xlsx")
+    _stage_formula_workbook(path)
+    wb = read_workbook(path)
+    rows = list(wb.iter_rows("calc"))
+    wb.close()
+    assert rows[0] == ["item", "qty", "price", "total", "label"]
+    assert rows[1] == ["a", 2, 3.5, 7, "x-7"]       # plain + str formula
+    assert rows[2] == ["b", 4, 2.25, 9, "plain1"]   # shared master
+    assert rows[3] == ["c", 5, 3, 15, "plain2"]     # shared follower
+    assert rows[4] == ["d", 1, 0, None, "plain3"]   # error -> NULL

@@ -600,3 +600,266 @@ def etl_late_arriving_dim(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.sum("price").cast("double"), 2).alias("total"),
         )
     )
+
+
+def _stage_formula_workbook(path: str) -> None:
+    """Assemble an xlsx whose ``total``/``label`` columns are FORMULA
+    cells — plain (``<f>B2*C2</f>``), shared (one master carries the
+    formula text, followers carry only ``si``), a string-result formula
+    (``t="str"``), and an error-result formula (``t="e"``,
+    ``#DIV/0!``). Every formula cell carries its cached ``<v>`` exactly
+    as Excel saves it; ``write_workbook`` never emits formulas, so the
+    sheet XML is assembled here and the boilerplate parts are reused."""
+    import os
+    import zipfile
+
+    from xlsx_to_database_spark.sources import xlsx_io as X
+
+    sheet = (
+        '<?xml version="1.0" encoding="UTF-8" standalone="yes"?>'
+        '<worksheet xmlns="http://schemas.openxmlformats.org/'
+        'spreadsheetml/2006/main"><sheetData>'
+        '<row r="1">'
+        '<c r="A1" t="s"><v>0</v></c><c r="B1" t="s"><v>1</v></c>'
+        '<c r="C1" t="s"><v>2</v></c><c r="D1" t="s"><v>3</v></c>'
+        '<c r="E1" t="s"><v>4</v></c></row>'
+        # plain formula + string-result formula
+        '<row r="2"><c r="A2" t="s"><v>5</v></c><c r="B2"><v>2</v></c>'
+        '<c r="C2"><v>3.5</v></c>'
+        '<c r="D2"><f>B2*C2</f><v>7</v></c>'
+        '<c r="E2" t="str"><f>CONCATENATE("x-",D2)</f><v>x-7</v></c></row>'
+        # shared formula master (si=0) ...
+        '<row r="3"><c r="A3" t="s"><v>6</v></c><c r="B3"><v>4</v></c>'
+        '<c r="C3"><v>2.25</v></c>'
+        '<c r="D3"><f t="shared" ref="D3:D4" si="0">B3*C3</f><v>9</v></c>'
+        '<c r="E3" t="s"><v>7</v></c></row>'
+        # ... and its follower: no formula text, cached value only
+        '<row r="4"><c r="A4" t="s"><v>8</v></c><c r="B4"><v>5</v></c>'
+        '<c r="C4"><v>3</v></c>'
+        '<c r="D4"><f t="shared" si="0"/><v>15</v></c>'
+        '<c r="E4" t="s"><v>9</v></c></row>'
+        # error-result formula: cached value is the error literal
+        '<row r="5"><c r="A5" t="s"><v>10</v></c><c r="B5"><v>1</v></c>'
+        '<c r="C5"><v>0</v></c>'
+        '<c r="D5" t="e"><f>B5/C5</f><v>#DIV/0!</v></c>'
+        '<c r="E5" t="s"><v>11</v></c></row>'
+        "</sheetData></worksheet>"
+    )
+    strings = ["item", "qty", "price", "total", "label",
+               "a", "b", "plain1", "c", "plain2", "d", "plain3"]
+    sst = (
+        '<?xml version="1.0" encoding="UTF-8" standalone="yes"?>'
+        '<sst xmlns="http://schemas.openxmlformats.org/spreadsheetml/'
+        f'2006/main" count="{len(strings)}" uniqueCount="{len(strings)}">'
+        + "".join(f"<si><t>{s}</t></si>" for s in strings)
+        + "</sst>"
+    )
+    workbook = (
+        '<?xml version="1.0" encoding="UTF-8" standalone="yes"?>'
+        '<workbook xmlns="http://schemas.openxmlformats.org/'
+        'spreadsheetml/2006/main" '
+        'xmlns:r="http://schemas.openxmlformats.org/officeDocument/'
+        '2006/relationships">'
+        '<sheets><sheet name="calc" sheetId="1" r:id="rId1"/></sheets>'
+        "</workbook>"
+    )
+    wb_rels = (
+        '<?xml version="1.0" encoding="UTF-8" standalone="yes"?>'
+        '<Relationships xmlns="http://schemas.openxmlformats.org/'
+        'package/2006/relationships">'
+        '<Relationship Id="rId1" Type="http://schemas.openxmlformats.org/'
+        'officeDocument/2006/relationships/worksheet" '
+        'Target="worksheets/sheet1.xml"/>'
+        '<Relationship Id="rId2" Type="http://schemas.openxmlformats.org/'
+        'officeDocument/2006/relationships/sharedStrings" '
+        'Target="sharedStrings.xml"/>'
+        '<Relationship Id="rId3" Type="http://schemas.openxmlformats.org/'
+        'officeDocument/2006/relationships/styles" Target="styles.xml"/>'
+        "</Relationships>"
+    )
+    overrides = (
+        '<Override PartName="/xl/worksheets/sheet1.xml" '
+        'ContentType="application/vnd.openxmlformats-officedocument.'
+        'spreadsheetml.worksheet+xml"/>'
+    )
+    tmp = path + ".tmp"
+    with zipfile.ZipFile(tmp, "w", zipfile.ZIP_DEFLATED) as zf:
+        zf.writestr(
+            "[Content_Types].xml",
+            X._CONTENT_TYPES.format(sheet_overrides=overrides),
+        )
+        zf.writestr("_rels/.rels", X._ROOT_RELS)
+        zf.writestr("xl/workbook.xml", workbook)
+        zf.writestr("xl/_rels/workbook.xml.rels", wb_rels)
+        zf.writestr("xl/styles.xml", X._STYLES)
+        zf.writestr("xl/sharedStrings.xml", sst)
+        zf.writestr("xl/worksheets/sheet1.xml", sheet)
+    os.replace(tmp, path)
+
+
+@query(
+    "xlsx_formula_scan",
+    """
+    SELECT * FROM (VALUES
+      ('a', CAST(2 AS BIGINT), CAST(3.5 AS DOUBLE),
+       CAST(7 AS BIGINT), 'x-7'),
+      ('b', CAST(4 AS BIGINT), CAST(2.25 AS DOUBLE),
+       CAST(9 AS BIGINT), 'plain1'),
+      ('c', CAST(5 AS BIGINT), CAST(3 AS DOUBLE),
+       CAST(15 AS BIGINT), 'plain2'),
+      ('d', CAST(1 AS BIGINT), CAST(0 AS DOUBLE),
+       CAST(NULL AS BIGINT), 'plain3')
+    ) AS t(item, qty, price, total, label)
+    """,
+)
+def xlsx_formula_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Formula-cell ingestion through the xlsx source: spreadsheets in
+    the wild compute half their columns, and an ETL reader that skips
+    ``<f>`` cells silently drops them. The reader returns each
+    formula's CACHED ``<v>`` (the value Excel persisted at last
+    recalculation — exactly what every spreadsheet ETL ships),
+    covering the four shapes a real workbook mixes: a plain formula, a
+    shared-formula master + follower (followers carry no formula text,
+    only ``si`` and the cached value), a string-result formula
+    (``t="str"``), and an error-result formula (``t="e"`` →
+    typed NULL, never the ``#DIV/0!`` literal leaking into a numeric
+    column)."""
+    import os
+
+    from xlsx_to_database_spark.queries.sources_sinks import (
+        _STAGE_ROOT, register_xlsx_source,
+    )
+
+    register_xlsx_source(spark)
+    path = os.path.join(_STAGE_ROOT, "formula_fixture.xlsx")
+    if not os.path.exists(path):
+        os.makedirs(_STAGE_ROOT, exist_ok=True)
+        _stage_formula_workbook(path)
+    return spark.read.format("xlsx").load(path)
+
+
+@query(
+    "stat_lorenz_curve",
+    """
+    WITH ranked AS (
+      SELECT CAST(l_extendedprice AS DECIMAL(18,2)) AS p,
+             ntile(10) OVER (ORDER BY l_extendedprice, l_orderkey,
+                             l_linenumber) AS decile
+      FROM lineitem
+    ), per AS (
+      SELECT decile, CAST(count(*) AS BIGINT) AS n_rows,
+             sum(p) AS s
+      FROM ranked GROUP BY decile
+    ), tot AS (SELECT sum(s) AS t FROM per)
+    SELECT decile, n_rows,
+           round(CAST(s AS DOUBLE), 2) AS decile_sum,
+           round(CAST(sum(s) OVER (ORDER BY decile) AS DOUBLE)
+                 / CAST(t AS DOUBLE), 6) AS cum_share
+    FROM per CROSS JOIN tot
+    """,
+)
+def stat_lorenz_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lorenz curve points — cumulative value share of the poorest d/10
+    of line items, the curve whose area `agg_gini` summarizes to one
+    number. Concentration diagnostics read the points, not the scalar:
+    "the top decile carries 23% of revenue" is this row set.
+
+    Scale shape: the global decile assignment uses the bucketed
+    two-phase ntile (operators/global_order.py) — range-bucket on the
+    driving value, per-bucket local ranks + broadcast offsets, no
+    single-partition global sort. Everything after it is a 10-row
+    aggregate; the final normalizing window runs over 10 rows. Decimal
+    sums keep both engines hash-identical; the one float division is
+    the same expression on both sides."""
+    from xlsx_to_database_spark.operators import global_order as GO
+
+    li = table(spark, sf_dir, "lineitem").select(
+        F.col("l_extendedprice").cast("decimal(18,2)").alias("p"),
+        "l_extendedprice", "l_orderkey", "l_linenumber",
+    )
+    ranked = GO.with_global_ntile(
+        li,
+        [F.col("l_extendedprice").asc(), F.col("l_orderkey").asc(),
+         F.col("l_linenumber").asc()],
+        "l_extendedprice",
+        10,
+        out="decile",
+    )
+    per = ranked.groupBy("decile").agg(
+        F.count(F.lit(1)).alias("n_rows"), F.sum("p").alias("s")
+    )
+    tot = per.agg(F.sum("s").alias("t"))
+    w = Window.orderBy("decile").rowsBetween(Window.unboundedPreceding, 0)
+    return per.crossJoin(F.broadcast(tot)).select(
+        "decile", "n_rows",
+        F.round(F.col("s").cast("double"), 2).alias("decile_sum"),
+        F.round(
+            F.sum("s").over(w).cast("double") / F.col("t").cast("double"), 6
+        ).alias("cum_share"),
+    )
+
+
+_KCORE_K = 3  #: coreness threshold
+_KCORE_MAX_ITERS = 30  #: safety bound; peeling converges long before
+
+
+@query("graph_kcore")  # rows-only: iterative peeling has no SQL fixpoint
+def graph_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """K-core (k=3) of the strong-tie co-purchase graph: repeatedly
+    peel nodes with degree < k until none remain — the standard
+    community-density filter (a node in the 3-core has 3 neighbors who
+    ALSO survive peeling; raw degree can't tell you that). Emits each
+    surviving part with its within-core degree.
+
+    Iterative by nature (like `graph_connected_components`): each round
+    is degrees-aggregate → semi-join; convergence is detected by the
+    surviving-node COUNT reaching a fixpoint (one driver scalar per
+    round — metadata, not data), with a documented safety bound. Each
+    round's frontier is localCheckpoint'd so lineage stays O(1) instead
+    of O(rounds). No SQL oracle exists (recursive CTEs cannot
+    re-aggregate degrees per step), so the op is declared rows-only;
+    the unit test replays the peeling in driver-side Python and pins
+    the exact membership."""
+    li = (
+        table(spark, sf_dir, "lineitem")
+        .select("l_orderkey", "l_partkey")
+        # a part listed on two lines of ONE order is one co-purchase,
+        # not two: edge weight = number of DISTINCT shared orders
+        .distinct()
+    )
+    a = li.select(F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("u"))
+    b = li.select(F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("v"))
+    edges = (
+        a.join(b, "o")
+        .filter(F.col("u") < F.col("v"))
+        .groupBy("u", "v")
+        .agg(F.count(F.lit(1)).alias("m"))
+        .filter(F.col("m") >= 2)
+        .select("u", "v")
+        .localCheckpoint()
+    )
+    prev = -1
+    for _ in range(_KCORE_MAX_ITERS):
+        deg = (
+            edges.select(F.col("u").alias("n"))
+            .unionAll(edges.select(F.col("v").alias("n")))
+            .groupBy("n")
+            .agg(F.count(F.lit(1)).alias("d"))
+        )
+        keep = deg.filter(F.col("d") >= _KCORE_K).select("n")
+        n_keep = keep.count()
+        if n_keep == prev:
+            break
+        prev = n_keep
+        edges = (
+            edges.join(keep, edges["u"] == keep["n"], "left_semi")
+            .join(keep, F.col("v") == keep["n"], "left_semi")
+            .localCheckpoint()
+        )
+    deg = (
+        edges.select(F.col("u").alias("part"))
+        .unionAll(edges.select(F.col("v").alias("part")))
+        .groupBy("part")
+        .agg(F.count(F.lit(1)).alias("core_degree"))
+    )
+    return deg.orderBy("part")
