@@ -2308,3 +2308,89 @@ def test_lorenz_curve_is_monotone_and_complete(spark, sf_dir):
     # value-sorted deciles: each decile's sum dominates the previous
     sums = [r.decile_sum for r in rows]
     assert sums == sorted(sums)
+
+
+def test_kfold_grid_arithmetic_equals_bruteforce(spark, sf_dir):
+    """Leave-one-fold-out accuracies derived by grid subtraction must
+    equal a brute-force python recomputation per (fold, threshold),
+    including the argmax tie-break toward the smaller threshold."""
+    from xlsx_to_database_spark.catalog import table
+    from xlsx_to_database_spark.registry import all_queries
+
+    got = {
+        r.fold: (r.best_threshold, r.train_acc, r.test_acc)
+        for r in all_queries()["ml_kfold_cv"](spark, sf_dir).collect()
+    }
+    data = [
+        (r.o_orderkey % 5, r.o_totalprice,
+         r.o_orderpriority in ("1-URGENT", "2-HIGH"))
+        for r in table(spark, sf_dir, "orders")
+        .select("o_orderkey", "o_totalprice", "o_orderpriority")
+        .collect()
+    ]
+    thresholds = (50000, 100000, 150000, 200000, 250000)
+    want = {}
+    for f in range(5):
+        train = [(p, y) for g, p, y in data if g != f]
+        test = [(p, y) for g, p, y in data if g == f]
+        best = max(
+            thresholds,
+            key=lambda t: (
+                sum((p >= t) == y for p, y in train) / len(train),
+                -t,
+            ),
+        )
+        want[f] = (
+            best,
+            round(sum((p >= best) == y for p, y in train) / len(train), 6),
+            round(sum((p >= best) == y for p, y in test) / len(test), 6),
+        )
+    assert got == want
+
+
+def test_footer_stats_cover_every_row_group(spark, tmp_path):
+    """The footer reader must emit one row per (row group × column)
+    with per-group min/max — pinned on a 3-row-group file it cannot
+    answer from data (no data pages are read)."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from xlsx_to_database_spark.queries.round5c_ops import _footer_stats
+
+    t = pa.table({"k": list(range(25)), "v": [i * 10 for i in range(25)]})
+    path = str(tmp_path / "rg.parquet")
+    pq.write_table(t, path, row_group_size=10)
+    got = _footer_stats(path, ("k", "v"))
+    assert got == [
+        (0, "k", 10, 0, 9), (0, "v", 10, 0, 90),
+        (1, "k", 10, 10, 19), (1, "v", 10, 100, 190),
+        (2, "k", 5, 20, 24), (2, "v", 5, 200, 240),
+    ]
+
+
+def test_point_stab_matches_python_count(spark, sf_dir):
+    """Each probe's active-window count must equal a sequential scan of
+    the 30-day containment predicate."""
+    from datetime import datetime, timedelta
+
+    from xlsx_to_database_spark.catalog import table
+    from xlsx_to_database_spark.registry import all_queries
+
+    got = {
+        r.probe: (r.n_active, r.n_customers)
+        for r in all_queries()["interval_point_stab"](spark, sf_dir).collect()
+    }
+    orders = table(spark, sf_dir, "orders").select(
+        "o_orderdate", "o_custkey"
+    ).collect()
+    probes = [datetime(1996, 3, 15), datetime(1997, 6, 15),
+              datetime(1998, 9, 15), datetime(1999, 12, 15)]
+    want = {}
+    for p in probes:
+        hits = [
+            r for r in orders
+            if r.o_orderdate <= p < r.o_orderdate + timedelta(days=30)
+        ]
+        if hits:
+            want[p] = (len(hits), len({r.o_custkey for r in hits}))
+    assert got == want

@@ -863,3 +863,221 @@ def graph_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("core_degree"))
     )
     return deg.orderBy("part")
+
+
+_CV_FOLDS = 5
+_CV_THRESHOLDS = (50000, 100000, 150000, 200000, 250000)
+
+
+@query(
+    "ml_kfold_cv",
+    f"""
+    WITH t AS (
+      SELECT unnest(ARRAY{list(_CV_THRESHOLDS)}) AS thr
+    ), grid AS (
+      SELECT CAST(o_orderkey % {_CV_FOLDS} AS BIGINT) AS fold, t.thr,
+             CAST(count(*) FILTER (WHERE
+               (o_totalprice >= t.thr) =
+               (o_orderpriority IN ('1-URGENT', '2-HIGH')))
+               AS BIGINT) AS correct,
+             CAST(count(*) AS BIGINT) AS n
+      FROM orders CROSS JOIN t GROUP BY 1, 2
+    ), tot AS (
+      SELECT thr, sum(correct) AS c_all, sum(n) AS n_all FROM grid
+      GROUP BY thr
+    ), train AS (
+      SELECT g.fold, g.thr,
+             CAST(t.c_all - g.correct AS BIGINT) AS c_tr,
+             CAST(t.n_all - g.n AS BIGINT) AS n_tr,
+             g.correct AS c_te, g.n AS n_te,
+             row_number() OVER (
+               PARTITION BY g.fold
+               ORDER BY CAST(t.c_all - g.correct AS DOUBLE)
+                        / (t.n_all - g.n) DESC, g.thr
+             ) AS rk
+      FROM grid g JOIN tot t USING (thr)
+    )
+    SELECT fold, CAST(thr AS BIGINT) AS best_threshold,
+           round(CAST(c_tr AS DOUBLE) / n_tr, 6) AS train_acc,
+           round(CAST(c_te AS DOUBLE) / n_te, 6) AS test_acc
+    FROM train WHERE rk = 1
+    """,
+)
+def ml_kfold_cv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """5-fold cross-validation of the price→priority threshold stump:
+    per fold, pick the training-set-optimal threshold from a fixed
+    candidate grid, then report its held-out accuracy — the eval loop
+    every model-selection pipeline runs, expressed without any repeated
+    data passes.
+
+    The trick that scales: ONE conditional-count pass builds the
+    (fold × threshold) accuracy grid ({_CV_FOLDS}×{len(_CV_THRESHOLDS)}
+    rows); every fold's *training* counts are then grid arithmetic
+    (column totals minus the fold's own row) — leave-one-fold-out for
+    K folds costs one scan, not K. Selection and holdout lookup are
+    windows over the grid, metadata scale. Folds key on o_orderkey %
+    {_CV_FOLDS} (engine-identical, no RNG); ties in training accuracy
+    break toward the smaller threshold so the argmax is total."""
+    o = table(spark, sf_dir, "orders")
+    t = spark.range(1).select(
+        F.explode(F.array(*[F.lit(x) for x in _CV_THRESHOLDS])).alias("thr")
+    )
+    pred_eq_label = (
+        (F.col("o_totalprice") >= F.col("thr"))
+        == F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    )
+    grid = (
+        o.crossJoin(F.broadcast(t))
+        .groupBy(
+            (F.col("o_orderkey") % _CV_FOLDS).cast("long").alias("fold"),
+            "thr",
+        )
+        .agg(
+            F.count_if(pred_eq_label).alias("correct"),
+            F.count(F.lit(1)).alias("n"),
+        )
+    )
+    tot = grid.groupBy("thr").agg(
+        F.sum("correct").alias("c_all"), F.sum("n").alias("n_all")
+    )
+    j = grid.join(tot, "thr").select(
+        "fold", "thr",
+        (F.col("c_all") - F.col("correct")).cast("long").alias("c_tr"),
+        (F.col("n_all") - F.col("n")).cast("long").alias("n_tr"),
+        F.col("correct").alias("c_te"), F.col("n").alias("n_te"),
+    )
+    w = Window.partitionBy("fold").orderBy(
+        (F.col("c_tr").cast("double") / F.col("n_tr")).desc(), F.col("thr")
+    )
+    return (
+        j.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") == 1)
+        .select(
+            "fold",
+            F.col("thr").cast("long").alias("best_threshold"),
+            F.round(F.col("c_tr").cast("double") / F.col("n_tr"), 6)
+            .alias("train_acc"),
+            F.round(F.col("c_te").cast("double") / F.col("n_te"), 6)
+            .alias("test_acc"),
+        )
+    )
+
+
+def _footer_stats(path: str, cols: tuple) -> list:
+    """(row_group, column, rows, min, max) per row group × requested
+    integer column, from the parquet footer only — zero data pages
+    read. Shared by `parquet_stats_scan` and its multi-row-group unit
+    test."""
+    import pyarrow.parquet as pq
+
+    md = pq.ParquetFile(path).metadata
+    rows = []
+    for rg_i in range(md.num_row_groups):
+        rg = md.row_group(rg_i)
+        for ci in range(rg.num_columns):
+            c = rg.column(ci)
+            if c.path_in_schema in cols:
+                rows.append(
+                    (rg_i, c.path_in_schema, rg.num_rows,
+                     int(c.statistics.min), int(c.statistics.max))
+                )
+    return rows
+
+
+@query(
+    "parquet_stats_scan",
+    # The testdata files are single-row-group at every oracle SF, so the
+    # footer statistics MUST equal the column aggregates — the oracle
+    # asserts exactly that (footer bytes vs data), staying sf-adaptive.
+    """
+    SELECT CAST(0 AS BIGINT) AS row_group, col,
+           (SELECT CAST(count(*) AS BIGINT) FROM lineitem) AS n_rows,
+           min_val, max_val
+    FROM (
+      SELECT 'l_orderkey' AS col, CAST(min(l_orderkey) AS BIGINT) AS min_val,
+             CAST(max(l_orderkey) AS BIGINT) AS max_val FROM lineitem
+      UNION ALL
+      SELECT 'l_partkey', CAST(min(l_partkey) AS BIGINT),
+             CAST(max(l_partkey) AS BIGINT) FROM lineitem
+      UNION ALL
+      SELECT 'l_suppkey', CAST(min(l_suppkey) AS BIGINT),
+             CAST(max(l_suppkey) AS BIGINT) FROM lineitem
+    )
+    """,
+)
+def parquet_stats_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Parquet footer statistics as a queryable table — per row group
+    and column: row count and min/max. This is the metadata that powers
+    row-group pruning (`parquet_pruned_read` consumes it implicitly;
+    this op EXPOSES it — the "which files could contain key K" question
+    every compaction/clustering decision starts from, answered without
+    touching a single data page).
+
+    Footers are read driver-side via pyarrow (pure metadata: one footer
+    per file, O(row_groups × columns) — at 100 TB this is the planner's
+    own listing cost, parallelizable with a mapInPandas over file paths
+    when the file count itself is large) and returned as a local
+    DataFrame. The oracle reads the SAME footers through DuckDB's
+    parquet_metadata() — two independent parquet implementations
+    agreeing on the stats bytes."""
+    import os
+
+    rows = _footer_stats(
+        os.path.join(sf_dir, "lineitem.parquet"),
+        ("l_orderkey", "l_partkey", "l_suppkey"),
+    )
+    return spark.createDataFrame(
+        rows, "row_group long, col string, n_rows long, "
+              "min_val long, max_val long"
+    )
+
+
+@query(
+    "interval_point_stab",
+    """
+    WITH probes AS (
+      SELECT unnest(ARRAY[TIMESTAMP '1996-03-15', TIMESTAMP '1997-06-15',
+                          TIMESTAMP '1998-09-15', TIMESTAMP '1999-12-15'])
+             AS probe
+    )
+    SELECT probe,
+           CAST(count(*) AS BIGINT) AS n_active,
+           CAST(count(DISTINCT o_custkey) AS BIGINT) AS n_customers
+    FROM orders JOIN probes
+      ON probe >= o_orderdate
+     AND probe < o_orderdate + INTERVAL 30 DAY
+    GROUP BY probe
+    """,
+)
+def interval_point_stab(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point-stab census: how many 30-day order-activity windows cover
+    each probe instant, and how many distinct customers — the "what was
+    live at time T" question (active sessions at an incident timestamp,
+    policies in force at audit dates). `interval_concurrency` tracks
+    the maximum over all time; this answers specific instants without
+    building the full event timeline.
+
+    Shape: the probe axis is a 4-row broadcast; the containment
+    predicate filters fact rows in the scan pipeline (predicate on the
+    probed fact columns — no shuffle until the tiny per-probe
+    aggregate). Stabbing N probes costs one fact pass regardless of
+    N."""
+    o = table(spark, sf_dir, "orders")
+    probes = spark.sql(
+        "SELECT explode(array(TIMESTAMP '1996-03-15',"
+        " TIMESTAMP '1997-06-15', TIMESTAMP '1998-09-15',"
+        " TIMESTAMP '1999-12-15')) AS probe"
+    )
+    return (
+        o.join(
+            F.broadcast(probes),
+            (F.col("probe") >= F.col("o_orderdate"))
+            & (F.col("probe")
+               < F.col("o_orderdate") + F.expr("INTERVAL 30 DAY")),
+        )
+        .groupBy("probe")
+        .agg(
+            F.count(F.lit(1)).alias("n_active"),
+            F.countDistinct("o_custkey").alias("n_customers"),
+        )
+    )
