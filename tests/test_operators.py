@@ -2394,3 +2394,106 @@ def test_point_stab_matches_python_count(spark, sf_dir):
         if hits:
             want[p] = (len(hits), len({r.o_custkey for r in hits}))
     assert got == want
+
+
+def test_scd3_keeps_exactly_one_level_of_history(spark, sf_dir):
+    """Movers become MACHINERY with the old segment in segment_prior;
+    already-MACHINERY movers record no prior; non-movers unchanged."""
+    from xlsx_to_database_spark.catalog import table
+    from xlsx_to_database_spark.registry import all_queries
+
+    got = {
+        r.c_custkey: r
+        for r in all_queries()["etl_scd3"](spark, sf_dir).collect()
+    }
+    src = table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_mktsegment"
+    ).collect()
+    assert len(got) == len(src)
+    for r in src:
+        out = got[r.c_custkey]
+        if r.c_custkey % 7 == 0:
+            assert out.segment_current == "MACHINERY"
+            if r.c_mktsegment != "MACHINERY":
+                assert out.segment_prior == r.c_mktsegment
+                assert out.changed_at is not None
+            else:
+                assert out.segment_prior is None and out.changed_at is None
+        else:
+            assert out.segment_current == r.c_mktsegment
+            assert out.segment_prior is None and out.changed_at is None
+
+
+def test_balanced_sample_equalizes_to_minority(spark, sf_dir):
+    """Every class must shrink to exactly the minority class's size,
+    deterministically, drawing only existing rows."""
+    from xlsx_to_database_spark.catalog import table
+    from xlsx_to_database_spark.registry import all_queries
+
+    fn = all_queries()["sample_balanced_classes"]
+    a = sorted(map(tuple, fn(spark, sf_dir).collect()))
+    assert a == sorted(map(tuple, fn(spark, sf_dir).collect()))
+    sizes = (
+        table(spark, sf_dir, "orders")
+        .groupBy("o_orderpriority")
+        .count()
+        .collect()
+    )
+    k = min(r["count"] for r in sizes)
+    per: dict[str, int] = {}
+    for prio, _ in a:
+        per[prio] = per.get(prio, 0) + 1
+    assert set(per.values()) == {k}
+    assert len(per) == len(sizes)
+
+
+def test_hurst_matches_python_rs_replay(spark, sf_dir):
+    """The one-row R/S summary must equal a sequential Decimal replay:
+    same blocking, same division-free R_scaled/√(nΣv²−(Σv)²), same
+    6dp-quantized ln aggregation."""
+    import math
+    from decimal import Decimal
+
+    from xlsx_to_database_spark.catalog import table
+    from xlsx_to_database_spark.registry import all_queries
+
+    row = all_queries()["stat_hurst"](spark, sf_dir).collect()[0]
+    ev = sorted(
+        table(spark, sf_dir, "events")
+        .select("user_id", "ts", "event_id", "value")
+        .collect(),
+        key=lambda r: (r.user_id, r.ts, r.event_id),
+    )
+    series: dict[int, list] = {}
+    for r in ev:
+        series.setdefault(r.user_id, []).append(
+            Decimal(repr(r.value)).quantize(Decimal("0.01"))
+        )
+    got = {}
+    for n in (16, 64):
+        ls = []
+        for vals in series.values():
+            for b in range(len(vals) // n):
+                block = vals[b * n: (b + 1) * n]
+                s1 = sum(block)
+                s2 = sum(v * v for v in block)
+                cum = Decimal(0)
+                devs = []
+                for i, v in enumerate(block, start=1):
+                    cum += v
+                    devs.append(n * cum - i * s1)
+                r_scaled = max(devs) - min(devs)
+                var_n = n * s2 - s1 * s1
+                if r_scaled > 0 and var_n > 0:
+                    ls.append(
+                        Decimal(
+                            str(round(
+                                math.log(float(r_scaled)
+                                         / math.sqrt(float(var_n))), 6))
+                        )
+                    )
+        got[n] = (len(ls), round(float(sum(ls)) / len(ls), 6))
+    assert (row.n_blocks_16, row.mlog_16) == got[16]
+    assert (row.n_blocks_64, row.mlog_64) == got[64]
+    assert row.hurst == round((got[64][1] - got[16][1]) / math.log(4), 6)
+    assert 0.0 < row.hurst < 1.0

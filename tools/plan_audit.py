@@ -113,6 +113,8 @@ ALLOWED: dict[str, dict[str, str]] = {
             "etl_bitemporal",         # as-of axis (2 rows)
             "dq_freshness",           # global max timestamp (1 row)
             "ml_pr_curve",            # threshold spine (5 rows)
+            "sample_balanced_classes",  # min-class-size k (1 row)
+            "stat_hurst",             # two 1-row octave summaries joined
         )
     },
     "stat_kendall_tau": {

@@ -1081,3 +1081,244 @@ def interval_point_stab(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.countDistinct("o_custkey").alias("n_customers"),
         )
     )
+
+
+@query(
+    "etl_scd3",
+    """
+    WITH changed AS (
+      SELECT c_custkey, c_mktsegment,
+             c_custkey % 7 = 0 AS moves
+      FROM customer
+    )
+    SELECT c_custkey,
+           CASE WHEN moves THEN 'MACHINERY' ELSE c_mktsegment END
+             AS segment_current,
+           CASE WHEN moves AND c_mktsegment <> 'MACHINERY'
+                THEN c_mktsegment END AS segment_prior,
+           CASE WHEN moves AND c_mktsegment <> 'MACHINERY'
+                THEN TIMESTAMP '1997-06-01' END AS changed_at
+    FROM changed
+    """,
+)
+def etl_scd3(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Slowly-changing dimension TYPE 3 — previous value kept in a
+    sibling column instead of a history row: every 7th customer moves
+    to the MACHINERY segment, the dimension keeps (current, prior,
+    changed_at), a no-op move (already MACHINERY) records no prior.
+    Completes the SCD coverage beside `etl_scd2` (full row history) and
+    `etl_scd2_lookup`: type 3 is what you pick when ONLY the
+    immediately-prior value matters and fact joins must stay 1:1 (no
+    validity-interval lookup at read time — the trade is one level of
+    history for a join that never fans out).
+
+    Shape: map-only over the dimension — no shuffle, no window; the
+    update itself would be a txn-table MERGE in production (the
+    machinery `table_merge_upsert` pins)."""
+    c = table(spark, sf_dir, "customer")
+    moves = F.col("c_custkey") % 7 == 0
+    real_change = moves & (F.col("c_mktsegment") != "MACHINERY")
+    return c.select(
+        "c_custkey",
+        F.when(moves, "MACHINERY").otherwise(F.col("c_mktsegment"))
+        .alias("segment_current"),
+        F.when(real_change, F.col("c_mktsegment")).alias("segment_prior"),
+        F.when(real_change, F.lit("1997-06-01").cast("timestamp"))
+        .alias("changed_at"),
+    )
+
+
+@query(
+    "sample_balanced_classes",
+    """
+    WITH sized AS (
+      SELECT o_orderpriority, count(*) AS n FROM orders GROUP BY 1
+    ), k AS (SELECT min(n) AS k FROM sized)
+    SELECT o_orderpriority, o_orderkey
+    FROM (
+      SELECT o_orderpriority, o_orderkey,
+             row_number() OVER (
+               PARTITION BY o_orderpriority
+               ORDER BY md5(CAST(o_orderkey AS VARCHAR)), o_orderkey
+             ) AS rn
+      FROM orders
+    ) CROSS JOIN k
+    WHERE rn <= k
+    """,
+)
+def sample_balanced_classes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Class-balanced downsampling: every priority class reduced to the
+    MINORITY class's size by deterministic hash-rank — the standard fix
+    for imbalanced training data, done without RNG so the sample is
+    reproducible and engine-exact. `sample_reservoir` keeps a FIXED k
+    per group; this derives k from the data (min class count, one
+    metadata-size aggregate broadcast back).
+
+    Shape: one rank window per class (WindowGroupLimit keeps per-task
+    heaps bounded by the running k-threshold only after the filter —
+    the rank itself streams) + a 1-row broadcast of k. At heavy
+    imbalance the discarded majority never shuffles its payload columns:
+    only the rank key does."""
+    o = table(spark, sf_dir, "orders")
+    k = (
+        o.groupBy("o_orderpriority")
+        .count()
+        .agg(F.min("count").alias("k"))
+    )
+    w = Window.partitionBy("o_orderpriority").orderBy(
+        F.md5(F.col("o_orderkey").cast("string")), "o_orderkey"
+    )
+    return (
+        o.select(
+            "o_orderpriority", "o_orderkey",
+            F.row_number().over(w).alias("rn"),
+        )
+        .crossJoin(F.broadcast(k))
+        .filter(F.col("rn") <= F.col("k"))
+        .select("o_orderpriority", "o_orderkey")
+    )
+
+
+_HURST_NS = (16, 64)  #: R/S block sizes (two octaves apart)
+
+
+def _hurst_block_sql(n: int) -> str:
+    """DuckDB SQL producing per-block quantized ln(R/S) rows for block
+    size ``n`` — the mirror of the Spark pipeline in `stat_hurst`."""
+    return f"""
+      SELECT CAST(round(ln(
+               CAST(r_scaled AS DOUBLE)
+               / sqrt(CAST({n} * s2 - s1 * s1 AS DOUBLE))
+             ), 6) AS DECIMAL(18,6)) AS l
+      FROM (
+        SELECT max({n} * cum - i * s1) - min({n} * cum - i * s1)
+                 AS r_scaled,
+               max(s1) AS s1, max(s2t) AS s2,
+               count(*) AS cnt
+        FROM (
+          SELECT user_id, blk,
+                 CAST(row_number() OVER wb AS BIGINT) AS i,
+                 CAST(sum(v) OVER wb AS DECIMAL(12,2)) AS cum,
+                 CAST(sum(v) OVER wt AS DECIMAL(12,2)) AS s1,
+                 CAST(sum(CAST(v * v AS DECIMAL(18,4))) OVER wt
+                      AS DECIMAL(18,4)) AS s2t
+          FROM (
+            SELECT user_id, CAST(value AS DECIMAL(18,2)) AS v,
+                   CAST((row_number() OVER (PARTITION BY user_id
+                         ORDER BY ts, event_id) - 1) // {n} AS BIGINT)
+                     AS blk,
+                   ts, event_id
+            FROM events
+          )
+          WINDOW wb AS (PARTITION BY user_id, blk
+                        ORDER BY ts, event_id
+                        ROWS BETWEEN UNBOUNDED PRECEDING
+                                 AND CURRENT ROW),
+                 wt AS (PARTITION BY user_id, blk)
+        )
+        GROUP BY user_id, blk
+      )
+      WHERE cnt = {n} AND r_scaled > 0 AND {n} * s2 - s1 * s1 > 0
+    """
+
+
+@query(
+    "stat_hurst",
+    f"""
+    WITH l16 AS ({_hurst_block_sql(16)}), l64 AS ({_hurst_block_sql(64)})
+    SELECT (SELECT CAST(count(*) AS BIGINT) FROM l16) AS n_blocks_16,
+           (SELECT CAST(count(*) AS BIGINT) FROM l64) AS n_blocks_64,
+           (SELECT round(CAST(sum(l) AS DOUBLE) / count(*), 6) FROM l16)
+             AS mlog_16,
+           (SELECT round(CAST(sum(l) AS DOUBLE) / count(*), 6) FROM l64)
+             AS mlog_64,
+           round(((SELECT round(CAST(sum(l) AS DOUBLE) / count(*), 6)
+                   FROM l64)
+                - (SELECT round(CAST(sum(l) AS DOUBLE) / count(*), 6)
+                   FROM l16)) / ln(4), 6) AS hurst
+    """,
+)
+def stat_hurst(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hurst exponent by rescaled-range (R/S) analysis over per-user
+    event-value series: H ≈ 0.5 for a memoryless series, > 0.5 for
+    long-range persistence — the classic long-memory diagnostic for
+    traffic and demand series. Per block size n ∈ {{16, 64}}: chunk each
+    user's (ts, event_id)-ordered values into full blocks, compute
+    R/S = range-of-cumulative-deviations / population σ per block, and
+    estimate H as the slope of mean ln(R/S) across the two octaves
+    (ln 64 − ln 16 = ln 4).
+
+    Exactness trick: R/S is computed DIVISION-FREE from decimal
+    sufficient statistics — scaling cumulative deviations by n gives
+    cumdev_i·n = n·Σ_{{j≤i}}v_j − i·Σv (exact cents), and
+    R/S = R_scaled / √(n·Σv² − (Σv)²), one final float expression per
+    block. Per-block ln(R/S) is quantized to DECIMAL(18,6) so the
+    cross-block aggregation is order-independent (the text_perplexity
+    device); both engines then divide the same decimal sum by the same
+    count.
+
+    Scale shape: one shuffle on user_id per block size; block windows
+    are ROWS-bounded within (user, block); everything after the
+    per-block aggregate is a handful of scalars. The driver never sees
+    data — the 1-row output is the only collect the consumer does."""
+    ev = table(spark, sf_dir, "events")
+
+    def blocks(n: int) -> DataFrame:
+        wu = Window.partitionBy("user_id").orderBy("ts", "event_id")
+        base = ev.select(
+            "user_id", "ts", "event_id",
+            F.col("value").cast("decimal(18,2)").alias("v"),
+            ((F.row_number().over(wu) - 1) / n)
+            .cast("long").alias("blk"),
+        )
+        wb = (
+            Window.partitionBy("user_id", "blk")
+            .orderBy("ts", "event_id")
+            .rowsBetween(Window.unboundedPreceding, 0)
+        )
+        wt = Window.partitionBy("user_id", "blk")
+        rows = base.select(
+            "user_id", "blk",
+            F.row_number().over(
+                Window.partitionBy("user_id", "blk").orderBy("ts", "event_id")
+            ).cast("long").alias("i"),
+            F.sum("v").over(wb).cast("decimal(12,2)").alias("cum"),
+            F.sum("v").over(wt).cast("decimal(12,2)").alias("s1"),
+            F.sum((F.col("v") * F.col("v")).cast("decimal(18,4)"))
+            .over(wt).cast("decimal(18,4)").alias("s2t"),
+        )
+        dev = F.lit(n) * F.col("cum") - F.col("i") * F.col("s1")
+        per = rows.groupBy("user_id", "blk").agg(
+            (F.max(dev) - F.min(dev)).alias("r_scaled"),
+            F.max("s1").alias("s1"), F.max("s2t").alias("s2"),
+            F.count(F.lit(1)).alias("cnt"),
+        )
+        var_n = F.lit(n) * F.col("s2") - F.col("s1") * F.col("s1")
+        return per.filter(
+            (F.col("cnt") == n) & (F.col("r_scaled") > 0) & (var_n > 0)
+        ).select(
+            F.round(
+                F.log(
+                    F.col("r_scaled").cast("double")
+                    / F.sqrt(var_n.cast("double"))
+                ),
+                6,
+            ).cast("decimal(18,6)").alias("l")
+        )
+
+    def stats(n: int):
+        return blocks(n).agg(
+            F.count(F.lit(1)).alias(f"n_blocks_{n}"),
+            F.round(
+                F.sum("l").cast("double") / F.count(F.lit(1)), 6
+            ).alias(f"mlog_{n}"),
+        )
+
+    s16, s64 = stats(16), stats(64)
+    return s16.crossJoin(s64).select(
+        "n_blocks_16", "n_blocks_64", "mlog_16", "mlog_64",
+        F.round(
+            (F.col("mlog_64") - F.col("mlog_16"))
+            / F.log(F.lit(4.0)), 6
+        ).alias("hurst"),
+    )
