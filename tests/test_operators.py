@@ -2497,3 +2497,98 @@ def test_hurst_matches_python_rs_replay(spark, sf_dir):
     assert (row.n_blocks_64, row.mlog_64) == got[64]
     assert row.hurst == round((got[64][1] - got[16][1]) / math.log(4), 6)
     assert 0.0 < row.hurst < 1.0
+
+
+def test_geohash_pins_known_reference_value(spark):
+    """The generated interleave/base32 expression must reproduce the
+    canonical reference example: (42.605, -5.603) -> 'ezs42'."""
+    from xlsx_to_database_spark.queries.geo_ops import geohash5_expr
+
+    expr = geohash5_expr("42.605", "(-5.603)")
+    assert spark.sql(f"SELECT {expr} AS g").collect()[0].g == "ezs42"
+    # equator/meridian origin lands in cell s00 at precision 5
+    expr0 = geohash5_expr("0.0", "0.0")
+    assert spark.sql(f"SELECT {expr0} AS g").collect()[0].g.startswith("s00")
+
+
+def test_geohash_column_is_wellformed(spark, sf_dir):
+    from xlsx_to_database_spark.catalog import table
+    from xlsx_to_database_spark.registry import all_queries
+
+    rows = all_queries()["geo_geohash"](spark, sf_dir).collect()
+    assert len(rows) == table(spark, sf_dir, "customer").count()
+    alpha = set("0123456789bcdefghjkmnpqrstuvwxyz")
+    for r in rows:
+        assert len(r.geohash5) == 5 and set(r.geohash5) <= alpha
+        assert -90 <= r.lat < 90 and -180 <= r.lon < 180
+
+
+def test_nearest_warehouse_is_the_argmin(spark, sf_dir):
+    """Every assignment must be the true distance argmin (python
+    haversine, 1e-6 slack for libm-vs-JVM ULP differences)."""
+    import math
+
+    from xlsx_to_database_spark.registry import all_queries
+
+    sites = {
+        "rotterdam": (51.92, 4.48), "singapore": (1.35, 103.82),
+        "memphis": (35.15, -90.05), "santos": (-23.96, -46.33),
+        "yokohama": (35.44, 139.64),
+    }
+
+    def hav(lat1, lon1, lat2, lon2):
+        rl = math.radians
+        return 2 * 6371.0 * math.asin(math.sqrt(
+            math.sin(rl(lat2 - lat1) / 2) ** 2
+            + math.cos(rl(lat1)) * math.cos(rl(lat2))
+            * math.sin(rl(lon2 - lon1) / 2) ** 2
+        ))
+
+    rows = all_queries()["geo_haversine_nearest"](spark, sf_dir).collect()
+    for r in rows:
+        k = r.c_custkey
+        lat = ((k * 7919) % 17000) / 100.0 - 85
+        lon = ((k * 104729) % 36000) / 100.0 - 180
+        dists = {n: hav(lat, lon, la, lo) for n, (la, lo) in sites.items()}
+        assert dists[r.warehouse] <= min(dists.values()) + 1e-6
+        assert abs(dists[r.warehouse] - r.dist_km) < 1e-3
+
+
+def test_bbox_agg_is_consistent_with_geohash_points(spark, sf_dir):
+    """The per-nation bbox/centroid must equal a Decimal aggregation of
+    the per-customer coordinates the (oracle-verified) geohash op
+    emits — cross-op internal consistency."""
+    from decimal import Decimal
+
+    from xlsx_to_database_spark.catalog import table
+    from xlsx_to_database_spark.registry import all_queries
+
+    pts = {
+        r.c_custkey: (r.lat, r.lon)
+        for r in all_queries()["geo_geohash"](spark, sf_dir).collect()
+    }
+    nat = {
+        r.c_custkey: r.c_nationkey
+        for r in table(spark, sf_dir, "customer")
+        .select("c_custkey", "c_nationkey")
+        .collect()
+    }
+    agg: dict[int, list] = {}
+    for k, (lat, lon) in pts.items():
+        agg.setdefault(nat[k], []).append((lat, lon))
+    got = {
+        r.nationkey: r
+        for r in all_queries()["geo_bbox_agg"](spark, sf_dir).collect()
+    }
+    assert set(got) == set(agg)
+    for nk, pairs in agg.items():
+        r = got[nk]
+        lats = [p[0] for p in pairs]
+        lons = [p[1] for p in pairs]
+        assert (r.n_points, r.lat_min, r.lat_max, r.lon_min, r.lon_max) == (
+            len(pairs), min(lats), max(lats), min(lons), max(lons)
+        )
+        cl = sum(Decimal(repr(v)).quantize(Decimal("0.01")) for v in lats)
+        co = sum(Decimal(repr(v)).quantize(Decimal("0.01")) for v in lons)
+        assert r.lat_centroid == round(float(cl) / len(pairs), 6)
+        assert r.lon_centroid == round(float(co) / len(pairs), 6)

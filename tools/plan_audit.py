@@ -115,6 +115,7 @@ ALLOWED: dict[str, dict[str, str]] = {
             "ml_pr_curve",            # threshold spine (5 rows)
             "sample_balanced_classes",  # min-class-size k (1 row)
             "stat_hurst",             # two 1-row octave summaries joined
+            "geo_haversine_nearest",  # warehouse sites (5 rows)
         )
     },
     "stat_kendall_tau": {
