@@ -2592,3 +2592,88 @@ def test_bbox_agg_is_consistent_with_geohash_points(spark, sf_dir):
         co = sum(Decimal(repr(v)).quantize(Decimal("0.01")) for v in lons)
         assert r.lat_centroid == round(float(cl) / len(pairs), 6)
         assert r.lon_centroid == round(float(co) / len(pairs), 6)
+
+
+def test_point_in_polygon_matches_python_raycast(spark, sf_dir):
+    """Per-nation inside counts must equal a python ray-cast replay
+    over the same synthetic coordinates."""
+    from xlsx_to_database_spark.catalog import table
+    from xlsx_to_database_spark.registry import all_queries
+
+    poly = [(60.0, 0.0), (30.0, 52.0), (-30.0, 52.0),
+            (-60.0, 0.0), (-30.0, -52.0), (30.0, -52.0)]
+
+    def inside(px, py):
+        n, c = len(poly), 0
+        for i in range(n):
+            x1, y1 = poly[i]
+            x2, y2 = poly[(i + 1) % n]
+            if (y1 > py) != (y2 > py) and (
+                px < (x2 - x1) * (py - y1) / (y2 - y1) + x1
+            ):
+                c += 1
+        return c % 2 == 1
+
+    got = {
+        r.nationkey: (r.n_total, r.n_inside)
+        for r in all_queries()["geo_point_in_polygon"](spark, sf_dir)
+        .collect()
+    }
+    want: dict[int, list] = {}
+    for r in (
+        table(spark, sf_dir, "customer")
+        .select("c_custkey", "c_nationkey")
+        .collect()
+    ):
+        k = r.c_custkey
+        lat = ((k * 7919) % 17000) / 100.0 - 85
+        lon = ((k * 104729) % 36000) / 100.0 - 180
+        t, i = want.get(r.c_nationkey, (0, 0))
+        want[r.c_nationkey] = (t + 1, i + (1 if inside(lon, lat) else 0))
+    assert got == want
+    assert sum(i for _, i in got.values()) > 0  # polygon is not empty
+
+
+def test_grid_density_cells_are_geohash_prefixes(spark, sf_dir):
+    """Top-cell counts must equal prefix-grouping of the per-customer
+    geohash op's output, in descending order."""
+    from xlsx_to_database_spark.registry import all_queries
+
+    gh = all_queries()["geo_geohash"](spark, sf_dir).collect()
+    per: dict[str, int] = {}
+    for r in gh:
+        per[r.geohash5[:4]] = per.get(r.geohash5[:4], 0) + 1
+    top = sorted(per.items(), key=lambda kv: (-kv[1], kv[0]))[:20]
+    got = [
+        (r.cell, r.n_points)
+        for r in all_queries()["geo_grid_density"](spark, sf_dir).collect()
+    ]
+    assert got == top
+
+
+def test_kwic_windows_match_python_slicing(spark, sf_dir):
+    """Every emitted concordance row must equal python list slicing of
+    the tokenized document at the same position."""
+    from xlsx_to_database_spark.catalog import table
+    from xlsx_to_database_spark.registry import all_queries
+
+    docs = {
+        r.doc_id: r.text.split(" ")
+        for r in table(spark, sf_dir, "documents")
+        .select("doc_id", "text")
+        .collect()
+    }
+    want = set()
+    for did, toks in docs.items():
+        for i, t in enumerate(toks):
+            if t == "join":
+                want.add((
+                    did, i + 1,
+                    " ".join(toks[max(0, i - 3): i]),
+                    " ".join(toks[i + 1: i + 4]),
+                ))
+    got = {
+        (r.doc_id, r.pos, r.left_ctx, r.right_ctx)
+        for r in all_queries()["text_kwic"](spark, sf_dir).collect()
+    }
+    assert got == want and got

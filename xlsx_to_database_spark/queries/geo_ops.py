@@ -221,3 +221,101 @@ def geo_bbox_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("lon_centroid"),
         )
     )
+
+
+#: hexagon centered on the origin (radius ~60 degrees-of-arc units)
+_POLY = ((60.0, 0.0), (30.0, 52.0), (-30.0, 52.0),
+         (-60.0, 0.0), (-30.0, -52.0), (30.0, -52.0))
+
+
+def point_in_polygon_expr(px: str, py: str, poly: tuple) -> str:
+    """Ray-casting parity test as one unrolled SQL expression (edge
+    count fixed ⇒ no loop, pure codegen): a horizontal ray from the
+    point crosses edge (x1,y1)→(x2,y2) iff the edge straddles py and
+    the intersection lies right of px. Odd crossings ⇒ inside. Shared
+    verbatim by both engines; every division is by a constant edge
+    Δy ≠ 0 after the straddle guard."""
+    crossings = []
+    n = len(poly)
+    for i in range(n):
+        x1, y1 = poly[i]
+        x2, y2 = poly[(i + 1) % n]
+        crossings.append(
+            f"CAST(((({y1} > ({py})) <> ({y2} > ({py}))) AND "
+            f"(({px}) < ({x2} - {x1}) * (({py}) - {y1})"
+            f" / ({y2} - {y1}) + {x1})) AS INT)"
+        )
+    return "((" + " + ".join(crossings) + ") % 2 = 1)"
+
+
+_PIP = point_in_polygon_expr(LON_EXPR, LAT_EXPR, _POLY)
+
+
+@query(
+    "geo_point_in_polygon",
+    f"""
+    SELECT c_nationkey AS nationkey,
+           CAST(count(*) AS BIGINT) AS n_total,
+           CAST(count(*) FILTER (WHERE {_PIP}) AS BIGINT) AS n_inside
+    FROM (SELECT c_custkey AS k, c_nationkey FROM customer)
+    GROUP BY c_nationkey
+    """,
+)
+def geo_point_in_polygon(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point-in-polygon containment (ray casting against a fixed
+    hexagonal region) counted per nation — the geofencing primitive:
+    delivery zones, regulatory regions, battlefield tiles all reduce to
+    "is this point inside this polygon". With the vertex count fixed,
+    the parity test unrolls into straight-line arithmetic — fully
+    inside whole-stage codegen, no UDF, and the polygon test costs the
+    same as any other filter predicate in a 100 TB scan. For many/large
+    polygons the production pattern layers this behind a bbox or
+    geohash-cell prefilter (`geo_geohash`) so exact ray casts run only
+    on candidate cells."""
+    c = table(spark, sf_dir, "customer").selectExpr(
+        "c_custkey AS k", "c_nationkey"
+    )
+    return (
+        c.selectExpr("c_nationkey", f"{_PIP} AS inside")
+        .groupBy(F.col("c_nationkey").alias("nationkey"))
+        .agg(
+            F.count(F.lit(1)).alias("n_total"),
+            F.count_if(F.col("inside")).alias("n_inside"),
+        )
+    )
+
+
+@query(
+    "geo_grid_density",
+    f"""
+    SELECT substr({_GH}, 1, 4) AS cell,
+           CAST(count(*) AS BIGINT) AS n_points,
+           CAST(count(DISTINCT c_nationkey) AS BIGINT) AS n_nations
+    FROM (SELECT c_custkey AS k, c_nationkey FROM customer)
+    GROUP BY 1
+    ORDER BY n_points DESC, cell
+    LIMIT 20
+    """,
+)
+def geo_grid_density(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Density heatmap tiles: the 20 hottest precision-4 geohash cells
+    (≈ 39 km) by point count, with nation diversity per cell — the
+    aggregation layer behind every map heatmap and the input a spatial
+    load balancer splits hot tiles from. Cell id is a prefix of the
+    codegen geohash (coarsening = substring — the whole point of the
+    encoding); one partial-aggregating shuffle on the cell, then global
+    top-20 as TakeOrderedAndProject (per-partition heaps, no full
+    sort)."""
+    c = table(spark, sf_dir, "customer").selectExpr(
+        "c_custkey AS k", "c_nationkey"
+    )
+    return (
+        c.selectExpr(f"substr({_GH}, 1, 4) AS cell", "c_nationkey")
+        .groupBy("cell")
+        .agg(
+            F.count(F.lit(1)).alias("n_points"),
+            F.countDistinct("c_nationkey").alias("n_nations"),
+        )
+        .orderBy(F.col("n_points").desc(), "cell")
+        .limit(20)
+    )

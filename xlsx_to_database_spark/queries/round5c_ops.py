@@ -1322,3 +1322,55 @@ def stat_hurst(spark: SparkSession, sf_dir: str) -> DataFrame:
             / F.log(F.lit(4.0)), 6
         ).alias("hurst"),
     )
+
+
+_KWIC_TERM = "join"  #: concordance keyword
+_KWIC_W = 3          #: context tokens per side
+
+
+@query(
+    "text_kwic",
+    f"""
+    SELECT doc_id, CAST(pos AS INT) AS pos,
+           coalesce(array_to_string(
+             t[greatest(1, pos - {_KWIC_W}):pos - 1], ' '), '') AS left_ctx,
+           coalesce(array_to_string(
+             t[pos + 1:pos + {_KWIC_W}], ' '), '') AS right_ctx
+    FROM (
+      SELECT doc_id, string_split(text, ' ') AS t FROM documents
+    ), unnest(range(1, len(t) + 1)) AS u(pos)
+    WHERE t[pos] = '{_KWIC_TERM}'
+    """,
+)
+def text_kwic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Keyword-in-context (KWIC) concordance: every occurrence of the
+    term with ±{_KWIC_W} tokens of context — the corpus-inspection view
+    linguists and data-quality reviewers read ("show me how this term
+    is actually used") and the window extractor behind contrastive
+    example mining.
+
+    Plan: map-only — tokenize once, `posexplode` the positions, filter
+    to the term, and slice the SAME token array for both context sides
+    (the array rides the row; no join back to the document). Slices clip at
+    both array ends; DuckDB renders an empty slice as NULL where Spark
+    says '', so the oracle coalesces to '' to pin one semantics. At 100 TB
+    this is one scan with a generator — the shuffle-free shape text
+    inspection must have."""
+    d = table(spark, sf_dir, "documents").select(
+        "doc_id", F.split("text", " ").alias("t")
+    )
+    e = d.select(
+        "doc_id", "t",
+        (F.posexplode("t").alias("p0", "tok"))
+    ).filter(F.col("tok") == _KWIC_TERM)
+    pos = F.col("p0") + 1  # 1-based
+    left_start = F.greatest(F.lit(1), pos - _KWIC_W)
+    return e.select(
+        "doc_id",
+        pos.cast("int").alias("pos"),
+        F.array_join(
+            F.slice(F.col("t"), left_start, pos - left_start), " "
+        ).alias("left_ctx"),
+        F.array_join(F.slice(F.col("t"), pos + 1, _KWIC_W), " ")
+        .alias("right_ctx"),
+    )
