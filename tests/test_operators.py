@@ -2677,3 +2677,78 @@ def test_kwic_windows_match_python_slicing(spark, sf_dir):
         for r in all_queries()["text_kwic"](spark, sf_dir).collect()
     }
     assert got == want and got
+
+
+def test_tukey_outliers_match_python_fences(spark, sf_dir):
+    """Rank-based Q1/Q3 and decimal fences replayed sequentially."""
+    import math
+    from decimal import Decimal
+
+    from xlsx_to_database_spark.catalog import table
+    from xlsx_to_database_spark.registry import all_queries
+
+    got = {
+        r.grp: (r.n_rows, r.q1, r.q3, r.n_outliers)
+        for r in all_queries()["dq_tukey_outliers"](spark, sf_dir).collect()
+    }
+    groups: dict[str, list] = {}
+    for r in (
+        table(spark, sf_dir, "lineitem")
+        .select("l_returnflag", "l_extendedprice", "l_orderkey",
+                "l_linenumber")
+        .collect()
+    ):
+        groups.setdefault(r.l_returnflag, []).append(r)
+    q = Decimal("0.01")
+    want = {}
+    for g, rows in groups.items():
+        rows.sort(key=lambda r: (r.l_extendedprice, r.l_orderkey,
+                                 r.l_linenumber))
+        ps = [Decimal(repr(r.l_extendedprice)).quantize(q) for r in rows]
+        n = len(ps)
+        q1 = ps[math.ceil(0.25 * n) - 1]
+        q3 = ps[math.ceil(0.75 * n) - 1]
+        lo = q1 - Decimal("1.5") * (q3 - q1)
+        hi = q3 + Decimal("1.5") * (q3 - q1)
+        want[g] = (
+            n, round(float(q1), 2), round(float(q3), 2),
+            sum(1 for p in ps if p < lo or p > hi),
+        )
+    assert got == want
+
+
+def test_donchian_counts_match_python_channel(spark, sf_dir):
+    """Breakout counts per supplier vs a sequential channel replay."""
+    from decimal import Decimal
+
+    from xlsx_to_database_spark.catalog import table
+    from xlsx_to_database_spark.registry import all_queries
+
+    got = {
+        r.l_suppkey: (r.n_break_up, r.n_break_dn, r.n_eval)
+        for r in all_queries()["win_donchian"](spark, sf_dir).collect()
+    }
+    series: dict[int, list] = {}
+    for r in (
+        table(spark, sf_dir, "lineitem")
+        .select("l_suppkey", "l_shipdate", "l_orderkey", "l_linenumber",
+                "l_extendedprice")
+        .collect()
+    ):
+        series.setdefault(r.l_suppkey, []).append(r)
+    want = {}
+    for sk, rows in series.items():
+        rows.sort(key=lambda r: (r.l_shipdate, r.l_orderkey, r.l_linenumber))
+        ps = [Decimal(repr(r.l_extendedprice)).quantize(Decimal("0.01"))
+              for r in rows]
+        up = dn = ev = 0
+        for i in range(20, len(ps)):
+            win = ps[max(0, i - 20): i]
+            ev += 1
+            if ps[i] > max(win):
+                up += 1
+            if ps[i] < min(win):
+                dn += 1
+        if ev:
+            want[sk] = (up, dn, ev)
+    assert got == want

@@ -328,3 +328,30 @@ def test_restore_is_zero_copy_and_keeps_history(spark, tmp_path):
     assert sorted(r.k for r in tt.read().collect()) == list(range(100))
     assert tt.read(1).count() == 50
     assert tt.read(2).count() == 60
+
+
+def test_shallow_clone_is_zero_copy_and_isolated(spark, tmp_path):
+    """Clone references the source's files (no data copied), diverges
+    copy-on-write on merge, and never mutates the source; vacuum on the
+    clone must not collect source-owned files."""
+    import os
+
+    t = _mk(spark, tmp_path, n=1000)
+    clone = t.clone_to(str(tmp_path / "clone"))
+    # zero-copy: clone's data dir does not exist yet
+    assert not os.path.isdir(str(tmp_path / "clone" / "data"))
+    assert clone.read().count() == 1000
+    src = spark.range(1, 121).select(
+        F.col("id").alias("k"), (F.col("id") * 1000).alias("v")
+    )
+    clone.merge(src, "k")
+    assert clone.read().filter(F.col("v") == F.col("k") * 1000).count() == 120
+    assert clone.read().filter(
+        (F.col("k") > 120) & (F.col("v") != F.col("k") * 2)
+    ).count() == 0
+    # source untouched, log isolated
+    assert t.read().filter(F.col("v") != F.col("k") * 2).count() == 0
+    assert t.latest_version() == 0
+    # clone vacuum walks only the clone's own data dir
+    deleted, _ = clone.vacuum(retain_versions=1)
+    assert t.read().count() == 1000  # source files all still present

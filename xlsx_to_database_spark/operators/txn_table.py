@@ -223,6 +223,28 @@ class TxnTable:
     def read(self, version: Optional[int] = None) -> DataFrame:
         return self._read_files(self.manifest(version)["files"])
 
+    def clone_to(self, path: str, version: Optional[int] = None) -> "TxnTable":
+        """SHALLOW CLONE: create a new table at ``path`` whose v0
+        manifest references THIS table's data files by (relative) path —
+        zero data copied, O(manifest) cost at any table size. Writes to
+        the clone are copy-on-write into the clone's own ``data/`` dir,
+        so the source is never mutated through a clone; a VACUUM on the
+        source, however, can collect files the clone still references —
+        the same retention caveat Delta documents for shallow clones.
+        Returns a handle to the clone."""
+        entries = self.manifest(version)["files"]
+        rel = [
+            {**e, "path": os.path.relpath(
+                os.path.join(self.path, e["path"]), path
+            )}
+            for e in entries
+        ]
+        c = TxnTable(self.spark, path, self.stats_col)
+        if c.versions():
+            raise ConcurrentWriteError(f"table already exists at {path}")
+        c._commit(0, f"clone({self.path})", rel)
+        return c
+
     def restore(self, version: int) -> int:
         """RESTORE the table to an earlier snapshot as a NEW commit - Delta's RESTORE semantics: the new manifest references the old
         version's file entries VERBATIM, so the operation is zero-copy

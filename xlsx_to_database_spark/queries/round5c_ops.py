@@ -1374,3 +1374,224 @@ def text_kwic(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.array_join(F.slice(F.col("t"), pos + 1, _KWIC_W), " ")
         .alias("right_ctx"),
     )
+
+
+@query(
+    "dq_tukey_outliers",
+    """
+    WITH ranked AS (
+      SELECT l_returnflag AS grp,
+             CAST(l_extendedprice AS DECIMAL(18,2)) AS p,
+             row_number() OVER (
+               PARTITION BY l_returnflag
+               ORDER BY l_extendedprice, l_orderkey, l_linenumber) AS rn,
+             count(*) OVER (PARTITION BY l_returnflag) AS n
+      FROM lineitem
+    ), q AS (
+      SELECT grp,
+             max(CASE WHEN rn = CAST(ceil(0.25 * n) AS BIGINT)
+                 THEN p END) AS q1,
+             max(CASE WHEN rn = CAST(ceil(0.75 * n) AS BIGINT)
+                 THEN p END) AS q3
+      FROM ranked GROUP BY grp
+    ), fences AS (
+      SELECT grp, q1, q3,
+             q1 - 1.5 * (q3 - q1) AS lo,
+             q3 + 1.5 * (q3 - q1) AS hi
+      FROM q
+    )
+    SELECT r.grp, CAST(max(r.n) AS BIGINT) AS n_rows,
+           round(CAST(max(f.q1) AS DOUBLE), 2) AS q1,
+           round(CAST(max(f.q3) AS DOUBLE), 2) AS q3,
+           CAST(count(*) FILTER (WHERE r.p < f.lo OR r.p > f.hi)
+                AS BIGINT) AS n_outliers
+    FROM ranked r JOIN fences f ON r.grp = f.grp
+    GROUP BY r.grp
+    """,
+)
+def dq_tukey_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tukey-fence outlier audit per return-flag group: Q1/Q3 as
+    nearest-rank (type-1) quantiles, fences at ±1.5·IQR, outliers
+    counted where they live. The box-plot rule — the default screen for
+    "are these prices even plausible" before any model sees them.
+
+    Exactness: nearest-rank quantiles are DATA VALUES (2dp decimals),
+    so fences q1 − 1.5·iqr are exact decimals too — the containment
+    comparison is decimal-vs-decimal, no interpolated float anywhere
+    (interpolating quantiles differ at the ULP between engines; the
+    rank-based definition sidesteps the whole class).
+
+    Scale shape: one shuffle on the group key serves the rank window,
+    the quantile pick, and the outlier count (fences re-attach by
+    broadcast — the per-group frame is 1 row each). The rank window is
+    the exact-quantile cost; `agg_percentile_approx` is the documented
+    sketch alternative when groups are huge."""
+    li = table(spark, sf_dir, "lineitem")
+    w = Window.partitionBy("l_returnflag").orderBy(
+        "l_extendedprice", "l_orderkey", "l_linenumber"
+    )
+    ranked = li.select(
+        F.col("l_returnflag").alias("grp"),
+        F.col("l_extendedprice").cast("decimal(18,2)").alias("p"),
+        F.row_number().over(w).alias("rn"),
+        F.count(F.lit(1))
+        .over(Window.partitionBy("l_returnflag"))
+        .alias("n"),
+    )
+    q = ranked.groupBy("grp").agg(
+        F.max(
+            F.when(
+                F.col("rn") == F.ceil(0.25 * F.col("n")).cast("long"),
+                F.col("p"),
+            )
+        ).alias("q1"),
+        F.max(
+            F.when(
+                F.col("rn") == F.ceil(0.75 * F.col("n")).cast("long"),
+                F.col("p"),
+            )
+        ).alias("q3"),
+    )
+    fences = q.select(
+        "grp", "q1", "q3",
+        (F.col("q1") - 1.5 * (F.col("q3") - F.col("q1"))).alias("lo"),
+        (F.col("q3") + 1.5 * (F.col("q3") - F.col("q1"))).alias("hi"),
+    )
+    return (
+        ranked.join(F.broadcast(fences), "grp")
+        .groupBy("grp")
+        .agg(
+            F.max("n").cast("long").alias("n_rows"),
+            F.round(F.max("q1").cast("double"), 2).alias("q1"),
+            F.round(F.max("q3").cast("double"), 2).alias("q3"),
+            F.count_if(
+                (F.col("p") < F.col("lo")) | (F.col("p") > F.col("hi"))
+            ).alias("n_outliers"),
+        )
+    )
+
+
+_DONCH_N = 20  #: channel lookback
+
+
+@query(
+    "win_donchian",
+    f"""
+    WITH px AS (
+      SELECT l_suppkey, l_orderkey, l_linenumber,
+             CAST(l_extendedprice AS DECIMAL(18,2)) AS p,
+             row_number() OVER w AS rn,
+             max(CAST(l_extendedprice AS DECIMAL(18,2))) OVER ch AS ch_hi,
+             min(CAST(l_extendedprice AS DECIMAL(18,2))) OVER ch AS ch_lo
+      FROM lineitem
+      WINDOW w AS (PARTITION BY l_suppkey
+                   ORDER BY l_shipdate, l_orderkey, l_linenumber),
+             ch AS (PARTITION BY l_suppkey
+                    ORDER BY l_shipdate, l_orderkey, l_linenumber
+                    ROWS BETWEEN {_DONCH_N} PRECEDING AND 1 PRECEDING)
+    )
+    SELECT l_suppkey,
+           CAST(count(*) FILTER (WHERE p > ch_hi) AS BIGINT) AS n_break_up,
+           CAST(count(*) FILTER (WHERE p < ch_lo) AS BIGINT) AS n_break_dn,
+           CAST(count(*) AS BIGINT) AS n_eval
+    FROM px WHERE rn > {_DONCH_N}
+    GROUP BY l_suppkey
+    """,
+)
+def win_donchian(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Donchian-channel breakout counts per supplier: a price strictly
+    above the previous {_DONCH_N} shipments' high (or below their low)
+    is a breakout — the turtle-trading channel, and in ops data the
+    "new all-recent-time high" alert primitive. The channel frame ends
+    at 1 PRECEDING so the current row never defines its own channel.
+
+    Exactness: channel extrema are decimal comparisons of stored 2dp
+    values — no arithmetic at all. Same one-shuffle-per-key,
+    ROWS-bounded-frame shape as `win_rsi`/`win_bollinger`; the three
+    windows share one exchange + sort."""
+    w = Window.partitionBy("l_suppkey").orderBy(
+        "l_shipdate", "l_orderkey", "l_linenumber"
+    )
+    ch = w.rowsBetween(-_DONCH_N, -1)
+    p = F.col("l_extendedprice").cast("decimal(18,2)")
+    px = table(spark, sf_dir, "lineitem").select(
+        "l_suppkey",
+        p.alias("p"),
+        F.row_number().over(w).alias("rn"),
+        F.max(p).over(ch).alias("ch_hi"),
+        F.min(p).over(ch).alias("ch_lo"),
+    )
+    return (
+        px.filter(F.col("rn") > _DONCH_N)
+        .groupBy("l_suppkey")
+        .agg(
+            F.count_if(F.col("p") > F.col("ch_hi")).alias("n_break_up"),
+            F.count_if(F.col("p") < F.col("ch_lo")).alias("n_break_dn"),
+            F.count(F.lit(1)).alias("n_eval"),
+        )
+    )
+
+
+@query(
+    "table_clone",
+    """
+    WITH merged AS (
+      SELECT o_orderkey,
+             CASE WHEN o_orderkey BETWEEN 500 AND 599
+                  THEN CAST(2 * CAST(o_totalprice AS DECIMAL(18,2))
+                            AS DECIMAL(18,2))
+                  ELSE CAST(o_totalprice AS DECIMAL(18,2)) END AS price
+      FROM orders
+    )
+    SELECT CAST(count(*) AS BIGINT) AS n_rows,
+           round(CAST(sum(price) AS DOUBLE), 2) AS clone_total
+    FROM merged
+    """,
+)
+def table_clone(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SHALLOW CLONE on the txn table: clone orders (zero-copy — the
+    clone's v0 manifest references the source's files by relative
+    path), MERGE a doubled-price slice INTO THE CLONE, and verify the
+    clone shows the merge while the SOURCE is bit-identical to its
+    pre-clone state (asserted in-op). The dev/test-against-production
+    workflow every table format grew clones for: experiments on a
+    100 TB table cost O(manifest) to set up and copy-on-write only what
+    the experiment touches.
+
+    Returned frame is the clone's post-merge content (the oracle
+    recomputes it relationally); the source-unchanged half is a
+    driver-side scalar comparison (1 row collected, metadata cost)."""
+    import shutil
+
+    from xlsx_to_database_spark.operators.txn_table import TxnTable
+    from xlsx_to_database_spark.queries.sources_sinks import _tag
+
+    o = table(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        F.col("o_totalprice").cast("decimal(18,2)").alias("price"),
+    )
+    src_root = f"/tmp/spark_stage/{_tag(sf_dir)}_table_clone_src"
+    cl_root = f"/tmp/spark_stage/{_tag(sf_dir)}_table_clone_dst"
+    shutil.rmtree(src_root, ignore_errors=True)
+    shutil.rmtree(cl_root, ignore_errors=True)
+    src = TxnTable(spark, src_root, "o_orderkey")
+    src.create(o.repartitionByRange(4, "o_orderkey"))
+
+    def digest(t):
+        return t.read().agg(
+            F.count(F.lit(1)), F.sum("price")
+        ).collect()[0]
+
+    before = digest(src)
+    clone = src.clone_to(cl_root)
+    upd = o.filter(F.col("o_orderkey").between(500, 599)).withColumn(
+        "price", (F.lit(2) * F.col("price")).cast("decimal(18,2)")
+    )
+    _, rewritten, carried = clone.merge(upd, "o_orderkey")
+    assert rewritten >= 1 and carried >= 1, "clone merge must prune files"
+    assert digest(src) == before, "source mutated through its clone"
+    assert src.latest_version() == 0, "clone commit leaked into source log"
+    return clone.read().agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.round(F.sum("price").cast("double"), 2).alias("clone_total"),
+    )
