@@ -2752,3 +2752,73 @@ def test_donchian_counts_match_python_channel(spark, sf_dir):
         if ev:
             want[sk] = (up, dn, ev)
     assert got == want
+
+
+def test_chat_template_render_and_budget(spark, sf_dir):
+    """Rendered prompt must equal python formatting and the budget
+    columns must count wrapper overhead exactly."""
+    from xlsx_to_database_spark.catalog import table
+    from xlsx_to_database_spark.registry import all_queries
+
+    src = {
+        r.doc_id: r.text
+        for r in table(spark, sf_dir, "documents")
+        .filter(F.col("lang") == "en")
+        .select("doc_id", "text")
+        .collect()
+    }
+    rows = all_queries()["text_chat_template"](spark, sf_dir).collect()
+    assert {r.doc_id for r in rows} == set(src)
+    for r in rows:
+        t = src[r.doc_id]
+        assert r.prompt == (
+            "<|system|>summarize briefly<|end|>"
+            f"<|user|>{t}<|end|><|assistant|>"
+        )
+        assert r.n_tokens == len(t.split(" ")) + 8
+        assert r.n_chars == len(t) + 64
+
+
+def test_shard_shuffle_balances_and_covers(spark, sf_dir):
+    """Round-robin dealing over the hash order: shard sizes within 1,
+    every doc counted once, token total preserved, deterministic."""
+    from xlsx_to_database_spark.catalog import table
+    from xlsx_to_database_spark.registry import all_queries
+
+    fn = all_queries()["corpus_shard_shuffle"]
+    rows = sorted(fn(spark, sf_dir).collect(), key=lambda r: r.shard)
+    again = sorted(fn(spark, sf_dir).collect(), key=lambda r: r.shard)
+    assert [tuple(r) for r in rows] == [tuple(r) for r in again]
+    d = table(spark, sf_dir, "documents")
+    n = d.count()
+    assert sum(r.n_docs for r in rows) == n
+    assert max(r.n_docs for r in rows) - min(r.n_docs for r in rows) <= 1
+    tok = d.select(
+        F.sum(F.size(F.split("text", " "))).alias("t")
+    ).collect()[0].t
+    assert sum(r.n_tokens for r in rows) == tok
+
+
+def test_fim_split_reassembles_exactly(spark, sf_dir):
+    """prefix ++ middle ++ suffix must reproduce the document, with
+    cuts at the third-boundaries."""
+    from xlsx_to_database_spark.catalog import table
+    from xlsx_to_database_spark.registry import all_queries
+
+    src = {
+        r.doc_id: r.text
+        for r in table(spark, sf_dir, "documents")
+        .select("doc_id", "text")
+        .collect()
+    }
+    rows = all_queries()["text_fim_split"](spark, sf_dir).collect()
+    seen = set()
+    for r in rows:
+        toks = src[r.doc_id].split(" ")
+        n = len(toks)
+        assert r.cut1 == n // 3 and r.cut2 == (2 * n) // 3
+        parts = [p for p in (r.prefix, r.middle, r.suffix) if p]
+        assert " ".join(parts) == src[r.doc_id]
+        assert r.middle  # middle is never empty when n >= 3
+        seen.add(r.doc_id)
+    assert seen == {d for d, t in src.items() if len(t.split(" ")) >= 3}

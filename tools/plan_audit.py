@@ -116,6 +116,9 @@ ALLOWED: dict[str, dict[str, str]] = {
             "sample_balanced_classes",  # min-class-size k (1 row)
             "stat_hurst",             # two 1-row octave summaries joined
             "geo_haversine_nearest",  # warehouse sites (5 rows)
+            "interval_point_stab",    # probe axis (4 rows)
+            "ml_kfold_cv",            # threshold spine (5 rows)
+            "stat_lorenz_curve",      # decile-sum total (1 row)
         )
     },
     "stat_kendall_tau": {

@@ -1595,3 +1595,145 @@ def table_clone(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_rows"),
         F.round(F.sum("price").cast("double"), 2).alias("clone_total"),
     )
+
+
+@query(
+    "text_chat_template",
+    """
+    SELECT doc_id,
+           concat('<|system|>summarize briefly<|end|>',
+                  '<|user|>', text, '<|end|>',
+                  '<|assistant|>') AS prompt,
+           CAST(len(string_split(text, ' ')) + 8 AS BIGINT) AS n_tokens,
+           CAST(length(text) + 64 AS BIGINT) AS n_chars
+    FROM documents
+    WHERE lang = 'en'
+    """,
+)
+def text_chat_template(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chat-template rendering for SFT data prep: wrap each document
+    into a system/user/assistant prompt with special-token markers and
+    account the token/char budget the wrapper adds (8 marker tokens, 64
+    wrapper chars here). Every instruction-tuning pipeline ends in this
+    formatting pass, and budget accounting at render time is what keeps
+    a packed batch from silently overflowing the context window.
+
+    Plan: map-only string concat + a pushed-down language filter — the
+    scan's ReadSchema carries only the used columns and the filter
+    reaches parquet. Nothing shuffles; at 100 TB this is bandwidth, not
+    compute."""
+    d = table(spark, sf_dir, "documents").filter(F.col("lang") == "en")
+    return d.select(
+        "doc_id",
+        F.concat(
+            F.lit("<|system|>summarize briefly<|end|>"),
+            F.lit("<|user|>"), F.col("text"), F.lit("<|end|>"),
+            F.lit("<|assistant|>"),
+        ).alias("prompt"),
+        (F.size(F.split("text", " ")) + 8).cast("long").alias("n_tokens"),
+        (F.length("text") + 64).cast("long").alias("n_chars"),
+    )
+
+
+_N_SHARDS = 8
+
+
+@query(
+    "corpus_shard_shuffle",
+    f"""
+    WITH keyed AS (
+      SELECT doc_id, md5(concat('epoch1:', CAST(doc_id AS VARCHAR)))
+               AS shuffle_key,
+             len(string_split(text, ' ')) AS n_tok
+      FROM documents
+    ), sharded AS (
+      SELECT doc_id, shuffle_key,
+             CAST(row_number() OVER (ORDER BY shuffle_key, doc_id)
+                  % {_N_SHARDS} AS BIGINT) AS shard,
+             n_tok
+      FROM keyed
+    )
+    SELECT shard, CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(n_tok) AS BIGINT) AS n_tokens,
+           min(shuffle_key) AS first_key
+    FROM sharded GROUP BY shard
+    """,
+)
+def corpus_shard_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic epoch shuffle + sharding: order the corpus by a
+    seeded hash (epoch in the seed ⇒ a different, reproducible
+    permutation per epoch), deal documents round-robin into {_N_SHARDS}
+    shards, report per-shard doc/token balance. This is how a trainer
+    gets an unbiased global shuffle of a 100 TB corpus WITHOUT a
+    driver-side permutation: hash-order is a sort the cluster does
+    anyway, and round-robin dealing makes shard sizes provably equal
+    (±1 doc) — the balance the data-loader needs.
+
+    The global hash-order row_number uses one total-order sort; at fact
+    scale the bucketed global-order machinery (operators/global_order)
+    is the documented upgrade — kept as a plain window here because the
+    DOCUMENT table (not the token stream) is being permuted."""
+    d = table(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.md5(F.concat(F.lit("epoch1:"), F.col("doc_id").cast("string")))
+        .alias("shuffle_key"),
+        F.size(F.split("text", " ")).alias("n_tok"),
+    )
+    w = Window.orderBy("shuffle_key", "doc_id")
+    sharded = d.select(
+        "shuffle_key", "n_tok",
+        (F.row_number().over(w) % _N_SHARDS).cast("long").alias("shard"),
+    )
+    return sharded.groupBy("shard").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_tok").cast("long").alias("n_tokens"),
+        F.min("shuffle_key").alias("first_key"),
+    )
+
+
+@query(
+    "text_fim_split",
+    """
+    WITH t AS (
+      SELECT doc_id, string_split(text, ' ') AS toks,
+             len(string_split(text, ' ')) AS n
+      FROM documents
+    )
+    SELECT doc_id,
+           array_to_string(toks[1:n // 3], ' ') AS prefix,
+           array_to_string(toks[n // 3 + 1:(2 * n) // 3], ' ') AS middle,
+           array_to_string(toks[(2 * n) // 3 + 1:n], ' ') AS suffix,
+           CAST(n // 3 AS BIGINT) AS cut1,
+           CAST((2 * n) // 3 AS BIGINT) AS cut2
+    FROM t WHERE n >= 3
+    """,
+)
+def text_fim_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fill-in-the-middle (FIM) splitting: each document cut into
+    prefix/middle/suffix at deterministic third-boundaries — the data
+    transform behind FIM pretraining (the trainer re-orders to
+    prefix-suffix-middle so the model learns infilling). Deterministic
+    cut points make the dataset reproducible across runs; production
+    pipelines randomize cuts per epoch by hashing (doc_id, epoch) into
+    the cut offsets — same shape, seeded like `corpus_shard_shuffle`.
+
+    Plan: map-only — tokenize once, three slices of the same array, no
+    shuffle. Docs shorter than 3 tokens are skipped (no middle
+    exists)."""
+    d = table(spark, sf_dir, "documents").select(
+        "doc_id", F.split("text", " ").alias("toks")
+    ).withColumn("n", F.size("toks")).filter(F.col("n") >= 3)
+    c1 = (F.col("n") / 3).cast("long")
+    c2 = (2 * F.col("n") / 3).cast("long")
+    return d.select(
+        "doc_id",
+        F.array_join(F.slice("toks", F.lit(1), c1), " ").alias("prefix"),
+        F.array_join(
+            F.slice("toks", c1 + 1, c2 - c1), " "
+        ).alias("middle"),
+        F.array_join(
+            F.slice("toks", c2 + 1, F.col("n") - c2), " "
+        ).alias("suffix"),
+        c1.alias("cut1"),
+        c2.alias("cut2"),
+    )
