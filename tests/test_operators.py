@@ -2822,3 +2822,115 @@ def test_fim_split_reassembles_exactly(spark, sf_dir):
         assert r.middle  # middle is never empty when n >= 3
         seen.add(r.doc_id)
     assert seen == {d for d, t in src.items() if len(t.split(" ")) >= 3}
+
+
+def test_sql_udf_inlines_without_python(spark, sf_dir):
+    """The SQL UDF plan must contain no Python evaluation node (the
+    body macro-expands into codegen), and results must equal inline
+    expression evaluation."""
+    from xlsx_to_database_spark.plans import explain_str
+    from xlsx_to_database_spark.registry import all_queries
+
+    df = all_queries()["udf_sql"](spark, sf_dir)
+    plan = explain_str(df)
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    got = {r.o_orderpriority: (r.n, r.net_total) for r in df.collect()}
+    from xlsx_to_database_spark.catalog import table
+
+    want = {
+        r.o_orderpriority: (r.n, r.net_total)
+        for r in table(spark, sf_dir, "orders")
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(
+                F.sum(
+                    (F.col("o_totalprice") * 0.96).cast("decimal(18,4)")
+                ),
+                2,
+            ).alias("net_total"),
+        )
+        .collect()
+    }
+    assert got == want
+
+
+def test_geometric_mean_obeys_am_gm(spark, sf_dir):
+    """GM <= AM per group (strict here: prices vary), and the GM must
+    match a python replay through the same 8dp-quantized log path."""
+    import math
+    from decimal import Decimal
+
+    from xlsx_to_database_spark.catalog import table
+    from xlsx_to_database_spark.registry import all_queries
+
+    got = {
+        r.o_orderpriority: r
+        for r in all_queries()["agg_geometric_mean"](spark, sf_dir)
+        .collect()
+    }
+    groups: dict[str, list] = {}
+    for r in (
+        table(spark, sf_dir, "orders")
+        .select("o_orderpriority", "o_totalprice")
+        .collect()
+    ):
+        groups.setdefault(r.o_orderpriority, []).append(r.o_totalprice)
+    for g, vals in groups.items():
+        r = got[g]
+        assert r.geo_mean < r.arith_mean
+        lg = sum(
+            Decimal(str(round(math.log(v), 8))) for v in vals
+        )
+        assert r.geo_mean == round(math.exp(float(lg) / len(vals)), 4)
+
+
+def test_wilcoxon_matches_scipy_free_replay(spark, sf_dir):
+    """W+ and z replayed sequentially with tie-averaged ranks and the
+    tie-corrected normal approximation."""
+    import math
+    from decimal import Decimal
+
+    from xlsx_to_database_spark.catalog import table
+    from xlsx_to_database_spark.registry import all_queries
+
+    row = all_queries()["stat_wilcoxon_signed"](spark, sf_dir).collect()[0]
+    orders: dict[int, list] = {}
+    for r in (
+        table(spark, sf_dir, "lineitem")
+        .select("l_orderkey", "l_linenumber", "l_extendedprice")
+        .collect()
+    ):
+        orders.setdefault(r.l_orderkey, []).append(r)
+    q = Decimal("0.01")
+    ds = []
+    for rows_ in orders.values():
+        if len(rows_) < 2:
+            continue
+        rows_.sort(key=lambda r: (
+            r.l_linenumber, Decimal(repr(r.l_extendedprice)).quantize(q)
+        ))
+        d = (Decimal(repr(rows_[-1].l_extendedprice)).quantize(q)
+             - Decimal(repr(rows_[0].l_extendedprice)).quantize(q))
+        if d != 0:
+            ds.append(d)
+    n = len(ds)
+    ranked = sorted(abs(d) for d in ds)
+    rank_of = {}
+    i = 0
+    tie3 = 0
+    while i < len(ranked):
+        j = i
+        while j < len(ranked) and ranked[j] == ranked[i]:
+            j += 1
+        t = j - i
+        rank_of[ranked[i]] = (i + 1 + j) / 2  # average rank
+        tie3 += t ** 3 - t
+        i = j
+    w_plus = sum(rank_of[abs(d)] for d in ds if d > 0)
+    z = (w_plus - n * (n + 1) / 4) / math.sqrt(
+        n * (n + 1) * (2 * n + 1) / 24 - tie3 / 48
+    )
+    assert row.n == n
+    assert row.w_plus == round(w_plus, 1)
+    assert row.z == round(z, 6)

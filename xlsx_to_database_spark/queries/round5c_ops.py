@@ -1737,3 +1737,189 @@ def text_fim_split(spark: SparkSession, sf_dir: str) -> DataFrame:
         c1.alias("cut1"),
         c2.alias("cut2"),
     )
+
+
+@query(
+    "udf_sql",
+    """
+    SELECT o_orderpriority,
+           CAST(count(*) AS BIGINT) AS n,
+           round(sum(CAST(o_totalprice * (1.0 - 0.04) AS DECIMAL(18,4))),
+                 2) AS net_total
+    FROM orders
+    GROUP BY o_orderpriority
+    """,
+)
+def udf_sql(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SQL-defined scalar UDF (Spark 4 ``CREATE FUNCTION ... RETURN
+    expr``) — the fourth UDF surface beside Python/pandas/Arrow UDFs
+    and the ONLY one with zero serialization cost: the body inlines
+    into the Catalyst plan, keeps whole-stage codegen, and never leaves
+    the JVM. For any UDF expressible as a SQL expression this is the
+    100 TB answer; the Python surfaces exist for logic SQL cannot say.
+
+    The function applies a flat 4% discount; the oracle inlines the
+    same expression — which is precisely the semantics being pinned:
+    a SQL UDF is macro expansion, not a call boundary. DECIMAL
+    quantization of each term keeps the group sums order-independent."""
+    spark.sql(
+        "CREATE OR REPLACE TEMPORARY FUNCTION flat_net(p DOUBLE) "
+        "RETURNS DECIMAL(18,4) "
+        "RETURN CAST(p * (1.0 - 0.04) AS DECIMAL(18,4))"
+    )
+    table(spark, sf_dir, "orders").createOrReplaceTempView("__udf_sql_o")
+    return spark.sql(
+        """
+        SELECT o_orderpriority,
+               CAST(count(*) AS BIGINT) AS n,
+               round(sum(flat_net(o_totalprice)), 2) AS net_total
+        FROM __udf_sql_o
+        GROUP BY o_orderpriority
+        """
+    )
+
+
+@query(
+    "agg_geometric_mean",
+    """
+    SELECT o_orderpriority,
+           CAST(count(*) AS BIGINT) AS n,
+           round(exp(CAST(sum(CAST(round(ln(o_totalprice), 8)
+                                   AS DECIMAL(20,8))) AS DOUBLE)
+                     / count(*)), 4) AS geo_mean,
+           round(CAST(sum(CAST(o_totalprice AS DECIMAL(18,2)))
+                      AS DOUBLE) / count(*), 4) AS arith_mean
+    FROM orders
+    GROUP BY o_orderpriority
+    """,
+)
+def agg_geometric_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Geometric mean per priority class (beside the arithmetic mean
+    for contrast) — the right average for multiplicative quantities
+    (growth rates, price relatives); always ≤ the arithmetic mean
+    (AM-GM), which the unit test pins.
+
+    Exactness: log-space is how geometric means distribute (one
+    mergeable Σln pass), but a raw double Σln is summation-order
+    dependent — each ln is quantized to DECIMAL(20,8) first (the
+    text_perplexity device), making the aggregation exact and the
+    final exp(Σ/n) one identical float expression per engine."""
+    o = table(spark, sf_dir, "orders")
+    lg = (
+        F.round(F.log(F.col("o_totalprice")), 8).cast("decimal(20,8)")
+    )
+    return o.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(
+            F.exp(F.sum(lg).cast("double") / F.count(F.lit(1))), 4
+        ).alias("geo_mean"),
+        F.round(
+            F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+            .cast("double") / F.count(F.lit(1)),
+            4,
+        ).alias("arith_mean"),
+    )
+
+
+@query(
+    "stat_wilcoxon_signed",
+    """
+    WITH ordered AS (
+      SELECT l_orderkey, CAST(l_extendedprice AS DECIMAL(18,2)) AS p,
+             row_number() OVER (
+               PARTITION BY l_orderkey
+               ORDER BY l_linenumber,
+                        CAST(l_extendedprice AS DECIMAL(18,2))) AS rn,
+             count(*) OVER (PARTITION BY l_orderkey) AS c
+      FROM lineitem
+    ), pairs AS (
+      SELECT l_orderkey,
+             max(CASE WHEN rn = c THEN p END)
+               - max(CASE WHEN rn = 1 THEN p END) AS d
+      FROM ordered WHERE c >= 2 GROUP BY l_orderkey
+    ), nz AS (
+      SELECT abs(d) AS ad, d > 0 AS pos FROM pairs WHERE d <> 0
+    ), vals AS (
+      SELECT ad, count(*) AS cnt,
+             CAST(count(*) FILTER (WHERE pos) AS BIGINT) AS pos_cnt
+      FROM nz GROUP BY ad
+    ), ranked AS (
+      SELECT ad, cnt, pos_cnt,
+             2 * sum(cnt) OVER (ORDER BY ad) - cnt + 1 AS r2
+      FROM vals
+    ), s AS (
+      SELECT CAST(sum(cnt) AS BIGINT) AS n,
+             CAST(sum(pos_cnt * r2) AS BIGINT) AS w2,
+             CAST(sum(cnt * cnt * cnt - cnt) AS BIGINT) AS tie3
+      FROM ranked
+    )
+    SELECT n, round(CAST(w2 AS DOUBLE) / 2, 1) AS w_plus,
+           round((CAST(w2 AS DOUBLE) / 2 - CAST(n AS DOUBLE) * (n + 1) / 4)
+                 / sqrt(CAST(n AS DOUBLE) * (n + 1) * (2 * n + 1) / 24
+                        - CAST(tie3 AS DOUBLE) / 48), 6) AS z
+    FROM s
+    """,
+)
+def stat_wilcoxon_signed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wilcoxon signed-rank test (paired, the one `stat_mann_whitney`
+    isn't): per order, does the LAST line's price systematically exceed the
+    FIRST line's (line order totalized by (linenumber, price) — the
+    generator reuses line numbers)? W+ = sum of |difference| ranks where the sign is
+    positive; z uses the normal approximation with the exact tie
+    correction Σ(t³−t)/48.
+
+    Exactness: tie-averaged ranks are computed DOUBLED (2·rank is an
+    exact integer over the tie structure — the `stat_spearman` frank
+    device) on the DISTINCT-|d| aggregate, so W+ arrives as an exact
+    integer halved at the end; n, tie³ totals are exact; z is one
+    identical float expression. Scale: one groupBy on the pair key, one
+    vocabulary-scale rank pass (distinct |d| values), three scalars —
+    the fact table is touched once."""
+    li = table(spark, sf_dir, "lineitem")
+    p = F.col("l_extendedprice").cast("decimal(18,2)")
+    pairs = (
+        li.groupBy("l_orderkey")
+        .agg(
+            # l_linenumber is NOT unique within an order, so the
+            # ordering key includes the price itself: residual ties
+            # then imply equal prices and the argmax is well-defined.
+            (F.max_by(p, F.struct(F.col("l_linenumber"), p))
+             - F.min_by(p, F.struct(F.col("l_linenumber"), p))).alias("d"),
+            F.count(F.lit(1)).alias("c"),
+        )
+        .filter(F.col("c") >= 2)
+        .filter(F.col("d") != 0)
+        .select(F.abs(F.col("d")).alias("ad"), (F.col("d") > 0).alias("pos"))
+    )
+    vals = pairs.groupBy("ad").agg(
+        F.count(F.lit(1)).alias("cnt"),
+        F.count_if(F.col("pos")).alias("pos_cnt"),
+    )
+    from xlsx_to_database_spark.operators import global_order as GO
+
+    ranked = GO.with_global_running_sums(
+        vals, [F.col("ad").asc()], "ad", {"cle": "cnt"}
+    ).select(
+        "cnt", "pos_cnt",
+        (F.lit(2) * F.col("cle") - F.col("cnt") + 1).alias("r2"),
+    )
+    s = ranked.agg(
+        F.sum("cnt").cast("long").alias("n"),
+        F.sum(F.col("pos_cnt") * F.col("r2")).cast("long").alias("w2"),
+        F.sum(
+            F.col("cnt") * F.col("cnt") * F.col("cnt") - F.col("cnt")
+        ).cast("long").alias("tie3"),
+    )
+    nd = F.col("n").cast("double")
+    return s.select(
+        "n",
+        F.round(F.col("w2").cast("double") / 2, 1).alias("w_plus"),
+        F.round(
+            (F.col("w2").cast("double") / 2 - nd * (F.col("n") + 1) / 4)
+            / F.sqrt(
+                nd * (F.col("n") + 1) * (2 * F.col("n") + 1) / 24
+                - F.col("tie3").cast("double") / 48
+            ),
+            6,
+        ).alias("z"),
+    )
