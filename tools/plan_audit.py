@@ -119,6 +119,9 @@ ALLOWED: dict[str, dict[str, str]] = {
             "interval_point_stab",    # probe axis (4 rows)
             "ml_kfold_cv",            # threshold spine (5 rows)
             "stat_lorenz_curve",      # decile-sum total (1 row)
+            "udtf_sql",               # 12-row month spine band join
+            "stat_beta_binomial_eb",  # Beta prior (1 row)
+            "ml_isotonic_calibration",  # 10-row bin intervals (<=10^3)
         )
     },
     "stat_kendall_tau": {

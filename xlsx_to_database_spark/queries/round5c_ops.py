@@ -1923,3 +1923,246 @@ def stat_wilcoxon_signed(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("z"),
     )
+
+
+@query(
+    "udtf_sql",
+    """
+    WITH spine AS (
+      SELECT unnest(range(0, 12)) AS m
+    ), months AS (
+      SELECT CAST(m AS BIGINT) AS month_off,
+             TIMESTAMP '1997-01-01' + to_months(CAST(m AS INT)) AS month_start
+      FROM spine
+    )
+    SELECT m.month_off, m.month_start,
+           CAST(count(o.o_orderkey) AS BIGINT) AS n_orders
+    FROM months m LEFT JOIN orders o
+      ON o.o_orderdate >= m.month_start
+     AND o.o_orderdate < m.month_start + to_months(1)
+    GROUP BY m.month_off, m.month_start
+    """,
+)
+def udtf_sql(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SQL-defined TABLE function (Spark 4 ``CREATE FUNCTION ...
+    RETURNS TABLE``) — the set-returning sibling of `udf_sql` and the
+    JVM-side alternative to `udtf_python`: the body is a subquery that
+    inlines into the plan, so generating a 12-month spine costs a
+    Range node, not a Python process. Used here for the classic
+    calendar-spine left join (months with zero orders must appear).
+
+    The month-window band join is bounded (12 spine rows — broadcast
+    NLJ over a metadata-size build side, same class as
+    `etl_calendar_scaffold`)."""
+    spark.sql(
+        # range(0, n) rejects a non-foldable function parameter;
+        # sequence() accepts one, so the spine generates through explode.
+        "CREATE OR REPLACE TEMPORARY FUNCTION month_spine(n INT) "
+        "RETURNS TABLE(month_off BIGINT, month_start TIMESTAMP) "
+        "RETURN SELECT x AS month_off, "
+        "TIMESTAMP '1997-01-01' + make_interval(0, CAST(x AS INT)) "
+        "FROM (SELECT explode(sequence(CAST(0 AS BIGINT), "
+        "CAST(n - 1 AS BIGINT))) AS x)"
+    )
+    table(spark, sf_dir, "orders").createOrReplaceTempView("__udtf_sql_o")
+    return spark.sql(
+        """
+        SELECT m.month_off, m.month_start,
+               CAST(count(o.o_orderkey) AS BIGINT) AS n_orders
+        FROM month_spine(12) m LEFT JOIN __udtf_sql_o o
+          ON o.o_orderdate >= m.month_start
+         AND o.o_orderdate < m.month_start + make_interval(0, 1)
+        GROUP BY m.month_off, m.month_start
+        """
+    )
+
+
+_EB_MIN_N = 5  #: parts with fewer lines are shrunk hardest — still included
+
+
+@query(
+    "stat_beta_binomial_eb",
+    f"""
+    WITH per AS (
+      SELECT l_partkey,
+             CAST(count(*) AS BIGINT) AS n,
+             CAST(count(*) FILTER (WHERE l_returnflag = 'R') AS BIGINT)
+               AS k
+      FROM lineitem GROUP BY l_partkey
+    ), rates AS (
+      SELECT l_partkey, n, k,
+             CAST(round(CAST(k AS DOUBLE) / n, 8) AS DECIMAL(18,8)) AS p
+      FROM per
+    ), mom AS (
+      SELECT CAST(count(*) AS BIGINT) AS g,
+             CAST(sum(p) AS DECIMAL(28,8)) AS sp,
+             CAST(sum(CAST(p * p AS DECIMAL(28,16))) AS DECIMAL(28,16))
+               AS spp
+      FROM rates WHERE n >= {_EB_MIN_N}
+    ), prior AS (
+      SELECT
+        CAST(sp AS DOUBLE) / g AS m,
+        (CAST(spp AS DOUBLE) - CAST(sp AS DOUBLE) * CAST(sp AS DOUBLE) / g)
+          / (g - 1) AS v
+      FROM mom
+    ), ab AS (
+      SELECT m * (m * (1 - m) / v - 1) AS alpha,
+             (1 - m) * (m * (1 - m) / v - 1) AS beta
+      FROM prior
+    )
+    SELECT r.l_partkey, r.n, r.k,
+           round(CAST(r.p AS DOUBLE), 6) AS raw_rate,
+           round((r.k + a.alpha) / (r.n + a.alpha + a.beta), 6)
+             AS shrunk_rate
+    FROM rates r CROSS JOIN ab a
+    """,
+)
+def stat_beta_binomial_eb(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Empirical-Bayes shrinkage of per-part return rates under a
+    Beta-Binomial model — the smoothed-CTR estimator: a part with 2
+    returns out of 3 lines should NOT rank as "67% return rate"; its
+    estimate shrinks toward the corpus prior in proportion to its
+    evidence. Prior (α, β) by method of moments from the rate
+    distribution of adequately-sampled parts; every part then reports
+    (k + α)/(n + α + β).
+
+    Exactness: per-part rates quantize to DECIMAL(18,8) before the
+    moment sums (order-independent); the prior and the shrinkage are
+    one identical float expression over those exact moments. Shape: one
+    groupBy at part scale, a 1-row prior broadcast back — two passes
+    over the AGGREGATE, one over the data."""
+    li = table(spark, sf_dir, "lineitem")
+    per = li.groupBy("l_partkey").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.count_if(F.col("l_returnflag") == "R").alias("k"),
+    )
+    rates = per.select(
+        "l_partkey", "n", "k",
+        F.round(F.col("k").cast("double") / F.col("n"), 8)
+        .cast("decimal(18,8)").alias("p"),
+    )
+    mom = rates.filter(F.col("n") >= _EB_MIN_N).agg(
+        F.count(F.lit(1)).alias("g"),
+        F.sum("p").cast("decimal(28,8)").alias("sp"),
+        F.sum((F.col("p") * F.col("p")).cast("decimal(28,16)"))
+        .cast("decimal(28,16)").alias("spp"),
+    )
+    m = F.col("sp").cast("double") / F.col("g")
+    v = (
+        F.col("spp").cast("double")
+        - F.col("sp").cast("double") * F.col("sp").cast("double")
+        / F.col("g")
+    ) / (F.col("g") - 1)
+    ab = mom.select(
+        (m * (m * (1 - m) / v - 1)).alias("alpha"),
+        ((1 - m) * (m * (1 - m) / v - 1)).alias("beta"),
+    )
+    return rates.crossJoin(F.broadcast(ab)).select(
+        "l_partkey", "n", "k",
+        F.round(F.col("p").cast("double"), 6).alias("raw_rate"),
+        F.round(
+            (F.col("k") + F.col("alpha"))
+            / (F.col("n") + F.col("alpha") + F.col("beta")),
+            6,
+        ).alias("shrunk_rate"),
+    )
+
+
+@query(
+    "ml_isotonic_calibration",
+    """
+    WITH ranked AS (
+      SELECT o_orderpriority IN ('1-URGENT', '2-HIGH') AS y,
+             ntile(10) OVER (ORDER BY o_totalprice, o_orderkey) AS decile
+      FROM orders
+    ), bins AS (
+      SELECT decile, CAST(count(*) AS BIGINT) AS n,
+             CAST(count(*) FILTER (WHERE y) AS BIGINT) AS k
+      FROM ranked GROUP BY decile
+    ), pre AS (
+      SELECT decile, n, k,
+             sum(n) OVER (ORDER BY decile) AS cn,
+             sum(k) OVER (ORDER BY decile) AS ck
+      FROM bins
+    ), intervals AS (
+      SELECT lo.decile AS j, hi.decile AS kk,
+             CAST(hi.ck - lo.ck + lo.k AS DOUBLE)
+               / (hi.cn - lo.cn + lo.n) AS ratio
+      FROM pre lo JOIN pre hi ON lo.decile <= hi.decile
+    ), inner_min AS (
+      SELECT b.decile, iv.j, min(iv.ratio) AS mn
+      FROM bins b JOIN intervals iv
+        ON iv.j <= b.decile AND iv.kk >= b.decile
+      GROUP BY b.decile, iv.j
+    )
+    SELECT b.decile, b.n, b.k,
+           round(CAST(b.k AS DOUBLE) / b.n, 6) AS raw_rate,
+           round(max(im.mn), 6) AS calibrated
+    FROM bins b JOIN inner_min im ON im.decile = b.decile
+    GROUP BY b.decile, b.n, b.k
+    """,
+)
+def ml_isotonic_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Isotonic calibration (pool-adjacent-violators) of the
+    price→priority signal over score deciles — the standard fix when a
+    model's scores rank well but its probabilities don't: replace each
+    bin's raw rate with the best monotone fit. Instead of iterating PAV
+    pooling, this uses its CLOSED FORM — cal_i = max_{{j≤i}} min_{{k≥i}}
+    mean(y[j..k]) — so the whole fit is three joins over the 10-row bin
+    table (≤10³ interval rows, metadata scale) and the result is exact,
+    SQL-expressible, and provably monotone (asserted in tests).
+
+    Scale: the only data-size work is the decile assignment (bucketed
+    global ntile) and one conditional count per bin; calibration itself
+    never sees a data row. The 10-row windows/joins are metadata."""
+    from xlsx_to_database_spark.operators import global_order as GO
+
+    o = table(spark, sf_dir, "orders").select(
+        "o_totalprice", "o_orderkey",
+        F.col("o_orderpriority").isin("1-URGENT", "2-HIGH").alias("y"),
+    )
+    ranked = GO.with_global_ntile(
+        o,
+        [F.col("o_totalprice").asc(), F.col("o_orderkey").asc()],
+        "o_totalprice",
+        10,
+        out="decile",
+    )
+    bins = ranked.groupBy("decile").agg(
+        F.count(F.lit(1)).alias("n"), F.count_if("y").alias("k")
+    )
+    w = Window.orderBy("decile").rowsBetween(Window.unboundedPreceding, 0)
+    pre = bins.select(
+        "decile", "n", "k",
+        F.sum("n").over(w).alias("cn"), F.sum("k").over(w).alias("ck")
+    )
+    lo, hi = pre.alias("lo"), pre.alias("hi")
+    intervals = lo.join(
+        hi, F.col("lo.decile") <= F.col("hi.decile")
+    ).select(
+        F.col("lo.decile").alias("j"), F.col("hi.decile").alias("kk"),
+        (
+            (F.col("hi.ck") - F.col("lo.ck") + F.col("lo.k")).cast("double")
+            / (F.col("hi.cn") - F.col("lo.cn") + F.col("lo.n"))
+        ).alias("ratio"),
+    )
+    inner_min = (
+        bins.select("decile")
+        .join(
+            intervals,
+            (F.col("j") <= F.col("decile")) & (F.col("kk") >= F.col("decile")),
+        )
+        .groupBy("decile", "j")
+        .agg(F.min("ratio").alias("mn"))
+    )
+    return (
+        bins.join(inner_min, "decile")
+        .groupBy("decile", "n", "k")
+        .agg(F.max("mn").alias("cal"))
+        .select(
+            "decile", "n", "k",
+            F.round(F.col("k").cast("double") / F.col("n"), 6)
+            .alias("raw_rate"),
+            F.round(F.col("cal"), 6).alias("calibrated"),
+        )
+    )
