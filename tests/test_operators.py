@@ -3015,3 +3015,85 @@ def test_isotonic_fit_is_monotone_and_matches_pav(spark, sf_dir):
             expanded.append(round(sy / cnt, 6))
             bi += 1
     assert cal == expanded
+
+
+def test_bom_file_reads_clean(spark, sf_dir):
+    """The staged file must physically carry the BOM, and the scan must
+    return clean headers and an uncorrupted first row."""
+    import os
+
+    from xlsx_to_database_spark.catalog import table
+    from xlsx_to_database_spark.queries.sources_sinks import _STAGE_ROOT, _tag
+    from xlsx_to_database_spark.registry import all_queries
+
+    df = all_queries()["csv_bom_scan"](spark, sf_dir)
+    path = os.path.join(_STAGE_ROOT, f"{_tag(sf_dir)}_nation_bom.csv")
+    with open(path, "rb") as fh:
+        assert fh.read(3) == b"\xef\xbb\xbf"
+    assert df.columns == ["n_nationkey", "n_name", "n_regionkey"]
+    got = sorted(map(tuple, df.collect()))
+    want = sorted(map(tuple, table(spark, sf_dir, "nation").select(
+        "n_nationkey", "n_name", "n_regionkey").collect()))
+    assert got == want
+
+
+def test_ulcer_index_matches_decimal_replay(spark, sf_dir):
+    """RMS drawdown replayed sequentially per supplier."""
+    import math
+    from decimal import Decimal
+
+    from xlsx_to_database_spark.catalog import table
+    from xlsx_to_database_spark.registry import all_queries
+
+    got = {
+        r.l_suppkey: (r.n, r.ulcer_index, r.max_drawdown_pct)
+        for r in all_queries()["win_ulcer_index"](spark, sf_dir).collect()
+    }
+    series: dict[int, list] = {}
+    for r in (
+        table(spark, sf_dir, "lineitem")
+        .select("l_suppkey", "l_shipdate", "l_orderkey", "l_linenumber",
+                "l_extendedprice")
+        .collect()
+    ):
+        series.setdefault(r.l_suppkey, []).append(r)
+    q = Decimal("0.01")
+    for sk, rows in series.items():
+        rows.sort(key=lambda r: (r.l_shipdate, r.l_orderkey, r.l_linenumber))
+        peak = None
+        s2 = Decimal(0)
+        worst = 0.0
+        for r in rows:
+            p = Decimal(repr(r.l_extendedprice)).quantize(q)
+            peak = p if peak is None or p > peak else peak
+            ddp = 100.0 * (float(p) / float(peak) - 1)
+            s2 += Decimal(str(round(ddp ** 2, 8)))
+            worst = min(worst, round(ddp, 6))
+        n = len(rows)
+        assert got[sk] == (n, round(math.sqrt(float(s2) / n), 6), worst)
+
+
+def test_mips_reduction_equals_direct_inner_product_order(spark, sf_dir):
+    """The augmented-cosine ranking must equal direct inner-product
+    ranking over the whole corpus (not just the top 10)."""
+    from xlsx_to_database_spark.catalog import table
+    from xlsx_to_database_spark.registry import all_queries
+
+    vecs = {
+        r.vec_id: r.embedding
+        for r in table(spark, sf_dir, "embeddings")
+        .select("vec_id", "embedding")
+        .collect()
+    }
+    qv = vecs[0]
+    ips = {
+        k: sum(float(a) * float(b) for a, b in zip(v, qv))
+        for k, v in vecs.items()
+    }
+    want = [
+        k for k, _ in sorted(ips.items(), key=lambda kv: (-kv[1], kv[0]))
+    ][:10]
+    rows = all_queries()["sim_mips_transform"](spark, sf_dir).collect()
+    assert [r.vec_id for r in rows] == want
+    for r in rows:
+        assert abs(r.ip - ips[r.vec_id]) < 1e-4

@@ -122,6 +122,7 @@ ALLOWED: dict[str, dict[str, str]] = {
             "udtf_sql",               # 12-row month spine band join
             "stat_beta_binomial_eb",  # Beta prior (1 row)
             "ml_isotonic_calibration",  # 10-row bin intervals (<=10^3)
+            "sim_mips_transform",     # max-norm M + query vector (1 row each)
         )
     },
     "stat_kendall_tau": {

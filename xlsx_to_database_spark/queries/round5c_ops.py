@@ -2166,3 +2166,188 @@ def ml_isotonic_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.col("cal"), 6).alias("calibrated"),
         )
     )
+
+
+@query(
+    "csv_bom_scan",
+    """
+    SELECT CAST(n_nationkey AS BIGINT) AS n_nationkey, n_name,
+           CAST(n_regionkey AS BIGINT) AS n_regionkey
+    FROM nation
+    """,
+)
+def csv_bom_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UTF-8-BOM CSV ingestion: Excel and Windows tooling prepend
+    EF BB BF to "UTF-8" exports; a reader that treats those bytes as
+    data corrupts the FIRST HEADER NAME (the infamous '\\ufeffid'
+    column that breaks every downstream select). The staged file
+    carries a real BOM; the scan must yield clean column names and an
+    uncorrupted first data row — the oracle (clean parquet) hash-match
+    proves both. Spark's CSV reader strips the BOM in both the
+    header-inference and explicit-schema paths; this op pins that
+    behavior so a reader regression is caught here, not in
+    production."""
+    import os
+
+    from xlsx_to_database_spark.queries.sources_sinks import (
+        _STAGE_ROOT, _tag,
+    )
+
+    path = os.path.join(_STAGE_ROOT, f"{_tag(sf_dir)}_nation_bom.csv")
+    if not os.path.exists(path):
+        os.makedirs(_STAGE_ROOT, exist_ok=True)
+        rows = (
+            table(spark, sf_dir, "nation")
+            .select("n_nationkey", "n_name", "n_regionkey")
+            .orderBy("n_nationkey")
+            .collect()
+        )
+        with open(path + ".tmp", "wb") as fh:
+            fh.write(b"\xef\xbb\xbf")  # UTF-8 BOM
+            fh.write(b"n_nationkey,n_name,n_regionkey\n")
+            for r in rows:
+                fh.write(
+                    f"{r.n_nationkey},{r.n_name},{r.n_regionkey}\n"
+                    .encode("utf-8")
+                )
+        os.replace(path + ".tmp", path)
+    df = (
+        spark.read.option("header", "true")
+        .schema("n_nationkey long, n_name string, n_regionkey long")
+        .csv(path)
+    )
+    assert df.columns[0] == "n_nationkey", "BOM leaked into the header"
+    return df
+
+
+@query(
+    "win_ulcer_index",
+    """
+    WITH px AS (
+      SELECT l_suppkey,
+             CAST(l_extendedprice AS DECIMAL(18,2)) AS p,
+             max(CAST(l_extendedprice AS DECIMAL(18,2))) OVER (
+               PARTITION BY l_suppkey
+               ORDER BY l_shipdate, l_orderkey, l_linenumber
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+             ) AS peak
+      FROM lineitem
+    ), dd AS (
+      SELECT l_suppkey,
+             CAST(round(
+               pow(100.0 * (CAST(p AS DOUBLE) / CAST(peak AS DOUBLE) - 1),
+                   2), 8) AS DECIMAL(24,8)) AS dd2,
+             round(100.0 * (CAST(p AS DOUBLE) / CAST(peak AS DOUBLE) - 1),
+                   6) AS ddp
+      FROM px
+    )
+    SELECT l_suppkey, CAST(count(*) AS BIGINT) AS n,
+           round(sqrt(CAST(sum(dd2) AS DOUBLE) / count(*)), 6)
+             AS ulcer_index,
+           min(ddp) AS max_drawdown_pct
+    FROM dd GROUP BY l_suppkey
+    """,
+)
+def win_ulcer_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ulcer index per supplier price series — root-mean-square
+    percentage drawdown from the running peak. Unlike `win_drawdown`'s
+    maximum (one bad day), the ulcer index integrates DEPTH × DURATION
+    of being underwater — the risk number retail volatility measures
+    miss.
+
+    Exactness: the running peak is a decimal windowed max (no
+    arithmetic); each squared drawdown is computed in one identical
+    float expression then quantized to DECIMAL(24,8), so the RMS
+    aggregation is order-independent; the final sqrt is shared. One
+    shuffle on the supplier key, running-max frame is O(1) state."""
+    w = Window.partitionBy("l_suppkey").orderBy(
+        "l_shipdate", "l_orderkey", "l_linenumber"
+    ).rowsBetween(Window.unboundedPreceding, 0)
+    p = F.col("l_extendedprice").cast("decimal(18,2)")
+    px = table(spark, sf_dir, "lineitem").select(
+        "l_suppkey", p.alias("p"), F.max(p).over(w).alias("peak")
+    )
+    ddp = 100.0 * (
+        F.col("p").cast("double") / F.col("peak").cast("double") - 1
+    )
+    dd = px.select(
+        "l_suppkey",
+        F.round(F.pow(ddp, 2), 8).cast("decimal(24,8)").alias("dd2"),
+        F.round(ddp, 6).alias("ddp"),
+    )
+    return dd.groupBy("l_suppkey").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(
+            F.sqrt(F.sum("dd2").cast("double") / F.count(F.lit(1))), 6
+        ).alias("ulcer_index"),
+        F.min("ddp").alias("max_drawdown_pct"),
+    )
+
+
+@query(
+    "sim_mips_transform",
+    """
+    WITH v AS (
+      SELECT vec_id,
+             list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+      FROM embeddings
+    ), n AS (
+      SELECT vec_id, e,
+             list_sum(list_transform(e, x -> x * x)) AS sq
+      FROM v
+    ), q AS (SELECT e AS qe FROM v WHERE vec_id = 0)
+    SELECT vec_id,
+           round(list_sum(list_transform(generate_series(1, len(e)),
+                 i -> e[i] * qe[i])), 6) AS ip
+    FROM n, q
+    ORDER BY list_sum(list_transform(generate_series(1, len(e)),
+             i -> e[i] * qe[i])) DESC, vec_id
+    LIMIT 10
+    """,
+)
+def sim_mips_transform(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Maximum-inner-product search (MIPS) via the cosine reduction:
+    augment every corpus vector with one extra coordinate
+    √(M² − |x|²) (M = max corpus norm, one broadcast scalar) and the
+    query with 0 — the augmented vectors all have norm M, so cosine
+    order against the augmented corpus IS inner-product order
+    (Bachrach et al.'s MIPS→NNS reduction). This matters because every
+    ANN index in the package (`sim_lsh_topk`, `sim_ivf_topk`) speaks
+    cosine; the transform lets them serve recommendation-style IP
+    queries unchanged.
+
+    The Spark plan RANKS by the augmented cosine (the reduction under
+    test) and reports the plain inner product; the oracle ranks by
+    inner product directly — the hash match across 10 rows is the
+    end-to-end proof of order equivalence on this corpus. Shape: one
+    scalar broadcast (M), one map-only score pass, TakeOrdered top-k."""
+    from xlsx_to_database_spark.operators.similarity import _dot
+
+    e = table(spark, sf_dir, "embeddings").select(
+        "vec_id",
+        F.transform("embedding", lambda x: x.cast("double")).alias("e"),
+    )
+    sq = F.aggregate(
+        F.transform("e", lambda x: x * x), F.lit(0.0),
+        lambda a, x: a + x,
+    )
+    n = e.select("vec_id", "e", sq.alias("sq"))
+    m = n.agg(F.max(F.sqrt(F.col("sq"))).alias("M"))
+    q = n.filter(F.col("vec_id") == 0).select(
+        F.col("e").alias("qe"),
+        F.sqrt(F.col("sq")).alias("qn"),
+    )
+    scored = n.crossJoin(F.broadcast(m)).crossJoin(F.broadcast(q)).select(
+        "vec_id",
+        _dot(F.col("e"), F.col("qe")).alias("ip"),
+        # augmented cosine: <(x, sqrt(M^2-|x|^2)), (q, 0)> / (M * |q|)
+        (
+            _dot(F.col("e"), F.col("qe"))
+            / (F.col("M") * F.col("qn"))
+        ).alias("cos_aug"),
+    )
+    return (
+        scored.orderBy(F.col("cos_aug").desc(), "vec_id")
+        .limit(10)
+        .select("vec_id", F.round("ip", 6).alias("ip"))
+    )
