@@ -3097,3 +3097,95 @@ def test_mips_reduction_equals_direct_inner_product_order(spark, sf_dir):
     assert [r.vec_id for r in rows] == want
     for r in rows:
         assert abs(r.ip - ips[r.vec_id]) < 1e-4
+
+
+def test_twap_matches_decimal_replay(spark, sf_dir):
+    """Σp·dt / Σdt replayed sequentially, last/zero-gap obs dropped."""
+    from decimal import Decimal
+
+    from xlsx_to_database_spark.catalog import table
+    from xlsx_to_database_spark.registry import all_queries
+
+    got = {
+        r.l_suppkey: (r.n_segments, r.span_sec, r.twap)
+        for r in all_queries()["win_twap"](spark, sf_dir).collect()
+    }
+    series: dict[int, list] = {}
+    for r in (
+        table(spark, sf_dir, "lineitem")
+        .select("l_suppkey", "l_shipdate", "l_orderkey", "l_linenumber",
+                "l_extendedprice")
+        .collect()
+    ):
+        series.setdefault(r.l_suppkey, []).append(r)
+    q = Decimal("0.01")
+    for sk, rows in series.items():
+        rows.sort(key=lambda r: (r.l_shipdate, r.l_orderkey, r.l_linenumber))
+        num = Decimal(0)
+        den = 0
+        nseg = 0
+        for a, b in zip(rows, rows[1:]):
+            dt = int((b.l_shipdate - a.l_shipdate).total_seconds())
+            if dt > 0:
+                num += Decimal(repr(a.l_extendedprice)).quantize(q) * dt
+                den += dt
+                nseg += 1
+        if den:
+            assert got[sk] == (nseg, den, round(float(num) / den, 6))
+
+
+def test_scd2_snapshot_has_exactly_one_active_version_per_key(spark, sf_dir):
+    """At every snapshot date, n_active summed over states must equal
+    the number of keys whose history has started — the half-open
+    interval invariant."""
+    from datetime import datetime
+
+    from xlsx_to_database_spark.catalog import table
+    from xlsx_to_database_spark.registry import all_queries
+
+    rows = all_queries()["etl_scd2_snapshot"](spark, sf_dir).collect()
+    per_snap: dict = {}
+    for r in rows:
+        per_snap[r.snap] = per_snap.get(r.snap, 0) + r.n_active
+    first = {
+        r.o_custkey: r.f
+        for r in table(spark, sf_dir, "orders")
+        .groupBy("o_custkey")
+        .agg(F.min("o_orderdate").alias("f"))
+        .collect()
+    }
+    for snap, n in per_snap.items():
+        assert n == sum(1 for f in first.values() if f <= snap), snap
+    assert datetime(1999, 1, 1) in per_snap
+
+
+def test_check_constraint_rejects_null_and_negative_atomically(spark, tmp_path):
+    """NULL fails CHECK (SQL semantics: only TRUE passes); a rejected
+    batch leaves no files and no version behind."""
+    import os
+
+    import pytest as _pytest
+
+    from xlsx_to_database_spark.operators.txn_table import (
+        CheckViolation, TxnTable,
+    )
+
+    t = TxnTable(spark, str(tmp_path / "t"), "k")
+    t.create(spark.range(1, 11).select(
+        F.col("id").alias("k"), (F.col("id") * 1.0).alias("v")
+    ))
+    bad = spark.range(11, 14).select(
+        F.col("id").alias("k"),
+        F.when(F.col("id") == 12, None).otherwise(-1.0).alias("v"),
+    )
+    with _pytest.raises(CheckViolation):
+        t.append(bad, check=F.col("v") > 0)
+    assert t.latest_version() == 0
+    assert t.read().count() == 10
+    t.append(
+        spark.range(11, 14).select(
+            F.col("id").alias("k"), (F.col("id") * 2.0).alias("v")
+        ),
+        check=F.col("v") > 0,
+    )
+    assert t.latest_version() == 1 and t.read().count() == 13

@@ -123,6 +123,7 @@ ALLOWED: dict[str, dict[str, str]] = {
             "stat_beta_binomial_eb",  # Beta prior (1 row)
             "ml_isotonic_calibration",  # 10-row bin intervals (<=10^3)
             "sim_mips_transform",     # max-norm M + query vector (1 row each)
+            "etl_scd2_snapshot",      # snapshot axis (4 rows)
         )
     },
     "stat_kendall_tau": {

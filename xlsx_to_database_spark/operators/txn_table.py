@@ -52,6 +52,10 @@ class ConcurrentWriteError(RuntimeError):
     """Another writer committed this version first — retry on latest."""
 
 
+class CheckViolation(ValueError):
+    """An incoming batch violates the table's CHECK constraint."""
+
+
 def _log_dir(path: str) -> str:
     return os.path.join(path, "_txn_log")
 
@@ -176,7 +180,24 @@ class TxnTable:
         self._commit(0, "create", self._stage_files(df, 0))
         return 0
 
-    def append(self, df: DataFrame) -> int:
+    def append(self, df: DataFrame, check=None) -> int:
+        """Append ``df`` as a new version. ``check`` (a boolean Column)
+        is a Delta-style CHECK constraint: if ANY incoming row violates
+        it (NULL counts as a violation, as SQL CHECK accepts only
+        TRUE), the commit is rejected with ``CheckViolation`` and the
+        log is untouched — enforcement happens at WRITE time, once,
+        instead of in every reader forever. The violation probe is one
+        aggregate over the staged batch (no extra pass over the
+        table)."""
+        if check is not None:
+            bad = df.filter(
+                ~F.coalesce(check, F.lit(False))
+            ).count()
+            if bad:
+                raise CheckViolation(
+                    f"{bad} incoming row(s) violate the table CHECK "
+                    f"constraint; commit rejected"
+                )
         v = self.latest_version() + 1
         files = self.manifest()["files"] + self._stage_files(df, v)
         self._commit(v, "append", files)

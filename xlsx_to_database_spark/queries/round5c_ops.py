@@ -2351,3 +2351,222 @@ def sim_mips_transform(spark: SparkSession, sf_dir: str) -> DataFrame:
         .limit(10)
         .select("vec_id", F.round("ip", 6).alias("ip"))
     )
+
+
+@query(
+    "win_twap",
+    """
+    WITH px AS (
+      SELECT l_suppkey,
+             CAST(l_extendedprice AS DECIMAL(18,2)) AS p,
+             epoch_us(l_shipdate) // 1000000 AS t,
+             lead(epoch_us(l_shipdate) // 1000000) OVER (
+               PARTITION BY l_suppkey
+               ORDER BY l_shipdate, l_orderkey, l_linenumber) AS t_next
+      FROM lineitem
+    ), seg AS (
+      SELECT l_suppkey, p, CAST(t_next - t AS BIGINT) AS dt
+      FROM px WHERE t_next IS NOT NULL
+    )
+    SELECT l_suppkey,
+           CAST(count(*) AS BIGINT) AS n_segments,
+           CAST(sum(dt) AS BIGINT) AS span_sec,
+           round(CAST(sum(CAST(p AS DECIMAL(28,2)) * dt) AS DOUBLE)
+                 / CAST(sum(dt) AS DOUBLE), 6) AS twap
+    FROM seg WHERE dt > 0 GROUP BY l_suppkey
+    """,
+)
+def win_twap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-weighted average price per supplier — each observation
+    holds until the next one, so its weight is the gap to the NEXT
+    event (`win_rolling_vwap` weights by volume; TWAP weights by
+    holding time — the benchmark execution algos settle against). The
+    final observation has no holding period and drops; zero-length
+    gaps (same-timestamp fills) carry zero weight and drop with it.
+
+    Exactness: gaps are integer epoch-seconds; price × seconds
+    accumulates as exact DECIMAL products; the single ratio is shared.
+    One shuffle on the supplier key (the lead window), then a partial
+    aggregate."""
+    w = Window.partitionBy("l_suppkey").orderBy(
+        "l_shipdate", "l_orderkey", "l_linenumber"
+    )
+    t = (F.unix_micros(F.col("l_shipdate")) / F.lit(1000000)).cast("long")
+    px = table(spark, sf_dir, "lineitem").select(
+        "l_suppkey",
+        F.col("l_extendedprice").cast("decimal(18,2)").alias("p"),
+        (F.lead(t).over(w) - t).alias("dt"),
+    )
+    seg = px.filter(F.col("dt").isNotNull() & (F.col("dt") > 0))
+    return seg.groupBy("l_suppkey").agg(
+        F.count(F.lit(1)).alias("n_segments"),
+        F.sum("dt").cast("long").alias("span_sec"),
+        F.round(
+            F.sum(F.col("p").cast("decimal(28,2)") * F.col("dt"))
+            .cast("double") / F.sum("dt").cast("double"),
+            6,
+        ).alias("twap"),
+    )
+
+
+@query(
+    "etl_scd2_snapshot",
+    """
+    WITH w AS (
+      SELECT o_custkey, o_orderdate, o_orderpriority,
+             CASE WHEN lag(o_orderpriority) OVER wo IS NULL
+                    OR lag(o_orderpriority) OVER wo <> o_orderpriority
+                  THEN 1 ELSE 0 END AS chg
+      FROM orders
+      WINDOW wo AS (PARTITION BY o_custkey
+                    ORDER BY o_orderdate, o_orderkey)
+    ), runs AS (
+      SELECT o_custkey, o_orderdate, o_orderpriority,
+             sum(chg) OVER (PARTITION BY o_custkey
+                            ORDER BY o_orderdate
+                            ROWS BETWEEN UNBOUNDED PRECEDING
+                                     AND CURRENT ROW) AS version
+      FROM w
+    ), versions AS (
+      SELECT o_custkey, o_orderpriority AS state, version,
+             min(o_orderdate) AS valid_from
+      FROM runs GROUP BY o_custkey, o_orderpriority, version
+    ), intervals AS (
+      SELECT o_custkey, state, valid_from,
+             lead(valid_from) OVER (PARTITION BY o_custkey
+                                    ORDER BY valid_from, version)
+               AS valid_to_excl
+      FROM versions
+    ), snaps AS (
+      SELECT unnest(ARRAY[TIMESTAMP '1996-01-01', TIMESTAMP '1997-01-01',
+                          TIMESTAMP '1998-01-01', TIMESTAMP '1999-01-01'])
+             AS snap
+    )
+    SELECT s.snap, i.state, CAST(count(*) AS BIGINT) AS n_active
+    FROM intervals i JOIN snaps s
+      ON i.valid_from <= s.snap
+     AND (i.valid_to_excl IS NULL OR i.valid_to_excl > s.snap)
+    GROUP BY s.snap, i.state
+    """,
+)
+def etl_scd2_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCD2 → point-in-time snapshots: reconstruct "the dimension as of
+    date D" for four yearly snapshot dates from the versioned history
+    (same gaps-and-islands build as `etl_scd2`, but with HALF-OPEN
+    [valid_from, next_valid_from) intervals so exactly ONE version per
+    key is active at any instant — the invariant the unit test pins,
+    and the property the closed intervals of observation-based SCD2
+    cannot give). This is the nightly "snapshot fact" materialization
+    pattern: auditors ask for states-as-of, not histories.
+
+    Shape: the history build shares one shuffle+sort on the key across
+    its windows; snapshots attach as a 4-row broadcast band join; the
+    final count is a partial aggregate."""
+    o = table(spark, sf_dir, "orders")
+    wo = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    prev = F.lag("o_orderpriority").over(wo)
+    marked = o.select(
+        "o_custkey", "o_orderdate", "o_orderpriority",
+        F.when(prev.isNull() | (prev != F.col("o_orderpriority")), 1)
+        .otherwise(0).alias("chg"),
+    )
+    runs = marked.select(
+        "o_custkey", "o_orderdate", "o_orderpriority",
+        F.sum("chg").over(
+            Window.partitionBy("o_custkey").orderBy("o_orderdate")
+            .rowsBetween(Window.unboundedPreceding, 0)
+        ).alias("version"),
+    )
+    versions = runs.groupBy(
+        "o_custkey", F.col("o_orderpriority").alias("state"), "version"
+    ).agg(F.min("o_orderdate").alias("valid_from"))
+    wv = Window.partitionBy("o_custkey").orderBy("valid_from", "version")
+    intervals = versions.select(
+        "o_custkey", "state", "valid_from",
+        F.lead("valid_from").over(wv).alias("valid_to_excl"),
+    )
+    snaps = spark.sql(
+        "SELECT explode(array(TIMESTAMP '1996-01-01',"
+        " TIMESTAMP '1997-01-01', TIMESTAMP '1998-01-01',"
+        " TIMESTAMP '1999-01-01')) AS snap"
+    )
+    return (
+        intervals.join(
+            F.broadcast(snaps),
+            (F.col("valid_from") <= F.col("snap"))
+            & (
+                F.col("valid_to_excl").isNull()
+                | (F.col("valid_to_excl") > F.col("snap"))
+            ),
+        )
+        .groupBy("snap", "state")
+        .agg(F.count(F.lit(1)).alias("n_active"))
+    )
+
+
+@query(
+    "table_check_constraint",
+    """
+    WITH good AS (
+      SELECT o_orderkey, CAST(o_totalprice AS DECIMAL(18,2)) AS price
+      FROM orders WHERE o_orderkey < 1000
+    ), appended AS (
+      SELECT o_orderkey + 5000000 AS o_orderkey,
+             CAST(CAST(o_totalprice AS DECIMAL(18,2)) + 1
+                  AS DECIMAL(18,2)) AS price
+      FROM orders WHERE o_orderkey < 100
+    )
+    SELECT CAST(count(*) AS BIGINT) AS n_rows,
+           round(CAST(sum(price) AS DOUBLE), 2) AS total
+    FROM (SELECT * FROM good UNION ALL SELECT * FROM appended)
+    """,
+)
+def table_check_constraint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Write-time CHECK constraints on the txn table (Delta CHECK
+    semantics): a batch containing a violating row — including NULL,
+    which SQL CHECK rejects because only TRUE passes — is rejected
+    ATOMICALLY (no partial commit, log untouched), while a clean batch
+    commits. Enforcement at write time is the scale choice: one
+    aggregate over each incoming batch, instead of every reader
+    re-validating 100 TB forever.
+
+    The op creates a table, proves a poisoned append raises and leaves
+    the version unchanged, then lands a clean append; the final read
+    hash-matches the oracle's relational reconstruction."""
+    import shutil
+
+    from xlsx_to_database_spark.operators.txn_table import (
+        CheckViolation, TxnTable,
+    )
+    from xlsx_to_database_spark.queries.sources_sinks import _tag
+
+    o = table(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        F.col("o_totalprice").cast("decimal(18,2)").alias("price"),
+    )
+    root = f"/tmp/spark_stage/{_tag(sf_dir)}_table_check"
+    shutil.rmtree(root, ignore_errors=True)
+    tt = TxnTable(spark, root, "o_orderkey")
+    tt.create(o.filter(F.col("o_orderkey") < 1000))
+    chk = F.col("price") > 0
+    poisoned = o.filter(F.col("o_orderkey") < 100).withColumn(
+        "price",
+        F.when(F.col("o_orderkey") % 10 == 0, F.lit(None)).otherwise(
+            -F.col("price")
+        ).cast("decimal(18,2)"),
+    )
+    try:
+        tt.append(poisoned, check=chk)
+        raise AssertionError("poisoned append must be rejected")
+    except CheckViolation:
+        pass
+    assert tt.latest_version() == 0, "rejected append must not commit"
+    clean = o.filter(F.col("o_orderkey") < 100).select(
+        (F.col("o_orderkey") + 5000000).alias("o_orderkey"),
+        (F.col("price") + 1).cast("decimal(18,2)").alias("price"),
+    )
+    tt.append(clean, check=chk)
+    return tt.read().agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.round(F.sum("price").cast("double"), 2).alias("total"),
+    )
