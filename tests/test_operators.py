@@ -3189,3 +3189,99 @@ def test_check_constraint_rejects_null_and_negative_atomically(spark, tmp_path):
         check=F.col("v") > 0,
     )
     assert t.latest_version() == 1 and t.read().count() == 13
+
+
+def test_freq_spectrum_conserves_types_and_tokens(spark, sf_dir):
+    """Σ n_types = vocabulary size; Σ n_tokens = corpus token count;
+    n_tokens = frequency · n_types per row."""
+    from xlsx_to_database_spark.catalog import table
+    from xlsx_to_database_spark.registry import all_queries
+
+    rows = all_queries()["text_freq_spectrum"](spark, sf_dir).collect()
+    d = table(spark, sf_dir, "documents")
+    toks = d.select(F.explode(F.split("text", " ")).alias("t"))
+    assert sum(r.n_types for r in rows) == toks.distinct().count()
+    assert sum(r.n_tokens for r in rows) == toks.count()
+    for r in rows:
+        assert r.n_tokens == r.frequency * r.n_types
+
+
+def test_histogram2d_margins_match_1d_counts(spark, sf_dir):
+    """Summing cells over one axis must reproduce the other axis's 1-D
+    histogram, and total count equals the table."""
+    from xlsx_to_database_spark.catalog import table
+    from xlsx_to_database_spark.registry import all_queries
+
+    rows = all_queries()["stat_histogram2d"](spark, sf_dir).collect()
+    li = table(spark, sf_dir, "lineitem")
+    assert sum(r.n for r in rows) == li.count()
+    margin: dict[int, int] = {}
+    for r in rows:
+        margin[r.price_bin] = margin.get(r.price_bin, 0) + r.n
+    want = {
+        r.b: r.n
+        for r in li.groupBy(
+            F.floor(F.col("l_extendedprice") / 10000).cast("long").alias("b")
+        ).agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    assert margin == want
+
+
+def test_modularity_of_component_partition_is_positive_fraction(spark, sf_dir):
+    """For a partition into whole components every edge is internal, so
+    Q = 1 - Σ(a_c/2m)² ∈ (0, 1) when there are ≥2 communities — replay
+    the closed form from the edge list."""
+    from itertools import combinations
+
+    from xlsx_to_database_spark.catalog import table
+    from xlsx_to_database_spark.registry import all_queries
+
+    row = all_queries()["graph_modularity"](spark, sf_dir).collect()[0]
+    li = table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_partkey"
+    ).collect()
+    by_order: dict[int, list] = {}
+    for r in li:
+        by_order.setdefault(r.l_orderkey, []).append(r.l_partkey)
+    pc: dict[tuple, int] = {}
+    for parts in by_order.values():
+        # row-pair counting (matches the op and the CC oracle)
+        for u, v in combinations(sorted(parts), 2):
+            if u != v:
+                pc[(u, v)] = pc.get((u, v), 0) + 1
+    edges = [e for e, c in pc.items() if c >= 2]
+    # union-find components
+    parent: dict[int, int] = {}
+
+    def find(x):
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for u, v in edges:
+        ru, rv = find(u), find(v)
+        if ru != rv:
+            parent[max(ru, rv)] = min(ru, rv)
+    m = len(edges)
+    deg: dict[int, int] = {}
+    for u, v in edges:
+        deg[u] = deg.get(u, 0) + 1
+        deg[v] = deg.get(v, 0) + 1
+    a_c: dict[int, int] = {}
+    for n, d in deg.items():
+        a_c[find(n)] = a_c.get(find(n), 0) + d
+    q = sum(
+        1 * ec_m - (ac / (2 * m)) ** 2
+        for ac, ec_m in (
+            (ac, sum(1 for u, v in edges
+                     if find(u) == c) / m)
+            for c, ac in a_c.items()
+        )
+    )
+    assert row.n_edges == m
+    assert row.n_communities == len(a_c)
+    assert row.modularity == round(q, 6)
+    if row.n_communities > 1:
+        assert 0.0 < row.modularity < 1.0

@@ -124,6 +124,7 @@ ALLOWED: dict[str, dict[str, str]] = {
             "ml_isotonic_calibration",  # 10-row bin intervals (<=10^3)
             "sim_mips_transform",     # max-norm M + query vector (1 row each)
             "etl_scd2_snapshot",      # snapshot axis (4 rows)
+            "graph_modularity",       # 1-row Q scalar joined to counts
         )
     },
     "stat_kendall_tau": {

@@ -2570,3 +2570,198 @@ def table_check_constraint(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_rows"),
         F.round(F.sum("price").cast("double"), 2).alias("total"),
     )
+
+
+@query(
+    "text_freq_spectrum",
+    """
+    WITH tf AS (
+      SELECT t AS tok, CAST(count(*) AS BIGINT) AS f
+      FROM documents, unnest(string_split(text, ' ')) AS u(t)
+      GROUP BY t
+    )
+    SELECT f AS frequency,
+           CAST(count(*) AS BIGINT) AS n_types,
+           CAST(f * count(*) AS BIGINT) AS n_tokens
+    FROM tf GROUP BY f
+    """,
+)
+def text_freq_spectrum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frequency-of-frequencies (Zipf) spectrum: how many vocabulary
+    types occur exactly f times — the corpus-linguistics fingerprint
+    behind Good-Turing smoothing (which reads exactly this table),
+    hapax-ratio quality checks (frequency=1 row), and vocabulary-growth
+    estimation. `text_topk_terms` shows the head; this shows the whole
+    shape of the distribution.
+
+    Shape: explode → token aggregate (vocabulary scale) → spectrum
+    aggregate (|distinct frequencies| rows — tiny). Both shuffles
+    partial-aggregate; the token aggregate is the same first pass
+    `text_tfidf` runs, so at 100 TB this is one extra metadata-size
+    reduction over an aggregate you already compute."""
+    d = table(spark, sf_dir, "documents")
+    tf = (
+        d.select(F.explode(F.split("text", " ")).alias("tok"))
+        .groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("f"))
+    )
+    return tf.groupBy(F.col("f").alias("frequency")).agg(
+        F.count(F.lit(1)).alias("n_types"),
+        (F.col("frequency") * F.count(F.lit(1))).cast("long")
+        .alias("n_tokens"),
+    )
+
+
+_H2D_PRICE_W = 10000  #: price bin width
+_H2D_QTY_W = 10      #: quantity bin width
+
+
+@query(
+    "stat_histogram2d",
+    f"""
+    SELECT CAST(floor(l_extendedprice / {_H2D_PRICE_W}) AS BIGINT)
+             AS price_bin,
+           CAST(floor(l_quantity / {_H2D_QTY_W}) AS BIGINT) AS qty_bin,
+           CAST(count(*) AS BIGINT) AS n,
+           round(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)))
+                      AS DOUBLE), 2) AS revenue
+    FROM lineitem
+    GROUP BY 1, 2
+    """,
+)
+def stat_histogram2d(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """2-D histogram over (price × quantity) bins — the joint
+    distribution `stat_histogram` can't show: pricing anomalies live in
+    CELLS (cheap-price × huge-quantity), not in either margin. The
+    heatmap/contour primitive, and the binned statistic behind
+    mutual-information estimates on continuous pairs
+    (`stat_mutual_info` uses categorical axes; this bins continuous
+    ones).
+
+    Shape: bin ids are codegen floor-division (no width_bucket needed —
+    fixed widths keep both engines integer-exact), then ONE
+    partial-aggregating shuffle on the compound bin key. Cell count is
+    bounded by the bin grid, not the data."""
+    li = table(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy(
+            F.floor(F.col("l_extendedprice") / _H2D_PRICE_W)
+            .cast("long").alias("price_bin"),
+            F.floor(F.col("l_quantity") / _H2D_QTY_W)
+            .cast("long").alias("qty_bin"),
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(
+                F.sum(F.col("l_extendedprice").cast("decimal(18,2)"))
+                .cast("double"), 2,
+            ).alias("revenue"),
+        )
+    )
+
+
+@query(
+    "graph_modularity",
+    """
+    WITH RECURSIVE e AS (
+      SELECT a.l_partkey AS u, b.l_partkey AS v
+      FROM lineitem a JOIN lineitem b
+        ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+      GROUP BY 1, 2 HAVING count(*) >= 2
+    ), sym AS (
+      SELECT u, v FROM e UNION ALL SELECT v AS u, u AS v FROM e
+    ), cc(node, lbl) AS (
+      SELECT u, u FROM (SELECT DISTINCT u FROM sym) t
+      UNION
+      SELECT s.u, cc.lbl FROM sym s JOIN cc ON cc.node = s.v
+      WHERE cc.lbl < s.u
+    ), comp AS (
+      SELECT node, min(lbl) AS community FROM cc GROUP BY node
+    ), m AS (SELECT CAST(count(*) AS BIGINT) AS m FROM e),
+    within AS (
+      SELECT cu.community, CAST(count(*) AS BIGINT) AS e_c
+      FROM e JOIN comp cu ON e.u = cu.node
+             JOIN comp cv ON e.v = cv.node
+      WHERE cu.community = cv.community
+      GROUP BY cu.community
+    ), deg AS (
+      SELECT comp.community, CAST(count(*) AS BIGINT) AS a_c
+      FROM sym JOIN comp ON sym.u = comp.node
+      GROUP BY comp.community
+    )
+    SELECT (SELECT CAST(count(*) AS BIGINT) FROM within) AS n_communities,
+           (SELECT m FROM m) AS n_edges,
+           round(sum(CAST(w.e_c AS DOUBLE) / m.m
+                     - (CAST(d.a_c AS DOUBLE) / (2 * m.m))
+                       * (CAST(d.a_c AS DOUBLE) / (2 * m.m))), 6)
+             AS modularity
+    FROM within w JOIN deg d ON w.community = d.community
+    CROSS JOIN m
+    """,
+)
+def graph_modularity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Newman modularity Q of the connected-component partition of the
+    strong-tie co-purchase graph — Q = Σ_c (e_c/m − (a_c/2m)²), the
+    community-quality score every clustering pipeline reports. For a
+    partition into whole components Q > 0 iff the graph is genuinely
+    fragmented (every e_c/m term counts fully, every cross term is
+    zero) — the unit test pins that structural fact.
+
+    Shape: components come from the converged hash-to-min label
+    propagation (exact, `graph_connected_components`'s engine);
+    e_c/a_c/m are three partial aggregates over edges and incidences;
+    the Q sum runs over |communities| rows (metadata). The oracle
+    replays the components as a recursive CTE and the same
+    aggregation."""
+    from xlsx_to_database_spark.operators.dedup import connected_components
+
+    li = table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    a = li.select(F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("u"))
+    b = li.select(F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("v"))
+    e = (
+        a.join(b, "o")
+        .filter(F.col("u") < F.col("v"))
+        .groupBy("u", "v")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .filter(F.col("cnt") >= 2)
+        .select("u", "v")
+        .localCheckpoint()
+    )
+    nodes = (
+        e.select(F.col("u").alias("node"))
+        .unionByName(e.select(F.col("v").alias("node")))
+        .distinct()
+    )
+    comp = connected_components(
+        nodes, e, node_col="node", src_col="u", dst_col="v"
+    ).select(F.col("node"), F.col("cluster_id").alias("community"))
+    m = e.count()  # one scalar; the edge set is checkpointed metadata
+    cu = comp.alias("cu")
+    cv = comp.alias("cv")
+    within = (
+        e.join(cu, F.col("u") == F.col("cu.node"))
+        .join(cv, F.col("v") == F.col("cv.node"))
+        .filter(F.col("cu.community") == F.col("cv.community"))
+        .groupBy(F.col("cu.community").alias("community"))
+        .agg(F.count(F.lit(1)).alias("e_c"))
+    )
+    sym = e.select(F.col("u").alias("n")).unionAll(
+        e.select(F.col("v").alias("n"))
+    )
+    deg = (
+        sym.join(comp, sym["n"] == comp["node"])
+        .groupBy("community")
+        .agg(F.count(F.lit(1)).alias("a_c"))
+    )
+    per = within.join(deg, "community").select(
+        F.col("e_c").cast("double") / m
+        - (F.col("a_c").cast("double") / (2 * m))
+        * (F.col("a_c").cast("double") / (2 * m))
+    )
+    q = per.agg(F.round(F.sum(per.columns[0]), 6).alias("modularity"))
+    counts = within.agg(
+        F.count(F.lit(1)).alias("n_communities"),
+    ).crossJoin(F.broadcast(q))
+    return counts.select(
+        "n_communities", F.lit(m).cast("long").alias("n_edges"), "modularity"
+    )
