@@ -3285,3 +3285,41 @@ def test_modularity_of_component_partition_is_positive_fraction(spark, sf_dir):
     assert row.modularity == round(q, 6)
     if row.n_communities > 1:
         assert 0.0 < row.modularity < 1.0
+
+
+def test_pretrain_funnel_is_monotone_and_replayable(spark, sf_dir):
+    """Stage counts must be non-increasing down the funnel and equal a
+    sequential python replay of normalize → gate → dedup → decontam."""
+    from xlsx_to_database_spark.catalog import table
+    from xlsx_to_database_spark.registry import all_queries
+
+    rows = {
+        r.stage: (r.n_docs, r.n_tokens)
+        for r in all_queries()["pipeline_pretrain_corpus"](spark, sf_dir)
+        .collect()
+    }
+    order = ["raw", "quality", "dedup_exact", "decontaminate"]
+    assert set(rows) == set(order)
+    docs = [
+        (r.doc_id, r.text.strip().lower())
+        for r in table(spark, sf_dir, "documents")
+        .select("doc_id", "text")
+        .collect()
+    ]
+    normed = [(i, t, len(t.split(" "))) for i, t in docs]
+    quality = [(i, t, n) for i, t, n in normed if 10 <= n <= 2000]
+    best: dict[str, int] = {}
+    for i, t, n in quality:
+        best[t] = min(best.get(t, i), i)
+    deduped = [(i, t, n) for i, t, n in quality if best[t] == i]
+    decon = [(i, t, n) for i, t, n in deduped
+             if "needle in a haystack" not in t]
+    want = {
+        "raw": (len(normed), sum(n for *_, n in normed)),
+        "quality": (len(quality), sum(n for *_, n in quality)),
+        "dedup_exact": (len(deduped), sum(n for *_, n in deduped)),
+        "decontaminate": (len(decon), sum(n for *_, n in decon)),
+    }
+    assert rows == want
+    counts = [rows[s][0] for s in order]
+    assert counts == sorted(counts, reverse=True)

@@ -2765,3 +2765,85 @@ def graph_modularity(spark: SparkSession, sf_dir: str) -> DataFrame:
     return counts.select(
         "n_communities", F.lit(m).cast("long").alias("n_edges"), "modularity"
     )
+
+
+@query(
+    "pipeline_pretrain_corpus",
+    """
+    WITH raw AS (
+      SELECT doc_id, lower(trim(text)) AS t, source FROM documents
+    ), normed AS (
+      SELECT doc_id, t, len(string_split(t, ' ')) AS n_tok FROM raw
+    ), quality AS (
+      SELECT * FROM normed WHERE n_tok BETWEEN 10 AND 2000
+    ), deduped AS (
+      SELECT * FROM quality q
+      WHERE doc_id = (SELECT min(doc_id) FROM quality q2
+                      WHERE md5(q2.t) = md5(q.t))
+    ), decontam AS (
+      SELECT * FROM deduped
+      WHERE t NOT LIKE '%needle in a haystack%'
+    )
+    SELECT stage, n_docs, n_tokens FROM (
+      SELECT 0 AS ord, 'raw' AS stage,
+             CAST(count(*) AS BIGINT) AS n_docs,
+             CAST(sum(n_tok) AS BIGINT) AS n_tokens FROM normed
+      UNION ALL
+      SELECT 1, 'quality', CAST(count(*) AS BIGINT),
+             CAST(sum(n_tok) AS BIGINT) FROM quality
+      UNION ALL
+      SELECT 2, 'dedup_exact', CAST(count(*) AS BIGINT),
+             CAST(sum(n_tok) AS BIGINT) FROM deduped
+      UNION ALL
+      SELECT 3, 'decontaminate', CAST(count(*) AS BIGINT),
+             CAST(sum(n_tok) AS BIGINT) FROM decontam
+    )
+    """,
+)
+def pipeline_pretrain_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The pretraining-corpus funnel END TO END as one dataflow —
+    normalize → length/quality gate → exact dedup (min-doc_id keep rule
+    on the normalized-text hash) → decontamination — reporting the
+    doc/token survivor count after every stage: the loss accounting
+    every data-curation report leads with, produced by the SAME engine
+    run that builds the corpus (not a separate audit job that can
+    drift).
+
+    Each stage is an attested op's core (text_normalize, length gates
+    from corpus_gopher_rules, dedup_exact, text_decontaminate),
+    composed lazily: Catalyst sees ONE plan, so the scan happens once
+    and each stage's predicate pipelines into the next — at 100 TB the
+    funnel costs one pass plus the dedup aggregate, not one pass per
+    stage. Counts come from one multi-branch aggregate over the shared
+    lineage."""
+    d = table(spark, sf_dir, "documents")
+    normed = d.select(
+        "doc_id",
+        F.lower(F.trim("text")).alias("t"),
+    ).withColumn("n_tok", F.size(F.split("t", " ")))
+    quality = normed.filter(F.col("n_tok").between(10, 2000))
+    w = Window.partitionBy(F.md5("t"))
+    deduped = (
+        quality.withColumn("keep", F.min("doc_id").over(w))
+        .filter(F.col("doc_id") == F.col("keep"))
+        .drop("keep")
+    )
+    decontam = deduped.filter(
+        ~F.col("t").contains("needle in a haystack")
+    )
+
+    def stage(df: DataFrame, name: str, ord_: int) -> DataFrame:
+        return df.agg(
+            F.lit(ord_).alias("ord"),
+            F.lit(name).alias("stage"),
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tok").cast("long").alias("n_tokens"),
+        )
+
+    out = (
+        stage(normed, "raw", 0)
+        .unionByName(stage(quality, "quality", 1))
+        .unionByName(stage(deduped, "dedup_exact", 2))
+        .unionByName(stage(decontam, "decontaminate", 3))
+    )
+    return out.select("stage", "n_docs", "n_tokens")
