@@ -3323,3 +3323,63 @@ def test_pretrain_funnel_is_monotone_and_replayable(spark, sf_dir):
     assert rows == want
     counts = [rows[s][0] for s in order]
     assert counts == sorted(counts, reverse=True)
+
+
+def test_time_heatmap_covers_grid_and_sums(spark, sf_dir):
+    from xlsx_to_database_spark.catalog import table
+    from xlsx_to_database_spark.registry import all_queries
+
+    rows = all_queries()["event_time_heatmap"](spark, sf_dir).collect()
+    ev = table(spark, sf_dir, "events")
+    assert sum(r.n for r in rows) == ev.count()
+    assert sum(r.n_errors for r in rows) == ev.filter(
+        F.col("event_type") == "error"
+    ).count()
+    assert all(0 <= r.dow <= 6 and 0 <= r.hod <= 23 for r in rows)
+    assert all(r.n_errors <= r.n for r in rows)
+
+
+def test_cohens_d_matches_decimal_replay(spark, sf_dir):
+    import math
+    from decimal import Decimal
+
+    from xlsx_to_database_spark.catalog import table
+    from xlsx_to_database_spark.registry import all_queries
+
+    row = all_queries()["stat_cohens_d"](spark, sf_dir).collect()[0]
+    q = Decimal("0.01")
+    arms: dict[bool, list] = {True: [], False: []}
+    for r in (
+        table(spark, sf_dir, "orders")
+        .select("o_orderpriority", "o_totalprice")
+        .collect()
+    ):
+        arms[r.o_orderpriority == "1-URGENT"].append(
+            Decimal(repr(r.o_totalprice)).quantize(q)
+        )
+    n1, n2 = len(arms[True]), len(arms[False])
+    a1, a2 = sum(arms[True]), sum(arms[False])
+    b1 = sum(v * v for v in arms[True])
+    b2 = sum(v * v for v in arms[False])
+    m1, m2 = float(a1) / n1, float(a2) / n2
+    ss1 = float(b1) - float(a1) * float(a1) / n1
+    ss2 = float(b2) - float(a2) * float(a2) / n2
+    d = (m1 - m2) / math.sqrt((ss1 + ss2) / (n1 + n2 - 2))
+    assert (row.n1, row.n2) == (n1, n2)
+    assert row.mean_diff == round(m1 - m2, 6)
+    assert row.cohens_d == round(d, 6)
+
+
+def test_cluster_purity_is_consistent_and_bounded(spark, sf_dir):
+    """Membership covers the corpus exactly once; purity in (0, 1];
+    majority count realizable from the (cell, label) contingency."""
+    from xlsx_to_database_spark.catalog import table
+    from xlsx_to_database_spark.registry import all_queries
+
+    rows = all_queries()["ml_cluster_purity"](spark, sf_dir).collect()
+    total = table(spark, sf_dir, "embeddings").count()
+    assert sum(r.n_members for r in rows) == total
+    for r in rows:
+        assert 0 < r.n_majority <= r.n_members
+        assert r.purity == round(r.n_majority / r.n_members, 6)
+        assert 0.0 < r.purity <= 1.0

@@ -125,6 +125,7 @@ ALLOWED: dict[str, dict[str, str]] = {
             "sim_mips_transform",     # max-norm M + query vector (1 row each)
             "etl_scd2_snapshot",      # snapshot axis (4 rows)
             "graph_modularity",       # 1-row Q scalar joined to counts
+            "ml_cluster_purity",      # 8 broadcast centroids
         )
     },
     "stat_kendall_tau": {

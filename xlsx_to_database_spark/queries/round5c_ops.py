@@ -2847,3 +2847,191 @@ def pipeline_pretrain_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionByName(stage(decontam, "decontaminate", 3))
     )
     return out.select("stage", "n_docs", "n_tokens")
+
+
+@query(
+    "event_time_heatmap",
+    """
+    SELECT CAST(dayofweek(ts) AS BIGINT) AS dow,
+           CAST(hour(ts) AS BIGINT) AS hod,
+           CAST(count(*) AS BIGINT) AS n,
+           CAST(count(*) FILTER (WHERE event_type = 'error') AS BIGINT)
+             AS n_errors
+    FROM events GROUP BY 1, 2
+    """,
+)
+def event_time_heatmap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekday × hour activity heatmap with an error overlay — the
+    first dashboard every on-call rotation builds ("do errors spike at
+    the Monday 09:00 deploy?"). Calendar bucketing is codegen date
+    arithmetic; the grid is ≤ 7×24 cells, so the shuffle carries
+    metadata regardless of event volume.
+
+    Engine note: Spark's ``dayofweek`` and DuckDB's ``dayofweek``
+    number differently (Spark 1=Sunday; DuckDB 0=Sunday) — the oracle
+    uses DuckDB's and the Spark side converts explicitly, pinning ONE
+    documented convention instead of hash-matching by accident."""
+    ev = table(spark, sf_dir, "events")
+    # Spark dayofweek: 1=Sunday..7=Saturday -> DuckDB convention 0=Sunday
+    return ev.groupBy(
+        (F.dayofweek("ts") - 1).cast("long").alias("dow"),
+        F.hour("ts").cast("long").alias("hod"),
+    ).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.count_if(F.col("event_type") == "error").alias("n_errors"),
+    )
+
+
+@query(
+    "stat_cohens_d",
+    """
+    WITH g AS (
+      SELECT o_orderpriority = '1-URGENT' AS urgent,
+             CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(CAST(o_totalprice AS DECIMAL(18,2)))
+                  AS DECIMAL(28,2)) AS s1,
+             CAST(sum(CAST(CAST(o_totalprice AS DECIMAL(18,2))
+                           * CAST(o_totalprice AS DECIMAL(18,2))
+                           AS DECIMAL(38,4))) AS DECIMAL(38,4)) AS s2
+      FROM orders GROUP BY 1
+    ), w AS (
+      SELECT max(CASE WHEN urgent THEN n END) AS n1,
+             max(CASE WHEN urgent THEN s1 END) AS a1,
+             max(CASE WHEN urgent THEN s2 END) AS b1,
+             max(CASE WHEN NOT urgent THEN n END) AS n2,
+             max(CASE WHEN NOT urgent THEN s1 END) AS a2,
+             max(CASE WHEN NOT urgent THEN s2 END) AS b2
+      FROM g
+    )
+    SELECT n1, n2,
+           round(CAST(a1 AS DOUBLE) / n1 - CAST(a2 AS DOUBLE) / n2, 6)
+             AS mean_diff,
+           round((CAST(a1 AS DOUBLE) / n1 - CAST(a2 AS DOUBLE) / n2)
+                 / sqrt((
+                     (CAST(b1 AS DOUBLE) - CAST(a1 AS DOUBLE)
+                        * CAST(a1 AS DOUBLE) / n1)
+                   + (CAST(b2 AS DOUBLE) - CAST(a2 AS DOUBLE)
+                        * CAST(a2 AS DOUBLE) / n2)
+                   ) / (n1 + n2 - 2)), 6) AS cohens_d
+    FROM w
+    """,
+)
+def stat_cohens_d(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohen's d — the standardized effect size `stat_ttest` doesn't
+    report: mean difference between urgent and non-urgent order values
+    in pooled-standard-deviation units. Significance (t) says an effect
+    exists; d says whether anyone should care (0.2 small / 0.8 large) —
+    at 100 TB row counts, everything is significant and ONLY the effect
+    size is informative.
+
+    One conditional-moment pass (decimal Σx, Σx² per arm), then a
+    single shared float expression over six scalars."""
+    o = table(spark, sf_dir, "orders")
+    p = F.col("o_totalprice").cast("decimal(18,2)")
+    g = o.groupBy(
+        (F.col("o_orderpriority") == "1-URGENT").alias("urgent")
+    ).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(p).cast("decimal(28,2)").alias("s1"),
+        F.sum((p * p).cast("decimal(38,4)")).cast("decimal(38,4)")
+        .alias("s2"),
+    )
+    w = g.agg(
+        F.max(F.when(F.col("urgent"), F.col("n"))).alias("n1"),
+        F.max(F.when(F.col("urgent"), F.col("s1"))).alias("a1"),
+        F.max(F.when(F.col("urgent"), F.col("s2"))).alias("b1"),
+        F.max(F.when(~F.col("urgent"), F.col("n"))).alias("n2"),
+        F.max(F.when(~F.col("urgent"), F.col("s1"))).alias("a2"),
+        F.max(F.when(~F.col("urgent"), F.col("s2"))).alias("b2"),
+    )
+    m1 = F.col("a1").cast("double") / F.col("n1")
+    m2 = F.col("a2").cast("double") / F.col("n2")
+    ss1 = F.col("b1").cast("double") - F.col("a1").cast("double") * F.col(
+        "a1"
+    ).cast("double") / F.col("n1")
+    ss2 = F.col("b2").cast("double") - F.col("a2").cast("double") * F.col(
+        "a2"
+    ).cast("double") / F.col("n2")
+    pooled = F.sqrt((ss1 + ss2) / (F.col("n1") + F.col("n2") - 2))
+    return w.select(
+        "n1", "n2",
+        F.round(m1 - m2, 6).alias("mean_diff"),
+        F.round((m1 - m2) / pooled, 6).alias("cohens_d"),
+    )
+
+
+@query(
+    "ml_cluster_purity",
+    """
+    WITH v AS (
+      SELECT vec_id, label,
+             list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+      FROM embeddings
+    ), n AS (
+      SELECT vec_id, label, e,
+             sqrt(list_sum(list_transform(e, x -> x * x))) AS nrm
+      FROM v
+    ), c AS (
+      SELECT vec_id AS c_id, e AS ce, nrm AS cn FROM n
+      WHERE vec_id BETWEEN 1 AND 8
+    ), sc AS (
+      SELECT n.vec_id, n.label, c.c_id,
+             round(list_sum(list_transform(generate_series(1, len(e)),
+                   i -> e[i] * ce[i])) / (nrm * cn), 6) AS csim
+      FROM n, c
+    ), asg AS (
+      SELECT vec_id, label, c_id AS cell FROM (
+        SELECT vec_id, label, c_id,
+               row_number() OVER (PARTITION BY vec_id
+                                  ORDER BY csim DESC, c_id ASC) AS rn
+        FROM sc
+      ) WHERE rn = 1
+    ), cl AS (
+      SELECT cell, label, CAST(count(*) AS BIGINT) AS n
+      FROM asg GROUP BY cell, label
+    )
+    SELECT cell, CAST(sum(n) AS BIGINT) AS n_members,
+           CAST(max(n) AS BIGINT) AS n_majority,
+           round(CAST(max(n) AS DOUBLE) / sum(n), 6) AS purity
+    FROM cl GROUP BY cell
+    """,
+)
+def ml_cluster_purity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cluster-quality audit: assign every embedding to its nearest of
+    8 deterministic centroids (the `sim_ivf_topk` quantizer) and score
+    each cell's label PURITY — majority-label share, the first number
+    read off any clustering before trusting it downstream (a cell at
+    purity 0.3 is a mixture, not a cluster).
+
+    Exactness: assignments rank by ROUNDED cosine with centroid-id
+    tie-break (total order, engine-portable — the attested IVF
+    device); purity is an integer ratio. Shape: one corpus pass against
+    8 broadcast centroids, then two metadata-size aggregates over the
+    (cell × label) grid."""
+    from xlsx_to_database_spark.operators.similarity import cosine_sim
+
+    e = table(spark, sf_dir, "embeddings").select(
+        "vec_id", "label",
+        F.transform("embedding", lambda x: x.cast("double")).alias("e"),
+    )
+    c = e.filter(F.col("vec_id").between(1, 8)).select(
+        F.col("vec_id").alias("c_id"), F.col("e").alias("ce")
+    )
+    sc = e.crossJoin(F.broadcast(c)).select(
+        "vec_id", "label", "c_id",
+        cosine_sim(F.col("e"), F.col("ce")).alias("csim"),
+    )
+    w = Window.partitionBy("vec_id").orderBy(
+        F.col("csim").desc(), F.col("c_id").asc()
+    )
+    asg = (
+        sc.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("vec_id", "label", F.col("c_id").alias("cell"))
+    )
+    cl = asg.groupBy("cell", "label").agg(F.count(F.lit(1)).alias("n"))
+    return cl.groupBy("cell").agg(
+        F.sum("n").cast("long").alias("n_members"),
+        F.max("n").cast("long").alias("n_majority"),
+        F.round(F.max("n").cast("double") / F.sum("n"), 6).alias("purity"),
+    )
