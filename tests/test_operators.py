@@ -3383,3 +3383,80 @@ def test_cluster_purity_is_consistent_and_bounded(spark, sf_dir):
         assert 0 < r.n_majority <= r.n_members
         assert r.purity == round(r.n_majority / r.n_members, 6)
         assert 0.0 < r.purity <= 1.0
+
+
+def test_revenue_concentration_is_the_minimal_crossing(spark, sf_dir):
+    """n_top must be the SMALLEST descending-rank prefix reaching 80%
+    of revenue — replayed with exact decimals."""
+    from decimal import Decimal
+
+    from xlsx_to_database_spark.catalog import table
+    from xlsx_to_database_spark.registry import all_queries
+
+    row = all_queries()["agg_revenue_concentration"](spark, sf_dir) \
+        .collect()[0]
+    q = Decimal("0.01")
+    per: dict[int, Decimal] = {}
+    for r in (
+        table(spark, sf_dir, "orders")
+        .select("o_custkey", "o_totalprice")
+        .collect()
+    ):
+        per[r.o_custkey] = per.get(r.o_custkey, Decimal(0)) + Decimal(
+            repr(r.o_totalprice)
+        ).quantize(q)
+    revs = sorted(per.items(), key=lambda kv: (-kv[1], kv[0]))
+    total = sum(v for _, v in revs)
+    cum = Decimal(0)
+    n_top = None
+    for i, (_, v) in enumerate(revs, start=1):
+        cum += v
+        if float(cum) >= 0.8 * float(total):
+            n_top = i
+            break
+    assert row.n_top_customers == n_top
+    assert row.n_customers == len(revs)
+    assert row.top_fraction == round(n_top / len(revs), 6)
+
+
+def test_js_divergence_bounds_and_token_totals(spark, sf_dir):
+    """JS(base 2) ∈ (0, 1]; token totals match per-slice counts; and on
+    this corpus the two language slices genuinely differ (JS > 0)."""
+    from xlsx_to_database_spark.catalog import table
+    from xlsx_to_database_spark.registry import all_queries
+
+    row = all_queries()["text_js_divergence"](spark, sf_dir).collect()[0]
+    d = table(spark, sf_dir, "documents")
+    toks = d.select(
+        (F.col("lang") == "en").alias("en"),
+        F.explode(F.split("text", " ")).alias("t"),
+    )
+    assert row.n_tokens_en == toks.filter("en").count()
+    assert row.n_tokens_other == toks.filter("NOT en").count()
+    assert row.vocab == toks.select("t").distinct().count()
+    assert 0.0 < row.js_divergence <= 1.0
+
+
+def test_fixed_width_roundtrip_preserves_values(spark, sf_dir):
+    """Every nation row survives the positional pack/carve round trip,
+    and the staged file is genuinely fixed-width (uniform line length,
+    no delimiter)."""
+    import os
+
+    from xlsx_to_database_spark.catalog import table
+    from xlsx_to_database_spark.queries.sources_sinks import _STAGE_ROOT, _tag
+    from xlsx_to_database_spark.registry import all_queries
+
+    got = sorted(
+        map(tuple, all_queries()["csv_fixed_width_scan"](spark, sf_dir)
+            .collect())
+    )
+    want = sorted(
+        map(tuple, table(spark, sf_dir, "nation")
+            .select("n_nationkey", "n_name", "n_regionkey").collect())
+    )
+    assert got == want
+    path = os.path.join(_STAGE_ROOT, f"{_tag(sf_dir)}_nation_fixed.txt")
+    with open(path) as fh:
+        lens = {len(line.rstrip("\n")) for line in fh}
+    assert lens == {22}

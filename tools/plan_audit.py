@@ -126,6 +126,7 @@ ALLOWED: dict[str, dict[str, str]] = {
             "etl_scd2_snapshot",      # snapshot axis (4 rows)
             "graph_modularity",       # 1-row Q scalar joined to counts
             "ml_cluster_purity",      # 8 broadcast centroids
+            "text_js_divergence",     # slice totals + JS sum (1 row each)
         )
     },
     "stat_kendall_tau": {

@@ -3035,3 +3035,222 @@ def ml_cluster_purity(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max("n").cast("long").alias("n_majority"),
         F.round(F.max("n").cast("double") / F.sum("n"), 6).alias("purity"),
     )
+
+
+@query(
+    "agg_revenue_concentration",
+    """
+    WITH by_cust AS (
+      SELECT o_custkey,
+             CAST(sum(CAST(o_totalprice AS DECIMAL(18,2)))
+                  AS DECIMAL(28,2)) AS rev
+      FROM orders GROUP BY o_custkey
+    ), ranked AS (
+      SELECT rev,
+             row_number() OVER (ORDER BY rev DESC, o_custkey) AS rn,
+             sum(rev) OVER (ORDER BY rev DESC, o_custkey
+                            ROWS BETWEEN UNBOUNDED PRECEDING
+                                     AND CURRENT ROW) AS cum,
+             count(*) OVER () AS n_cust,
+             sum(rev) OVER () AS total
+      FROM by_cust
+    )
+    SELECT CAST(min(rn) AS BIGINT) AS n_top_customers,
+           (SELECT CAST(max(n_cust) AS BIGINT) FROM ranked) AS n_customers,
+           round(CAST(min(rn) AS DOUBLE)
+                 / (SELECT max(n_cust) FROM ranked), 6) AS top_fraction
+    FROM ranked
+    WHERE CAST(cum AS DOUBLE) >= 0.8 * CAST(total AS DOUBLE)
+    """,
+)
+def agg_revenue_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Revenue concentration — the inverse-Lorenz question: how many of
+    the top customers carry 80% of revenue? (`stat_lorenz_curve` gives
+    the whole curve; this answers the one cut every account-strategy
+    deck quotes.) The answer is the smallest descending-rank whose
+    cumulative share crosses the threshold.
+
+    Shape: per-customer revenue aggregate, then a customer-scale
+    descending running sum (at fact scale the bucketed global-order
+    machinery is the documented path; the CUSTOMER aggregate — 1 row
+    per key — is what's being ranked, orders of magnitude smaller than
+    the facts). The 0.8 crossover compares exact decimal sums cast
+    through one shared float expression."""
+    o = table(spark, sf_dir, "orders")
+    by_cust = o.groupBy("o_custkey").agg(
+        F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+        .cast("decimal(28,2)").alias("rev")
+    )
+    w = Window.orderBy(F.col("rev").desc(), "o_custkey")
+    ranked = by_cust.select(
+        "rev",
+        F.row_number().over(w).alias("rn"),
+        F.sum("rev").over(w.rowsBetween(Window.unboundedPreceding, 0))
+        .alias("cum"),
+        F.count(F.lit(1)).over(
+            Window.partitionBy()
+        ).alias("n_cust"),
+        F.sum("rev").over(Window.partitionBy()).alias("total"),
+    )
+    hit = ranked.filter(
+        F.col("cum").cast("double") >= 0.8 * F.col("total").cast("double")
+    )
+    return hit.agg(
+        F.min("rn").cast("long").alias("n_top_customers"),
+        F.max("n_cust").cast("long").alias("n_customers"),
+        F.round(
+            F.min("rn").cast("double") / F.max("n_cust"), 6
+        ).alias("top_fraction"),
+    )
+
+
+@query(
+    "text_js_divergence",
+    """
+    WITH toks AS (
+      SELECT lang = 'en' AS is_en, t AS tok
+      FROM documents, unnest(string_split(text, ' ')) AS u(t)
+    ), counts AS (
+      SELECT tok,
+             CAST(count(*) FILTER (WHERE is_en) AS BIGINT) AS a,
+             CAST(count(*) FILTER (WHERE NOT is_en) AS BIGINT) AS b
+      FROM toks GROUP BY tok
+    ), tot AS (
+      SELECT CAST(sum(a) AS BIGINT) AS ta, CAST(sum(b) AS BIGINT) AS tb
+      FROM counts
+    ), terms AS (
+      SELECT
+        CASE WHEN a > 0 THEN CAST(round(
+          (CAST(a AS DOUBLE) / ta) * ln(
+            (CAST(a AS DOUBLE) / ta)
+            / ((CAST(a AS DOUBLE) / ta + CAST(b AS DOUBLE) / tb) / 2)
+          ) / (2 * ln(2)), 10) AS DECIMAL(20,10))
+        ELSE CAST(0 AS DECIMAL(20,10)) END AS pa,
+        CASE WHEN b > 0 THEN CAST(round(
+          (CAST(b AS DOUBLE) / tb) * ln(
+            (CAST(b AS DOUBLE) / tb)
+            / ((CAST(a AS DOUBLE) / ta + CAST(b AS DOUBLE) / tb) / 2)
+          ) / (2 * ln(2)), 10) AS DECIMAL(20,10))
+        ELSE CAST(0 AS DECIMAL(20,10)) END AS pb
+      FROM counts CROSS JOIN tot
+    )
+    SELECT (SELECT CAST(count(*) AS BIGINT) FROM counts) AS vocab,
+           (SELECT ta FROM tot) AS n_tokens_en,
+           (SELECT tb FROM tot) AS n_tokens_other,
+           round(CAST(sum(pa) + sum(pb) AS DOUBLE), 8) AS js_divergence
+    FROM terms
+    """,
+)
+def text_js_divergence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Jensen-Shannon divergence (base 2, so ∈ [0,1]) between the
+    English and non-English unigram distributions — the corpus-drift
+    measure curation pipelines run between snapshots, sources, or train
+    vs eval slices; unlike KL it is symmetric and finite on
+    non-overlapping vocabulary (exactly where corpus comparisons live).
+
+    Exactness: each vocabulary term's JS contribution is one identical
+    float expression over exact counts, quantized to DECIMAL(20,10)
+    before the vocabulary-scale sum (order-independent — the
+    text_perplexity device). Shape: one token aggregate with
+    per-slice conditional counts, one 1-row total broadcast, one
+    metadata reduction."""
+    d = table(spark, sf_dir, "documents")
+    toks = d.select(
+        (F.col("lang") == "en").alias("is_en"),
+        F.explode(F.split("text", " ")).alias("tok"),
+    )
+    counts = toks.groupBy("tok").agg(
+        F.count_if("is_en").alias("a"),
+        F.count_if(~F.col("is_en")).alias("b"),
+    )
+    tot = counts.agg(
+        F.sum("a").cast("long").alias("ta"),
+        F.sum("b").cast("long").alias("tb"),
+    )
+    j = counts.crossJoin(F.broadcast(tot))
+    pa_ = F.col("a").cast("double") / F.col("ta")
+    pb_ = F.col("b").cast("double") / F.col("tb")
+    mid = (pa_ + pb_) / 2
+    ln2x2 = 2 * F.log(F.lit(2.0))
+    terms = j.select(
+        F.when(
+            F.col("a") > 0,
+            F.round(pa_ * F.log(pa_ / mid) / ln2x2, 10)
+            .cast("decimal(20,10)"),
+        ).otherwise(F.lit(0).cast("decimal(20,10)")).alias("pa"),
+        F.when(
+            F.col("b") > 0,
+            F.round(pb_ * F.log(pb_ / mid) / ln2x2, 10)
+            .cast("decimal(20,10)"),
+        ).otherwise(F.lit(0).cast("decimal(20,10)")).alias("pb"),
+    )
+    vocab = counts.count()
+    s = terms.agg(
+        F.round((F.sum("pa") + F.sum("pb")).cast("double"), 8)
+        .alias("js_divergence")
+    )
+    return (
+        tot.crossJoin(F.broadcast(s))
+        .select(
+            F.lit(vocab).cast("long").alias("vocab"),
+            F.col("ta").alias("n_tokens_en"),
+            F.col("tb").alias("n_tokens_other"),
+            "js_divergence",
+        )
+    )
+
+
+#: fixed-width layout: (name, start 1-based, width)
+_FW_LAYOUT = (("n_nationkey", 1, 4), ("n_name", 5, 16), ("n_regionkey", 21, 2))
+
+
+@query(
+    "csv_fixed_width_scan",
+    """
+    SELECT CAST(n_nationkey AS BIGINT) AS n_nationkey, n_name,
+           CAST(n_regionkey AS BIGINT) AS n_regionkey
+    FROM nation
+    """,
+)
+def csv_fixed_width_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-width (COBOL-era mainframe layout) file ingestion — no
+    delimiters at all, columns defined by byte positions; still the
+    interchange format of core banking and government feeds. The staged
+    file packs nation into a (4, 16, 2) layout; the scan reads lines
+    with `spark.read.text` and carves columns with codegen `substring`
+    + `trim` per layout entry — the declarative equivalent of a copybook,
+    no UDF, fully pipelined into the scan.
+
+    Hash-matching the clean parquet proves the round trip: numeric
+    fields survive zero-padding-free right-alignment, text survives
+    right-space-padding."""
+    import os
+
+    from xlsx_to_database_spark.queries.sources_sinks import (
+        _STAGE_ROOT, _tag,
+    )
+
+    path = os.path.join(_STAGE_ROOT, f"{_tag(sf_dir)}_nation_fixed.txt")
+    if not os.path.exists(path):
+        os.makedirs(_STAGE_ROOT, exist_ok=True)
+        rows = (
+            table(spark, sf_dir, "nation")
+            .select("n_nationkey", "n_name", "n_regionkey")
+            .orderBy("n_nationkey")
+            .collect()
+        )
+        with open(path + ".tmp", "w") as fh:
+            for r in rows:
+                fh.write(
+                    f"{r.n_nationkey:>4d}{r.n_name:<16s}"
+                    f"{r.n_regionkey:>2d}\n"
+                )
+        os.replace(path + ".tmp", path)
+    lines = spark.read.text(path)
+    cols = []
+    for name, start, width in _FW_LAYOUT:
+        c = F.trim(F.substring(F.col("value"), start, width))
+        if name.endswith("key"):
+            c = c.cast("long")
+        cols.append(c.alias(name))
+    return lines.select(*cols)
