@@ -3460,3 +3460,83 @@ def test_fixed_width_roundtrip_preserves_values(spark, sf_dir):
     with open(path) as fh:
         lens = {len(line.rstrip("\n")) for line in fh}
     assert lens == {22}
+
+
+def test_bh_procedure_matches_sequential_replay(spark, sf_dir):
+    """Discoveries must be exactly ranks <= k* = max{k: p(k) <= k·α/m},
+    with p from the same A&S normal-tail approximation."""
+    import math
+
+    from xlsx_to_database_spark.registry import all_queries
+
+    rows = sorted(
+        all_queries()["stat_fdr_bh"](spark, sf_dir).collect(),
+        key=lambda r: r.rank,
+    )
+    m = len(rows)
+    ps = [r.p for r in rows]
+    assert ps == sorted(ps)
+    kstar = max(
+        (r.rank for r in rows if r.p <= r.rank * 0.05 / m), default=0
+    )
+    for r in rows:
+        assert r.discovered == (r.rank <= kstar)
+    # the A&S approximation itself: p in [0, 1]
+    assert all(0.0 <= p <= 1.0 for p in ps)
+    # sanity: phi-approx at z=0 gives p ≈ 1
+    def sf(z):
+        t = 1.0 / (1.0 + 0.2316419 * z)
+        poly = t * (0.319381530 + t * (-0.356563782 + t * (
+            1.781477937 + t * (-1.821255978 + t * 1.330274429))))
+        return math.exp(-z * z / 2) / math.sqrt(2 * math.pi) * poly
+    assert abs(2 * sf(0.0) - 1.0) < 1e-7
+
+
+def test_learning_curve_subsets_are_nested(spark, sf_dir):
+    """n_train halves (±rounding) with each fraction and each smaller
+    subset is contained in the larger (key-mod nesting)."""
+    from xlsx_to_database_spark.catalog import table
+    from xlsx_to_database_spark.registry import all_queries
+
+    rows = {
+        r.inv_fraction: r
+        for r in all_queries()["ml_learning_curve"](spark, sf_dir).collect()
+    }
+    o = table(spark, sf_dir, "orders")
+    for f, r in rows.items():
+        assert r.n_train == o.filter(F.col("o_orderkey") % f == 0).count()
+        assert 0.0 <= r.accuracy <= 1.0
+    assert rows[1].n_train > rows[2].n_train > rows[4].n_train \
+        > rows[8].n_train
+
+
+def test_currency_normalize_rates_are_exact(spark, sf_dir):
+    """Base totals replayed with Decimal monthly rates."""
+    from decimal import Decimal
+
+    from xlsx_to_database_spark.catalog import table
+    from xlsx_to_database_spark.registry import all_queries
+
+    got = {
+        r.currency: (r.n_orders, r.local_total, r.base_total)
+        for r in all_queries()["etl_currency_normalize"](spark, sf_dir)
+        .collect()
+    }
+    q = Decimal("0.01")
+    acc: dict[int, list] = {}
+    for r in (
+        table(spark, sf_dir, "orders")
+        .select("o_custkey", "o_totalprice", "o_orderdate")
+        .collect()
+    ):
+        cur = r.o_custkey % 3
+        amt = Decimal(repr(r.o_totalprice)).quantize(q)
+        mi = 12 * (r.o_orderdate.year - 1995) + r.o_orderdate.month - 1
+        rate = Decimal(repr(round(1.0 + cur * 0.1 + mi * 0.01, 4)))
+        n, lt, bt = acc.get(cur, (0, Decimal(0), Decimal(0)))
+        acc[cur] = (n + 1, lt + amt, bt + (amt * rate).quantize(
+            Decimal("0.000001")))
+    for cur, (n, lt, bt) in acc.items():
+        g = got[cur]
+        assert g[0] == n and g[1] == round(float(lt), 2)
+        assert abs(g[2] - round(float(bt), 2)) < 0.02

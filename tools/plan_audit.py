@@ -127,6 +127,8 @@ ALLOWED: dict[str, dict[str, str]] = {
             "graph_modularity",       # 1-row Q scalar joined to counts
             "ml_cluster_purity",      # 8 broadcast centroids
             "text_js_divergence",     # slice totals + JS sum (1 row each)
+            "stat_fdr_bh",            # global moments + k* scalar (1 row each)
+            "ml_learning_curve",      # fraction spine (4 rows)
         )
     },
     "stat_kendall_tau": {

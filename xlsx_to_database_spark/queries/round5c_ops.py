@@ -3254,3 +3254,234 @@ def csv_fixed_width_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
             c = c.cast("long")
         cols.append(c.alias(name))
     return lines.select(*cols)
+
+
+def normal_sf_expr(z: str) -> str:
+    """Upper-tail normal probability 1 − Φ(z) for a NON-NEGATIVE z
+    expression, as one shared SQL string: the Abramowitz–Stegun 26.2.17
+    rational approximation (|ε| < 7.5e−8 — far inside the 8dp round
+    both engines apply). Neither Spark nor DuckDB ships erf, so the
+    portable route is the same device the geo family uses: ONE
+    generated expression evaluated verbatim by both engines ⇒ identical
+    IEEE results."""
+    t = f"(1.0 / (1.0 + 0.2316419 * ({z})))"
+    poly = (
+        f"({t} * (0.319381530 + {t} * (-0.356563782 + {t} * "
+        f"(1.781477937 + {t} * (-1.821255978 + {t} * 1.330274429)))))"
+    )
+    pdf = f"(exp(-(({z}) * ({z})) / 2) / sqrt(2 * pi()))"
+    return f"({pdf} * {poly})"
+
+
+_FDR_ALPHA = 0.05
+
+#: z-score of each nation's mean order value against the global moments
+_FDR_Z = (
+    "abs((CAST(s1 AS DOUBLE) / n - CAST(g1 AS DOUBLE) / gn) "
+    "/ sqrt(((CAST(g2 AS DOUBLE) - CAST(g1 AS DOUBLE) * CAST(g1 AS DOUBLE)"
+    " / gn) / (gn - 1)) / n))"
+)
+
+_FDR_P = f"round(2 * {normal_sf_expr(_FDR_Z)}, 8)"
+
+
+@query(
+    "stat_fdr_bh",
+    f"""
+    WITH per AS (
+      SELECT c.c_nationkey AS nationkey,
+             CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(CAST(o_totalprice AS DECIMAL(18,2)))
+                  AS DECIMAL(28,2)) AS s1
+      FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+      GROUP BY 1
+    ), gm AS (
+      SELECT CAST(count(*) AS BIGINT) AS gn,
+             CAST(sum(CAST(o_totalprice AS DECIMAL(18,2)))
+                  AS DECIMAL(28,2)) AS g1,
+             CAST(sum(CAST(CAST(o_totalprice AS DECIMAL(18,2))
+                           * CAST(o_totalprice AS DECIMAL(18,2))
+                           AS DECIMAL(38,4))) AS DECIMAL(38,4)) AS g2
+      FROM orders
+    ), scored AS (
+      SELECT nationkey, n, {_FDR_P} AS p
+      FROM per CROSS JOIN gm
+    ), ranked AS (
+      SELECT nationkey, n, p,
+             row_number() OVER (ORDER BY p, nationkey) AS rk,
+             count(*) OVER () AS m
+      FROM scored
+    ), kstar AS (
+      SELECT coalesce(max(CASE WHEN p <= rk * {_FDR_ALPHA} / m
+                                THEN rk END), 0) AS k
+      FROM ranked
+    )
+    SELECT r.nationkey, r.n, r.p, CAST(r.rk AS BIGINT) AS rank,
+           r.rk <= k.k AS discovered
+    FROM ranked r CROSS JOIN kstar k
+    """,
+)
+def stat_fdr_bh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benjamini–Hochberg FDR control over a FAMILY of hypotheses —
+    "which nations' mean order value differs from global?" tested 25
+    times at once. Naive per-test α inflates false positives with the
+    family size; BH rejects the largest prefix of ascending p-values
+    satisfying p(k) ≤ kα/m, controlling the expected false-discovery
+    RATE — the correction every metrics platform applies when it
+    scans hundreds of segments nightly.
+
+    p-values come from z-scores via a generated Abramowitz–Stegun
+    normal-tail expression (`normal_sf_expr` — no erf in either
+    engine; the shared-string device makes the approximation itself
+    engine-exact). Moments are decimal-exact; the BH step runs over the
+    25-row family (metadata)."""
+    o = table(spark, sf_dir, "orders")
+    c = table(spark, sf_dir, "customer")
+    p2 = F.col("o_totalprice").cast("decimal(18,2)")
+    per = (
+        o.join(c, o["o_custkey"] == c["c_custkey"])
+        .groupBy(F.col("c_nationkey").alias("nationkey"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(p2).cast("decimal(28,2)").alias("s1"),
+        )
+    )
+    glob = o.agg(
+        F.count(F.lit(1)).alias("gn"),
+        F.sum(p2).cast("decimal(28,2)").alias("g1"),
+        F.sum((p2 * p2).cast("decimal(38,4)")).cast("decimal(38,4)")
+        .alias("g2"),
+    )
+    scored = per.crossJoin(F.broadcast(glob)).selectExpr(
+        "nationkey", "n", f"{_FDR_P} AS p"
+    )
+    w = Window.orderBy("p", "nationkey")
+    ranked = scored.select(
+        "nationkey", "n", "p",
+        F.row_number().over(w).alias("rk"),
+        F.count(F.lit(1)).over(Window.partitionBy()).alias("m"),
+    )
+    kstar = ranked.agg(
+        F.coalesce(
+            F.max(
+                F.when(
+                    F.col("p") <= F.col("rk") * _FDR_ALPHA / F.col("m"),
+                    F.col("rk"),
+                )
+            ),
+            F.lit(0),
+        ).alias("k")
+    )
+    return ranked.crossJoin(F.broadcast(kstar)).select(
+        "nationkey", "n", "p",
+        F.col("rk").cast("long").alias("rank"),
+        (F.col("rk") <= F.col("k")).alias("discovered"),
+    )
+
+
+_LC_FRACTIONS = (1, 2, 4, 8)  #: keep 1/f of training data per point
+
+
+@query(
+    "ml_learning_curve",
+    f"""
+    WITH t AS (SELECT unnest(ARRAY{list(_LC_FRACTIONS)}) AS f)
+    SELECT CAST(f AS BIGINT) AS inv_fraction,
+           CAST(count(*) FILTER (WHERE o_orderkey % f = 0) AS BIGINT)
+             AS n_train,
+           round(CAST(count(*) FILTER (WHERE o_orderkey % f = 0
+                 AND (o_totalprice >= 150000) =
+                     (o_orderpriority IN ('1-URGENT', '2-HIGH')))
+                 AS DOUBLE)
+                 / count(*) FILTER (WHERE o_orderkey % f = 0), 6)
+             AS accuracy
+    FROM orders CROSS JOIN t GROUP BY f
+    """,
+)
+def ml_learning_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Learning-curve scaffold: the fixed threshold stump evaluated on
+    nested training subsets of 1/1, 1/2, 1/4, 1/8 of the data
+    (deterministic key-mod subsets, so each smaller set is contained in
+    the larger — the nesting a proper learning curve needs). The
+    flagship use is the SHAPE: accuracy vs data size tells you whether
+    to buy more data or a better model. All four points come from ONE
+    conditional-count pass (the ml_kfold_cv fan-out device) — a
+    learning curve over 100 TB costs one scan, not four."""
+    o = table(spark, sf_dir, "orders")
+    t = spark.range(1).select(
+        F.explode(F.array(*[F.lit(x) for x in _LC_FRACTIONS])).alias("f")
+    )
+    in_train = F.col("o_orderkey") % F.col("f") == 0
+    correct = (
+        (F.col("o_totalprice") >= 150000)
+        == F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    )
+    return (
+        o.crossJoin(F.broadcast(t))
+        .groupBy(F.col("f").cast("long").alias("inv_fraction"))
+        .agg(
+            F.count_if(in_train).alias("n_train"),
+            F.round(
+                F.count_if(in_train & correct).cast("double")
+                / F.count_if(in_train),
+                6,
+            ).alias("accuracy"),
+        )
+    )
+
+
+@query(
+    "etl_currency_normalize",
+    """
+    WITH rated AS (
+      SELECT o_orderkey,
+             o_custkey % 3 AS currency,
+             CAST(o_totalprice AS DECIMAL(18,2)) AS amount,
+             CAST(1.0 + (o_custkey % 3) * 0.1
+                  + (12 * (year(o_orderdate) - 1995)
+                     + month(o_orderdate) - 1) * 0.01
+                  AS DECIMAL(8,4)) AS rate
+      FROM orders
+    )
+    SELECT CAST(currency AS BIGINT) AS currency,
+           CAST(count(*) AS BIGINT) AS n_orders,
+           round(CAST(sum(amount) AS DOUBLE), 2) AS local_total,
+           round(CAST(sum(CAST(amount * rate AS DECIMAL(28,6)))
+                      AS DOUBLE), 2) AS base_total
+    FROM rated GROUP BY currency
+    """,
+)
+def etl_currency_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Currency normalization at calendar grain: every order carries a
+    synthetic currency (key mod 3) and converts to base currency with
+    that currency's MONTHLY rate — the multi-entity consolidation step
+    of every finance warehouse. Monthly rates make the temporal lookup
+    an EQUI join on (currency, month) — the deliberate design lesson:
+    snap rates to the fact's calendar grain and the as-of join
+    disappears (cf. `join_asof` for irregular rate ticks).
+
+    Here the rate table is a closed formula, so Catalyst folds the
+    "join" into codegen arithmetic entirely — the degenerate ideal of
+    the pattern; amounts × DECIMAL(8,4) rates accumulate exactly."""
+    o = table(spark, sf_dir, "orders")
+    amount = F.col("o_totalprice").cast("decimal(18,2)")
+    month_idx = (
+        12 * (F.year("o_orderdate") - 1995) + F.month("o_orderdate") - 1
+    )
+    rate = (
+        1.0 + (F.col("o_custkey") % 3) * 0.1 + month_idx * 0.01
+    ).cast("decimal(8,4)")
+    rated = o.select(
+        (F.col("o_custkey") % 3).cast("long").alias("currency"),
+        amount.alias("amount"),
+        rate.alias("rate"),
+    )
+    return rated.groupBy("currency").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.round(F.sum("amount").cast("double"), 2).alias("local_total"),
+        F.round(
+            F.sum((F.col("amount") * F.col("rate")).cast("decimal(28,6)"))
+            .cast("double"),
+            2,
+        ).alias("base_total"),
+    )
