@@ -3540,3 +3540,110 @@ def test_currency_normalize_rates_are_exact(spark, sf_dir):
         g = got[cur]
         assert g[0] == n and g[1] == round(float(lt), 2)
         assert abs(g[2] - round(float(bt), 2)) < 0.02
+
+
+def test_burstiness_fano_replay_with_zero_docs(spark, sf_dir):
+    """Fano factors must equal a replay that EXPLICITLY includes
+    zero-count documents — pinning the analytic shortcut."""
+    from xlsx_to_database_spark.catalog import table
+    from xlsx_to_database_spark.registry import all_queries
+
+    got = {
+        r.tok: (r.df, r.cf, r.fano)
+        for r in all_queries()["text_burstiness"](spark, sf_dir).collect()
+    }
+    docs = [
+        r.text.split(" ")
+        for r in table(spark, sf_dir, "documents").select("text").collect()
+    ]
+    n = len(docs)
+    from collections import Counter
+
+    per_doc = [Counter(toks) for toks in docs]
+    vocab = set().union(*per_doc)
+    for tok in vocab:
+        counts = [c.get(tok, 0) for c in per_doc]
+        df = sum(1 for x in counts if x)
+        if df < 5:
+            assert tok not in got
+            continue
+        cf = sum(counts)
+        mean = cf / n
+        var = (sum(x * x for x in counts) - cf * cf / n) / (n - 1)
+        assert got[tok] == (df, cf, round(var / mean, 6))
+
+
+def test_event_burstiness_cv_positive_and_replayed(spark, sf_dir):
+    """CV per user vs a sequential replay (double second moment, by
+    design)."""
+    import math
+
+    from xlsx_to_database_spark.catalog import table
+    from xlsx_to_database_spark.registry import all_queries
+
+    got = {
+        r.user_id: (r.n_gaps, r.mean_gap_sec, r.cv)
+        for r in all_queries()["event_burstiness"](spark, sf_dir).collect()
+    }
+    series: dict[int, list] = {}
+    for r in (
+        table(spark, sf_dir, "events")
+        .select("user_id", "ts", "event_id")
+        .collect()
+    ):
+        series.setdefault(r.user_id, []).append(r)
+    for uid, rows in series.items():
+        rows.sort(key=lambda r: (r.ts, r.event_id))
+        gaps = [
+            int((b.ts - a.ts).total_seconds() * 1_000_000)
+            for a, b in zip(rows, rows[1:])
+        ]
+        if len(gaps) < 2:
+            assert uid not in got
+            continue
+        n = len(gaps)
+        s1 = sum(gaps)
+        s2 = 0.0
+        for g in gaps:
+            s2 += float(g) * g
+        mean = s1 / n
+        sd = math.sqrt((s2 - float(s1) * s1 / n) / (n - 1))
+        assert got[uid] == (
+            n, round(mean / 1e6, 6), round(sd / mean, 6)
+        )
+        assert got[uid][2] > 0
+
+
+def test_parkinson_vol_matches_daily_range_replay(spark, sf_dir):
+    from decimal import Decimal
+    import math
+
+    from xlsx_to_database_spark.catalog import table
+    from xlsx_to_database_spark.registry import all_queries
+
+    got = {
+        r.l_suppkey: (r.n_days, r.parkinson_vol)
+        for r in all_queries()["win_parkinson_vol"](spark, sf_dir).collect()
+    }
+    q = Decimal("0.01")
+    daily: dict[tuple, list] = {}
+    for r in (
+        table(spark, sf_dir, "lineitem")
+        .select("l_suppkey", "l_shipdate", "l_extendedprice")
+        .collect()
+    ):
+        daily.setdefault(
+            (r.l_suppkey, r.l_shipdate.date()), []
+        ).append(Decimal(repr(r.l_extendedprice)).quantize(q))
+    per: dict[int, list] = {}
+    for (sk, _), ps in daily.items():
+        hi, lo = max(ps), min(ps)
+        if hi > lo:
+            per.setdefault(sk, []).append(
+                Decimal(str(round(
+                    math.log(float(hi) / float(lo)) ** 2, 10)))
+            )
+    for sk, terms in per.items():
+        n = len(terms)
+        vol = math.sqrt(float(sum(terms)) / (4 * math.log(2) * n))
+        assert got[sk] == (n, round(vol, 6))

@@ -3485,3 +3485,189 @@ def etl_currency_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
             2,
         ).alias("base_total"),
     )
+
+
+_BURST_MIN_DOCS = 5  #: tokens must appear in at least this many docs
+
+
+@query(
+    "text_burstiness",
+    f"""
+    WITH per_doc AS (
+      SELECT doc_id, t AS tok, CAST(count(*) AS BIGINT) AS c
+      FROM documents, unnest(string_split(text, ' ')) AS u(t)
+      GROUP BY doc_id, t
+    ), nd AS (SELECT CAST(count(*) AS BIGINT) AS n_docs FROM documents),
+    stats AS (
+      SELECT tok,
+             CAST(count(*) AS BIGINT) AS df,
+             CAST(sum(c) AS BIGINT) AS cf,
+             CAST(sum(c * c) AS BIGINT) AS cf2
+      FROM per_doc GROUP BY tok
+    )
+    SELECT tok, df, cf,
+           round(
+             ((CAST(cf2 AS DOUBLE)
+               - CAST(cf AS DOUBLE) * CAST(cf AS DOUBLE) / n_docs)
+              / (n_docs - 1))
+             / (CAST(cf AS DOUBLE) / n_docs), 6) AS fano
+    FROM stats CROSS JOIN nd
+    WHERE df >= {_BURST_MIN_DOCS}
+    """,
+)
+def text_burstiness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token burstiness (Fano factor — variance-to-mean of per-document
+    counts, zeros included): function words hover near Poisson (≈ 1);
+    topical words BURST (≫ 1 — absent from most docs, repeated where
+    they appear). The content-word detector behind tf-idf's intuition,
+    stated as a measurable statistic, and a standard corpus-QC check
+    (boilerplate contamination shows up as impossible burstiness).
+
+    Exactness: including the zero-count documents analytically — Σc and
+    Σc² over ALL docs equal the sums over docs that contain the token,
+    so the variance needs only (cf, cf2, n_docs), all exact integers;
+    the Fano ratio is one shared float expression. Shape: two
+    partial-aggregating shuffles (doc-grain then token-grain), one
+    1-row doc-count broadcast."""
+    d = table(spark, sf_dir, "documents")
+    n_docs = d.count()
+    per_doc = (
+        d.select("doc_id", F.explode(F.split("text", " ")).alias("tok"))
+        .groupBy("doc_id", "tok")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    stats = per_doc.groupBy("tok").agg(
+        F.count(F.lit(1)).alias("df"),
+        F.sum("c").cast("long").alias("cf"),
+        F.sum(F.col("c") * F.col("c")).cast("long").alias("cf2"),
+    )
+    var = (
+        F.col("cf2").cast("double")
+        - F.col("cf").cast("double") * F.col("cf").cast("double") / n_docs
+    ) / (n_docs - 1)
+    mean = F.col("cf").cast("double") / n_docs
+    return stats.filter(F.col("df") >= _BURST_MIN_DOCS).select(
+        "tok", "df", "cf", F.round(var / mean, 6).alias("fano")
+    )
+
+
+@query(
+    "event_burstiness",
+    """
+    WITH gaps AS (
+      SELECT user_id,
+             epoch_us(ts) - lag(epoch_us(ts)) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id) AS gap_us
+      FROM events
+    ), agg AS (
+      SELECT user_id,
+             CAST(count(*) AS BIGINT) AS n_gaps,
+             CAST(sum(gap_us) AS BIGINT) AS s1,
+             CAST(sum(CAST(gap_us AS HUGEINT) * gap_us) AS DOUBLE) AS s2
+      FROM gaps WHERE gap_us IS NOT NULL
+      GROUP BY user_id HAVING count(*) >= 2
+    )
+    SELECT user_id, n_gaps,
+           round(CAST(s1 AS DOUBLE) / n_gaps / 1000000, 6)
+             AS mean_gap_sec,
+           round(sqrt((s2 - CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE)
+                        / n_gaps) / (n_gaps - 1))
+                 / (CAST(s1 AS DOUBLE) / n_gaps), 6) AS cv
+    FROM agg
+    """,
+)
+def event_burstiness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inter-arrival burstiness per user: coefficient of variation of
+    the gaps between consecutive events. A Poisson (memoryless) process
+    has CV = 1; humans are bursty (CV > 1 — sessions of rapid activity
+    separated by silence); a CV ≪ 1 stream is suspiciously metronomic —
+    the bot-detection tell. Pairs with `text_burstiness`: the same
+    over-dispersion diagnostic on the time axis.
+
+    Gaps are exact integer microseconds from one lag window (shuffle on
+    user_id); the second moment is accumulated in DOUBLE on BOTH
+    engines deliberately — gap² exceeds int64 for day-scale gaps, and
+    an identical float expression beats two different overflow
+    behaviors. CV is the shared sample-std/mean expression."""
+    ev = table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    t = F.unix_micros("ts")
+    gaps = ev.select(
+        "user_id", (t - F.lag(t).over(w)).alias("gap_us")
+    ).filter(F.col("gap_us").isNotNull())
+    agg = gaps.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_gaps"),
+        F.sum("gap_us").cast("long").alias("s1"),
+        F.sum(F.col("gap_us").cast("double") * F.col("gap_us"))
+        .alias("s2"),
+    ).filter(F.col("n_gaps") >= 2)
+    mean = F.col("s1").cast("double") / F.col("n_gaps")
+    sd = F.sqrt(
+        (F.col("s2") - F.col("s1").cast("double")
+         * F.col("s1").cast("double") / F.col("n_gaps"))
+        / (F.col("n_gaps") - 1)
+    )
+    return agg.select(
+        "user_id", "n_gaps",
+        F.round(mean / 1000000, 6).alias("mean_gap_sec"),
+        F.round(sd / mean, 6).alias("cv"),
+    )
+
+
+@query(
+    "win_parkinson_vol",
+    """
+    WITH daily AS (
+      SELECT l_suppkey, CAST(l_shipdate AS DATE) AS d,
+             max(CAST(l_extendedprice AS DECIMAL(18,2))) AS hi,
+             min(CAST(l_extendedprice AS DECIMAL(18,2))) AS lo
+      FROM lineitem GROUP BY 1, 2
+    ), terms AS (
+      SELECT l_suppkey,
+             CAST(round(pow(ln(CAST(hi AS DOUBLE) / CAST(lo AS DOUBLE)),
+                            2), 10) AS DECIMAL(20,10)) AS lnhl2
+      FROM daily WHERE hi > lo
+    )
+    SELECT l_suppkey, CAST(count(*) AS BIGINT) AS n_days,
+           round(sqrt(CAST(sum(lnhl2) AS DOUBLE)
+                      / (4 * ln(2) * count(*))), 6) AS parkinson_vol
+    FROM terms GROUP BY l_suppkey
+    """,
+)
+def win_parkinson_vol(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Parkinson range volatility per supplier — √(Σ ln²(H/L) /
+    (4 ln 2 · n)) over daily high/low price ranges. Close-to-close
+    volatility throws away the intraday range; Parkinson's estimator is
+    ~5× more efficient from the same days of data, which is why OHLC
+    stores exist (`win_ohlc` builds the bars; this consumes them).
+    Days with H = L carry no range information and drop.
+
+    Exactness: daily extrema are decimal; each ln² term is one shared
+    float expression quantized to DECIMAL(20,10) before the per-key sum
+    (order-independent); one daily aggregate + one supplier aggregate,
+    both partial."""
+    li = table(spark, sf_dir, "lineitem")
+    p = F.col("l_extendedprice").cast("decimal(18,2)")
+    daily = li.groupBy(
+        "l_suppkey", F.col("l_shipdate").cast("date").alias("d")
+    ).agg(F.max(p).alias("hi"), F.min(p).alias("lo"))
+    lnhl2 = F.round(
+        F.pow(
+            F.log(F.col("hi").cast("double") / F.col("lo").cast("double")),
+            2,
+        ),
+        10,
+    ).cast("decimal(20,10)")
+    terms = daily.filter(F.col("hi") > F.col("lo")).select(
+        "l_suppkey", lnhl2.alias("lnhl2")
+    )
+    return terms.groupBy("l_suppkey").agg(
+        F.count(F.lit(1)).alias("n_days"),
+        F.round(
+            F.sqrt(
+                F.sum("lnhl2").cast("double")
+                / (4 * F.log(F.lit(2.0)) * F.count(F.lit(1)))
+            ),
+            6,
+        ).alias("parkinson_vol"),
+    )
