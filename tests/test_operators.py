@@ -3647,3 +3647,61 @@ def test_parkinson_vol_matches_daily_range_replay(spark, sf_dir):
         n = len(terms)
         vol = math.sqrt(float(sum(terms)) / (4 * math.log(2) * n))
         assert got[sk] == (n, round(vol, 6))
+
+
+def test_multichar_delim_roundtrip(spark, sf_dir):
+    from xlsx_to_database_spark.catalog import table
+    from xlsx_to_database_spark.registry import all_queries
+
+    got = sorted(map(tuple, all_queries()["csv_multichar_delim_scan"](
+        spark, sf_dir).collect()))
+    want = sorted(map(tuple, table(spark, sf_dir, "nation").select(
+        "n_nationkey", "n_name", "n_regionkey").collect()))
+    assert got == want
+
+
+def test_gdpr_erasure_is_physical_and_versioned(spark, sf_dir):
+    """After the op: subjects absent from the latest snapshot, v0's
+    pre-image files collected (reading v0 fails), and the audit log
+    records the delete commit without retaining subject keys."""
+    import json
+    import os
+
+    import pytest as _pytest
+    from pyspark.errors.exceptions.captured import AnalysisException
+
+    from xlsx_to_database_spark.operators.txn_table import TxnTable
+    from xlsx_to_database_spark.queries.sources_sinks import _tag
+    from xlsx_to_database_spark.registry import all_queries
+
+    all_queries()["etl_gdpr_erasure"](spark, sf_dir).collect()
+    root = f"/tmp/spark_stage/{_tag(sf_dir)}_gdpr"
+    tt = TxnTable(spark, root, "o_orderkey")
+    assert tt.read().filter(F.col("o_custkey") % 97 == 0).count() == 0
+    with _pytest.raises(AnalysisException):
+        tt.read(version=0).count()
+    m = tt.manifest(1)
+    assert m["op"] == "delete"
+    assert "97" not in json.dumps(m), "audit record must not retain keys"
+
+
+def test_recall_report_matches_set_intersections(spark, sf_dir):
+    """Recall rows must equal |approx ∩ exact| / 10 computed from the
+    three underlying (attested) ops directly."""
+    from xlsx_to_database_spark.catalog import table
+    from xlsx_to_database_spark.operators import similarity as S
+    from xlsx_to_database_spark.registry import all_queries
+
+    e = table(spark, sf_dir, "embeddings")
+    qv = e.filter(F.col("vec_id") == 0).select(
+        F.col("embedding").alias("qvec"))
+    exact = {r.vec_id for r in S.cosine_topk(e, qv, k=10).collect()}
+    lsh = {r.vec_id for r in S.lsh_topk(e, qv, k=10).collect()}
+    ivf = {r.vec_id for r in S.ivf_topk(e, k=10, query_id=0).collect()}
+    got = {
+        r.method: (r.n_hits, r.recall)
+        for r in all_queries()["sim_recall_report"](spark, sf_dir).collect()
+    }
+    assert got["lsh"] == (len(lsh & exact), round(len(lsh & exact) / 10, 2))
+    assert got["ivf"] == (len(ivf & exact), round(len(ivf & exact) / 10, 2))
+    assert got["ivf"][0] >= 5, "IVF recall collapsed"

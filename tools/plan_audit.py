@@ -129,6 +129,7 @@ ALLOWED: dict[str, dict[str, str]] = {
             "text_js_divergence",     # slice totals + JS sum (1 row each)
             "stat_fdr_bh",            # global moments + k* scalar (1 row each)
             "ml_learning_curve",      # fraction spine (4 rows)
+            "sim_recall_report",      # query vector + 10-row top-k sets
         )
     },
     "stat_kendall_tau": {

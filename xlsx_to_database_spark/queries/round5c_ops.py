@@ -3671,3 +3671,174 @@ def win_parkinson_vol(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("parkinson_vol"),
     )
+
+
+@query(
+    "csv_multichar_delim_scan",
+    """
+    SELECT CAST(n_nationkey AS BIGINT) AS n_nationkey, n_name,
+           CAST(n_regionkey AS BIGINT) AS n_regionkey
+    FROM nation
+    """,
+)
+def csv_multichar_delim_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-character-delimiter ingestion ('||' — the separator teams
+    pick when their text fields contain commas AND pipes): Spark's CSV
+    source accepts multi-char `sep` natively (Spark 3.0+), keeping the
+    parse in the JVM scan instead of a per-line split UDF. Round-trip
+    hash match against clean parquet proves no field bleeding."""
+    import os
+
+    from xlsx_to_database_spark.queries.sources_sinks import (
+        _STAGE_ROOT, _tag,
+    )
+
+    path = os.path.join(_STAGE_ROOT, f"{_tag(sf_dir)}_nation_pipe2.csv")
+    if not os.path.exists(path):
+        os.makedirs(_STAGE_ROOT, exist_ok=True)
+        rows = (
+            table(spark, sf_dir, "nation")
+            .select("n_nationkey", "n_name", "n_regionkey")
+            .orderBy("n_nationkey")
+            .collect()
+        )
+        with open(path + ".tmp", "w") as fh:
+            fh.write("n_nationkey||n_name||n_regionkey\n")
+            for r in rows:
+                fh.write(f"{r.n_nationkey}||{r.n_name}||{r.n_regionkey}\n")
+        os.replace(path + ".tmp", path)
+    return (
+        spark.read.option("header", "true")
+        .option("sep", "||")
+        .schema("n_nationkey long, n_name string, n_regionkey long")
+        .csv(path)
+    )
+
+
+@query(
+    "etl_gdpr_erasure",
+    """
+    WITH erased AS (SELECT DISTINCT o_custkey FROM orders
+                    WHERE o_custkey % 97 = 0)
+    SELECT o_orderstatus,
+           CAST(count(*) AS BIGINT) AS n_rows,
+           round(CAST(sum(CAST(o_totalprice AS DECIMAL(18,2)))
+                      AS DOUBLE), 2) AS total
+    FROM orders
+    WHERE o_custkey NOT IN (SELECT o_custkey FROM erased)
+    GROUP BY o_orderstatus
+    """,
+)
+def etl_gdpr_erasure(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Right-to-erasure (GDPR Art. 17) on the txn table: delete every
+    fact row of the requested subjects (customers with key % 97 == 0)
+    as ONE atomic versioned commit, with the txn log as the audit
+    trail (the delete manifest records WHEN erasure happened without
+    retaining WHO — storing erased keys would itself violate the
+    request). File-level copy-on-write means only files containing
+    subject rows rewrite; VACUUM then retires the pre-images — the
+    two-step (logical delete now, physical purge at retention) that
+    actually satisfies both the regulator and snapshot isolation.
+
+    The returned frame is the post-erasure table; the oracle
+    reconstructs it relationally. In-op asserts pin: erased subjects
+    gone, version advanced exactly once, pre-image files collected."""
+    import shutil
+
+    from xlsx_to_database_spark.operators.txn_table import TxnTable
+    from xlsx_to_database_spark.queries.sources_sinks import _tag
+
+    o = table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_orderstatus",
+        F.col("o_totalprice").cast("decimal(18,2)").alias("price"),
+    )
+    root = f"/tmp/spark_stage/{_tag(sf_dir)}_gdpr"
+    shutil.rmtree(root, ignore_errors=True)
+    tt = TxnTable(spark, root, "o_orderkey")
+    tt.create(o.repartitionByRange(4, "o_orderkey"))
+    v, rewritten, _ = tt.delete_where(F.col("o_custkey") % 97 == 0)
+    assert v == 1 and rewritten >= 1
+    deleted, _ = tt.vacuum(retain_versions=1)
+    assert deleted >= 1, "physical purge must collect pre-images"
+    out = tt.read()
+    assert out.filter(F.col("o_custkey") % 97 == 0).count() == 0
+    return out.groupBy("o_orderstatus").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.round(F.sum("price").cast("double"), 2).alias("total"),
+    )
+
+
+def _recall_oracle() -> str:
+    """Compose the recall oracle from the ALREADY-REGISTERED oracle
+    SQL of the exact / LSH / IVF top-k ops (each is a full WITH…SELECT;
+    DuckDB accepts them as parenthesized subqueries) — one source of
+    truth for the index formulas, zero drift."""
+    from xlsx_to_database_spark.registry import _ORACLES
+
+    ex = _ORACLES["sim_cosine_topk"]
+    lsh = _ORACLES["sim_lsh_topk"]
+    ivf = _ORACLES["sim_ivf_topk"]
+    return f"""
+    WITH exact AS (SELECT vec_id FROM ({ex})),
+    lsh AS (SELECT vec_id FROM ({lsh})),
+    ivf AS (SELECT vec_id FROM ({ivf}))
+    SELECT method, n_hits, round(CAST(n_hits AS DOUBLE) / 10, 2) AS recall
+    FROM (
+      SELECT 'lsh' AS method,
+             CAST((SELECT count(*) FROM lsh
+                   WHERE vec_id IN (SELECT vec_id FROM exact))
+                  AS BIGINT) AS n_hits
+      UNION ALL
+      SELECT 'ivf',
+             CAST((SELECT count(*) FROM ivf
+                   WHERE vec_id IN (SELECT vec_id FROM exact))
+                  AS BIGINT)
+    )
+    """
+
+
+@query("sim_recall_report", None)
+def sim_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANN quality as a first-class queryable artifact: recall@10 of
+    the sign-LSH and IVF indexes against the exact top-10 for the
+    standard query (vector 0) — the number an index owner must publish
+    before anyone trusts approximate retrieval, produced by the SAME
+    engine run that serves it. The unit tests bound recall; this op
+    makes the measurement reproducible on demand at any corpus size
+    (three bounded top-k pipelines + two 10-row intersections).
+
+    The oracle is COMPOSED from the registered oracle SQL of the three
+    underlying ops (`_recall_oracle`) — the index formulas exist in
+    exactly one place per engine."""
+    from xlsx_to_database_spark.operators import similarity as S
+
+    e = table(spark, sf_dir, "embeddings")
+    qv = e.filter(F.col("vec_id") == 0).select(
+        F.col("embedding").alias("qvec")
+    )
+    exact = S.cosine_topk(e, qv, k=10).select("vec_id")
+    lsh = S.lsh_topk(e, qv, k=10).select("vec_id")
+    ivf = S.ivf_topk(e, k=10, query_id=0).select("vec_id")
+
+    def hits(df: DataFrame, name: str) -> DataFrame:
+        return (
+            df.join(exact, "vec_id", "left_semi")
+            .agg(
+                F.lit(name).alias("method"),
+                F.count(F.lit(1)).alias("n_hits"),
+            )
+            .select(
+                "method", "n_hits",
+                F.round(F.col("n_hits").cast("double") / 10, 2)
+                .alias("recall"),
+            )
+        )
+
+    return hits(lsh, "lsh").unionByName(hits(ivf, "ivf"))
+
+
+# Late registration with the composed oracle: the decorator ran with
+# None; install the real SQL now that _ORACLES holds the parts.
+from xlsx_to_database_spark import registry as _reg  # noqa: E402
+
+_reg._ORACLES["sim_recall_report"] = _recall_oracle().strip()
