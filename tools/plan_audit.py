@@ -130,6 +130,7 @@ ALLOWED: dict[str, dict[str, str]] = {
             "stat_fdr_bh",            # global moments + k* scalar (1 row each)
             "ml_learning_curve",      # fraction spine (4 rows)
             "sim_recall_report",      # query vector + 10-row top-k sets
+            "ml_threshold_cost_opt",  # threshold spine (5 rows)
         )
     },
     "stat_kendall_tau": {

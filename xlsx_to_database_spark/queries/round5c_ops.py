@@ -3842,3 +3842,173 @@ def sim_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
 from xlsx_to_database_spark import registry as _reg  # noqa: E402
 
 _reg._ORACLES["sim_recall_report"] = _recall_oracle().strip()
+
+
+_COST_FP = 1.0   #: cost of a false alarm
+_COST_FN = 8.0   #: cost of a miss
+
+
+@query(
+    "ml_threshold_cost_opt",
+    f"""
+    WITH t AS (
+      SELECT unnest(ARRAY{list(_PR_THRESHOLDS)}) AS threshold
+    ), c AS (
+      SELECT t.threshold,
+             CAST(count(*) FILTER (WHERE o_orderpriority NOT IN
+               ('1-URGENT', '2-HIGH') AND o_totalprice >= t.threshold)
+               AS BIGINT) AS fp,
+             CAST(count(*) FILTER (WHERE o_orderpriority IN
+               ('1-URGENT', '2-HIGH') AND o_totalprice < t.threshold)
+               AS BIGINT) AS fn
+      FROM orders CROSS JOIN t GROUP BY t.threshold
+    )
+    SELECT CAST(threshold AS BIGINT) AS threshold, fp, fn,
+           round(CAST({_COST_FP} * fp + {_COST_FN} * fn AS DOUBLE), 1)
+             AS expected_cost,
+           threshold = (
+             SELECT threshold FROM c
+             ORDER BY CAST({_COST_FP} * fp + {_COST_FN} * fn AS DOUBLE),
+                      threshold
+             LIMIT 1
+           ) AS is_optimal
+    FROM c
+    """,
+)
+def ml_threshold_cost_opt(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cost-sensitive threshold selection: when a miss costs 8× a false
+    alarm, the accuracy-optimal threshold is the WRONG one — the
+    decision rule must minimize expected cost C_FP·FP + C_FN·FN over
+    the operating points (`ml_pr_curve` reports the points; this
+    chooses). Same one-pass conditional-count shape; the argmin is a
+    total-ordered scan of the 5-row grid."""
+    o = table(spark, sf_dir, "orders")
+    t = spark.range(1).select(
+        F.explode(F.array(*[F.lit(x) for x in _PR_THRESHOLDS]))
+        .alias("threshold")
+    )
+    pos = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    hi = F.col("o_totalprice") >= F.col("threshold")
+    c = (
+        o.crossJoin(F.broadcast(t))
+        .groupBy("threshold")
+        .agg(
+            F.count_if(~pos & hi).alias("fp"),
+            F.count_if(pos & ~hi).alias("fn"),
+        )
+    )
+    cost = _COST_FP * F.col("fp") + _COST_FN * F.col("fn")
+    w = Window.orderBy(cost.asc(), F.col("threshold").asc())
+    return (
+        c.withColumn("rk", F.row_number().over(w))
+        .select(
+            F.col("threshold").cast("long").alias("threshold"),
+            "fp", "fn",
+            F.round(cost, 1).alias("expected_cost"),
+            (F.col("rk") == 1).alias("is_optimal"),
+        )
+    )
+
+
+@query(
+    "dq_double_charge",
+    """
+    WITH s AS (
+      SELECT o_custkey, CAST(o_totalprice AS DECIMAL(18,2)) AS amt,
+             o_orderdate, o_orderkey,
+             lag(o_orderdate) OVER w AS prev_date,
+             lag(o_orderkey) OVER w AS prev_key,
+             lag(CAST(o_totalprice AS DECIMAL(18,2))) OVER w AS prev_amt
+      FROM orders
+      WINDOW w AS (PARTITION BY o_custkey
+                   ORDER BY o_orderdate, o_orderkey)
+    )
+    SELECT o_custkey, prev_amt, amt,
+           prev_key AS first_orderkey, o_orderkey AS second_orderkey,
+           CAST(epoch_us(o_orderdate) - epoch_us(prev_date) AS BIGINT)
+             // 86400000000 AS gap_days
+    FROM s
+    WHERE prev_date IS NOT NULL
+      AND o_orderdate < prev_date + INTERVAL 14 DAY
+      AND 20 * abs(amt - prev_amt) <= prev_amt
+    """,
+)
+def dq_double_charge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Double-charge screen: CONSECUTIVE orders by the same customer
+    within 14 days at near-identical amounts (±5%) — the fintech
+    reconciliation suspect list (retry storms, double-submitted carts,
+    replayed webhooks all land here). Detection is one lag window per
+    customer — no self-join, no band join; the similarity check is the
+    decimal-exact inequality 20·|Δamount| ≤ prev_amount (a float 0.05
+    multiplier would type as DECIMAL in one engine and DOUBLE in the
+    other). Chains of k repeats emit k−1 suspect pairs by design; at
+    100 TB the shuffle carries the per-customer grouping the fraud
+    team partitions by anyway."""
+    o = table(spark, sf_dir, "orders")
+    amt = F.col("o_totalprice").cast("decimal(18,2)")
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    s = o.select(
+        "o_custkey", amt.alias("amt"), "o_orderdate", "o_orderkey",
+        F.lag("o_orderdate").over(w).alias("prev_date"),
+        F.lag("o_orderkey").over(w).alias("prev_key"),
+        F.lag(amt).over(w).alias("prev_amt"),
+    )
+    gap_days = (
+        (F.unix_micros("o_orderdate") - F.unix_micros("prev_date"))
+        / F.lit(86400000000)
+    ).cast("long")
+    return s.filter(
+        F.col("prev_date").isNotNull()
+        & (F.col("o_orderdate")
+           < F.col("prev_date") + F.expr("INTERVAL 14 DAY"))
+        & (20 * F.abs(F.col("amt") - F.col("prev_amt"))
+           <= F.col("prev_amt"))
+    ).select(
+        "o_custkey", "prev_amt", "amt",
+        F.col("prev_key").alias("first_orderkey"),
+        F.col("o_orderkey").alias("second_orderkey"),
+        gap_days.alias("gap_days"),
+    )
+
+
+_THROTTLE_SEC = 600  #: alert cooldown (10 min)
+
+
+@query("event_alert_throttle")  # rows-only: greedy walk has no SQL form
+def event_alert_throttle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Alert throttling with a cooldown anchored on the last EMITTED
+    alert: emit an error event only if ≥ 10 min have passed since the
+    previously emitted one for that user. This is NOT gaps-and-islands
+    (the cooldown measures from the emitted anchor, not the previous
+    event — a steady error drizzle at 1/min emits every 10 min here,
+    but forms ONE unbroken session under gap logic and would emit
+    once). The recurrence makes it genuinely sequential per key, so it
+    runs as an Arrow-batched ``applyInPandas`` walk — per-user state is
+    one timestamp, the partition is the user key, and the Python cost
+    is O(errors per user), the intended escape hatch for logic SQL
+    cannot express (SURVEY §2 custom-operator rule (b)).
+
+    Rows-only by the same token; the unit test replays the greedy walk
+    sequentially and pins exact emissions."""
+    import pandas as pd
+
+    ev = (
+        table(spark, sf_dir, "events")
+        .filter(F.col("event_type") == "error")
+        .select("user_id", "ts", "event_id")
+    )
+
+    def walk(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(["ts", "event_id"])
+        out = []
+        last = None
+        for row in pdf.itertuples(index=False):
+            if last is None or (row.ts - last).total_seconds() >= _THROTTLE_SEC:
+                out.append(row)
+                last = row.ts
+        return pd.DataFrame(out, columns=pdf.columns)
+
+    emitted = ev.groupBy("user_id").applyInPandas(
+        walk, schema="user_id long, ts timestamp, event_id long"
+    )
+    return emitted.orderBy("user_id", "ts", "event_id")
