@@ -3788,3 +3788,87 @@ def test_alert_throttle_matches_greedy_replay(spark, sf_dir):
     # greedy walk and session-gap logic coincide; the replay equality
     # above is the semantic pin, not the (data-dependent) difference.
     assert session_starts >= len(got)
+
+
+def test_dau_mau_bounds_and_replay(spark, sf_dir):
+    """Stickiness ∈ (0, 1]; avg_dau and mau replayed from raw events."""
+    from xlsx_to_database_spark.catalog import table
+    from xlsx_to_database_spark.registry import all_queries
+
+    rows = all_queries()["event_dau_mau"](spark, sf_dir).collect()
+    ev = table(spark, sf_dir, "events").select("user_id", "ts").collect()
+    months: dict = {}
+    for r in ev:
+        mon = r.ts.date().replace(day=1)
+        d = r.ts.date()
+        months.setdefault(mon, {"days": {}, "users": set()})
+        months[mon]["days"].setdefault(d, set()).add(r.user_id)
+        months[mon]["users"].add(r.user_id)
+    assert len(rows) == len(months)
+    for r in rows:
+        m = months[r.mon]
+        daus = [len(u) for u in m["days"].values()]
+        assert r.n_days == len(daus)
+        assert r.avg_dau == round(sum(daus) / len(daus), 4)
+        assert r.mau == len(m["users"])
+        assert 0.0 < r.stickiness <= 1.0
+
+
+def test_iterator_udf_initializes_once_per_task(spark, sf_dir):
+    """The iterator form's init section must run once per TASK, not per
+    Arrow batch — the amortization the surface exists for."""
+    from xlsx_to_database_spark.queries.round5c_ops import udf_pandas_iter
+    from xlsx_to_database_spark.registry import all_queries
+
+    spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", "500")
+    try:
+        all_queries()["udf_pandas_iter"](spark, sf_dir).collect()
+        init_acc, batch_acc = udf_pandas_iter._accs
+        assert init_acc.value >= 1
+        assert batch_acc.value > init_acc.value, (
+            "with 500-row Arrow batches there must be more batches "
+            "than tasks — otherwise the iterator seam amortized nothing"
+        )
+    finally:
+        spark.conf.unset("spark.sql.execution.arrow.maxRecordsPerBatch")
+
+
+def test_weibull_fit_matches_decimal_regression_replay(spark, sf_dir):
+    import math
+    from decimal import Decimal
+
+    from xlsx_to_database_spark.catalog import table
+    from xlsx_to_database_spark.registry import all_queries
+
+    got = {
+        r.grp: (r.n, r.shape_k, r.scale_lambda)
+        for r in all_queries()["stat_weibull_fit"](spark, sf_dir).collect()
+    }
+    groups: dict[str, list] = {}
+    for r in (
+        table(spark, sf_dir, "lineitem")
+        .select("l_returnflag", "l_extendedprice", "l_orderkey",
+                "l_linenumber")
+        .collect()
+    ):
+        groups.setdefault(r.l_returnflag, []).append(r)
+    for g, rows in groups.items():
+        rows.sort(key=lambda r: (r.l_extendedprice, r.l_orderkey,
+                                 r.l_linenumber))
+        n = len(rows)
+        sx = sy = sxy = sxx = Decimal(0)
+        for i, r in enumerate(rows, start=1):
+            x = Decimal(str(round(math.log(r.l_extendedprice), 8)))
+            f = (i - 0.3) / (n + 0.4)
+            yv = Decimal(str(round(math.log(-math.log(1 - f)), 8)))
+            sx += x
+            sy += yv
+            sxy += x * yv
+            sxx += x * x
+        slope = (n * float(sxy) - float(sx) * float(sy)) / (
+            n * float(sxx) - float(sx) * float(sx)
+        )
+        intercept = (float(sy) - slope * float(sx)) / n
+        lam = math.exp(-intercept / slope)
+        assert got[g] == (n, round(slope, 6), round(lam, 4))
+        assert got[g][1] > 0 and got[g][2] > 0

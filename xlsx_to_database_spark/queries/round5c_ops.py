@@ -14,6 +14,13 @@ identical inputs, so the driver's value-hash comparison stays exact.
 
 from __future__ import annotations
 
+# Module-level so ``typing.get_type_hints`` can resolve the iterator
+# pandas-UDF signature (postponed annotations stringify the hints, and
+# pandas_udf resolves them against the function's module globals).
+from typing import Iterator, Tuple  # noqa: F401
+
+import pandas as pd  # noqa: F401
+
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
@@ -4012,3 +4019,216 @@ def event_alert_throttle(spark: SparkSession, sf_dir: str) -> DataFrame:
         walk, schema="user_id long, ts timestamp, event_id long"
     )
     return emitted.orderBy("user_id", "ts", "event_id")
+
+
+@query(
+    "event_dau_mau",
+    """
+    WITH daily AS (
+      SELECT CAST(date_trunc('month', ts) AS DATE) AS mon,
+             CAST(ts AS DATE) AS d,
+             CAST(count(DISTINCT user_id) AS BIGINT) AS dau
+      FROM events GROUP BY 1, 2
+    ), monthly AS (
+      SELECT CAST(date_trunc('month', ts) AS DATE) AS mon,
+             CAST(count(DISTINCT user_id) AS BIGINT) AS mau
+      FROM events GROUP BY 1
+    )
+    SELECT d.mon,
+           CAST(count(*) AS BIGINT) AS n_days,
+           round(CAST(sum(d.dau) AS DOUBLE) / count(*), 4) AS avg_dau,
+           max(m.mau) AS mau,
+           round(CAST(sum(d.dau) AS DOUBLE) / count(*) / max(m.mau), 6)
+             AS stickiness
+    FROM daily d JOIN monthly m ON d.mon = m.mon
+    GROUP BY d.mon
+    """,
+)
+def event_dau_mau(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DAU/MAU stickiness per month — mean daily active users over
+    monthly active users, THE engagement ratio every growth dashboard
+    leads with (1/30 ≈ "monthly visitors", 1.0 = "daily habit").
+
+    Shape: two COUNT DISTINCT aggregates at different grains (both
+    partial via the distinct-rewrite), joined on month — the monthly
+    side is metadata-size. Exact integers everywhere; the two ratios
+    are shared float expressions. At 100 TB the day grain dominates;
+    `agg_hll_sketch` is the documented sketch path when exact distincts
+    stop being worth their shuffle."""
+    ev = table(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        F.date_trunc("month", "ts").cast("date").alias("mon"),
+        F.col("ts").cast("date").alias("d"),
+    ).agg(F.countDistinct("user_id").alias("dau"))
+    monthly = ev.groupBy(
+        F.date_trunc("month", "ts").cast("date").alias("mon")
+    ).agg(F.countDistinct("user_id").alias("mau"))
+    return (
+        daily.join(monthly, "mon")
+        .groupBy("mon")
+        .agg(
+            F.count(F.lit(1)).alias("n_days"),
+            F.round(
+                F.sum("dau").cast("double") / F.count(F.lit(1)), 4
+            ).alias("avg_dau"),
+            F.max("mau").alias("mau"),
+            F.round(
+                F.sum("dau").cast("double") / F.count(F.lit(1))
+                / F.max("mau"),
+                6,
+            ).alias("stickiness"),
+        )
+    )
+
+
+@query(
+    "udf_pandas_iter",
+    """
+    SELECT l_returnflag,
+           CAST(count(*) AS BIGINT) AS n,
+           round(sum(CAST(
+             CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - l_discount)
+             AS DECIMAL(18,4))), 2) AS net_total
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
+def udf_pandas_iter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Iterator-form pandas UDF (``Iterator[Series] -> Iterator[
+    Series]``) — the LAST UDF surface in the suite and the one built
+    for expensive per-worker initialization: the closure's setup code
+    runs ONCE per partition, then streams Arrow batches through it —
+    exactly how model-inference UDFs amortize loading a tokenizer or
+    an ONNX session across millions of rows (the scalar pandas UDF
+    re-enters per batch with no init seam at all).
+
+    The "expensive init" here is a constants table built once per
+    partition (asserted: init count ≤ partitions, not batches, in the
+    unit test via an accumulator). Arithmetic is 4dp-quantized so the
+    engine comparison stays exact."""
+    from typing import Iterator, Tuple
+
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    init_acc = spark.sparkContext.accumulator(0)
+    batch_acc = spark.sparkContext.accumulator(0)
+
+    @pandas_udf("double")
+    def net_price(
+        it: Iterator[Tuple[pd.Series, pd.Series]],
+    ) -> Iterator[pd.Series]:
+        init_acc.add(1)          # once per partition/task
+        factor = 1.0             # stand-in for an expensive model load
+        for p, d in it:
+            batch_acc.add(1)     # once per Arrow batch
+            yield (p.round(2) * (factor - d)).round(4)
+
+    li = table(spark, sf_dir, "lineitem")
+    out = li.select(
+        "l_returnflag",
+        net_price(F.col("l_extendedprice"), F.col("l_discount"))
+        .cast("decimal(18,4)").alias("net"),
+    )
+    res = out.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.sum("net"), 2).alias("net_total"),
+    )
+    # stash accumulators for the unit test
+    udf_pandas_iter._accs = (init_acc, batch_acc)  # type: ignore[attr-defined]
+    return res
+
+
+@query(
+    "stat_weibull_fit",
+    """
+    WITH ranked AS (
+      SELECT l_returnflag AS grp,
+             CAST(round(ln(l_extendedprice), 8) AS DECIMAL(18,8)) AS x,
+             row_number() OVER (
+               PARTITION BY l_returnflag
+               ORDER BY l_extendedprice, l_orderkey, l_linenumber) AS i,
+             count(*) OVER (PARTITION BY l_returnflag) AS n
+      FROM lineitem
+    ), pts AS (
+      SELECT grp, x,
+             CAST(round(ln(-ln(1 - (i - 0.3) / (n + 0.4))), 8)
+                  AS DECIMAL(18,8)) AS y
+      FROM ranked
+    ), s AS (
+      SELECT grp, CAST(count(*) AS BIGINT) AS n,
+             sum(x) AS sx, sum(y) AS sy,
+             sum(CAST(CAST(x AS DECIMAL(19,9)) * CAST(y AS DECIMAL(19,9))
+                      AS DECIMAL(28,16))) AS sxy,
+             sum(CAST(CAST(x AS DECIMAL(19,9)) * CAST(x AS DECIMAL(19,9))
+                      AS DECIMAL(28,16))) AS sxx
+      FROM pts GROUP BY grp
+    )
+    SELECT grp, n,
+           round((n * CAST(sxy AS DOUBLE)
+                  - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+                 / (n * CAST(sxx AS DOUBLE)
+                    - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)), 6)
+             AS shape_k,
+           round(exp(-((CAST(sy AS DOUBLE)
+                        - ((n * CAST(sxy AS DOUBLE)
+                            - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+                           / (n * CAST(sxx AS DOUBLE)
+                              - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)))
+                          * CAST(sx AS DOUBLE)) / n)
+                       / ((n * CAST(sxy AS DOUBLE)
+                           - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+                          / (n * CAST(sxx AS DOUBLE)
+                             - CAST(sx AS DOUBLE)
+                               * CAST(sx AS DOUBLE)))), 4) AS scale_lambda
+    FROM s
+    """,
+)
+def stat_weibull_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weibull (shape k, scale λ) fit per return-flag group by
+    median-rank regression — the reliability engineer's standard
+    estimator: plot ln(−ln(1−F_i)) against ln(x_i) with Benard's
+    median ranks F_i = (i−0.3)/(n+0.4); the slope IS the shape and
+    exp(−intercept/slope) the scale. k < 1 means infant mortality,
+    k ≈ 1 memoryless, k > 1 wear-out — the lifetime-data counterpart
+    of `stat_extreme_value`'s Gumbel tail fit.
+
+    Exactness: both regression coordinates quantize to DECIMAL(18,8)
+    (x from the data, y from exact (i, n) via a shared expression), so
+    the four regression sums are exact decimal aggregates; slope and
+    scale are one shared float expression over five scalars per group.
+    Shape: one per-group rank window (the exact-quantile cost, as in
+    dq_tukey_outliers) + one partial aggregate."""
+    li = table(spark, sf_dir, "lineitem")
+    w = Window.partitionBy("l_returnflag").orderBy(
+        "l_extendedprice", "l_orderkey", "l_linenumber"
+    )
+    ranked = li.select(
+        F.col("l_returnflag").alias("grp"),
+        F.round(F.log(F.col("l_extendedprice")), 8)
+        .cast("decimal(18,8)").alias("x"),
+        F.row_number().over(w).alias("i"),
+        F.count(F.lit(1))
+        .over(Window.partitionBy("l_returnflag")).alias("n"),
+    )
+    y = F.round(
+        F.log(-F.log(1 - (F.col("i") - 0.3) / (F.col("n") + 0.4))), 8
+    ).cast("decimal(18,8)")
+    pts = ranked.select("grp", "x", y.alias("y"))
+    s = pts.groupBy("grp").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("x").alias("sx"), F.sum("y").alias("sy"),
+        F.sum((F.col("x") * F.col("y")).cast("decimal(28,16)"))
+        .alias("sxy"),
+        F.sum((F.col("x") * F.col("x")).cast("decimal(28,16)"))
+        .alias("sxx"),
+    )
+    nd = F.col("n").cast("double")
+    sx, sy = F.col("sx").cast("double"), F.col("sy").cast("double")
+    sxy, sxx = F.col("sxy").cast("double"), F.col("sxx").cast("double")
+    slope = (nd * sxy - sx * sy) / (nd * sxx - sx * sx)
+    intercept = (sy - slope * sx) / nd
+    return s.select(
+        "grp", "n",
+        F.round(slope, 6).alias("shape_k"),
+        F.round(F.exp(-intercept / slope), 4).alias("scale_lambda"),
+    )
