@@ -3872,3 +3872,100 @@ def test_weibull_fit_matches_decimal_regression_replay(spark, sf_dir):
         lam = math.exp(-intercept / slope)
         assert got[g] == (n, round(slope, 6), round(lam, 4))
         assert got[g][1] > 0 and got[g][2] > 0
+
+
+def test_percent_of_parent_shares_sum_to_one(spark, sf_dir):
+    from xlsx_to_database_spark.registry import all_queries
+
+    rows = all_queries()["agg_percent_of_parent"](spark, sf_dir).collect()
+    by_region: dict[str, float] = {}
+    total = 0.0
+    for r in rows:
+        by_region[r.region] = by_region.get(r.region, 0.0) + r.pct_of_region
+        total += r.pct_of_total
+    assert all(abs(s - 1.0) < 1e-4 for s in by_region.values())
+    assert abs(total - 1.0) < 1e-4
+    assert len({(r.region, r.nation) for r in rows}) == len(rows)
+
+
+def test_mmr_matches_greedy_replay_and_diversifies(spark, sf_dir):
+    """Selections must equal the greedy MMR walk over the same pool and
+    the first pick must be the relevance argmax."""
+    from xlsx_to_database_spark.catalog import table
+    from xlsx_to_database_spark.operators import similarity as S
+    from xlsx_to_database_spark.registry import all_queries
+
+    got = [
+        (r.rank, r.vec_id)
+        for r in sorted(
+            all_queries()["sim_diversity_mmr"](spark, sf_dir).collect(),
+            key=lambda r: r.rank,
+        )
+    ]
+    e = table(spark, sf_dir, "embeddings")
+    qv = e.filter(F.col("vec_id") == 0).select(
+        F.col("embedding").alias("qvec"))
+    pool = {r.vec_id: r.cos_sim for r in S.cosine_topk(e, qv, k=20).collect()}
+    vecs = {
+        r.vec_id: [float(x) for x in r.embedding]
+        for r in e.filter(F.col("vec_id").isin(list(pool))).collect()
+    }
+
+    def cos(u, v):
+        du = sum(a * a for a in u) ** 0.5
+        dv = sum(a * a for a in v) ** 0.5
+        return round(sum(a * b for a, b in zip(u, v)) / (du * dv), 6)
+
+    picked = []
+    while len(picked) < 5:
+        best = max(
+            (x for x in pool if x not in picked),
+            key=lambda x: (
+                0.7 * pool[x]
+                - 0.3 * max((cos(vecs[x], vecs[p]) for p in picked),
+                            default=0.0),
+                -x,
+            ),
+        )
+        picked.append(best)
+    assert [v for _, v in got] == picked
+    assert got[0][1] == max(pool, key=lambda x: (pool[x], -x))
+
+
+def test_ljung_box_matches_python_acf_replay(spark, sf_dir):
+    from decimal import Decimal
+
+    from xlsx_to_database_spark.catalog import table
+    from xlsx_to_database_spark.registry import all_queries
+
+    rows = sorted(
+        all_queries()["stat_ljung_box"](spark, sf_dir).collect(),
+        key=lambda r: r.lag_k,
+    )
+    daily: dict = {}
+    for r in (
+        table(spark, sf_dir, "orders")
+        .select("o_orderdate", "o_totalprice")
+        .collect()
+    ):
+        d = r.o_orderdate.date()
+        daily[d] = daily.get(d, Decimal(0)) + Decimal(
+            repr(r.o_totalprice)
+        ).quantize(Decimal("0.01"))
+    xs = [round(float(v), 4) for _, v in sorted(daily.items())]
+    n = len(xs)
+    m = sum(xs) / n
+    c0 = float(sum(
+        Decimal(str(round((x - m) * (x - m), 6))) for x in xs
+    ))
+    q = Decimal(0)
+    for r in rows:
+        k = r.lag_k
+        ck = float(sum(
+            Decimal(str(round((xs[i] - m) * (xs[i - k] - m), 6)))
+            for i in range(k, n)
+        ))
+        acf = round(ck / c0, 8)
+        assert r.acf == round(acf, 6)
+        q += Decimal(str(round(n * (n + 2) * acf * acf / (n - k), 8)))
+        assert r.q_stat == round(float(q), 6)

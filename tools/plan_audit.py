@@ -131,6 +131,7 @@ ALLOWED: dict[str, dict[str, str]] = {
             "ml_learning_curve",      # fraction spine (4 rows)
             "sim_recall_report",      # query vector + 10-row top-k sets
             "ml_threshold_cost_opt",  # threshold spine (5 rows)
+            "stat_ljung_box",         # lag spine (5) + c0 scalar on the DAYS series
         )
     },
     "stat_kendall_tau": {

@@ -4232,3 +4232,252 @@ def stat_weibull_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(slope, 6).alias("shape_k"),
         F.round(F.exp(-intercept / slope), 4).alias("scale_lambda"),
     )
+
+
+@query(
+    "agg_percent_of_parent",
+    """
+    WITH rev AS (
+      SELECT r.r_name AS region, n.n_name AS nation,
+             CAST(sum(CAST(o_totalprice AS DECIMAL(18,2)))
+                  AS DECIMAL(28,2)) AS rev
+      FROM orders o
+      JOIN customer c ON o.o_custkey = c.c_custkey
+      JOIN nation n ON c.c_nationkey = n.n_nationkey
+      JOIN region r ON n.n_regionkey = r.r_regionkey
+      GROUP BY r.r_name, n.n_name
+    )
+    SELECT region, nation,
+           round(CAST(rev AS DOUBLE), 2) AS revenue,
+           round(CAST(rev AS DOUBLE)
+                 / CAST(sum(rev) OVER (PARTITION BY region) AS DOUBLE),
+                 6) AS pct_of_region,
+           round(CAST(rev AS DOUBLE)
+                 / CAST(sum(rev) OVER () AS DOUBLE), 6) AS pct_of_total
+    FROM rev
+    """,
+)
+def agg_percent_of_parent(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Percent-of-parent at two hierarchy levels — each nation's share
+    of its region and of the world: the ratio every drill-down BI
+    report renders next to the absolute number. One star join + one
+    aggregate at (region, nation) grain; both normalizing windows run
+    over the 25-row aggregate (metadata), with decimal sums keeping the
+    shares exact. The 100 TB version is identical — the aggregate is
+    what shrinks, and shares are computed on the aggregate."""
+    o = table(spark, sf_dir, "orders")
+    c = table(spark, sf_dir, "customer")
+    n = table(spark, sf_dir, "nation")
+    r = table(spark, sf_dir, "region")
+    rev = (
+        o.join(c, o["o_custkey"] == c["c_custkey"])
+        .join(n, c["c_nationkey"] == n["n_nationkey"])
+        .join(F.broadcast(r), n["n_regionkey"] == r["r_regionkey"])
+        .groupBy(
+            F.col("r_name").alias("region"), F.col("n_name").alias("nation")
+        )
+        .agg(
+            F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+            .cast("decimal(28,2)").alias("rev")
+        )
+    )
+    wr = Window.partitionBy("region")
+    wt = Window.partitionBy()
+    return rev.select(
+        "region", "nation",
+        F.round(F.col("rev").cast("double"), 2).alias("revenue"),
+        F.round(
+            F.col("rev").cast("double")
+            / F.sum("rev").over(wr).cast("double"), 6
+        ).alias("pct_of_region"),
+        F.round(
+            F.col("rev").cast("double")
+            / F.sum("rev").over(wt).cast("double"), 6
+        ).alias("pct_of_total"),
+    )
+
+
+_MMR_LAMBDA = 0.7
+_MMR_POOL = 20  #: candidate pool (top-20 by relevance)
+_MMR_K = 5      #: results returned
+
+
+@query("sim_diversity_mmr")  # rows-only: greedy selection has no SQL form
+def sim_diversity_mmr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Maximal-marginal-relevance re-ranking: from the top-20
+    cosine candidates for query vector 0, greedily pick 5 maximizing
+    λ·relevance − (1−λ)·max-similarity-to-already-picked — the
+    diversification step retrieval systems run so the answer set isn't
+    five near-duplicates of the same document (λ=0.7).
+
+    The greedy recurrence (each pick depends on all prior picks) has no
+    SQL form; but the POOL is k-bounded metadata (20 rows), so the walk
+    runs driver-side on the collected candidate pairs — the same
+    bounded-collect class as k centroids (operators/similarity.py). The
+    cluster-scale work — scoring the corpus and the 20×20 pairwise
+    matrix — stays distributed. Rows-only; the unit test replays the
+    greedy walk and pins selections."""
+    from xlsx_to_database_spark.operators import similarity as S
+
+    e = table(spark, sf_dir, "embeddings")
+    qv = e.filter(F.col("vec_id") == 0).select(
+        F.col("embedding").alias("qvec")
+    )
+    pool = S.cosine_topk(e, qv, k=_MMR_POOL)  # vec_id, cos_sim
+    cand = pool.join(e, "vec_id").select(
+        "vec_id", "cos_sim",
+        F.transform("embedding", lambda x: x.cast("double")).alias("v"),
+    )
+    a, b = cand.alias("a"), cand.alias("b")
+    pairs = (
+        a.join(b, F.col("a.vec_id") < F.col("b.vec_id"))
+        .select(
+            F.col("a.vec_id").alias("u"), F.col("b.vec_id").alias("v"),
+            S.cosine_sim(F.col("a.v"), F.col("b.v")).alias("s"),
+        )
+        .collect()
+    )  # <= C(20,2) = 190 rows — metadata, like the k-centroid collects
+    rel = {r.vec_id: r.cos_sim for r in cand.select("vec_id", "cos_sim").collect()}
+    sim = {}
+    for r in pairs:
+        sim[(r.u, r.v)] = r.s
+        sim[(r.v, r.u)] = r.s
+    picked: list[int] = []
+    while len(picked) < _MMR_K and len(picked) < len(rel):
+        best = max(
+            (x for x in rel if x not in picked),
+            key=lambda x: (
+                _MMR_LAMBDA * rel[x]
+                - (1 - _MMR_LAMBDA)
+                * max((sim.get((x, p), 1.0) for p in picked), default=0.0),
+                -x,
+            ),
+        )
+        picked.append(best)
+    rows = [
+        (i + 1, v, float(rel[v])) for i, v in enumerate(picked)
+    ]
+    return spark.createDataFrame(
+        rows, "rank int, vec_id long, relevance double"
+    )
+
+
+_LB_LAGS = 5
+
+
+@query(
+    "stat_ljung_box",
+    f"""
+    WITH daily AS (
+      SELECT CAST(o_orderdate AS DATE) AS d,
+             round(CAST(sum(CAST(o_totalprice AS DECIMAL(18,2)))
+                        AS DOUBLE), 4) AS x
+      FROM orders GROUP BY 1
+    ), seq AS (
+      SELECT x, row_number() OVER (ORDER BY d) AS rn,
+             count(*) OVER () AS n,
+             avg(x) OVER () AS m
+      FROM daily
+    ), lagged AS (
+      SELECT s.rn, s.n, s.x, s.m, l.lag_k,
+             lag(s.x, l.lag_k) OVER (PARTITION BY l.lag_k ORDER BY s.rn)
+               AS xl
+      FROM seq s CROSS JOIN (SELECT unnest(range(1, {_LB_LAGS + 1}))
+                             AS lag_k) l
+    ), cks AS (
+      SELECT CAST(lag_k AS BIGINT) AS lag_k, max(n) AS n,
+             sum(CASE WHEN xl IS NOT NULL THEN
+               CAST(round((x - m) * (xl - m), 6) AS DECIMAL(28,6))
+               ELSE CAST(0 AS DECIMAL(28,6)) END) AS ck
+      FROM lagged GROUP BY lag_k
+    ), c0 AS (
+      SELECT sum(CAST(round((x - m) * (x - m), 6) AS DECIMAL(28,6)))
+               AS c0, max(n) AS n
+      FROM seq
+    ), rs AS (
+      SELECT k.lag_k, k.n,
+             round(CAST(k.ck AS DOUBLE) / CAST(z.c0 AS DOUBLE), 8) AS r
+      FROM cks k CROSS JOIN c0 z
+    )
+    SELECT lag_k, round(r, 6) AS acf,
+           round(CAST(sum(CAST(round(
+             n * (n + 2) * r * r / (n - lag_k), 8) AS DECIMAL(20,8)))
+             OVER (ORDER BY lag_k) AS DOUBLE), 6) AS q_stat
+    FROM rs
+    """,
+)
+def stat_ljung_box(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ljung–Box portmanteau test on the daily-revenue series: is there
+    ANY autocorrelation in the first {_LB_LAGS} lags? Q(K) =
+    n(n+2)·Σ_k r_k²/(n−k), emitted cumulatively per lag so the row set
+    doubles as an ACF table (`stat_autocorr` is the single-lag
+    special case; residual diagnostics after any forecast —
+    `stat_backtest_snaive` — start with exactly this statistic).
+
+    Exactness: the series is days-sized with 4dp-rounded values, so
+    both engines window IDENTICAL doubles; every centered product and
+    every Q term is quantized to decimal before summation
+    (order-independent); the ACF ratio is one shared expression.
+    Shape: one fact-table day aggregate, then everything runs on the
+    ~2400-row series — metadata."""
+    o = table(spark, sf_dir, "orders")
+    daily = o.groupBy(F.col("o_orderdate").cast("date").alias("d")).agg(
+        F.round(
+            F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+            .cast("double"), 4,
+        ).alias("x")
+    )
+    seq = daily.select(
+        "x",
+        F.row_number().over(Window.orderBy("d")).alias("rn"),
+        F.count(F.lit(1)).over(Window.partitionBy()).alias("n"),
+        F.avg("x").over(Window.partitionBy()).alias("m"),
+    )
+    lags = spark.range(1, _LB_LAGS + 1).select(
+        F.col("id").cast("int").alias("lag_k")
+    )
+    lagged = seq.crossJoin(F.broadcast(lags))
+    # per-lag shifted value: lag(x, k) with variable k is not a window
+    # expression, so shift via a self-join on rn - lag_k
+    shifted = seq.select(F.col("rn").alias("rn0"), F.col("x").alias("xl"))
+    j = lagged.join(
+        shifted,
+        lagged["rn"] - lagged["lag_k"] == shifted["rn0"],
+        "left",
+    )
+    ck = j.groupBy("lag_k").agg(
+        F.max("n").alias("n"),
+        F.sum(
+            F.when(
+                F.col("xl").isNotNull(),
+                F.round(
+                    (F.col("x") - F.col("m")) * (F.col("xl") - F.col("m")),
+                    6,
+                ).cast("decimal(28,6)"),
+            ).otherwise(F.lit(0).cast("decimal(28,6)"))
+        ).alias("ck"),
+    )
+    c0 = seq.agg(
+        F.sum(
+            F.round(
+                (F.col("x") - F.col("m")) * (F.col("x") - F.col("m")), 6
+            ).cast("decimal(28,6)")
+        ).alias("c0")
+    )
+    rs = ck.crossJoin(F.broadcast(c0)).select(
+        F.col("lag_k").cast("long").alias("lag_k"), "n",
+        F.round(
+            F.col("ck").cast("double") / F.col("c0").cast("double"), 8
+        ).alias("r"),
+    )
+    term = F.round(
+        F.col("n") * (F.col("n") + 2) * F.col("r") * F.col("r")
+        / (F.col("n") - F.col("lag_k")),
+        8,
+    ).cast("decimal(20,8)")
+    w = Window.orderBy("lag_k").rowsBetween(Window.unboundedPreceding, 0)
+    return rs.select(
+        "lag_k",
+        F.round(F.col("r"), 6).alias("acf"),
+        F.round(F.sum(term).over(w).cast("double"), 6).alias("q_stat"),
+    )
