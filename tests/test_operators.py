@@ -3969,3 +3969,53 @@ def test_ljung_box_matches_python_acf_replay(spark, sf_dir):
         assert r.acf == round(acf, 6)
         q += Decimal(str(round(n * (n + 2) * acf * acf / (n - k), 8)))
         assert r.q_stat == round(float(q), 6)
+
+
+def test_yoy_growth_aligns_lag12_exactly(spark, sf_dir):
+    from decimal import Decimal
+
+    from xlsx_to_database_spark.catalog import table
+    from xlsx_to_database_spark.registry import all_queries
+
+    rows = {
+        r.mon: r
+        for r in all_queries()["agg_yoy_growth"](spark, sf_dir).collect()
+    }
+    q = Decimal("0.01")
+    monthly: dict = {}
+    for r in (
+        table(spark, sf_dir, "orders")
+        .select("o_orderdate", "o_totalprice")
+        .collect()
+    ):
+        mon = r.o_orderdate.date().replace(day=1)
+        monthly[mon] = monthly.get(mon, Decimal(0)) + Decimal(
+            repr(r.o_totalprice)).quantize(q)
+    mons = sorted(monthly)
+    # gapless month series is a precondition the op documents
+    for a, b in zip(mons, mons[1:]):
+        assert (b.year - a.year) * 12 + b.month - a.month == 1
+    for i, mon in enumerate(mons):
+        if i >= 12:
+            prior = monthly[mons[i - 12]]
+            r = rows[mon]
+            assert r.revenue == round(float(monthly[mon]), 2)
+            assert r.revenue_prior_year == round(float(prior), 2)
+            assert r.yoy_pct == round(
+                100 * (float(monthly[mon]) / float(prior) - 1), 4
+            )
+        else:
+            assert mon not in rows
+
+
+def test_format_funcs_render_expected_shapes(spark, sf_dir):
+    from xlsx_to_database_spark.registry import all_queries
+
+    rows = all_queries()["str_format_funcs"](spark, sf_dir).collect()
+    for r in rows:
+        assert len(r.padded_key) == 4 and r.padded_key.endswith(
+            str(r.n_nationkey))
+        assert f"(region " in r.label and r.label.endswith(")")
+        if r.n_nationkey > 0:
+            assert "," in r.grouped  # thousands grouping present
+        assert len(r.fixed8) == 8

@@ -4481,3 +4481,94 @@ def stat_ljung_box(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.col("r"), 6).alias("acf"),
         F.round(F.sum(term).over(w).cast("double"), 6).alias("q_stat"),
     )
+
+
+@query(
+    "agg_yoy_growth",
+    """
+    WITH monthly AS (
+      SELECT CAST(date_trunc('month', o_orderdate) AS DATE) AS mon,
+             CAST(sum(CAST(o_totalprice AS DECIMAL(18,2)))
+                  AS DECIMAL(28,2)) AS rev
+      FROM orders GROUP BY 1
+    ), shifted AS (
+      SELECT mon, rev,
+             lag(rev, 12) OVER (ORDER BY mon) AS rev_prior
+      FROM monthly
+    )
+    SELECT mon, round(CAST(rev AS DOUBLE), 2) AS revenue,
+           round(CAST(rev_prior AS DOUBLE), 2) AS revenue_prior_year,
+           round(100 * (CAST(rev AS DOUBLE)
+                        / CAST(rev_prior AS DOUBLE) - 1), 4)
+             AS yoy_pct
+    FROM shifted WHERE rev_prior IS NOT NULL
+    """,
+)
+def agg_yoy_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Year-over-year monthly revenue growth — lag-12 over the MONTH
+    series, the comparison every revenue review opens with (raw
+    month-over-month is seasonality noise; YoY cancels the seasonal
+    term by construction). `win_pct_change` lags at row grain; this is
+    the calendar-aligned business version. Assumes a gapless month
+    series (true of this data; `etl_calendar_scaffold` is the fix when
+    it isn't — a missing month would silently misalign lag-12).
+
+    Shape: one fact-scale month aggregate with decimal sums, then a
+    lag window over the dozens-row month series — metadata. The
+    division is a shared float expression over exact decimals."""
+    o = table(spark, sf_dir, "orders")
+    monthly = o.groupBy(
+        F.date_trunc("month", "o_orderdate").cast("date").alias("mon")
+    ).agg(
+        F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+        .cast("decimal(28,2)").alias("rev")
+    )
+    w = Window.orderBy("mon")
+    shifted = monthly.select(
+        "mon", "rev", F.lag("rev", 12).over(w).alias("rev_prior")
+    )
+    return shifted.filter(F.col("rev_prior").isNotNull()).select(
+        "mon",
+        F.round(F.col("rev").cast("double"), 2).alias("revenue"),
+        F.round(F.col("rev_prior").cast("double"), 2)
+        .alias("revenue_prior_year"),
+        F.round(
+            100 * (F.col("rev").cast("double")
+                   / F.col("rev_prior").cast("double") - 1),
+            4,
+        ).alias("yoy_pct"),
+    )
+
+
+@query(
+    "str_format_funcs",
+    """
+    SELECT n_nationkey,
+           lpad(CAST(n_nationkey AS VARCHAR), 4, '0') AS padded_key,
+           printf('%s (region %d)', n_name, n_regionkey) AS label,
+           format('{:,}', n_nationkey * 1000000) AS grouped,
+           rpad(substr(n_name, 1, 8), 8, '.') AS fixed8
+    FROM nation
+    """,
+)
+def str_format_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Presentation-layer string formatting — zero-padded keys
+    (`lpad`), printf-style labels, thousands-grouped numbers, and
+    fixed-width padded fields: the report/export surface beside the
+    parsing-oriented `str_funcs`. All JVM codegen expressions, map-only.
+
+    Engine note: Spark's `format_number` and DuckDB's `format('{:,}')`
+    both produce comma-grouped integers; printf's %s/%d subset is the
+    dialect intersection that renders identically — pinned here so a
+    formatting regression (or locale drift) fails the hash, not a
+    customer export."""
+    n = table(spark, sf_dir, "nation")
+    return n.select(
+        "n_nationkey",
+        F.lpad(F.col("n_nationkey").cast("string"), 4, "0")
+        .alias("padded_key"),
+        F.printf(F.lit("%s (region %d)"), F.col("n_name"),
+                 F.col("n_regionkey")).alias("label"),
+        F.format_number(F.col("n_nationkey") * 1000000, 0).alias("grouped"),
+        F.rpad(F.substring("n_name", 1, 8), 8, ".").alias("fixed8"),
+    )
