@@ -1,15 +1,26 @@
-"""Round-5 additions, third module (late-round batches).
+"""Round-5 additions, third module (late-round batches, ~60 ops).
 
-Registered after round5b_ops so these queue behind everything already
-waiting for a driver window: VACUUM on the txn-log table format (the
-retention half of time travel), the RSI momentum oscillator (windowed
-finance family beside OHLC/VWAP/drawdown), and the distributed
-reservoir sample (per-group top-k by deterministic hash — the pattern
-that replaces driver-side reservoirs at cluster scale).
+Registered after round5b_ops so everything here queues behind ops
+already waiting for a driver window. Families covered: txn-table
+protocol completions (VACUUM, SHALLOW CLONE, CHECK constraints, GDPR
+erasure), the finance-window suite (RSI, Bollinger, Donchian, ulcer,
+TWAP, Parkinson), deterministic sampling (reservoir, class-balanced),
+classifier evaluation (PR curve, k-fold CV, learning curve, isotonic
+calibration, cost-optimal thresholds), multiple-testing and effect-size
+statistics (BH-FDR via a generated normal-tail expression, Cohen's d,
+Wilcoxon, Ljung–Box, Hurst, Weibull), corpus/LLM prep (chat templates,
+FIM splits, epoch shard shuffle, JS divergence, burstiness, KWIC, the
+end-to-end curation funnel), format edges (BOM / fixed-width /
+multi-char-delimiter CSV, xlsx formula cells, parquet footer stats),
+and SQL-defined UDF/UDTF surfaces.
 
 Oracle discipline (SURVEY.md §5): decimal sufficient statistics on both
 engines; any floating-point step is an identical final expression over
-identical inputs, so the driver's value-hash comparison stays exact.
+identical inputs — where a special function is needed (normal tail) or
+an engine literal types differently (0.05, 100.0), the expression is
+GENERATED once as a SQL string and evaluated verbatim by both engines.
+Genuinely sequential logic (anchored throttling, greedy MMR) is
+rows-only with sequential-replay unit pins.
 """
 
 from __future__ import annotations
