@@ -55,6 +55,10 @@ HEADLINE = [
     # perplexity filter (aggregate -> broadcast probability join).
     "parquet_zorder_sink",
     "text_perplexity",
+    # Late-round-5 addition: the end-to-end curation funnel — one lazy
+    # plan, four survivor-count branches over a shared scan + dedup
+    # aggregate; the LLM-pipeline flagship shape.
+    "pipeline_pretrain_corpus",
 ]
 
 

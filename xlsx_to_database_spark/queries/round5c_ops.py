@@ -2829,42 +2829,52 @@ def pipeline_pretrain_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Each stage is an attested op's core (text_normalize, length gates
     from corpus_gopher_rules, dedup_exact, text_decontaminate),
-    composed lazily: Catalyst sees ONE plan, so the scan happens once
-    and each stage's predicate pipelines into the next — at 100 TB the
-    funnel costs one pass plus the dedup aggregate, not one pass per
-    stage. Counts come from one multi-branch aggregate over the shared
-    lineage."""
+    composed as PER-ROW STAGE FLAGS feeding one aggregate — at 100 TB
+    the funnel costs one scan plus the dedup window, not one pass per
+    stage (the naive 4-branch union re-executes the lineage per
+    branch; flags make the sharing physical, not just logical). The
+    4-row output unstacks from the single aggregate row."""
     d = table(spark, sf_dir, "documents")
     normed = d.select(
-        "doc_id",
-        F.lower(F.trim("text")).alias("t"),
+        "doc_id", F.lower(F.trim("text")).alias("t")
     ).withColumn("n_tok", F.size(F.split("t", " ")))
-    quality = normed.filter(F.col("n_tok").between(10, 2000))
+    # Stage membership as per-row FLAGS, so the whole funnel is ONE
+    # aggregate over one scan (a 4-branch union would re-execute the
+    # lineage once per stage): quality is a predicate, the dedup winner
+    # comes from one hash-partitioned window, decontamination is a
+    # containment test.
     w = Window.partitionBy(F.md5("t"))
-    deduped = (
-        quality.withColumn("keep", F.min("doc_id").over(w))
-        .filter(F.col("doc_id") == F.col("keep"))
-        .drop("keep")
+    flagged = normed.select(
+        "n_tok",
+        F.col("n_tok").between(10, 2000).alias("q"),
+        (F.col("doc_id") == F.min("doc_id").over(w)).alias("keep"),
+        (~F.col("t").contains("needle in a haystack")).alias("clean"),
+    ).select(
+        "n_tok", "q",
+        (F.col("q") & F.col("keep")).alias("dd"),
+        (F.col("q") & F.col("keep") & F.col("clean")).alias("dc"),
     )
-    decontam = deduped.filter(
-        ~F.col("t").contains("needle in a haystack")
+    one = flagged.agg(
+        F.count(F.lit(1)).alias("docs_raw"),
+        F.sum("n_tok").cast("long").alias("tok_raw"),
+        F.count_if("q").alias("docs_q"),
+        F.sum(F.when(F.col("q"), F.col("n_tok"))).cast("long")
+        .alias("tok_q"),
+        F.count_if("dd").alias("docs_dd"),
+        F.sum(F.when(F.col("dd"), F.col("n_tok"))).cast("long")
+        .alias("tok_dd"),
+        F.count_if("dc").alias("docs_dc"),
+        F.sum(F.when(F.col("dc"), F.col("n_tok"))).cast("long")
+        .alias("tok_dc"),
     )
-
-    def stage(df: DataFrame, name: str, ord_: int) -> DataFrame:
-        return df.agg(
-            F.lit(ord_).alias("ord"),
-            F.lit(name).alias("stage"),
-            F.count(F.lit(1)).alias("n_docs"),
-            F.sum("n_tok").cast("long").alias("n_tokens"),
-        )
-
-    out = (
-        stage(normed, "raw", 0)
-        .unionByName(stage(quality, "quality", 1))
-        .unionByName(stage(deduped, "dedup_exact", 2))
-        .unionByName(stage(decontam, "decontaminate", 3))
+    return one.selectExpr(
+        """stack(4,
+             'raw', docs_raw, tok_raw,
+             'quality', docs_q, tok_q,
+             'dedup_exact', docs_dd, tok_dd,
+             'decontaminate', docs_dc, tok_dc
+           ) AS (stage, n_docs, n_tokens)"""
     )
-    return out.select("stage", "n_docs", "n_tokens")
 
 
 @query(
