@@ -4019,3 +4019,72 @@ def test_format_funcs_render_expected_shapes(spark, sf_dir):
         if r.n_nationkey > 0:
             assert "," in r.grouped  # thousands grouping present
         assert len(r.fixed8) == 8
+
+
+def test_fertility_replays_both_tokenizations(spark, sf_dir):
+    import re
+
+    from xlsx_to_database_spark.catalog import table
+    from xlsx_to_database_spark.registry import all_queries
+
+    got = {
+        r.lang: (r.n_docs, r.n_words, r.n_subwords, r.fertility)
+        for r in all_queries()["text_tokenizer_fertility"](spark, sf_dir)
+        .collect()
+    }
+    ws = re.compile(r"\S+")
+    bpe = re.compile(r" ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9\s]+")
+    acc: dict[str, list] = {}
+    for r in (
+        table(spark, sf_dir, "documents").select("lang", "text").collect()
+    ):
+        d, w, s = acc.get(r.lang, (0, 0, 0))
+        acc[r.lang] = (
+            d + 1, w + len(ws.findall(r.text)), s + len(bpe.findall(r.text))
+        )
+    for lang, (d, w, s) in acc.items():
+        assert got[lang] == (d, w, s, round(s / w, 6))
+        assert got[lang][3] >= 1.0  # subwords never fewer than words
+
+
+def test_power_analysis_formula_replay(spark, sf_dir):
+    import math
+    from decimal import Decimal
+
+    from xlsx_to_database_spark.catalog import table
+    from xlsx_to_database_spark.registry import all_queries
+
+    row = all_queries()["stat_power_analysis"](spark, sf_dir).collect()[0]
+    q = Decimal("0.01")
+    arms: dict[bool, list] = {True: [], False: []}
+    for r in (
+        table(spark, sf_dir, "orders")
+        .select("o_orderpriority", "o_totalprice")
+        .collect()
+    ):
+        arms[r.o_orderpriority == "1-URGENT"].append(
+            Decimal(repr(r.o_totalprice)).quantize(q))
+    n1, n2 = len(arms[True]), len(arms[False])
+    a1, a2 = sum(arms[True]), sum(arms[False])
+    b1 = sum(v * v for v in arms[True])
+    b2 = sum(v * v for v in arms[False])
+    m1, m2 = float(a1) / n1, float(a2) / n2
+    ss = (float(b1) - float(a1) ** 2 / n1) + (float(b2) - float(a2) ** 2 / n2)
+    sd = math.sqrt(ss / (n1 + n2 - 2))
+    za, zb = 1.959963984540054, 0.8416212335729143
+    n_needed = math.ceil(2 * ((za + zb) * sd / (m1 - m2)) ** 2)
+    assert row.observed_diff == round(m1 - m2, 4)
+    assert row.n_per_arm_needed == n_needed
+    assert row.n_observed == n1 + n2
+
+
+def test_reg_metrics_bounds_and_consistency(spark, sf_dir):
+    """RMSE ≥ MAE always; in-sample OLS R² ∈ [0, 1]."""
+    from xlsx_to_database_spark.registry import all_queries
+
+    row = all_queries()["ml_reg_metrics"](spark, sf_dir).collect()[0]
+    assert row.rmse >= row.mae > 0
+    # this generator draws quantity and price INDEPENDENTLY, so the
+    # honest expectation is R^2 near zero (still >= 0: OLS in-sample
+    # can't beat the mean-only model downward)
+    assert 0.0 <= row.r2 <= 1.0

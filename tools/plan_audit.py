@@ -132,6 +132,7 @@ ALLOWED: dict[str, dict[str, str]] = {
             "sim_recall_report",      # query vector + 10-row top-k sets
             "ml_threshold_cost_opt",  # threshold spine (5 rows)
             "stat_ljung_box",         # lag spine (5) + c0 scalar on the DAYS series
+            "ml_reg_metrics",         # fitted-line coefficients (1 row)
         )
     },
     "stat_kendall_tau": {

@@ -4593,3 +4593,247 @@ def str_format_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.format_number(F.col("n_nationkey") * 1000000, 0).alias("grouped"),
         F.rpad(F.substring("n_name", 1, 8), 8, ".").alias("fixed8"),
     )
+
+
+@query(
+    "text_tokenizer_fertility",
+    r"""
+    SELECT lang,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(len(regexp_extract_all(text, '\S+', 0))) AS BIGINT)
+             AS n_words,
+           CAST(sum(len(regexp_extract_all(text,
+                 ' ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9\s]+', 0)))
+             AS BIGINT) AS n_subwords,
+           round(CAST(sum(len(regexp_extract_all(text,
+                 ' ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9\s]+', 0))) AS DOUBLE)
+                 / sum(len(regexp_extract_all(text, '\S+', 0))), 6)
+             AS fertility
+    FROM documents GROUP BY lang
+    """,
+)
+def text_tokenizer_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer fertility per language — subword tokens per whitespace
+    word under the BPE-style pre-tokenization `text_token_count` uses.
+    Fertility is THE tokenizer-equity metric: a language at fertility 3
+    pays 3× the context budget and 3× the inference cost of a language
+    at 1; data-mixture and tokenizer-retraining decisions read exactly
+    this table.
+
+    Both tokenizations are RE2-safe regexes (byte-identical across
+    engines); counts are exact integers; one map-only pass + a
+    languages-sized aggregate."""
+    d = table(spark, sf_dir, "documents")
+    words = F.size(F.regexp_extract_all("text", F.lit(r"\S+"), 0))
+    subwords = F.size(
+        F.regexp_extract_all(
+            "text", F.lit(r" ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9\s]+"), 0
+        )
+    )
+    return d.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(words).cast("long").alias("n_words"),
+        F.sum(subwords).cast("long").alias("n_subwords"),
+        F.round(
+            F.sum(subwords).cast("double") / F.sum(words), 6
+        ).alias("fertility"),
+    )
+
+
+#: z_{0.975} and z_{0.8}: two-sided alpha = 0.05, power = 0.8
+_PW_Z_ALPHA = 1.959963984540054
+_PW_Z_BETA = 0.8416212335729143
+
+
+@query(
+    "stat_power_analysis",
+    f"""
+    WITH g AS (
+      SELECT o_orderpriority = '1-URGENT' AS urgent,
+             CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(CAST(o_totalprice AS DECIMAL(18,2)))
+                  AS DECIMAL(28,2)) AS s1,
+             CAST(sum(CAST(CAST(o_totalprice AS DECIMAL(18,2))
+                           * CAST(o_totalprice AS DECIMAL(18,2))
+                           AS DECIMAL(38,4))) AS DECIMAL(38,4)) AS s2
+      FROM orders GROUP BY 1
+    ), w AS (
+      SELECT max(CASE WHEN urgent THEN n END) AS n1,
+             max(CASE WHEN urgent THEN s1 END) AS a1,
+             max(CASE WHEN urgent THEN s2 END) AS b1,
+             max(CASE WHEN NOT urgent THEN n END) AS n2,
+             max(CASE WHEN NOT urgent THEN s1 END) AS a2,
+             max(CASE WHEN NOT urgent THEN s2 END) AS b2
+      FROM g
+    )
+    SELECT round(CAST(a1 AS DOUBLE) / n1 - CAST(a2 AS DOUBLE) / n2, 4)
+             AS observed_diff,
+           CAST(ceil(
+             2 * pow(({_PW_Z_ALPHA} + {_PW_Z_BETA})
+                     * sqrt(((CAST(b1 AS DOUBLE) - CAST(a1 AS DOUBLE)
+                               * CAST(a1 AS DOUBLE) / n1)
+                            + (CAST(b2 AS DOUBLE) - CAST(a2 AS DOUBLE)
+                               * CAST(a2 AS DOUBLE) / n2))
+                            / (n1 + n2 - 2))
+                     / (CAST(a1 AS DOUBLE) / n1
+                        - CAST(a2 AS DOUBLE) / n2), 2)
+           ) AS BIGINT) AS n_per_arm_needed,
+           n1 + n2 AS n_observed
+    FROM w
+    """,
+)
+def stat_power_analysis(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Prospective power analysis from observed moments: the sample
+    size PER ARM needed to detect the currently-observed mean
+    difference at α=0.05 two-sided with 80% power — n = 2((z_α+z_β)·
+    σ_pooled/δ)², the closed form every experiment-sizing calculator
+    implements. Run before an A/B test, it converts `stat_cohens_d`'s
+    effect size into a concrete duration estimate.
+
+    One conditional-moment pass; z quantiles are shared literals (no
+    inverse-normal in either engine); the sizing formula is one shared
+    float expression over six exact scalars."""
+    o = table(spark, sf_dir, "orders")
+    p = F.col("o_totalprice").cast("decimal(18,2)")
+    g = o.groupBy(
+        (F.col("o_orderpriority") == "1-URGENT").alias("urgent")
+    ).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(p).cast("decimal(28,2)").alias("s1"),
+        F.sum((p * p).cast("decimal(38,4)")).cast("decimal(38,4)")
+        .alias("s2"),
+    )
+    w = g.agg(
+        F.max(F.when(F.col("urgent"), F.col("n"))).alias("n1"),
+        F.max(F.when(F.col("urgent"), F.col("s1"))).alias("a1"),
+        F.max(F.when(F.col("urgent"), F.col("s2"))).alias("b1"),
+        F.max(F.when(~F.col("urgent"), F.col("n"))).alias("n2"),
+        F.max(F.when(~F.col("urgent"), F.col("s1"))).alias("a2"),
+        F.max(F.when(~F.col("urgent"), F.col("s2"))).alias("b2"),
+    )
+    m1 = F.col("a1").cast("double") / F.col("n1")
+    m2 = F.col("a2").cast("double") / F.col("n2")
+    ss = (
+        (F.col("b1").cast("double")
+         - F.col("a1").cast("double") * F.col("a1").cast("double")
+         / F.col("n1"))
+        + (F.col("b2").cast("double")
+           - F.col("a2").cast("double") * F.col("a2").cast("double")
+           / F.col("n2"))
+    )
+    pooled_sd = F.sqrt(ss / (F.col("n1") + F.col("n2") - 2))
+    n_needed = F.ceil(
+        2 * F.pow(
+            (_PW_Z_ALPHA + _PW_Z_BETA) * pooled_sd / (m1 - m2), 2
+        )
+    ).cast("long")
+    return w.select(
+        F.round(m1 - m2, 4).alias("observed_diff"),
+        n_needed.alias("n_per_arm_needed"),
+        (F.col("n1") + F.col("n2")).alias("n_observed"),
+    )
+
+
+@query(
+    "ml_reg_metrics",
+    """
+    WITH m AS (
+      SELECT CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DECIMAL(28,2))
+               AS sx,
+             CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)))
+                  AS DECIMAL(28,2)) AS sy,
+             CAST(sum(CAST(CAST(l_quantity AS DECIMAL(18,2))
+                   * CAST(l_extendedprice AS DECIMAL(18,2))
+                   AS DECIMAL(38,4))) AS DECIMAL(38,4)) AS sxy,
+             CAST(sum(CAST(CAST(l_quantity AS DECIMAL(18,2))
+                   * CAST(l_quantity AS DECIMAL(18,2))
+                   AS DECIMAL(38,4))) AS DECIMAL(38,4)) AS sxx
+      FROM lineitem
+    ), fit AS (
+      SELECT n,
+             (n * CAST(sxy AS DOUBLE)
+              - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+             / (n * CAST(sxx AS DOUBLE)
+                - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)) AS b,
+             CAST(sy AS DOUBLE) / n
+               - ((n * CAST(sxy AS DOUBLE)
+                   - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+                  / (n * CAST(sxx AS DOUBLE)
+                     - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)))
+                 * CAST(sx AS DOUBLE) / n AS a
+      FROM m
+    ), resid AS (
+      SELECT f.n AS n, l.l_extendedprice AS y,
+             f.a + f.b * l.l_quantity AS yhat,
+             CAST(round(abs(l.l_extendedprice
+                            - (f.a + f.b * l.l_quantity)), 6)
+                  AS DECIMAL(24,6)) AS ae,
+             CAST(round(pow(l.l_extendedprice
+                            - (f.a + f.b * l.l_quantity), 2), 4)
+                  AS DECIMAL(30,4)) AS se,
+             CAST(round(pow(l.l_extendedprice
+                            - (SELECT CAST(sy AS DOUBLE) / n FROM m), 2), 4)
+                  AS DECIMAL(30,4)) AS st
+      FROM lineitem l CROSS JOIN fit f
+    )
+    SELECT max(n) AS n,
+           round(CAST(sum(ae) AS DOUBLE) / max(n), 4) AS mae,
+           round(sqrt(CAST(sum(se) AS DOUBLE) / max(n)), 4) AS rmse,
+           round(1 - CAST(sum(se) AS DOUBLE) / CAST(sum(st) AS DOUBLE), 6)
+             AS r2
+    FROM resid
+    """,
+)
+def ml_reg_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Regression evaluation metrics — MAE, RMSE, R² — for the
+    quantity→price least-squares line (`stat_linreg` fits it; this
+    scores it — and on this generator, which draws the two columns
+    independently, the honest score is R² ≈ 0: an eval op must be able
+    to report "no signal"), completing the eval family beside the
+    classification metrics (`ml_roc_auc`, `ml_pr_curve`). Two passes: exact-decimal
+    normal-equation moments, then residual aggregation with every
+    per-row error term computed in one shared float expression and
+    quantized to decimal before summing — MAE/RMSE/R² are then three
+    shared expressions over exact scalars."""
+    li = table(spark, sf_dir, "lineitem")
+    x = F.col("l_quantity").cast("decimal(18,2)")
+    yv = F.col("l_extendedprice").cast("decimal(18,2)")
+    m = li.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(x).cast("decimal(28,2)").alias("sx"),
+        F.sum(yv).cast("decimal(28,2)").alias("sy"),
+        F.sum((x * yv).cast("decimal(38,4)")).cast("decimal(38,4)")
+        .alias("sxy"),
+        F.sum((x * x).cast("decimal(38,4)")).cast("decimal(38,4)")
+        .alias("sxx"),
+    )
+    nd = F.col("n").cast("double")
+    sx, sy = F.col("sx").cast("double"), F.col("sy").cast("double")
+    sxy, sxx = F.col("sxy").cast("double"), F.col("sxx").cast("double")
+    b = (nd * sxy - sx * sy) / (nd * sxx - sx * sx)
+    a = sy / nd - b * sx / nd
+    fit = m.select(
+        "n", b.alias("b"), a.alias("a"), (sy / nd).alias("ybar")
+    )
+    r = li.crossJoin(F.broadcast(fit))
+    err = F.col("l_extendedprice") - (
+        F.col("a") + F.col("b") * F.col("l_quantity")
+    )
+    dev = F.col("l_extendedprice") - F.col("ybar")
+    resid = r.select(
+        "n",
+        F.round(F.abs(err), 6).cast("decimal(24,6)").alias("ae"),
+        F.round(F.pow(err, 2), 4).cast("decimal(30,4)").alias("se"),
+        F.round(F.pow(dev, 2), 4).cast("decimal(30,4)").alias("st"),
+    )
+    return resid.agg(
+        F.max("n").alias("n"),
+        F.round(F.sum("ae").cast("double") / F.max("n"), 4).alias("mae"),
+        F.round(
+            F.sqrt(F.sum("se").cast("double") / F.max("n")), 4
+        ).alias("rmse"),
+        F.round(
+            1 - F.sum("se").cast("double") / F.sum("st").cast("double"), 6
+        ).alias("r2"),
+    )
