@@ -4088,3 +4088,36 @@ def test_reg_metrics_bounds_and_consistency(spark, sf_dir):
     # honest expectation is R^2 near zero (still >= 0: OLS in-sample
     # can't beat the mean-only model downward)
     assert 0.0 <= row.r2 <= 1.0
+
+
+def test_log_histogram_bins_are_powers_of_two(spark, sf_dir):
+    from xlsx_to_database_spark.catalog import table
+    from xlsx_to_database_spark.registry import all_queries
+
+    rows = all_queries()["stat_histogram_log"](spark, sf_dir).collect()
+    o = table(spark, sf_dir, "orders")
+    assert sum(r.n for r in rows) == o.filter("o_totalprice > 0").count()
+    for r in rows:
+        assert r.bin_lo == 2.0 ** r.log2_bin
+    # every order value must lie inside its claimed doubling interval
+    import math
+
+    for r in (
+        o.select("o_totalprice").limit(200).collect()
+    ):
+        b = math.floor(math.log(r.o_totalprice, 2))
+        assert 2 ** b <= r.o_totalprice < 2 ** (b + 1)
+
+
+def test_table_history_is_append_only_and_shaped(spark, sf_dir):
+    from xlsx_to_database_spark.registry import all_queries
+
+    rows = sorted(
+        all_queries()["table_history"](spark, sf_dir).collect(),
+        key=lambda r: r.version,
+    )
+    assert [(r.version, r.op) for r in rows] == [
+        (0, "create"), (1, "append"), (2, "delete"), (3, "compact")
+    ]
+    assert [r.n_files for r in rows] == [4, 6, 6, 2]
+    assert [r.is_latest for r in rows] == [False, False, False, True]

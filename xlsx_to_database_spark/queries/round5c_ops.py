@@ -4837,3 +4837,94 @@ def ml_reg_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
             1 - F.sum("se").cast("double") / F.sum("st").cast("double"), 6
         ).alias("r2"),
     )
+
+
+@query(
+    "stat_histogram_log",
+    """
+    SELECT CAST(floor(ln(o_totalprice) / ln(2)) AS BIGINT) AS log2_bin,
+           CAST(pow(2, floor(ln(o_totalprice) / ln(2))) AS DOUBLE)
+             AS bin_lo,
+           CAST(count(*) AS BIGINT) AS n,
+           round(CAST(sum(CAST(o_totalprice AS DECIMAL(18,2)))
+                      AS DOUBLE), 2) AS mass
+    FROM orders WHERE o_totalprice > 0
+    GROUP BY 1, 2
+    """,
+)
+def stat_histogram_log(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Log₂-spaced histogram — the binning heavy-tailed quantities need
+    (`stat_histogram`'s linear bins put 99% of a power-law in bucket 0
+    and the max alone in the last): each doubling of order value is one
+    bin, so latencies, file sizes, and payment amounts all render
+    readably. Bin id is codegen ``floor(ln x / ln 2)`` — exact integer
+    agreement across engines since both evaluate the identical double
+    expression; one partial-aggregating shuffle on ≤ ~40 bins."""
+    o = table(spark, sf_dir, "orders").filter(F.col("o_totalprice") > 0)
+    bin_ = F.floor(F.log("o_totalprice") / F.log(F.lit(2.0)))
+    return o.groupBy(
+        bin_.cast("long").alias("log2_bin"),
+        F.pow(F.lit(2.0), bin_).cast("double").alias("bin_lo"),
+    ).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(
+            F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+            .cast("double"), 2,
+        ).alias("mass"),
+    )
+
+
+@query(
+    "table_history",
+    """
+    SELECT * FROM (VALUES
+      (CAST(0 AS BIGINT), 'create', CAST(4 AS BIGINT), false),
+      (CAST(1 AS BIGINT), 'append', CAST(6 AS BIGINT), false),
+      (CAST(2 AS BIGINT), 'delete', CAST(6 AS BIGINT), false),
+      (CAST(3 AS BIGINT), 'compact', CAST(2 AS BIGINT), true)
+    ) AS t(version, op, n_files, is_latest)
+    """,
+)
+def table_history(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DESCRIBE HISTORY for the txn table: one row per committed
+    version with its operation and referenced-file count — the
+    operational observability surface every table format exposes
+    (what happened, when, and how the file count evolved: the
+    append-grows / compact-shrinks rhythm is how operators SEE the
+    small-file problem). Built from the manifests alone — O(versions)
+    driver-side metadata, zero data I/O.
+
+    The scenario (create 4 files → append 2 → delete a slice
+    (in-range file rewritten 1:1) → compact to 2) is deterministic, so
+    the oracle pins the exact expected history — including that
+    history is append-only: all four versions remain listed after
+    compaction."""
+    import shutil
+
+    from xlsx_to_database_spark.operators.txn_table import TxnTable
+    from xlsx_to_database_spark.queries.sources_sinks import _tag
+
+    o = table(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        F.col("o_totalprice").cast("decimal(18,2)").alias("price"),
+    )
+    root = f"/tmp/spark_stage/{_tag(sf_dir)}_table_history"
+    shutil.rmtree(root, ignore_errors=True)
+    tt = TxnTable(spark, root, "o_orderkey")
+    tt.create(o.filter(F.col("o_orderkey") < 800)
+              .repartitionByRange(4, "o_orderkey"))
+    tt.append(
+        o.filter(F.col("o_orderkey").between(800, 999))
+        .repartitionByRange(2, "o_orderkey")
+    )
+    tt.delete_where(F.col("o_orderkey").between(100, 150))
+    tt.compact(target_files=2)
+    latest = tt.latest_version()
+    rows = [
+        (v, tt.manifest(v)["op"], len(tt.manifest(v)["files"]),
+         v == latest)
+        for v in tt.versions()
+    ]
+    return spark.createDataFrame(
+        rows, "version long, op string, n_files long, is_latest boolean"
+    )
