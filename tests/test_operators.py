@@ -4121,3 +4121,82 @@ def test_table_history_is_append_only_and_shaped(spark, sf_dir):
     ]
     assert [r.n_files for r in rows] == [4, 6, 6, 2]
     assert [r.is_latest for r in rows] == [False, False, False, True]
+
+
+def test_lpa_matches_synchronous_python_replay(spark, sf_dir):
+    """Final community sizes must equal a sequential synchronous LPA
+    replay (most-frequent neighbor label, ties to the smaller id, 4
+    rounds) over the same strong-tie edges."""
+    from collections import Counter
+    from itertools import combinations
+
+    from xlsx_to_database_spark.catalog import table
+    from xlsx_to_database_spark.registry import all_queries
+
+    got = {
+        r.community: r.n_members
+        for r in all_queries()["graph_lpa_communities"](spark, sf_dir)
+        .collect()
+    }
+    li = table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_partkey"
+    ).collect()
+    by_order: dict[int, set] = {}
+    for r in li:
+        by_order.setdefault(r.l_orderkey, set()).add(r.l_partkey)
+    pc: dict[tuple, int] = {}
+    for parts in by_order.values():
+        for u, v in combinations(sorted(parts), 2):
+            pc[(u, v)] = pc.get((u, v), 0) + 1
+    adj: dict[int, list] = {}
+    for (u, v), m in pc.items():
+        if m >= 2:
+            adj.setdefault(u, []).append(v)
+            adj.setdefault(v, []).append(u)
+    lbl = {n: n for n in adj}
+    for _ in range(4):
+        nxt = {}
+        for n, neigh in adj.items():
+            cnt = Counter(lbl[x] for x in neigh)
+            best = max(cnt.items(), key=lambda kv: (kv[1], -kv[0]))[0]
+            nxt[n] = best
+        lbl = nxt
+    want = Counter(lbl.values())
+    assert got == dict(want)
+
+
+def test_entropy_rate_bounds_and_replay(spark, sf_dir):
+    import math
+    from decimal import Decimal
+
+    from xlsx_to_database_spark.catalog import table
+    from xlsx_to_database_spark.registry import all_queries
+
+    row = all_queries()["stat_entropy_rate"](spark, sf_dir).collect()[0]
+    series: dict[int, list] = {}
+    for r in (
+        table(spark, sf_dir, "events")
+        .select("user_id", "ts", "event_id", "event_type")
+        .collect()
+    ):
+        series.setdefault(r.user_id, []).append(r)
+    counts: dict[tuple, int] = {}
+    types = set()
+    for rows_ in series.values():
+        rows_.sort(key=lambda r: (r.ts, r.event_id))
+        for a, b in zip(rows_, rows_[1:]):
+            counts[(a.event_type, b.event_type)] = counts.get(
+                (a.event_type, b.event_type), 0) + 1
+        types.update(r.event_type for r in rows_)
+    t = sum(counts.values())
+    row_n: dict[str, int] = {}
+    for (p, _), n in counts.items():
+        row_n[p] = row_n.get(p, 0) + n
+    h = sum(
+        Decimal(str(round(
+            -(n / t) * math.log(n / row_n[p]) / math.log(2), 10)))
+        for (p, _), n in counts.items()
+    )
+    assert row.n_transitions == len(counts)
+    assert row.entropy_rate_bits == round(float(h), 6)
+    assert 0.0 < row.entropy_rate_bits <= math.log2(len(types))

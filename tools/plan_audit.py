@@ -133,6 +133,7 @@ ALLOWED: dict[str, dict[str, str]] = {
             "ml_threshold_cost_opt",  # threshold spine (5 rows)
             "stat_ljung_box",         # lag spine (5) + c0 scalar on the DAYS series
             "ml_reg_metrics",         # fitted-line coefficients (1 row)
+            "stat_entropy_rate",      # transition-total scalar (1 row)
         )
     },
     "stat_kendall_tau": {

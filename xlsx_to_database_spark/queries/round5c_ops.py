@@ -4928,3 +4928,143 @@ def table_history(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(
         rows, "version long, op string, n_files long, is_latest boolean"
     )
+
+
+_LPA_ITERS = 4  #: synchronous rounds (deterministic by construction)
+
+
+@query("graph_lpa_communities")  # rows-only: synchronous LPA fixpoint
+def graph_lpa_communities(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Label-propagation communities on the strong-tie co-purchase
+    graph — the linear-time community detector beside the
+    connected-component partition (`graph_modularity` scores
+    partitions; LPA can SPLIT a connected blob into denser cores,
+    which components never can). Classic LPA breaks ties randomly;
+    this variant is DETERMINISTIC: synchronous rounds, each node takes
+    the most frequent neighbor label with ties broken toward the
+    smaller label id, fixed {_LPA_ITERS} rounds (peer-reviewed LPA
+    caveat: synchronous updates can 2-cycle, so a fixed round budget
+    IS the convergence policy, not a shortcut).
+
+    Each round = one neighbor-label join + one (node, label) count
+    aggregate + one per-node argmax — all shuffles on node keys, with
+    checkpointed lineage. Per-round cost is O(E); no SQL oracle exists
+    for the iterated fixpoint, so the unit test replays the rounds
+    sequentially and pins every final label."""
+    li = (
+        table(spark, sf_dir, "lineitem")
+        .select("l_orderkey", "l_partkey")
+        .distinct()
+    )
+    a = li.select(F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("u"))
+    b = li.select(F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("v"))
+    e = (
+        a.join(b, "o")
+        .filter(F.col("u") < F.col("v"))
+        .groupBy("u", "v")
+        .agg(F.count(F.lit(1)).alias("m"))
+        .filter(F.col("m") >= 2)
+        .select("u", "v")
+        .localCheckpoint()
+    )
+    sym = e.unionAll(e.select(F.col("v").alias("u"), F.col("u").alias("v")))
+    labels = (
+        sym.select(F.col("u").alias("node")).distinct()
+        .withColumn("lbl", F.col("node"))
+        .localCheckpoint()
+    )
+    for _ in range(_LPA_ITERS):
+        neigh = sym.join(labels, sym["v"] == labels["node"]).select(
+            F.col("u").alias("node"), "lbl"
+        )
+        freq = neigh.groupBy("node", "lbl").agg(
+            F.count(F.lit(1)).alias("c")
+        )
+        w = Window.partitionBy("node").orderBy(
+            F.col("c").desc(), F.col("lbl").asc()
+        )
+        labels = (
+            freq.withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") == 1)
+            .select("node", "lbl")
+            .localCheckpoint()
+        )
+    return (
+        labels.groupBy(F.col("lbl").alias("community"))
+        .agg(F.count(F.lit(1)).alias("n_members"))
+        .orderBy("community")
+    )
+
+
+@query(
+    "stat_entropy_rate",
+    """
+    WITH seq AS (
+      SELECT event_type,
+             lag(event_type) OVER (PARTITION BY user_id
+                                   ORDER BY ts, event_id) AS prev
+      FROM events
+    ), c AS (
+      SELECT prev, event_type AS next, CAST(count(*) AS BIGINT) AS n
+      FROM seq WHERE prev IS NOT NULL GROUP BY prev, event_type
+    ), tot AS (SELECT CAST(sum(n) AS BIGINT) AS t FROM c),
+    rows_ AS (
+      SELECT prev, n, t,
+             sum(n) OVER (PARTITION BY prev) AS row_n
+      FROM c CROSS JOIN tot
+    ), terms AS (
+      SELECT CAST(round(
+               -(CAST(n AS DOUBLE) / t)
+               * ln(CAST(n AS DOUBLE) / row_n) / ln(2), 10)
+               AS DECIMAL(20,10)) AS h
+      FROM rows_
+    )
+    SELECT (SELECT CAST(count(*) AS BIGINT) FROM c) AS n_transitions,
+           round(CAST(sum(h) AS DOUBLE), 6) AS entropy_rate_bits
+    FROM terms
+    """,
+)
+def stat_entropy_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Entropy rate of the user-event Markov chain — H = −Σ_ij π_i
+    P_ij log₂ P_ij with the stationary weights taken empirically
+    (π_i P_ij = transition count / total): bits of surprise per event
+    given the previous one. THE sequence-predictability number:
+    near 0 = deterministic flows (bots, scripted monitors), near
+    log₂|types| = uniform chaos; session-model quality is judged
+    against exactly this floor (`event_transition_matrix` is the
+    matrix; this is its summary invariant).
+
+    Per-cell terms are one shared float expression over exact counts,
+    quantized to DECIMAL(20,10) before the grid-size sum. One lag
+    window + one grid aggregate; everything after runs on |types|²
+    rows."""
+    ev = table(spark, sf_dir, "events")
+    seq = ev.select(
+        "event_type",
+        F.lag("event_type")
+        .over(Window.partitionBy("user_id").orderBy("ts", "event_id"))
+        .alias("prev"),
+    )
+    c = (
+        seq.filter(F.col("prev").isNotNull())
+        .groupBy("prev", F.col("event_type").alias("next"))
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    tot = c.agg(F.sum("n").cast("long").alias("t"))
+    rows_ = c.crossJoin(F.broadcast(tot)).withColumn(
+        "row_n", F.sum("n").over(Window.partitionBy("prev"))
+    )
+    h = F.round(
+        -(F.col("n").cast("double") / F.col("t"))
+        * F.log(F.col("n").cast("double") / F.col("row_n"))
+        / F.log(F.lit(2.0)),
+        10,
+    ).cast("decimal(20,10)")
+    n_trans = c.count()
+    s = rows_.select(h.alias("h")).agg(
+        F.round(F.sum("h").cast("double"), 6).alias("entropy_rate_bits")
+    )
+    return s.select(
+        F.lit(n_trans).cast("long").alias("n_transitions"),
+        "entropy_rate_bits",
+    )
