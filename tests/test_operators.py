@@ -4200,3 +4200,64 @@ def test_entropy_rate_bounds_and_replay(spark, sf_dir):
     assert row.n_transitions == len(counts)
     assert row.entropy_rate_bits == round(float(h), 6)
     assert 0.0 < row.entropy_rate_bits <= math.log2(len(types))
+
+
+def test_waterfall_bridge_closes_to_the_cent(spark, sf_dir):
+    from decimal import Decimal
+
+    from xlsx_to_database_spark.registry import all_queries
+
+    rows = all_queries()["agg_waterfall_decomp"](spark, sf_dir).collect()
+    total_a = sum(Decimal(str(r.rev_1997)) for r in rows)
+    total_b = sum(Decimal(str(r.rev_1998)) for r in rows)
+    delta = sum(Decimal(str(r.delta)) for r in rows)
+    assert delta == total_b - total_a  # the bridge closes exactly
+    shares = sum(r.share_of_change for r in rows)
+    assert abs(shares - 1.0) < 1e-4
+    for r in rows:
+        assert Decimal(str(r.delta)) == (
+            Decimal(str(r.rev_1998)) - Decimal(str(r.rev_1997))
+        )
+
+
+def test_underwater_runs_match_sequential_replay(spark, sf_dir):
+    from decimal import Decimal
+
+    from xlsx_to_database_spark.catalog import table
+    from xlsx_to_database_spark.registry import all_queries
+
+    got = {
+        r.l_suppkey: (r.max_underwater_run, r.n_spells)
+        for r in all_queries()["win_underwater_duration"](spark, sf_dir)
+        .collect()
+    }
+    series: dict[int, list] = {}
+    for r in (
+        table(spark, sf_dir, "lineitem")
+        .select("l_suppkey", "l_shipdate", "l_orderkey", "l_linenumber",
+                "l_extendedprice")
+        .collect()
+    ):
+        series.setdefault(r.l_suppkey, []).append(r)
+    q = Decimal("0.01")
+    for sk, rows_ in series.items():
+        rows_.sort(key=lambda r: (r.l_shipdate, r.l_orderkey,
+                                  r.l_linenumber))
+        peak = None
+        runs = []
+        cur = 0
+        for r in rows_:
+            p = Decimal(repr(r.l_extendedprice)).quantize(q)
+            peak = p if peak is None or p > peak else peak
+            if p < peak:
+                cur += 1
+            else:
+                if cur:
+                    runs.append(cur)
+                cur = 0
+        if cur:
+            runs.append(cur)
+        if runs:
+            assert got[sk] == (max(runs), len(runs))
+        else:
+            assert sk not in got

@@ -134,6 +134,7 @@ ALLOWED: dict[str, dict[str, str]] = {
             "stat_ljung_box",         # lag spine (5) + c0 scalar on the DAYS series
             "ml_reg_metrics",         # fitted-line coefficients (1 row)
             "stat_entropy_rate",      # transition-total scalar (1 row)
+            "agg_waterfall_decomp",   # delta-total scalar (1 row)
         )
     },
     "stat_kendall_tau": {

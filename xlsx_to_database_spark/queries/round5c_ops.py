@@ -5068,3 +5068,153 @@ def stat_entropy_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(n_trans).cast("long").alias("n_transitions"),
         "entropy_rate_bits",
     )
+
+
+@query(
+    "agg_waterfall_decomp",
+    """
+    WITH by_nation AS (
+      SELECT c.c_nationkey AS nationkey,
+             CAST(sum(CASE WHEN year(o_orderdate) = 1997
+                  THEN CAST(o_totalprice AS DECIMAL(18,2))
+                  ELSE CAST(0 AS DECIMAL(18,2)) END) AS DECIMAL(28,2))
+               AS rev_a,
+             CAST(sum(CASE WHEN year(o_orderdate) = 1998
+                  THEN CAST(o_totalprice AS DECIMAL(18,2))
+                  ELSE CAST(0 AS DECIMAL(18,2)) END) AS DECIMAL(28,2))
+               AS rev_b
+      FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+      WHERE year(o_orderdate) IN (1997, 1998)
+      GROUP BY 1
+    ), tot AS (
+      SELECT CAST(sum(rev_b - rev_a) AS DECIMAL(28,2)) AS delta_total
+      FROM by_nation
+    )
+    SELECT nationkey,
+           round(CAST(rev_a AS DOUBLE), 2) AS rev_1997,
+           round(CAST(rev_b AS DOUBLE), 2) AS rev_1998,
+           round(CAST(rev_b - rev_a AS DOUBLE), 2) AS delta,
+           round(CAST(rev_b - rev_a AS DOUBLE)
+                 / CAST(delta_total AS DOUBLE), 6) AS share_of_change
+    FROM by_nation CROSS JOIN tot
+    """,
+)
+def agg_waterfall_decomp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Waterfall decomposition of the 1997→1998 revenue change by
+    nation: per-nation deltas that sum EXACTLY to the total change
+    (decimal arithmetic guarantees the bridge closes — the property a
+    waterfall chart silently assumes and float pipelines silently
+    break). The executive "what moved the number" view; the unit test
+    pins Σdelta = Δtotal to the cent.
+
+    One conditional two-period aggregate over the star join, a 1-row
+    total broadcast back over the 25-row result."""
+    o = table(spark, sf_dir, "orders")
+    c = table(spark, sf_dir, "customer")
+    p = F.col("o_totalprice").cast("decimal(18,2)")
+    zero = F.lit(0).cast("decimal(18,2)")
+    yr = F.year("o_orderdate")
+    by_nation = (
+        o.filter(yr.isin(1997, 1998))
+        .join(c, o["o_custkey"] == c["c_custkey"])
+        .groupBy(F.col("c_nationkey").alias("nationkey"))
+        .agg(
+            F.sum(F.when(yr == 1997, p).otherwise(zero))
+            .cast("decimal(28,2)").alias("rev_a"),
+            F.sum(F.when(yr == 1998, p).otherwise(zero))
+            .cast("decimal(28,2)").alias("rev_b"),
+        )
+    )
+    tot = by_nation.agg(
+        F.sum(F.col("rev_b") - F.col("rev_a"))
+        .cast("decimal(28,2)").alias("delta_total")
+    )
+    return by_nation.crossJoin(F.broadcast(tot)).select(
+        "nationkey",
+        F.round(F.col("rev_a").cast("double"), 2).alias("rev_1997"),
+        F.round(F.col("rev_b").cast("double"), 2).alias("rev_1998"),
+        F.round((F.col("rev_b") - F.col("rev_a")).cast("double"), 2)
+        .alias("delta"),
+        F.round(
+            (F.col("rev_b") - F.col("rev_a")).cast("double")
+            / F.col("delta_total").cast("double"),
+            6,
+        ).alias("share_of_change"),
+    )
+
+
+@query(
+    "win_underwater_duration",
+    """
+    WITH px AS (
+      SELECT l_suppkey,
+             CAST(l_extendedprice AS DECIMAL(18,2)) AS p,
+             row_number() OVER w AS rn,
+             max(CAST(l_extendedprice AS DECIMAL(18,2))) OVER (
+               w ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS peak
+      FROM lineitem
+      WINDOW w AS (PARTITION BY l_suppkey
+                   ORDER BY l_shipdate, l_orderkey, l_linenumber)
+    ), flagged AS (
+      SELECT l_suppkey, rn, p < peak AS under,
+             CASE WHEN p < peak THEN 0 ELSE 1 END AS reset
+      FROM px
+    ), islands AS (
+      SELECT l_suppkey, under,
+             sum(reset) OVER (PARTITION BY l_suppkey ORDER BY rn
+                              ROWS BETWEEN UNBOUNDED PRECEDING
+                                       AND CURRENT ROW) AS grp
+      FROM flagged
+    )
+    SELECT l_suppkey,
+           CAST(max(len) AS BIGINT) AS max_underwater_run,
+           CAST(count(*) AS BIGINT) AS n_spells
+    FROM (
+      SELECT l_suppkey, grp, count(*) AS len
+      FROM islands WHERE under GROUP BY l_suppkey, grp
+    ) GROUP BY l_suppkey
+    """,
+)
+def win_underwater_duration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Longest underwater spell per supplier — the maximum run of
+    consecutive observations strictly below the running peak, plus the
+    spell count. `win_drawdown` measures DEPTH; recovery TIME is the
+    number risk committees actually ask for ("how long until a new
+    high?"), and the gaps-and-islands rewrite makes it one more window
+    over the same (key, time) sort: a running count of at-peak resets
+    numbers the spells, a per-spell count takes the max.
+
+    All three windows share one shuffle+sort; comparisons are decimal,
+    counts integer — nothing to quantize."""
+    w = Window.partitionBy("l_suppkey").orderBy(
+        "l_shipdate", "l_orderkey", "l_linenumber"
+    )
+    p = F.col("l_extendedprice").cast("decimal(18,2)")
+    px = table(spark, sf_dir, "lineitem").select(
+        "l_suppkey",
+        p.alias("p"),
+        F.row_number().over(w).alias("rn"),
+        F.max(p).over(w.rowsBetween(Window.unboundedPreceding, 0))
+        .alias("peak"),
+    )
+    flagged = px.select(
+        "l_suppkey", "rn",
+        (F.col("p") < F.col("peak")).alias("under"),
+        F.when(F.col("p") < F.col("peak"), 0).otherwise(1).alias("reset"),
+    )
+    islands = flagged.select(
+        "l_suppkey", "under",
+        F.sum("reset").over(
+            Window.partitionBy("l_suppkey").orderBy("rn")
+            .rowsBetween(Window.unboundedPreceding, 0)
+        ).alias("grp"),
+    )
+    spells = (
+        islands.filter("under")
+        .groupBy("l_suppkey", "grp")
+        .agg(F.count(F.lit(1)).alias("len"))
+    )
+    return spells.groupBy("l_suppkey").agg(
+        F.max("len").cast("long").alias("max_underwater_run"),
+        F.count(F.lit(1)).alias("n_spells"),
+    )
