@@ -4261,3 +4261,44 @@ def test_underwater_runs_match_sequential_replay(spark, sf_dir):
             assert got[sk] == (max(runs), len(runs))
         else:
             assert sk not in got
+
+
+def test_optimistic_retry_preserves_both_writers(spark, sf_dir):
+    """After the staged race: version history is create/append/append,
+    both writers' key ranges present, no duplicate keys."""
+    from xlsx_to_database_spark.operators.txn_table import TxnTable
+    from xlsx_to_database_spark.queries.sources_sinks import _tag
+    from xlsx_to_database_spark.registry import all_queries
+
+    all_queries()["table_optimistic_retry"](spark, sf_dir).collect()
+    tt = TxnTable(
+        spark, f"/tmp/spark_stage/{_tag(sf_dir)}_table_retry", "o_orderkey"
+    )
+    assert [tt.manifest(v)["op"] for v in tt.versions()] == [
+        "create", "append", "append"
+    ]
+    out = tt.read()
+    assert out.filter(F.col("o_orderkey") >= 7000000).filter(
+        F.col("o_orderkey") < 8000000).count() > 0   # racer's rows
+    assert out.filter(F.col("o_orderkey") >= 8000000).count() > 0  # A's rows
+    assert out.count() == out.select("o_orderkey").distinct().count()
+
+
+def test_code_detect_is_honest_on_prose(spark, sf_dir):
+    import re
+
+    from xlsx_to_database_spark.catalog import table
+    from xlsx_to_database_spark.registry import all_queries
+
+    rows = all_queries()["text_code_detect"](spark, sf_dir).collect()
+    src = {
+        r.doc_id: r.text
+        for r in table(spark, sf_dir, "documents")
+        .select("doc_id", "text").collect()
+    }
+    pat = re.compile(r"[{};()=<>\[\]]")
+    for r in rows:
+        n = len(pat.findall(src[r.doc_id]))
+        assert r.n_symbols == n
+        assert r.symbol_ratio == round(n / len(src[r.doc_id]), 6)
+        assert not r.looks_like_code  # all-prose corpus

@@ -5218,3 +5218,120 @@ def win_underwater_duration(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max("len").cast("long").alias("max_underwater_run"),
         F.count(F.lit(1)).alias("n_spells"),
     )
+
+
+@query(
+    "table_optimistic_retry",
+    """
+    WITH base AS (
+      SELECT o_orderkey, CAST(o_totalprice AS DECIMAL(18,2)) AS price
+      FROM orders WHERE o_orderkey < 500
+    ), racer AS (
+      SELECT o_orderkey + 7000000 AS o_orderkey, price
+      FROM base WHERE o_orderkey < 50
+    ), mine AS (
+      SELECT o_orderkey + 8000000 AS o_orderkey, price
+      FROM base WHERE o_orderkey < 80
+    )
+    SELECT CAST(count(*) AS BIGINT) AS n_rows,
+           round(CAST(sum(price) AS DOUBLE), 2) AS total
+    FROM (SELECT * FROM base UNION ALL SELECT * FROM racer
+          UNION ALL SELECT * FROM mine)
+    """,
+)
+def table_optimistic_retry(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Optimistic-concurrency LOSE-AND-RETRY on the txn table — the
+    protocol's documented conflict model exercised end to end: writer A
+    reads version N and prepares an append; a RACER commits N+1 first;
+    A's commit raises ConcurrentWriteError; A re-reads latest and
+    retries, landing N+2. Both writers' rows survive — the retry loop
+    is what turns a lost race into eventual success rather than lost
+    data (on object stores the rename becomes put-if-absent; the loop
+    is identical).
+
+    The race is staged deterministically by committing the racer's
+    version between A's read and A's commit. Final read hash-matches
+    the three-way union oracle; in-op asserts pin the failure, the
+    version numbers, and the retry's success."""
+    import shutil
+
+    from xlsx_to_database_spark.operators.txn_table import (
+        ConcurrentWriteError, TxnTable,
+    )
+    from xlsx_to_database_spark.queries.sources_sinks import _tag
+
+    o = table(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        F.col("o_totalprice").cast("decimal(18,2)").alias("price"),
+    )
+    base = o.filter(F.col("o_orderkey") < 500)
+    root = f"/tmp/spark_stage/{_tag(sf_dir)}_table_retry"
+    shutil.rmtree(root, ignore_errors=True)
+    tt = TxnTable(spark, root, "o_orderkey")
+    tt.create(base.repartitionByRange(2, "o_orderkey"))
+
+    mine = base.filter(F.col("o_orderkey") < 80).select(
+        (F.col("o_orderkey") + 8000000).alias("o_orderkey"), "price"
+    )
+    racer = base.filter(F.col("o_orderkey") < 50).select(
+        (F.col("o_orderkey") + 7000000).alias("o_orderkey"), "price"
+    )
+    # Writer A reads at version 0 and stages its files. Staging goes to
+    # a writer-unique scratch number (999): data files are immutable and
+    # referenced BY PATH, so the commit's version number and the staging
+    # directory's name are independent — exactly why two racing writers
+    # can both stage safely before only one wins the rename.
+    read_version = tt.latest_version()
+    staged = tt._stage_files(mine, 999)
+    files_at_read = tt.manifest(read_version)["files"]
+    # ...but the racer commits version 1 first.
+    tt.append(racer)
+    try:
+        tt._commit(read_version + 1, "append", files_at_read + staged)
+        raise AssertionError("conflicting commit must be rejected")
+    except ConcurrentWriteError:
+        pass
+    # Retry against the NEW latest: carry the racer's manifest forward.
+    v = tt.latest_version() + 1
+    tt._commit(v, "append", tt.manifest()["files"] + staged)
+    assert v == 2 and tt.latest_version() == 2
+    return tt.read().agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.round(F.sum("price").cast("double"), 2).alias("total"),
+    )
+
+
+@query(
+    "text_code_detect",
+    r"""
+    SELECT doc_id,
+           CAST(len(regexp_extract_all(text, '[{};()=<>\[\]]', 0))
+                AS BIGINT) AS n_symbols,
+           CAST(length(text) AS BIGINT) AS n_chars,
+           round(CAST(len(regexp_extract_all(text, '[{};()=<>\[\]]', 0))
+                      AS DOUBLE) / length(text), 6) AS symbol_ratio,
+           CAST(len(regexp_extract_all(text, '[{};()=<>\[\]]', 0))
+                AS DOUBLE) / length(text) > 0.05 AS looks_like_code
+    FROM documents
+    """,
+)
+def text_code_detect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Code-vs-prose detection by structural-symbol density — braces,
+    semicolons, brackets, operators per character. Code-LLM corpus prep
+    routes documents by exactly this class of heuristic (code goes to
+    the FIM/dedup-by-AST path, prose to the quality-gate path); on this
+    all-prose corpus the honest output is looks_like_code = false
+    everywhere, which the unit test pins along with the ratio math.
+    Map-only RE2-safe regexp counting — one scan at any corpus size."""
+    d = table(spark, sf_dir, "documents")
+    syms = F.size(
+        F.regexp_extract_all("text", F.lit(r"[{};()=<>\[\]]"), 0)
+    )
+    ratio = syms.cast("double") / F.length("text")
+    return d.select(
+        "doc_id",
+        syms.cast("long").alias("n_symbols"),
+        F.length("text").cast("long").alias("n_chars"),
+        F.round(ratio, 6).alias("symbol_ratio"),
+        (ratio > 0.05).alias("looks_like_code"),
+    )
