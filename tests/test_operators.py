@@ -4302,3 +4302,72 @@ def test_code_detect_is_honest_on_prose(spark, sf_dir):
         assert r.n_symbols == n
         assert r.symbol_ratio == round(n / len(src[r.doc_id]), 6)
         assert not r.looks_like_code  # all-prose corpus
+
+
+def test_mcnemar_counts_discordant_cells(spark, sf_dir):
+    from xlsx_to_database_spark.catalog import table
+    from xlsx_to_database_spark.registry import all_queries
+
+    row = all_queries()["stat_mcnemar"](spark, sf_dir).collect()[0]
+    b = c = 0
+    for r in (
+        table(spark, sf_dir, "orders")
+        .select("o_totalprice", "o_orderpriority")
+        .collect()
+    ):
+        y = r.o_orderpriority in ("1-URGENT", "2-HIGH")
+        ar = (r.o_totalprice >= 150000) == y
+        br = (r.o_totalprice >= 100000) == y
+        b += ar and not br
+        c += br and not ar
+    assert (row.b, row.c) == (b, c)
+    assert row.chi2 == round((b - c) ** 2 / (b + c), 6)
+
+
+def test_bayes_prob_is_phi_of_z(spark, sf_dir):
+    import math
+
+    from xlsx_to_database_spark.registry import all_queries
+
+    row = all_queries()["stat_bayes_prob"](spark, sf_dir).collect()[0]
+
+    def sf(z):
+        t = 1.0 / (1.0 + 0.2316419 * z)
+        poly = t * (0.319381530 + t * (-0.356563782 + t * (
+            1.781477937 + t * (-1.821255978 + t * 1.330274429))))
+        return math.exp(-z * z / 2) / math.sqrt(2 * math.pi) * poly
+
+    z = row.z
+    want = 1 - sf(z) if z >= 0 else sf(-z)
+    assert abs(row.p_urgent_higher - round(want, 6)) <= 1e-6
+    assert 0.0 <= row.p_urgent_higher <= 1.0
+
+
+def test_sankey_paths_replay(spark, sf_dir):
+    from collections import Counter
+
+    from xlsx_to_database_spark.catalog import table
+    from xlsx_to_database_spark.registry import all_queries
+
+    got = [
+        (r.a, r.b, r.c, r.n)
+        for r in all_queries()["event_path_sankey"](spark, sf_dir).collect()
+    ]
+    series: dict[int, list] = {}
+    for r in (
+        table(spark, sf_dir, "events")
+        .select("user_id", "ts", "event_id", "event_type")
+        .collect()
+    ):
+        series.setdefault(r.user_id, []).append(r)
+    cnt: Counter = Counter()
+    for rows_ in series.values():
+        rows_.sort(key=lambda r: (r.ts, r.event_id))
+        types = [r.event_type for r in rows_]
+        for i in range(2, len(types)):
+            cnt[(types[i - 2], types[i - 1], types[i])] += 1
+    want = sorted(
+        ((a, b, c, n) for (a, b, c), n in cnt.items()),
+        key=lambda t: (-t[3], t[0], t[1], t[2]),
+    )[:20]
+    assert got == want

@@ -5335,3 +5335,175 @@ def text_code_detect(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(ratio, 6).alias("symbol_ratio"),
         (ratio > 0.05).alias("looks_like_code"),
     )
+
+
+@query(
+    "stat_mcnemar",
+    """
+    WITH t AS (
+      SELECT (o_totalprice >= 150000) =
+               (o_orderpriority IN ('1-URGENT', '2-HIGH')) AS a_right,
+             (o_totalprice >= 100000) =
+               (o_orderpriority IN ('1-URGENT', '2-HIGH')) AS b_right
+      FROM orders
+    )
+    SELECT CAST(count(*) FILTER (WHERE a_right AND NOT b_right)
+                AS BIGINT) AS b,
+           CAST(count(*) FILTER (WHERE b_right AND NOT a_right)
+                AS BIGINT) AS c,
+           round(pow(CAST(count(*) FILTER (WHERE a_right AND NOT b_right)
+                          AS DOUBLE)
+                     - count(*) FILTER (WHERE b_right AND NOT a_right), 2)
+                 / (count(*) FILTER (WHERE a_right AND NOT b_right)
+                    + count(*) FILTER (WHERE b_right AND NOT a_right)),
+                 6) AS chi2
+    FROM t
+    """,
+)
+def stat_mcnemar(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """McNemar's test — the PAIRED comparison of two classifiers on the
+    same rows (threshold stumps at 150k vs 100k): only the discordant
+    cells matter (b = A right & B wrong, c = the reverse), χ² =
+    (b−c)²/(b+c). Comparing accuracies with an unpaired test throws
+    away the pairing and overstates uncertainty — this is the correct
+    "is model A actually better" statistic, and it completes the eval
+    family beside `ml_kfold_cv` (which selects) and `ml_pr_curve`
+    (which characterizes). One conditional-count pass; χ² is a shared
+    expression over two exact integers."""
+    o = table(spark, sf_dir, "orders")
+    label = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    a_right = (F.col("o_totalprice") >= 150000) == label
+    b_right = (F.col("o_totalprice") >= 100000) == label
+    t = o.select(a_right.alias("ar"), b_right.alias("br"))
+    return t.agg(
+        F.count_if(F.col("ar") & ~F.col("br")).alias("b"),
+        F.count_if(F.col("br") & ~F.col("ar")).alias("c"),
+        F.round(
+            F.pow(
+                F.count_if(F.col("ar") & ~F.col("br")).cast("double")
+                - F.count_if(F.col("br") & ~F.col("ar")),
+                2,
+            )
+            / (
+                F.count_if(F.col("ar") & ~F.col("br"))
+                + F.count_if(F.col("br") & ~F.col("ar"))
+            ),
+            6,
+        ).alias("chi2"),
+    )
+
+
+_BAYES_Z = (
+    "((CAST(a1 AS DOUBLE) / n1 - CAST(a2 AS DOUBLE) / n2) "
+    "/ sqrt((CAST(b1 AS DOUBLE) - CAST(a1 AS DOUBLE) * CAST(a1 AS DOUBLE)"
+    " / n1) / (n1 - 1) / n1"
+    " + (CAST(b2 AS DOUBLE) - CAST(a2 AS DOUBLE) * CAST(a2 AS DOUBLE)"
+    " / n2) / (n2 - 1) / n2))"
+)
+
+
+@query(
+    "stat_bayes_prob",
+    f"""
+    WITH g AS (
+      SELECT o_orderpriority = '1-URGENT' AS urgent,
+             CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(CAST(o_totalprice AS DECIMAL(18,2)))
+                  AS DECIMAL(28,2)) AS s1,
+             CAST(sum(CAST(CAST(o_totalprice AS DECIMAL(18,2))
+                           * CAST(o_totalprice AS DECIMAL(18,2))
+                           AS DECIMAL(38,4))) AS DECIMAL(38,4)) AS s2
+      FROM orders GROUP BY 1
+    ), w AS (
+      SELECT max(CASE WHEN urgent THEN n END) AS n1,
+             max(CASE WHEN urgent THEN s1 END) AS a1,
+             max(CASE WHEN urgent THEN s2 END) AS b1,
+             max(CASE WHEN NOT urgent THEN n END) AS n2,
+             max(CASE WHEN NOT urgent THEN s1 END) AS a2,
+             max(CASE WHEN NOT urgent THEN s2 END) AS b2
+      FROM g
+    )
+    SELECT round({_BAYES_Z}, 6) AS z,
+           round(CASE WHEN {_BAYES_Z} >= 0
+                 THEN 1 - {normal_sf_expr(f"({_BAYES_Z})")}
+                 ELSE {normal_sf_expr(f"(-({_BAYES_Z}))")} END, 6)
+             AS p_urgent_higher
+    FROM w
+    """,
+)
+def stat_bayes_prob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P(urgent mean > non-urgent mean | data) under a flat-prior
+    normal approximation — the Bayesian readout product teams actually
+    want ("what's the chance B beats A") instead of a p-value's double
+    negative. Equals Φ(z) for the Welch z of the two arms; Φ comes from
+    the same generated Abramowitz–Stegun expression `stat_fdr_bh` uses
+    (no erf in either engine), branch-symmetrized so the ≥/< cases use
+    the approximation only on the non-negative half where it is
+    defined. One conditional-moment pass, one shared expression."""
+    o = table(spark, sf_dir, "orders")
+    p = F.col("o_totalprice").cast("decimal(18,2)")
+    g = o.groupBy(
+        (F.col("o_orderpriority") == "1-URGENT").alias("urgent")
+    ).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(p).cast("decimal(28,2)").alias("s1"),
+        F.sum((p * p).cast("decimal(38,4)")).cast("decimal(38,4)")
+        .alias("s2"),
+    )
+    w = g.agg(
+        F.max(F.when(F.col("urgent"), F.col("n"))).alias("n1"),
+        F.max(F.when(F.col("urgent"), F.col("s1"))).alias("a1"),
+        F.max(F.when(F.col("urgent"), F.col("s2"))).alias("b1"),
+        F.max(F.when(~F.col("urgent"), F.col("n"))).alias("n2"),
+        F.max(F.when(~F.col("urgent"), F.col("s1"))).alias("a2"),
+        F.max(F.when(~F.col("urgent"), F.col("s2"))).alias("b2"),
+    )
+    return w.selectExpr(
+        f"round({_BAYES_Z}, 6) AS z",
+        f"""round(CASE WHEN {_BAYES_Z} >= 0
+             THEN 1 - {normal_sf_expr(f"({_BAYES_Z})")}
+             ELSE {normal_sf_expr(f"(-({_BAYES_Z}))")} END, 6)
+           AS p_urgent_higher""",
+    )
+
+
+@query(
+    "event_path_sankey",
+    """
+    WITH seq AS (
+      SELECT user_id, event_type AS c,
+             lag(event_type, 1) OVER w AS b,
+             lag(event_type, 2) OVER w AS a
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    )
+    SELECT a, b, c, CAST(count(*) AS BIGINT) AS n
+    FROM seq WHERE a IS NOT NULL
+    GROUP BY a, b, c
+    ORDER BY n DESC, a, b, c
+    LIMIT 20
+    """,
+)
+def event_path_sankey(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top 20 three-step behavioral paths (A→B→C with counts) — the
+    data behind a Sankey/flow diagram and the order-2 refinement of
+    `event_transition_matrix` (first-order chains miss patterns like
+    view→click→purchase vs view→click→view). Two lags from ONE window
+    pass (same partition+order ⇒ one shuffle+sort), a |types|³-bounded
+    aggregate, TakeOrderedAndProject for the top slice. Total
+    (ts, event_id) order keeps path counts deterministic under
+    timestamp ties."""
+    ev = table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = ev.select(
+        F.col("event_type").alias("c"),
+        F.lag("event_type", 1).over(w).alias("b"),
+        F.lag("event_type", 2).over(w).alias("a"),
+    )
+    return (
+        seq.filter(F.col("a").isNotNull())
+        .groupBy("a", "b", "c")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.col("n").desc(), "a", "b", "c")
+        .limit(20)
+    )
