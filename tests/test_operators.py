@@ -4371,3 +4371,43 @@ def test_sankey_paths_replay(spark, sf_dir):
         key=lambda t: (-t[3], t[0], t[1], t[2]),
     )[:20]
     assert got == want
+
+
+def test_walks_follow_edges_and_the_hash_rule(spark, sf_dir):
+    """Every consecutive pair is a real edge and each hop is exactly
+    the hash-designated neighbor; one walk per start node."""
+    from itertools import combinations
+
+    from xlsx_to_database_spark.catalog import table
+    from xlsx_to_database_spark.registry import all_queries
+
+    rows = all_queries()["graph_walk_sample"](spark, sf_dir).collect()
+    li = table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_partkey"
+    ).collect()
+    by_order: dict[int, list] = {}
+    for r in li:
+        by_order.setdefault(r.l_orderkey, []).append(r.l_partkey)
+    pc: dict[tuple, int] = {}
+    # row-pair counting to match the op's edge rule
+    for parts in by_order.values():
+        for u, v in combinations(sorted(parts), 2):
+            if u != v:
+                pc[(u, v)] = pc.get((u, v), 0) + 1
+    adj: dict[int, list] = {}
+    for (u, v), m in pc.items():
+        if m >= 2:
+            adj.setdefault(u, []).append(v)
+            adj.setdefault(v, []).append(u)
+    for n in adj:
+        adj[n].sort()
+    assert len(rows) == len(adj)  # one walk per start node
+    starts = {r.s0 for r in rows}
+    assert starts == set(adj)
+    for r in rows:
+        node = r.s0
+        for step, nxt in enumerate((r.s1, r.s2, r.s3), start=1):
+            neigh = adj[node]
+            want = neigh[(node * 2654435761 + step * 40503) % len(neigh)]
+            assert nxt == want
+            node = nxt

@@ -5507,3 +5507,98 @@ def event_path_sankey(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("n").desc(), "a", "b", "c")
         .limit(20)
     )
+
+
+_WALK_STEPS = 3
+_WALK_A = 2654435761  #: Knuth multiplicative constant (fits int64 here)
+_WALK_B = 40503
+
+
+def _walk_step_sql(step: int, prev: str) -> str:
+    """One deterministic walk step as SQL: from column ``{prev}``, pick
+    the neighbor whose id-ordered rank equals hash(node, step) mod
+    degree — a reproducible stand-in for uniform sampling, identical in
+    both engines because it is pure int64 arithmetic (operands bounded
+    so neither engine promotes or overflows)."""
+    return f"""
+      SELECT w.*, r.v AS s{step}
+      FROM walk{step - 1} w
+      JOIN ranked r
+        ON r.u = w.{prev}
+       AND r.rk = 1 + (w.{prev} * {_WALK_A} + {step} * {_WALK_B}) % r.deg
+    """
+
+
+@query(
+    "graph_walk_sample",
+    f"""
+    WITH e AS (
+      SELECT a.l_partkey AS u, b.l_partkey AS v
+      FROM lineitem a JOIN lineitem b
+        ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+      GROUP BY 1, 2 HAVING count(*) >= 2
+    ), sym AS (
+      SELECT u, v FROM e UNION ALL SELECT v AS u, u AS v FROM e
+    ), ranked AS (
+      SELECT u, v,
+             row_number() OVER (PARTITION BY u ORDER BY v) AS rk,
+             count(*) OVER (PARTITION BY u) AS deg
+      FROM sym
+    ), walk0 AS (SELECT DISTINCT u AS s0 FROM sym),
+    walk1 AS ({_walk_step_sql(1, "s0")}),
+    walk2 AS ({_walk_step_sql(2, "s1")}),
+    walk3 AS ({_walk_step_sql(3, "s2")})
+    SELECT s0, s1, s2, s3 FROM walk3
+    """,
+)
+def graph_walk_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic graph walks ({_WALK_STEPS} steps from every node of
+    the strong-tie co-purchase graph) — the sampling primitive under
+    node2vec/DeepWalk embeddings and graph-based negative mining. True
+    uniform sampling is RNG (engine-divergent); here each step picks
+    the neighbor whose id-ordered rank is hash(node, step) mod degree —
+    reproducible, hash-exact across engines, and distributionally
+    adequate for embedding pretext tasks (the walk DISTRIBUTION matters,
+    not the randomness source).
+
+    Each step is one equi-join against the rank-indexed adjacency (the
+    same shuffle key every time — a cluster co-partitions adjacency
+    once and every step is local); {_WALK_STEPS} steps = {_WALK_STEPS}
+    joins, no iteration-until-convergence. The oracle chains the same
+    steps as CTEs."""
+    li = table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    a = li.select(F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("u"))
+    b = li.select(F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("v"))
+    e = (
+        a.join(b, "o")
+        .filter(F.col("u") < F.col("v"))
+        .groupBy("u", "v")
+        .agg(F.count(F.lit(1)).alias("m"))
+        .filter(F.col("m") >= 2)
+        .select("u", "v")
+    )
+    sym = e.unionAll(e.select(F.col("v").alias("u"), F.col("u").alias("v")))
+    wr = Window.partitionBy("u").orderBy("v")
+    ranked = sym.select(
+        "u", "v",
+        F.row_number().over(wr).alias("rk"),
+        F.count(F.lit(1)).over(Window.partitionBy("u")).alias("deg"),
+    ).localCheckpoint()
+    walk = sym.select(F.col("u").alias("s0")).distinct()
+    prev = "s0"
+    for step in range(1, _WALK_STEPS + 1):
+        r = ranked.select(
+            F.col("u").alias("__ru"), F.col("v").alias(f"s{step}"),
+            F.col("rk").alias("__rk"), F.col("deg").alias("__deg"),
+        )
+        walk = walk.join(
+            r,
+            (F.col(prev) == F.col("__ru"))
+            & (
+                F.col("__rk")
+                == 1 + (F.col(prev) * _WALK_A + step * _WALK_B)
+                % F.col("__deg")
+            ),
+        ).drop("__ru", "__rk", "__deg")
+        prev = f"s{step}"
+    return walk
