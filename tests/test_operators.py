@@ -4411,3 +4411,83 @@ def test_walks_follow_edges_and_the_hash_rule(spark, sf_dir):
             want = neigh[(node * 2654435761 + step * 40503) % len(neigh)]
             assert nxt == want
             node = nxt
+
+
+def test_holt_matches_sequential_recurrence(spark, sf_dir):
+    from xlsx_to_database_spark.catalog import table
+    from xlsx_to_database_spark.registry import all_queries
+
+    got = {
+        r.l_suppkey: (r.n_obs, r.level, r.trend, r.forecast)
+        for r in all_queries()["win_holt_linear"](spark, sf_dir).collect()
+    }
+    series: dict[int, list] = {}
+    for r in (
+        table(spark, sf_dir, "lineitem")
+        .select("l_suppkey", "l_shipdate", "l_orderkey", "l_linenumber",
+                "l_extendedprice")
+        .collect()
+    ):
+        series.setdefault(r.l_suppkey, []).append(r)
+    for sk, rows_ in series.items():
+        rows_.sort(key=lambda r: (r.l_shipdate, r.l_orderkey,
+                                  r.l_linenumber))
+        xs = [r.l_extendedprice for r in rows_]
+        if len(xs) < 2:
+            assert sk not in got
+            continue
+        level, trend = xs[0], xs[1] - xs[0]
+        for x in xs[1:]:
+            prev = level
+            level = 0.3 * x + 0.7 * (level + trend)
+            trend = 0.1 * (level - prev) + 0.9 * trend
+        assert got[sk] == (
+            len(xs), round(level, 6), round(trend, 6),
+            round(level + trend, 6),
+        )
+
+
+def test_basket_profile_conserves_orders_and_value(spark, sf_dir):
+    from decimal import Decimal
+
+    from xlsx_to_database_spark.catalog import table
+    from xlsx_to_database_spark.registry import all_queries
+
+    rows = all_queries()["agg_basket_profile"](spark, sf_dir).collect()
+    li = table(spark, sf_dir, "lineitem")
+    assert sum(r.n_orders for r in rows) == \
+        li.select("l_orderkey").distinct().count()
+    assert sum(r.n_orders * r.n_lines for r in rows) == li.count()
+    total = sum(Decimal(str(r.total_value)) for r in rows)
+    want = li.select(
+        F.round(
+            F.sum(F.col("l_extendedprice").cast("decimal(18,2)"))
+            .cast("double"), 2,
+        ).alias("t")
+    ).collect()[0].t
+    assert float(total) == want
+
+
+def test_autocomplete_is_the_prefix_argmax(spark, sf_dir):
+    from collections import Counter
+
+    from xlsx_to_database_spark.catalog import table
+    from xlsx_to_database_spark.registry import all_queries
+
+    got = {
+        r.prefix: (r.top_completion, r.frequency)
+        for r in all_queries()["text_autocomplete_index"](spark, sf_dir)
+        .collect()
+    }
+    cnt: Counter = Counter()
+    for r in table(spark, sf_dir, "documents").select("text").collect():
+        for t in r.text.split(" "):
+            if len(t) >= 2:
+                cnt[t] += 1
+    best: dict[str, tuple] = {}
+    for tok, f in cnt.items():
+        p = tok[:2]
+        cur = best.get(p)
+        if cur is None or f > cur[1] or (f == cur[1] and tok < cur[0]):
+            best[p] = (tok, f)
+    assert got == best

@@ -5602,3 +5602,143 @@ def graph_walk_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).drop("__ru", "__rk", "__deg")
         prev = f"s{step}"
     return walk
+
+
+_HOLT_ALPHA = 0.3
+_HOLT_BETA = 0.1
+
+
+@query("win_holt_linear")  # rows-only: coupled recurrence has no SQL form
+def win_holt_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Holt's linear (level + trend) exponential smoothing per supplier
+    price series, emitting the final state and the one-step-ahead
+    forecast — the workhorse short-horizon forecaster between naive
+    (`stat_backtest_snaive`) and full seasonal decomposition. The
+    coupled recurrence l_t = αx_t + (1−α)(l_{t−1}+b_{t−1}),
+    b_t = β(l_t−l_{t−1}) + (1−β)b_{t−1} is genuinely sequential per
+    key (unlike single-EWMA, which `win_ewma` expresses in closed
+    form), so it runs as an Arrow-batched ``applyInPandas`` walk —
+    per-key state is two floats, the partition is the series key, the
+    cluster-scale fan-out is by supplier. Rows-only; the unit test
+    replays the recurrence sequentially and pins level/trend/forecast
+    to the emitted 6dp rounding."""
+    import pandas as pd
+
+    li = table(spark, sf_dir, "lineitem").select(
+        "l_suppkey", "l_shipdate", "l_orderkey", "l_linenumber",
+        "l_extendedprice",
+    )
+
+    def holt(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(["l_shipdate", "l_orderkey", "l_linenumber"])
+        xs = pdf["l_extendedprice"].tolist()
+        if len(xs) < 2:
+            return pd.DataFrame(
+                columns=["l_suppkey", "n_obs", "level", "trend", "forecast"]
+            )
+        level, trend = xs[0], xs[1] - xs[0]
+        for x in xs[1:]:
+            prev = level
+            level = _HOLT_ALPHA * x + (1 - _HOLT_ALPHA) * (level + trend)
+            trend = _HOLT_BETA * (level - prev) + (1 - _HOLT_BETA) * trend
+        return pd.DataFrame([{
+            "l_suppkey": int(pdf["l_suppkey"].iloc[0]),
+            "n_obs": len(xs),
+            "level": round(level, 6),
+            "trend": round(trend, 6),
+            "forecast": round(level + trend, 6),
+        }])
+
+    out = li.groupBy("l_suppkey").applyInPandas(
+        holt,
+        schema="l_suppkey long, n_obs long, level double, "
+               "trend double, forecast double",
+    )
+    return out.orderBy("l_suppkey")
+
+
+@query(
+    "agg_basket_profile",
+    """
+    WITH baskets AS (
+      SELECT l_orderkey, CAST(count(*) AS BIGINT) AS n_lines,
+             CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)))
+                  AS DECIMAL(28,2)) AS basket_value
+      FROM lineitem GROUP BY l_orderkey
+    )
+    SELECT n_lines,
+           CAST(count(*) AS BIGINT) AS n_orders,
+           round(CAST(sum(basket_value) AS DOUBLE) / count(*), 2)
+             AS avg_basket_value,
+           round(CAST(sum(basket_value) AS DOUBLE), 2) AS total_value
+    FROM baskets GROUP BY n_lines
+    """,
+)
+def agg_basket_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Basket-size profile: the distribution of lines-per-order with
+    the average and total basket value at each size — merchandising's
+    first question ("do bigger baskets carry super-linear value?") and the
+    capacity input for picking/packing simulation. Two partial
+    aggregates (order grain, then size grain — the second runs on a
+    dozens-row domain); decimal basket sums keep the averages exact."""
+    li = table(spark, sf_dir, "lineitem")
+    baskets = li.groupBy("l_orderkey").agg(
+        F.count(F.lit(1)).alias("n_lines"),
+        F.sum(F.col("l_extendedprice").cast("decimal(18,2)"))
+        .cast("decimal(28,2)").alias("basket_value"),
+    )
+    return baskets.groupBy("n_lines").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.round(
+            F.sum("basket_value").cast("double") / F.count(F.lit(1)), 2
+        ).alias("avg_basket_value"),
+        F.round(F.sum("basket_value").cast("double"), 2)
+        .alias("total_value"),
+    )
+
+
+@query(
+    "text_autocomplete_index",
+    """
+    WITH tf AS (
+      SELECT t AS tok, CAST(count(*) AS BIGINT) AS f
+      FROM documents, unnest(string_split(text, ' ')) AS u(t)
+      WHERE length(t) >= 2
+      GROUP BY t
+    ), ranked AS (
+      SELECT substr(tok, 1, 2) AS prefix, tok, f,
+             row_number() OVER (PARTITION BY substr(tok, 1, 2)
+                                ORDER BY f DESC, tok) AS rn
+      FROM tf
+    )
+    SELECT prefix, tok AS top_completion, f AS frequency
+    FROM ranked WHERE rn = 1
+    """,
+)
+def text_autocomplete_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Autocomplete index: the most frequent completion for every
+    2-character prefix — the table a type-ahead service loads (full
+    engines keep top-k per prefix; top-1 pins the shape). Built on the
+    same token aggregate as `text_tfidf`/`text_freq_spectrum`; the
+    rank window runs over the VOCABULARY (not the corpus), and
+    WindowGroupLimit keeps per-prefix state at one row. Frequency-desc
+    with token tie-break makes the argmax total."""
+    d = table(spark, sf_dir, "documents")
+    tf = (
+        d.select(F.explode(F.split("text", " ")).alias("tok"))
+        .filter(F.length("tok") >= 2)
+        .groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("f"))
+    )
+    w = Window.partitionBy(F.substring("tok", 1, 2)).orderBy(
+        F.col("f").desc(), F.col("tok")
+    )
+    return (
+        tf.withColumn("prefix", F.substring("tok", 1, 2))
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            "prefix", F.col("tok").alias("top_completion"),
+            F.col("f").alias("frequency"),
+        )
+    )
