@@ -4491,3 +4491,43 @@ def test_autocomplete_is_the_prefix_argmax(spark, sf_dir):
         if cur is None or f > cur[1] or (f == cur[1] and tok < cur[0]):
             best[p] = (tok, f)
     assert got == best
+
+
+def test_new_vs_returning_identity_holds(spark, sf_dir):
+    """new + returning = monthly actives; first month is all-new; every
+    user is new exactly once across all months."""
+    from xlsx_to_database_spark.catalog import table
+    from xlsx_to_database_spark.registry import all_queries
+
+    rows = sorted(
+        all_queries()["event_new_vs_returning"](spark, sf_dir).collect(),
+        key=lambda r: r.mon,
+    )
+    ev = table(spark, sf_dir, "events")
+    assert rows[0].returning_users == 0  # first month is all-new
+    total_new = sum(r.new_users for r in rows)
+    assert total_new == ev.select("user_id").distinct().count()
+    for r in rows:
+        active = (
+            ev.filter(F.date_trunc("month", "ts").cast("date") == r.mon)
+            .select("user_id").distinct().count()
+        )
+        assert r.new_users + r.returning_users == active
+
+
+def test_cluster_profile_accounts_every_document(spark, sf_dir):
+    """Σ n_docs over sizes = corpus size; removable = docs − clusters;
+    singleton clusters exist (unique docs)."""
+    from xlsx_to_database_spark.catalog import table
+    from xlsx_to_database_spark.registry import all_queries
+
+    rows = all_queries()["dedup_cluster_profile"](spark, sf_dir).collect()
+    n_docs = table(spark, sf_dir, "documents").count()
+    assert sum(r.n_docs for r in rows) == n_docs
+    total_clusters = sum(r.n_clusters for r in rows)
+    assert sum(r.n_removable for r in rows) == n_docs - total_clusters
+    for r in rows:
+        assert r.n_docs == r.cluster_size * r.n_clusters
+        assert r.n_removable == (r.cluster_size - 1) * r.n_clusters
+    singleton = next(r for r in rows if r.cluster_size == 1)
+    assert singleton.n_clusters > 0  # unique docs exist at every SF

@@ -5742,3 +5742,119 @@ def text_autocomplete_index(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("f").alias("frequency"),
         )
     )
+
+
+@query(
+    "event_new_vs_returning",
+    """
+    WITH first_seen AS (
+      SELECT user_id, CAST(date_trunc('month', min(ts)) AS DATE)
+               AS first_mon
+      FROM events GROUP BY user_id
+    ), monthly AS (
+      SELECT CAST(date_trunc('month', e.ts) AS DATE) AS mon, e.user_id,
+             f.first_mon
+      FROM events e JOIN first_seen f ON e.user_id = f.user_id
+      GROUP BY 1, 2, 3
+    )
+    SELECT mon,
+           CAST(count(*) FILTER (WHERE mon = first_mon) AS BIGINT)
+             AS new_users,
+           CAST(count(*) FILTER (WHERE mon > first_mon) AS BIGINT)
+             AS returning_users,
+           round(CAST(count(*) FILTER (WHERE mon > first_mon) AS DOUBLE)
+                 / count(*), 6) AS returning_share
+    FROM monthly GROUP BY mon
+    """,
+)
+def event_new_vs_returning(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """New-vs-returning user split per month — the growth-accounting
+    identity behind every MAU chart (growth = new + resurrected −
+    churned; this op is its first two terms): a user is NEW in their
+    first-ever active month and RETURNING in any later active month.
+
+    Shape: one per-user min(ts) aggregate (the only fact-scale
+    shuffle), an equi-join back, then a (month, user) dedup and a
+    month-grain conditional count — at 100 TB the first-seen table is
+    the user dimension a warehouse materializes once and every cohort
+    query reuses (`retention_cohorts` consumes the same artifact)."""
+    ev = table(spark, sf_dir, "events")
+    first_seen = ev.groupBy("user_id").agg(
+        F.date_trunc("month", F.min("ts")).cast("date").alias("first_mon")
+    )
+    monthly = (
+        ev.join(first_seen, "user_id")
+        .select(
+            F.date_trunc("month", "ts").cast("date").alias("mon"),
+            "user_id", "first_mon",
+        )
+        .distinct()
+    )
+    return monthly.groupBy("mon").agg(
+        F.count_if(F.col("mon") == F.col("first_mon")).alias("new_users"),
+        F.count_if(F.col("mon") > F.col("first_mon"))
+        .alias("returning_users"),
+        F.round(
+            F.count_if(F.col("mon") > F.col("first_mon")).cast("double")
+            / F.count(F.lit(1)),
+            6,
+        ).alias("returning_share"),
+    )
+
+
+@query(
+    "dedup_cluster_profile",
+    """
+    WITH RECURSIVE toks AS (
+      SELECT doc_id, list_distinct(string_split(text, ' ')) AS t
+      FROM documents
+    ), pairs AS (
+      SELECT doc_a, doc_b FROM (
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+               round(len(list_intersect(a.t, b.t))::DOUBLE
+                     / len(list_distinct(list_concat(a.t, b.t))), 6)
+                 AS jaccard
+        FROM toks a JOIN toks b ON a.doc_id < b.doc_id
+      ) WHERE jaccard >= 0.9
+    ), edges AS (
+      SELECT doc_a AS s, doc_b AS d FROM pairs
+      UNION ALL SELECT doc_b, doc_a FROM pairs
+    ), reach(node, r) AS (
+      SELECT doc_id, doc_id FROM documents
+      UNION
+      SELECT e.d, reach.r FROM reach JOIN edges e ON e.s = reach.node
+    ), comp AS (
+      SELECT node AS doc_id, min(r) AS cluster_id FROM reach GROUP BY node
+    ), sizes AS (
+      SELECT cluster_id, CAST(count(*) AS BIGINT) AS sz FROM comp
+      GROUP BY cluster_id
+    )
+    SELECT sz AS cluster_size,
+           CAST(count(*) AS BIGINT) AS n_clusters,
+           CAST(sum(sz) AS BIGINT) AS n_docs,
+           CAST(sum(sz - 1) AS BIGINT) AS n_removable
+    FROM sizes GROUP BY sz
+    """,
+)
+def dedup_cluster_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplication profile: the near-dup cluster SIZE distribution and
+    the dedup dividend — per size: cluster count, docs covered, and
+    docs removable under keep-one (Σ(size−1) is exactly the corpus
+    shrinkage dedup will deliver; the number that justifies running it
+    at all). Composes `dedup_near` pairs → exact connected components →
+    a metadata-size histogram; the oracle replays the closure as the
+    same recursive CTE `dedup_cluster` pins."""
+    from xlsx_to_database_spark.operators import dedup as D
+
+    docs = table(spark, sf_dir, "documents")
+    pairs = D.jaccard_pairs(docs, threshold=0.9).select("doc_a", "doc_b")
+    comp = D.connected_components(
+        docs.select("doc_id"), pairs, node_col="doc_id",
+        src_col="doc_a", dst_col="doc_b",
+    )
+    sizes = comp.groupBy("cluster_id").agg(F.count(F.lit(1)).alias("sz"))
+    return sizes.groupBy(F.col("sz").alias("cluster_size")).agg(
+        F.count(F.lit(1)).alias("n_clusters"),
+        F.sum("sz").cast("long").alias("n_docs"),
+        F.sum(F.col("sz") - 1).cast("long").alias("n_removable"),
+    )
