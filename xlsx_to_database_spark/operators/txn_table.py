@@ -182,24 +182,42 @@ class TxnTable:
 
     def append(self, df: DataFrame, check=None) -> int:
         """Append ``df`` as a new version. ``check`` (a boolean Column)
-        is a Delta-style CHECK constraint: if ANY incoming row violates
-        it (NULL counts as a violation, as SQL CHECK accepts only
-        TRUE), the commit is rejected with ``CheckViolation`` and the
-        log is untouched — enforcement happens at WRITE time, once,
-        instead of in every reader forever. The violation probe is one
-        aggregate over the staged batch (no extra pass over the
-        table)."""
+        is a Delta-style CHECK constraint: every committed row must
+        evaluate it to TRUE — NULL rejects, matching Delta's CHECK
+        invariant enforcement (stricter on purpose than standard SQL
+        CHECK, where UNKNOWN passes): a constraint a reader cannot
+        prove from the data is worthless at read time. The commit is
+        rejected with ``CheckViolation`` and the log untouched;
+        enforcement happens at WRITE time, once, instead of in every
+        reader forever.
+
+        Stage-then-probe ordering: ``df`` is evaluated exactly ONCE —
+        the write that stages it. The violation probe then runs over
+        the STAGED parquet bytes, so the rows validated are exactly
+        the rows that would be committed even when ``df`` is
+        non-deterministic (a rand-derived column, a re-read of a
+        changing source); on violation the staged files are deleted
+        before raising (round-5 advice)."""
+        v = self.latest_version() + 1
+        staged = self._stage_files(df, v)
         if check is not None:
-            bad = df.filter(
-                ~F.coalesce(check, F.lit(False))
-            ).count()
+            bad = (
+                self._read_files(staged)
+                .filter(~F.coalesce(check, F.lit(False)))
+                .count()
+            )
             if bad:
+                import shutil
+
+                shutil.rmtree(
+                    os.path.join(self.path, "data", f"v{v:010d}"),
+                    ignore_errors=True,
+                )
                 raise CheckViolation(
                     f"{bad} incoming row(s) violate the table CHECK "
                     f"constraint; commit rejected"
                 )
-        v = self.latest_version() + 1
-        files = self.manifest()["files"] + self._stage_files(df, v)
+        files = self.manifest()["files"] + staged
         self._commit(v, "append", files)
         return v
 

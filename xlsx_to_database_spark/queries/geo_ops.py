@@ -233,13 +233,18 @@ def point_in_polygon_expr(px: str, py: str, poly: tuple) -> str:
     count fixed ⇒ no loop, pure codegen): a horizontal ray from the
     point crosses edge (x1,y1)→(x2,y2) iff the edge straddles py and
     the intersection lies right of px. Odd crossings ⇒ inside. Shared
-    verbatim by both engines; every division is by a constant edge
-    Δy ≠ 0 after the straddle guard."""
+    verbatim by both engines. Horizontal edges (y1 == y2) are SKIPPED
+    at generation time: they can never satisfy the straddle test, and
+    emitting their term would put a literal zero denominator in the
+    expression — correct only while both engines short-circuit the AND,
+    a runtime error under strict/ANSI evaluation (round-5 advice)."""
     crossings = []
     n = len(poly)
     for i in range(n):
         x1, y1 = poly[i]
         x2, y2 = poly[(i + 1) % n]
+        if y1 == y2:
+            continue
         crossings.append(
             f"CAST(((({y1} > ({py})) <> ({y2} > ({py}))) AND "
             f"(({px}) < ({x2} - {x1}) * (({py}) - {y1})"

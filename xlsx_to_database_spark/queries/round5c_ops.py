@@ -2541,10 +2541,10 @@ def etl_scd2_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def table_check_constraint(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Write-time CHECK constraints on the txn table (Delta CHECK
-    semantics): a batch containing a violating row — including NULL,
-    which SQL CHECK rejects because only TRUE passes — is rejected
-    ATOMICALLY (no partial commit, log untouched), while a clean batch
-    commits. Enforcement at write time is the scale choice: one
+    invariant semantics: every row must evaluate TRUE, so NULL rejects
+    — deliberately stricter than standard SQL CHECK, where UNKNOWN
+    passes): a batch containing a violating row is rejected ATOMICALLY
+    (no partial commit, log untouched), while a clean batch commits. Enforcement at write time is the scale choice: one
     aggregate over each incoming batch, instead of every reader
     re-validating 100 TB forever.
 
@@ -3800,7 +3800,14 @@ def _recall_oracle() -> str:
     """Compose the recall oracle from the ALREADY-REGISTERED oracle
     SQL of the exact / LSH / IVF top-k ops (each is a full WITH…SELECT;
     DuckDB accepts them as parenthesized subqueries) — one source of
-    truth for the index formulas, zero drift."""
+    truth for the index formulas, zero drift.
+
+    Imports llm_ops first: its module body registers the three source
+    oracles, and nothing guarantees it loaded before this module (a
+    direct ``import round5c_ops`` from a test must work standalone)."""
+    import importlib
+
+    importlib.import_module("xlsx_to_database_spark.queries.llm_ops")
     from xlsx_to_database_spark.registry import _ORACLES
 
     ex = _ORACLES["sim_cosine_topk"]
@@ -3834,6 +3841,11 @@ def sim_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     engine run that serves it. The unit tests bound recall; this op
     makes the measurement reproducible on demand at any corpus size
     (three bounded top-k pipelines + two 10-row intersections).
+
+    Import-safety: the composed oracle needs llm_ops' registered oracle
+    SQL, so `_recall_oracle` imports that module itself before reading
+    `_ORACLES` — importing round5c_ops standalone (as tests/test_xlsx.py
+    does) must not depend on registry load order (round-5 advice).
 
     The oracle is COMPOSED from the registered oracle SQL of the three
     underlying ops (`_recall_oracle`) — the index formulas exist in

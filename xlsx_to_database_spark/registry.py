@@ -120,22 +120,37 @@ _ATTESTED: tuple[str, ...] = (
     "stream_sliding", "stream_session", "stream_watermark", "stream_dedup",
     "stream_dedup_watermark", "stream_stateful", "stream_static_join",
     "stream_sink", "stream_stream_join", "stream_foreach_batch",
+    # CORRECTNESS_r05.json greens (49 exact-pass + vec_pca_project as the
+    # declared rows-only entry; dedup_near, dedup_cluster and
+    # stream_watermark re-attested out of round 5's _REOPENED set and are
+    # already listed above).
+    "corpus_quality_gate", "pii_redact", "vec_quantize_int8",
+    "dedup_incremental", "text_decontaminate", "text_vocab_encode",
+    "url_parse", "text_df_prune", "vec_normalize", "corpus_mix_schedule",
+    "text_normalize", "text_repetition", "corpus_gopher_rules",
+    "text_line_dedup", "vec_pca_project", "funnel_steps",
+    "retention_cohorts", "path_trigrams", "agg_mode", "text_topk_terms",
+    "win_pct_change", "join_range_bucketed", "dedup_keep_best",
+    "agg_time_bucket", "graph_pagerank", "etl_cdc_apply", "dq_outlier",
+    "stat_linreg", "win_interpolate", "win_ewma", "interval_concurrency",
+    "stat_chi2", "stat_winsorize", "stat_ttest", "stat_equidepth_hist",
+    "dq_anomaly_mad", "stat_autocorr", "stat_cov_matrix", "ml_kmeans",
+    "text_perplexity", "dedup_cross_corpus", "parquet_zorder_sink",
+    "stat_psi_drift", "sim_range_search", "text_chunk_split",
+    "text_containment", "stream_txn_sink",
 )
 
 # Attested ops whose IMPLEMENTATION changed after their attestation round:
 # the prior green row attests the OLD code, so these are treated as
 # unattested until the driver re-verifies them. Lifecycle: once
 # CORRECTNESS_r{N} shows these green again, fold them back into _ATTESTED
-# and reset this set to the ops (if any) rewritten in round N+1. Round-4
-# set (win_ntile, stat_ks_test, win_global_rank) re-attested green in r04
-# and is folded back. Round 5 set — the attested callers of code the
-# round-5 advice fixes touched: dedup_near/dedup_cluster consume
-# jaccard_prefix_candidates (epsilon-guarded prefix length,
-# operators/dedup.py) and stream_watermark's staging key gained the
-# source mtime (queries/streaming.py).
-_REOPENED: frozenset[str] = frozenset({
-    "dedup_near", "dedup_cluster", "stream_watermark",
-})
+# and reset this set to the ops (if any) rewritten in round N+1. Round-5
+# set (dedup_near, dedup_cluster, stream_watermark) re-attested green in
+# r05 and is folded back. Round 6 touched no attested op's semantics: the
+# round-6 advice fixes land in never-attested ops (geo_ops point-in-polygon
+# edge generation, table_check_constraint staging order) or non-semantic
+# docstrings, so nothing reopens.
+_REOPENED: frozenset[str] = frozenset()
 
 #: The driver evaluates this many registry-order entries per round
 #: (empirically: r01 covered exactly the first 50).
