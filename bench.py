@@ -59,6 +59,11 @@ HEADLINE = [
     # plan, four survivor-count branches over a shared scan + dedup
     # aggregate; the LLM-pipeline flagship shape.
     "pipeline_pretrain_corpus",
+    # Round-6 addition (round-5 verdict #6): the txn-table MERGE — round
+    # 5's flagship storage layer finally gets a tracked wall-clock. The
+    # number covers the full protocol: create, stats-pruned copy-on-write
+    # MERGE commit, and the versioned read-back.
+    "table_merge_upsert",
 ]
 
 
@@ -69,6 +74,14 @@ def main() -> None:
     spark = get_spark("bench")
     qs = all_queries()
     names = [n for n in HEADLINE if n in qs] or sorted(qs)[:5]
+    # Isolation hook (round-5 verdict #3): SPARK_GRAFT_ONLY=a,b runs just
+    # those headliners in an otherwise identical fresh session, to separate
+    # an op's own regression from suite-position effects (stage-count
+    # accumulation, warehouse/checkpoint churn from earlier queries).
+    only = os.environ.get("SPARK_GRAFT_ONLY")
+    if only:
+        wanted = [n.strip() for n in only.split(",") if n.strip()]
+        names = [n for n in wanted if n in qs]
 
     # Warm the session: JVM/codegen/Python-worker spin-up is not the
     # steady-state cost a cluster would see per query.

