@@ -355,3 +355,93 @@ def test_shallow_clone_is_zero_copy_and_isolated(spark, tmp_path):
     # clone vacuum walks only the clone's own data dir
     deleted, _ = clone.vacuum(retain_versions=1)
     assert t.read().count() == 1000  # source files all still present
+
+
+def test_three_writers_race_with_interleaved_vacuum(spark, tmp_path):
+    """Round-6 hardening (round-5 verdict #4a): THREE concurrent
+    appenders doing lose-and-retry, with a vacuum thread interleaving
+    throughout (min_age guard on). Invariants:
+
+    - every writer's every batch lands exactly ONCE (retry after a lost
+      race must re-stage + re-commit, never double-commit or drop);
+    - the version chain is contiguous — the os.link put-if-absent means
+      a lost race can never silently shadow the winner's manifest
+      (the old check-then-rename would: POSIX rename REPLACES);
+    - concurrent vacuum never collects a racer's staged-but-uncommitted
+      files (they are younger than the guard), so no committed manifest
+      ever references a deleted file;
+    - a final unguarded vacuum collects exactly the orphans (lost
+      stagings + superseded versions), leaving disk == latest manifest.
+    """
+    import glob
+    import os
+    import threading
+
+    t = _mk(spark, tmp_path, n=100, parts=2)
+    writers, batches, rows_per = (1, 2, 3), 3, 5
+    errors: list = []
+
+    def writer(wid: int) -> None:
+        try:
+            tt = TxnTable(spark, t.path, "k")
+            for b in range(batches):
+                rows = [
+                    (wid * 100_000 + b * 1_000 + i, wid)
+                    for i in range(rows_per)
+                ]
+                df = spark.createDataFrame(rows, "k long, v long")
+                while True:
+                    try:
+                        tt.append(df)
+                        break
+                    except ConcurrentWriteError:
+                        continue  # lose-and-retry on latest
+        except Exception as e:  # noqa: BLE001
+            errors.append((wid, e))
+
+    stop = threading.Event()
+
+    def vacuumer() -> None:
+        tt = TxnTable(spark, t.path, "k")
+        while not stop.is_set():
+            try:
+                # Guarded: fresh (possibly in-flight staged) files are
+                # skipped; only files older than the guard could go.
+                tt.vacuum(retain_versions=1, min_age_seconds=300)
+            except Exception as e:  # noqa: BLE001
+                errors.append(("vacuum", e))
+
+    threads = [
+        threading.Thread(target=writer, args=(w,)) for w in writers
+    ]
+    vt = threading.Thread(target=vacuumer)
+    vt.start()
+    for th in threads:
+        th.start()
+    for th in threads:
+        th.join()
+    stop.set()
+    vt.join()
+
+    assert not errors, errors
+    n_commits = len(writers) * batches
+    assert t.versions() == list(range(n_commits + 1)), t.versions()
+    expected = {k: 2 * k for k in range(1, 101)}
+    for wid in writers:
+        for b in range(batches):
+            for i in range(rows_per):
+                expected[wid * 100_000 + b * 1_000 + i] = wid
+    got = {r.k: r.v for r in t.read().collect()}
+    assert got == expected
+    # Orphan accounting: lost races leave staged-but-unreferenced dirs;
+    # an unguarded retain-1 vacuum must collect exactly them, leaving
+    # the on-disk file set equal to the latest manifest.
+    t.vacuum(retain_versions=1, min_age_seconds=0.0)
+    on_disk = {
+        os.path.relpath(p, t.path)
+        for p in glob.glob(
+            os.path.join(t.path, "data", "**", "*.parquet"), recursive=True
+        )
+    }
+    assert on_disk == {e["path"] for e in t.manifest()["files"]}
+    assert {r.k: r.v for r in t.read().collect()} == expected

@@ -12,7 +12,9 @@ Exit code 0 iff every checked op matches.
 from __future__ import annotations
 
 import hashlib
+import json
 import math
+import os
 import sys
 from datetime import date, datetime
 
@@ -74,6 +76,7 @@ def main() -> int:
         )
 
     failures, n_checked = [], 0
+    results: dict[str, dict] = {}
     for name, fn in sorted(qs.items()):
         if only and name not in only:
             continue
@@ -84,12 +87,17 @@ def main() -> int:
             scols = sdf.columns
         except Exception as e:  # noqa: BLE001
             failures.append((name, f"SPARK ERROR: {e}"))
+            results[name] = {"status": "spark_error", "err": str(e)[:500]}
             print(f"✗ {name}: spark error: {str(e)[:300]}")
             continue
         if name not in oracles:
             print(f"· {name}: rows-only ({len(srows)} rows)")
+            results[name] = {
+                "status": "rows_only", "spark_rows": len(srows),
+            }
             if len(srows) == 0:
                 failures.append((name, "rows-only op returned 0 rows"))
+                results[name]["status"] = "rows_only_empty"
             continue
         try:
             cur = con.execute(oracles[name])
@@ -97,6 +105,7 @@ def main() -> int:
             drows = cur.fetchall()
         except Exception as e:  # noqa: BLE001
             failures.append((name, f"DUCKDB ERROR: {e}"))
+            results[name] = {"status": "duckdb_error", "err": str(e)[:500]}
             print(f"✗ {name}: duckdb error: {str(e)[:300]}")
             continue
         problems = []
@@ -117,11 +126,36 @@ def main() -> int:
                     problems.append(f"  spark-only: {r}")
                 for r in list(dset - sset)[:3]:
                     problems.append(f"  duck-only:  {r}")
+        results[name] = {
+            "status": "fail" if problems else "pass",
+            "spark_rows": len(srows),
+            "oracle_rows": len(drows),
+        }
         if problems:
+            results[name]["problems"] = problems
             failures.append((name, "; ".join(problems)))
             print(f"✗ {name}: " + " | ".join(problems))
         else:
             print(f"✓ {name} ({len(srows)} rows)")
+
+    out_path = os.environ.get("MIRROR_OUT")
+    if out_path:
+        # Committed per-round artifact (round-5 verdict #5): same spirit
+        # as the driver's CORRECTNESS files — a tracked, diffable record
+        # of the full-registry regression net, not transient stdout.
+        with open(out_path, "w") as f:
+            json.dump(
+                {
+                    "sf_dir": sf_dir,
+                    "n_checked": n_checked,
+                    "n_failed": len(failures),
+                    "results": results,
+                },
+                f,
+                indent=1,
+                sort_keys=True,
+            )
+        print(f"wrote {out_path}")
 
     print(f"\n{n_checked} checked, {len(failures)} failed")
     return 1 if failures else 0

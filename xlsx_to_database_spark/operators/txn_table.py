@@ -106,7 +106,17 @@ class TxnTable:
         files: list[dict],
         txn_id: Optional[str] = None,
     ) -> None:
-        """Atomically publish ``files`` as table version ``version``."""
+        """Atomically publish ``files`` as table version ``version``.
+
+        True put-if-absent: the manifest is written to a WRITER-UNIQUE
+        temp name, then ``os.link``ed into place — ``link`` (unlike
+        ``rename``, which silently REPLACES an existing destination on
+        POSIX) fails with EEXIST if the version was committed in the
+        meantime, so a lost race always surfaces as
+        ``ConcurrentWriteError`` and can never shadow the winner's
+        manifest. The early existence check is only a fast path; the
+        link is the serialization point. On S3 the link becomes a
+        conditional put (If-None-Match), same contract."""
         os.makedirs(_log_dir(self.path), exist_ok=True)
         final = _manifest_path(self.path, version)
         if os.path.exists(final):
@@ -121,14 +131,19 @@ class TxnTable:
         }
         if txn_id is not None:
             m["txn_id"] = txn_id
-        tmp = final + ".tmp"
+        import uuid as _uuid
+
+        tmp = f"{final}.{_uuid.uuid4().hex}.tmp"
         with open(tmp, "w") as f:
             json.dump(m, f, indent=1, sort_keys=True)
-        # POSIX rename is atomic; a racing writer that committed between
-        # the check above and here leaves both manifests on disk, and the
-        # duplicate-version re-check below surfaces the conflict rather
-        # than silently shadowing the other writer's commit.
-        os.rename(tmp, final)
+        try:
+            os.link(tmp, final)
+        except FileExistsError:
+            raise ConcurrentWriteError(
+                f"version {version} already committed at {self.path}"
+            ) from None
+        finally:
+            os.unlink(tmp)
 
     # -- file staging ------------------------------------------------------
 
@@ -138,8 +153,20 @@ class TxnTable:
 
         Stats come from one metadata-scale aggregate over the files just
         written (grouped by ``input_file_name`` — one row per file, the
-        same footer information a table format records at write time)."""
-        out = os.path.join(self.path, "data", f"v{version:010d}")
+        same footer information a table format records at write time).
+
+        The staging directory is WRITER-UNIQUE (version + random
+        suffix): data files are immutable and referenced by path, so
+        the commit's version number and the staging directory name are
+        independent — two racing writers both stage safely, then only
+        one wins the manifest link; the loser's orphaned files are
+        invisible (no manifest references them) and are collected by a
+        later ``vacuum``."""
+        import uuid as _uuid
+
+        out = os.path.join(
+            self.path, "data", f"v{version:010d}-{_uuid.uuid4().hex[:8]}"
+        )
         df.write.mode("overwrite").parquet(out)
         back = self.spark.read.parquet(out)
         rows = (
@@ -209,10 +236,11 @@ class TxnTable:
             if bad:
                 import shutil
 
-                shutil.rmtree(
-                    os.path.join(self.path, "data", f"v{v:010d}"),
-                    ignore_errors=True,
-                )
+                for d in {
+                    os.path.dirname(os.path.join(self.path, e["path"]))
+                    for e in staged
+                }:
+                    shutil.rmtree(d, ignore_errors=True)
                 raise CheckViolation(
                     f"{bad} incoming row(s) violate the table CHECK "
                     f"constraint; commit rejected"
@@ -236,18 +264,34 @@ class TxnTable:
         self._commit(v, "append", files, txn_id=txn_id)
         return v
 
-    def vacuum(self, retain_versions: int = 1) -> tuple[int, int]:
+    def vacuum(
+        self, retain_versions: int = 1, min_age_seconds: float = 0.0
+    ) -> tuple[int, int]:
         """Delete data files unreferenced by the newest
         ``retain_versions`` manifests. Returns (deleted, kept). After a
         vacuum, reads of retained versions are unaffected; older
         versions' manifests remain in the log (auditable) but their
         exclusive files are gone — exactly Delta VACUUM's trade (time
-        travel horizon = retention)."""
+        travel horizon = retention).
+
+        ``min_age_seconds`` is the concurrent-writer guard: a racing
+        writer's freshly STAGED files are not referenced by any
+        manifest yet, so an unguarded vacuum would collect them between
+        stage and commit, leaving the commit's manifest pointing at
+        deleted files. Files younger than the guard are skipped — the
+        same reason Delta's VACUUM enforces a retention window (default
+        7 days) and refuses 0 without an override. The 0 default here
+        suits single-writer demos/tests; any deployment running vacuum
+        concurrently with writers must set it above the longest
+        stage-to-commit latency."""
+        import time as _time
+
         vs = self.versions()
         keep_vs = vs[-retain_versions:]
         live = {
             e["path"] for v in keep_vs for e in self.manifest(v)["files"]
         }
+        now = _time.time()
         deleted = 0
         data_root = os.path.join(self.path, "data")
         for dirpath, _, names in os.walk(data_root):
@@ -255,7 +299,16 @@ class TxnTable:
                 full = os.path.join(dirpath, n)
                 rel = os.path.relpath(full, self.path)
                 if n.endswith(".parquet") and rel not in live:
-                    os.remove(full)
+                    if min_age_seconds > 0:
+                        try:
+                            if now - os.path.getmtime(full) < min_age_seconds:
+                                continue
+                        except OSError:
+                            continue  # concurrently removed
+                    try:
+                        os.remove(full)
+                    except FileNotFoundError:
+                        continue  # concurrent vacuum got it first
                     deleted += 1
         return deleted, len(live)
 

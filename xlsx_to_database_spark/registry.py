@@ -153,12 +153,13 @@ _ATTESTED: tuple[str, ...] = (
 # (streaming/engine.py STREAM_STATE_PARTITIONS — state-store fan-out now
 # tracks state cardinality, 1.19s→0.80s on stream_tumbling). All 12
 # re-verified green by the round-6 mirror; listed here until the driver
-# re-attests.
+# re-attests. stream_txn_sink rides the hardened txn-table commit path
+# (os.link put-if-absent, writer-unique staging) and reopens with it.
 _REOPENED: frozenset[str] = frozenset({
     "tpch_q18", "stream_tumbling", "stream_sliding", "stream_session",
     "stream_watermark", "stream_dedup", "stream_dedup_watermark",
     "stream_stateful", "stream_static_join", "stream_stream_join",
-    "stream_foreach_batch", "stream_sink",
+    "stream_foreach_batch", "stream_sink", "stream_txn_sink",
 })
 
 #: The driver evaluates this many registry-order entries per round
