@@ -60,3 +60,31 @@ def test_doc_counts_match_registry():
     assert (int(m.group(1)), int(m.group(2)), int(m.group(3))) == (
         n_oracled, n_total, n_rows_only,
     ), "README op counts are stale vs the registry"
+
+
+def test_driver_window_composition():
+    """The attestation mill (round-4/5 verdicts): while never-attested
+    ops remain, the driver's 50-op window must contain ONLY ops without
+    a green driver row (never-attested or reopened) — an attested op in
+    the window wastes a slot and stalls the backlog. Also pins the fold
+    hygiene: _ATTESTED names must exist, be unique, and not overlap
+    _REOPENED semantics wrongly (reopened ops must be previously
+    attested, else they'd be in the window anyway)."""
+    from xlsx_to_database_spark import registry as r
+
+    order = list(r.all_queries())
+    attested = set(r._ATTESTED)
+    assert len(r._ATTESTED) == len(attested), "duplicate _ATTESTED entry"
+    unknown = attested - set(order)
+    assert not unknown, f"_ATTESTED names not in registry: {unknown}"
+    assert r._REOPENED <= attested, (
+        "_REOPENED must be a subset of _ATTESTED (a never-attested op "
+        "needs no reopening)"
+    )
+    backlog = [n for n in order if n not in attested or n in r._REOPENED]
+    window = order[: r._DRIVER_WINDOW]
+    wasted = [
+        n for n in window if n in attested and n not in r._REOPENED
+    ]
+    if len(backlog) >= r._DRIVER_WINDOW:
+        assert not wasted, f"attested ops wasting window slots: {wasted}"

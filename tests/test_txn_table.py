@@ -359,19 +359,22 @@ def test_shallow_clone_is_zero_copy_and_isolated(spark, tmp_path):
 
 def test_three_writers_race_with_interleaved_vacuum(spark, tmp_path):
     """Round-6 hardening (round-5 verdict #4a): THREE concurrent
-    appenders doing lose-and-retry, with a vacuum thread interleaving
-    throughout (min_age guard on). Invariants:
+    appenders with NO caller-side retry, plus a vacuum thread
+    interleaving throughout (min_age guard on). Invariants:
 
-    - every writer's every batch lands exactly ONCE (retry after a lost
-      race must re-stage + re-commit, never double-commit or drop);
-    - the version chain is contiguous — the os.link put-if-absent means
-      a lost race can never silently shadow the winner's manifest
-      (the old check-then-rename would: POSIX rename REPLACES);
+    - blind appends NEVER fail under contention: a lost version race
+      rebases the same staged files onto the new latest (Delta's
+      conflict matrix — appends are conflict-free by construction);
+    - every writer's every batch lands exactly ONCE, and the version
+      chain is contiguous — the os.link put-if-absent means a lost
+      race can never silently shadow the winner's manifest (the old
+      check-then-rename would: POSIX rename REPLACES);
     - concurrent vacuum never collects a racer's staged-but-uncommitted
       files (they are younger than the guard), so no committed manifest
       ever references a deleted file;
-    - a final unguarded vacuum collects exactly the orphans (lost
-      stagings + superseded versions), leaving disk == latest manifest.
+    - a final unguarded vacuum leaves disk == latest manifest (rebased
+      appends leave no orphan stagings; superseded versions' exclusive
+      files are collected).
     """
     import glob
     import os
@@ -389,13 +392,8 @@ def test_three_writers_race_with_interleaved_vacuum(spark, tmp_path):
                     (wid * 100_000 + b * 1_000 + i, wid)
                     for i in range(rows_per)
                 ]
-                df = spark.createDataFrame(rows, "k long, v long")
-                while True:
-                    try:
-                        tt.append(df)
-                        break
-                    except ConcurrentWriteError:
-                        continue  # lose-and-retry on latest
+                # No try/except: append must absorb races internally.
+                tt.append(spark.createDataFrame(rows, "k long, v long"))
         except Exception as e:  # noqa: BLE001
             errors.append((wid, e))
 

@@ -207,7 +207,7 @@ class TxnTable:
         self._commit(0, "create", self._stage_files(df, 0))
         return 0
 
-    def append(self, df: DataFrame, check=None) -> int:
+    def append(self, df: DataFrame, check=None, max_retries: int = 50) -> int:
         """Append ``df`` as a new version. ``check`` (a boolean Column)
         is a Delta-style CHECK constraint: every committed row must
         evaluate it to TRUE — NULL rejects, matching Delta's CHECK
@@ -224,7 +224,17 @@ class TxnTable:
         the rows that would be committed even when ``df`` is
         non-deterministic (a rand-derived column, a re-read of a
         changing source); on violation the staged files are deleted
-        before raising (round-5 advice)."""
+        before raising (round-5 advice).
+
+        Concurrency: a BLIND APPEND is conflict-free by construction —
+        its staged files don't depend on the base manifest — so on a
+        lost version race it REBASES: re-reads the new latest manifest
+        and re-commits the SAME staged files under the next version
+        number (no re-staging, no re-evaluation of ``df``). This is
+        Delta's conflict matrix: appends auto-resolve; only merges and
+        deletes, whose pruning decisions were computed against the old
+        manifest, must surface ``ConcurrentWriteError`` to the caller.
+        ``max_retries`` bounds livelock under pathological contention."""
         v = self.latest_version() + 1
         staged = self._stage_files(df, v)
         if check is not None:
@@ -245,9 +255,28 @@ class TxnTable:
                     f"{bad} incoming row(s) violate the table CHECK "
                     f"constraint; commit rejected"
                 )
-        files = self.manifest()["files"] + staged
-        self._commit(v, "append", files)
-        return v
+        return self._commit_append_rebasing(staged, max_retries)
+
+    def _commit_append_rebasing(
+        self,
+        staged: list[dict],
+        max_retries: int,
+        txn_id: Optional[str] = None,
+    ) -> int:
+        """Commit already-staged files as an append, rebasing onto the
+        latest manifest after each lost version race."""
+        for _ in range(max_retries + 1):
+            v = self.latest_version() + 1
+            files = self.manifest()["files"] + staged
+            try:
+                self._commit(v, "append", files, txn_id=txn_id)
+                return v
+            except ConcurrentWriteError:
+                continue
+        raise ConcurrentWriteError(
+            f"append lost {max_retries + 1} consecutive version races "
+            f"at {self.path}"
+        )
 
     def append_once(self, df: DataFrame, txn_id: str) -> Optional[int]:
         """Idempotent append: if ANY committed manifest already carries
@@ -255,14 +284,28 @@ class TxnTable:
         half of exactly-once for retrying producers (a replayed
         streaming micro-batch, a re-run ingestion job). Delta's
         txn appId/version device, reduced to one token. The txn_id
-        check scans the log (O(versions), metadata)."""
+        check scans the log (O(versions), metadata).
+
+        Rebase-on-race like ``append``, with one extra step: after a
+        lost race the txn_id scan re-runs first, because the racing
+        commit may have been another producer retrying the SAME
+        txn_id — rebasing past it would break exactly-once."""
         for v in self.versions():
             if self.manifest(v).get("txn_id") == txn_id:
                 return None
-        v = self.latest_version() + 1
-        files = self.manifest()["files"] + self._stage_files(df, v)
-        self._commit(v, "append", files, txn_id=txn_id)
-        return v
+        staged = self._stage_files(df, self.latest_version() + 1)
+        for _ in range(51):
+            try:
+                return self._commit_append_rebasing(
+                    staged, max_retries=0, txn_id=txn_id
+                )
+            except ConcurrentWriteError:
+                for v in self.versions():
+                    if self.manifest(v).get("txn_id") == txn_id:
+                        return None  # the racer WAS our txn_id
+        raise ConcurrentWriteError(
+            f"append_once lost 51 consecutive version races at {self.path}"
+        )
 
     def vacuum(
         self, retain_versions: int = 1, min_age_seconds: float = 0.0
