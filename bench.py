@@ -81,7 +81,11 @@ def main() -> None:
     only = os.environ.get("SPARK_GRAFT_ONLY")
     if only:
         wanted = [n.strip() for n in only.split(",") if n.strip()]
-        names = [n for n in wanted if n in qs]
+        unknown = [n for n in wanted if n not in qs]
+        if unknown:
+            # A typo'd name must not yield a silently vacuous measurement.
+            sys.exit(f"SPARK_GRAFT_ONLY: unknown op id(s): {unknown}")
+        names = wanted
 
     # Warm the session: JVM/codegen/Python-worker spin-up is not the
     # steady-state cost a cluster would see per query.

@@ -42,7 +42,10 @@ def test_doc_counts_match_registry():
     n_oracled = len(e.oracle_sql())
     n_rows_only = n_total - n_oracled
 
-    survey = open("/root/repo/SURVEY.md").read()
+    import os
+
+    root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    survey = open(os.path.join(root, "SURVEY.md")).read()
     m = re.search(
         r"Running total: \*\*(\d+) operator ids\*\* registered.*?"
         r"(\d+) with exact DuckDB hash-match oracles and (\d+)\s+rows-only",
@@ -54,7 +57,7 @@ def test_doc_counts_match_registry():
         n_total, n_oracled, n_rows_only,
     ), "SURVEY.md §2.12 running total is stale vs the registry"
 
-    readme = open("/root/repo/README.md").read()
+    readme = open(os.path.join(root, "README.md")).read()
     m = re.search(r"\((\d+) of (\d+) ops; the other (\d+) are rows-only", readme)
     assert m, "README oracle-count sentence not found"
     assert (int(m.group(1)), int(m.group(2)), int(m.group(3))) == (

@@ -443,3 +443,44 @@ def test_three_writers_race_with_interleaved_vacuum(spark, tmp_path):
     }
     assert on_disk == {e["path"] for e in t.manifest()["files"]}
     assert {r.k: r.v for r in t.read().collect()} == expected
+
+
+def test_append_once_same_token_racers_land_exactly_once(spark, tmp_path):
+    """Exactly-once under contention: THREE producers replaying the
+    SAME batch with the SAME txn_id concurrently (a retried streaming
+    micro-batch fanned out to redundant workers). Exactly one commit
+    may carry the token, and the batch's rows must appear exactly once
+    — the version-pin-then-scan ordering in append_once is what closes
+    the double-commit window (scan-then-pin would let a racer land the
+    token between scan and link while our commit still succeeds at the
+    next version)."""
+    import threading
+
+    t = _mk(spark, tmp_path, n=50, parts=2)
+    rows = [(9_000 + i, -1) for i in range(10)]
+    outcomes: list = []
+    errors: list = []
+
+    def producer() -> None:
+        try:
+            tt = TxnTable(spark, t.path, "k")
+            df = spark.createDataFrame(rows, "k long, v long")
+            outcomes.append(tt.append_once(df, "replayed-batch-7"))
+        except Exception as e:  # noqa: BLE001
+            errors.append(e)
+
+    threads = [threading.Thread(target=producer) for _ in range(3)]
+    for th in threads:
+        th.start()
+    for th in threads:
+        th.join()
+    assert not errors, errors
+    committed = [v for v in outcomes if v is not None]
+    assert len(committed) == 1, outcomes  # exactly one wins
+    with_token = [
+        v for v in t.versions()
+        if t.manifest(v).get("txn_id") == "replayed-batch-7"
+    ]
+    assert with_token == committed
+    got = t.read().filter(F.col("k") >= 9_000)
+    assert got.count() == 10  # the batch landed once, not 2-3 times

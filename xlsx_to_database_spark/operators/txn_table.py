@@ -134,16 +134,23 @@ class TxnTable:
         import uuid as _uuid
 
         tmp = f"{final}.{_uuid.uuid4().hex}.tmp"
-        with open(tmp, "w") as f:
-            json.dump(m, f, indent=1, sort_keys=True)
         try:
+            with open(tmp, "w") as f:
+                json.dump(m, f, indent=1, sort_keys=True)
             os.link(tmp, final)
         except FileExistsError:
             raise ConcurrentWriteError(
                 f"version {version} already committed at {self.path}"
             ) from None
         finally:
-            os.unlink(tmp)
+            # Covers the serialization-error path too (a non-JSON stat
+            # value must not leave a partial .tmp in the log). A writer
+            # killed between write and link still leaks its .tmp;
+            # vacuum sweeps those once they are unambiguously stale.
+            try:
+                os.unlink(tmp)
+            except FileNotFoundError:
+                pass
 
     # -- file staging ------------------------------------------------------
 
@@ -286,23 +293,34 @@ class TxnTable:
         txn appId/version device, reduced to one token. The txn_id
         check scans the log (O(versions), metadata).
 
-        Rebase-on-race like ``append``, with one extra step: after a
-        lost race the txn_id scan re-runs first, because the racing
-        commit may have been another producer retrying the SAME
-        txn_id — rebasing past it would break exactly-once."""
-        for v in self.versions():
-            if self.manifest(v).get("txn_id") == txn_id:
-                return None
-        staged = self._stage_files(df, self.latest_version() + 1)
+        Duplicate-proof ordering: each attempt PINS its target version
+        FIRST, then scans every committed version (all < target) for
+        the txn_id, then links at exactly that pinned version. Versions
+        are strictly sequential, so a successful link proves nothing
+        was committed between the version pin and the link — i.e. the
+        scan provably covered every commit that could carry the token.
+        (Scanning before pinning would leave a window where a racer
+        lands the same txn_id and our commit still succeeds at the next
+        version — a double-commit. Rebasing helpers that re-read the
+        latest version internally reintroduce exactly that window,
+        which is why this loop calls ``_commit`` directly.)"""
+        staged: Optional[list[dict]] = None
         for _ in range(51):
+            v = self.latest_version() + 1
+            for prev in self.versions():
+                if self.manifest(prev).get("txn_id") == txn_id:
+                    return None  # already landed (possibly by a racer)
+            if staged is None:
+                staged = self._stage_files(df, v)
             try:
-                return self._commit_append_rebasing(
-                    staged, max_retries=0, txn_id=txn_id
+                self._commit(
+                    v, "append",
+                    self.manifest()["files"] + staged,
+                    txn_id=txn_id,
                 )
+                return v
             except ConcurrentWriteError:
-                for v in self.versions():
-                    if self.manifest(v).get("txn_id") == txn_id:
-                        return None  # the racer WAS our txn_id
+                continue  # something committed since the pin; re-scan
         raise ConcurrentWriteError(
             f"append_once lost 51 consecutive version races at {self.path}"
         )
@@ -326,7 +344,20 @@ class TxnTable:
         7 days) and refuses 0 without an override. The 0 default here
         suits single-writer demos/tests; any deployment running vacuum
         concurrently with writers must set it above the longest
-        stage-to-commit latency."""
+        stage-to-commit latency.
+
+        The age guard does NOT cover commits that re-reference OLD
+        files (``restore``, a shallow clone's source): those files'
+        mtimes predate any guard. Two mitigations: the candidate set is
+        re-validated against any manifest committed while the scan ran
+        (closing all but a sub-second window), and ``restore`` itself
+        verifies its referenced files after committing, so a lost race
+        fails loudly instead of leaving a silently broken snapshot —
+        the residual caveat Delta also documents (RESTORE after VACUUM
+        may fail). Stale ``.tmp`` manifests from crashed writers are
+        swept from the log once ≥ 300 s old (a live writer's
+        write→link window is milliseconds)."""
+        import glob as _glob
         import time as _time
 
         vs = self.versions()
@@ -335,8 +366,8 @@ class TxnTable:
             e["path"] for v in keep_vs for e in self.manifest(v)["files"]
         }
         now = _time.time()
-        deleted = 0
         data_root = os.path.join(self.path, "data")
+        candidates = []
         for dirpath, _, names in os.walk(data_root):
             for n in names:
                 full = os.path.join(dirpath, n)
@@ -348,11 +379,28 @@ class TxnTable:
                                 continue
                         except OSError:
                             continue  # concurrently removed
-                    try:
-                        os.remove(full)
-                    except FileNotFoundError:
-                        continue  # concurrent vacuum got it first
-                    deleted += 1
+                    candidates.append((full, rel))
+        # Re-validate against manifests committed DURING the scan (a
+        # concurrent restore/clone may re-reference old files).
+        for v in self.versions():
+            if v not in vs:
+                live |= {e["path"] for e in self.manifest(v)["files"]}
+        deleted = 0
+        for full, rel in candidates:
+            if rel in live:
+                continue
+            try:
+                os.remove(full)
+            except FileNotFoundError:
+                continue  # concurrent vacuum got it first
+            deleted += 1
+        # Sweep crashed writers' orphaned .tmp manifests from the log.
+        for tmp in _glob.glob(os.path.join(_log_dir(self.path), "*.tmp")):
+            try:
+                if now - os.path.getmtime(tmp) >= 300:
+                    os.unlink(tmp)
+            except OSError:
+                pass
         return deleted, len(live)
 
     def read(self, version: Optional[int] = None) -> DataFrame:
@@ -386,10 +434,28 @@ class TxnTable:
         and O(manifest) regardless of table size, the restored-over
         versions remain readable (history is append-only), and a later
         VACUUM governs when their exclusive files actually go away.
-        Returns the new version number."""
+        Returns the new version number.
+
+        Post-commit validation: a vacuum racing this restore can have
+        collected the old version's exclusive files (their mtimes
+        predate any age guard — see ``vacuum``). The referenced files
+        are verified AFTER the commit; a loss surfaces as
+        ``FileNotFoundError`` here, at restore time, rather than as a
+        silently unreadable latest snapshot."""
         files = self.manifest(version)["files"]
         new_v = self.latest_version() + 1
         self._commit(new_v, f"restore({version})", files)
+        missing = [
+            e["path"] for e in files
+            if not os.path.exists(os.path.join(self.path, e["path"]))
+        ]
+        if missing:
+            raise FileNotFoundError(
+                f"restore({version}) committed v{new_v} but a concurrent "
+                f"vacuum collected {len(missing)} referenced file(s) "
+                f"(e.g. {missing[0]}); restore an un-vacuumed version "
+                f"or re-ingest"
+            )
         return new_v
 
     def _split_by_key_range(

@@ -250,6 +250,10 @@ def point_in_polygon_expr(px: str, py: str, poly: tuple) -> str:
             f"(({px}) < ({x2} - {x1}) * (({py}) - {y1})"
             f" / ({y2} - {y1}) + {x1})) AS INT)"
         )
+    if not crossings:
+        # Degenerate zero-height ring: every edge horizontal, nothing
+        # can be inside — and "() % 2" would be a parse error.
+        return "FALSE"
     return "((" + " + ".join(crossings) + ") % 2 = 1)"
 
 
