@@ -99,15 +99,47 @@ def main() -> int:
                 failures.append((name, "rows-only op returned 0 rows"))
                 results[name]["status"] = "rows_only_empty"
             continue
+        # Optional oracle watchdog (MIRROR_ORACLE_TIMEOUT seconds): the
+        # DuckDB oracles are deliberately brute-force references sized
+        # for sf0.01 — several (all-pairs Jaccard, recursive-CTE
+        # transitive closure) are quadratic in pair/component mass and
+        # unusable at sf0.1's dup-dense corpus. At larger scales the
+        # Spark result is still required to complete and be checkable;
+        # an oracle that exceeds the budget records `oracle_timeout`
+        # (reported separately, not a correctness failure).
+        timed_out = []
+        timer = None
+        budget = float(os.environ.get("MIRROR_ORACLE_TIMEOUT", "0") or 0)
+        if budget > 0:
+            import threading
+
+            def _interrupt():
+                timed_out.append(True)
+                con.interrupt()
+
+            timer = threading.Timer(budget, _interrupt)
+            timer.start()
         try:
             cur = con.execute(oracles[name])
             dcols = [d[0] for d in cur.description]
             drows = cur.fetchall()
         except Exception as e:  # noqa: BLE001
-            failures.append((name, f"DUCKDB ERROR: {e}"))
-            results[name] = {"status": "duckdb_error", "err": str(e)[:500]}
-            print(f"✗ {name}: duckdb error: {str(e)[:300]}")
+            if timed_out:
+                results[name] = {
+                    "status": "oracle_timeout",
+                    "spark_rows": len(srows),
+                    "budget_sec": budget,
+                }
+                print(f"⏱ {name}: oracle exceeded {budget:.0f}s "
+                      f"(spark ok, {len(srows)} rows)")
+            else:
+                failures.append((name, f"DUCKDB ERROR: {e}"))
+                results[name] = {"status": "duckdb_error", "err": str(e)[:500]}
+                print(f"✗ {name}: duckdb error: {str(e)[:300]}")
             continue
+        finally:
+            if timer is not None:
+                timer.cancel()
         problems = []
         if len(srows) != len(drows):
             problems.append(f"rowcount spark={len(srows)} duck={len(drows)}")
