@@ -3596,11 +3596,12 @@ def text_burstiness(spark: SparkSession, sf_dir: str) -> DataFrame:
       GROUP BY user_id HAVING count(*) >= 2
     )
     SELECT user_id, n_gaps,
-           round(CAST(s1 AS DOUBLE) / n_gaps / 1000000, 6)
-             AS mean_gap_sec,
-           round(sqrt((s2 - CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE)
+           floor(CAST(s1 AS DOUBLE) / n_gaps / 1000000 * 1000000 + 0.5)
+             / 1000000 AS mean_gap_sec,
+           floor(sqrt((s2 - CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE)
                         / n_gaps) / (n_gaps - 1))
-                 / (CAST(s1 AS DOUBLE) / n_gaps), 6) AS cv
+                 / (CAST(s1 AS DOUBLE) / n_gaps) * 1000000 + 0.5)
+             / 1000000 AS cv
     FROM agg
     """,
 )
@@ -3616,7 +3617,14 @@ def event_burstiness(spark: SparkSession, sf_dir: str) -> DataFrame:
     user_id); the second moment is accumulated in DOUBLE on BOTH
     engines deliberately — gap² exceeds int64 for day-scale gaps, and
     an identical float expression beats two different overflow
-    behaviors. CV is the shared sample-std/mean expression."""
+    behaviors. CV is the shared sample-std/mean expression.
+
+    Quantization is floor(x·1e6 + 0.5)/1e6 — pure double arithmetic
+    both engines evaluate bit-identically — NOT round(x, 6): Spark
+    rounds the shortest decimal repr while DuckDB rounds the binary
+    double, and a value landing on a .5 midpoint at the 6th decimal
+    diverges by 1 ulp (caught by the round-6 sf0.1 sweep: user 1124's
+    mean gap rounded to …043 in Spark, …042 in DuckDB)."""
     ev = table(spark, sf_dir, "events")
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
     t = F.unix_micros("ts")
@@ -3635,10 +3643,14 @@ def event_burstiness(spark: SparkSession, sf_dir: str) -> DataFrame:
          * F.col("s1").cast("double") / F.col("n_gaps"))
         / (F.col("n_gaps") - 1)
     )
+
+    def q6(col):
+        return F.floor(col * 1000000 + F.lit(0.5)) / 1000000
+
     return agg.select(
         "user_id", "n_gaps",
-        F.round(mean / 1000000, 6).alias("mean_gap_sec"),
-        F.round(sd / mean, 6).alias("cv"),
+        q6(mean / 1000000).alias("mean_gap_sec"),
+        q6(sd / mean).alias("cv"),
     )
 
 
