@@ -2131,8 +2131,8 @@ def text_compression_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
                    ROWS BETWEEN 9 PRECEDING AND CURRENT ROW)
     )
     SELECT l_partkey, l_orderkey, CAST(n AS INT) AS n_frame,
-           round(CAST(spq AS DOUBLE) / CAST(sq AS DOUBLE) / 100, 4)
-             AS vwap
+           floor(CAST(spq AS DOUBLE) / CAST(sq AS DOUBLE) / 100
+                 * 10000 + 0.5) / 10000 AS vwap
     FROM w
     """,
 )
@@ -2146,7 +2146,10 @@ def win_rolling_vwap(spark: SparkSession, sf_dir: str) -> DataFrame:
     Σ(extendedprice)/Σ(qty) over the frame.
 
     Exact: integer-cent and integer-quantity windowed sums; one shared
-    double division, rounded 4. One shuffle on the part key;
+    double division, quantized with floor(x·1e4 + 0.5)/1e4 (pure double
+    arithmetic, bit-identical across engines — round(x, 4) diverges by
+    1 ulp on decimal-midpoint values; caught at sf0.1). One shuffle on
+    the part key;
     ROWS-bounded frames keep per-row state O(10). The part filter
     (2% of parts) keeps the oracle bounded without changing the plan
     shape."""
@@ -2171,11 +2174,15 @@ def win_rolling_vwap(spark: SparkSession, sf_dir: str) -> DataFrame:
         "l_partkey",
         "l_orderkey",
         F.count(F.lit(1)).over(f).cast("int").alias("n_frame"),
-        F.round(
-            F.sum("pc").over(f).cast("double")
-            / F.sum("q").over(f).cast("double")
-            / 100,
-            4,
+        (
+            F.floor(
+                F.sum("pc").over(f).cast("double")
+                / F.sum("q").over(f).cast("double")
+                / 100
+                * 10000
+                + F.lit(0.5)
+            )
+            / 10000
         ).alias("vwap"),
     )
 

@@ -438,9 +438,13 @@ def obs_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     observed.write.format("noop").mode("overwrite").save()  # one real pass
     row = obs.get
+    # Keep the total as DECIMAL end to end: converting to float dropped
+    # the trailing zero ('…123.60' → '…123.6') and hash-mismatched the
+    # oracle's scale-2 decimal whenever the exact sum ends in 0 at the
+    # 2nd decimal (caught at sf0.1).
     return spark.createDataFrame(
-        [(row["n_rows"], float(row["total_price"]), row["n_discounted"])],
-        "n_rows long, total_price double, n_discounted long",
+        [(row["n_rows"], row["total_price"], row["n_discounted"])],
+        "n_rows long, total_price decimal(30,2), n_discounted long",
     )
 
 

@@ -42,7 +42,7 @@ from xlsx_to_database_spark.registry import query
         GROUP BY l_partkey, l_suppkey
     )
     SELECT round(s_acctbal, 2) AS s_acctbal, s_name, n_name, p_partkey,
-           p_type, round(unit_cost, 4) AS unit_cost
+           p_type, floor(unit_cost * 10000 + 0.5) / 10000 AS unit_cost
     FROM part
     JOIN cost     ON p_partkey = l_partkey
     JOIN supplier ON s_suppkey = l_suppkey
@@ -80,7 +80,7 @@ def tpch_q2(spark: SparkSession, sf_dir: str) -> DataFrame:
             GROUP BY l_partkey, l_suppkey
         )
         SELECT round(s_acctbal, 2) AS s_acctbal, s_name, n_name, p_partkey,
-               p_type, round(unit_cost, 4) AS unit_cost
+               p_type, floor(unit_cost * 10000 + 0.5) / 10000 AS unit_cost
         FROM part
         JOIN cost     ON p_partkey = l_partkey
         JOIN supplier ON s_suppkey = l_suppkey

@@ -155,11 +155,15 @@ _ATTESTED: tuple[str, ...] = (
 # re-verified green by the round-6 mirror; listed here until the driver
 # re-attests. stream_txn_sink rides the hardened txn-table commit path
 # (os.link put-if-absent, writer-unique staging) and reopens with it.
+# tpch_q2 / obs_metrics reopen for the sf0.1-sweep precision fixes
+# (midpoint-safe floor quantizer replacing round(x, 4); decimal-typed
+# observation total) — re-verified green at sf0.01 AND sf0.1.
 _REOPENED: frozenset[str] = frozenset({
     "tpch_q18", "stream_tumbling", "stream_sliding", "stream_session",
     "stream_watermark", "stream_dedup", "stream_dedup_watermark",
     "stream_stateful", "stream_static_join", "stream_stream_join",
     "stream_foreach_batch", "stream_sink", "stream_txn_sink",
+    "tpch_q2", "obs_metrics",
 })
 
 #: The driver evaluates this many registry-order entries per round
