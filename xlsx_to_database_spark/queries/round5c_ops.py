@@ -113,7 +113,8 @@ _RSI_N = 14  #: lookback periods (the standard RSI-14)
              row_number() OVER w AS rn
       FROM lineitem
       WINDOW w AS (PARTITION BY l_suppkey
-                   ORDER BY l_shipdate, l_orderkey, l_linenumber)
+                   ORDER BY l_shipdate, l_orderkey, l_linenumber,
+                            l_extendedprice)
     ), g AS (
       SELECT l_suppkey, l_orderkey, l_linenumber, rn,
              sum(CASE WHEN d > 0 THEN d ELSE CAST(0 AS DECIMAL(18,2)) END)
@@ -151,7 +152,7 @@ def win_rsi(spark: SparkSession, sf_dir: str) -> DataFrame:
     No global sort anywhere: the series is per-key, exactly how a
     1000-executor cluster wants tick data partitioned."""
     w = Window.partitionBy("l_suppkey").orderBy(
-        "l_shipdate", "l_orderkey", "l_linenumber"
+        "l_shipdate", "l_orderkey", "l_linenumber", "l_extendedprice"
     )
     p = F.col("l_extendedprice").cast("decimal(18,2)")
     px = table(spark, sf_dir, "lineitem").select(
@@ -437,7 +438,7 @@ _BOLL_N = 20  #: Bollinger window length
              CAST(l_extendedprice AS DECIMAL(18,2)) AS p,
              row_number() OVER (PARTITION BY l_suppkey
                                 ORDER BY l_shipdate, l_orderkey,
-                                         l_linenumber) AS rn
+                                         l_linenumber, l_extendedprice) AS rn
       FROM lineitem
     ), s AS (
       SELECT l_suppkey, l_orderkey, l_linenumber, p, rn,
@@ -476,7 +477,7 @@ def win_bollinger(spark: SparkSession, sf_dir: str) -> DataFrame:
     deviations) would double the window work; the sufficient-statistic
     form [Σp, Σp²] needs one."""
     w = Window.partitionBy("l_suppkey").orderBy(
-        "l_shipdate", "l_orderkey", "l_linenumber"
+        "l_shipdate", "l_orderkey", "l_linenumber", "l_extendedprice"
     )
     px = table(spark, sf_dir, "lineitem").select(
         "l_suppkey", "l_orderkey", "l_linenumber",
@@ -1503,9 +1504,10 @@ _DONCH_N = 20  #: channel lookback
              min(CAST(l_extendedprice AS DECIMAL(18,2))) OVER ch AS ch_lo
       FROM lineitem
       WINDOW w AS (PARTITION BY l_suppkey
-                   ORDER BY l_shipdate, l_orderkey, l_linenumber),
+                   ORDER BY l_shipdate, l_orderkey, l_linenumber,
+                            l_extendedprice),
              ch AS (PARTITION BY l_suppkey
-                    ORDER BY l_shipdate, l_orderkey, l_linenumber
+                    ORDER BY l_shipdate, l_orderkey, l_linenumber, l_extendedprice
                     ROWS BETWEEN {_DONCH_N} PRECEDING AND 1 PRECEDING)
     )
     SELECT l_suppkey,
@@ -1528,7 +1530,7 @@ def win_donchian(spark: SparkSession, sf_dir: str) -> DataFrame:
     ROWS-bounded-frame shape as `win_rsi`/`win_bollinger`; the three
     windows share one exchange + sort."""
     w = Window.partitionBy("l_suppkey").orderBy(
-        "l_shipdate", "l_orderkey", "l_linenumber"
+        "l_shipdate", "l_orderkey", "l_linenumber", "l_extendedprice"
     )
     ch = w.rowsBetween(-_DONCH_N, -1)
     p = F.col("l_extendedprice").cast("decimal(18,2)")
@@ -2246,7 +2248,7 @@ def csv_bom_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
              CAST(l_extendedprice AS DECIMAL(18,2)) AS p,
              max(CAST(l_extendedprice AS DECIMAL(18,2))) OVER (
                PARTITION BY l_suppkey
-               ORDER BY l_shipdate, l_orderkey, l_linenumber
+               ORDER BY l_shipdate, l_orderkey, l_linenumber, l_extendedprice
                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
              ) AS peak
       FROM lineitem
@@ -2279,7 +2281,7 @@ def win_ulcer_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     aggregation is order-independent; the final sqrt is shared. One
     shuffle on the supplier key, running-max frame is O(1) state."""
     w = Window.partitionBy("l_suppkey").orderBy(
-        "l_shipdate", "l_orderkey", "l_linenumber"
+        "l_shipdate", "l_orderkey", "l_linenumber", "l_extendedprice"
     ).rowsBetween(Window.unboundedPreceding, 0)
     p = F.col("l_extendedprice").cast("decimal(18,2)")
     px = table(spark, sf_dir, "lineitem").select(
@@ -2380,7 +2382,8 @@ def sim_mips_transform(spark: SparkSession, sf_dir: str) -> DataFrame:
              epoch_us(l_shipdate) // 1000000 AS t,
              lead(epoch_us(l_shipdate) // 1000000) OVER (
                PARTITION BY l_suppkey
-               ORDER BY l_shipdate, l_orderkey, l_linenumber) AS t_next
+               ORDER BY l_shipdate, l_orderkey, l_linenumber,
+                            l_extendedprice) AS t_next
       FROM lineitem
     ), seg AS (
       SELECT l_suppkey, p, CAST(t_next - t AS BIGINT) AS dt
@@ -2407,7 +2410,7 @@ def win_twap(spark: SparkSession, sf_dir: str) -> DataFrame:
     One shuffle on the supplier key (the lead window), then a partial
     aggregate."""
     w = Window.partitionBy("l_suppkey").orderBy(
-        "l_shipdate", "l_orderkey", "l_linenumber"
+        "l_shipdate", "l_orderkey", "l_linenumber", "l_extendedprice"
     )
     t = (F.unix_micros(F.col("l_shipdate")) / F.lit(1000000)).cast("long")
     px = table(spark, sf_dir, "lineitem").select(
@@ -5178,7 +5181,8 @@ def agg_waterfall_decomp(spark: SparkSession, sf_dir: str) -> DataFrame:
                w ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS peak
       FROM lineitem
       WINDOW w AS (PARTITION BY l_suppkey
-                   ORDER BY l_shipdate, l_orderkey, l_linenumber)
+                   ORDER BY l_shipdate, l_orderkey, l_linenumber,
+                            l_extendedprice)
     ), flagged AS (
       SELECT l_suppkey, rn, p < peak AS under,
              CASE WHEN p < peak THEN 0 ELSE 1 END AS reset
@@ -5211,7 +5215,7 @@ def win_underwater_duration(spark: SparkSession, sf_dir: str) -> DataFrame:
     All three windows share one shuffle+sort; comparisons are decimal,
     counts integer — nothing to quantize."""
     w = Window.partitionBy("l_suppkey").orderBy(
-        "l_shipdate", "l_orderkey", "l_linenumber"
+        "l_shipdate", "l_orderkey", "l_linenumber", "l_extendedprice"
     )
     p = F.col("l_extendedprice").cast("decimal(18,2)")
     px = table(spark, sf_dir, "lineitem").select(
@@ -5654,7 +5658,12 @@ def win_holt_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     def holt(pdf: pd.DataFrame) -> pd.DataFrame:
-        pdf = pdf.sort_values(["l_shipdate", "l_orderkey", "l_linenumber"])
+        # l_extendedprice as final tiebreak: the synthetic data carries
+        # one duplicated (suppkey, shipdate, orderkey, linenumber) tuple
+        # with distinct prices, so the shorter key is not total.
+        pdf = pdf.sort_values(
+            ["l_shipdate", "l_orderkey", "l_linenumber", "l_extendedprice"]
+        )
         xs = pdf["l_extendedprice"].tolist()
         if len(xs) < 2:
             return pd.DataFrame(
