@@ -1,0 +1,79 @@
+"""Partition-invariance audit: every ORACLED op's Spark result must be
+identical under different shuffle-partition counts.
+
+Why: an op whose output depends on physical partitioning (a window
+ordered by a non-total key, a first()/collect_list over an ambiguous
+order, a tie-broken rank) can pass the DuckDB oracle by luck on one run
+and fail the next — exactly how the round-6 sf0.1 sweep caught
+win_bollinger (the synthetic lineitem has ~118k duplicated
+(l_orderkey, l_linenumber) groups with materially different rows, so
+"orderkey, linenumber" is NOT a row id on this data). Changing
+``spark.sql.shuffle.partitions`` perturbs tie resolution; an op that
+hashes identically across counts is partition-invariant in practice.
+
+Only oracled ops are audited: rows-only ops (seeded rand sampling,
+streaming drains, media) may be legitimately partition-dependent and
+are covered by their replay-pinned unit tests instead.
+
+Usage: python tools/determinism_audit.py [sf_dir] [op ...]
+Env:   DET_PARTS="32,17"  shuffle-partition counts to compare.
+Exit 0 iff every audited op hashes identically across counts.
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from tools.check_correctness import value_hash  # noqa: E402
+
+
+def main() -> int:
+    sf_dir = (
+        sys.argv[1]
+        if len(sys.argv) > 1 and "/" in sys.argv[1]
+        else "/root/testdata/sf0.1"
+    )
+    only = {a for a in sys.argv[1:] if "/" not in a}
+    parts = [
+        p.strip() for p in os.environ.get("DET_PARTS", "32,17").split(",")
+    ]
+
+    import __spark_entry__ as entry_mod
+    from xlsx_to_database_spark.session import get_spark
+
+    spark = get_spark("determinism-audit")
+    qs, oracles = entry_mod.queries(), entry_mod.oracle_sql()
+
+    bad, n = [], 0
+    for name in sorted(oracles):
+        if only and name not in only:
+            continue
+        n += 1
+        hashes = []
+        try:
+            for p in parts:
+                spark.conf.set("spark.sql.shuffle.partitions", p)
+                df = qs[name](spark, sf_dir)
+                rows = df.collect()
+                hashes.append(value_hash([tuple(r) for r in rows], df.columns))
+        except Exception as e:  # noqa: BLE001
+            bad.append(name)
+            print(f"✗ {name}: error: {str(e)[:200]}")
+            continue
+        finally:
+            spark.conf.set("spark.sql.shuffle.partitions", parts[0])
+        if len(set(hashes)) != 1:
+            bad.append(name)
+            print(f"✗ {name}: partition-DEPENDENT result "
+                  f"(hashes differ across shuffle={parts})")
+        else:
+            print(f"✓ {name}")
+    print(f"\n{n} audited, {len(bad)} partition-dependent: {bad}")
+    return 1 if bad else 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
