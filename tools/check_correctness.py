@@ -101,10 +101,12 @@ def main() -> int:
                 # (graph_kcore: the 3-core of the strong-tie co-purchase
                 # graph is VERIFIED empty at sf0.1 — 3,573 strong edges,
                 # all peeled; replayed independently in driver-side
-                # Python). At sf0.01 every rows-only op must be
-                # non-empty, so the heuristic stays strict there.
-                at_oracle_scale = "sf0.01" in sf_dir
-                if at_oracle_scale or name not in {"graph_kcore"}:
+                # Python). The exemption is gated on the EXACT verified
+                # scale; everywhere else the strict heuristic holds, so
+                # a regression to 0 rows at a future scale still fails.
+                scale = os.path.basename(os.path.normpath(sf_dir))
+                exempt = scale == "sf0.1" and name in {"graph_kcore"}
+                if not exempt:
                     failures.append((name, "rows-only op returned 0 rows"))
                     results[name]["status"] = "rows_only_empty"
                 else:
@@ -135,7 +137,13 @@ def main() -> int:
             dcols = [d[0] for d in cur.description]
             drows = cur.fetchall()
         except Exception as e:  # noqa: BLE001
-            if timed_out:
+            # Classify as timeout only when the exception IS the
+            # interrupt — a genuine oracle error racing the timer must
+            # still count as a failure, not vanish into '⏱'.
+            is_interrupt = isinstance(
+                e, getattr(duckdb, "InterruptException", ())
+            ) or "interrupt" in str(e).lower()
+            if timed_out and is_interrupt:
                 results[name] = {
                     "status": "oracle_timeout",
                     "spark_rows": len(srows),

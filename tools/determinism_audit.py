@@ -55,8 +55,21 @@ def main() -> int:
         hashes = []
         try:
             for p in parts:
+                # The registry wrapper calls tune_session() inside
+                # every query, which re-applies RUNTIME_CONFS and would
+                # clobber a bare spark.conf.set here (a first version of
+                # this tool did exactly that, making both runs execute
+                # at the default count and the audit vacuous — caught in
+                # review). Patch the RUNTIME_CONFS source of truth so
+                # the wrapper itself applies the audited count.
+                from xlsx_to_database_spark import session as _sess
+
+                _sess.RUNTIME_CONFS["spark.sql.shuffle.partitions"] = p
                 spark.conf.set("spark.sql.shuffle.partitions", p)
                 df = qs[name](spark, sf_dir)
+                assert (
+                    spark.conf.get("spark.sql.shuffle.partitions") == p
+                ), "tune_session clobbered the audited partition count"
                 rows = df.collect()
                 hashes.append(value_hash([tuple(r) for r in rows], df.columns))
         except Exception as e:  # noqa: BLE001
@@ -64,6 +77,9 @@ def main() -> int:
             print(f"✗ {name}: error: {str(e)[:200]}")
             continue
         finally:
+            from xlsx_to_database_spark import session as _sess
+
+            _sess.RUNTIME_CONFS["spark.sql.shuffle.partitions"] = parts[0]
             spark.conf.set("spark.sql.shuffle.partitions", parts[0])
         if len(set(hashes)) != 1:
             bad.append(name)

@@ -19,6 +19,7 @@ from pyspark.sql import functions as F
 
 from xlsx_to_database_spark.catalog import table
 from xlsx_to_database_spark.operators import global_order as GO
+from xlsx_to_database_spark.queries import fquant
 from xlsx_to_database_spark.registry import query
 
 
@@ -2117,7 +2118,7 @@ def text_compression_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
     "win_rolling_vwap",
     """
     WITH b AS (
-      SELECT l_partkey, l_shipdate, l_orderkey,
+      SELECT l_partkey, l_shipdate, l_orderkey, l_linenumber,
              CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT) AS pc,
              CAST(l_quantity AS BIGINT) AS q
       FROM lineitem WHERE l_partkey % 50 = 7
@@ -2127,7 +2128,7 @@ def text_compression_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
              count(*) OVER f AS n
       FROM b
       WINDOW f AS (PARTITION BY l_partkey
-                   ORDER BY l_shipdate, l_orderkey
+                   ORDER BY l_shipdate, l_orderkey, l_linenumber, pc, q
                    ROWS BETWEEN 9 PRECEDING AND CURRENT ROW)
     )
     SELECT l_partkey, l_orderkey, CAST(n AS INT) AS n_frame,
@@ -2160,29 +2161,30 @@ def win_rolling_vwap(spark: SparkSession, sf_dir: str) -> DataFrame:
         "l_partkey",
         "l_shipdate",
         "l_orderkey",
+        "l_linenumber",
         F.floor(F.col("l_extendedprice") * 100 + F.lit(0.5))
         .cast("long")
         .alias("pc"),
         F.col("l_quantity").cast("long").alias("q"),
     )
+    # pc and q close the order: (orderkey, linenumber) is NOT a row id
+    # on this synthetic data (~118k duplicated groups with different
+    # rows), so every value-bearing column joins the sort key to make
+    # frame contents partition-invariant.
     f = (
         Window.partitionBy("l_partkey")
-        .orderBy("l_shipdate", "l_orderkey")
+        .orderBy("l_shipdate", "l_orderkey", "l_linenumber", "pc", "q")
         .rowsBetween(-9, Window.currentRow)
     )
     return b.select(
         "l_partkey",
         "l_orderkey",
         F.count(F.lit(1)).over(f).cast("int").alias("n_frame"),
-        (
-            F.floor(
-                F.sum("pc").over(f).cast("double")
-                / F.sum("q").over(f).cast("double")
-                / 100
-                * 10000
-                + F.lit(0.5)
-            )
-            / 10000
+        fquant(
+            F.sum("pc").over(f).cast("double")
+            / F.sum("q").over(f).cast("double")
+            / 100,
+            4,
         ).alias("vwap"),
     )
 

@@ -3601,10 +3601,12 @@ def text_burstiness(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT user_id, n_gaps,
            floor(CAST(s1 AS DOUBLE) / n_gaps / 1000000 * 1000000 + 0.5)
              / 1000000 AS mean_gap_sec,
-           floor(sqrt((s2 - CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE)
-                        / n_gaps) / (n_gaps - 1))
-                 / (CAST(s1 AS DOUBLE) / n_gaps) * 1000000 + 0.5)
-             / 1000000 AS cv
+           CASE WHEN s1 = 0 THEN NULL ELSE
+             floor(sqrt(greatest(0.0,
+                     (s2 - CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE)
+                      / n_gaps) / (n_gaps - 1)))
+                   / (CAST(s1 AS DOUBLE) / n_gaps) * 1000000 + 0.5)
+               / 1000000 END AS cv
     FROM agg
     """,
 )
@@ -3641,19 +3643,27 @@ def event_burstiness(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("s2"),
     ).filter(F.col("n_gaps") >= 2)
     mean = F.col("s1").cast("double") / F.col("n_gaps")
+    # greatest(0, var): double error on day-scale gap² can push the
+    # variance an epsilon negative; s1 = 0 (all gaps zero) makes cv
+    # 0/0 — emit NULL, identically in the oracle. Without the guards,
+    # Spark's long-typed floor would turn NaN into 0 while DuckDB's
+    # double floor keeps NaN (review catch).
     sd = F.sqrt(
-        (F.col("s2") - F.col("s1").cast("double")
-         * F.col("s1").cast("double") / F.col("n_gaps"))
-        / (F.col("n_gaps") - 1)
+        F.greatest(
+            F.lit(0.0),
+            (F.col("s2") - F.col("s1").cast("double")
+             * F.col("s1").cast("double") / F.col("n_gaps"))
+            / (F.col("n_gaps") - 1),
+        )
     )
 
-    def q6(col):
-        return F.floor(col * 1000000 + F.lit(0.5)) / 1000000
+    from xlsx_to_database_spark.queries import fquant
 
     return agg.select(
         "user_id", "n_gaps",
-        q6(mean / 1000000).alias("mean_gap_sec"),
-        q6(sd / mean).alias("cv"),
+        fquant(mean / 1000000, 6).alias("mean_gap_sec"),
+        F.when(F.col("s1") == 0, F.lit(None).cast("double"))
+        .otherwise(fquant(sd / mean, 6)).alias("cv"),
     )
 
 
