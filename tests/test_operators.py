@@ -1409,16 +1409,16 @@ def test_vwap_equals_flat_price_when_constant(spark, tmp_path, sf_dir):
         shutil.copy(f"{sf_dir}/{t}.parquet", stage / f"{t}.parquet")
     # part 7 ships 5 fills at a CONSTANT unit price of $3 -> vwap == 3
     rows = [
-        (7, f"1995-0{i}-01", i, 3.0 * (i + 1), float(i + 1))
+        (7, f"1995-0{i}-01", i, 1, 3.0 * (i + 1), float(i + 1))
         for i in range(1, 6)
     ]
     spark.createDataFrame(
         rows,
         "l_partkey long, l_shipdate string, l_orderkey long,"
-        " l_extendedprice double, l_quantity double",
+        " l_linenumber int, l_extendedprice double, l_quantity double",
     ).selectExpr(
         "l_partkey", "CAST(l_shipdate AS DATE) l_shipdate", "l_orderkey",
-        "l_extendedprice", "l_quantity",
+        "l_linenumber", "l_extendedprice", "l_quantity",
     ).coalesce(1).write.mode("overwrite").parquet(str(stage / "lineitem.parquet"))
     got = all_queries()["win_rolling_vwap"](spark, str(stage)).collect()
     assert len(got) == 5
