@@ -91,3 +91,48 @@ def test_driver_window_composition():
     ]
     if len(backlog) >= r._DRIVER_WINDOW:
         assert not wasted, f"attested ops wasting window slots: {wasted}"
+
+
+def test_attested_fold_complete():
+    """Round-6 verdict #2: the _ATTESTED fold is manual, so guard it with
+    a test — parse every committed CORRECTNESS_r*.json and assert every
+    green op id is folded into _ATTESTED (or deliberately held out in
+    _REOPENED because its implementation changed after attestation).
+    Forgetting the fold now fails pytest instead of wasting up to 50
+    driver-window slots the next round."""
+    import glob
+    import json
+    import os
+
+    from xlsx_to_database_spark import registry as r
+
+    root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    files = sorted(glob.glob(os.path.join(root, "CORRECTNESS_r*.json")))
+    assert files, "no driver CORRECTNESS files found in repo root"
+
+    def green(row: dict) -> bool:
+        # exact green: rows+schema+hash all true; rows-only green: the
+        # driver recorded no_oracle with a row count (declared rows-only).
+        if row.get("err") == "no_oracle":
+            return row.get("spark_rows") is not None
+        return bool(
+            row.get("rows_match")
+            and row.get("schema_match")
+            and row.get("hash_match")
+        )
+
+    greens: set[str] = set()
+    for path in files:
+        for op, row in json.load(open(path)).items():
+            if green(row):
+                greens.add(op)
+    # ops renamed/retired since attestation would be absent from the
+    # registry; there are none today and this asserts it stays that way.
+    registered = set(r.all_queries())
+    unfolded = greens & registered - set(r._ATTESTED)
+    assert not unfolded, (
+        f"driver-green ops missing from _ATTESTED (fold forgotten): "
+        f"{sorted(unfolded)}"
+    )
+    orphaned = greens - registered
+    assert not orphaned, f"driver-green ops no longer registered: {sorted(orphaned)}"

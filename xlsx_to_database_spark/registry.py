@@ -138,33 +138,35 @@ _ATTESTED: tuple[str, ...] = (
     "text_perplexity", "dedup_cross_corpus", "parquet_zorder_sink",
     "stat_psi_drift", "sim_range_search", "text_chunk_split",
     "text_containment", "stream_txn_sink",
+    # CORRECTNESS_r06.json greens: 35 fresh exact-pass entries (the other
+    # 15 evaluated slots were the round-6 _REOPENED set — the rewritten
+    # streaming family + tpch_q18 + tpch_q2 + obs_metrics — all re-attested
+    # green and folded back by resetting _REOPENED below).
+    "join_grid_radius", "stat_mann_whitney", "stat_rolling_corr",
+    "csv_malformed_scan", "etl_surrogate_keys", "xlsx_schema_map",
+    "stat_benford", "graph_triangles", "xlsx_merged_scan",
+    "jdbc_partitioned_scan", "parquet_bloom_sink", "win_ohlc",
+    "sample_systematic", "interval_coverage", "win_streaks",
+    "corpus_token_budget", "stat_cuped", "graph_degree_distribution",
+    "stat_survival_km", "stat_changepoint", "interval_gaps",
+    "stat_bootstrap_ci", "text_bpe_pairs", "stat_seasonal_decompose",
+    "table_merge_upsert", "table_time_travel", "table_incremental_read",
+    "table_schema_evolution", "stat_qq", "stat_pareto", "text_stem",
+    "graph_connected_components", "event_attribution",
+    "etl_calendar_scaffold", "win_drawdown",
 )
 
 # Attested ops whose IMPLEMENTATION changed after their attestation round:
 # the prior green row attests the OLD code, so these are treated as
 # unattested until the driver re-verifies them. Lifecycle: once
 # CORRECTNESS_r{N} shows these green again, fold them back into _ATTESTED
-# and reset this set to the ops (if any) rewritten in round N+1. Round-5
-# set (dedup_near, dedup_cluster, stream_watermark) re-attested green in
-# r05 and is folded back. Round-6 rewrites: tpch_q18 now broadcasts the
-# qualified orders⋈customer side into lineitem (no fact shuffle,
-# 0.87s→0.52s), and every op draining through run_to_memory /
-# run_foreach_batch_parquet picked up state-sized shuffle partitions
-# (streaming/engine.py STREAM_STATE_PARTITIONS — state-store fan-out now
-# tracks state cardinality, 1.19s→0.80s on stream_tumbling). All 12
-# re-verified green by the round-6 mirror; listed here until the driver
-# re-attests. stream_txn_sink rides the hardened txn-table commit path
-# (os.link put-if-absent, writer-unique staging) and reopens with it.
-# tpch_q2 / obs_metrics reopen for the sf0.1-sweep precision fixes
-# (midpoint-safe floor quantizer replacing round(x, 4); decimal-typed
-# observation total) — re-verified green at sf0.01 AND sf0.1.
-_REOPENED: frozenset[str] = frozenset({
-    "tpch_q18", "stream_tumbling", "stream_sliding", "stream_session",
-    "stream_watermark", "stream_dedup", "stream_dedup_watermark",
-    "stream_stateful", "stream_static_join", "stream_stream_join",
-    "stream_foreach_batch", "stream_sink", "stream_txn_sink",
-    "tpch_q2", "obs_metrics",
-})
+# and reset this set to the ops (if any) rewritten in round N+1. Round-6
+# set (the 12-op streaming family after the state-sized-shuffle engine
+# change, tpch_q18's zero-fact-shuffle rewrite, and the tpch_q2 /
+# obs_metrics precision fixes) re-attested green in CORRECTNESS_r06.json
+# — all 15 rows exact (stream_sink rows-only as declared) — and is folded
+# back. Round-7 rewrites land here as they happen.
+_REOPENED: frozenset[str] = frozenset()
 
 #: The driver evaluates this many registry-order entries per round
 #: (empirically: r01 covered exactly the first 50).
