@@ -57,3 +57,35 @@ def test_rocksdb_state_store_matches_batch(spark, sf_dir):
         .collect()
     }
     assert got == want and got
+
+
+def test_state_sized_shuffle_reentrant(spark):
+    """Round-6 advice: _state_sized_shuffle mutates the session-global
+    shuffle-partition conf; overlapping drains on one session must not
+    leave it pinned at the stream setting. Simulates the bad interleave
+    (enter A, enter B, exit A, exit B) and plain nesting."""
+    from xlsx_to_database_spark.streaming.engine import (
+        STREAM_STATE_PARTITIONS,
+        _state_sized_shuffle,
+    )
+
+    key = "spark.sql.shuffle.partitions"
+    orig = spark.conf.get(key)
+    try:
+        spark.conf.set(key, "32")
+        a, b = _state_sized_shuffle(spark), _state_sized_shuffle(spark)
+        a.__enter__()
+        assert spark.conf.get(key) == str(STREAM_STATE_PARTITIONS)
+        b.__enter__()
+        a.__exit__(None, None, None)
+        # still one drain active: override must hold
+        assert spark.conf.get(key) == str(STREAM_STATE_PARTITIONS)
+        b.__exit__(None, None, None)
+        assert spark.conf.get(key) == "32", "session left pinned"
+        # plain nesting restores too
+        with _state_sized_shuffle(spark):
+            with _state_sized_shuffle(spark):
+                assert spark.conf.get(key) == str(STREAM_STATE_PARTITIONS)
+        assert spark.conf.get(key) == "32"
+    finally:
+        spark.conf.set(key, orig)

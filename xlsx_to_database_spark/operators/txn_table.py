@@ -15,11 +15,14 @@ Protocol (the load-bearing subset of Delta's):
 - A manifest lists the table's files BY REFERENCE with per-file
   ``(rows, min, max)`` stats on one declared stats column. Commits never
   mutate data files — they add files and drop references.
-- A commit writes ``v{N}.json.tmp`` then ``os.rename``s it into place —
-  atomic on POSIX. If ``v{N}.json`` already exists the rename is
-  preceded by an existence check that raises ``ConcurrentWriteError``:
+- A commit writes the manifest to a WRITER-UNIQUE temp name
+  (``v{N}.json.{uuid}.tmp``) and ``os.link``s it to ``v{N}.json`` —
+  a true put-if-absent: ``link`` fails with EEXIST if the version was
+  committed in the meantime (unlike ``rename``, which silently replaces
+  its destination), so a lost race always surfaces as
+  ``ConcurrentWriteError`` and can never shadow the winner's manifest:
   optimistic concurrency, lose-and-retry, exactly Delta's model (on S3
-  a real deployment swaps the rename for a put-if-absent).
+  a real deployment swaps the link for a conditional put).
 - Readers resolve the latest (or any historical) manifest and read
   exactly its file list — snapshot isolation and time travel for free;
   a concurrent writer can never tear a read.
@@ -329,7 +332,9 @@ class TxnTable:
         self, retain_versions: int = 1, min_age_seconds: float = 0.0
     ) -> tuple[int, int]:
         """Delete data files unreferenced by the newest
-        ``retain_versions`` manifests. Returns (deleted, kept). After a
+        ``retain_versions`` manifests. Returns ``(deleted, kept)`` where
+        ``kept`` is the number of parquet files remaining on disk after
+        this call (files seen in the walk minus files deleted). After a
         vacuum, reads of retained versions are unaffected; older
         versions' manifests remain in the log (auditable) but their
         exclusive files are gone — exactly Delta VACUUM's trade (time
@@ -368,11 +373,15 @@ class TxnTable:
         now = _time.time()
         data_root = os.path.join(self.path, "data")
         candidates = []
+        seen = 0  # parquet files actually on disk during the walk
         for dirpath, _, names in os.walk(data_root):
             for n in names:
+                if not n.endswith(".parquet"):
+                    continue
+                seen += 1
                 full = os.path.join(dirpath, n)
                 rel = os.path.relpath(full, self.path)
-                if n.endswith(".parquet") and rel not in live:
+                if rel not in live:
                     if min_age_seconds > 0:
                         try:
                             if now - os.path.getmtime(full) < min_age_seconds:
@@ -401,7 +410,12 @@ class TxnTable:
                     os.unlink(tmp)
             except OSError:
                 pass
-        return deleted, len(live)
+        # "kept" counts files actually observed on disk minus those this
+        # call deleted — NOT len(live), which counts manifest-referenced
+        # paths (a re-validation union can reference paths that never
+        # existed under data/ or duplicate retained ones, overstating
+        # the inventory).
+        return deleted, seen - deleted
 
     def read(self, version: Optional[int] = None) -> DataFrame:
         return self._read_files(self.manifest(version)["files"])
@@ -436,25 +450,54 @@ class TxnTable:
         VACUUM governs when their exclusive files actually go away.
         Returns the new version number.
 
-        Post-commit validation: a vacuum racing this restore can have
-        collected the old version's exclusive files (their mtimes
-        predate any age guard — see ``vacuum``). The referenced files
-        are verified AFTER the commit; a loss surfaces as
-        ``FileNotFoundError`` here, at restore time, rather than as a
-        silently unreadable latest snapshot."""
+        Validation order (Delta's RESTORE also validates existence
+        before committing): the referenced files are checked BEFORE the
+        commit, so a snapshot already broken by an earlier vacuum is
+        never published as latest. A vacuum can still race into the
+        check→commit window (the old files' mtimes predate any age
+        guard — see ``vacuum``), so the files are RE-verified after the
+        commit; if that residual race hits, the broken snapshot is
+        rolled back by committing a follow-up manifest that re-publishes
+        the pre-restore latest, and ``FileNotFoundError`` is raised —
+        readers of "latest" keep working either way."""
+
+        def _missing(entries: list[dict]) -> list[str]:
+            return [
+                e["path"] for e in entries
+                if not os.path.exists(os.path.join(self.path, e["path"]))
+            ]
+
         files = self.manifest(version)["files"]
-        new_v = self.latest_version() + 1
-        self._commit(new_v, f"restore({version})", files)
-        missing = [
-            e["path"] for e in files
-            if not os.path.exists(os.path.join(self.path, e["path"]))
-        ]
+        prior_v = self.latest_version()
+        missing = _missing(files)
         if missing:
             raise FileNotFoundError(
-                f"restore({version}) committed v{new_v} but a concurrent "
-                f"vacuum collected {len(missing)} referenced file(s) "
-                f"(e.g. {missing[0]}); restore an un-vacuumed version "
-                f"or re-ingest"
+                f"restore({version}) refused: {len(missing)} referenced "
+                f"file(s) already vacuumed (e.g. {missing[0]}); restore "
+                f"an un-vacuumed version or re-ingest"
+            )
+        new_v = prior_v + 1
+        self._commit(new_v, f"restore({version})", files)
+        missing = _missing(files)
+        if missing:
+            # Roll back: re-publish the pre-restore snapshot so the
+            # table's latest stays readable. Its files are safe from the
+            # racing vacuum (it was the latest, retain_versions >= 1
+            # keeps it) — and if ANOTHER writer beats the rollback
+            # commit, their manifest supersedes the broken one anyway.
+            try:
+                self._commit(
+                    new_v + 1,
+                    f"restore-rollback({version})",
+                    self.manifest(prior_v)["files"],
+                )
+            except ConcurrentWriteError:
+                pass
+            raise FileNotFoundError(
+                f"restore({version}) lost a race with vacuum: "
+                f"{len(missing)} referenced file(s) collected after "
+                f"commit (e.g. {missing[0]}); rolled back to the "
+                f"v{prior_v} file set"
             )
         return new_v
 

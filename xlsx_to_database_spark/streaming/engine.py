@@ -14,6 +14,7 @@ from __future__ import annotations
 import itertools
 import os
 import shutil
+import threading
 import uuid
 
 from pyspark.sql import DataFrame, SparkSession
@@ -123,19 +124,47 @@ class _state_sized_shuffle:
     """Temporarily size shuffle partitions for a stateful stream start.
 
     Restore happens AFTER awaitTermination — availableNow plans its
-    micro-batches asynchronously, so restoring at start() would race."""
+    micro-batches asynchronously, so restoring at start() would race.
+
+    Reentrant per session (round-6 advice): the override mutates the
+    session-GLOBAL ``spark.sql.shuffle.partitions``, so two overlapping
+    drains on one session (parallel tests, nested foreachBatch work)
+    with naive save/restore can interleave enter/exit and leave the
+    session pinned at the stream setting forever. A per-session depth
+    counter under a lock makes only the OUTERMOST enter save+set and
+    only the LAST exit restore."""
+
+    _lock = threading.Lock()
+    #: session id -> [depth, saved original value]
+    _depth: dict[int, list] = {}
 
     def __init__(self, spark: SparkSession):
         self.spark = spark
 
     def __enter__(self):
-        self.old = self.spark.conf.get("spark.sql.shuffle.partitions")
-        self.spark.conf.set(
-            "spark.sql.shuffle.partitions", str(STREAM_STATE_PARTITIONS)
-        )
+        key = id(self.spark)
+        with self._lock:
+            slot = self._depth.get(key)
+            if slot is None:
+                old = self.spark.conf.get("spark.sql.shuffle.partitions")
+                self._depth[key] = [1, old]
+                self.spark.conf.set(
+                    "spark.sql.shuffle.partitions",
+                    str(STREAM_STATE_PARTITIONS),
+                )
+            else:
+                slot[0] += 1
 
     def __exit__(self, *exc):
-        self.spark.conf.set("spark.sql.shuffle.partitions", self.old)
+        key = id(self.spark)
+        with self._lock:
+            slot = self._depth[key]
+            slot[0] -= 1
+            if slot[0] == 0:
+                del self._depth[key]
+                self.spark.conf.set(
+                    "spark.sql.shuffle.partitions", slot[1]
+                )
 
 
 def run_to_memory(sdf: DataFrame, output_mode: str = "complete") -> DataFrame:
