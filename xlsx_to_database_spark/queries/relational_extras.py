@@ -413,7 +413,11 @@ def tpch_q18(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders⋈customer side — bounded by the survivor count — broadcasts
     into the lineitem scan. Net: NEITHER fact table ever shuffles; the
     only shuffle is the final group-by on the qualified rows (round-6:
-    this replaced a lineitem-side shuffle join, 0.87s → 0.52s at sf0.1).
+    this replaced a lineitem-side shuffle join; tracked artifacts read
+    ~0.8-1.0s at sf0.1 both in-suite — BENCH_r05/r06 0.80s — and
+    isolated — BENCH_ISOLATED_r07.json; an untracked round-6 session
+    once measured 0.52s, which no committed artifact reproduces, so the
+    plan shape, not that number, is the claim here).
     Integer-valued quantities make the HAVING boundary exact; top-100
     plans as TakeOrderedAndProject."""
     c = table(spark, sf_dir, "customer")
