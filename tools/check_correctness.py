@@ -57,9 +57,59 @@ def value_hash(rows, colnames):
     return h.hexdigest()
 
 
+#: Ops whose DuckDB oracles are quadratic / recursive-closure in pair
+#: mass (all-pairs Jaccard, transitive closure) — by design brute-force
+#: references sized for sf0.01. At sweep scales above that, with
+#: MIRROR_BOUNDED=1, these ops are exact-checked on a BOUNDED INPUT
+#: instead of degrading to `oracle_timeout` (round-6 verdict #4): the
+#: SAME op code and the SAME oracle SQL run over a deterministic
+#: doc_id-prefix subset of `documents` (every other table untouched), so
+#: the Spark side stays hash-verified at 10x oracle scale. Caps were
+#: measured so each bounded oracle completes in <=60s at sf0.1: the
+#: closure family's reach-CTE cost grows with cluster-size^3, hence its
+#: lower cap.
+BOUNDED_INPUT_OPS: dict[str, int] = {
+    "dedup_near": 1500,
+    "text_containment": 1500,
+    "dedup_cluster": 900,
+    "dedup_cluster_profile": 900,
+    "dedup_keep_best": 900,
+}
+
+_TABLES = (
+    "region nation customer supplier part orders lineitem events "
+    "documents embeddings".split()
+)
+
+
+def _bounded_dir(sf_dir: str, cap: int) -> str:
+    """Materialize (once) a variant of ``sf_dir`` whose documents table
+    is the deterministic doc_id < cap prefix; other tables symlink to
+    the originals. Returns the directory path."""
+    scale = os.path.basename(os.path.normpath(sf_dir))
+    out = f"/tmp/spark_mirror_bounded/{scale}_docs{cap}"
+    marker = os.path.join(out, "_READY")
+    if not os.path.exists(marker):
+        os.makedirs(out, exist_ok=True)
+        duckdb.sql(
+            f"COPY (SELECT * FROM read_parquet('{sf_dir}/documents.parquet')"
+            f" WHERE doc_id < {cap} ORDER BY doc_id)"
+            f" TO '{out}/documents.parquet' (FORMAT PARQUET)"
+        )
+        for t in _TABLES:
+            if t == "documents":
+                continue
+            dst = os.path.join(out, f"{t}.parquet")
+            if not os.path.exists(dst):
+                os.symlink(os.path.join(sf_dir, f"{t}.parquet"), dst)
+        open(marker, "w").close()
+    return out
+
+
 def main() -> int:
     sf_dir = sys.argv[1] if len(sys.argv) > 1 and "/" in sys.argv[1] else "/root/testdata/sf0.01"
     only = set(a for a in sys.argv[1:] if "/" not in a)
+    use_bounded = os.environ.get("MIRROR_BOUNDED", "") not in ("", "0")
 
     import __spark_entry__ as entry_mod
     from xlsx_to_database_spark.session import get_spark
@@ -75,14 +125,28 @@ def main() -> int:
             f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')"
         )
 
+    bounded_cons: dict[int, "duckdb.DuckDBPyConnection"] = {}
     failures, n_checked = [], 0
     results: dict[str, dict] = {}
     for name, fn in sorted(qs.items()):
         if only and name not in only:
             continue
         n_checked += 1
+        op_dir, op_con, bounded = sf_dir, con, None
+        if use_bounded and name in BOUNDED_INPUT_OPS:
+            bounded = BOUNDED_INPUT_OPS[name]
+            op_dir = _bounded_dir(sf_dir, bounded)
+            if bounded not in bounded_cons:
+                c = duckdb.connect()
+                for t in _TABLES:
+                    c.execute(
+                        f"CREATE VIEW {t} AS SELECT * FROM "
+                        f"read_parquet('{op_dir}/{t}.parquet')"
+                    )
+                bounded_cons[bounded] = c
+            op_con = bounded_cons[bounded]
         try:
-            sdf = fn(spark, sf_dir)
+            sdf = fn(spark, op_dir)
             srows = sdf.collect()
             scols = sdf.columns
         except Exception as e:  # noqa: BLE001
@@ -126,14 +190,14 @@ def main() -> int:
         if budget > 0:
             import threading
 
-            def _interrupt():
+            def _interrupt(c=op_con):
                 timed_out.append(True)
-                con.interrupt()
+                c.interrupt()
 
             timer = threading.Timer(budget, _interrupt)
             timer.start()
         try:
-            cur = con.execute(oracles[name])
+            cur = op_con.execute(oracles[name])
             dcols = [d[0] for d in cur.description]
             drows = cur.fetchall()
         except Exception as e:  # noqa: BLE001
@@ -182,12 +246,17 @@ def main() -> int:
             "spark_rows": len(srows),
             "oracle_rows": len(drows),
         }
+        if bounded is not None:
+            # Honest labeling: this row was hash-verified on the
+            # doc_id < cap prefix input, not the full sweep corpus.
+            results[name]["bounded_docs"] = bounded
         if problems:
             results[name]["problems"] = problems
             failures.append((name, "; ".join(problems)))
             print(f"✗ {name}: " + " | ".join(problems))
         else:
-            print(f"✓ {name} ({len(srows)} rows)")
+            tag = f" [bounded docs<{bounded}]" if bounded is not None else ""
+            print(f"✓ {name} ({len(srows)} rows){tag}")
 
     out_path = os.environ.get("MIRROR_OUT")
     if out_path:
