@@ -522,6 +522,10 @@ def test_seeded_schedule_stress_three_writers_vacuum_once(spark, tmp_path):
     n_seeds = int(os.environ.get("SPARK_GRAFT_TXN_STRESS_SEEDS", "100"))
 
     class FastStageTable(TxnTable):
+        # Aggressive checkpointing so the seeded schedules also cover
+        # checkpoint-write races and dedup-through-checkpoint paths.
+        checkpoint_interval = 2
+
         def _stage_files(self, rows, version):  # rows: list[(k, v)]
             out = os.path.join(
                 self.path, "data",
@@ -667,3 +671,62 @@ def test_vacuum_kept_counts_files_on_disk(spark, tmp_path):
         glob.glob(os.path.join(t.path, "data", "**", "*.parquet"), recursive=True)
     )
     assert deleted == 5 and kept == on_disk
+
+
+def test_checkpoint_written_and_append_once_dedups_across_it(spark, tmp_path):
+    """Txn-log checkpoints (round 7): every ``checkpoint_interval``
+    commits a ckpt-v*.json lands carrying ALL txn_ids <= its version;
+    append_once must detect a duplicate token through the checkpoint
+    (tail scan alone would miss tokens behind it) and stay exactly-once
+    for fresh tokens after it."""
+    import os
+
+    from xlsx_to_database_spark.operators.txn_table import _ckpt_path
+
+    t = _mk(spark, tmp_path, n=20, parts=1)
+    t.checkpoint_interval = 3
+    one = spark.createDataFrame([(500, 0)], "k long, v long").coalesce(1)
+    assert t.append_once(one, "tok-a") == 1
+    assert t.append(one) == 2
+    assert t.append_once(one, "tok-b") == 3  # v3 -> checkpoint written
+    assert os.path.exists(_ckpt_path(t.path, 3))
+    ck = t._latest_checkpoint()
+    assert ck["version"] == 3 and set(ck["txn_ids"]) == {"tok-a", "tok-b"}
+    # replay BOTH tokens: behind the checkpoint and at it — must no-op
+    assert t.append_once(one, "tok-a") is None
+    assert t.append_once(one, "tok-b") is None
+    assert t.latest_version() == 3
+    # fresh tokens keep landing; next checkpoint at v6 includes all
+    assert t.append_once(one, "tok-c") == 4
+    assert t.append(one) == 5
+    assert t.append_once(one, "tok-d") == 6
+    ck = t._latest_checkpoint()
+    assert ck["version"] == 6
+    assert set(ck["txn_ids"]) == {"tok-a", "tok-b", "tok-c", "tok-d"}
+    assert t.append_once(one, "tok-c") is None
+
+
+def test_checkpoint_scan_is_tail_bounded(spark, tmp_path):
+    """The dedup scan must read the checkpoint + tail only: after the
+    checkpoint at v20, _txn_ids_before must not open manifests <= 20.
+    Pinned by counting manifest opens via a counting subclass."""
+    t = _mk(spark, tmp_path, n=20, parts=1)
+    t.checkpoint_interval = 20
+    one = spark.createDataFrame([(900, 0)], "k long, v long").coalesce(1)
+    for i in range(22):
+        t.append_once(one, f"tok-{i}")
+    assert t._latest_checkpoint()["version"] == 20
+
+    opened = []
+    orig = type(t).manifest
+
+    class Counting(type(t)):
+        def manifest(self, version=None):
+            opened.append(version)
+            return orig(self, version)
+
+    c = Counting(spark, t.path, "k")
+    seen = c._txn_ids_before(c.latest_version() + 1)
+    assert {f"tok-{i}" for i in range(22)} <= seen
+    old_opens = [v for v in opened if v is not None and v <= 20]
+    assert not old_opens, f"scanned behind the checkpoint: {old_opens}"

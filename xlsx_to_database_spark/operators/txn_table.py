@@ -67,6 +67,10 @@ def _manifest_path(path: str, version: int) -> str:
     return os.path.join(_log_dir(path), f"v{version:010d}.json")
 
 
+def _ckpt_path(path: str, version: int) -> str:
+    return os.path.join(_log_dir(path), f"ckpt-v{version:010d}.json")
+
+
 class TxnTable:
     """Handle to a transaction-logged parquet table.
 
@@ -75,10 +79,29 @@ class TxnTable:
     DELETE key (the clustering column, in table-format terms).
     """
 
-    def __init__(self, spark: SparkSession, path: str, stats_col: str):
+    #: Write a txn-log checkpoint every N commits (Delta's device, one
+    #: concern only: the CHECKPOINT carries the set of txn_ids seen in
+    #: manifests <= its version, so ``append_once``'s duplicate scan
+    #: reads one checkpoint + the log TAIL instead of every manifest —
+    #: O(1) amortized where the naive scan is O(versions) PER COMMIT,
+    #: i.e. O(n^2) cumulative over a streaming sink's micro-batches.
+    #: Manifests themselves are already self-contained (each lists the
+    #: full file set), so reads need no checkpoint; only the token scan
+    #: grows with history.
+    checkpoint_interval: int = 20
+
+    def __init__(
+        self,
+        spark: SparkSession,
+        path: str,
+        stats_col: str,
+        checkpoint_interval: Optional[int] = None,
+    ):
         self.spark = spark
         self.path = path
         self.stats_col = stats_col
+        if checkpoint_interval is not None:
+            self.checkpoint_interval = checkpoint_interval
 
     # -- log primitives ----------------------------------------------------
 
@@ -154,6 +177,92 @@ class TxnTable:
                 os.unlink(tmp)
             except FileNotFoundError:
                 pass
+        if (
+            self.checkpoint_interval > 0
+            and version > 0
+            and version % self.checkpoint_interval == 0
+        ):
+            # Best-effort: a checkpoint is an OPTIMIZATION over facts the
+            # manifests already hold — its failure must never fail the
+            # commit that just landed, and a racer writing the same
+            # checkpoint is harmless (identical content, link loses).
+            try:
+                self._write_checkpoint(version)
+            except OSError:
+                pass
+
+    # -- txn-log checkpoints -----------------------------------------------
+
+    def _latest_checkpoint(self) -> Optional[dict]:
+        d = _log_dir(self.path)
+        if not os.path.isdir(d):
+            return None
+        cks = sorted(
+            n for n in os.listdir(d)
+            if n.startswith("ckpt-v") and n.endswith(".json")
+        )
+        if not cks:
+            return None
+        with open(os.path.join(d, cks[-1])) as f:
+            return json.load(f)
+
+    def _write_checkpoint(self, version: int) -> None:
+        """Write ``ckpt-v{version}.json`` carrying every txn_id in
+        manifests 0..version, building incrementally from the previous
+        checkpoint (walk only the tail). Same tmp+link atomicity as
+        commits; EEXIST means a racer already wrote it — identical
+        content by construction, so losing is fine."""
+        import uuid as _uuid
+
+        prev = self._latest_checkpoint()
+        tokens: set[str] = set()
+        start = 0
+        if prev is not None and prev["version"] <= version:
+            tokens = set(prev["txn_ids"])
+            start = prev["version"] + 1
+        for v in self.versions():
+            if start <= v <= version:
+                tok = self.manifest(v).get("txn_id")
+                if tok is not None:
+                    tokens.add(tok)
+        final = _ckpt_path(self.path, version)
+        if os.path.exists(final):
+            return
+        tmp = f"{final}.{_uuid.uuid4().hex}.tmp"
+        try:
+            with open(tmp, "w") as f:
+                json.dump(
+                    {"version": version, "txn_ids": sorted(tokens)}, f
+                )
+            os.link(tmp, final)
+        except FileExistsError:
+            pass
+        finally:
+            try:
+                os.unlink(tmp)
+            except FileNotFoundError:
+                pass
+
+    def _txn_ids_before(self, upto: int) -> set[str]:
+        """txn_ids of every manifest with version < ``upto`` — via the
+        latest checkpoint plus a tail scan, so the cost is O(interval)
+        instead of O(versions). A checkpoint AHEAD of ``upto`` (a racer
+        committed and checkpointed past our pin) only ADDS txn_ids from
+        versions >= upto, which is conservative for duplicate detection:
+        if our token appears there, a racer landed it and skipping is
+        correct."""
+        ck = self._latest_checkpoint()
+        seen: set[str] = set()
+        start = 0
+        if ck is not None:
+            seen = set(ck["txn_ids"])
+            start = ck["version"] + 1
+        for v in self.versions():
+            if start <= v < upto:
+                tok = self.manifest(v).get("txn_id")
+                if tok is not None:
+                    seen.add(tok)
+        return seen
 
     # -- file staging ------------------------------------------------------
 
@@ -294,7 +403,10 @@ class TxnTable:
         half of exactly-once for retrying producers (a replayed
         streaming micro-batch, a re-run ingestion job). Delta's
         txn appId/version device, reduced to one token. The txn_id
-        check scans the log (O(versions), metadata).
+        check reads the latest checkpoint + the log tail
+        (O(checkpoint_interval) amortized — see ``_txn_ids_before``;
+        without checkpoints a long-lived streaming sink would pay an
+        O(versions) scan per micro-batch, O(n²) cumulative).
 
         Duplicate-proof ordering: each attempt PINS its target version
         FIRST, then scans every committed version (all < target) for
@@ -310,9 +422,8 @@ class TxnTable:
         staged: Optional[list[dict]] = None
         for _ in range(51):
             v = self.latest_version() + 1
-            for prev in self.versions():
-                if self.manifest(prev).get("txn_id") == txn_id:
-                    return None  # already landed (possibly by a racer)
+            if txn_id in self._txn_ids_before(v):
+                return None  # already landed (possibly by a racer)
             if staged is None:
                 staged = self._stage_files(df, v)
             try:

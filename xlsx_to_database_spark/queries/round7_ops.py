@@ -1,0 +1,85 @@
+"""Round-7 ops: txn-log checkpoint protocol surfaced as a queryable,
+oracle-checked operator.
+
+Imported LAST by the registry loader so these ids queue behind the
+existing never-attested backlog instead of displacing the driver
+window (same placement discipline as the round4/5 modules).
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from xlsx_to_database_spark.catalog import table
+from xlsx_to_database_spark.registry import query
+
+
+@query(
+    "table_txn_checkpoint",
+    """
+    SELECT CAST(count(*) AS BIGINT) AS n_rows,
+           round(CAST(sum(CAST(o_totalprice AS DECIMAL(18,2)))
+                      AS DOUBLE), 2) AS total_price,
+           7 AS n_versions,
+           1 AS n_checkpoints,
+           2 AS n_replays_skipped
+    FROM orders
+    """,
+)
+def table_txn_checkpoint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exactly-once ingestion THROUGH a txn-log checkpoint, end to end:
+    six producers `append_once` disjoint orders slices (o_orderkey % 6)
+    at checkpoint_interval=5, so a ckpt-v5 checkpoint lands mid-stream;
+    two tokens are then REPLAYED — one from behind the checkpoint's
+    coverage, one at its boundary — and both must no-op via the
+    checkpoint+tail scan (operators/txn_table.py::_txn_ids_before). The
+    op returns the read-back aggregate of the final table, hash-matched
+    against the orders table itself (exactly-once ⇒ every order row
+    exactly once), plus the protocol counters, all deterministic:
+    7 versions (create + 6 appends — replays add none), 1 checkpoint,
+    2 skipped replays.
+
+    Scale: the checkpoint keeps a streaming sink's idempotence scan
+    O(interval) instead of O(commits) — measured 370 → 21 ms per commit
+    at 800 versions (SCALE.md round-7). The read-back aggregate is one
+    shuffle over the files Spark wrote; everything else is manifest
+    metadata."""
+    from xlsx_to_database_spark.operators.txn_table import TxnTable
+
+    orders = table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_totalprice"
+    )
+    tag = os.path.basename(os.path.normpath(sf_dir))
+    root = f"/tmp/spark_stage/{tag}_txn_ckpt"
+    shutil.rmtree(root, ignore_errors=True)
+    t = TxnTable(spark, root, "o_orderkey", checkpoint_interval=5)
+    t.create(orders.limit(0))
+    for i in range(6):
+        t.append_once(
+            orders.filter(F.col("o_orderkey") % 6 == i), f"slice-{i}"
+        )
+    ck = t._latest_checkpoint()
+    n_ckpts = 1 if (ck is not None and ck["version"] == 5) else 0
+    skipped = sum(
+        t.append_once(
+            orders.filter(F.col("o_orderkey") % 6 == i), f"slice-{i}"
+        ) is None
+        for i in (2, 5)
+    )
+    return (
+        t.read()
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_rows"),
+            F.round(
+                F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+                .cast("double"), 2
+            ).alias("total_price"),
+        )
+        .withColumn("n_versions", F.lit(t.latest_version() + 1))
+        .withColumn("n_checkpoints", F.lit(n_ckpts))
+        .withColumn("n_replays_skipped", F.lit(skipped))
+    )

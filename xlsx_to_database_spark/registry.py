@@ -243,6 +243,7 @@ def _load_all() -> None:
         "xlsx_to_database_spark.queries.round5b_ops",
         "xlsx_to_database_spark.queries.round5c_ops",
         "xlsx_to_database_spark.queries.geo_ops",
+        "xlsx_to_database_spark.queries.round7_ops",
     ):
         try:
             importlib.import_module(mod)
