@@ -730,3 +730,53 @@ def test_checkpoint_scan_is_tail_bounded(spark, tmp_path):
     assert {f"tok-{i}" for i in range(22)} <= seen
     old_opens = [v for v in opened if v is not None and v <= 20]
     assert not old_opens, f"scanned behind the checkpoint: {old_opens}"
+
+
+def test_footer_stats_match_aggregate_stats(spark, tmp_path):
+    """Round-7: _stage_files reads per-file stats from parquet footers
+    (no second Spark job). The footer-derived manifest entries must be
+    IDENTICAL to the aggregate-derived ones on the same staged files,
+    and non-numeric stats columns must fall back (parquet may truncate
+    string min/max, which would corrupt pruning bounds)."""
+    import os
+
+    t = TxnTable(spark, str(tmp_path / "ft"), "k")
+    df = spark.range(1, 1001).select(
+        F.col("id").alias("k"), (F.col("id") % 7).alias("v")
+    ).repartitionByRange(4, "k")
+    t.create(df)
+    entries = t.manifest()["files"]
+    assert len(entries) == 4
+    # recompute via the aggregate path over the same files and compare
+    staged_dir = os.path.join(t.path, os.path.dirname(entries[0]["path"]))
+    agg_rows = (
+        spark.read.parquet(staged_dir)
+        .groupBy(F.input_file_name().alias("f"))
+        .agg(F.count(F.lit(1)).alias("rows"), F.min("k").alias("lo"),
+             F.max("k").alias("hi"))
+        .collect()
+    )
+    agg = {
+        os.path.basename(r["f"]): (r["rows"], r["lo"], r["hi"])
+        for r in agg_rows
+    }
+    for e in entries:
+        assert agg[os.path.basename(e["path"])] == (
+            e["rows"], e["min"], e["max"]
+        )
+    # string stats column: footer path must decline (return None)
+    ts = TxnTable(spark, str(tmp_path / "fs"), "name")
+    sdf = spark.createDataFrame(
+        [(i, f"n{i:04d}") for i in range(50)], "k long, name string"
+    ).coalesce(1)
+    ts.create(sdf)
+    m = ts.manifest()["files"]
+    assert m[0]["min"] == "n0000" and m[0]["max"] == "n0049"
+    # all-null stats column: conservative None bounds survive
+    tn = TxnTable(spark, str(tmp_path / "fn"), "v")
+    ndf = spark.createDataFrame(
+        [(i, None) for i in range(10)], "k long, v double"
+    ).coalesce(1)
+    tn.create(ndf)
+    m = tn.manifest()["files"]
+    assert m[0]["min"] is None and m[0]["max"] is None

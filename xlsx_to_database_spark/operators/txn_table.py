@@ -270,9 +270,14 @@ class TxnTable:
         """Write ``df`` as new immutable parquet files; return their
         manifest entries (path + per-file stats on ``stats_col``).
 
-        Stats come from one metadata-scale aggregate over the files just
-        written (grouped by ``input_file_name`` — one row per file, the
-        same footer information a table format records at write time).
+        Stats come from the parquet FOOTERS of the files just written —
+        row counts plus per-row-group min/max, exactly the information
+        a table format records at commit time — read driver-side (a few
+        KB per file, O(files) metadata I/O, no second Spark job over
+        the data). Parquet string statistics may be truncated, so the
+        footer path is gated to numeric stats columns with complete
+        statistics; anything else falls back to one metadata-scale
+        Spark aggregate over the staged files (the pre-round-7 path).
 
         The staging directory is WRITER-UNIQUE (version + random
         suffix): data files are immutable and referenced by path, so
@@ -287,6 +292,9 @@ class TxnTable:
             self.path, "data", f"v{version:010d}-{_uuid.uuid4().hex[:8]}"
         )
         df.write.mode("overwrite").parquet(out)
+        entries = self._entries_from_footers(out)
+        if entries is not None:
+            return entries
         back = self.spark.read.parquet(out)
         rows = (
             back.groupBy(F.input_file_name().alias("f"))
@@ -310,6 +318,64 @@ class TxnTable:
             }
             for r in sorted(rows, key=lambda r: r["f"])
         ]
+
+    def _entries_from_footers(self, out: str) -> Optional[list[dict]]:
+        """Manifest entries for every parquet file under ``out`` from
+        footer metadata alone, or None if any file's ``stats_col``
+        statistics are unusable (non-numeric type — parquet may
+        truncate string min/max, which would corrupt pruning bounds —
+        or missing/unreadable stats). Empty files are skipped, matching
+        the aggregate path (no rows → no group)."""
+        import glob as _glob
+
+        try:
+            import pyarrow.parquet as _pq
+            import pyarrow.types as _pt
+        except ImportError:
+            return None
+        entries = []
+        for f in sorted(_glob.glob(os.path.join(out, "*.parquet"))):
+            try:
+                pf = _pq.ParquetFile(f)
+                md = pf.metadata
+                if md.num_rows == 0:
+                    continue
+                field = pf.schema_arrow.field(self.stats_col)
+                if not (
+                    _pt.is_integer(field.type)
+                    or _pt.is_floating(field.type)
+                ):
+                    return None
+                idx = next(
+                    i for i in range(md.num_columns)
+                    if md.row_group(0).column(i).path_in_schema
+                    == self.stats_col
+                )
+                lo = hi = None
+                for g in range(md.num_row_groups):
+                    col = md.row_group(g).column(idx)
+                    if col.num_values == 0:
+                        continue  # all-null row group carries no stats
+                    st = col.statistics
+                    if st is None or not st.has_min_max:
+                        # nulls-only columns: aggregate path returns
+                        # None bounds (conservatively always-touched);
+                        # footers can't distinguish that from missing
+                        # stats, so punt to the aggregate.
+                        return None
+                    lo = st.min if lo is None else min(lo, st.min)
+                    hi = st.max if hi is None else max(hi, st.max)
+                entries.append(
+                    {
+                        "path": os.path.relpath(f, self.path),
+                        "rows": md.num_rows,
+                        "min": lo,
+                        "max": hi,
+                    }
+                )
+            except (OSError, KeyError, StopIteration):
+                return None
+        return entries
 
     def _read_files(self, entries: list[dict]) -> DataFrame:
         paths = [os.path.join(self.path, e["path"]) for e in entries]
