@@ -165,8 +165,20 @@ _ATTESTED: tuple[str, ...] = (
 # change, tpch_q18's zero-fact-shuffle rewrite, and the tpch_q2 /
 # obs_metrics precision fixes) re-attested green in CORRECTNESS_r06.json
 # — all 15 rows exact (stream_sink rows-only as declared) — and is folded
-# back. Round-7 rewrites land here as they happen.
-_REOPENED: frozenset[str] = frozenset()
+# back. Round-7 rewrites: the txn-table family re-opens because round 7
+# changed its write path under every rider — staging stats now come from
+# parquet footers instead of a Spark aggregate (operators/txn_table.py::
+# _entries_from_footers), commits write txn-log checkpoints, and
+# restore/vacuum semantics hardened per round-6 advice; stream_txn_sink
+# additionally rides the checkpointed append_once scan. All re-verified
+# green by the round-7 mirrors at sf0.01 AND sf0.1; listed here until
+# the driver re-attests. (The streaming engine's reentrancy guard is
+# NOT a behavioral change for single drains — identical save/set/restore
+# at depth 1 — so the rest of the streaming family stays folded.)
+_REOPENED: frozenset[str] = frozenset({
+    "table_merge_upsert", "table_time_travel", "table_incremental_read",
+    "table_schema_evolution", "stream_txn_sink",
+})
 
 #: The driver evaluates this many registry-order entries per round
 #: (empirically: r01 covered exactly the first 50).
