@@ -113,10 +113,48 @@ def test_concurrent_commit_raises(spark, tmp_path):
         t.create(spark.range(1).select(F.col("id").alias("k"), F.col("id").alias("v")))
 
 
-def test_merge_requires_stats_key(spark, tmp_path):
-    t = _mk(spark, tmp_path, n=10)
+def test_merge_on_secondary_column_prunes_via_col_stats(spark, tmp_path):
+    """Round-7 multi-column stats: footers record min/max for EVERY
+    numeric column, so a MERGE keyed off a non-clustering column still
+    prunes when that column correlates with layout (here v = 2k is
+    co-clustered with k). An unknown key still raises."""
+    t = _mk(spark, tmp_path)  # 4 range files over k=1..1000, v = 2k
+    src = spark.range(1, 61).select(
+        F.col("id").alias("k"), (F.col("id") * 2).alias("v")
+    )
+    v, rewritten, carried = t.merge(src, "v")
+    assert rewritten < 4 and carried >= 1, (rewritten, carried)
+    assert t.read().count() == 1000
     with pytest.raises(ValueError):
-        t.merge(t.read(), "v")
+        t.merge(t.read(), "no_such_col")
+
+
+def test_compact_small_rewrites_only_small_tail(spark, tmp_path):
+    """Incremental OPTIMIZE: only files under the row threshold are
+    rewritten; big files carry by reference; content preserved; a
+    no-op (one small file) commits nothing."""
+    t = _mk(spark, tmp_path, n=1000, parts=2)  # 2 files of 500 rows
+    for i in range(3):
+        t.append(
+            spark.createDataFrame(
+                [(2000 + 10 * i + j, 0) for j in range(5)],
+                "k long, v long",
+            ).coalesce(1)
+        )
+    before = sorted((r.k, r.v) for r in t.read().collect())
+    big_paths = {
+        e["path"] for e in t.manifest()["files"] if e["rows"] >= 100
+    }
+    v, compacted, carried = t.compact_small(max_rows=100)
+    assert (v, compacted, carried) == (4, 3, 2)
+    m = t.manifest()["files"]
+    assert len(m) == 3  # 2 big carried + 1 compacted
+    assert big_paths <= {e["path"] for e in m}  # by reference
+    assert sorted((r.k, r.v) for r in t.read().collect()) == before
+    # idempotent: nothing small left (compacted file has 15 rows < 100
+    # but it is now the ONLY small file -> no-op, no commit)
+    v2, c2, _ = t.compact_small(max_rows=100)
+    assert (v2, c2) == (4, 0)
 
 
 def test_compact_preserves_content_and_history(spark, tmp_path):

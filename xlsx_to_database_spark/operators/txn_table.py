@@ -346,31 +346,51 @@ class TxnTable:
                     or _pt.is_floating(field.type)
                 ):
                     return None
-                idx = next(
-                    i for i in range(md.num_columns)
-                    if md.row_group(0).column(i).path_in_schema
-                    == self.stats_col
-                )
-                lo = hi = None
-                for g in range(md.num_row_groups):
-                    col = md.row_group(g).column(idx)
-                    if col.num_values == 0:
-                        continue  # all-null row group carries no stats
-                    st = col.statistics
-                    if st is None or not st.has_min_max:
-                        # nulls-only columns: aggregate path returns
-                        # None bounds (conservatively always-touched);
-                        # footers can't distinguish that from missing
-                        # stats, so punt to the aggregate.
-                        return None
-                    lo = st.min if lo is None else min(lo, st.min)
-                    hi = st.max if hi is None else max(hi, st.max)
+                # Footers carry min/max for EVERY column at no extra
+                # cost — record stats for all numeric columns (Delta
+                # does the same with dataSkippingNumIndexedCols), so
+                # MERGE/compaction can prune on any of them, not just
+                # the declared clustering column.
+                numeric = [
+                    fld.name for fld in pf.schema_arrow
+                    if _pt.is_integer(fld.type) or _pt.is_floating(fld.type)
+                ]
+                col_idx = {
+                    md.row_group(0).column(i).path_in_schema: i
+                    for i in range(md.num_columns)
+                }
+                col_stats: dict[str, list] = {}
+                for name in numeric:
+                    if name not in col_idx:
+                        continue  # nested field; footer path skips it
+                    lo = hi = None
+                    ok = True
+                    for g in range(md.num_row_groups):
+                        col = md.row_group(g).column(col_idx[name])
+                        if col.num_values == 0:
+                            continue  # all-null row group has no stats
+                        st = col.statistics
+                        if st is None or not st.has_min_max:
+                            ok = False
+                            break
+                        lo = st.min if lo is None else min(lo, st.min)
+                        hi = st.max if hi is None else max(hi, st.max)
+                    if ok:
+                        col_stats[name] = [lo, hi]
+                if self.stats_col not in col_stats:
+                    # nulls-only stats column: the aggregate path
+                    # returns None bounds (conservatively touched);
+                    # footers can't distinguish that from missing
+                    # stats, so punt to the aggregate.
+                    return None
+                lo, hi = col_stats[self.stats_col]
                 entries.append(
                     {
                         "path": os.path.relpath(f, self.path),
                         "rows": md.num_rows,
                         "min": lo,
                         "max": hi,
+                        "col_stats": col_stats,
                     }
                 )
             except (OSError, KeyError, StopIteration):
@@ -679,16 +699,22 @@ class TxnTable:
         return new_v
 
     def _split_by_key_range(
-        self, entries: list[dict], lo: Any, hi: Any
+        self, entries: list[dict], lo: Any, hi: Any, col: Optional[str] = None
     ) -> tuple[list[dict], list[dict]]:
         """(touched, untouched) file partition for incoming keys in
-        [lo, hi]. Files with NULL stats (all-null key column) are
-        conservatively touched."""
+        [lo, hi] on ``col`` (default: the declared stats column). For
+        other columns the bounds come from the footer-recorded
+        ``col_stats``; files without stats for the column — aggregate-
+        path stagings, pre-multi-stats manifests — are conservatively
+        touched, as are NULL bounds (all-null column)."""
+        col = self.stats_col if col is None else col
         touched, untouched = [], []
         for e in entries:
-            if e["min"] is None or e["max"] is None or (
-                e["max"] >= lo and e["min"] <= hi
-            ):
+            if col == self.stats_col:
+                b_lo, b_hi = e["min"], e["max"]
+            else:
+                b_lo, b_hi = e.get("col_stats", {}).get(col, (None, None))
+            if b_lo is None or b_hi is None or (b_hi >= lo and b_lo <= hi):
                 touched.append(e)
             else:
                 untouched.append(e)
@@ -703,17 +729,25 @@ class TxnTable:
         range intersects the source's [min(key), max(key)] are read and
         rewritten — matches outside that range are impossible, so the
         rest of the table is carried by reference (zero I/O). The
-        source key range is 2 scalars from one source aggregate."""
-        if key != self.stats_col:
-            raise ValueError(
-                f"merge key {key!r} must be the stats column "
-                f"{self.stats_col!r} (file pruning depends on its stats)"
-            )
+        source key range is 2 scalars from one source aggregate.
+
+        ``key`` may be ANY column with footer-recorded stats, not just
+        the declared clustering column: the manifest carries min/max
+        for every numeric column (``col_stats``), so a MERGE keyed off
+        a secondary column still prunes — how WELL it prunes depends on
+        how correlated that column is with the file layout (perfectly
+        for a Z-ORDERed second dimension, conservatively not at all for
+        a shuffled one; correctness never depends on it). Files lacking
+        stats for ``key`` are conservatively rewritten."""
+        if key not in source.columns:
+            raise ValueError(f"merge key {key!r} not in source columns")
         b = source.agg(F.min(key), F.max(key)).collect()[0]
         if b[0] is None:
             raise ValueError("merge source has no non-null keys")
         entries = self.manifest()["files"]
-        touched, untouched = self._split_by_key_range(entries, b[0], b[1])
+        touched, untouched = self._split_by_key_range(
+            entries, b[0], b[1], col=key
+        )
         v = self.latest_version() + 1
         if touched:
             t = self._read_files(touched).alias("t")
@@ -730,6 +764,37 @@ class TxnTable:
         new_files = self._stage_files(merged, v)
         self._commit(v, "merge", untouched + new_files)
         return v, len(touched), len(untouched)
+
+    def compact_small(
+        self, max_rows: int, target_files: int = 1
+    ) -> tuple[int, int, int]:
+        """Incremental OPTIMIZE: rewrite only the files with fewer than
+        ``max_rows`` rows into ``target_files`` range-clustered files,
+        carrying every adequately-sized file by reference. Returns
+        (version, files_compacted, files_carried); a no-op (fewer than
+        2 small files) commits nothing and returns the current version
+        with files_compacted=0.
+
+        This is the maintenance loop a streaming or micro-batched
+        ingest needs at scale: each trigger appends a small file, and
+        full ``compact`` would rewrite the WHOLE table each time —
+        O(table) I/O for O(batch) new data. Selecting by the manifest's
+        per-file row counts keeps the rewrite proportional to the small
+        tail (Delta's auto-compaction / OPTIMIZE-where heuristic);
+        clustering on ``stats_col`` keeps the output prunable."""
+        entries = self.manifest()["files"]
+        small = [e for e in entries if e["rows"] < max_rows]
+        big = [e for e in entries if e["rows"] >= max_rows]
+        if len(small) < 2:
+            return self.latest_version(), 0, len(entries)
+        v = self.latest_version() + 1
+        df = (
+            self._read_files(small)
+            .repartitionByRange(target_files, self.stats_col)
+            .sortWithinPartitions(self.stats_col)
+        )
+        self._commit(v, "compact_small", big + self._stage_files(df, v))
+        return v, len(small), len(big)
 
     def compact(self, target_files: int = 4, order_by=None) -> tuple[int, int]:
         """OPTIMIZE: bin-pack the current file set into ``target_files``

@@ -83,3 +83,63 @@ def table_txn_checkpoint(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("n_checkpoints", F.lit(n_ckpts))
         .withColumn("n_replays_skipped", F.lit(skipped))
     )
+
+
+@query(
+    "table_auto_optimize",
+    """
+    SELECT CAST(count(*) AS BIGINT) AS n_rows,
+           round(CAST(sum(CAST(o_totalprice AS DECIMAL(18,2)))
+                      AS DOUBLE), 2) AS total_price,
+           3 AS files_compacted,
+           4 AS files_carried
+    FROM orders
+    """,
+)
+def table_auto_optimize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental OPTIMIZE after micro-batched ingest: the table is
+    created as 4 range-clustered files (the compacted steady state),
+    then three SMALL appends land (o_orderkey % 1000 ∈ {1,2,3} — the
+    streaming-ingest tail), and ``compact_small`` rewrites ONLY the
+    small tail into one clustered file, carrying the 4 big files by
+    reference (operators/txn_table.py::compact_small). Counters are
+    deterministic — 3 compacted, 4 carried — and the read-back must
+    hash-match the full orders aggregate (compaction is content-
+    preserving).
+
+    Scale: this is the maintenance loop that keeps file counts bounded
+    under continuous ingest without full-table rewrites — O(small tail)
+    I/O per pass where ``compact`` is O(table); selection is manifest
+    metadata (per-file row counts), no data scan."""
+    from xlsx_to_database_spark.operators.txn_table import TxnTable
+
+    orders = table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_totalprice"
+    )
+    tag = os.path.basename(os.path.normpath(sf_dir))
+    root = f"/tmp/spark_stage/{tag}_txn_autoopt"
+    shutil.rmtree(root, ignore_errors=True)
+    t = TxnTable(spark, root, "o_orderkey")
+    tail = F.col("o_orderkey") % 1000
+    t.create(
+        orders.filter(~tail.isin(1, 2, 3)).repartitionByRange(
+            4, "o_orderkey"
+        )
+    )
+    for i in (1, 2, 3):
+        # coalesce(1): one file per micro-append regardless of the
+        # scan's split count, so the counters are scale-invariant.
+        t.append(orders.filter(tail == i).coalesce(1))
+    _, compacted, carried = t.compact_small(max_rows=1000)
+    return (
+        t.read()
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_rows"),
+            F.round(
+                F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+                .cast("double"), 2
+            ).alias("total_price"),
+        )
+        .withColumn("files_compacted", F.lit(compacted))
+        .withColumn("files_carried", F.lit(carried))
+    )
