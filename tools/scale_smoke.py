@@ -321,6 +321,73 @@ def big_smoke(spark, which: list[str]) -> None:
                   f"({rows // 1_000_000}M rows / {files} files)",
                   merge_clustered)
 
+    if "txn_zorder2d" in which:
+        # Round-7: multi-column footer stats + Z-ORDER = MERGE pruning
+        # on a SECONDARY dimension. 20M rows, x = id and y = an
+        # uncorrelated permutation-ish hash of id. Phase 1 (x-range
+        # layout): a narrow-y MERGE must rewrite ~all files (y spans
+        # every file — pruning is honest about bad layout). Phase 2
+        # (OPTIMIZE ZORDER on the Morton (x,y) code): BOTH a narrow-x
+        # and a narrow-y MERGE prune to a small file subset, because
+        # every file now covers a rectangle of the key plane and the
+        # manifest carries footer min/max for y too (col_stats).
+        import shutil as _sh
+
+        from xlsx_to_database_spark.operators.txn_table import TxnTable
+        from xlsx_to_database_spark.queries.round4_ops import _zvalue
+
+        n = 20_000_000
+
+        def base():
+            return spark.range(1, n + 1).select(
+                F.col("id").alias("x"),
+                ((F.col("id") * 2654435761) % n).alias("y"),
+            )
+
+        def quant(col):
+            return F.floor(col * 256 / F.lit(n + 1)).cast("int")
+
+        def fresh(tag, z_order):
+            root = f"/tmp/spark_scale_smoke/txn_z2d_{tag}"
+            _sh.rmtree(root, ignore_errors=True)
+            t = TxnTable(spark, root, "x")
+            t.create(base().repartitionByRange(64, "x"))
+            if z_order:
+                t.compact(
+                    target_files=64,
+                    order_by=_zvalue(quant(F.col("x")), quant(F.col("y")),
+                                     bits=8),
+                )
+            return t
+
+        # Each measurement runs against FRESH state: a prior merge's
+        # rewritten files carry that source's payload values, widening
+        # stats and contaminating the next probe's prune counts.
+        def src_narrow(key, other):
+            # narrow range on the merge key; payload stays IN-DOMAIN so
+            # staged-file stats remain representative.
+            return spark.range(1, 100_001).select(
+                F.col("id").alias(key),
+                ((F.col("id") * 7919) % n).alias(other),
+            ).select("x", "y")
+
+        def merge_on(t, key, other):
+            v, rw, car = t.merge(src_narrow(key, other), key)
+            return f"rewrote {rw}/{rw + car} files"
+
+        tx = fresh("x_layout", z_order=False)
+        timed("x-layout: merge 100k narrow-y keys @20M",
+              lambda: merge_on(tx, "y", "x"))
+        t0 = time.perf_counter()
+        tz1 = fresh("z_layout_a", z_order=True)
+        print(f"  (build x-clustered + OPTIMIZE ZORDER: "
+              f"{time.perf_counter() - t0:.1f}s)")
+        timed("z-layout: merge 100k narrow-x keys @20M",
+              lambda: merge_on(tz1, "x", "y"))
+        tz2 = fresh("z_layout_b", z_order=True)
+        timed("z-layout: merge 100k narrow-y keys @20M",
+              lambda: merge_on(tz2, "y", "x"))
+
     if "round5" in which:
         # 20M-row orders staged ONCE to /tmp parquet, then the REGISTERED
         # round-5 stat ops run end-to-end (scan included — these ops'
