@@ -818,3 +818,78 @@ def test_footer_stats_match_aggregate_stats(spark, tmp_path):
     tn.create(ndf)
     m = tn.manifest()["files"]
     assert m[0]["min"] is None and m[0]["max"] is None
+
+
+def test_merge_retries_through_disjoint_concurrent_append(spark, tmp_path):
+    """Delta's conflict matrix for MERGE (round 7): a merge that loses
+    its version race to a commit OUTSIDE its key range must retry
+    transparently, adopting the racer's files by reference; a racer
+    INSIDE the range must surface ConcurrentWriteError. The racer is
+    injected deterministically between the merge's staging and its
+    commit via a _commit hook."""
+    orig_commit = TxnTable._commit
+
+    def run(racer_keys, expect_conflict):
+        import shutil
+
+        root = str(tmp_path / f"mr_{racer_keys[0]}_{expect_conflict}")
+        shutil.rmtree(root, ignore_errors=True)
+        t = TxnTable(spark, root, "k")
+        t.create(
+            spark.range(1, 1001).select(
+                F.col("id").alias("k"), (F.col("id") * 2).alias("v")
+            ).repartitionByRange(4, "k")
+        )
+        racer = TxnTable(spark, root, "k")
+        fired = {"n": 0}
+
+        class Hooked(TxnTable):
+            def _commit(self, version, op, files, txn_id=None):
+                if op == "merge" and fired["n"] == 0:
+                    fired["n"] = 1
+                    racer.append(
+                        spark.createDataFrame(
+                            [(rk, -9) for rk in racer_keys],
+                            "k long, v long",
+                        ).coalesce(1)
+                    )
+                return orig_commit(self, version, op, files, txn_id)
+
+        h = Hooked(spark, root, "k")
+        src = spark.range(1, 61).select(
+            F.col("id").alias("k"), F.lit(-1).cast("long").alias("v")
+        )
+        if expect_conflict:
+            with pytest.raises(ConcurrentWriteError):
+                h.merge(src, "k")
+            return None
+        v, rewritten, carried = h.merge(src, "k")
+        assert fired["n"] == 1  # the race actually happened
+        got = {r.k: r.v for r in t.read().collect()}
+        expect = {k: 2 * k for k in range(1, 1001)}
+        expect.update({k: -1 for k in range(1, 61)})
+        expect.update({rk: -9 for rk in racer_keys})
+        assert got == expect  # racer's rows AND merge both landed
+        return rewritten
+
+    # racer appends keys FAR outside the merge's [1, 60] range: retry
+    run([5_000, 5_001], expect_conflict=False)
+    # racer appends a key INSIDE the range: stale pruning, must raise
+    run([30], expect_conflict=True)
+
+
+def test_merge_target_file_rows_sizes_output(spark, tmp_path):
+    """Optimized write: target_file_rows splits the rewritten output
+    into ~right-sized, key-clustered files (with pruning intact)."""
+    t = _mk(spark, tmp_path, n=1000, parts=2)  # 2 files of 500
+    src = spark.range(1, 401).select(
+        F.col("id").alias("k"), F.lit(-1).cast("long").alias("v")
+    )
+    v, rewritten, carried = t.merge(src, "k", target_file_rows=150)
+    # touched file(s) cover k<=500; est rows ~500(+) -> ceil/150 = 4 files
+    m = t.manifest()["files"]
+    staged = [e for e in m if f"v{v:010d}" in e["path"]]
+    assert len(staged) >= 3, staged
+    assert all(e["rows"] <= 260 for e in staged), staged
+    assert t.read().count() == 1000
+    assert t.read().filter(F.col("v") == -1).count() == 400

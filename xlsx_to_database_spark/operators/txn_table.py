@@ -720,10 +720,26 @@ class TxnTable:
                 untouched.append(e)
         return touched, untouched
 
-    def merge(self, source: DataFrame, key: str) -> tuple[int, int, int]:
+    def merge(
+        self,
+        source: DataFrame,
+        key: str,
+        target_file_rows: Optional[int] = None,
+        max_retries: int = 10,
+    ) -> tuple[int, int, int]:
         """MERGE (upsert): source rows overwrite matching-key target
         rows; unmatched source rows insert. Returns (new_version,
         files_rewritten, files_carried).
+
+        ``target_file_rows`` sizes the rewritten output to ~that many
+        rows per file, range-clustered on the merge key (optimized
+        write — keeps high-frequency MERGE from shredding the table
+        into small files OR snowballing one giant file). Concurrency:
+        a lost version race auto-retries when the interleaved commits
+        did not change any file in the merge's key range (appends of
+        other keys, disjoint merges — their files are adopted by
+        reference); otherwise ``ConcurrentWriteError`` surfaces because
+        the pruning decision is stale, exactly Delta's conflict matrix.
 
         Copy-on-write with manifest pruning: only files whose stats
         range intersects the source's [min(key), max(key)] are read and
@@ -741,13 +757,14 @@ class TxnTable:
         stats for ``key`` are conservatively rewritten."""
         if key not in source.columns:
             raise ValueError(f"merge key {key!r} not in source columns")
-        b = source.agg(F.min(key), F.max(key)).collect()[0]
+        b = source.agg(
+            F.min(key), F.max(key), F.count(F.lit(1))
+        ).collect()[0]
         if b[0] is None:
             raise ValueError("merge source has no non-null keys")
+        lo, hi, src_n = b[0], b[1], b[2]
         entries = self.manifest()["files"]
-        touched, untouched = self._split_by_key_range(
-            entries, b[0], b[1], col=key
-        )
+        touched, untouched = self._split_by_key_range(entries, lo, hi, col=key)
         v = self.latest_version() + 1
         if touched:
             t = self._read_files(touched).alias("t")
@@ -761,9 +778,49 @@ class TxnTable:
             )
         else:
             merged = source
+        if target_file_rows is not None:
+            # Optimized write (Delta's optimizeWrite): size the staged
+            # output to ~target_file_rows per file, clustered on the
+            # merge key so the new files stay prunable. The row bound
+            # is manifest metadata + the source count already fetched —
+            # no extra job.
+            est = sum(e["rows"] for e in touched) + src_n
+            n_out = max(1, -(-est // target_file_rows))
+            merged = merged.repartitionByRange(
+                n_out, key
+            ).sortWithinPartitions(key)
         new_files = self._stage_files(merged, v)
-        self._commit(v, "merge", untouched + new_files)
-        return v, len(touched), len(untouched)
+        # Commit with Delta's conflict matrix: a lost version race is
+        # retried iff every commit that interleaved left the merge's
+        # TOUCHED file set byte-identical (same paths — data files are
+        # immutable, so same paths = same content): our rewrite is then
+        # still valid and we adopt the interleaved commits' files
+        # outside the key range (a concurrent append of other keys, a
+        # disjoint merge). Any interleaving that changed a touched file
+        # or added files intersecting [lo, hi] raises — the rewrite
+        # decision was computed against a stale range.
+        touched_paths = sorted(e["path"] for e in touched)
+        for _ in range(max_retries + 1):
+            try:
+                self._commit(v, "merge", untouched + new_files)
+                return v, len(touched), len(untouched)
+            except ConcurrentWriteError:
+                now = self.manifest()["files"]
+                now_touched, now_untouched = self._split_by_key_range(
+                    now, lo, hi, col=key
+                )
+                if sorted(e["path"] for e in now_touched) != touched_paths:
+                    raise ConcurrentWriteError(
+                        f"merge on {key!r} [{lo}, {hi}] lost a race to a "
+                        f"commit that changed files in its key range; "
+                        f"retry the merge on the new snapshot"
+                    ) from None
+                untouched = now_untouched
+                v = self.latest_version() + 1
+        raise ConcurrentWriteError(
+            f"merge lost {max_retries + 1} consecutive version races "
+            f"at {self.path}"
+        )
 
     def compact_small(
         self, max_rows: int, target_files: int = 1
