@@ -86,6 +86,123 @@ def table_txn_checkpoint(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "stream_restart_resume",
+    """
+    SELECT CAST(user_id % 10 AS BIGINT) AS bucket,
+           CAST(count(*) AS BIGINT) AS n,
+           round(CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE), 4)
+             AS total,
+           2 AS n_commits,
+           0 AS empty_restart_commits
+    FROM events
+    GROUP BY 1
+    """,
+)
+def stream_restart_resume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Checkpoint-restart continuity as an oracled query — the
+    production redeploy path the availableNow drains never cross. The
+    events table is split in half by event_id parity; the SAME stateful
+    update-mode pipeline (per-bucket count/sum, foreachBatch MERGE into
+    a TxnTable) is started THREE times against one durable checkpoint:
+
+    1. half A staged → drain (create + first merge commit),
+    2. half B staged → RESTART from the checkpoint → drain,
+    3. no new data    → restart again → must commit NOTHING.
+
+    The read-back must hash-match the batch aggregate over ALL events:
+    lost state undercounts every phase-1 bucket (update mode re-emits
+    the restored total, not the phase-2 delta), a re-read of half A
+    double-counts, and a replayed merge on the empty restart bumps the
+    version counter. n_commits (2: phase-1 create + phase-2 merge —
+    each availableNow file-source drain plans its staged file as one
+    micro-batch) and empty_restart_commits (0) pin the txn-log shape.
+
+    Scale: restart cost is O(state + new files) — offsets and state
+    live in the checkpoint, never rescanned from the source; the MERGE
+    sink prunes to files overlapping the 10-bucket key range."""
+    from xlsx_to_database_spark.operators.txn_table import TxnTable
+    from xlsx_to_database_spark.streaming.engine import (
+        _state_sized_shuffle,
+        events_raw_schema,
+        with_event_time,
+    )
+
+    tag = os.path.basename(os.path.normpath(sf_dir))
+    base = f"/tmp/spark_stage/{tag}_restart_resume"
+    shutil.rmtree(base, ignore_errors=True)
+    src, ckpt, root = f"{base}/src", f"{base}/ckpt", f"{base}/table"
+    os.makedirs(src)
+
+    raw_schema = events_raw_schema(sf_dir)
+    raw = spark.read.schema(raw_schema).parquet(f"{sf_dir}/events.parquet")
+
+    def stage_half(parity: int, name: str) -> None:
+        tmp_out = f"{base}/stage_{name}"
+        raw.filter(F.col("event_id") % 2 == parity).coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(tmp_out)
+        import glob as _glob
+
+        (part,) = _glob.glob(f"{tmp_out}/part-*.parquet")
+        shutil.move(part, f"{src}/{name}.parquet")
+        shutil.rmtree(tmp_out, ignore_errors=True)
+
+    tt = TxnTable(spark, root, "bucket")
+
+    def drain() -> None:
+        # Rebuilt from scratch each phase — state, source offsets, and
+        # any uncommitted batch come only from ``ckpt``, like a redeploy.
+        stream_raw = spark.readStream.schema(raw_schema).parquet(src)
+        agg = (
+            with_event_time(stream_raw, sf_dir)
+            .groupBy((F.col("user_id") % 10).cast("long").alias("bucket"))
+            .agg(
+                F.count(F.lit(1)).cast("long").alias("n"),
+                F.round(
+                    F.sum(F.col("value").cast("decimal(18,6)")).cast(
+                        "double"
+                    ),
+                    4,
+                ).alias("total"),
+            )
+        )
+
+        def sink(batch_df: DataFrame, batch_id: int) -> None:
+            if batch_df.isEmpty():
+                return
+            if not tt.versions():
+                tt.create(batch_df)
+            else:
+                tt.merge(batch_df, "bucket")
+
+        with _state_sized_shuffle(spark):
+            q = (
+                agg.writeStream.foreachBatch(sink)
+                .outputMode("update")
+                .option("checkpointLocation", ckpt)
+                .trigger(availableNow=True)
+                .start()
+            )
+            q.awaitTermination()
+
+    stage_half(0, "a")
+    drain()
+    stage_half(1, "b")
+    drain()
+    commits = tt.latest_version() + 1
+    drain()  # empty restart
+    empty_commits = tt.latest_version() + 1 - commits
+    return (
+        tt.read()
+        .select("bucket", "n", "total")
+        .withColumn("n_commits", F.lit(commits).cast("int"))
+        .withColumn(
+            "empty_restart_commits", F.lit(empty_commits).cast("int")
+        )
+    )
+
+
+@query(
     "table_auto_optimize",
     """
     SELECT CAST(count(*) AS BIGINT) AS n_rows,
