@@ -1,0 +1,204 @@
+"""Deletion-vector (merge-on-read DELETE) tests for the txn table.
+
+``delete_where_dv`` must delete logically without touching data files,
+merge with prior vectors, survive time travel / clone / restore /
+vacuum, be materialized by any rewrite, and make MERGE's conflict
+matrix refuse a retry across an interleaved DV delete — the property
+set that makes a GDPR-style sparse delete O(matches) instead of
+O(table) at 100 TB.
+"""
+
+from __future__ import annotations
+
+import glob
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from xlsx_to_database_spark.operators.txn_table import (
+    ConcurrentWriteError,
+    TxnTable,
+)
+
+
+def _mk(spark, tmp_path, n=1000, parts=4, name="tbl"):
+    t = TxnTable(spark, str(tmp_path / name), "k")
+    df = spark.range(1, n + 1).select(
+        F.col("id").alias("k"), (F.col("id") * 2).alias("v")
+    )
+    t.create(df.repartitionByRange(parts, "k"))
+    return t
+
+
+def _data_files(t):
+    return sorted(
+        glob.glob(os.path.join(t.path, "data", "**", "*.parquet"),
+                  recursive=True)
+    )
+
+
+def test_dv_delete_no_rewrite_correct_content(spark, tmp_path):
+    t = _mk(spark, tmp_path)
+    before = _data_files(t)
+    v, marked, deleted = t.delete_where_dv(F.col("k") % 10 == 0)
+    assert (v, marked, deleted) == (1, 4, 100)
+    # merge-on-read: ZERO data files written or removed
+    assert _data_files(t) == before
+    assert t.read().count() == 900
+    assert t.read().filter(F.col("k") % 10 == 0).count() == 0
+    # sidecar exists and is referenced by every hit entry
+    m = t.manifest()
+    assert all(e["dv"]["deleted"] > 0 for e in m["files"])
+    dv_abs = os.path.join(t.path, m["files"][0]["dv"]["path"])
+    assert os.path.exists(dv_abs)
+
+
+def test_dv_no_match_commits_nothing(spark, tmp_path):
+    t = _mk(spark, tmp_path, n=50)
+    v, marked, deleted = t.delete_where_dv(F.col("k") > 10_000)
+    assert (v, marked, deleted) == (0, 0, 0)
+    assert t.latest_version() == 0
+
+
+def test_dv_null_pred_rows_survive(spark, tmp_path):
+    # SQL DELETE semantics: pred-NULL rows are NOT deleted.
+    t = TxnTable(spark, str(tmp_path / "tbl"), "k")
+    df = spark.range(1, 11).select(
+        F.col("id").alias("k"),
+        F.when(F.col("id") <= 5, F.col("id")).alias("v"),  # v NULL for k>5
+    )
+    t.create(df.coalesce(1))
+    t.delete_where_dv(F.col("v") < 3)  # NULL for k>5 -> survive
+    assert {r.k for r in t.read().collect()} == {3, 4, 5, 6, 7, 8, 9, 10}
+
+
+def test_dv_second_delete_merges_vectors(spark, tmp_path):
+    t = _mk(spark, tmp_path)
+    t.delete_where_dv(F.col("k") % 10 == 0)
+    v2, marked2, deleted2 = t.delete_where_dv(F.col("k") % 7 == 0)
+    # 142 multiples of 7 in 1..1000, minus the 14 already deleted (70s)
+    assert (marked2, deleted2) == (4, 128)
+    assert t.read().count() == 1000 - 100 - 128
+    # every entry references ONE sidecar covering all its deleted rows
+    for e in t.manifest()["files"]:
+        assert e["dv"]["deleted"] > 0
+    # re-deleting the same rows is a no-op (DV-applied probe)
+    v3, m3, d3 = t.delete_where_dv(F.col("k") % 10 == 0)
+    assert (m3, d3) == (0, 0) and v3 == v2
+
+
+def test_dv_time_travel_sees_predelete_snapshot(spark, tmp_path):
+    t = _mk(spark, tmp_path)
+    t.delete_where_dv(F.col("k") <= 100)
+    assert t.read(0).count() == 1000
+    assert t.read(1).count() == 900
+
+
+def test_dv_identity_scan_row_conservation(spark, tmp_path):
+    # The identity scan must see every physical row, and the sidecar
+    # translation (_dv_rows) must resolve every deleted row to a scan
+    # URI — a _metadata.file_path format drift would break the latter
+    # silently (anti-join misses -> resurrection), so pin both counts.
+    t = _mk(spark, tmp_path)
+    entries = t.manifest()["files"]
+    assert t._scan_identity(entries).count() == sum(
+        e["rows"] for e in entries
+    )
+    t.delete_where_dv(F.col("k") % 10 == 0)
+    dvd = [e for e in t.manifest()["files"] if e.get("dv")]
+    assert t._dv_rows(dvd).count() == 100
+    uris = {r["__fp"] for r in t._dv_rows(dvd).select("__fp").distinct().collect()}
+    scan_uris = {
+        r["__fp"]
+        for r in t._scan_identity(dvd).select("__fp").distinct().collect()
+    }
+    assert uris <= scan_uris, "sidecar URIs unmatched by the scan"
+
+
+def test_dv_compact_materializes_vectors(spark, tmp_path):
+    t = _mk(spark, tmp_path)
+    t.delete_where_dv(F.col("k") % 10 == 0)
+    t.compact(target_files=2)
+    m = t.manifest()
+    assert all(not e.get("dv") for e in m["files"])
+    assert t.read().count() == 900
+    assert t.read().filter(F.col("k") % 10 == 0).count() == 0
+
+
+def test_dv_merge_rewrite_applies_vector(spark, tmp_path):
+    # A MERGE whose key range covers dv'd files must not resurrect
+    # deleted rows in the rewrite.
+    t = _mk(spark, tmp_path)
+    t.delete_where_dv(F.col("k").isin(1, 2, 3))
+    src = spark.createDataFrame([(2, 999), (1001, 42)], "k long, v long")
+    t.merge(src, "k")
+    got = {r.k: r.v for r in t.read().filter(F.col("k") <= 5).collect()}
+    # k=1,3 stay deleted; k=2 re-inserted by the merge (upsert wins)
+    assert got == {2: 999, 4: 8, 5: 10}
+    assert t.read().filter(F.col("k") == 1001).count() == 1
+
+
+def test_dv_vacuum_keeps_live_sidecar_collects_dead(spark, tmp_path):
+    t = _mk(spark, tmp_path)
+    t.delete_where_dv(F.col("k") % 10 == 0)
+    dv1 = t.manifest()["files"][0]["dv"]["path"]
+    deleted, _ = t.vacuum(retain_versions=1)
+    assert deleted == 0  # everything (data + sidecar) is referenced
+    assert os.path.exists(os.path.join(t.path, dv1))
+    assert t.read().count() == 900
+    # compact away the DV, then vacuum: old data files AND the now-
+    # unreferenced sidecar are collected
+    t.compact(target_files=2)
+    deleted2, _ = t.vacuum(retain_versions=1)
+    assert deleted2 == 5  # 4 original data files + 1 sidecar
+    assert not os.path.exists(os.path.join(t.path, dv1))
+    assert t.read().count() == 900
+
+
+def test_dv_restore_validates_sidecar(spark, tmp_path):
+    t = _mk(spark, tmp_path)
+    t.delete_where_dv(F.col("k") % 10 == 0)  # v1 (dv'd)
+    t.compact(target_files=2)  # v2
+    dv1 = os.path.join(t.path, t.manifest(1)["files"][0]["dv"]["path"])
+    os.remove(dv1)  # simulate an over-eager vacuum
+    with pytest.raises(FileNotFoundError):
+        t.restore(1)
+    # latest is still the intact v2 — restore refused BEFORE committing
+    assert t.read().count() == 900
+
+
+def test_dv_clone_applies_source_vectors(spark, tmp_path):
+    t = _mk(spark, tmp_path)
+    t.delete_where_dv(F.col("k") % 10 == 0)
+    c = t.clone_to(str(tmp_path / "clone"))
+    assert c.read().count() == 900
+    assert c.read().filter(F.col("k") % 10 == 0).count() == 0
+    # a NEW DV delete on the clone keys off the pinned source key and
+    # never mutates the source
+    c.delete_where_dv(F.col("k") % 7 == 0)
+    assert c.read().count() == 900 - 128
+    assert t.read().count() == 900
+
+
+def test_dv_merge_conflict_matrix_sees_interleaved_dv_delete(
+    spark, tmp_path, monkeypatch
+):
+    # An interleaved DV delete keeps every touched PATH identical but
+    # changes live content; the merge retry must refuse, not adopt.
+    t = _mk(spark, tmp_path)
+    src = spark.createDataFrame([(5, 999)], "k long, v long")
+    orig_stage = t._stage_files
+    raced = {"done": False}
+
+    def stage_and_race(df, version):
+        out = orig_stage(df, version)
+        if not raced["done"]:
+            raced["done"] = True
+            racer = TxnTable(spark, t.path, "k")
+            racer.delete_where_dv(F.col("k") == 7)  # same key-range file
+        return out
+
+    monkeypatch.setattr(t, "_stage_files", stage_and_race)
+    with pytest.raises(ConcurrentWriteError):
+        t.merge(src, "k")

@@ -86,6 +86,81 @@ def table_txn_checkpoint(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "table_delete_vectors",
+    """
+    SELECT CAST(count(*) AS BIGINT) AS n_rows,
+           round(CAST(sum(CAST(o_totalprice AS DECIMAL(18,2)))
+                      AS DOUBLE), 2) AS total_price,
+           (SELECT CAST(count(*) AS BIGINT) FROM orders
+            WHERE o_orderkey % 7 = 3) AS rows_deleted_1,
+           (SELECT CAST(count(*) AS BIGINT) FROM orders
+            WHERE o_orderkey % 11 = 5 AND o_orderkey % 7 <> 3)
+             AS rows_deleted_2,
+           4 AS files_marked_1,
+           4 AS files_marked_2,
+           0 AS data_files_changed
+    FROM orders
+    WHERE NOT (o_orderkey % 7 = 3 OR o_orderkey % 11 = 5)
+    """,
+)
+def table_delete_vectors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Merge-on-read DELETE via deletion vectors, end to end: orders
+    lands as 4 range-clustered files, then two scattered deletes
+    (o_orderkey % 7 = 3, then % 11 = 5 — every file is hit BOTH times)
+    run as ``delete_where_dv``: each writes one tiny sidecar of
+    (file key, row ordinal) pairs and rewrites ZERO data files
+    (``data_files_changed`` compares the v0 and final manifests' data
+    file sets — must be 0). The second delete exercises DV merging
+    (already-deleted rows are not re-counted: rows_deleted_2 excludes
+    the %7 overlap) and the read-back aggregate over the live view
+    must hash-match batch SQL WHERE NOT (p1 OR p2) — a resurrected or
+    over-deleted row anywhere changes it.
+
+    Scale: this is THE DELETE that survives 100 TB ergonomics (GDPR
+    erasure, bad-record purge): O(matches) sidecar bytes + one
+    broadcast anti-join at read, vs copy-on-write's rewrite of every
+    hit file — measured at 20M rows/64 files, a 200-row scattered
+    delete writes a 2.8 KB sidecar where CoW rewrites 83.5 MB
+    (~30,000× write amplification), at a ~3× full-scan read tax until
+    the next compaction materializes the vectors away (SCALE.md
+    round-7).
+
+    Parity: Delta deletion vectors / Iceberg positional deletes
+    (merge-on-read row-level operations)."""
+    from xlsx_to_database_spark.operators.txn_table import TxnTable
+
+    orders = table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_totalprice"
+    )
+    tag = os.path.basename(os.path.normpath(sf_dir))
+    root = f"/tmp/spark_stage/{tag}_txn_dv"
+    shutil.rmtree(root, ignore_errors=True)
+    t = TxnTable(spark, root, "o_orderkey")
+    t.create(orders.repartitionByRange(4, "o_orderkey"))
+    key = F.col("o_orderkey")
+    _, marked1, deleted1 = t.delete_where_dv(key % 7 == 3)
+    _, marked2, deleted2 = t.delete_where_dv(key % 11 == 5)
+    data_v0 = {e["path"] for e in t.manifest(0)["files"]}
+    data_now = {e["path"] for e in t.manifest()["files"]}
+    changed = len(data_v0 ^ data_now)
+    return (
+        t.read()
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_rows"),
+            F.round(
+                F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+                .cast("double"), 2
+            ).alias("total_price"),
+        )
+        .withColumn("rows_deleted_1", F.lit(deleted1).cast("long"))
+        .withColumn("rows_deleted_2", F.lit(deleted2).cast("long"))
+        .withColumn("files_marked_1", F.lit(marked1).cast("int"))
+        .withColumn("files_marked_2", F.lit(marked2).cast("int"))
+        .withColumn("data_files_changed", F.lit(changed).cast("int"))
+    )
+
+
+@query(
     "stream_restart_resume",
     """
     SELECT CAST(user_id % 10 AS BIGINT) AS bucket,
