@@ -64,6 +64,10 @@ HEADLINE = [
     # number covers the full protocol: create, stats-pruned copy-on-write
     # MERGE commit, and the versioned read-back.
     "table_merge_upsert",
+    # Round-7 addition: the merge-on-read DELETE — two deletion-vector
+    # commits plus the anti-join read-back; tracks both the sidecar
+    # write path and the DV read tax.
+    "table_delete_vectors",
 ]
 
 

@@ -181,6 +181,21 @@ def test_dv_clone_applies_source_vectors(spark, tmp_path):
     assert t.read().count() == 900
 
 
+def test_dv_then_cow_delete_composes(spark, tmp_path):
+    # A copy-on-write delete over a DV'd table must apply the vectors
+    # in its rewrite (no resurrection) and in its probe (a file whose
+    # only matches are DV-deleted is not rewritten).
+    t = _mk(spark, tmp_path)
+    t.delete_where_dv(F.col("k").isin(10, 500))
+    v, rewritten, carried = t.delete_where(F.col("k") % 2 == 1)
+    assert rewritten == 4
+    ks = {r.k for r in t.read().filter(F.col("k") <= 12).collect()}
+    assert ks == {2, 4, 6, 8, 12}  # odds CoW-deleted, 10 DV-deleted
+    assert t.read().count() == 1000 - 500 - 2
+    # rewritten files carry no DV
+    assert all(not e.get("dv") for e in t.manifest()["files"])
+
+
 def test_dv_merge_conflict_matrix_sees_interleaved_dv_delete(
     spark, tmp_path, monkeypatch
 ):

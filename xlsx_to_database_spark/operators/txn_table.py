@@ -406,7 +406,9 @@ class TxnTable:
                 return None
         return entries
 
-    def _read_files(self, entries: list[dict]) -> DataFrame:
+    def _read_files(
+        self, entries: list[dict], with_fp: bool = False
+    ) -> DataFrame:
         """Read the live rows of ``entries`` — the merge-on-read seam.
 
         Files without a deletion vector stream straight off the parquet
@@ -423,6 +425,11 @@ class TxnTable:
         mergeSchema: files written before a column was added read as
         NULL for it — additive schema evolution without rewriting
         history (the parquet-footer union Delta calls schema merging).
+
+        ``with_fp=True`` keeps each row's ``__fp`` (its file's
+        ``_metadata.file_path`` URI), attached per scan branch BEFORE
+        any union — ``input_file_name()`` cannot do this over the
+        multi-source plan a DV'd snapshot reads as.
         """
         plain = [e for e in entries if not e.get("dv")]
         dvd = [e for e in entries if e.get("dv")]
@@ -432,6 +439,8 @@ class TxnTable:
             parts.append(
                 reader.parquet(
                     *[os.path.join(self.path, e["path"]) for e in plain]
+                ).select(
+                    "*", F.col("_metadata.file_path").alias("__fp")
                 )
             )
         if dvd:
@@ -442,14 +451,14 @@ class TxnTable:
                 (scan["__fp"] == dv["__fp"])
                 & (scan["__ri"] == dv["__ri"]),
                 "left_anti",
-            ).drop("__fp", "__ri")
+            ).drop("__ri")
             parts.append(live)
         if not parts:
             raise ValueError("empty manifest entry list")
         out = parts[0]
         for p in parts[1:]:
             out = out.unionByName(p, allowMissingColumns=True)
-        return out
+        return out if with_fp else out.drop("__fp")
 
     @staticmethod
     def _dv_key(e: dict) -> str:
@@ -1045,19 +1054,21 @@ class TxnTable:
         Every file is *probed* with a metadata-cheap anti-count — but
         only files that actually contain matches are rewritten; the
         probe prunes with the predicate pushed to the parquet scan, so
-        a selective predicate touches few row groups."""
+        a selective predicate touches few row groups. The probe rides
+        ``_metadata.file_path`` attached per scan branch (not
+        ``input_file_name()``, which Spark refuses over the multi-source
+        union a DV'd snapshot reads as) and sees the LIVE view — a file
+        whose only matches are already DV-deleted is not rewritten."""
         entries = self.manifest()["files"]
+        by_uri = {self._fp_uri(e): e["path"] for e in entries}
         probe = (
-            self._read_files(entries)
+            self._read_files(entries, with_fp=True)
             .filter(pred)
-            .groupBy(F.input_file_name().alias("f"))
+            .groupBy("__fp")
             .agg(F.count(F.lit(1)).alias("n"))
             .collect()
         )
-        hit = {
-            os.path.relpath(unquote(r["f"].removeprefix("file:")), self.path)
-            for r in probe
-        }
+        hit = {by_uri[r["__fp"]] for r in probe}
         touched = [e for e in entries if e["path"] in hit]
         untouched = [e for e in entries if e["path"] not in hit]
         v = self.latest_version() + 1
