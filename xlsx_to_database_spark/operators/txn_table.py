@@ -475,6 +475,25 @@ class TxnTable:
         entry's data file — the scan-side identity half."""
         return "file:" + os.path.abspath(os.path.join(self.path, e["path"]))
 
+    def _literal_df(self, pairs: list[tuple], a: str, b: str) -> DataFrame:
+        """A two-string-column DataFrame from driver pairs as a PURE
+        LITERAL plan (struct-array explode → LocalRelation-class), not
+        ``createDataFrame`` — which routes tiny lists through Python-RDD
+        schema application at ~0.2–0.5 s per query. Manifest-bounded:
+        one struct per file; a deployment with 100k+ files would switch
+        this to an Arrow createDataFrame, same contract."""
+        arr = F.array(
+            *[
+                F.struct(F.lit(x).alias(a), F.lit(y).alias(b))
+                for x, y in pairs
+            ]
+        )
+        return (
+            self.spark.range(1)
+            .select(F.explode(arr).alias("s"))
+            .select("s.*")
+        )
+
     def _scan_identity(self, entries: list[dict]) -> DataFrame:
         """Scan ``entries`` with each row's stable identity attached:
         ``__fp`` (the file's ``_metadata.file_path`` URI) and ``__ri``
@@ -501,7 +520,7 @@ class TxnTable:
         small by contract, keeping the expensive scan side to ONE
         broadcast anti-join."""
         pairs = [(self._dv_key(e), self._fp_uri(e)) for e in dvd]
-        map_df = self.spark.createDataFrame(pairs, "__key string, __fp string")
+        map_df = self._literal_df(pairs, "__key", "__fp")
         dv = self.spark.read.parquet(
             *[
                 os.path.join(self.path, p)
@@ -1128,9 +1147,9 @@ class TxnTable:
             )
         # Translate matched rows' URIs back to pinned DV keys on the
         # SMALL side (matches only), keeping the scan join-free.
-        key_map = self.spark.createDataFrame(
+        key_map = self._literal_df(
             [(self._fp_uri(e), self._dv_key(e)) for e in entries],
-            "__fp string, __key string",
+            "__fp", "__key",
         )
         matches = (
             scan.filter(pred)
@@ -1141,40 +1160,56 @@ class TxnTable:
                 F.col("__ri").alias("row_index"),
             )
         )
-        # Per-file hit counts: bounded by the file count, drives the
-        # manifest update — this is manifest metadata, not data motion.
-        per_file = {
-            r["path"]: r["n"]
-            for r in matches.groupBy("path")
-            .agg(F.count(F.lit(1)).alias("n"))
-            .collect()
-        }
-        if not per_file:
-            return self.latest_version(), 0, 0
-        hit = set(per_file)  # DV keys of the files hit this round
+        # Write-first: the full probe scan runs ONCE, materializing the
+        # matches into the sidecar staging dir; per-file counts and the
+        # prior-DV union then run over the staged sidecar — KB-scale
+        # I/O, never a second table scan.
         v = self.latest_version() + 1
         dv_rel = os.path.join(
             "dv", f"dv-v{v:010d}-{_uuid.uuid4().hex[:8]}.parquet"
         )
-        new_dv = matches
+        stage = os.path.join(self.path, dv_rel) + ".stage"
+        matches.coalesce(1).write.mode("overwrite").parquet(stage)
+        staged = self.spark.read.parquet(stage)
+        # Per-file hit counts: bounded by the file count, drives the
+        # manifest update — this is manifest metadata, not data motion.
+        per_file = {
+            r["path"]: r["n"]
+            for r in staged.groupBy("path")
+            .agg(F.count(F.lit(1)).alias("n"))
+            .collect()
+        }
+        if not per_file:
+            shutil.rmtree(stage, ignore_errors=True)
+            return self.latest_version(), 0, 0
+        hit = set(per_file)  # DV keys of the files hit this round
         carry_dvs = sorted(
             {e["dv"]["path"] for e in dvd if self._dv_key(e) in hit}
         )
+        import glob as _glob
+
+        os.makedirs(os.path.join(self.path, "dv"), exist_ok=True)
         if carry_dvs:
+            # DV merge: rewrite the KB-scale sidecar as staged matches
+            # plus the hit files' previous vectors. One sidecar file:
+            # DVs are small by contract (matches, not table rows); a
+            # delete big enough to make this large is a rewrite-shaped
+            # delete and belongs to delete_where().
             prior = self.spark.read.parquet(
                 *[os.path.join(self.path, p) for p in carry_dvs]
             ).filter(F.col("path").isin(*sorted(hit)))
-            new_dv = new_dv.unionByName(prior)
-        # One sidecar file: DVs are small by contract (matches, not
-        # table rows); a delete big enough to make this file large is
-        # a rewrite-shaped delete and belongs to delete_where().
-        stage = os.path.join(self.path, dv_rel) + ".stage"
-        new_dv.coalesce(1).write.mode("overwrite").parquet(stage)
-        import glob as _glob
-
-        (part,) = _glob.glob(os.path.join(stage, "part-*.parquet"))
-        os.makedirs(os.path.join(self.path, "dv"), exist_ok=True)
-        os.replace(part, os.path.join(self.path, dv_rel))
+            final_stage = stage + ".merged"
+            staged.unionByName(prior).coalesce(1).write.mode(
+                "overwrite"
+            ).parquet(final_stage)
+            (part,) = _glob.glob(os.path.join(final_stage, "part-*.parquet"))
+            os.replace(part, os.path.join(self.path, dv_rel))
+            shutil.rmtree(final_stage, ignore_errors=True)
+        else:
+            # First DV for every hit file: the staged matches ARE the
+            # sidecar — promote the part file directly.
+            (part,) = _glob.glob(os.path.join(stage, "part-*.parquet"))
+            os.replace(part, os.path.join(self.path, dv_rel))
         shutil.rmtree(stage, ignore_errors=True)
         files = []
         for e in entries:
