@@ -196,6 +196,58 @@ def test_dv_then_cow_delete_composes(spark, tmp_path):
     assert all(not e.get("dv") for e in t.manifest()["files"])
 
 
+def test_cdc_rows_exact_for_append_and_dv_delete(spark, tmp_path):
+    # Row-level CDC: appends emit exact inserts, DV deletes emit exact
+    # per-row deletes (values included), compaction emits nothing.
+    t = _mk(spark, tmp_path, n=100, parts=2)
+    t.append(
+        spark.range(101, 121).select(
+            F.col("id").alias("k"), (F.col("id") * 2).alias("v")
+        )
+    )  # v1
+    t.delete_where_dv(F.col("k") % 10 == 0)  # v2
+    t.compact(target_files=1)  # v3: layout-only
+    ch = t.read_changes_rows(0, 3)
+    got = {
+        (r["_change_type"], r["k"]) for r in ch.collect()
+    }
+    want = {("insert", k) for k in range(101, 121)} | {
+        ("delete", k) for k in range(10, 121, 10)
+    }
+    assert got == want
+    # the deleted rows carry their VALUES, not just identities
+    vals = {r["k"]: r["v"] for r in ch.filter(
+        F.col("_change_type") == "delete").collect()}
+    assert vals[20] == 40
+    # a compact-only window is empty, with a stable schema
+    empty = t.read_changes_rows(2, 3)
+    assert empty.count() == 0
+    assert empty.columns[0] == "_change_type"
+    # the second DV delete diffs against the first (sidecar delta)
+    t.delete_where_dv(F.col("k") % 7 == 0)  # v4 (post-compact files)
+    ks = sorted(r["k"] for r in t.read_changes_rows(3, 4).collect())
+    assert ks == [k for k in range(1, 121) if k % 7 == 0 and k % 10 != 0]
+
+
+def test_cdc_rows_cow_fallback_is_file_level(spark, tmp_path):
+    # A copy-on-write MERGE reports at file granularity: rewritten
+    # files' prior live rows as deletes + new files as inserts
+    # (carryover pairs), never silently nothing.
+    t = _mk(spark, tmp_path, n=100, parts=2)
+    src = spark.createDataFrame([(5, 999)], "k long, v long")
+    t.merge(src, "k")  # rewrites the file holding k=5
+    ch = t.read_changes_rows(0, 1)
+    by = {r["_change_type"]: r["n"] for r in ch.groupBy(
+        "_change_type").agg(F.count(F.lit(1)).alias("n")).collect()}
+    assert by["delete"] >= 1 and by["insert"] >= 1
+    # net effect must reconcile: live rows after = before (upsert hit)
+    assert t.read().count() == 100
+    new_v = {r.k: r.v for r in ch.filter(
+        (F.col("_change_type") == "insert") & (F.col("k") == 5)
+    ).collect()}
+    assert new_v == {5: 999}
+
+
 def test_dv_merge_conflict_matrix_sees_interleaved_dv_delete(
     spark, tmp_path, monkeypatch
 ):

@@ -1066,6 +1066,118 @@ class TxnTable:
             ).limit(0)
         return self._read_files(new)
 
+    def read_changes_rows(
+        self, from_version: int, to_version: int
+    ) -> DataFrame:
+        """Row-level CDC (Delta Change-Data-Feed-lite): walk every
+        commit in ``(from_version, to_version]`` and emit
+        ``(_change_type, *data columns)`` rows:
+
+        - ``create``/``append``/``append_once``: the new files' rows →
+          ``insert`` (exact).
+        - ``delete_dv``: the sidecar DELTA (this commit's vector rows
+          minus the previous version's) joined back to the data files
+          for the row VALUES → ``delete`` (exact row-level — the payoff
+          of deletion vectors: CoW rewrites lose row identity, DVs keep
+          it).
+        - ``compact``/``compact_small``/``restore-rollback``: layout-
+          only by contract → nothing emitted.
+        - ``merge``/``delete``/``restore`` (copy-on-write rewrites):
+          file-level fallback — removed files' live rows (as of v−1) →
+          ``delete``, added files' rows → ``insert``. Unchanged rows in
+          a rewritten file appear as delete+insert pairs (the carryover
+          noise Iceberg changelog scans document; exact per-row diffing
+          of rewrites needs a row-tracking id, out of scope).
+
+        Every step is manifest metadata plus scans of only the files
+        that changed in that commit — never the whole table."""
+        parts: list[DataFrame] = []
+        for v in range(from_version + 1, to_version + 1):
+            man, prev = self.manifest(v), self.manifest(v - 1)
+            op = man.get("op", "")
+            if (
+                op in ("compact", "compact_small")
+                or op.startswith("restore-rollback")
+            ):
+                continue
+            if op == "delete_dv":
+                d = self._dv_delta_rows(prev["files"], man["files"])
+                if d is not None:
+                    parts.append(
+                        d.select(F.lit("delete").alias("_change_type"), "*")
+                    )
+                continue
+            prev_paths = {e["path"] for e in prev["files"]}
+            cur_paths = {e["path"] for e in man["files"]}
+            removed = [
+                e for e in prev["files"] if e["path"] not in cur_paths
+            ]
+            added = [
+                e for e in man["files"] if e["path"] not in prev_paths
+            ]
+            if removed:
+                parts.append(
+                    self._read_files(removed).select(
+                        F.lit("delete").alias("_change_type"), "*"
+                    )
+                )
+            if added:
+                parts.append(
+                    self._read_files(added).select(
+                        F.lit("insert").alias("_change_type"), "*"
+                    )
+                )
+        if not parts:
+            return self.read(to_version).limit(0).select(
+                F.lit("").alias("_change_type"), "*"
+            )
+        out = parts[0]
+        for p in parts[1:]:
+            out = out.unionByName(p, allowMissingColumns=True)
+        return out
+
+    def _dv_delta_rows(
+        self, prev_entries: list[dict], cur_entries: list[dict]
+    ) -> Optional[DataFrame]:
+        """The data rows deleted by one ``delete_dv`` commit: this
+        version's vector rows minus the previous version's (both
+        KB-scale sidecar reads), joined back to the hit data files for
+        the row values — one scan of only the hit files."""
+        prev_dv = {
+            self._dv_key(e): e["dv"]["path"]
+            for e in prev_entries
+            if e.get("dv")
+        }
+        hit = [
+            e for e in cur_entries
+            if e.get("dv")
+            and prev_dv.get(self._dv_key(e)) != e["dv"]["path"]
+        ]
+        if not hit:
+            return None
+        cur_rows = self._dv_rows(hit)
+        prev_hit = [
+            e for e in prev_entries
+            if e.get("dv") and self._dv_key(e) in {
+                self._dv_key(h) for h in hit
+            }
+        ]
+        if prev_hit:
+            prev_rows = self._dv_rows(prev_hit)
+            cur_rows = cur_rows.join(
+                F.broadcast(prev_rows),
+                (cur_rows["__fp"] == prev_rows["__fp"])
+                & (cur_rows["__ri"] == prev_rows["__ri"]),
+                "left_anti",
+            )
+        scan = self._scan_identity(hit)
+        return scan.join(
+            F.broadcast(cur_rows),
+            (scan["__fp"] == cur_rows["__fp"])
+            & (scan["__ri"] == cur_rows["__ri"]),
+            "left_semi",
+        ).drop("__fp", "__ri")
+
     def delete_where(self, pred) -> tuple[int, int, int]:
         """DELETE rows matching ``pred`` (a Column). Returns
         (new_version, files_rewritten, files_carried).

@@ -161,6 +161,69 @@ def table_delete_vectors(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "table_cdc_rows",
+    """
+    SELECT * FROM (
+      SELECT 'insert' AS _change_type,
+             CAST(count(*) AS BIGINT) AS n,
+             round(CAST(sum(CAST(o_totalprice AS DECIMAL(18,2)))
+                        AS DOUBLE), 2) AS total
+      FROM orders WHERE o_orderkey % 5 = 0
+      UNION ALL
+      SELECT 'delete' AS _change_type,
+             CAST(count(*) AS BIGINT) AS n,
+             round(CAST(sum(CAST(o_totalprice AS DECIMAL(18,2)))
+                        AS DOUBLE), 2) AS total
+      FROM orders WHERE o_orderkey % 9 = 2
+    )
+    """,
+)
+def table_cdc_rows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Row-level change data capture from the txn log: the table is
+    created from orders minus the %5 slice, the slice is APPENDED
+    (v1), a scattered DV DELETE lands (v2, o_orderkey % 9 = 2), and a
+    compaction rewrites the layout (v3). ``read_changes_rows(0, 3)``
+    must emit the appended rows as exact ``insert``s, the DV-deleted
+    rows as exact per-row ``delete``s WITH their column values (the
+    deletion-vector payoff — a copy-on-write delete loses row
+    identity), and NOTHING for the layout-only compaction. The op
+    aggregates the change feed per type; both legs hash-match batch
+    SQL over orders.
+
+    Scale: each commit's changes come from scans of only that commit's
+    touched files plus KB-scale sidecar diffs — a day of CDC on a
+    100 TB table reads the day's files, never the table. Parity:
+    Delta Change Data Feed / Iceberg changelog scans."""
+    from xlsx_to_database_spark.operators.txn_table import TxnTable
+
+    orders = table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_totalprice"
+    )
+    tag = os.path.basename(os.path.normpath(sf_dir))
+    root = f"/tmp/spark_stage/{tag}_txn_cdc"
+    shutil.rmtree(root, ignore_errors=True)
+    t = TxnTable(spark, root, "o_orderkey")
+    key = F.col("o_orderkey")
+    t.create(
+        orders.filter(key % 5 != 0).repartitionByRange(4, "o_orderkey")
+    )
+    t.append(orders.filter(key % 5 == 0).coalesce(1))
+    t.delete_where_dv(key % 9 == 2)
+    t.compact(target_files=4)
+    return (
+        t.read_changes_rows(0, 3)
+        .groupBy("_change_type")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.round(
+                F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+                .cast("double"), 2
+            ).alias("total"),
+        )
+    )
+
+
+@query(
     "stream_restart_resume",
     """
     SELECT CAST(user_id % 10 AS BIGINT) AS bucket,
