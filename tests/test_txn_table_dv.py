@@ -248,6 +248,62 @@ def test_cdc_rows_cow_fallback_is_file_level(spark, tmp_path):
     assert new_v == {5: 999}
 
 
+def test_dv_delete_rebases_across_interleaved_append(
+    spark, tmp_path, monkeypatch
+):
+    # Row-level deletes don't conflict with appends (Delta's matrix):
+    # a DV delete that loses the version race to an append must rebase
+    # — adopt the appended file, keep its own vector patch — and
+    # snapshot isolation holds (appended rows are NOT deleted even if
+    # they match the predicate).
+    t = _mk(spark, tmp_path)
+    orig_commit = t._commit
+    raced = {"done": False}
+
+    def commit_and_race(version, op, files, txn_id=None):
+        if op == "delete_dv" and not raced["done"]:
+            raced["done"] = True
+            racer = TxnTable(spark, t.path, "k")
+            racer.append(
+                spark.createDataFrame([(2000, 0)], "k long, v long")
+            )  # 2000 % 10 == 0: matches the pred, post-snapshot
+        return orig_commit(version, op, files, txn_id=txn_id)
+
+    monkeypatch.setattr(t, "_commit", commit_and_race)
+    v, marked, deleted = t.delete_where_dv(F.col("k") % 10 == 0)
+    assert (marked, deleted) == (4, 100)
+    assert t.latest_version() == 2  # append v1 + rebased delete v2
+    assert t.read().count() == 1000 - 100 + 1
+    assert {r.k for r in t.read().filter(F.col("k") >= 1000).collect()} \
+        == {2000}, "snapshot isolation: post-snapshot append survives"
+
+
+def test_dv_delete_conflicts_with_overlapping_dv_delete(
+    spark, tmp_path, monkeypatch
+):
+    # Two DV deletes racing on the SAME file must not silently undelete
+    # each other: the loser's merged sidecar embeds the PRIOR vector,
+    # so committing it over the winner's new vector would resurrect the
+    # winner's deletions — the retry must refuse.
+    t = _mk(spark, tmp_path)
+    orig_commit = t._commit
+    raced = {"done": False}
+
+    def commit_and_race(version, op, files, txn_id=None):
+        if op == "delete_dv" and not raced["done"]:
+            raced["done"] = True
+            racer = TxnTable(spark, t.path, "k")
+            racer.delete_where_dv(F.col("k") == 7)  # same first file
+        return orig_commit(version, op, files, txn_id=txn_id)
+
+    monkeypatch.setattr(t, "_commit", commit_and_race)
+    with pytest.raises(ConcurrentWriteError):
+        t.delete_where_dv(F.col("k") % 10 == 0)
+    # the WINNER's delete is intact
+    assert t.read().filter(F.col("k") == 7).count() == 0
+    assert t.read().count() == 999
+
+
 def test_dv_merge_conflict_matrix_sees_interleaved_dv_delete(
     spark, tmp_path, monkeypatch
 ):

@@ -1323,22 +1323,60 @@ class TxnTable:
             (part,) = _glob.glob(os.path.join(stage, "part-*.parquet"))
             os.replace(part, os.path.join(self.path, dv_rel))
         shutil.rmtree(stage, ignore_errors=True)
-        files = []
-        for e in entries:
-            key = self._dv_key(e)
-            if key in hit:
-                prev = e.get("dv", {}).get("deleted", 0)
-                files.append(
-                    {
-                        **e,
-                        "dv": {
-                            "path": dv_rel,
-                            "key": key,
-                            "deleted": prev + per_file[key],
-                        },
-                    }
-                )
-            else:
-                files.append(e)
-        self._commit(v, "delete_dv", files)
-        return v, len(hit), sum(per_file.values())
+        def _patched(base: list[dict]) -> list[dict]:
+            out = []
+            for e in base:
+                key = self._dv_key(e)
+                if key in hit:
+                    prev = e.get("dv", {}).get("deleted", 0)
+                    out.append(
+                        {
+                            **e,
+                            "dv": {
+                                "path": dv_rel,
+                                "key": key,
+                                "deleted": prev + per_file[key],
+                            },
+                        }
+                    )
+                else:
+                    out.append(e)
+            return out
+
+        # Delta's row-level conflict matrix: a lost version race is
+        # retried iff every HIT file is untouched in the interleaved
+        # commits (same data path, same prior DV pointer — our merged
+        # sidecar embeds that prior vector, so a racer's new vector on
+        # a hit file would be silently UNDELETED if we committed over
+        # it). Appends, disjoint merges, and DV deletes of OTHER files
+        # are adopted by reference; snapshot isolation holds — rows
+        # appended after our read snapshot are not deleted by us.
+        orig_by_key = {
+            self._dv_key(e): e for e in entries if self._dv_key(e) in hit
+        }
+        files = _patched(entries)
+        for _ in range(11):
+            try:
+                self._commit(v, "delete_dv", files)
+                return v, len(hit), sum(per_file.values())
+            except ConcurrentWriteError:
+                now = self.manifest()["files"]
+                now_by_key = {self._dv_key(e): e for e in now}
+                stale = [
+                    k for k, o in orig_by_key.items()
+                    if k not in now_by_key
+                    or now_by_key[k]["path"] != o["path"]
+                    or now_by_key[k].get("dv", {}).get("path")
+                    != o.get("dv", {}).get("path")
+                ]
+                if stale:
+                    raise ConcurrentWriteError(
+                        f"delete_dv lost a race to a commit that changed "
+                        f"{len(stale)} of its hit file(s) (e.g. "
+                        f"{stale[0]}); retry on the new snapshot"
+                    ) from None
+                files = _patched(now)
+                v = self.latest_version() + 1
+        raise ConcurrentWriteError(
+            f"delete_dv lost 11 consecutive version races at {self.path}"
+        )
