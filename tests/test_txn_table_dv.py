@@ -248,6 +248,83 @@ def test_cdc_rows_cow_fallback_is_file_level(spark, tmp_path):
     assert new_v == {5: 999}
 
 
+def test_update_dv_basic_time_travel_and_chaining(spark, tmp_path):
+    # Merge-on-read UPDATE: old positions DV-deleted, updated copies
+    # appended, original files untouched; time travel sees pre-update
+    # values; a second update finds the rows in their NEW file.
+    t = _mk(spark, tmp_path, n=100, parts=2)
+    before = set(_data_files(t))
+    v, marked, n = t.update_where_dv(
+        F.col("k") % 10 == 0, {"v": F.col("v") + 1000}
+    )
+    assert (v, marked, n) == (1, 2, 10)
+    assert before <= set(_data_files(t))  # nothing rewritten/removed
+    got = {r.k: r.v for r in t.read().collect()}
+    assert len(got) == 100 and got[10] == 1020 and got[7] == 14
+    assert {r.k: r.v for r in t.read(0).collect()}[10] == 20
+    v2, m2, n2 = t.update_where_dv(
+        F.col("v") > 1000, {"v": F.col("v") - 1000}
+    )
+    assert (m2, n2) == (1, 10)  # all 10 now live in the one new file
+    assert {r.k: r.v for r in t.read().collect()}[10] == 20
+    # unknown column refuses loudly
+    with pytest.raises(ValueError):
+        t.update_where_dv(F.col("k") == 1, {"nope": F.lit(0)})
+    # no-match commits nothing
+    assert t.update_where_dv(F.col("k") > 10_000, {"v": F.lit(0)}) == (
+        v2, 0, 0,
+    )
+
+
+def test_update_dv_null_pred_rows_not_updated(spark, tmp_path):
+    t = TxnTable(spark, str(tmp_path / "tbl"), "k")
+    df = spark.range(1, 11).select(
+        F.col("id").alias("k"),
+        F.when(F.col("id") <= 5, F.col("id")).alias("v"),
+    )
+    t.create(df.coalesce(1))
+    t.update_where_dv(F.col("v") < 3, {"k": F.col("k") + 100})
+    ks = {r.k for r in t.read().collect()}
+    assert ks == {101, 102, 3, 4, 5, 6, 7, 8, 9, 10}
+
+
+def test_update_dv_cdc_pre_and_post_image(spark, tmp_path):
+    t = _mk(spark, tmp_path, n=100, parts=2)
+    t.update_where_dv(F.col("k") == 10, {"v": F.lit(-1)})
+    ch = t.read_changes_rows(0, 1).collect()
+    assert {(r["_change_type"], r["k"], r["v"]) for r in ch} == {
+        ("delete", 10, 20), ("insert", 10, -1),
+    }
+
+
+def test_update_dv_rebases_across_interleaved_append(
+    spark, tmp_path, monkeypatch
+):
+    t = _mk(spark, tmp_path)
+    orig_commit = t._commit
+    raced = {"done": False}
+
+    def commit_and_race(version, op, files, txn_id=None):
+        if op == "update_dv" and not raced["done"]:
+            raced["done"] = True
+            racer = TxnTable(spark, t.path, "k")
+            racer.append(
+                spark.createDataFrame([(2000, 0)], "k long, v long")
+            )
+        return orig_commit(version, op, files, txn_id=txn_id)
+
+    monkeypatch.setattr(t, "_commit", commit_and_race)
+    v, marked, n = t.update_where_dv(
+        F.col("k") % 100 == 0, {"v": F.lit(7).cast("long")}
+    )
+    assert (marked, n) == (4, 10)
+    got = {r.k: r.v for r in t.read().collect()}
+    assert got[100] == 7 and got[2000] == 0, (
+        "snapshot isolation: post-snapshot append not updated"
+    )
+    assert len(got) == 1001
+
+
 def test_dv_delete_rebases_across_interleaved_append(
     spark, tmp_path, monkeypatch
 ):

@@ -1073,21 +1073,24 @@ class TxnTable:
         commit in ``(from_version, to_version]`` and emit
         ``(_change_type, *data columns)`` rows:
 
-        - ``create``/``append``/``append_once``: the new files' rows →
-          ``insert`` (exact).
-        - ``delete_dv``: the sidecar DELTA (this commit's vector rows
-          minus the previous version's) joined back to the data files
-          for the row VALUES → ``delete`` (exact row-level — the payoff
-          of deletion vectors: CoW rewrites lose row identity, DVs keep
-          it).
-        - ``compact``/``compact_small``/``restore-rollback``: layout-
-          only by contract → nothing emitted.
-        - ``merge``/``delete``/``restore`` (copy-on-write rewrites):
-          file-level fallback — removed files' live rows (as of v−1) →
-          ``delete``, added files' rows → ``insert``. Unchanged rows in
-          a rewritten file appear as delete+insert pairs (the carryover
-          noise Iceberg changelog scans document; exact per-row diffing
-          of rewrites needs a row-tracking id, out of scope).
+        Three uniform rules per commit (they compose — a merge-on-read
+        UPDATE is rule 2 + rule 3 in one commit):
+
+        1. Layout-only ops (``compact``/``compact_small``/
+           ``restore-rollback``): content-preserving by contract →
+           nothing emitted.
+        2. Files REMOVED from the manifest → their live rows (as of
+           v−1) as ``delete``; files ADDED → their rows (as committed)
+           as ``insert``. For copy-on-write rewrites (``merge``/
+           ``delete``/``restore``) unchanged rows in a rewritten file
+           appear as delete+insert pairs (the carryover noise Iceberg
+           changelog scans document; exact per-row diffing of rewrites
+           needs a row-tracking id, out of scope).
+        3. Entries whose DELETION VECTOR changed → the sidecar DELTA
+           (this commit's vector rows minus the previous version's)
+           joined back to the data files for the row VALUES →
+           ``delete`` (exact row-level — the payoff of deletion
+           vectors: CoW rewrites lose row identity, DVs keep it).
 
         Every step is manifest metadata plus scans of only the files
         that changed in that commit — never the whole table."""
@@ -1099,13 +1102,6 @@ class TxnTable:
                 op in ("compact", "compact_small")
                 or op.startswith("restore-rollback")
             ):
-                continue
-            if op == "delete_dv":
-                d = self._dv_delta_rows(prev["files"], man["files"])
-                if d is not None:
-                    parts.append(
-                        d.select(F.lit("delete").alias("_change_type"), "*")
-                    )
                 continue
             prev_paths = {e["path"] for e in prev["files"]}
             cur_paths = {e["path"] for e in man["files"]}
@@ -1127,6 +1123,11 @@ class TxnTable:
                         F.lit("insert").alias("_change_type"), "*"
                     )
                 )
+            d = self._dv_delta_rows(prev["files"], man["files"])
+            if d is not None:
+                parts.append(
+                    d.select(F.lit("delete").alias("_change_type"), "*")
+                )
         if not parts:
             return self.read(to_version).limit(0).select(
                 F.lit("").alias("_change_type"), "*"
@@ -1139,10 +1140,15 @@ class TxnTable:
     def _dv_delta_rows(
         self, prev_entries: list[dict], cur_entries: list[dict]
     ) -> Optional[DataFrame]:
-        """The data rows deleted by one ``delete_dv`` commit: this
-        version's vector rows minus the previous version's (both
-        KB-scale sidecar reads), joined back to the hit data files for
-        the row values — one scan of only the hit files."""
+        """The data rows deleted by one commit's vector changes: this
+        version's sidecar rows minus the previous version's (both
+        KB-scale reads), joined back to the hit data files for the row
+        values — one scan of only the hit files. Only entries present
+        in BOTH manifests count: an entry that entered the manifest in
+        this commit (restore, clone) had its DV already applied to its
+        ``insert`` rows, so emitting its vector as deletes would
+        double-subtract."""
+        prev_by_path = {e["path"]: e for e in prev_entries}
         prev_dv = {
             self._dv_key(e): e["dv"]["path"]
             for e in prev_entries
@@ -1151,6 +1157,7 @@ class TxnTable:
         hit = [
             e for e in cur_entries
             if e.get("dv")
+            and e["path"] in prev_by_path
             and prev_dv.get(self._dv_key(e)) != e["dv"]["path"]
         ]
         if not hit:
@@ -1379,4 +1386,147 @@ class TxnTable:
                 v = self.latest_version() + 1
         raise ConcurrentWriteError(
             f"delete_dv lost 11 consecutive version races at {self.path}"
+        )
+
+    def update_where_dv(self, pred, set_exprs: dict) -> tuple[int, int, int]:
+        """Merge-on-read UPDATE: DV-delete the matched rows' positions
+        and append their updated copies — ONE atomic commit, ZERO
+        existing data files rewritten (Delta's deletion-vector UPDATE /
+        Iceberg merge-on-read row updates). ``set_exprs`` maps column
+        name → Column expression evaluated on the matched rows.
+        Returns (new_version, files_marked, rows_updated); no matches
+        commits nothing.
+
+        One table scan total: the matched rows (identity + data
+        columns) land in a staging file; the KB/MB-scale staged set
+        then feeds BOTH the sidecar (old positions) and the updated-row
+        append. Updating 0.001% of a 100 TB table costs O(matches) I/O
+        where copy-on-write rewrites every hit file. Reads see old
+        positions anti-joined away and new rows appended; the read tax
+        and its compaction cure are the same as ``delete_where_dv``'s.
+        Concurrency follows the same row-level conflict matrix:
+        appends/disjoint commits rebase, a changed hit-file vector or
+        path refuses. Pred-NULL rows are not updated (SQL UPDATE
+        semantics). CDC (``read_changes_rows``) reports each updated
+        row as an exact pre-image ``delete`` + post-image ``insert``."""
+        import uuid as _uuid
+
+        entries = self.manifest()["files"]
+        dvd = [e for e in entries if e.get("dv")]
+        scan = self._scan_identity(entries)
+        if dvd:
+            old = self._dv_rows(dvd)
+            scan = scan.join(
+                F.broadcast(old),
+                (scan["__fp"] == old["__fp"])
+                & (scan["__ri"] == old["__ri"]),
+                "left_anti",
+            )
+        key_map = self._literal_df(
+            [(self._fp_uri(e), self._dv_key(e)) for e in entries],
+            "__fp", "__key",
+        )
+        matched = scan.filter(pred).join(F.broadcast(key_map), "__fp")
+        v = self.latest_version() + 1
+        dv_rel = os.path.join(
+            "dv", f"dv-v{v:010d}-{_uuid.uuid4().hex[:8]}.parquet"
+        )
+        stage = os.path.join(self.path, dv_rel) + ".stage"
+        matched.coalesce(1).write.mode("overwrite").parquet(stage)
+        staged = self.spark.read.parquet(stage)
+        per_file = {
+            r["__key"]: r["n"]
+            for r in staged.groupBy("__key")
+            .agg(F.count(F.lit(1)).alias("n"))
+            .collect()
+        }
+        if not per_file:
+            shutil.rmtree(stage, ignore_errors=True)
+            return self.latest_version(), 0, 0
+        hit = set(per_file)
+        data_cols = [
+            c for c in staged.columns if c not in ("__fp", "__ri", "__key")
+        ]
+        bad = sorted(set(set_exprs) - set(data_cols))
+        if bad:
+            raise ValueError(f"update_where_dv: unknown column(s) {bad}")
+        updated = staged.select(
+            *[
+                (set_exprs[c] if c in set_exprs else F.col(c)).alias(c)
+                for c in data_cols
+            ]
+        )
+        new_files = self._stage_files(updated, v)
+        # Sidecar: staged old positions plus the hit files' previous
+        # vectors (same merge contract as delete_where_dv).
+        new_dv = staged.select(
+            F.col("__key").alias("path"), F.col("__ri").alias("row_index")
+        )
+        carry_dvs = sorted(
+            {e["dv"]["path"] for e in dvd if self._dv_key(e) in hit}
+        )
+        if carry_dvs:
+            prior = self.spark.read.parquet(
+                *[os.path.join(self.path, p) for p in carry_dvs]
+            ).filter(F.col("path").isin(*sorted(hit)))
+            new_dv = new_dv.unionByName(prior)
+        final_stage = stage + ".dv"
+        new_dv.coalesce(1).write.mode("overwrite").parquet(final_stage)
+        import glob as _glob
+
+        (part,) = _glob.glob(os.path.join(final_stage, "part-*.parquet"))
+        os.makedirs(os.path.join(self.path, "dv"), exist_ok=True)
+        os.replace(part, os.path.join(self.path, dv_rel))
+        shutil.rmtree(final_stage, ignore_errors=True)
+        shutil.rmtree(stage, ignore_errors=True)
+
+        def _patched(base: list[dict]) -> list[dict]:
+            out = []
+            for e in base:
+                key = self._dv_key(e)
+                if key in hit:
+                    prev = e.get("dv", {}).get("deleted", 0)
+                    out.append(
+                        {
+                            **e,
+                            "dv": {
+                                "path": dv_rel,
+                                "key": key,
+                                "deleted": prev + per_file[key],
+                            },
+                        }
+                    )
+                else:
+                    out.append(e)
+            return out
+
+        orig_by_key = {
+            self._dv_key(e): e for e in entries if self._dv_key(e) in hit
+        }
+        files = _patched(entries) + new_files
+        n_updated = sum(per_file.values())
+        for _ in range(11):
+            try:
+                self._commit(v, "update_dv", files)
+                return v, len(hit), n_updated
+            except ConcurrentWriteError:
+                now = self.manifest()["files"]
+                now_by_key = {self._dv_key(e): e for e in now}
+                stale = [
+                    k for k, o in orig_by_key.items()
+                    if k not in now_by_key
+                    or now_by_key[k]["path"] != o["path"]
+                    or now_by_key[k].get("dv", {}).get("path")
+                    != o.get("dv", {}).get("path")
+                ]
+                if stale:
+                    raise ConcurrentWriteError(
+                        f"update_dv lost a race to a commit that changed "
+                        f"{len(stale)} of its hit file(s); retry on the "
+                        f"new snapshot"
+                    ) from None
+                files = _patched(now) + new_files
+                v = self.latest_version() + 1
+        raise ConcurrentWriteError(
+            f"update_dv lost 11 consecutive version races at {self.path}"
         )

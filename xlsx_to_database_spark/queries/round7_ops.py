@@ -161,6 +161,70 @@ def table_delete_vectors(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "table_update_vectors",
+    """
+    SELECT CAST(count(*) AS BIGINT) AS n_rows,
+           round(CAST(sum(CASE WHEN o_orderkey % 7 = 3
+                     THEN 2 * CAST(o_totalprice AS DECIMAL(18,2))
+                     ELSE CAST(o_totalprice AS DECIMAL(18,2)) END)
+                 AS DOUBLE), 2) AS total_price,
+           (SELECT CAST(count(*) AS BIGINT) FROM orders
+            WHERE o_orderkey % 7 = 3) AS rows_updated,
+           4 AS files_marked,
+           0 AS data_files_removed
+    FROM orders
+    """,
+)
+def table_update_vectors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Merge-on-read UPDATE via deletion vectors: orders lands as 4
+    range-clustered files, then a scattered UPDATE (o_orderkey % 7 = 3
+    → price doubled — every file is hit) runs as ``update_where_dv``:
+    old row positions go into a KB sidecar, updated copies append as
+    ONE new file, and all 4 original data files survive untouched
+    (``data_files_removed`` diffs the manifests — must be 0). The
+    read-back aggregate over the live view must hash-match batch SQL
+    with the equivalent CASE — a double-applied update, a resurrected
+    pre-image, or a dropped non-match anywhere changes it.
+
+    Scale: updating 0.001% of a 100 TB table costs O(matches) I/O
+    (sidecar + one appended file) where copy-on-write rewrites every
+    hit file; one table scan feeds both outputs. CDC reports each
+    updated row as exact pre-image delete + post-image insert.
+    Parity: Delta deletion-vector UPDATE / Iceberg merge-on-read row
+    updates."""
+    from xlsx_to_database_spark.operators.txn_table import TxnTable
+
+    orders = table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_totalprice"
+    )
+    tag = os.path.basename(os.path.normpath(sf_dir))
+    root = f"/tmp/spark_stage/{tag}_txn_updv"
+    shutil.rmtree(root, ignore_errors=True)
+    t = TxnTable(spark, root, "o_orderkey")
+    t.create(orders.repartitionByRange(4, "o_orderkey"))
+    _, marked, updated = t.update_where_dv(
+        F.col("o_orderkey") % 7 == 3,
+        {"o_totalprice": F.col("o_totalprice") * 2},
+    )
+    data_v0 = {e["path"] for e in t.manifest(0)["files"]}
+    data_now = {e["path"] for e in t.manifest()["files"]}
+    removed = len(data_v0 - data_now)
+    return (
+        t.read()
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_rows"),
+            F.round(
+                F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+                .cast("double"), 2
+            ).alias("total_price"),
+        )
+        .withColumn("rows_updated", F.lit(updated).cast("long"))
+        .withColumn("files_marked", F.lit(marked).cast("int"))
+        .withColumn("data_files_removed", F.lit(removed).cast("int"))
+    )
+
+
+@query(
     "table_cdc_rows",
     """
     SELECT * FROM (
