@@ -166,15 +166,18 @@ _ATTESTED: tuple[str, ...] = (
 # obs_metrics precision fixes) re-attested green in CORRECTNESS_r06.json
 # — all 15 rows exact (stream_sink rows-only as declared) — and is folded
 # back. Round-7 rewrites: the txn-table family re-opens because round 7
-# changed its write path under every rider — staging stats now come from
-# parquet footers instead of a Spark aggregate (operators/txn_table.py::
-# _entries_from_footers), commits write txn-log checkpoints, and
-# restore/vacuum semantics hardened per round-6 advice; stream_txn_sink
-# additionally rides the checkpointed append_once scan. All re-verified
-# green by the round-7 mirrors at sf0.01 AND sf0.1; listed here until
-# the driver re-attests. (The streaming engine's reentrancy guard is
-# NOT a behavioral change for single drains — identical save/set/restore
-# at depth 1 — so the rest of the streaming family stays folded.)
+# changed BOTH its write path under every rider — staging stats now come
+# from parquet footers instead of a Spark aggregate (operators/
+# txn_table.py::_entries_from_footers), commits write txn-log
+# checkpoints, and restore/vacuum semantics hardened per round-6 advice
+# — and its READ path: _read_files is now the deletion-vector-aware
+# merge-on-read seam (plain scan ∪ sidecar anti-join), which every
+# rider's read-back flows through; stream_txn_sink additionally rides
+# the checkpointed append_once scan. All re-verified green by the
+# round-7 mirrors at sf0.01 AND sf0.1; listed here until the driver
+# re-attests. (The streaming engine's reentrancy guard is NOT a
+# behavioral change for single drains — identical save/set/restore at
+# depth 1 — so the rest of the streaming family stays folded.)
 _REOPENED: frozenset[str] = frozenset({
     "table_merge_upsert", "table_time_travel", "table_incremental_read",
     "table_schema_evolution", "stream_txn_sink",
