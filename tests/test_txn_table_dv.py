@@ -381,6 +381,77 @@ def test_dv_delete_conflicts_with_overlapping_dv_delete(
     assert t.read().count() == 999
 
 
+def test_gdpr_erasure_between_streaming_drains(spark, tmp_path):
+    """The production erasure story end to end: a checkpointed stream
+    ingests batch A into the table, a DV erasure deletes one user's
+    rows, and the SAME stream resumes from its checkpoint and ingests
+    batch B — which again contains that user (new activity after the
+    erasure request). Required: A's erased rows stay erased, ALL of B
+    lands (snapshot isolation — the erasure only covers its snapshot),
+    the ingest commits rebase cleanly over the interleaved delete_dv
+    commit, and row-level CDC over the whole range reports exactly
+    A-inserts, the erasure's deletes, and B-inserts."""
+    import glob as _glob
+    import shutil as _shutil
+
+    src = tmp_path / "src"
+    src.mkdir()
+    ckpt = str(tmp_path / "ckpt")
+    t = TxnTable(spark, str(tmp_path / "tbl"), "k")
+    t.create(
+        spark.range(0).select(
+            F.col("id").alias("k"), F.col("id").alias("user")
+        )
+    )
+
+    def stage(lo: int, hi: int, name: str) -> None:
+        out = str(tmp_path / f"stage_{name}")
+        spark.range(lo, hi).select(
+            F.col("id").alias("k"), (F.col("id") % 5).alias("user")
+        ).coalesce(1).write.mode("overwrite").parquet(out)
+        (part,) = _glob.glob(f"{out}/part-*.parquet")
+        _shutil.move(part, str(src / f"{name}.parquet"))
+        _shutil.rmtree(out, ignore_errors=True)
+
+    def drain() -> None:
+        stream = spark.readStream.schema("k long, user long").parquet(
+            str(src)
+        )
+
+        def sink(batch_df, batch_id: int) -> None:
+            if not batch_df.isEmpty():
+                t.append_once(batch_df, f"batch-{batch_id}")
+
+        q = (
+            stream.writeStream.foreachBatch(sink)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    stage(1, 101, "a")
+    drain()
+    v_del, marked, erased = t.delete_where_dv(F.col("user") == 3)
+    assert erased == 20
+    stage(101, 201, "b")
+    drain()  # resumes from checkpoint; append rebases over delete_dv
+
+    live = t.read()
+    assert live.count() == 200 - 20
+    # user 3's batch-A rows erased; batch-B rows (post-erasure) present
+    u3 = sorted(r.k for r in live.filter(F.col("user") == 3).collect())
+    assert u3 == [k for k in range(101, 201) if k % 5 == 3]
+    # CDC over the whole range is exact
+    ch = t.read_changes_rows(0, t.latest_version())
+    ins = [r.k for r in ch.filter(F.col("_change_type") == "insert").collect()]
+    dels = sorted(
+        r.k for r in ch.filter(F.col("_change_type") == "delete").collect()
+    )
+    assert sorted(ins) == list(range(1, 201))
+    assert dels == [k for k in range(1, 101) if k % 5 == 3]
+
+
 def test_dv_merge_conflict_matrix_sees_interleaved_dv_delete(
     spark, tmp_path, monkeypatch
 ):
