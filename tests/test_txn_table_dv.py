@@ -381,6 +381,30 @@ def test_dv_delete_conflicts_with_overlapping_dv_delete(
     assert t.read().count() == 999
 
 
+def test_reorg_purge_rewrites_only_hot_files(spark, tmp_path):
+    # PURGE materializes vectors on files past the deleted-ratio
+    # threshold only; lightly-vectored files keep their (cheap) vector.
+    # Predicates are derived from manifest stats so the sampled range
+    # boundaries of repartitionByRange can't skew the per-file ratios.
+    t = _mk(spark, tmp_path)  # 4 files over dense k=1..1000
+    es = sorted(t.manifest()["files"], key=lambda e: e["min"])
+    heavy_n = int(0.6 * es[0]["rows"])  # 60% of file 0, entirely inside it
+    heavy = F.col("k").between(es[0]["min"], es[0]["min"] + heavy_n - 1)
+    light = F.col("k").isin(es[2]["min"], es[2]["min"] + 1)  # 2 rows of file 2
+    t.delete_where_dv(heavy | light)
+    v, purged, carried = t.reorg_purge(max_deleted_ratio=0.5)
+    assert purged == 1 and carried == 3  # only the 60%-deleted file
+    still_dv = [e for e in t.manifest()["files"] if e.get("dv")]
+    assert len(still_dv) == 1  # the lightly-vectored file keeps its DV
+    assert t.read().count() == 1000 - heavy_n - 2
+    assert t.read().filter(heavy | light).count() == 0
+    # content-preserving: CDC over the purge commit is silent
+    assert t.read_changes_rows(v - 1, v).count() == 0
+    # no-op below threshold commits nothing
+    n_entries = len(t.manifest()["files"])
+    assert t.reorg_purge(max_deleted_ratio=0.9) == (v, 0, n_entries)
+
+
 def test_gdpr_erasure_between_streaming_drains(spark, tmp_path):
     """The production erasure story end to end: a checkpointed stream
     ingests batch A into the table, a DV erasure deletes one user's

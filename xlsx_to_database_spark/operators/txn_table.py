@@ -1020,6 +1020,36 @@ class TxnTable:
         self._commit(v, "compact_small", big + self._stage_files(df, v))
         return v, len(small), len(big)
 
+    def reorg_purge(self, max_deleted_ratio: float = 0.2) -> tuple[int, int, int]:
+        """REORG … APPLY (PURGE): materialize deletion vectors away on
+        exactly the files where they hurt — entries whose
+        ``dv.deleted / rows`` exceeds ``max_deleted_ratio`` are
+        rewritten to their live rows (dropping the vector); everything
+        else, including lightly-vectored files, is carried by
+        reference. Returns (version, files_purged, files_carried); a
+        no-op commits nothing.
+
+        This bounds the merge-on-read read tax (the broadcast
+        anti-join applies only to still-vectored files) at I/O
+        proportional to the HOT files, where full ``compact`` is
+        O(table) — the maintenance loop that keeps DV tables readable
+        under continuous erasure, same trade as Delta's REORG PURGE.
+        Selection is manifest metadata; no data scan decides anything."""
+        entries = self.manifest()["files"]
+        hot = [
+            e for e in entries
+            if e.get("dv")
+            and e["rows"] > 0
+            and e["dv"]["deleted"] / e["rows"] > max_deleted_ratio
+        ]
+        if not hot:
+            return self.latest_version(), 0, len(entries)
+        cold = [e for e in entries if e not in hot]
+        v = self.latest_version() + 1
+        new_files = self._stage_files(self._read_files(hot), v)
+        self._commit(v, "reorg_purge", cold + new_files)
+        return v, len(hot), len(cold)
+
     def compact(self, target_files: int = 4, order_by=None) -> tuple[int, int]:
         """OPTIMIZE: bin-pack the current file set into ``target_files``
         range-clustered files as a new version — logical content
@@ -1077,8 +1107,8 @@ class TxnTable:
         UPDATE is rule 2 + rule 3 in one commit):
 
         1. Layout-only ops (``compact``/``compact_small``/
-           ``restore-rollback``): content-preserving by contract →
-           nothing emitted.
+           ``reorg_purge``/``restore-rollback``): content-preserving
+           by contract → nothing emitted.
         2. Files REMOVED from the manifest → their live rows (as of
            v−1) as ``delete``; files ADDED → their rows (as committed)
            as ``insert``. For copy-on-write rewrites (``merge``/
@@ -1099,7 +1129,7 @@ class TxnTable:
             man, prev = self.manifest(v), self.manifest(v - 1)
             op = man.get("op", "")
             if (
-                op in ("compact", "compact_small")
+                op in ("compact", "compact_small", "reorg_purge")
                 or op.startswith("restore-rollback")
             ):
                 continue

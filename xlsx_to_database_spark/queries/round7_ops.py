@@ -225,6 +225,72 @@ def table_update_vectors(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "table_reorg_purge",
+    """
+    SELECT CAST(count(*) AS BIGINT) AS n_rows,
+           round(CAST(sum(CAST(o_totalprice AS DECIMAL(18,2)))
+                 AS DOUBLE), 2) AS total_price,
+           1 AS files_purged,
+           3 AS files_carried
+    FROM orders, (SELECT CAST(floor(max(o_orderkey) / 4) AS BIGINT) AS cut
+                  FROM orders) lim
+    WHERE NOT ((o_orderkey % 3 = 0 AND o_orderkey <= lim.cut)
+               OR o_orderkey % 1000 = 7)
+    """,
+)
+def table_reorg_purge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REORG … APPLY (PURGE) — the deletion-vector maintenance loop:
+    orders lands as 4 key-range files, one DV delete marks a HEAVY
+    slice (every third key in the first quarter of the key domain →
+    ~33% of file 0) plus a LIGHT scatter (o_orderkey % 1000 = 7 →
+    ~0.1% everywhere), and ``reorg_purge(0.2)`` rewrites ONLY the hot
+    file to its live rows — the lightly-vectored files keep their
+    cheap vectors and carry by reference (counters pinned: 1 purged /
+    3 carried). The read-back aggregate must hash-match batch SQL with
+    the same predicate: purge is content-preserving, so a row lost or
+    resurrected in the rewrite changes the hash.
+
+    Determinism note: the arithmetic cut (max/4) approximates file 0's
+    sampled range boundary; a straddle puts at most a few % of the
+    heavy slice into file 1 — far below the 20% threshold — so the
+    purged/carried counters are stable while BOTH engines compute the
+    row set from the same pure predicate, never from file boundaries.
+
+    Scale: purge I/O is proportional to the files whose deleted-ratio
+    crossed the threshold — the knob that bounds the merge-on-read
+    read tax under continuous GDPR-style erasure without compact()'s
+    O(table) rewrite. Parity: Delta REORG TABLE … APPLY (PURGE)."""
+    from xlsx_to_database_spark.operators.txn_table import TxnTable
+
+    orders = table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_totalprice"
+    )
+    tag = os.path.basename(os.path.normpath(sf_dir))
+    root = f"/tmp/spark_stage/{tag}_txn_purge"
+    shutil.rmtree(root, ignore_errors=True)
+    t = TxnTable(spark, root, "o_orderkey")
+    t.create(orders.repartitionByRange(4, "o_orderkey"))
+    cut = int(orders.agg(F.max("o_orderkey")).collect()[0][0]) // 4
+    key = F.col("o_orderkey")
+    t.delete_where_dv(
+        ((key % 3 == 0) & (key <= cut)) | (key % 1000 == 7)
+    )
+    _, purged, carried = t.reorg_purge(max_deleted_ratio=0.2)
+    return (
+        t.read()
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_rows"),
+            F.round(
+                F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+                .cast("double"), 2
+            ).alias("total_price"),
+        )
+        .withColumn("files_purged", F.lit(purged).cast("int"))
+        .withColumn("files_carried", F.lit(carried).cast("int"))
+    )
+
+
+@query(
     "table_cdc_rows",
     """
     SELECT * FROM (
