@@ -1,0 +1,174 @@
+"""Column-mapping tests (zero-rewrite RENAME/DROP COLUMN).
+
+Physical names are frozen at first write; the manifest's ``columns``
+map is the logical schema. Renames/drops are metadata-only commits;
+every read/write seam must translate, every historical snapshot must
+present its own schema, and all merge-on-read machinery must keep
+working under a map.
+"""
+
+from __future__ import annotations
+
+import glob
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from xlsx_to_database_spark.operators.txn_table import (
+    CheckViolation,
+    TxnTable,
+)
+
+
+def _mk(spark, tmp_path, n=100, parts=2, name="tbl"):
+    t = TxnTable(spark, str(tmp_path / name), "k")
+    df = spark.range(1, n + 1).select(
+        F.col("id").alias("k"), (F.col("id") * 2).alias("v")
+    )
+    t.create(df.repartitionByRange(parts, "k"))
+    return t
+
+
+def _files(t):
+    return sorted(
+        glob.glob(os.path.join(t.path, "data", "**", "*.parquet"),
+                  recursive=True)
+    )
+
+
+def test_rename_is_metadata_only_and_time_travels(spark, tmp_path):
+    t = _mk(spark, tmp_path)
+    before = _files(t)
+    v = t.rename_column("v", "value")
+    assert _files(t) == before  # zero files touched
+    assert t.read().columns == ["k", "value"]
+    got = {r.k: r.value for r in t.read().collect()}
+    assert got[7] == 14
+    # time travel presents the historical schema
+    assert t.read(0).columns == ["k", "v"]
+    # filters on the new name work (logical projection)
+    assert t.read().filter(F.col("value") > 190).count() == 5
+    # errors
+    with pytest.raises(ValueError):
+        t.rename_column("nope", "x")
+    with pytest.raises(ValueError):
+        t.rename_column("k", "value")
+
+
+def test_append_after_rename_mixes_with_old_files(spark, tmp_path):
+    t = _mk(spark, tmp_path)
+    t.rename_column("v", "value")
+    t.append(
+        spark.range(101, 111).select(
+            F.col("id").alias("k"), (F.col("id") * 2).alias("value")
+        )
+    )
+    got = {r.k: r.value for r in t.read().collect()}
+    assert len(got) == 110 and got[105] == 210 and got[7] == 14
+    # the appended file stores the FROZEN physical name
+    new_files = [f for f in _files(t) if "/data/v0000000002-" in f]
+    assert new_files
+    assert "v" in spark.read.parquet(*new_files).columns
+
+
+def test_drop_column_and_readd_name(spark, tmp_path):
+    t = _mk(spark, tmp_path)
+    before = _files(t)
+    t.drop_column("v")
+    assert _files(t) == before
+    assert t.read().columns == ["k"]
+    # re-adding a column under the dropped NAME gets a fresh physical
+    # slot — the lingering physical bytes never leak back
+    t.append(
+        spark.range(101, 103).select(
+            F.col("id").alias("k"), F.lit(-1).cast("long").alias("v")
+        )
+    )
+    assert sorted(t.read().columns) == ["k", "v"]
+    got = {r.k: r.v for r in t.read().collect()}
+    assert got[101] == -1
+    assert got[7] is None, "old physical bytes leaked into the new column"
+    # guards
+    with pytest.raises(ValueError):
+        t.drop_column("k")  # stats/clustering column
+    with pytest.raises(ValueError):
+        t.drop_column("nope")
+
+
+def test_merge_and_check_after_rename(spark, tmp_path):
+    t = _mk(spark, tmp_path)
+    t.rename_column("v", "value")
+    src = spark.createDataFrame(
+        [(5, 999), (101, 202)], "k long, value long"
+    )
+    v, rewritten, carried = t.merge(src, "k")
+    got = {r.k: r.value for r in t.read().collect()}
+    assert got[5] == 999 and got[101] == 202 and len(got) == 101
+    # stats pruning still works: only the low-key file rewrote?
+    # (k=5 is in file 1; k=101 inserts beyond; carried >= 0 sanity)
+    assert rewritten >= 1
+    # CHECK constraints evaluate on the logical schema
+    with pytest.raises(CheckViolation):
+        t.append(
+            spark.createDataFrame([(200, -5)], "k long, value long"),
+            check=F.col("value") >= 0,
+        )
+    t.append(
+        spark.createDataFrame([(200, 5)], "k long, value long"),
+        check=F.col("value") >= 0,
+    )
+    assert t.read().filter(F.col("k") == 200).count() == 1
+
+
+def test_dv_delete_update_cdc_after_rename(spark, tmp_path):
+    t = _mk(spark, tmp_path)
+    t.rename_column("v", "value")  # v1
+    dv, marked, deleted = t.delete_where_dv(F.col("value") % 20 == 0)  # v2
+    assert deleted == 10  # value = 2k, so value%20==0 <=> k%10==0
+    assert t.read().count() == 90
+    uv, m2, n2 = t.update_where_dv(
+        F.col("value") == 14, {"value": F.lit(-14).cast("long")}
+    )  # v3
+    assert n2 == 1
+    assert {r.value for r in t.read().filter(F.col("k") == 7).collect()} \
+        == {-14}
+    # CDC presents the END schema and exact rows across the rename
+    ch = t.read_changes_rows(1, 3)
+    assert set(ch.columns) == {"_change_type", "k", "value"}
+    dels = {(r.k, r.value) for r in ch.filter(
+        F.col("_change_type") == "delete").collect()}
+    assert (10, 20) in dels and (7, 14) in dels
+    ins = {(r.k, r.value) for r in ch.filter(
+        F.col("_change_type") == "insert").collect()}
+    assert ins == {(7, -14)}
+    # compact materializes under the map; content preserved
+    t.compact(target_files=1)
+    assert t.read().columns == ["k", "value"]
+    assert t.read().count() == 90
+
+
+def test_rename_stats_column_keeps_pruning(spark, tmp_path):
+    t = _mk(spark, tmp_path, n=1000, parts=4)
+    t.rename_column("k", "key")
+    src = spark.createDataFrame([(5, 999)], "key long, v long")
+    v, rewritten, carried = t.merge(src, "key")
+    assert (rewritten, carried) == (1, 3), "stats pruning broke on rename"
+    got = {r.key: r.v for r in t.read().filter(F.col("key") == 5).collect()}
+    assert got == {5: 999}
+    # copy-on-write delete with a logical pred
+    v2, rw2, _ = t.delete_where(F.col("key") > 900)
+    assert t.read().count() == 900
+    assert rw2 == 1  # only the top range file
+
+
+def test_restore_and_clone_carry_schema(spark, tmp_path):
+    t = _mk(spark, tmp_path)
+    t.rename_column("v", "value")  # v1
+    c = t.clone_to(str(tmp_path / "clone"))
+    assert c.read().columns == ["k", "value"]
+    rv = t.restore(0)
+    assert t.read().columns == ["k", "v"], (
+        "restore must restore the pre-rename logical schema"
+    )
+    assert t.read(1).columns == ["k", "value"]  # history intact

@@ -33,6 +33,13 @@ key range are rewritten; every other file is carried into the new
 version by reference. The stats ride in the manifest (metadata), so
 pruning costs a driver-side list scan — never a data scan.
 
+Column mapping (``rename_column`` / ``drop_column``) makes schema
+changes zero-rewrite: physical column names freeze at first write, the
+manifest's ``columns`` map ({logical: physical}) is the logical schema,
+and dropped physical slots are retired forever (``retired_columns``).
+Translation happens only at the public seams; stats, pruning, and DV
+machinery run on the frozen physical names.
+
 Merge-on-read DELETE (``delete_where_dv``) skips even that rewrite:
 deleted rows are recorded in a parquet DELETION-VECTOR sidecar keyed by
 ``(file key, parquet row ordinal)``; the hit files' manifest entries
@@ -134,12 +141,18 @@ class TxnTable:
         with open(_manifest_path(self.path, v)) as f:
             return json.load(f)
 
+    #: Sentinel: _commit carries the latest manifest's column map
+    #: forward unless the caller passes an explicit map (or None).
+    _CARRY = object()
+
     def _commit(
         self,
         version: int,
         op: str,
         files: list[dict],
         txn_id: Optional[str] = None,
+        columns: Any = _CARRY,
+        retired: Any = _CARRY,
     ) -> None:
         """Atomically publish ``files`` as table version ``version``.
 
@@ -164,6 +177,24 @@ class TxnTable:
             "stats_col": self.stats_col,
             "files": files,
         }
+        if columns is TxnTable._CARRY or retired is TxnTable._CARRY:
+            # Carry the column map (and the retired-physical-name set)
+            # forward so a rename/drop survives every later commit.
+            # TOCTOU-safe: if anything commits between this read and
+            # the link below, the link fails (version taken) and the
+            # retrying caller re-enters here.
+            try:
+                latest = self.manifest()
+            except FileNotFoundError:
+                latest = {}
+            if columns is TxnTable._CARRY:
+                columns = latest.get("columns")
+            if retired is TxnTable._CARRY:
+                retired = latest.get("retired_columns")
+        if columns is not None:
+            m["columns"] = columns
+        if retired:
+            m["retired_columns"] = retired
         if txn_id is not None:
             m["txn_id"] = txn_id
         import uuid as _uuid
@@ -275,7 +306,9 @@ class TxnTable:
 
     # -- file staging ------------------------------------------------------
 
-    def _stage_files(self, df: DataFrame, version: int) -> list[dict]:
+    def _stage_files(
+        self, df: DataFrame, version: int, stats_col: Optional[str] = None
+    ) -> list[dict]:
         """Write ``df`` as new immutable parquet files; return their
         manifest entries (path + per-file stats on ``stats_col``).
 
@@ -297,11 +330,15 @@ class TxnTable:
         later ``vacuum``."""
         import uuid as _uuid
 
+        # ``stats_col`` is the PHYSICAL stats column name when the
+        # table carries a column map (df arrives here already renamed
+        # to physical); default: the declared name (identity tables).
+        stats_col = self.stats_col if stats_col is None else stats_col
         out = os.path.join(
             self.path, "data", f"v{version:010d}-{_uuid.uuid4().hex[:8]}"
         )
         df.write.mode("overwrite").parquet(out)
-        entries = self._entries_from_footers(out)
+        entries = self._entries_from_footers(out, stats_col)
         if entries is not None:
             return entries
         back = self.spark.read.parquet(out)
@@ -309,8 +346,8 @@ class TxnTable:
             back.groupBy(F.input_file_name().alias("f"))
             .agg(
                 F.count(F.lit(1)).alias("rows"),
-                F.min(self.stats_col).alias("lo"),
-                F.max(self.stats_col).alias("hi"),
+                F.min(stats_col).alias("lo"),
+                F.max(stats_col).alias("hi"),
             )
             .collect()
         )
@@ -328,7 +365,9 @@ class TxnTable:
             for r in sorted(rows, key=lambda r: r["f"])
         ]
 
-    def _entries_from_footers(self, out: str) -> Optional[list[dict]]:
+    def _entries_from_footers(
+        self, out: str, stats_col: Optional[str] = None
+    ) -> Optional[list[dict]]:
         """Manifest entries for every parquet file under ``out`` from
         footer metadata alone, or None if any file's ``stats_col``
         statistics are unusable (non-numeric type — parquet may
@@ -342,6 +381,7 @@ class TxnTable:
             import pyarrow.types as _pt
         except ImportError:
             return None
+        stats_col = self.stats_col if stats_col is None else stats_col
         entries = []
         for f in sorted(_glob.glob(os.path.join(out, "*.parquet"))):
             try:
@@ -349,7 +389,7 @@ class TxnTable:
                 md = pf.metadata
                 if md.num_rows == 0:
                     continue
-                field = pf.schema_arrow.field(self.stats_col)
+                field = pf.schema_arrow.field(stats_col)
                 if not (
                     _pt.is_integer(field.type)
                     or _pt.is_floating(field.type)
@@ -386,13 +426,13 @@ class TxnTable:
                         hi = st.max if hi is None else max(hi, st.max)
                     if ok:
                         col_stats[name] = [lo, hi]
-                if self.stats_col not in col_stats:
+                if stats_col not in col_stats:
                     # nulls-only stats column: the aggregate path
                     # returns None bounds (conservatively touched);
                     # footers can't distinguish that from missing
                     # stats, so punt to the aggregate.
                     return None
-                lo, hi = col_stats[self.stats_col]
+                lo, hi = col_stats[stats_col]
                 entries.append(
                     {
                         "path": os.path.relpath(f, self.path),
@@ -459,6 +499,63 @@ class TxnTable:
         for p in parts[1:]:
             out = out.unionByName(p, allowMissingColumns=True)
         return out if with_fp else out.drop("__fp")
+
+    # -- column mapping (zero-rewrite RENAME/DROP COLUMN) -------------------
+    #
+    # Physical column names are FROZEN at first write; the manifest's
+    # optional ``columns`` map ({logical: physical}, insertion-ordered)
+    # is the table's logical schema — Delta's column-mapping device.
+    # A rename/drop is a metadata-only commit; files are never touched,
+    # so every historical file stays readable and time travel presents
+    # each version under ITS OWN map. Internal machinery (stats, DVs,
+    # compaction, file pruning) runs on physical names; translation
+    # happens only at the public seams (read projection, incoming-df
+    # staging, user predicates/expressions).
+
+    def _cmap(self, man: Optional[dict] = None) -> Optional[dict]:
+        """The column map of ``man`` (default: latest), or None."""
+        return (self.manifest() if man is None else man).get("columns")
+
+    def _phys(self, name: str, cmap: Optional[dict]) -> str:
+        """Physical name of logical column ``name``."""
+        return cmap[name] if cmap and name in cmap else name
+
+    def _to_logical(self, df: DataFrame, cmap: Optional[dict], extra=()):
+        """Project a physical-schema frame to the logical schema:
+        rename mapped columns, DROP unmapped ones (a dropped column is
+        simply absent from the map), materialize NULL for a mapped
+        physical column no scanned file carries (pre-evolution files).
+        ``extra`` columns (identity/bookkeeping) pass through."""
+        if not cmap:
+            return df
+        have = set(df.columns)
+        cols = [
+            (F.col(p) if p in have else F.lit(None)).alias(lg)
+            for lg, p in cmap.items()
+        ]
+        return df.select(*cols, *[F.col(x) for x in extra])
+
+    def _to_physical(
+        self, df: DataFrame, cmap: Optional[dict], retired=()
+    ):
+        """Rename an incoming logical-schema frame to physical names
+        for staging. Returns (physical_df, extended_map): a NEW
+        logical column (additive evolution after a rename) extends the
+        map, with a fresh physical name when its logical name would
+        collide with a live OR RETIRED physical name — a dropped
+        column's bytes linger in old files, so its physical slot can
+        never be reissued (the leak Delta prevents with permanent
+        column ids)."""
+        if not cmap:
+            return df, None
+        used_phys = set(cmap.values()) | set(retired)
+        ext = dict(cmap)
+        for c in df.columns:
+            if c not in ext:
+                ext[c] = c if c not in used_phys else f"{c}__p{len(ext)}"
+                used_phys.add(ext[c])
+        out = df.select(*[F.col(c).alias(ext[c]) for c in df.columns])
+        return out, ext
 
     @staticmethod
     def _dv_key(e: dict) -> str:
@@ -572,10 +669,23 @@ class TxnTable:
         manifest, must surface ``ConcurrentWriteError`` to the caller.
         ``max_retries`` bounds livelock under pathological contention."""
         v = self.latest_version() + 1
-        staged = self._stage_files(df, v)
+        man0 = self.manifest()
+        cmap = man0.get("columns")
+        new_cols = None
+        if cmap:
+            df, ext = self._to_physical(
+                df, cmap, retired=man0.get("retired_columns", ())
+            )
+            new_cols = {lg: ph for lg, ph in ext.items() if lg not in cmap}
+            staged = self._stage_files(
+                df, v, stats_col=self._phys(self.stats_col, ext)
+            )
+        else:
+            ext = None
+            staged = self._stage_files(df, v)
         if check is not None:
             bad = (
-                self._read_files(staged)
+                self._to_logical(self._read_files(staged), ext)
                 .filter(~F.coalesce(check, F.lit(False)))
                 .count()
             )
@@ -591,21 +701,34 @@ class TxnTable:
                     f"{bad} incoming row(s) violate the table CHECK "
                     f"constraint; commit rejected"
                 )
-        return self._commit_append_rebasing(staged, max_retries)
+        return self._commit_append_rebasing(
+            staged, max_retries, extend_cols=new_cols
+        )
 
     def _commit_append_rebasing(
         self,
         staged: list[dict],
         max_retries: int,
         txn_id: Optional[str] = None,
+        extend_cols: Optional[dict] = None,
     ) -> int:
         """Commit already-staged files as an append, rebasing onto the
-        latest manifest after each lost version race."""
+        latest manifest after each lost version race. ``extend_cols``
+        ({logical: physical} of columns NEW to the table in this
+        batch) extends the live column map at each attempt, so a
+        racing rename's map is adopted rather than clobbered."""
         for _ in range(max_retries + 1):
             v = self.latest_version() + 1
             files = self.manifest()["files"] + staged
+            columns = TxnTable._CARRY
+            if extend_cols:
+                cur = self._cmap()
+                if cur:
+                    columns = {**cur, **extend_cols}
             try:
-                self._commit(v, "append", files, txn_id=txn_id)
+                self._commit(
+                    v, "append", files, txn_id=txn_id, columns=columns
+                )
                 return v
             except ConcurrentWriteError:
                 continue
@@ -637,17 +760,36 @@ class TxnTable:
         latest version internally reintroduce exactly that window,
         which is why this loop calls ``_commit`` directly.)"""
         staged: Optional[list[dict]] = None
+        new_cols: Optional[dict] = None
         for _ in range(51):
             v = self.latest_version() + 1
             if txn_id in self._txn_ids_before(v):
                 return None  # already landed (possibly by a racer)
             if staged is None:
-                staged = self._stage_files(df, v)
+                man0 = self.manifest()
+                cmap = man0.get("columns")
+                if cmap:
+                    dfp, ext = self._to_physical(
+                        df, cmap, retired=man0.get("retired_columns", ())
+                    )
+                    new_cols = {
+                        lg: ph for lg, ph in ext.items() if lg not in cmap
+                    }
+                    staged = self._stage_files(
+                        dfp, v, stats_col=self._phys(self.stats_col, ext)
+                    )
+                else:
+                    staged = self._stage_files(df, v)
+            columns = TxnTable._CARRY
+            if new_cols:
+                cur = self._cmap()
+                if cur:
+                    columns = {**cur, **new_cols}
             try:
                 self._commit(
                     v, "append",
                     self.manifest()["files"] + staged,
-                    txn_id=txn_id,
+                    txn_id=txn_id, columns=columns,
                 )
                 return v
             except ConcurrentWriteError:
@@ -758,7 +900,73 @@ class TxnTable:
         return deleted, seen - deleted
 
     def read(self, version: Optional[int] = None) -> DataFrame:
-        return self._read_files(self.manifest(version)["files"])
+        man = self.manifest(version)
+        # Each snapshot is presented under ITS OWN column map — time
+        # travel across a rename shows the historical logical schema.
+        return self._to_logical(
+            self._read_files(man["files"]), man.get("columns")
+        )
+
+    def rename_column(self, old: str, new: str) -> int:
+        """RENAME COLUMN as a metadata-only commit (Delta column
+        mapping): the logical→physical map changes; zero files are
+        touched, so the rename is O(manifest) at any table size and
+        every historical snapshot keeps ITS name for the column.
+        Readers of older versions see the old name; appends after the
+        rename write the FROZEN physical name, so files from before
+        and after the rename stay mutually readable."""
+        cm = self._identity_cmap()
+        if old not in cm:
+            raise ValueError(f"no such column: {old!r}")
+        if new in cm:
+            raise ValueError(f"column {new!r} already exists")
+        out = {(new if lg == old else lg): ph for lg, ph in cm.items()}
+        v = self.latest_version() + 1
+        self._commit(
+            v, f"rename_column({old}->{new})",
+            self.manifest()["files"], columns=out,
+        )
+        return v
+
+    def drop_column(self, name: str) -> int:
+        """DROP COLUMN as a metadata-only commit: the column leaves
+        the logical map (reads project it away); the physical bytes
+        remain until files are naturally rewritten — Delta's mapped
+        drop. The clustering/stats column cannot be dropped (pruning
+        bounds would dangle)."""
+        if name == self.stats_col:
+            raise ValueError(
+                f"cannot drop the declared stats/clustering column "
+                f"{name!r}"
+            )
+        cm = self._identity_cmap()
+        if name not in cm:
+            raise ValueError(f"no such column: {name!r}")
+        if len(cm) == 1:
+            raise ValueError("cannot drop the last column")
+        out = {lg: ph for lg, ph in cm.items() if lg != name}
+        v = self.latest_version() + 1
+        man = self.manifest()
+        self._commit(
+            v, f"drop_column({name})", man["files"], columns=out,
+            # Retire the physical slot forever: its bytes linger in
+            # old files, so re-adding a column under this name must
+            # get a FRESH physical column, not the corpse.
+            retired=list(man.get("retired_columns", [])) + [cm[name]],
+        )
+        return v
+
+    def _identity_cmap(self) -> dict:
+        """The current logical→physical map, materializing the
+        identity map from the data schema on first use (schema
+        resolution only — footer reads, no job)."""
+        cm = self._cmap()
+        if cm:
+            return dict(cm)
+        return {
+            c: c
+            for c in self._read_files(self.manifest()["files"]).columns
+        }
 
     def clone_to(self, path: str, version: Optional[int] = None) -> "TxnTable":
         """SHALLOW CLONE: create a new table at ``path`` whose v0
@@ -788,7 +996,10 @@ class TxnTable:
         c = TxnTable(self.spark, path, self.stats_col)
         if c.versions():
             raise ConcurrentWriteError(f"table already exists at {path}")
-        c._commit(0, f"clone({self.path})", rel)
+        c._commit(
+            0, f"clone({self.path})", rel,
+            columns=self.manifest(version).get("columns"),
+        )
         return c
 
     def restore(self, version: int) -> int:
@@ -822,7 +1033,8 @@ class TxnTable:
                 if not os.path.exists(os.path.join(self.path, p))
             ]
 
-        files = self.manifest(version)["files"]
+        restored = self.manifest(version)
+        files = restored["files"]
         prior_v = self.latest_version()
         missing = _missing(files)
         if missing:
@@ -832,7 +1044,12 @@ class TxnTable:
                 f"an un-vacuumed version or re-ingest"
             )
         new_v = prior_v + 1
-        self._commit(new_v, f"restore({version})", files)
+        # RESTORE carries the restored snapshot's COLUMN MAP too —
+        # restoring across a rename restores the old logical schema.
+        self._commit(
+            new_v, f"restore({version})", files,
+            columns=restored.get("columns"),
+        )
         missing = _missing(files)
         if missing:
             # Roll back: re-publish the pre-restore snapshot so the
@@ -841,10 +1058,12 @@ class TxnTable:
             # keeps it) — and if ANOTHER writer beats the rollback
             # commit, their manifest supersedes the broken one anyway.
             try:
+                prior_man = self.manifest(prior_v)
                 self._commit(
                     new_v + 1,
                     f"restore-rollback({version})",
-                    self.manifest(prior_v)["files"],
+                    prior_man["files"],
+                    columns=prior_man.get("columns"),
                 )
             except ConcurrentWriteError:
                 pass
@@ -857,18 +1076,22 @@ class TxnTable:
         return new_v
 
     def _split_by_key_range(
-        self, entries: list[dict], lo: Any, hi: Any, col: Optional[str] = None
+        self, entries: list[dict], lo: Any, hi: Any,
+        col: Optional[str] = None, cmap: Optional[dict] = None,
     ) -> tuple[list[dict], list[dict]]:
         """(touched, untouched) file partition for incoming keys in
-        [lo, hi] on ``col`` (default: the declared stats column). For
-        other columns the bounds come from the footer-recorded
-        ``col_stats``; files without stats for the column — aggregate-
-        path stagings, pre-multi-stats manifests — are conservatively
-        touched, as are NULL bounds (all-null column)."""
-        col = self.stats_col if col is None else col
+        [lo, hi] on PHYSICAL column ``col`` (default: the declared
+        stats column; callers holding a column map translate first).
+        For other columns the bounds come from the footer-recorded
+        ``col_stats`` (keyed by physical names); files without stats
+        for the column — aggregate-path stagings, pre-multi-stats
+        manifests — are conservatively touched, as are NULL bounds
+        (all-null column)."""
+        stats_phys = self._phys(self.stats_col, cmap)
+        col = stats_phys if col is None else col
         touched, untouched = [], []
         for e in entries:
-            if col == self.stats_col:
+            if col == stats_phys:
                 b_lo, b_hi = e["min"], e["max"]
             else:
                 b_lo, b_hi = e.get("col_stats", {}).get(col, (None, None))
@@ -921,11 +1144,16 @@ class TxnTable:
         if b[0] is None:
             raise ValueError("merge source has no non-null keys")
         lo, hi, src_n = b[0], b[1], b[2]
-        entries = self.manifest()["files"]
-        touched, untouched = self._split_by_key_range(entries, lo, hi, col=key)
+        man = self.manifest()
+        entries, cmap = man["files"], man.get("columns")
+        touched, untouched = self._split_by_key_range(
+            entries, lo, hi, col=self._phys(key, cmap), cmap=cmap
+        )
         v = self.latest_version() + 1
         if touched:
-            t = self._read_files(touched).alias("t")
+            t = self._to_logical(
+                self._read_files(touched), cmap
+            ).alias("t")
             s = source.alias("s")
             merged = t.join(s, F.col(f"t.{key}") == F.col(f"s.{key}"),
                             "full_outer").select(
@@ -947,7 +1175,13 @@ class TxnTable:
             merged = merged.repartitionByRange(
                 n_out, key
             ).sortWithinPartitions(key)
-        new_files = self._stage_files(merged, v)
+        if cmap:
+            merged, cmap_ext = self._to_physical(merged, cmap)
+            new_files = self._stage_files(
+                merged, v, stats_col=self._phys(self.stats_col, cmap_ext)
+            )
+        else:
+            new_files = self._stage_files(merged, v)
         # Commit with Delta's conflict matrix: a lost version race is
         # retried iff every commit that interleaved left the merge's
         # TOUCHED file set byte-identical (same paths — data files are
@@ -974,7 +1208,7 @@ class TxnTable:
             except ConcurrentWriteError:
                 now = self.manifest()["files"]
                 now_touched, now_untouched = self._split_by_key_range(
-                    now, lo, hi, col=key
+                    now, lo, hi, col=self._phys(key, cmap), cmap=cmap
                 )
                 if _ident(now_touched) != touched_ident:
                     raise ConcurrentWriteError(
@@ -1006,18 +1240,25 @@ class TxnTable:
         per-file row counts keeps the rewrite proportional to the small
         tail (Delta's auto-compaction / OPTIMIZE-where heuristic);
         clustering on ``stats_col`` keeps the output prunable."""
-        entries = self.manifest()["files"]
+        man = self.manifest()
+        entries, cmap = man["files"], man.get("columns")
+        stats_phys = self._phys(self.stats_col, cmap)
         small = [e for e in entries if e["rows"] < max_rows]
         big = [e for e in entries if e["rows"] >= max_rows]
         if len(small) < 2:
             return self.latest_version(), 0, len(entries)
         v = self.latest_version() + 1
+        # Physical round-trip: content-preserving rewrites never leave
+        # the frozen physical schema, so a column map stays untouched.
         df = (
             self._read_files(small)
-            .repartitionByRange(target_files, self.stats_col)
-            .sortWithinPartitions(self.stats_col)
+            .repartitionByRange(target_files, stats_phys)
+            .sortWithinPartitions(stats_phys)
         )
-        self._commit(v, "compact_small", big + self._stage_files(df, v))
+        self._commit(
+            v, "compact_small",
+            big + self._stage_files(df, v, stats_col=stats_phys),
+        )
         return v, len(small), len(big)
 
     def reorg_purge(self, max_deleted_ratio: float = 0.2) -> tuple[int, int, int]:
@@ -1046,7 +1287,10 @@ class TxnTable:
             return self.latest_version(), 0, len(entries)
         cold = [e for e in entries if e not in hot]
         v = self.latest_version() + 1
-        new_files = self._stage_files(self._read_files(hot), v)
+        new_files = self._stage_files(
+            self._read_files(hot), v,
+            stats_col=self._phys(self.stats_col, self._cmap()),
+        )
         self._commit(v, "reorg_purge", cold + new_files)
         return v, len(hot), len(cold)
 
@@ -1067,15 +1311,33 @@ class TxnTable:
         the interleaved key space, and the manifest's per-file
         ``stats_col`` min/max tighten as a side effect. The key affects
         LAYOUT only; content is byte-for-byte the same rows."""
-        entries = self.manifest()["files"]
+        man = self.manifest()
+        entries, cmap = man["files"], man.get("columns")
+        stats_phys = self._phys(self.stats_col, cmap)
         v = self.latest_version() + 1
-        key = self.stats_col if order_by is None else order_by
-        df = (
-            self._read_files(entries)
-            .repartitionByRange(target_files, key)
-            .sortWithinPartitions(key)
+        if order_by is None:
+            key, df = stats_phys, self._read_files(entries)
+        elif cmap:
+            # A caller-supplied clustering expression references
+            # LOGICAL names: sort the logical view, stage back to the
+            # frozen physical schema.
+            key = order_by
+            df, _ = self._to_physical(
+                self._to_logical(self._read_files(entries), cmap)
+                .repartitionByRange(target_files, key)
+                .sortWithinPartitions(key),
+                cmap,
+            )
+            self._commit(
+                v, "compact", self._stage_files(df, v, stats_col=stats_phys)
+            )
+            return v, len(entries)
+        else:
+            key, df = order_by, self._read_files(entries)
+        df = df.repartitionByRange(target_files, key).sortWithinPartitions(key)
+        self._commit(
+            v, "compact", self._stage_files(df, v, stats_col=stats_phys)
         )
-        self._commit(v, "compact", self._stage_files(df, v))
         return v, len(entries)
 
     def read_changes(self, from_version: int, to_version: int) -> DataFrame:
@@ -1165,7 +1427,13 @@ class TxnTable:
         out = parts[0]
         for p in parts[1:]:
             out = out.unionByName(p, allowMissingColumns=True)
-        return out
+        # Physical rows from every commit, presented under the END
+        # version's logical schema (Delta CDF does the same under
+        # column mapping: stable physical ids, one output schema).
+        return self._to_logical(
+            out, self._cmap(self.manifest(to_version)),
+            extra=("_change_type",),
+        )
 
     def _dv_delta_rows(
         self, prev_entries: list[dict], cur_entries: list[dict]
@@ -1227,10 +1495,14 @@ class TxnTable:
         ``input_file_name()``, which Spark refuses over the multi-source
         union a DV'd snapshot reads as) and sees the LIVE view — a file
         whose only matches are already DV-deleted is not rewritten."""
-        entries = self.manifest()["files"]
+        man = self.manifest()
+        entries, cmap = man["files"], man.get("columns")
         by_uri = {self._fp_uri(e): e["path"] for e in entries}
         probe = (
-            self._read_files(entries, with_fp=True)
+            self._to_logical(
+                self._read_files(entries, with_fp=True), cmap,
+                extra=("__fp",),
+            )
             .filter(pred)
             .groupBy("__fp")
             .agg(F.count(F.lit(1)).alias("n"))
@@ -1245,10 +1517,16 @@ class TxnTable:
             # SQL DELETE semantics: remove rows where pred is TRUE; rows
             # where it is FALSE **or NULL** survive (plain ~pred would
             # drop the NULLs too).
-            kept = self._read_files(touched).filter(
-                F.coalesce(~pred, F.lit(True))
-            )
-            files += self._stage_files(kept, v)
+            kept = self._to_logical(
+                self._read_files(touched), cmap
+            ).filter(F.coalesce(~pred, F.lit(True)))
+            if cmap:
+                kept, ext = self._to_physical(kept, cmap)
+                files += self._stage_files(
+                    kept, v, stats_col=self._phys(self.stats_col, ext)
+                )
+            else:
+                files += self._stage_files(kept, v)
         self._commit(v, "delete", files)
         return v, len(touched), len(untouched)
 
@@ -1283,7 +1561,8 @@ class TxnTable:
         ``rows - dv.deleted``."""
         import uuid as _uuid
 
-        entries = self.manifest()["files"]
+        man = self.manifest()
+        entries, cmap = man["files"], man.get("columns")
         dvd = [e for e in entries if e.get("dv")]
         scan = self._scan_identity(entries)
         if dvd:
@@ -1294,6 +1573,9 @@ class TxnTable:
                 & (scan["__ri"] == old["__ri"]),
                 "left_anti",
             )
+        # User predicates reference logical names; identity columns
+        # ride through the projection.
+        scan = self._to_logical(scan, cmap, extra=("__fp", "__ri"))
         # Translate matched rows' URIs back to pinned DV keys on the
         # SMALL side (matches only), keeping the scan join-free.
         key_map = self._literal_df(
@@ -1441,7 +1723,8 @@ class TxnTable:
         row as an exact pre-image ``delete`` + post-image ``insert``."""
         import uuid as _uuid
 
-        entries = self.manifest()["files"]
+        man = self.manifest()
+        entries, cmap = man["files"], man.get("columns")
         dvd = [e for e in entries if e.get("dv")]
         scan = self._scan_identity(entries)
         if dvd:
@@ -1452,6 +1735,8 @@ class TxnTable:
                 & (scan["__ri"] == old["__ri"]),
                 "left_anti",
             )
+        # User predicates/set-expressions reference logical names.
+        scan = self._to_logical(scan, cmap, extra=("__fp", "__ri"))
         key_map = self._literal_df(
             [(self._fp_uri(e), self._dv_key(e)) for e in entries],
             "__fp", "__key",
@@ -1486,7 +1771,13 @@ class TxnTable:
                 for c in data_cols
             ]
         )
-        new_files = self._stage_files(updated, v)
+        if cmap:
+            updated, ext = self._to_physical(updated, cmap)
+            new_files = self._stage_files(
+                updated, v, stats_col=self._phys(self.stats_col, ext)
+            )
+        else:
+            new_files = self._stage_files(updated, v)
         # Sidecar: staged old positions plus the hit files' previous
         # vectors (same merge contract as delete_where_dv).
         new_dv = staged.select(

@@ -225,6 +225,71 @@ def table_update_vectors(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "table_rename_column",
+    """
+    SELECT CAST(count(*) AS BIGINT) AS n_rows,
+           round(CAST(sum(CAST(o_totalprice AS DECIMAL(18,2)))
+                 AS DOUBLE), 2) AS total,
+           0 AS rename_files_touched,
+           1 AS v0_schema_original
+    FROM orders WHERE o_orderkey % 9 <> 2
+    """,
+)
+def table_rename_column(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zero-rewrite RENAME COLUMN via column mapping (Delta's device):
+    orders lands minus its %4 slice, ``o_totalprice`` is renamed to
+    ``price`` as a metadata-only commit (``rename_files_touched``
+    diffs the file sets across the rename — must be 0), the %4 slice
+    is APPENDED under the NEW name (it writes the frozen physical
+    name, so pre- and post-rename files stay mutually readable), and a
+    DV delete filters on the new name. The read-back aggregate over
+    the mixed-provenance live view must hash-match batch SQL over all
+    of orders minus the deleted slice; ``v0_schema_original`` pins
+    time travel presenting the PRE-rename schema.
+
+    Scale: a rename on a 100 TB table is one manifest commit —
+    O(metadata), zero data I/O — and every historical snapshot stays
+    readable under its own schema. Parity: Delta column mapping
+    (RENAME/DROP COLUMN), Iceberg schema evolution by field id."""
+    from xlsx_to_database_spark.operators.txn_table import TxnTable
+
+    orders = table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_totalprice"
+    )
+    tag = os.path.basename(os.path.normpath(sf_dir))
+    root = f"/tmp/spark_stage/{tag}_txn_rename"
+    shutil.rmtree(root, ignore_errors=True)
+    t = TxnTable(spark, root, "o_orderkey")
+    key = F.col("o_orderkey")
+    t.create(
+        orders.filter(key % 4 != 0).repartitionByRange(4, "o_orderkey")
+    )
+    t.rename_column("o_totalprice", "price")
+    files_v0 = {e["path"] for e in t.manifest(0)["files"]}
+    files_v1 = {e["path"] for e in t.manifest(1)["files"]}
+    touched = len(files_v0 ^ files_v1)
+    v0_original = int(t.read(0).columns == ["o_orderkey", "o_totalprice"])
+    t.append(
+        orders.filter(key % 4 == 0)
+        .withColumnRenamed("o_totalprice", "price")
+        .coalesce(1)
+    )
+    t.delete_where_dv(key % 9 == 2)
+    return (
+        t.read()
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_rows"),
+            F.round(
+                F.sum(F.col("price").cast("decimal(18,2)"))
+                .cast("double"), 2
+            ).alias("total"),
+        )
+        .withColumn("rename_files_touched", F.lit(touched).cast("int"))
+        .withColumn("v0_schema_original", F.lit(v0_original).cast("int"))
+    )
+
+
+@query(
     "table_reorg_purge",
     """
     SELECT CAST(count(*) AS BIGINT) AS n_rows,
