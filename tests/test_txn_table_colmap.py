@@ -162,6 +162,33 @@ def test_rename_stats_column_keeps_pruning(spark, tmp_path):
     assert rw2 == 1  # only the top range file
 
 
+def test_append_rebases_across_racing_rename(spark, tmp_path, monkeypatch):
+    # An append that loses its version race to a RENAME must adopt the
+    # new map on rebase (carry, not clobber) — its staged files hold
+    # frozen physical names, so they stay correct under the new map.
+    t = _mk(spark, tmp_path)
+    orig_commit = t._commit
+    raced = {"done": False}
+
+    def commit_and_race(version, op, files, txn_id=None, columns=None):
+        if op == "append" and not raced["done"]:
+            raced["done"] = True
+            racer = TxnTable(spark, t.path, "k")
+            racer.rename_column("v", "value")
+        kw = {} if columns is None else {"columns": columns}
+        return orig_commit(version, op, files, txn_id=txn_id, **kw)
+
+    monkeypatch.setattr(t, "_commit", commit_and_race)
+    t.append(
+        spark.range(101, 103).select(
+            F.col("id").alias("k"), (F.col("id") * 2).alias("v")
+        )
+    )
+    assert t.read().columns == ["k", "value"], "rebase clobbered the rename"
+    got = {r.k: r.value for r in t.read().collect()}
+    assert len(got) == 102 and got[101] == 202 and got[7] == 14
+
+
 def test_restore_and_clone_carry_schema(spark, tmp_path):
     t = _mk(spark, tmp_path)
     t.rename_column("v", "value")  # v1
