@@ -154,6 +154,27 @@ _ATTESTED: tuple[str, ...] = (
     "table_schema_evolution", "stat_qq", "stat_pareto", "text_stem",
     "graph_connected_components", "event_attribution",
     "etl_calendar_scaffold", "win_drawdown",
+    # CORRECTNESS_r07.json greens: 45 fresh entries (44 exact-pass +
+    # text_compression_ratio as the declared rows-only mapInPandas op);
+    # the other 5 evaluated slots were the round-7 _REOPENED txn-table
+    # riders — all re-attested green and folded back by resetting
+    # _REOPENED below.
+    "text_markov_bigrams", "etl_scd2_lookup", "stat_anova",
+    "funnel_time_window", "etl_train_test_split", "vec_truncate_renorm",
+    "stat_powerlaw", "etl_dead_letter", "stat_control_chart",
+    "graph_common_neighbors", "assoc_rules", "stat_proportion_ztest",
+    "graph_shortest_hops", "table_zorder_optimize", "sim_two_tier",
+    "stat_mutual_info", "dq_schema_drift", "etl_k_anonymize",
+    "stat_spearman", "event_pattern_match", "sample_weighted",
+    "dq_ref_integrity", "text_pmi", "win_rolling_slope",
+    "graph_clustering_coeff", "ml_naive_bayes", "stat_binomial_ci",
+    "xlsx_named_range", "stat_kendall_tau", "stat_cramers_v",
+    "join_partition_pruned", "json_nested_scan", "csv_gzip_scan",
+    "etl_fifo_allocate", "ml_logreg_newton", "jdbc_pushdown_scan",
+    "graph_assortativity", "stat_equivalence_tost", "csv_preamble_scan",
+    "url_canonicalize", "ml_decision_stump", "stat_runs_test",
+    "stat_jackknife_ratio_se", "text_compression_ratio",
+    "stream_restart_resume",
 )
 
 # Attested ops whose IMPLEMENTATION changed after their attestation round:
@@ -165,22 +186,21 @@ _ATTESTED: tuple[str, ...] = (
 # change, tpch_q18's zero-fact-shuffle rewrite, and the tpch_q2 /
 # obs_metrics precision fixes) re-attested green in CORRECTNESS_r06.json
 # — all 15 rows exact (stream_sink rows-only as declared) — and is folded
-# back. Round-7 rewrites: the txn-table family re-opens because round 7
-# changed BOTH its write path under every rider — staging stats now come
-# from parquet footers instead of a Spark aggregate (operators/
-# txn_table.py::_entries_from_footers), commits write txn-log
-# checkpoints, and restore/vacuum semantics hardened per round-6 advice
-# — and its READ path: _read_files is now the deletion-vector-aware
-# merge-on-read seam (plain scan ∪ sidecar anti-join), which every
-# rider's read-back flows through; stream_txn_sink additionally rides
-# the checkpointed append_once scan. All re-verified green by the
-# round-7 mirrors at sf0.01 AND sf0.1; listed here until the driver
-# re-attests. (The streaming engine's reentrancy guard is NOT a
-# behavioral change for single drains — identical save/set/restore at
-# depth 1 — so the rest of the streaming family stays folded.)
+# back. Round-7's reopened txn-table family (merge/time-travel/
+# incremental-read/schema-evolution/txn-sink, reopened for the
+# footer-stats + checkpoint + deletion-vector read-path rewrite)
+# re-attested green in CORRECTNESS_r07.json and is folded back.
+# Round-8 rewrites: the two attested merge-path riders re-open because
+# round 8's ADVICE fixes edit TxnTable.merge's commit — threading
+# source-only new columns into the logical column map and passing
+# retired_columns explicitly instead of _CARRY (operators/txn_table.py,
+# round-7 ADVICE items 1–2). Observable behavior is unchanged on these
+# riders' configurations (no column map, no retired columns, no new
+# source columns), but the executed code path changed, so the prior
+# green attests old code. Re-verified green by the round-8 mirrors at
+# both scale factors; listed here until the driver re-attests.
 _REOPENED: frozenset[str] = frozenset({
-    "table_merge_upsert", "table_time_travel", "table_incremental_read",
-    "table_schema_evolution", "stream_txn_sink",
+    "table_merge_upsert", "stream_txn_sink",
 })
 
 #: The driver evaluates this many registry-order entries per round
