@@ -844,7 +844,7 @@ def test_merge_retries_through_disjoint_concurrent_append(spark, tmp_path):
         fired = {"n": 0}
 
         class Hooked(TxnTable):
-            def _commit(self, version, op, files, txn_id=None):
+            def _commit(self, version, op, files, txn_id=None, **kw):
                 if op == "merge" and fired["n"] == 0:
                     fired["n"] = 1
                     racer.append(
@@ -853,7 +853,7 @@ def test_merge_retries_through_disjoint_concurrent_append(spark, tmp_path):
                             "k long, v long",
                         ).coalesce(1)
                     )
-                return orig_commit(self, version, op, files, txn_id)
+                return orig_commit(self, version, op, files, txn_id, **kw)
 
         h = Hooked(spark, root, "k")
         src = spark.range(1, 61).select(
@@ -893,3 +893,144 @@ def test_merge_target_file_rows_sizes_output(spark, tmp_path):
     assert all(e["rows"] <= 260 for e in staged), staged
     assert t.read().count() == 1000
     assert t.read().filter(F.col("v") == -1).count() == 400
+
+
+def _negate_all(spark, n=100):
+    return spark.createDataFrame(
+        [(k, -k) for k in range(1, n + 1)], "k long, v long"
+    )
+
+
+def _sabotaged_restore(spark, t, victim_rel):
+    """Drive t.restore(0) into the post-commit vacuum-race branch by
+    unlinking ``victim_rel`` between the pre-check and the commit
+    (exactly where a concurrent vacuum can land)."""
+    import os
+
+    orig = t._commit
+    state = {"unlinked": False}
+
+    def patched(version, op, files, **kw):
+        if op.startswith("restore(") and not state["unlinked"]:
+            state["unlinked"] = True
+            os.unlink(os.path.join(t.path, victim_rel))
+        return orig(version, op, files, **kw)
+
+    t._commit = patched
+    with pytest.raises(FileNotFoundError):
+        t.restore(0)
+    t._commit = orig
+
+
+def test_cdc_skips_failed_restore_pair_atomically(spark, tmp_path):
+    """Round-7 advice (low): a restore that was rolled back must not
+    leak its delete/insert rows into a CDC window spanning the pair —
+    the feed must still fold to the end-version state; and a window
+    STARTING at the broken restore snapshot is refused loudly."""
+    t = _mk(spark, tmp_path, n=100, parts=2)
+    t.merge(_negate_all(spark), "k")          # v1 rewrites everything
+    t.append(                                  # v2: content in-window
+        spark.createDataFrame([(500, 500)], "k long, v long").coalesce(1)
+    )
+    _sabotaged_restore(spark, t, t.manifest(0)["files"][0]["path"])
+    assert t.latest_version() == 4            # v3 broken, v4 rollback
+    assert t.manifest(4)["op"].startswith("restore-rollback")
+    feed = t.read_changes_rows(1, 4).collect()
+    ins = sorted((r.k, r.v) for r in feed if r._change_type == "insert")
+    dels = sorted((r.k, r.v) for r in feed if r._change_type == "delete")
+    initial = sorted((r.k, r.v) for r in t.read(1).collect())
+    final = sorted((r.k, r.v) for r in t.read(4).collect())
+    from collections import Counter
+
+    folded = Counter(initial) + Counter(ins) - Counter(dels)
+    assert folded == Counter(final), (
+        "CDC feed across the failed restore does not fold to the "
+        "end-version state"
+    )
+    assert ins == [(500, 500)] and dels == []  # the pair emitted nothing
+    with pytest.raises(ValueError):
+        t.read_changes_rows(3, 4)             # base = broken snapshot
+
+
+def test_restore_rollback_rebases_over_racing_append(spark, tmp_path):
+    """Round-7 advice (low): a blind append can rebase onto the BROKEN
+    restore manifest and carry the vacuumed references forward; the
+    rollback must then not swallow its lost race — it re-checks latest
+    and retries REBASED (prior file set + the racer's files), leaving
+    latest readable with both the pre-restore content and the racer's
+    rows."""
+    import os
+
+    t = _mk(spark, tmp_path, n=100, parts=2)
+    t.merge(_negate_all(spark), "k")          # v1 rewrites everything
+    victim = t.manifest(0)["files"][0]["path"]
+    orig = t._commit
+    state = {"unlinked": False, "raced": False}
+
+    def patched(version, op, files, **kw):
+        if op.startswith("restore(") and not state["unlinked"]:
+            state["unlinked"] = True
+            os.unlink(os.path.join(t.path, victim))
+        if op.startswith("restore-rollback") and not state["raced"]:
+            state["raced"] = True
+            racer = TxnTable(spark, t.path, "k")
+            racer.append(
+                spark.createDataFrame([(999, 999)], "k long, v long")
+                .coalesce(1)
+            )  # rebases onto the broken v2, carrying the vacuumed ref
+        return orig(version, op, files, **kw)
+
+    t._commit = patched
+    with pytest.raises(FileNotFoundError):
+        t.restore(0)
+    t._commit = orig
+    man = t.manifest()
+    assert man["op"].startswith("restore-rollback")
+    missing = [
+        e["path"] for e in man["files"]
+        if not os.path.exists(os.path.join(t.path, e["path"]))
+    ]
+    assert not missing, f"latest still references vacuumed files: {missing}"
+    got = {r.k: r.v for r in t.read().collect()}
+    assert got[999] == 999, "racer's append lost by the rebased rollback"
+    assert got[1] == -1 and len(got) == 101, "pre-restore content lost"
+
+
+def test_restore_rollback_preserves_prior_dv(spark, tmp_path):
+    """The rebase's shared-path rule: an entry the racer merely CARRIED
+    from the broken manifest reverts to the prior version's state —
+    including its deletion vector (the restore had discarded it; losing
+    it on rollback would resurrect deleted rows)."""
+    import os
+
+    t = _mk(spark, tmp_path, n=100, parts=2)
+    t.delete_where_dv(F.col("k") <= 10)       # v1: DV on v0's files
+    t.merge(                                   # v2: rewrite k>=90 only
+        spark.createDataFrame([(k, -k) for k in range(90, 101)],
+                              "k long, v long"),
+        "k",
+    )
+    # restore(0) discards the DV; sabotage makes it fail + roll back.
+    # Victim: referenced by restore(0) but NOT by the prior v2 snapshot
+    # (the merge's rewritten pre-image), so the rollback target stays
+    # intact and readable.
+    victim = [
+        e["path"] for e in t.manifest(0)["files"] if e["path"] not in
+        {x["path"] for x in t.manifest(2)["files"]}
+    ][0]
+    orig = t._commit
+    state = {"unlinked": False}
+
+    def patched(version, op, files, **kw):
+        if op.startswith("restore(") and not state["unlinked"]:
+            state["unlinked"] = True
+            os.unlink(os.path.join(t.path, victim))
+        return orig(version, op, files, **kw)
+
+    t._commit = patched
+    with pytest.raises(FileNotFoundError):
+        t.restore(0)
+    t._commit = orig
+    got = {r.k: r.v for r in t.read().collect()}
+    assert all(k > 10 for k in got), "rollback resurrected DV-deleted rows"
+    assert got[90] == -90 and len(got) == 90

@@ -199,3 +199,82 @@ def test_restore_and_clone_carry_schema(spark, tmp_path):
         "restore must restore the pre-rename logical schema"
     )
     assert t.read(1).columns == ["k", "value"]  # history intact
+
+
+def test_drop_clone_readd_never_reuses_retired_slot(spark, tmp_path):
+    """Round-7 advice (high): clone_to must carry retired_columns —
+    the clone shares the source's data files, so a physical slot
+    retired in the source (dropped column, bytes lingering in shared
+    files) must stay retired in the clone. Repro: drop 'x' (long) →
+    clone → re-add 'x' as STRING in the clone; slot reuse either
+    crashes the read with a schema-merge type clash or resurrects the
+    corpse's old long values."""
+    t = _mk(spark, tmp_path)               # k, v
+    t.rename_column("v", "value")          # materialize the map (v1)
+    t.append(                              # 'x' enters the map (v2)
+        spark.createDataFrame([(200, 400, 7)], "k long, value long, x long")
+        .coalesce(1)
+    )
+    t.drop_column("x")                     # physical slot 'x' retired (v3)
+    c = t.clone_to(str(tmp_path / "clone"))
+    assert c.manifest(0).get("retired_columns") == t.manifest().get(
+        "retired_columns"
+    ), "clone lost the source's retired-slot set"
+    c.append(
+        spark.createDataFrame([(500, 1000, "new")],
+                              "k long, value long, x string").coalesce(1)
+    )
+    assert c._cmap()["x"] != "x", "re-added column reused the retired slot"
+    got = {r.k: r.x for r in c.read().collect()}
+    assert got[500] == "new"
+    assert got[200] is None, "dropped column's old value resurrected"
+    assert all(v is None for k, v in got.items() if k != 500)
+
+
+def test_merge_new_source_column_under_map(spark, tmp_path):
+    """Round-7 advice (medium): a source-only NEW column must enter
+    the committed logical map (it was staged physically but dropped on
+    read), must avoid retired physical slots, and must work on BOTH
+    merge paths (touched==[] pure-insert and full-outer rewrite)."""
+    t = _mk(spark, tmp_path)               # k, v over k=1..100
+    t.rename_column("v", "value")          # map materialized
+    # Path 1: keys beyond max → touched==[], merged=source verbatim.
+    t.merge(
+        spark.createDataFrame([(200, 1, 10)], "k long, value long, w long"),
+        "k",
+    )
+    assert "w" in t.read().columns, "new source column dropped on read"
+    got = {r.k: r.w for r in t.read().collect()}
+    assert got[200] == 10 and got[1] is None
+    # Path 2: key inside the table range → full-outer rewrite; 'u' is
+    # new on this merge (no t-side leg), 'w' now maps (t-side NULL).
+    t.merge(
+        spark.createDataFrame([(1, 7, 20, "z")],
+                              "k long, value long, w long, u string"),
+        "k",
+    )
+    rows = {r.k: (r.value, r.w, r.u) for r in t.read().collect()}
+    assert rows[1] == (7, 20, "z")
+    assert rows[200] == (1, 10, None)
+    assert rows[2][2] is None
+
+
+def test_merge_readd_after_drop_gets_fresh_slot(spark, tmp_path):
+    """The merge leg of the retired-slot rule: DROP COLUMN x, then a
+    MERGE whose source re-adds x (different type) must allocate a
+    fresh physical name, not the corpse's."""
+    t = _mk(spark, tmp_path)
+    t.rename_column("v", "value")
+    t.append(
+        spark.createDataFrame([(300, 600, 9)], "k long, value long, x long")
+        .coalesce(1)
+    )
+    t.drop_column("x")
+    t.merge(
+        spark.createDataFrame([(400, 1, "s")],
+                              "k long, value long, x string"),
+        "k",
+    )
+    assert t._cmap()["x"] != "x", "merge reused the retired slot"
+    got = {r.k: r.x for r in t.read().collect()}
+    assert got[400] == "s" and got[300] is None

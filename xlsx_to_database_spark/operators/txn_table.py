@@ -980,7 +980,8 @@ class TxnTable:
         def _rebase(p: str) -> str:
             return os.path.relpath(os.path.join(self.path, p), path)
 
-        entries = self.manifest(version)["files"]
+        src_man = self.manifest(version)
+        entries = src_man["files"]
         rel = [
             {
                 **e,
@@ -996,9 +997,18 @@ class TxnTable:
         c = TxnTable(self.spark, path, self.stats_col)
         if c.versions():
             raise ConcurrentWriteError(f"table already exists at {path}")
+        # The retired-physical-name set MUST travel with the clone
+        # (round-7 advice, high): the clone shares the source's data
+        # files, so a physical slot retired in the source (a dropped
+        # column whose bytes linger in those files) can never be
+        # reissued in the clone either. Leaving retired to _CARRY here
+        # would resolve it against the CLONE's empty log (= none) and
+        # a later re-add of the dropped column would reuse the corpse's
+        # slot — resurrecting its old values or clashing on type.
         c._commit(
             0, f"clone({self.path})", rel,
-            columns=self.manifest(version).get("columns"),
+            columns=src_man.get("columns"),
+            retired=src_man.get("retired_columns"),
         )
         return c
 
@@ -1055,18 +1065,72 @@ class TxnTable:
             # Roll back: re-publish the pre-restore snapshot so the
             # table's latest stays readable. Its files are safe from the
             # racing vacuum (it was the latest, retain_versions >= 1
-            # keeps it) — and if ANOTHER writer beats the rollback
-            # commit, their manifest supersedes the broken one anyway.
-            try:
-                prior_man = self.manifest(prior_v)
-                self._commit(
-                    new_v + 1,
-                    f"restore-rollback({version})",
-                    prior_man["files"],
-                    columns=prior_man.get("columns"),
-                )
-            except ConcurrentWriteError:
-                pass
+            # keeps it). A writer that beats the rollback commit does
+            # NOT necessarily supersede the broken snapshot: a blind
+            # append REBASES onto the broken manifest and carries the
+            # vacuumed references forward (round-7 advice, low) — so on
+            # a lost race, re-check whether latest still references the
+            # missing files and, if so, REBASE the rollback: prior file
+            # set, plus every file committed since the broken restore
+            # (the racers' appends), adopting the racers' entries for
+            # shared paths (their DV updates must survive the revert).
+            prior_man = self.manifest(prior_v)
+            broken_paths = {e["path"] for e in files}
+            roll_v = new_v + 1
+            for _ in range(51):
+                latest_man = self.manifest()
+                if latest_man["version"] != new_v and not _missing(
+                    latest_man["files"]
+                ):
+                    break  # someone superseded the breakage for real
+                by_path = {e["path"]: e for e in latest_man["files"]}
+                broken_by_path = {e["path"]: e for e in files}
+                prior_paths = {e["path"] for e in prior_man["files"]}
+                # Shared paths: the racer's entry wins only where the
+                # racer actually CHANGED it since the broken restore
+                # (e.g. a DV delete that must survive the revert);
+                # an entry merely carried from the broken manifest
+                # reverts to the prior version's state (keeping the
+                # prior DV the restore had discarded).
+                rolled = [
+                    by_path[e["path"]]
+                    if (
+                        e["path"] in by_path
+                        and by_path[e["path"]]
+                        != broken_by_path.get(e["path"])
+                    )
+                    else e
+                    for e in prior_man["files"]
+                ] + [
+                    e
+                    for e in latest_man["files"]
+                    if e["path"] not in broken_paths
+                    and e["path"] not in prior_paths
+                ]
+                # Map rebase: prior logical schema, extended by any
+                # column a racing append added on top of the broken
+                # snapshot (its physical files exist and must stay
+                # reachable).
+                cols = prior_man.get("columns")
+                ext = latest_man.get("columns") or {}
+                restored_cols = restored.get("columns") or {}
+                racer_new = {
+                    lg: ph
+                    for lg, ph in ext.items()
+                    if lg not in restored_cols
+                }
+                if cols and racer_new:
+                    cols = {**cols, **racer_new}
+                try:
+                    self._commit(
+                        roll_v,
+                        f"restore-rollback({version})",
+                        rolled,
+                        columns=cols,
+                    )
+                    break
+                except ConcurrentWriteError:
+                    roll_v = self.latest_version() + 1
             raise FileNotFoundError(
                 f"restore({version}) lost a race with vacuum: "
                 f"{len(missing)} referenced file(s) collected after "
@@ -1154,11 +1218,17 @@ class TxnTable:
             t = self._to_logical(
                 self._read_files(touched), cmap
             ).alias("t")
+            # A source column the target lacks (additive evolution
+            # through MERGE, like append's) has no t-side leg — its
+            # unmatched-target rows read as NULL, same as mergeSchema
+            # gives the untouched files.
+            t_cols = set(t.columns)
             s = source.alias("s")
             merged = t.join(s, F.col(f"t.{key}") == F.col(f"s.{key}"),
                             "full_outer").select(
                 *[
                     F.coalesce(F.col(f"s.{c}"), F.col(f"t.{c}")).alias(c)
+                    if c in t_cols else F.col(f"s.{c}").alias(c)
                     for c in source.columns
                 ]
             )
@@ -1175,8 +1245,20 @@ class TxnTable:
             merged = merged.repartitionByRange(
                 n_out, key
             ).sortWithinPartitions(key)
+        new_cols: Optional[dict] = None
         if cmap:
-            merged, cmap_ext = self._to_physical(merged, cmap)
+            # retired= keeps a source-only NEW column off any retired
+            # physical slot (a dropped column's bytes linger in old
+            # files — reissuing its slot resurrects them); new_cols
+            # then threads that column into the committed logical map,
+            # exactly as append does (round-7 advice, medium — without
+            # it the column is staged physically but invisible on read).
+            merged, cmap_ext = self._to_physical(
+                merged, cmap, retired=man.get("retired_columns", ())
+            )
+            new_cols = {
+                lg: ph for lg, ph in cmap_ext.items() if lg not in cmap
+            }
             new_files = self._stage_files(
                 merged, v, stats_col=self._phys(self.stats_col, cmap_ext)
             )
@@ -1202,8 +1284,18 @@ class TxnTable:
 
         touched_ident = _ident(touched)
         for _ in range(max_retries + 1):
+            columns: Any = TxnTable._CARRY
+            if new_cols:
+                # Re-read the live map each attempt so a racing rename's
+                # map is adopted (extended), not clobbered — the same
+                # rebase rule _commit_append_rebasing applies.
+                cur = self._cmap()
+                if cur:
+                    columns = {**cur, **new_cols}
             try:
-                self._commit(v, "merge", untouched + new_files)
+                self._commit(
+                    v, "merge", untouched + new_files, columns=columns
+                )
                 return v, len(touched), len(untouched)
             except ConcurrentWriteError:
                 now = self.manifest()["files"]
@@ -1369,8 +1461,18 @@ class TxnTable:
         UPDATE is rule 2 + rule 3 in one commit):
 
         1. Layout-only ops (``compact``/``compact_small``/
-           ``reorg_purge``/``restore-rollback``): content-preserving
-           by contract → nothing emitted.
+           ``reorg_purge``): content-preserving by contract → nothing
+           emitted. A ``restore-rollback`` is NOT content-preserving —
+           it reverts its restore's content change — so the
+           restore+rollback PAIR is skipped atomically when both fall
+           inside the window (net no-op: the rollback re-publishes the
+           pre-restore file set verbatim); a window that would split
+           the pair is refused (round-7 advice, low: skipping the
+           rollback alone left the restore's rows uncompensated, so
+           the feed no longer folded to the end-version state — and a
+           window STARTING at the rolled-back restore has an unreadable
+           base snapshot by construction, its files being exactly the
+           vacuumed ones that forced the rollback).
         2. Files REMOVED from the manifest → their live rows (as of
            v−1) as ``delete``; files ADDED → their rows (as committed)
            as ``insert``. For copy-on-write rewrites (``merge``/
@@ -1386,15 +1488,43 @@ class TxnTable:
 
         Every step is manifest metadata plus scans of only the files
         that changed in that commit — never the whole table."""
+        committed = set(self.versions())
         parts: list[DataFrame] = []
         for v in range(from_version + 1, to_version + 1):
             man, prev = self.manifest(v), self.manifest(v - 1)
             op = man.get("op", "")
-            if (
-                op in ("compact", "compact_small", "reorg_purge")
-                or op.startswith("restore-rollback")
-            ):
+            if op in ("compact", "compact_small", "reorg_purge"):
                 continue
+            if op.startswith("restore-rollback") and prev.get(
+                "op", ""
+            ).startswith("restore("):
+                # ADJACENT pair (the rollback's first-attempt version):
+                # nets to a no-op with its restore at v-1. A pair split
+                # at the window base means the base snapshot is the
+                # rolled-back restore — unreadable by construction.
+                if v - 1 <= from_version:
+                    raise ValueError(
+                        f"CDC window starts at rolled-back restore "
+                        f"v{v - 1}: its snapshot references vacuumed "
+                        f"files; start the window at v{v} or earlier "
+                        f"than v{v - 1}"
+                    )
+                continue
+            # A NON-adjacent rollback (the rebased-retry path: racer
+            # commits landed between the broken restore and the
+            # rollback) falls through to the uniform rules — its
+            # removed files are the vacuumed ones, so the scan
+            # surfaces FileNotFound, which is honest: no CDC feed can
+            # reconstruct rows whose bytes were already collected.
+            if (
+                op.startswith("restore(")
+                and v + 1 in committed
+                and v + 1 <= to_version
+                and self.manifest(v + 1).get("op", "").startswith(
+                    "restore-rollback"
+                )
+            ):
+                continue  # skipped atomically with its rollback above
             prev_paths = {e["path"] for e in prev["files"]}
             cur_paths = {e["path"] for e in man["files"]}
             removed = [
