@@ -87,6 +87,50 @@ def _ckpt_path(path: str, version: int) -> str:
     return os.path.join(_log_dir(path), f"ckpt-v{version:010d}.json")
 
 
+def _read_sidecar(path: str, cols=("path", "row_index")):
+    """Read a DV sidecar (file or staged directory) driver-side as an
+    Arrow table. Sidecars are O(matches) KB–MB by contract, so this is
+    metadata-class I/O — pyarrow ignores ``_SUCCESS``/dot files in a
+    staged directory by default."""
+    import pyarrow.parquet as pq
+
+    return pq.read_table(path, columns=list(cols))
+
+
+def _value_counts(tbl, col: str) -> dict:
+    """{value: count} of ``tbl[col]`` — vectorized, no Python loop
+    over rows (the loop is over DISTINCT values = hit files)."""
+    vc = tbl.column(col).value_counts()
+    return {
+        vc.field("values")[i].as_py(): vc.field("counts")[i].as_py()
+        for i in range(len(vc))
+    }
+
+
+def _write_sidecar(
+    root: str, dv_rel: str, fresh, prior_paths: list[str], hit: set
+) -> None:
+    """Publish the merged DV sidecar at ``root/dv_rel``: ``fresh``
+    (Arrow table, columns path/row_index) plus the rows of
+    ``prior_paths`` sidecars scoped to the ``hit`` DV keys — one
+    parquet file, written driver-side (KB–MB by contract)."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    import pyarrow.parquet as pq
+
+    parts = [fresh]
+    for p in prior_paths:
+        t = _read_sidecar(p)
+        t = t.filter(
+            pc.is_in(
+                t.column("path"),
+                value_set=pa.array(sorted(hit), type=pa.string()),
+            )
+        )
+        parts.append(t.cast(fresh.schema))
+    pq.write_table(pa.concat_tables(parts), os.path.join(root, dv_rel))
+
+
 class TxnTable:
     """Handle to a transaction-logged parquet table.
 
@@ -1722,24 +1766,22 @@ class TxnTable:
             )
         )
         # Write-first: the full probe scan runs ONCE, materializing the
-        # matches into the sidecar staging dir; per-file counts and the
-        # prior-DV union then run over the staged sidecar — KB-scale
-        # I/O, never a second table scan.
+        # matches into the sidecar staging dir. Everything after is
+        # KB-scale sidecar post-processing (per-file counts, prior-DV
+        # merge) and runs DRIVER-SIDE in Arrow: a Spark job here is
+        # ~0.5–0.7 s of pure scheduling overhead on bytes the driver
+        # can read in single-digit ms — the same class of metadata
+        # work as the manifest JSON itself. A delete whose match set
+        # is too big for driver memory is rewrite-shaped and belongs
+        # to delete_where() (the documented contract).
         v = self.latest_version() + 1
         dv_rel = os.path.join(
             "dv", f"dv-v{v:010d}-{_uuid.uuid4().hex[:8]}.parquet"
         )
         stage = os.path.join(self.path, dv_rel) + ".stage"
         matches.coalesce(1).write.mode("overwrite").parquet(stage)
-        staged = self.spark.read.parquet(stage)
-        # Per-file hit counts: bounded by the file count, drives the
-        # manifest update — this is manifest metadata, not data motion.
-        per_file = {
-            r["path"]: r["n"]
-            for r in staged.groupBy("path")
-            .agg(F.count(F.lit(1)).alias("n"))
-            .collect()
-        }
+        staged_t = _read_sidecar(stage)
+        per_file = _value_counts(staged_t, "path")
         if not per_file:
             shutil.rmtree(stage, ignore_errors=True)
             return self.latest_version(), 0, 0
@@ -1747,30 +1789,13 @@ class TxnTable:
         carry_dvs = sorted(
             {e["dv"]["path"] for e in dvd if self._dv_key(e) in hit}
         )
-        import glob as _glob
-
         os.makedirs(os.path.join(self.path, "dv"), exist_ok=True)
-        if carry_dvs:
-            # DV merge: rewrite the KB-scale sidecar as staged matches
-            # plus the hit files' previous vectors. One sidecar file:
-            # DVs are small by contract (matches, not table rows); a
-            # delete big enough to make this large is a rewrite-shaped
-            # delete and belongs to delete_where().
-            prior = self.spark.read.parquet(
-                *[os.path.join(self.path, p) for p in carry_dvs]
-            ).filter(F.col("path").isin(*sorted(hit)))
-            final_stage = stage + ".merged"
-            staged.unionByName(prior).coalesce(1).write.mode(
-                "overwrite"
-            ).parquet(final_stage)
-            (part,) = _glob.glob(os.path.join(final_stage, "part-*.parquet"))
-            os.replace(part, os.path.join(self.path, dv_rel))
-            shutil.rmtree(final_stage, ignore_errors=True)
-        else:
-            # First DV for every hit file: the staged matches ARE the
-            # sidecar — promote the part file directly.
-            (part,) = _glob.glob(os.path.join(stage, "part-*.parquet"))
-            os.replace(part, os.path.join(self.path, dv_rel))
+        # DV merge: the new sidecar carries the fresh matches plus the
+        # hit files' previous vectors, written as ONE parquet file.
+        _write_sidecar(
+            self.path, dv_rel, staged_t,
+            [os.path.join(self.path, p) for p in carry_dvs], hit,
+        )
         shutil.rmtree(stage, ignore_errors=True)
         def _patched(base: list[dict]) -> list[dict]:
             out = []
@@ -1878,17 +1903,17 @@ class TxnTable:
         )
         stage = os.path.join(self.path, dv_rel) + ".stage"
         matched.coalesce(1).write.mode("overwrite").parquet(stage)
-        staged = self.spark.read.parquet(stage)
-        per_file = {
-            r["__key"]: r["n"]
-            for r in staged.groupBy("__key")
-            .agg(F.count(F.lit(1)).alias("n"))
-            .collect()
-        }
+        # Sidecar post-processing is driver-side Arrow over the staged
+        # KB/MB-scale match set (see delete_where_dv); only the
+        # updated-row APPEND below goes back through Spark — it writes
+        # data files.
+        staged_ids = _read_sidecar(stage, cols=("__key", "__ri"))
+        per_file = _value_counts(staged_ids, "__key")
         if not per_file:
             shutil.rmtree(stage, ignore_errors=True)
             return self.latest_version(), 0, 0
         hit = set(per_file)
+        staged = self.spark.read.parquet(stage)
         data_cols = [
             c for c in staged.columns if c not in ("__fp", "__ri", "__key")
         ]
@@ -1909,26 +1934,17 @@ class TxnTable:
         else:
             new_files = self._stage_files(updated, v)
         # Sidecar: staged old positions plus the hit files' previous
-        # vectors (same merge contract as delete_where_dv).
-        new_dv = staged.select(
-            F.col("__key").alias("path"), F.col("__ri").alias("row_index")
-        )
+        # vectors (same merge contract as delete_where_dv), published
+        # driver-side as one parquet file.
+        fresh = staged_ids.rename_columns(["path", "row_index"])
         carry_dvs = sorted(
             {e["dv"]["path"] for e in dvd if self._dv_key(e) in hit}
         )
-        if carry_dvs:
-            prior = self.spark.read.parquet(
-                *[os.path.join(self.path, p) for p in carry_dvs]
-            ).filter(F.col("path").isin(*sorted(hit)))
-            new_dv = new_dv.unionByName(prior)
-        final_stage = stage + ".dv"
-        new_dv.coalesce(1).write.mode("overwrite").parquet(final_stage)
-        import glob as _glob
-
-        (part,) = _glob.glob(os.path.join(final_stage, "part-*.parquet"))
         os.makedirs(os.path.join(self.path, "dv"), exist_ok=True)
-        os.replace(part, os.path.join(self.path, dv_rel))
-        shutil.rmtree(final_stage, ignore_errors=True)
+        _write_sidecar(
+            self.path, dv_rel, fresh,
+            [os.path.join(self.path, p) for p in carry_dvs], hit,
+        )
         shutil.rmtree(stage, ignore_errors=True)
 
         def _patched(base: list[dict]) -> list[dict]:

@@ -126,17 +126,26 @@ def table_delete_vectors(spark: SparkSession, sf_dir: str) -> DataFrame:
     round-7).
 
     Parity: Delta deletion vectors / Iceberg positional deletes
-    (merge-on-read row-level operations)."""
-    from xlsx_to_database_spark.operators.txn_table import TxnTable
+    (merge-on-read row-level operations).
 
-    orders = table(spark, sf_dir, "orders").select(
-        "o_orderkey", "o_totalprice"
-    )
-    tag = os.path.basename(os.path.normpath(sf_dir))
-    root = f"/tmp/spark_stage/{tag}_txn_dv"
-    shutil.rmtree(root, ignore_errors=True)
+    Fixture discipline (round-7 verdict #2/#4): the 4-file base table
+    is staged ONCE per process (txn_fixtures.staged_copy) and each
+    invocation works on a fresh OS-level copy, so the op's wall-clock
+    is the two DV commits + the merge-on-read aggregate — the thing
+    the headline number claims — not repeated Spark fixture writes."""
+    from xlsx_to_database_spark.operators.txn_table import TxnTable
+    from xlsx_to_database_spark.queries.txn_fixtures import staged_copy
+
+    def _build(root: str) -> None:
+        orders = table(spark, sf_dir, "orders").select(
+            "o_orderkey", "o_totalprice"
+        )
+        TxnTable(spark, root, "o_orderkey").create(
+            orders.repartitionByRange(4, "o_orderkey")
+        )
+
+    root = staged_copy("txn_dv_v1", sf_dir, _build)
     t = TxnTable(spark, root, "o_orderkey")
-    t.create(orders.repartitionByRange(4, "o_orderkey"))
     key = F.col("o_orderkey")
     _, marked1, deleted1 = t.delete_where_dv(key % 7 == 3)
     _, marked2, deleted2 = t.delete_where_dv(key % 11 == 5)
@@ -191,17 +200,24 @@ def table_update_vectors(spark: SparkSession, sf_dir: str) -> DataFrame:
     hit file; one table scan feeds both outputs. CDC reports each
     updated row as exact pre-image delete + post-image insert.
     Parity: Delta deletion-vector UPDATE / Iceberg merge-on-read row
-    updates."""
-    from xlsx_to_database_spark.operators.txn_table import TxnTable
+    updates.
 
-    orders = table(spark, sf_dir, "orders").select(
-        "o_orderkey", "o_totalprice"
-    )
-    tag = os.path.basename(os.path.normpath(sf_dir))
-    root = f"/tmp/spark_stage/{tag}_txn_updv"
-    shutil.rmtree(root, ignore_errors=True)
+    Fixture discipline: shares table_delete_vectors' staged base (same
+    4-file orders layout) via txn_fixtures.staged_copy — the timed
+    region is the UPDATE commit + read-back, not the repeated create."""
+    from xlsx_to_database_spark.operators.txn_table import TxnTable
+    from xlsx_to_database_spark.queries.txn_fixtures import staged_copy
+
+    def _build(root: str) -> None:
+        orders = table(spark, sf_dir, "orders").select(
+            "o_orderkey", "o_totalprice"
+        )
+        TxnTable(spark, root, "o_orderkey").create(
+            orders.repartitionByRange(4, "o_orderkey")
+        )
+
+    root = staged_copy("txn_dv_v1", sf_dir, _build)
     t = TxnTable(spark, root, "o_orderkey")
-    t.create(orders.repartitionByRange(4, "o_orderkey"))
     _, marked, updated = t.update_where_dv(
         F.col("o_orderkey") % 7 == 3,
         {"o_totalprice": F.col("o_totalprice") * 2},
@@ -390,18 +406,20 @@ def table_cdc_rows(spark: SparkSession, sf_dir: str) -> DataFrame:
     100 TB table reads the day's files, never the table. Parity:
     Delta Change Data Feed / Iceberg changelog scans."""
     from xlsx_to_database_spark.operators.txn_table import TxnTable
+    from xlsx_to_database_spark.queries.txn_fixtures import staged_copy
 
     orders = table(spark, sf_dir, "orders").select(
         "o_orderkey", "o_totalprice"
     )
-    tag = os.path.basename(os.path.normpath(sf_dir))
-    root = f"/tmp/spark_stage/{tag}_txn_cdc"
-    shutil.rmtree(root, ignore_errors=True)
-    t = TxnTable(spark, root, "o_orderkey")
     key = F.col("o_orderkey")
-    t.create(
-        orders.filter(key % 5 != 0).repartitionByRange(4, "o_orderkey")
-    )
+
+    def _build(root: str) -> None:
+        TxnTable(spark, root, "o_orderkey").create(
+            orders.filter(key % 5 != 0).repartitionByRange(4, "o_orderkey")
+        )
+
+    root = staged_copy("txn_cdc_v1", sf_dir, _build)
+    t = TxnTable(spark, root, "o_orderkey")
     t.append(orders.filter(key % 5 == 0).coalesce(1))
     t.delete_where_dv(key % 9 == 2)
     t.compact(target_files=4)
