@@ -579,25 +579,31 @@ class TxnTable:
         ]
         return df.select(*cols, *[F.col(x) for x in extra])
 
+    @staticmethod
+    def _extend_cmap(cols, cmap: dict, retired=()) -> dict:
+        """The column map extended with any NEW logical column in
+        ``cols``: a fresh physical name is allocated when the logical
+        name would collide with a live OR RETIRED physical name — a
+        dropped column's bytes linger in old files, so its physical
+        slot can never be reissued (the leak Delta prevents with
+        permanent column ids)."""
+        used_phys = set(cmap.values()) | set(retired)
+        ext = dict(cmap)
+        for c in cols:
+            if c not in ext:
+                ext[c] = c if c not in used_phys else f"{c}__p{len(ext)}"
+                used_phys.add(ext[c])
+        return ext
+
     def _to_physical(
         self, df: DataFrame, cmap: Optional[dict], retired=()
     ):
         """Rename an incoming logical-schema frame to physical names
-        for staging. Returns (physical_df, extended_map): a NEW
-        logical column (additive evolution after a rename) extends the
-        map, with a fresh physical name when its logical name would
-        collide with a live OR RETIRED physical name — a dropped
-        column's bytes linger in old files, so its physical slot can
-        never be reissued (the leak Delta prevents with permanent
-        column ids)."""
+        for staging. Returns (physical_df, extended_map) — see
+        ``_extend_cmap`` for the slot-allocation rules."""
         if not cmap:
             return df, None
-        used_phys = set(cmap.values()) | set(retired)
-        ext = dict(cmap)
-        for c in df.columns:
-            if c not in ext:
-                ext[c] = c if c not in used_phys else f"{c}__p{len(ext)}"
-                used_phys.add(ext[c])
+        ext = self._extend_cmap(df.columns, cmap, retired)
         out = df.select(*[F.col(c).alias(ext[c]) for c in df.columns])
         return out, ext
 
@@ -958,17 +964,25 @@ class TxnTable:
         every historical snapshot keeps ITS name for the column.
         Readers of older versions see the old name; appends after the
         rename write the FROZEN physical name, so files from before
-        and after the rename stay mutually readable."""
-        cm = self._identity_cmap()
+        and after the rename stay mutually readable.
+
+        The commit version is pinned from the SAME manifest snapshot
+        the new map derives from (all mutators here follow this rule):
+        a fresh ``latest_version()`` after the snapshot read would let
+        a racer's commit land in between and be silently overwritten —
+        fresh version + stale state = the put-if-absent link succeeds
+        and the conflict matrix never fires."""
+        man = self.manifest()
+        cm = self._identity_cmap(man)
         if old not in cm:
             raise ValueError(f"no such column: {old!r}")
         if new in cm:
             raise ValueError(f"column {new!r} already exists")
         out = {(new if lg == old else lg): ph for lg, ph in cm.items()}
-        v = self.latest_version() + 1
+        v = man["version"] + 1
         self._commit(
             v, f"rename_column({old}->{new})",
-            self.manifest()["files"], columns=out,
+            man["files"], columns=out,
         )
         return v
 
@@ -983,14 +997,14 @@ class TxnTable:
                 f"cannot drop the declared stats/clustering column "
                 f"{name!r}"
             )
-        cm = self._identity_cmap()
+        man = self.manifest()
+        cm = self._identity_cmap(man)
         if name not in cm:
             raise ValueError(f"no such column: {name!r}")
         if len(cm) == 1:
             raise ValueError("cannot drop the last column")
         out = {lg: ph for lg, ph in cm.items() if lg != name}
-        v = self.latest_version() + 1
-        man = self.manifest()
+        v = man["version"] + 1  # snapshot pin — see rename_column
         self._commit(
             v, f"drop_column({name})", man["files"], columns=out,
             # Retire the physical slot forever: its bytes linger in
@@ -1000,17 +1014,15 @@ class TxnTable:
         )
         return v
 
-    def _identity_cmap(self) -> dict:
-        """The current logical→physical map, materializing the
-        identity map from the data schema on first use (schema
-        resolution only — footer reads, no job)."""
-        cm = self._cmap()
+    def _identity_cmap(self, man: Optional[dict] = None) -> dict:
+        """The logical→physical map of ``man`` (default: latest),
+        materializing the identity map from the data schema on first
+        use (schema resolution only — footer reads, no job)."""
+        man = self.manifest() if man is None else man
+        cm = man.get("columns")
         if cm:
             return dict(cm)
-        return {
-            c: c
-            for c in self._read_files(self.manifest()["files"]).columns
-        }
+        return {c: c for c in self._read_files(man["files"]).columns}
 
     def clone_to(self, path: str, version: Optional[int] = None) -> "TxnTable":
         """SHALLOW CLONE: create a new table at ``path`` whose v0
@@ -1257,7 +1269,7 @@ class TxnTable:
         touched, untouched = self._split_by_key_range(
             entries, lo, hi, col=self._phys(key, cmap), cmap=cmap
         )
-        v = self.latest_version() + 1
+        v = man["version"] + 1  # snapshot pin — see rename_column
         if touched:
             t = self._to_logical(
                 self._read_files(touched), cmap
@@ -1342,9 +1354,10 @@ class TxnTable:
                 )
                 return v, len(touched), len(untouched)
             except ConcurrentWriteError:
-                now = self.manifest()["files"]
+                now_man = self.manifest()
                 now_touched, now_untouched = self._split_by_key_range(
-                    now, lo, hi, col=self._phys(key, cmap), cmap=cmap
+                    now_man["files"], lo, hi,
+                    col=self._phys(key, cmap), cmap=cmap,
                 )
                 if _ident(now_touched) != touched_ident:
                     raise ConcurrentWriteError(
@@ -1353,7 +1366,7 @@ class TxnTable:
                         f"retry the merge on the new snapshot"
                     ) from None
                 untouched = now_untouched
-                v = self.latest_version() + 1
+                v = now_man["version"] + 1  # snapshot pin
         raise ConcurrentWriteError(
             f"merge lost {max_retries + 1} consecutive version races "
             f"at {self.path}"
@@ -1383,7 +1396,7 @@ class TxnTable:
         big = [e for e in entries if e["rows"] >= max_rows]
         if len(small) < 2:
             return self.latest_version(), 0, len(entries)
-        v = self.latest_version() + 1
+        v = man["version"] + 1  # snapshot pin — see rename_column
         # Physical round-trip: content-preserving rewrites never leave
         # the frozen physical schema, so a column map stays untouched.
         df = (
@@ -1412,7 +1425,8 @@ class TxnTable:
         O(table) — the maintenance loop that keeps DV tables readable
         under continuous erasure, same trade as Delta's REORG PURGE.
         Selection is manifest metadata; no data scan decides anything."""
-        entries = self.manifest()["files"]
+        man = self.manifest()
+        entries = man["files"]
         hot = [
             e for e in entries
             if e.get("dv")
@@ -1422,10 +1436,10 @@ class TxnTable:
         if not hot:
             return self.latest_version(), 0, len(entries)
         cold = [e for e in entries if e not in hot]
-        v = self.latest_version() + 1
+        v = man["version"] + 1  # snapshot pin — see rename_column
         new_files = self._stage_files(
             self._read_files(hot), v,
-            stats_col=self._phys(self.stats_col, self._cmap()),
+            stats_col=self._phys(self.stats_col, man.get("columns")),
         )
         self._commit(v, "reorg_purge", cold + new_files)
         return v, len(hot), len(cold)
@@ -1450,7 +1464,7 @@ class TxnTable:
         man = self.manifest()
         entries, cmap = man["files"], man.get("columns")
         stats_phys = self._phys(self.stats_col, cmap)
-        v = self.latest_version() + 1
+        v = man["version"] + 1  # snapshot pin — see rename_column
         if order_by is None:
             key, df = stats_phys, self._read_files(entries)
         elif cmap:
@@ -1685,7 +1699,7 @@ class TxnTable:
         hit = {by_uri[r["__fp"]] for r in probe}
         touched = [e for e in entries if e["path"] in hit]
         untouched = [e for e in entries if e["path"] not in hit]
-        v = self.latest_version() + 1
+        v = man["version"] + 1  # snapshot pin — see rename_column
         files = list(untouched)
         if touched:
             # SQL DELETE semantics: remove rows where pred is TRUE; rows
@@ -1774,7 +1788,7 @@ class TxnTable:
         # work as the manifest JSON itself. A delete whose match set
         # is too big for driver memory is rewrite-shaped and belongs
         # to delete_where() (the documented contract).
-        v = self.latest_version() + 1
+        v = man["version"] + 1  # snapshot pin — see rename_column
         dv_rel = os.path.join(
             "dv", f"dv-v{v:010d}-{_uuid.uuid4().hex[:8]}.parquet"
         )
@@ -1834,7 +1848,8 @@ class TxnTable:
                 self._commit(v, "delete_dv", files)
                 return v, len(hit), sum(per_file.values())
             except ConcurrentWriteError:
-                now = self.manifest()["files"]
+                now_man = self.manifest()
+                now = now_man["files"]
                 now_by_key = {self._dv_key(e): e for e in now}
                 stale = [
                     k for k, o in orig_by_key.items()
@@ -1850,7 +1865,7 @@ class TxnTable:
                         f"{stale[0]}); retry on the new snapshot"
                     ) from None
                 files = _patched(now)
-                v = self.latest_version() + 1
+                v = now_man["version"] + 1  # snapshot pin
         raise ConcurrentWriteError(
             f"delete_dv lost 11 consecutive version races at {self.path}"
         )
@@ -1897,7 +1912,7 @@ class TxnTable:
             "__fp", "__key",
         )
         matched = scan.filter(pred).join(F.broadcast(key_map), "__fp")
-        v = self.latest_version() + 1
+        v = man["version"] + 1  # snapshot pin — see rename_column
         dv_rel = os.path.join(
             "dv", f"dv-v{v:010d}-{_uuid.uuid4().hex[:8]}.parquet"
         )
@@ -1977,7 +1992,8 @@ class TxnTable:
                 self._commit(v, "update_dv", files)
                 return v, len(hit), n_updated
             except ConcurrentWriteError:
-                now = self.manifest()["files"]
+                now_man = self.manifest()
+                now = now_man["files"]
                 now_by_key = {self._dv_key(e): e for e in now}
                 stale = [
                     k for k, o in orig_by_key.items()
@@ -1993,7 +2009,7 @@ class TxnTable:
                         f"new snapshot"
                     ) from None
                 files = _patched(now) + new_files
-                v = self.latest_version() + 1
+                v = now_man["version"] + 1  # snapshot pin
         raise ConcurrentWriteError(
             f"update_dv lost 11 consecutive version races at {self.path}"
         )
