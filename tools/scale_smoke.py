@@ -388,6 +388,71 @@ def big_smoke(spark, which: list[str]) -> None:
         timed("z-layout: merge 100k narrow-y keys @20M",
               lambda: merge_on(tz2, "y", "x"))
 
+    if "dv_lifecycle" in which:
+        # Round-7 verdict #7: the DV read tax over a MIXED workload —
+        # one measured sequence append → DV delete (uniform) → DV
+        # delete (skewed) → DV update → reorg_purge → compact at 20M
+        # rows / 64 files, timing BOTH each op and the full-scan
+        # aggregate after it. The claim under test: the tax is bounded
+        # (scans stay O(scan), never O(versions)), reorg_purge removes
+        # it from exactly the hot files, and compact returns the scan
+        # to baseline — monotone decay, no step regresses it.
+        import shutil as _sh
+
+        from xlsx_to_database_spark.operators.txn_table import TxnTable
+
+        root = "/tmp/spark_scale_smoke/dv_lifecycle"
+        _sh.rmtree(root, ignore_errors=True)
+        n = 20_000_000
+        tt = TxnTable(spark, root, "k")
+        t0 = time.perf_counter()
+        tt.create(
+            spark.range(n).select(
+                F.col("id").alias("k"),
+                (F.col("id") % 1000).cast("double").alias("v"),
+            ).repartitionByRange(64, "k")
+        )
+        print(f"{'create 20M rows / 64 files':40} "
+              f"{time.perf_counter() - t0:8.2f}s")
+
+        def scan(label):
+            q = lambda: tt.read().agg(  # noqa: E731
+                F.count(F.lit(1)).alias("n"),
+                F.round(F.sum("v"), 2).alias("s"),
+            ).collect()[0]
+            q()  # warm
+            t0 = time.perf_counter()
+            r = q()
+            print(f"{'  full scan after ' + label:40} "
+                  f"{time.perf_counter() - t0:8.2f}s  rows={r['n']}")
+
+        def step(label, fn):
+            t0 = time.perf_counter()
+            out = fn()
+            print(f"{label:40} {time.perf_counter() - t0:8.2f}s  {out}")
+            scan(label)
+
+        scan("create (baseline)")
+        step("append 100k rows", lambda: tt.append(
+            spark.range(n, n + 100_000).select(
+                F.col("id").alias("k"), F.lit(1.0).alias("v")
+            ).coalesce(1)
+        ))
+        step("DV delete uniform ~0.3% (k%331==7)",
+             lambda: tt.delete_where_dv(F.col("k") % 331 == 7))
+        step("DV delete skewed ~7.7% of first 2M",
+             lambda: tt.delete_where_dv(
+                 (F.col("k") < 2_000_000) & (F.col("k") % 13 == 5)
+             ))
+        step("DV update uniform ~0.02% (k%4099==1)",
+             lambda: tt.update_where_dv(
+                 F.col("k") % 4099 == 1, {"v": F.col("v") + 1.0}
+             ))
+        step("reorg_purge(ratio=0.02) — hot files only",
+             lambda: tt.reorg_purge(max_deleted_ratio=0.02))
+        step("compact(64) — tax to zero",
+             lambda: tt.compact(target_files=64))
+
     if "round5" in which:
         # 20M-row orders staged ONCE to /tmp parquet, then the REGISTERED
         # round-5 stat ops run end-to-end (scan included — these ops'
