@@ -499,3 +499,40 @@ def test_seeded_schedule_stress_colmap_dv_merge(spark, tmp_path):
             assert ks.count(base_k) <= 1, (
                 f"seed {seed}: base key {base_k} duplicated"
             )
+
+
+def test_merge_new_column_rebases_across_racing_rename(
+    spark, tmp_path, monkeypatch
+):
+    """The merge leg of carry-not-clobber: a MERGE that both ADDS a
+    new source column and loses its version race to a RENAME must
+    commit the racer's renamed map EXTENDED with its new column —
+    committing the pre-race map would clobber the rename; committing
+    only the rename's map would silently drop the new column."""
+    t = _mk(spark, tmp_path)               # k, v over 1..100
+    t.rename_column("v", "val")            # map materialized
+    orig_commit = t._commit
+    raced = {"done": False}
+
+    def commit_and_race(version, op, files, txn_id=None, **kw):
+        if op == "merge" and not raced["done"]:
+            raced["done"] = True
+            racer = TxnTable(spark, t.path, "k")
+            racer.rename_column("val", "value")
+        return orig_commit(version, op, files, txn_id=txn_id, **kw)
+
+    monkeypatch.setattr(t, "_commit", commit_and_race)
+    t.merge(
+        spark.createDataFrame([(200, 1, 10)], "k long, val long, w long"),
+        "k",
+    )
+    # NOTE the source used the PRE-rename logical name 'val'; its
+    # staged file holds the frozen physical name, so the racer's
+    # rename applies to it too. The committed map must be the
+    # racer's ('value') plus the merge's new 'w'.
+    assert t.read().columns == ["k", "value", "w"], (
+        "merge rebase clobbered the racing rename or dropped its "
+        "new column"
+    )
+    got = {r.k: (r.value, r.w) for r in t.read().collect()}
+    assert got[200] == (1, 10) and got[7] == (14, None)
