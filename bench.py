@@ -122,12 +122,13 @@ def main() -> None:
 
     timings: dict[str, float] = {}
     for name in names:
-        # Median of 3 timed runs (round-4 verdict #2): a single sample let
+        # Median of 5 timed runs (3 until round 8): a single sample let
         # one GC pause / OS scheduling hiccup read as a 2x op regression
-        # (r04's agg_basic 0.43->0.90s); the median rejects that outlier
-        # for ~2x extra suite wall-clock.
+        # (r04's agg_basic 0.43->0.90s), and a median of 3 still drifted
+        # +-0.1s round-over-round on untouched ops (r07 verdict nit #1);
+        # 5 samples reject two outliers for ~+40% suite wall-clock.
         samples = []
-        for _ in range(3):
+        for _ in range(5):
             t0 = time.perf_counter()
             df = qs[name](spark, SF_DIR)
             n = df.count()
