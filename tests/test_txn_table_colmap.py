@@ -284,8 +284,9 @@ def test_seeded_schedule_stress_colmap_dv_merge(spark, tmp_path):
     """Round-7 verdict #5: the randomized-SCHEDULE stress extended to
     column mapping — 3 writers per seeded schedule interleaving blind
     appends (sometimes with a NEW column), replayed ``append_once``
-    tokens, RENAME/DROP COLUMN, real deletion-vector deletes, real
-    MERGEs, guarded vacuums, and checkpoint writes (interval=2). The
+    tokens, RENAME/DROP COLUMN, real deletion-vector deletes and
+    UPDATEs, real MERGEs, guarded vacuums, and checkpoint writes
+    (interval=2). The
     specific race the verdict names — a rename landing between a DV
     delete's manifest read and its commit — must either rebase (the
     delete adopts the rename's map via _CARRY) or refuse
@@ -391,6 +392,8 @@ def test_seeded_schedule_stress_colmap_dv_merge(spark, tmp_path):
                 assignment[w].append(("drop", w, None))
             if rng.random() < 0.35:
                 assignment[w].append(("dv_delete", rng.randint(0, 4), None))
+            if rng.random() < 0.15:
+                assignment[w].append(("dv_update", rng.randint(0, 6), None))
             if rng.random() < 0.25:
                 assignment[w].append(("merge", w, None))
             if rng.random() < 0.3:
@@ -427,6 +430,18 @@ def test_seeded_schedule_stress_colmap_dv_merge(spark, tmp_path):
                             tt.delete_where_dv(
                                 (F.col("k") <= 20) & (F.col("k") % 5 == a)
                             )
+                        elif op == "dv_update":
+                            # set-target resolved from the live map; a
+                            # rename landing between this read and the
+                            # op's own manifest read surfaces as the
+                            # op's documented ValueError (unknown
+                            # column) — acceptable below.
+                            cm_now = tt._cmap() or {}
+                            tgt = [c for c in cm_now if c != "k"][0]
+                            tt.update_where_dv(
+                                (F.col("k") <= 20) & (F.col("k") % 7 == a),
+                                {tgt: F.col(tgt) + 1000},
+                            )
                         elif op == "merge":
                             lo = 1 + 5 * w
                             src = spark.createDataFrame(
@@ -441,7 +456,9 @@ def test_seeded_schedule_stress_colmap_dv_merge(spark, tmp_path):
                     except ConcurrentWriteError:
                         pass  # conflict-matrix refusal: documented
                     except ValueError as e:
-                        if op not in ("rename", "drop", "dv_delete"):
+                        if op not in (
+                            "rename", "drop", "dv_delete", "dv_update"
+                        ):
                             raise
                         # lost logical DDL race / nothing to drop /
                         # predicate column renamed mid-flight
