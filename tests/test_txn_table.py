@@ -1034,3 +1034,50 @@ def test_restore_rollback_preserves_prior_dv(spark, tmp_path):
     got = {r.k: r.v for r in t.read().collect()}
     assert all(k > 10 for k in got), "rollback resurrected DV-deleted rows"
     assert got[90] == -90 and len(got) == 90
+
+
+def test_merge_narrow_source_preserves_unmentioned_columns(spark, tmp_path):
+    """Delta MERGE parity: a target column the source OMITS is
+    unmentioned, not deleted — matched and unmatched rows in rewritten
+    files keep their value; inserted rows read NULL. (Selecting only
+    source columns would silently NULL the omitted column for every
+    row of every rewritten file.)"""
+    t = TxnTable(spark, str(tmp_path / "narrow"), "k")
+    t.create(
+        spark.range(1, 101).select(
+            F.col("id").alias("k"),
+            (F.col("id") * 2).alias("v"),
+            F.concat(F.lit("tag"), F.col("id")).alias("label"),
+        ).repartitionByRange(2, "k")
+    )
+    t.merge(  # updates k=5, inserts k=500; 'label' never mentioned
+        spark.createDataFrame([(5, -5), (500, -500)], "k long, v long"),
+        "k",
+    )
+    got = {r.k: (r.v, r.label) for r in t.read().collect()}
+    assert got[5] == (-5, "tag5"), "matched row lost its unmentioned column"
+    assert got[7] == (14, "tag7"), (
+        "unmatched row in a rewritten file lost its unmentioned column"
+    )
+    assert got[500] == (-500, None)
+    assert len(got) == 101
+
+
+def test_merge_narrow_source_under_column_map(spark, tmp_path):
+    """The same rule through a column map: rename 'label' first, then
+    narrow-merge — the renamed unmentioned column must survive."""
+    t = TxnTable(spark, str(tmp_path / "narrowcm"), "k")
+    t.create(
+        spark.range(1, 51).select(
+            F.col("id").alias("k"),
+            (F.col("id") * 2).alias("v"),
+            F.concat(F.lit("tag"), F.col("id")).alias("label"),
+        ).repartitionByRange(2, "k")
+    )
+    t.rename_column("label", "tag")
+    t.merge(
+        spark.createDataFrame([(3, -3)], "k long, v long"), "k"
+    )
+    got = {r.k: (r.v, r.tag) for r in t.read().collect()}
+    assert got[3] == (-3, "tag3") and got[4] == (8, "tag4")
+    assert len(got) == 50

@@ -378,6 +378,21 @@ class TxnTable:
         # table carries a column map (df arrives here already renamed
         # to physical); default: the declared name (identity tables).
         stats_col = self.stats_col if stats_col is None else stats_col
+        # NullType (VOID) columns never reach the data files: they
+        # arise from ``_to_logical`` materializing NULL for a mapped
+        # column no input file carries (a rewrite of pre-evolution
+        # files), and a staged VOID parquet column poisons every later
+        # footer merge (CANNOT_MERGE_SCHEMAS against the typed files).
+        # Omitting the column is read-equivalent: the column map (or
+        # unionByName) re-materializes NULL for files that lack it.
+        from pyspark.sql.types import NullType
+
+        void = [
+            f.name for f in df.schema.fields
+            if isinstance(f.dataType, NullType)
+        ]
+        if void:
+            df = df.drop(*void)
         out = os.path.join(
             self.path, "data", f"v{version:010d}-{_uuid.uuid4().hex[:8]}"
         )
@@ -1274,11 +1289,18 @@ class TxnTable:
             t = self._to_logical(
                 self._read_files(touched), cmap
             ).alias("t")
-            # A source column the target lacks (additive evolution
-            # through MERGE, like append's) has no t-side leg — its
-            # unmatched-target rows read as NULL, same as mergeSchema
-            # gives the untouched files.
+            # Column semantics (Delta MERGE parity):
+            # - a source column the target lacks (additive evolution,
+            #   like append's) has no t-side leg — unmatched-target
+            #   rows read it as NULL, same as mergeSchema gives the
+            #   untouched files;
+            # - a TARGET column the source omits is UNMENTIONED, not
+            #   deleted: matched and unmatched target rows keep their
+            #   value, inserted rows get NULL. Selecting only
+            #   source.columns here would silently NULL the omitted
+            #   column for every row of the rewritten files.
             t_cols = set(t.columns)
+            src_cols = set(source.columns)
             s = source.alias("s")
             merged = t.join(s, F.col(f"t.{key}") == F.col(f"s.{key}"),
                             "full_outer").select(
@@ -1286,9 +1308,16 @@ class TxnTable:
                     F.coalesce(F.col(f"s.{c}"), F.col(f"t.{c}")).alias(c)
                     if c in t_cols else F.col(f"s.{c}").alias(c)
                     for c in source.columns
-                ]
+                ],
+                *[
+                    F.col(f"t.{c}").alias(c)
+                    for c in t.columns
+                    if c not in src_cols
+                ],
             )
         else:
+            # Pure insert: target-only columns are simply absent from
+            # the staged file; reads materialize NULL via mergeSchema.
             merged = source
         if target_file_rows is not None:
             # Optimized write (Delta's optimizeWrite): size the staged
