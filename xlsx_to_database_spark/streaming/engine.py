@@ -208,4 +208,9 @@ def run_foreach_batch_parquet(sdf: DataFrame, out_dir: str) -> None:
             .start()
         )
         q.awaitTermination()
+    # Successful bounded drain: the run-unique checkpoint has no restart
+    # value and would otherwise accrete under /tmp forever. A FAILED
+    # drain keeps it (awaitTermination raised past this line) so the
+    # failure is restartable/inspectable.
+    shutil.rmtree(ckpt, ignore_errors=True)
     shutil.rmtree(ckpt, ignore_errors=True)
