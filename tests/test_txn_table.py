@@ -1081,3 +1081,64 @@ def test_merge_narrow_source_under_column_map(spark, tmp_path):
     got = {r.k: (r.v, r.tag) for r in t.read().collect()}
     assert got[3] == (-3, "tag3") and got[4] == (8, "tag4")
     assert len(got) == 50
+
+
+def test_compact_adopts_racing_blind_append(spark, tmp_path, monkeypatch):
+    """Delta's layout-op conflict matrix: an OPTIMIZE that loses its
+    version race to a BLIND APPEND must retry adopting the racer's
+    files by reference — neither dropping them (the pre-round-8 silent
+    corruption) nor raising (which would make continuous compaction
+    starve under steady ingest)."""
+    t = _mk(spark, tmp_path, n=100, parts=4)
+    orig = t._commit
+    raced = {"done": False}
+
+    def patched(version, op, files, txn_id=None, **kw):
+        if op == "compact" and not raced["done"]:
+            raced["done"] = True
+            racer = TxnTable(spark, t.path, "k")
+            racer.append(
+                spark.createDataFrame([(999, 999)], "k long, v long")
+                .coalesce(1)
+            )
+        return orig(version, op, files, txn_id=txn_id, **kw)
+
+    monkeypatch.setattr(t, "_commit", patched)
+    v, n_before = t.compact(target_files=2)
+    assert v == 2 and n_before == 4  # racer took v1, compact landed v2
+    got = {r.k: r.v for r in t.read().collect()}
+    assert got[999] == 999, "compact dropped the racing append"
+    assert len(got) == 101 and got[7] == 14
+    # racer's file carried by REFERENCE (not rewritten)
+    racer_paths = {
+        e["path"] for e in t.manifest(1)["files"]
+    } - {e["path"] for e in t.manifest(0)["files"]}
+    assert racer_paths <= {e["path"] for e in t.manifest(2)["files"]}
+
+
+def test_compact_refuses_racing_dv_delete_on_input(
+    spark, tmp_path, monkeypatch
+):
+    """The refuse half: a DV delete that lands on one of the compact's
+    INPUT files between its read and its commit makes the rewrite's
+    live view stale — committing it would resurrect the freshly
+    deleted rows, so it must raise, and the table must keep the
+    racer's delete."""
+    t = _mk(spark, tmp_path, n=100, parts=4)
+    orig = t._commit
+    raced = {"done": False}
+
+    def patched(version, op, files, txn_id=None, **kw):
+        if op == "compact" and not raced["done"]:
+            raced["done"] = True
+            racer = TxnTable(spark, t.path, "k")
+            racer.delete_where_dv(F.col("k") <= 10)
+        return orig(version, op, files, txn_id=txn_id, **kw)
+
+    monkeypatch.setattr(t, "_commit", patched)
+    with pytest.raises(ConcurrentWriteError):
+        t.compact(target_files=2)
+    got = {r.k for r in t.read().collect()}
+    assert len(got) == 90 and min(got) == 11, (
+        "the racer's DV delete was lost"
+    )

@@ -396,6 +396,8 @@ def test_seeded_schedule_stress_colmap_dv_merge(spark, tmp_path):
                 assignment[w].append(("dv_update", rng.randint(0, 6), None))
             if rng.random() < 0.25:
                 assignment[w].append(("merge", w, None))
+            if rng.random() < 0.15:
+                assignment[w].append(("compact_small", None, None))
             if rng.random() < 0.3:
                 assignment[w].append(("vacuum", None, None))
             rng.shuffle(assignment[w])
@@ -449,6 +451,11 @@ def test_seeded_schedule_stress_colmap_dv_merge(spark, tmp_path):
                                 "k long, val long",
                             )
                             tt.merge(src, "k")
+                        elif op == "compact_small":
+                            # layout-op conflict matrix under fire:
+                            # adopts disjoint racers, refuses if a hit
+                            # file's DV changed mid-rewrite
+                            tt.compact_small(max_rows=50)
                         else:
                             tt.vacuum(
                                 retain_versions=1, min_age_seconds=300

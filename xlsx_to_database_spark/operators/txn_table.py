@@ -637,13 +637,29 @@ class TxnTable:
         entry's data file — the scan-side identity half."""
         return "file:" + os.path.abspath(os.path.join(self.path, e["path"]))
 
+    #: Above this many pairs, _literal_df switches from a literal plan
+    #: to an Arrow createDataFrame: a 100k-struct literal bloats the
+    #: plan tree (analysis cost grows with expression count), while
+    #: Arrow ships one batch. Below it, the literal plan avoids
+    #: createDataFrame's ~0.2-0.5 s Python-RDD schema application.
+    _LITERAL_DF_MAX = 8192
+
     def _literal_df(self, pairs: list[tuple], a: str, b: str) -> DataFrame:
-        """A two-string-column DataFrame from driver pairs as a PURE
-        LITERAL plan (struct-array explode → LocalRelation-class), not
-        ``createDataFrame`` — which routes tiny lists through Python-RDD
-        schema application at ~0.2–0.5 s per query. Manifest-bounded:
-        one struct per file; a deployment with 100k+ files would switch
-        this to an Arrow createDataFrame, same contract."""
+        """A two-string-column DataFrame from driver pairs. Small
+        (manifest-bounded) inputs become a PURE LITERAL plan
+        (struct-array explode → LocalRelation-class); past
+        ``_LITERAL_DF_MAX`` files the same contract is served by an
+        Arrow-batched ``createDataFrame`` — constant-size plan, one
+        Arrow batch, no per-expression analysis cost."""
+        if len(pairs) > self._LITERAL_DF_MAX:
+            from pyspark.sql.types import StringType, StructField, StructType
+
+            return self.spark.createDataFrame(
+                [(str(x), str(y)) for x, y in pairs],
+                StructType(
+                    [StructField(a, StringType()), StructField(b, StringType())]
+                ),
+            )
         arr = F.array(
             *[
                 F.struct(F.lit(x).alias(a), F.lit(y).alias(b))
@@ -800,6 +816,59 @@ class TxnTable:
         raise ConcurrentWriteError(
             f"append lost {max_retries + 1} consecutive version races "
             f"at {self.path}"
+        )
+
+    def _commit_rewrite_rebasing(
+        self,
+        v: int,
+        op: str,
+        man: dict,
+        inputs: list[dict],
+        new_files: list[dict],
+        max_retries: int = 10,
+    ) -> int:
+        """Commit a content-preserving rewrite of ``inputs`` (their
+        live rows re-staged as ``new_files``) with Delta's
+        layout-operation conflict matrix: on a lost version race,
+        commits that left every input entry untouched (same path, same
+        DV pointer) are ADOPTED — their files outside the input set
+        carry by reference. This is what lets a continuous OPTIMIZE /
+        auto-compaction / REORG loop run alongside blind-append ingest
+        without either side retrying at the caller level — the normal
+        state of a busy 100 TB table. A race that removed an input
+        file or changed its deletion vector refuses with
+        ``ConcurrentWriteError``: the rewrite re-staged a stale live
+        view, and committing it would resurrect deleted rows or
+        duplicate rewritten ones."""
+        in_paths = {e["path"] for e in inputs}
+
+        def _ident(es: list[dict]) -> list[tuple]:
+            return sorted(
+                (e["path"], e.get("dv", {}).get("path"))
+                for e in es
+                if e["path"] in in_paths
+            )
+
+        want = _ident(inputs)
+        cur = man
+        for _ in range(max_retries + 1):
+            carried = [
+                e for e in cur["files"] if e["path"] not in in_paths
+            ]
+            try:
+                self._commit(v, op, carried + new_files)
+                return v
+            except ConcurrentWriteError:
+                cur = self.manifest()
+                if _ident(cur["files"]) != want:
+                    raise ConcurrentWriteError(
+                        f"{op} lost a race to a commit that changed its "
+                        f"input file(s); retry on the new snapshot"
+                    ) from None
+                v = cur["version"] + 1
+        raise ConcurrentWriteError(
+            f"{op} lost {max_retries + 1} consecutive version races at "
+            f"{self.path}"
         )
 
     def append_once(self, df: DataFrame, txn_id: str) -> Optional[int]:
@@ -1433,9 +1502,9 @@ class TxnTable:
             .repartitionByRange(target_files, stats_phys)
             .sortWithinPartitions(stats_phys)
         )
-        self._commit(
-            v, "compact_small",
-            big + self._stage_files(df, v, stats_col=stats_phys),
+        v = self._commit_rewrite_rebasing(
+            v, "compact_small", man, small,
+            self._stage_files(df, v, stats_col=stats_phys),
         )
         return v, len(small), len(big)
 
@@ -1470,7 +1539,9 @@ class TxnTable:
             self._read_files(hot), v,
             stats_col=self._phys(self.stats_col, man.get("columns")),
         )
-        self._commit(v, "reorg_purge", cold + new_files)
+        v = self._commit_rewrite_rebasing(
+            v, "reorg_purge", man, hot, new_files
+        )
         return v, len(hot), len(cold)
 
     def compact(self, target_files: int = 4, order_by=None) -> tuple[int, int]:
@@ -1507,15 +1578,17 @@ class TxnTable:
                 .sortWithinPartitions(key),
                 cmap,
             )
-            self._commit(
-                v, "compact", self._stage_files(df, v, stats_col=stats_phys)
+            v = self._commit_rewrite_rebasing(
+                v, "compact", man, entries,
+                self._stage_files(df, v, stats_col=stats_phys),
             )
             return v, len(entries)
         else:
             key, df = order_by, self._read_files(entries)
         df = df.repartitionByRange(target_files, key).sortWithinPartitions(key)
-        self._commit(
-            v, "compact", self._stage_files(df, v, stats_col=stats_phys)
+        v = self._commit_rewrite_rebasing(
+            v, "compact", man, entries,
+            self._stage_files(df, v, stats_col=stats_phys),
         )
         return v, len(entries)
 
