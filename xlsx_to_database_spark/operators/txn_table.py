@@ -1533,7 +1533,8 @@ class TxnTable:
         ]
         if not hot:
             return self.latest_version(), 0, len(entries)
-        cold = [e for e in entries if e not in hot]
+        hot_paths = {e["path"] for e in hot}
+        cold = [e for e in entries if e["path"] not in hot_paths]
         v = man["version"] + 1  # snapshot pin — see rename_column
         new_files = self._stage_files(
             self._read_files(hot), v,
