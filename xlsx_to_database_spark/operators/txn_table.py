@@ -1752,11 +1752,10 @@ class TxnTable:
         if not hit:
             return None
         cur_rows = self._dv_rows(hit)
+        hit_keys = {self._dv_key(h) for h in hit}
         prev_hit = [
             e for e in prev_entries
-            if e.get("dv") and self._dv_key(e) in {
-                self._dv_key(h) for h in hit
-            }
+            if e.get("dv") and self._dv_key(e) in hit_keys
         ]
         if prev_hit:
             prev_rows = self._dv_rows(prev_hit)
