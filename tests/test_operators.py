@@ -1537,7 +1537,7 @@ def test_table_checksum_detects_any_single_row_change(spark, tmp_path, sf_dir):
     from xlsx_to_database_spark.registry import all_queries
 
     base = {
-        r.tbl: (r.n_rows, r.checksum)
+        r.tbl: (r.n_rows, r.checksum_hi, r.checksum_mid, r.checksum_lo)
         for r in all_queries()["dq_table_checksum"](spark, sf_dir).collect()
     }
     stage = tmp_path / "sf_ck"
@@ -1560,12 +1560,18 @@ def test_table_checksum_detects_any_single_row_change(spark, tmp_path, sf_dir):
         "overwrite"
     ).parquet(str(stage / "supplier.parquet"))
     got = {
-        r.tbl: (r.n_rows, r.checksum)
+        r.tbl: (r.n_rows, r.checksum_hi, r.checksum_mid, r.checksum_lo)
         for r in all_queries()["dq_table_checksum"](spark, str(stage)).collect()
     }
-    assert got["nation"][1] != base["nation"][1]      # tamper detected
+    assert got["nation"][1:] != base["nation"][1:]    # tamper detected
     assert got["supplier"] == base["supplier"]        # order-insensitive
     assert got["customer"] == base["customer"]
+    # protocol-domain guard, in miniature: every limb sum must survive a
+    # float64 round-trip (the r08 driver red was exactly this property
+    # failing on the single-sum form)
+    for t, vals in {**base, **got}.items():
+        for v in vals[1:]:
+            assert int(float(v)) == int(v), (t, v)
 
 
 def test_winnowing_guarantees_shared_fingerprint_on_long_overlap(spark, tmp_path, sf_dir):

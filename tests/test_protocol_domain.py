@@ -1,0 +1,77 @@
+"""Protocol-domain guard (round-8 verdict #5).
+
+The driver's correctness comparator canonicalizes values on both
+engines' fetch paths; an INTEGER-VALUED numeric whose magnitude exceeds
+2^53 cannot survive a float64 round-trip, so even a cross-engine-exact
+result hash-mismatches in that protocol. Round 8 hit this once:
+``dq_table_checksum``'s single 48-bit-hash sum (2.09e17 at sf0.01) was
+the registry's only such value and produced the round's only red row,
+while the repo's own exact-Decimal mirror matched. The fix (hi/mid/lo
+16-bit limb sums) removed it; this guard keeps the count at zero —
+including at future scale bumps, where SUM-shaped outputs grow ~10x per
+sf step.
+
+The guard runs every oracled op's DuckDB oracle at sf0.01 (DuckDB side
+only — the mirror already proves Spark agrees with these values; what's
+checked here is the VALUES' protocol safety, which is engine-independent
+once they agree) and asserts no result cell, at any nesting depth, holds
+an integer-valued numeric with |v| > 2^53.
+"""
+
+from __future__ import annotations
+
+import decimal
+import os
+
+import duckdb
+
+FLOAT_EXACT_MAX = 2**53
+
+_TABLES = (
+    "region nation customer supplier part orders lineitem events "
+    "documents embeddings".split()
+)
+
+
+def _violations(v, out):
+    """Collect integer-valued numerics beyond the float64-exact range,
+    recursing into arrays/structs (cells can be LIST/STRUCT-typed)."""
+    if isinstance(v, bool) or v is None:
+        return
+    if isinstance(v, (int, decimal.Decimal)):
+        if v == int(v) and abs(int(v)) > FLOAT_EXACT_MAX:
+            out.append(v)
+    elif isinstance(v, float):
+        if v == int(v) and abs(v) > FLOAT_EXACT_MAX:
+            out.append(v)
+    elif isinstance(v, (list, tuple)):
+        for x in v:
+            _violations(x, out)
+    elif isinstance(v, dict):
+        for x in v.values():
+            _violations(x, out)
+
+
+def test_no_oracle_emits_float_unsafe_integers():
+    import __spark_entry__ as e
+
+    sf_dir = os.environ.get("SPARK_GRAFT_GUARD_SF", "/root/testdata/sf0.01")
+    con = duckdb.connect()
+    for t in _TABLES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM "
+            f"read_parquet('{sf_dir}/{t}.parquet')"
+        )
+    offenders: dict[str, list] = {}
+    for name, sql in e.oracle_sql().items():
+        rows = con.execute(sql).fetchall()
+        bad: list = []
+        for r in rows:
+            for v in r:
+                _violations(v, bad)
+        if bad:
+            offenders[name] = bad[:3]
+    assert not offenders, (
+        "ops emitting integer-valued numerics beyond 2^53 — outside the "
+        f"driver comparator's value-exact domain: {offenders}"
+    )

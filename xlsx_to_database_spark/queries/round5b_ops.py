@@ -2718,37 +2718,45 @@ def csv_latin1_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     "dq_table_checksum",
     """
     WITH n AS (
-      SELECT count(*) AS n_rows,
-             sum(CAST(concat('0x', substr(md5(
+      SELECT CAST(concat('0x', substr(md5(
                  concat_ws('|', CAST(n_nationkey AS VARCHAR), n_name,
                            CAST(n_regionkey AS VARCHAR))), 1, 12))
-               AS BIGINT)) AS ck
+               AS BIGINT) AS ch
       FROM nation
     ), s AS (
-      SELECT count(*) AS n_rows,
-             sum(CAST(concat('0x', substr(md5(
+      SELECT CAST(concat('0x', substr(md5(
                  concat_ws('|', CAST(s_suppkey AS VARCHAR), s_name,
                            CAST(s_nationkey AS VARCHAR),
                            CAST(CAST(floor(s_acctbal * 100 + 0.5)
                                      AS BIGINT) AS VARCHAR))), 1, 12))
-               AS BIGINT)) AS ck
+               AS BIGINT) AS ch
       FROM supplier
     ), c AS (
-      SELECT count(*) AS n_rows,
-             sum(CAST(concat('0x', substr(md5(
+      SELECT CAST(concat('0x', substr(md5(
                  concat_ws('|', CAST(c_custkey AS VARCHAR), c_name,
                            CAST(c_nationkey AS VARCHAR), c_mktsegment,
                            CAST(CAST(floor(c_acctbal * 100 + 0.5)
                                      AS BIGINT) AS VARCHAR))), 1, 12))
-               AS BIGINT)) AS ck
+               AS BIGINT) AS ch
       FROM customer
     )
     SELECT tbl, CAST(n_rows AS BIGINT) AS n_rows,
-           CAST(ck AS DECIMAL(38,0)) AS checksum
+           CAST(ck_hi AS BIGINT) AS checksum_hi,
+           CAST(ck_mid AS BIGINT) AS checksum_mid,
+           CAST(ck_lo AS BIGINT) AS checksum_lo
     FROM (
-      SELECT 'nation' AS tbl, * FROM n
-      UNION ALL SELECT 'supplier', * FROM s
-      UNION ALL SELECT 'customer', * FROM c
+      SELECT 'nation' AS tbl, count(*) AS n_rows,
+             sum(ch // 4294967296) AS ck_hi,
+             sum((ch // 65536) % 65536) AS ck_mid,
+             sum(ch % 65536) AS ck_lo FROM n
+      UNION ALL
+      SELECT 'supplier', count(*),
+             sum(ch // 4294967296), sum((ch // 65536) % 65536),
+             sum(ch % 65536) FROM s
+      UNION ALL
+      SELECT 'customer', count(*),
+             sum(ch // 4294967296), sum((ch // 65536) % 65536),
+             sum(ch % 65536) FROM c
     )
     """,
 )
@@ -2756,7 +2764,7 @@ def dq_table_checksum(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Order-insensitive table content checksum — THE reconciliation
     primitive for migrations and replication at 100 TB: hash each row
     canonically, SUM the hashes (commutative ⇒ no sort, no shuffle
-    order sensitivity), compare one number per table between source and
+    order sensitivity), compare one digest per table between source and
     target. A row changed/lost/duplicated anywhere moves the digest;
     partitioning, file order, and engine are all invisible to it. This
     op digests three tables; the oracle recomputes the identical digest
@@ -2765,36 +2773,50 @@ def dq_table_checksum(spark: SparkSession, sf_dir: str) -> DataFrame:
     Canonical row form: '|'-joined key fields with money quantized to
     integer cents and NULLs impossible by schema — float formatting
     never reaches the hash. Digest = 48-bit prefix of md5 per row,
-    summed into DECIMAL(38,0) (exact far past 10^12 rows). Map-side
-    combinable single aggregate per table."""
+    split into three 16-bit limbs summed INDEPENDENTLY (hi/mid/lo).
+    The limb split is the round-9 protocol fix for the r08 driver red:
+    a single 48-bit-hash sum exceeds 2^53 past ~32 rows, and an
+    integer-valued numeric beyond 2^53 does not survive a float64
+    round-trip in a canonicalizing comparator — the op was correct
+    cross-engine but outside the comparison protocol's value-exact
+    domain. Each limb sum stays below 2^53 up to 2^37 (~137 billion)
+    rows per table — comfortably 100 TB scale — while the limb triple
+    carries exactly the information of the single sum
+    (ck = hi*2^32 + mid*2^16 + lo). Plain 64-bit integer arithmetic on
+    both engines; map-side-combinable single aggregate per table."""
     def digest(df, cols):
         canon = F.concat_ws("|", *cols)
         h = F.conv(F.substring(F.md5(canon), 1, 12), 16, 10).cast("long")
         return df.agg(
             F.count(F.lit(1)).alias("n_rows"),
-            F.sum(h).cast("decimal(38,0)").alias("checksum"),
+            F.sum(F.shiftright(h, 32)).alias("checksum_hi"),
+            F.sum(F.shiftright(h, 16).bitwiseAND(F.lit(65535))).alias("checksum_mid"),
+            F.sum(h.bitwiseAND(F.lit(65535))).alias("checksum_lo"),
         )
 
     cents = lambda c: F.floor(F.col(c) * 100 + F.lit(0.5)).cast("long").cast("string")  # noqa: E731
     n = table(spark, sf_dir, "nation")
     s = table(spark, sf_dir, "supplier")
     c = table(spark, sf_dir, "customer")
+    limbs = ["checksum_hi", "checksum_mid", "checksum_lo"]
     outs = [
         digest(n, [F.col("n_nationkey").cast("string"), F.col("n_name"),
                    F.col("n_regionkey").cast("string")])
-        .select(F.lit("nation").alias("tbl"), "n_rows", "checksum"),
+        .select(F.lit("nation").alias("tbl"), "n_rows", *limbs),
         digest(s, [F.col("s_suppkey").cast("string"), F.col("s_name"),
                    F.col("s_nationkey").cast("string"), cents("s_acctbal")])
-        .select(F.lit("supplier").alias("tbl"), "n_rows", "checksum"),
+        .select(F.lit("supplier").alias("tbl"), "n_rows", *limbs),
         digest(c, [F.col("c_custkey").cast("string"), F.col("c_name"),
                    F.col("c_nationkey").cast("string"),
                    F.col("c_mktsegment"), cents("c_acctbal")])
-        .select(F.lit("customer").alias("tbl"), "n_rows", "checksum"),
+        .select(F.lit("customer").alias("tbl"), "n_rows", *limbs),
     ]
     out = outs[0]
     for o in outs[1:]:
         out = out.unionAll(o)
-    return out.select("tbl", F.col("n_rows").cast("long").alias("n_rows"), "checksum")
+    return out.select(
+        "tbl", F.col("n_rows").cast("long").alias("n_rows"), *limbs
+    )
 
 
 _WIN_M = 2147483647          #: Mersenne-prime modulus for k-gram hashes
