@@ -1036,6 +1036,44 @@ def test_restore_rollback_preserves_prior_dv(spark, tmp_path):
     assert got[90] == -90 and len(got) == 90
 
 
+def test_cdc_rollback_pairs_only_with_matching_restore_target(spark, tmp_path):
+    """Round-8 advice (low): the CDC reader paired restore-rollback
+    with its restore by ADJACENCY + op-prefix alone. A rebased rollback
+    (racers landed between the broken restore and the rollback) can end
+    up adjacent to an UNRELATED successful restore; prefix-pairing then
+    atomically skipped BOTH commits, silently dropping the unrelated
+    restore's real content change from the feed. The pair rule must
+    also compare the embedded restore-target versions."""
+    from collections import Counter
+
+    t = _mk(spark, tmp_path, n=4, parts=1)                    # v0: {1..4}
+    t.append(spark.createDataFrame([(10, 10)], "k long, v long").coalesce(1))
+    t.append(spark.createDataFrame([(20, 20)], "k long, v long").coalesce(1))
+    t.restore(1)          # v3: UNRELATED successful restore — deletes (20,20)
+    assert t.manifest(3)["op"] == "restore(1)"
+    # v4: a rebased restore-rollback(0) from an earlier broken restore
+    # whose racers were adopted — after rebase its file set equals
+    # latest's (content no-op), exactly what the reader must treat as
+    # "not restore(1)'s pair". Committed directly: driving the real
+    # double-race (sabotaged restore + racing restore winning the
+    # rollback's version) through threads is non-deterministic, and the
+    # unit under test is the READER's pairing rule over the history.
+    t._commit(4, "restore-rollback(0)", t.manifest(3)["files"],
+              columns=t.manifest(3).get("columns"))
+    feed = t.read_changes_rows(0, 4).collect()
+    ins = Counter((r.k, r.v) for r in feed if r._change_type == "insert")
+    dels = Counter((r.k, r.v) for r in feed if r._change_type == "delete")
+    initial = Counter((r.k, r.v) for r in t.read(0).collect())
+    final = Counter((r.k, r.v) for r in t.read(4).collect())
+    assert initial + ins - dels == final, (
+        "mis-paired rollback dropped the unrelated restore's change"
+    )
+    # the unrelated restore's delete is in the feed (prefix-pairing
+    # skipped v3 and left this 0); the rollback (same file set as its
+    # predecessor) contributed nothing on top of v2's append insert
+    assert dels[(20, 20)] == 1 and ins[(20, 20)] == 1
+
+
 def test_merge_narrow_source_preserves_unmentioned_columns(spark, tmp_path):
     """Delta MERGE parity: a target column the source OMITS is
     unmentioned, not deleted — matched and unmatched rows in rewritten

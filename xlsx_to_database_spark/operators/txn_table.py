@@ -652,10 +652,21 @@ class TxnTable:
         Arrow-batched ``createDataFrame`` — constant-size plan, one
         Arrow batch, no per-expression analysis cost."""
         if len(pairs) > self._LITERAL_DF_MAX:
+            # A pandas frame (not a list of tuples) is what actually
+            # takes the Arrow conversion path in PySpark — a plain
+            # local-relation createDataFrame from Python tuples ships
+            # pickled rows (round-8 ADVICE).
+            import pandas as pd
+
             from pyspark.sql.types import StringType, StructField, StructType
 
             return self.spark.createDataFrame(
-                [(str(x), str(y)) for x, y in pairs],
+                pd.DataFrame(
+                    {
+                        a: [str(x) for x, _ in pairs],
+                        b: [str(y) for _, y in pairs],
+                    }
+                ),
                 StructType(
                     [StructField(a, StringType()), StructField(b, StringType())]
                 ),
@@ -1650,15 +1661,30 @@ class TxnTable:
         Every step is manifest metadata plus scans of only the files
         that changed in that commit — never the whole table."""
         committed = set(self.versions())
+
+        def _restore_target(op_str: str, prefix: str) -> int | None:
+            """The parenthesized restore-target version in an op string
+            (``restore(7)`` / ``restore-rollback(7)``), or None. A
+            rollback only PAIRS with a restore whose target matches —
+            adjacency + prefix alone would mis-pair a rebased rollback
+            that happened to land right after an UNRELATED successful
+            restore, silently dropping that racer's real content change
+            from the feed (round-8 ADVICE)."""
+            if not op_str.startswith(prefix + "("):
+                return None
+            inner = op_str[len(prefix) + 1 : op_str.find(")")]
+            return int(inner) if inner.isdigit() else None
+
         parts: list[DataFrame] = []
         for v in range(from_version + 1, to_version + 1):
             man, prev = self.manifest(v), self.manifest(v - 1)
             op = man.get("op", "")
             if op in ("compact", "compact_small", "reorg_purge"):
                 continue
-            if op.startswith("restore-rollback") and prev.get(
-                "op", ""
-            ).startswith("restore("):
+            rb_tgt = _restore_target(op, "restore-rollback")
+            if rb_tgt is not None and _restore_target(
+                prev.get("op", ""), "restore"
+            ) == rb_tgt:
                 # ADJACENT pair (the rollback's first-attempt version):
                 # nets to a no-op with its restore at v-1. A pair split
                 # at the window base means the base snapshot is the
@@ -1677,13 +1703,14 @@ class TxnTable:
             # removed files are the vacuumed ones, so the scan
             # surfaces FileNotFound, which is honest: no CDC feed can
             # reconstruct rows whose bytes were already collected.
+            r_tgt = _restore_target(op, "restore")
             if (
-                op.startswith("restore(")
+                r_tgt is not None
                 and v + 1 in committed
                 and v + 1 <= to_version
-                and self.manifest(v + 1).get("op", "").startswith(
-                    "restore-rollback"
-                )
+                and _restore_target(
+                    self.manifest(v + 1).get("op", ""), "restore-rollback"
+                ) == r_tgt
             ):
                 continue  # skipped atomically with its rollback above
             prev_paths = {e["path"] for e in prev["files"]}

@@ -216,7 +216,7 @@ def table_update_vectors(spark: SparkSession, sf_dir: str) -> DataFrame:
             orders.repartitionByRange(4, "o_orderkey")
         )
 
-    root = staged_copy("txn_dv_v1", sf_dir, _build)
+    root = staged_copy("txn_dv_v1", sf_dir, _build, work_tag="txn_updv_v1")
     t = TxnTable(spark, root, "o_orderkey")
     _, marked, updated = t.update_where_dv(
         F.col("o_orderkey") % 7 == 3,

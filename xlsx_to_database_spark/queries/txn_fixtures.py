@@ -25,7 +25,7 @@ import os
 import shutil
 
 
-def staged_copy(name: str, sf_dir: str, build) -> str:
+def staged_copy(name: str, sf_dir: str, build, work_tag: str | None = None) -> str:
     """Return a fresh working copy of the base fixture ``name``.
 
     ``build(root)`` must create the base table at ``root`` on first
@@ -33,6 +33,13 @@ def staged_copy(name: str, sf_dir: str, build) -> str:
     ``os.rename``d into place, so a concurrent first caller either
     wins the rename or discards its duplicate — never observes a
     half-built base.
+
+    ``work_tag`` names the WORKING copy when several ops share one base
+    (round-8 ADVICE: table_delete_vectors and table_update_vectors both
+    stage from ``txn_dv_v1``; deriving the scratch root from the base
+    name alone made concurrent invocations rmtree/copytree over each
+    other's live table). Defaults to ``name`` for single-consumer
+    fixtures.
     """
     tag = os.path.basename(os.path.normpath(sf_dir))
     base = f"/tmp/spark_stage/{tag}_{name}__base"
@@ -44,7 +51,7 @@ def staged_copy(name: str, sf_dir: str, build) -> str:
             os.rename(tmp, base)
         except OSError:
             shutil.rmtree(tmp, ignore_errors=True)  # a racer built it
-    work = f"/tmp/spark_stage/{tag}_{name}"
+    work = f"/tmp/spark_stage/{tag}_{work_tag or name}"
     shutil.rmtree(work, ignore_errors=True)
     shutil.copytree(base, work)
     return work

@@ -213,4 +213,3 @@ def run_foreach_batch_parquet(sdf: DataFrame, out_dir: str) -> None:
     # drain keeps it (awaitTermination raised past this line) so the
     # failure is restartable/inspectable.
     shutil.rmtree(ckpt, ignore_errors=True)
-    shutil.rmtree(ckpt, ignore_errors=True)
