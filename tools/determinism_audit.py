@@ -17,6 +17,10 @@ are covered by their replay-pinned unit tests instead.
 
 Usage: python tools/determinism_audit.py [sf_dir] [op ...]
 Env:   DET_PARTS="32,17"  shuffle-partition counts to compare.
+       DET_OUT=path       also write a committed JSON artifact (same
+                          spirit as MIRROR_OUT — round-8 verdict #6:
+                          the sweep was narrated in SCALE.md but not
+                          tracked/diffable round-over-round).
 Exit 0 iff every audited op hashes identically across counts.
 """
 
@@ -48,6 +52,7 @@ def main() -> int:
     qs, oracles = entry_mod.queries(), entry_mod.oracle_sql()
 
     bad, n = [], 0
+    results: dict[str, str] = {}
     for name in sorted(oracles):
         if only and name not in only:
             continue
@@ -74,6 +79,7 @@ def main() -> int:
                 hashes.append(value_hash([tuple(r) for r in rows], df.columns))
         except Exception as e:  # noqa: BLE001
             bad.append(name)
+            results[name] = f"error: {str(e)[:200]}"
             print(f"✗ {name}: error: {str(e)[:200]}")
             continue
         finally:
@@ -83,10 +89,30 @@ def main() -> int:
             spark.conf.set("spark.sql.shuffle.partitions", parts[0])
         if len(set(hashes)) != 1:
             bad.append(name)
+            results[name] = "partition_dependent"
             print(f"✗ {name}: partition-DEPENDENT result "
                   f"(hashes differ across shuffle={parts})")
         else:
+            results[name] = "invariant"
             print(f"✓ {name}")
+    out_path = os.environ.get("DET_OUT")
+    if out_path:
+        import json
+
+        with open(out_path, "w") as f:
+            json.dump(
+                {
+                    "sf_dir": sf_dir,
+                    "shuffle_partitions": parts,
+                    "n_audited": n,
+                    "n_partition_dependent": len(bad),
+                    "results": results,
+                },
+                f,
+                indent=1,
+                sort_keys=True,
+            )
+        print(f"wrote {out_path}")
     print(f"\n{n} audited, {len(bad)} partition-dependent: {bad}")
     return 1 if bad else 0
 
