@@ -54,17 +54,37 @@ def _violations(v, out):
 
 def test_no_oracle_emits_float_unsafe_integers():
     import __spark_entry__ as e
+    from tools.check_correctness import BOUNDED_INPUT_OPS, _bounded_dir
 
     sf_dir = os.environ.get("SPARK_GRAFT_GUARD_SF", "/root/testdata/sf0.01")
-    con = duckdb.connect()
-    for t in _TABLES:
-        con.execute(
-            f"CREATE VIEW {t} AS SELECT * FROM "
-            f"read_parquet('{sf_dir}/{t}.parquet')"
-        )
+    at_oracle_scale = sf_dir.rstrip("/").endswith("sf0.01")
+
+    def connect(d):
+        c = duckdb.connect()
+        for t in _TABLES:
+            c.execute(
+                f"CREATE VIEW {t} AS SELECT * FROM "
+                f"read_parquet('{d}/{t}.parquet')"
+            )
+        return c
+
+    con = connect(sf_dir)
+    bounded_cons: dict[int, object] = {}
     offenders: dict[str, list] = {}
     for name, sql in e.oracle_sql().items():
-        rows = con.execute(sql).fetchall()
+        op_con = con
+        if not at_oracle_scale and name in BOUNDED_INPUT_OPS:
+            # Above oracle scale the deliberately-quadratic reference
+            # oracles (all-pairs Jaccard, recursive closure) get the
+            # mirror's bounded documents prefix — same device as
+            # MIRROR_BOUNDED; the guard checks VALUE magnitudes, which
+            # the bound does not shrink for the SUM-shaped families
+            # this guard exists for (they run unbounded).
+            cap = BOUNDED_INPUT_OPS[name]
+            if cap not in bounded_cons:
+                bounded_cons[cap] = connect(_bounded_dir(sf_dir, cap))
+            op_con = bounded_cons[cap]
+        rows = op_con.execute(sql).fetchall()
         bad: list = []
         for r in rows:
             for v in r:
