@@ -1036,6 +1036,104 @@ def test_restore_rollback_preserves_prior_dv(spark, tmp_path):
     assert got[90] == -90 and len(got) == 90
 
 
+def test_restore_rollback_rewrites_aliasing_racer_column(spark, tmp_path):
+    """The rollback leg of the round-9 schema-race fix: a racer that
+    blind-appends a NEW column during the rollback window allocates
+    against the BROKEN restore's map, so its fresh physical name can
+    alias a LIVE prior physical reached through a historic rename
+    (prior: y reads physical 'x'; racer: new logical 'x' allocated
+    physical 'x'). Blind-merging the maps published a duplicate
+    physical (now hard-refused by _commit, which would abort the
+    rollback); dropping the racer mapping alone would leak the racer's
+    values into prior 'y' on merged reads. The rollback must REWRITE
+    the racer's file under a fresh slot, keeping both columns exact."""
+    import os
+
+    t = _mk(spark, tmp_path, n=100, parts=2)
+    t.rename_column("v", "val")                               # v1
+    t.merge(                                                  # v2: rewrites
+        spark.range(1, 101).select(                           # ALL v1 files,
+            F.col("id").alias("k"), (-F.col("id")).alias("val")
+        ),
+        "k",
+    )                                                         # -> vacuumable
+    t.append(spark.createDataFrame([(200, 1, 7)],
+                                   "k long, val long, x long").coalesce(1))
+    t.rename_column("x", "y")                                 # y -> phys x
+    victim = t.manifest(1)["files"][0]["path"]
+    orig = t._commit
+    state = {"unlinked": False, "raced": False}
+
+    def patched(version, op, files, txn_id=None, **kw):
+        if op.startswith("restore(") and not state["unlinked"]:
+            state["unlinked"] = True
+            os.unlink(os.path.join(t.path, victim))
+        if op.startswith("restore-rollback") and not state["raced"]:
+            state["raced"] = True
+            racer = TxnTable(spark, t.path, "k")
+            racer.append(  # snapshot = broken restore(1): 'x' is NEW
+                spark.createDataFrame([(300, 2, 9)],
+                                      "k long, val long, x long")
+                .coalesce(1)
+            )
+        return orig(version, op, files, txn_id=txn_id, **kw)
+
+    t._commit = patched
+    with pytest.raises(FileNotFoundError):
+        t.restore(1)
+    t._commit = orig
+    man = t.manifest()
+    assert man["op"].startswith("restore-rollback")
+    cm = man["columns"]
+    assert len(set(cm.values())) == len(cm.values()), f"dup physical: {cm}"
+    assert cm["y"] == "x" and cm["x"] != "x", (
+        f"racer's column was not re-slotted: {cm}"
+    )
+    got = {r.k: (r.y, r.x) for r in t.read().collect()}
+    assert got[200][0] == 7, "prior y value lost"
+    assert got[300] == (None, 9), (
+        "racer's x leaked into y, or its value was lost"
+    )
+    assert got[1] == (None, None) and len(got) == 102
+
+
+def test_merge_extension_refuses_racing_logical_claim(
+    spark, tmp_path, monkeypatch
+):
+    """Merge leg of _rebased_map_extension: a MERGE adding new source
+    column 'w' that loses its race to a rename claiming logical 'w'
+    under a different physical must refuse (ConcurrentWriteError), not
+    publish a map pointing 'w' at the merge's slot (which would orphan
+    the renamed column's bytes)."""
+    from xlsx_to_database_spark.operators.txn_table import (
+        ConcurrentWriteError,
+    )
+
+    t = _mk(spark, tmp_path, n=100, parts=2)
+    t.rename_column("v", "val")
+    orig_commit = t._commit
+    raced = {"done": False}
+
+    def commit_and_race(version, op, files, txn_id=None, **kw):
+        if op == "merge" and not raced["done"]:
+            raced["done"] = True
+            racer = TxnTable(spark, t.path, "k")
+            racer.rename_column("val", "w")
+        return orig_commit(version, op, files, txn_id=txn_id, **kw)
+
+    monkeypatch.setattr(t, "_commit", commit_and_race)
+    with pytest.raises(ConcurrentWriteError):
+        t.merge(
+            spark.createDataFrame([(5, 1, 10)],
+                                  "k long, val long, w long"),
+            "k",
+        )
+    cm = t._cmap()
+    assert len(set(cm.values())) == len(cm.values()), f"dup physical: {cm}"
+    assert t.read().columns == ["k", "w"]  # the rename's claim intact
+    assert {r.w for r in t.read().filter(F.col("k") == 5).collect()} == {10}
+
+
 def test_cdc_rollback_pairs_only_with_matching_restore_target(spark, tmp_path):
     """Round-8 advice (low): the CDC reader paired restore-rollback
     with its restore by ADJACENCY + op-prefix alone. A rebased rollback

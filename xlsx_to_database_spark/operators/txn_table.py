@@ -625,6 +625,50 @@ class TxnTable:
                 used_phys.add(ext[c])
         return ext
 
+    @staticmethod
+    def _fresh_phys(ph: str, used: set) -> str:
+        """A fresh physical name derived from ``ph`` that collides with
+        nothing in ``used`` (mutated to include the allocation)."""
+        n = 0
+        while f"{ph}__r{n}" in used:
+            n += 1
+        used.add(f"{ph}__r{n}")
+        return f"{ph}__r{n}"
+
+    def _rewrite_phys_columns(
+        self, e: dict, renames: dict, version: int
+    ) -> dict:
+        """A manifest entry for ``e``'s file with any ``renames``
+        (old physical -> fresh physical) applied to its stored columns
+        — a real one-file rewrite via pyarrow (driver-side, no Spark
+        job: these are a racer's freshly appended files, KB/MB-scale
+        by construction). Entries whose schema touches no renamed
+        column are returned untouched. Stats carry verbatim (content
+        identical; the stats column is in every map and never
+        renamed here). A DV pointer carries too — DV keys are pinned
+        to the original path at first delete, so a path change never
+        orphans sidecar rows."""
+        import uuid as _uuid
+
+        import pyarrow.parquet as _pq
+
+        src = os.path.join(self.path, e["path"])
+        schema_names = set(_pq.read_schema(src).names)
+        if not (schema_names & set(renames)):
+            return e
+        tbl = _pq.read_table(src)
+        tbl = tbl.rename_columns(
+            [renames.get(c, c) for c in tbl.column_names]
+        )
+        out_dir = os.path.join(
+            self.path, "data",
+            f"v{version:010d}-{_uuid.uuid4().hex[:8]}",
+        )
+        os.makedirs(out_dir, exist_ok=True)
+        dst = os.path.join(out_dir, "part-00000.parquet")
+        _pq.write_table(tbl, dst)
+        return {**e, "path": os.path.relpath(dst, self.path)}
+
     def _to_physical(
         self, df: DataFrame, cmap: Optional[dict], retired=()
     ):
@@ -1363,7 +1407,70 @@ class TxnTable:
                     if lg not in restored_cols
                 }
                 if cols and racer_new:
-                    cols = {**cols, **racer_new}
+                    # Same hazard class as _rebased_map_extension: the
+                    # racer allocated against the BROKEN restore's map,
+                    # so its names can collide with the prior map.
+                    # Refusal is not an option here — the rollback's
+                    # one job is restoring a readable latest, and
+                    # _commit hard-refuses duplicate-physical maps, so
+                    # a blind merge would abort the rollback outright.
+                    # Collision policy, per racer column (lg: ph):
+                    # - logical collision (lg already in the prior
+                    #   map): the prior claim wins the revert; the
+                    #   racer mapping is dropped (bytes stay in its
+                    #   files, unmapped hence invisible).
+                    # - retired ph: drop the mapping — retired slots
+                    #   are unmapped, so nothing aliases.
+                    # - ph ALIASING a live prior physical (a historic
+                    #   rename chain can leave prior logical y reading
+                    #   physical 'x' while the racer allocated a fresh
+                    #   'x'): dropping the mapping is NOT enough — the
+                    #   racer's bytes would surface under the prior
+                    #   column on merged reads. The racer's files are
+                    #   REWRITTEN with the colliding physical renamed
+                    #   to a fresh slot (bounded: the racer's own new
+                    #   files only, in an already-doubly-raced path),
+                    #   keeping both the prior column and the racer's
+                    #   data exact.
+                    prior_phys = set(cols.values())
+                    prior_retired = set(
+                        prior_man.get("retired_columns", ())
+                    )
+                    adopted: dict[str, str] = {}
+                    aliasing: dict[str, str] = {}  # old ph -> fresh ph
+                    used = (
+                        prior_phys | prior_retired | set(ext.values())
+                    )
+                    for lg, ph in racer_new.items():
+                        if lg in cols or ph in prior_retired:
+                            if ph in prior_phys and cols.get(lg) != ph:
+                                aliasing.setdefault(
+                                    ph, self._fresh_phys(ph, used)
+                                )
+                            continue
+                        if ph in prior_phys:
+                            fresh = aliasing.setdefault(
+                                ph, self._fresh_phys(ph, used)
+                            )
+                            adopted[lg] = fresh
+                        else:
+                            adopted[lg] = ph
+                    if aliasing:
+                        racer_paths = {
+                            e["path"]
+                            for e in latest_man["files"]
+                            if e["path"] not in broken_paths
+                            and e["path"] not in prior_paths
+                        }
+                        rolled = [
+                            self._rewrite_phys_columns(
+                                e, aliasing, roll_v
+                            )
+                            if e["path"] in racer_paths
+                            else e
+                            for e in rolled
+                        ]
+                    cols = {**cols, **adopted}
                 try:
                     self._commit(
                         roll_v,
