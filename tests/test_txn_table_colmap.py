@@ -382,10 +382,17 @@ def test_seeded_schedule_stress_colmap_dv_merge(spark, tmp_path):
                 assignment[w].append(("once", tok, 101 + ti))
         for w in range(3):
             if rng.random() < 0.6:
-                # blind append; half the time it carries a NEW column
-                assignment[w].append(
-                    ("append", rng.random() < 0.5, 200 + w)
+                # blind append; half the time it carries a NEW column —
+                # and a third of THOSE use the SHARED name "xs", so
+                # writers contend on the same logical column: identical
+                # extensions must be adopted, reassigned/retired slots
+                # must refuse (_rebased_map_extension, round 9).
+                new_col = (
+                    None if rng.random() >= 0.5
+                    else "xs" if rng.random() < 0.34
+                    else f"x{w}"
                 )
+                assignment[w].append(("append", new_col, 200 + w))
             if rng.random() < 0.5:
                 assignment[w].append(("rename", w, None))
             if rng.random() < 0.3:
@@ -423,7 +430,7 @@ def test_seeded_schedule_stress_colmap_dv_merge(spark, tmp_path):
                         elif op == "append":
                             if a:
                                 tt.append(Batch(
-                                    ["k", "val", f"x{w}"], [(b, w, 7)]
+                                    ["k", "val", a], [(b, w, 7)]
                                 ))
                             else:
                                 tt.append(Batch(["k", "val"], [(b, w)]))
