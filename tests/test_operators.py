@@ -2854,7 +2854,7 @@ def test_sql_udf_inlines_without_python(spark, sf_dir):
                     (F.col("o_totalprice") * 0.96).cast("decimal(18,4)")
                 ),
                 2,
-            ).alias("net_total"),
+            ).cast("double").alias("net_total"),
         )
         .collect()
     }

@@ -21,6 +21,7 @@ an integer-valued numeric with |v| > 2^53.
 from __future__ import annotations
 
 import decimal
+import math
 import os
 
 import duckdb
@@ -39,10 +40,18 @@ def _violations(v, out):
     if isinstance(v, bool) or v is None:
         return
     if isinstance(v, (int, decimal.Decimal)):
-        if v == int(v) and abs(int(v)) > FLOAT_EXACT_MAX:
+        if not isinstance(v, int) and not v.is_finite():
+            out.append(v)  # non-finite Decimal: outside the domain too
+        elif v == int(v) and abs(int(v)) > FLOAT_EXACT_MAX:
             out.append(v)
     elif isinstance(v, float):
-        if v == int(v) and abs(v) > FLOAT_EXACT_MAX:
+        if not math.isfinite(v):
+            # int(v) would raise; NaN is protocol-legal (comparators
+            # canonicalize it explicitly) but ±inf is not — the mirror's
+            # own _norm_cell would crash on it — so inf is a violation.
+            if not math.isnan(v):
+                out.append(v)
+        elif v == int(v) and abs(v) > FLOAT_EXACT_MAX:
             out.append(v)
     elif isinstance(v, (list, tuple)):
         for x in v:
@@ -94,4 +103,45 @@ def test_no_oracle_emits_float_unsafe_integers():
     assert not offenders, (
         "ops emitting integer-valued numerics beyond 2^53 — outside the "
         f"driver comparator's value-exact domain: {offenders}"
+    )
+
+
+def test_no_oracle_emits_decimal_columns():
+    """No oracled op may emit a DECIMAL-typed RESULT column (round-9
+    verdict #3). Round 9's three red rows (udf_sql, dq_double_charge,
+    udf_pandas_iter) were cross-engine value-identical, but the driver
+    comparator fetches one engine's DECIMAL as ``Decimal`` and the
+    other's as float64, so any fractional cell with a trailing zero
+    canonicalizes differently ('X.90' vs 'X.9') and hash-mismatches.
+    DECIMAL is the right INTERNAL type (order-independent sums); the
+    protocol-safe OUTPUT type is DOUBLE (or exact integers/strings).
+
+    Coverage argument: DuckDB ``DESCRIBE`` over every oracle catches
+    the oracle side without executing it (nesting included — a
+    ``DECIMAL`` anywhere in a LIST/STRUCT type string matches). A
+    Spark-side decimal column paired with a DOUBLE oracle cannot hide
+    either: the mirror's ``_norm_cell`` renders Decimal via str()
+    ('0.50') and float via repr ('0.5'), so that pairing hash-fails in
+    tools/check_correctness.py. Together the two checks close the
+    class on every oracled op; rows-only ops are never value-hashed.
+    """
+    import __spark_entry__ as e
+
+    sf_dir = os.environ.get("SPARK_GRAFT_GUARD_SF", "/root/testdata/sf0.01")
+    con = duckdb.connect()
+    for t in _TABLES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM "
+            f"read_parquet('{sf_dir}/{t}.parquet')"
+        )
+    offenders: dict[str, list[str]] = {}
+    for name, sql in e.oracle_sql().items():
+        cols = con.execute(f"DESCRIBE ({sql})").fetchall()
+        bad = [f"{c}: {typ}" for c, typ, *_ in cols if "DECIMAL" in typ.upper()]
+        if bad:
+            offenders[name] = bad
+    assert not offenders, (
+        "ops whose oracle emits DECIMAL-typed result columns — outside "
+        "the driver comparator's canonical domain (trailing-zero "
+        f"fractionals hash-mismatch): {offenders}"
     )

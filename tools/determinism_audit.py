@@ -105,7 +105,17 @@ def main() -> int:
                     "sf_dir": sf_dir,
                     "shuffle_partitions": parts,
                     "n_audited": n,
-                    "n_partition_dependent": len(bad),
+                    # derived from results, NOT len(bad): bad also holds
+                    # ops that ERRORED, a distinct failure class the
+                    # artifact must not conflate (round-9 ADVICE)
+                    "n_partition_dependent": sum(
+                        1 for v in results.values()
+                        if v == "partition_dependent"
+                    ),
+                    "n_errors": sum(
+                        1 for v in results.values()
+                        if v.startswith("error:")
+                    ),
                     "results": results,
                 },
                 f,
@@ -113,7 +123,10 @@ def main() -> int:
                 sort_keys=True,
             )
         print(f"wrote {out_path}")
-    print(f"\n{n} audited, {len(bad)} partition-dependent: {bad}")
+    n_dep = sum(1 for v in results.values() if v == "partition_dependent")
+    n_err = sum(1 for v in results.values() if v.startswith("error:"))
+    print(f"\n{n} audited, {n_dep} partition-dependent, "
+          f"{n_err} errored: {bad}")
     return 1 if bad else 0
 
 

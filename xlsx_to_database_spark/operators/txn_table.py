@@ -643,11 +643,14 @@ class TxnTable:
         — a real one-file rewrite via pyarrow (driver-side, no Spark
         job: these are a racer's freshly appended files, KB/MB-scale
         by construction). Entries whose schema touches no renamed
-        column are returned untouched. Stats carry verbatim (content
-        identical; the stats column is in every map and never
-        renamed here). A DV pointer carries too — DV keys are pinned
-        to the original path at first delete, so a path change never
-        orphans sidecar rows."""
+        column are returned untouched. ``col_stats`` are re-keyed
+        through ``renames`` (values are content-identical, but a stat
+        left under the OLD physical name would describe a column the
+        file no longer contains — and one the PRIOR column now owns —
+        misleading metadata that can spuriously classify the prior
+        column as touched; round-9 ADVICE). A DV pointer carries
+        verbatim — DV keys are pinned to the original path at first
+        delete, so a path change never orphans sidecar rows."""
         import uuid as _uuid
 
         import pyarrow.parquet as _pq
@@ -667,7 +670,12 @@ class TxnTable:
         os.makedirs(out_dir, exist_ok=True)
         dst = os.path.join(out_dir, "part-00000.parquet")
         _pq.write_table(tbl, dst)
-        return {**e, "path": os.path.relpath(dst, self.path)}
+        out = {**e, "path": os.path.relpath(dst, self.path)}
+        if "col_stats" in e:
+            out["col_stats"] = {
+                renames.get(c, c): v for c, v in e["col_stats"].items()
+            }
+        return out
 
     def _to_physical(
         self, df: DataFrame, cmap: Optional[dict], retired=()

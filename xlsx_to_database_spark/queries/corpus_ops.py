@@ -627,7 +627,8 @@ MIX_WEIGHTS = {"src0": 0.5, "src1": 0.2, "src2": 0.2, "src3": 0.1}
     ), tot AS (
         SELECT CAST(sum(src_tokens) AS BIGINT) AS total_tokens FROM counts
     )
-    SELECT c.source, c.src_tokens, round(w, 2) AS target_weight,
+    SELECT c.source, c.src_tokens,
+           round(CAST(w AS DOUBLE), 2) AS target_weight,
            round(w * total_tokens / c.src_tokens, 6) AS sample_rate,
            round(w * total_tokens / c.src_tokens, 6) > 1.0 AS needs_upsampling
     FROM counts c JOIN weights USING (source) CROSS JOIN tot

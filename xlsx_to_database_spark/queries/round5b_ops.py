@@ -3766,10 +3766,10 @@ def win_time_since_last_error(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM n a JOIN n b
         ON a.label = b.label AND a.vec_id < b.vec_id
     )
-    SELECT t AS threshold,
+    SELECT CAST(t AS DOUBLE) AS threshold,
            CAST(count(*) FILTER (WHERE cs >= t) AS BIGINT) AS n_dup_pairs
     FROM pairs CROSS JOIN (
-      SELECT unnest([0.5, 0.6, 0.7, 0.8, 0.9]) AS t
+      SELECT unnest([CAST(0.5 AS DOUBLE), 0.6, 0.7, 0.8, 0.9]) AS t
     )
     GROUP BY t
     """,

@@ -1764,8 +1764,9 @@ def text_fim_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     SELECT o_orderpriority,
            CAST(count(*) AS BIGINT) AS n,
-           round(sum(CAST(o_totalprice * (1.0 - 0.04) AS DECIMAL(18,4))),
-                 2) AS net_total
+           CAST(round(sum(CAST(o_totalprice * (1.0 - 0.04)
+                               AS DECIMAL(18,4))), 2)
+                AS DOUBLE) AS net_total
     FROM orders
     GROUP BY o_orderpriority
     """,
@@ -1781,7 +1782,11 @@ def udf_sql(spark: SparkSession, sf_dir: str) -> DataFrame:
     The function applies a flat 4% discount; the oracle inlines the
     same expression — which is precisely the semantics being pinned:
     a SQL UDF is macro expansion, not a call boundary. DECIMAL
-    quantization of each term keeps the group sums order-independent."""
+    quantization of each term keeps the group sums order-independent;
+    the FINAL column is cast to DOUBLE on both engines — DECIMAL-typed
+    result columns sit outside the driver comparator's canonical
+    domain ('X.90' vs 'X.9', the round-9 red), and a 2dp decimal
+    converts to the identical IEEE double everywhere."""
     spark.sql(
         "CREATE OR REPLACE TEMPORARY FUNCTION flat_net(p DOUBLE) "
         "RETURNS DECIMAL(18,4) "
@@ -1792,7 +1797,8 @@ def udf_sql(spark: SparkSession, sf_dir: str) -> DataFrame:
         """
         SELECT o_orderpriority,
                CAST(count(*) AS BIGINT) AS n,
-               round(sum(flat_net(o_totalprice)), 2) AS net_total
+               CAST(round(sum(flat_net(o_totalprice)), 2) AS DOUBLE)
+                 AS net_total
         FROM __udf_sql_o
         GROUP BY o_orderpriority
         """
@@ -3988,7 +3994,9 @@ def ml_threshold_cost_opt(spark: SparkSession, sf_dir: str) -> DataFrame:
       WINDOW w AS (PARTITION BY o_custkey
                    ORDER BY o_orderdate, o_orderkey)
     )
-    SELECT o_custkey, prev_amt, amt,
+    SELECT o_custkey,
+           CAST(prev_amt AS DOUBLE) AS prev_amt,
+           CAST(amt AS DOUBLE) AS amt,
            prev_key AS first_orderkey, o_orderkey AS second_orderkey,
            CAST(epoch_us(o_orderdate) - epoch_us(prev_date) AS BIGINT)
              // 86400000000 AS gap_days
@@ -4029,7 +4037,13 @@ def dq_double_charge(spark: SparkSession, sf_dir: str) -> DataFrame:
         & (20 * F.abs(F.col("amt") - F.col("prev_amt"))
            <= F.col("prev_amt"))
     ).select(
-        "o_custkey", "prev_amt", "amt",
+        "o_custkey",
+        # comparison above is decimal-exact; OUTPUT is double — DECIMAL
+        # result columns sit outside the driver comparator's canonical
+        # domain ('X.90' vs 'X.9', the round-9 red), and a 2dp decimal
+        # converts to the identical IEEE double on both engines
+        F.col("prev_amt").cast("double").alias("prev_amt"),
+        F.col("amt").cast("double").alias("amt"),
         F.col("prev_key").alias("first_orderkey"),
         F.col("o_orderkey").alias("second_orderkey"),
         gap_days.alias("gap_days"),
@@ -4144,9 +4158,9 @@ def event_dau_mau(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     SELECT l_returnflag,
            CAST(count(*) AS BIGINT) AS n,
-           round(sum(CAST(
+           CAST(round(sum(CAST(
              CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - l_discount)
-             AS DECIMAL(18,4))), 2) AS net_total
+             AS DECIMAL(18,4))), 2) AS DOUBLE) AS net_total
     FROM lineitem GROUP BY l_returnflag
     """,
 )
@@ -4189,7 +4203,10 @@ def udf_pandas_iter(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     res = out.groupBy("l_returnflag").agg(
         F.count(F.lit(1)).alias("n"),
-        F.round(F.sum("net"), 2).alias("net_total"),
+        # internal sum stays decimal (order-independent); OUTPUT is
+        # double — DECIMAL result columns sit outside the driver
+        # comparator's canonical domain (round-9 red)
+        F.round(F.sum("net"), 2).cast("double").alias("net_total"),
     )
     # stash accumulators for the unit test
     udf_pandas_iter._accs = (init_acc, batch_acc)  # type: ignore[attr-defined]

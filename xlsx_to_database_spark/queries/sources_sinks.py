@@ -410,7 +410,8 @@ def csv_quoted_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     "obs_metrics",
     """
     SELECT CAST(count(*) AS BIGINT) AS n_rows,
-           round(sum(CAST(l_extendedprice AS DECIMAL(18,6))), 2) AS total_price,
+           CAST(round(sum(CAST(l_extendedprice AS DECIMAL(18,6))), 2)
+                AS DOUBLE) AS total_price,
            CAST(count(*) FILTER (WHERE l_discount > 0.05) AS BIGINT) AS n_discounted
     FROM lineitem
     """,
@@ -438,13 +439,15 @@ def obs_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     observed.write.format("noop").mode("overwrite").save()  # one real pass
     row = obs.get
-    # Keep the total as DECIMAL end to end: converting to float dropped
-    # the trailing zero ('…123.60' → '…123.6') and hash-mismatched the
-    # oracle's scale-2 decimal whenever the exact sum ends in 0 at the
-    # 2nd decimal (caught at sf0.1).
+    # Sum stays DECIMAL inside the observation (order-independent), but
+    # the RESULT column is double on BOTH engines: a one-sided float
+    # conversion hash-mismatched at sf0.1 ('…123.60' vs '…123.6'), and
+    # round 9 proved the inverse too — DECIMAL result columns sit
+    # outside the driver comparator's canonical domain. A 2dp decimal
+    # casts to the identical IEEE double everywhere.
     return spark.createDataFrame(
-        [(row["n_rows"], row["total_price"], row["n_discounted"])],
-        "n_rows long, total_price decimal(30,2), n_discounted long",
+        [(row["n_rows"], float(row["total_price"]), row["n_discounted"])],
+        "n_rows long, total_price double, n_discounted long",
     )
 
 

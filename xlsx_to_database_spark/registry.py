@@ -11,7 +11,11 @@ Correctness discipline baked in here (SURVEY.md §5):
 - alias every computed column identically in both engines;
 - round double aggregates on BOTH sides (float summation order differs);
 - total ordering for window tie-breaks;
-- no RNG-/hash-dependent expressions in oracled queries.
+- no RNG-/hash-dependent expressions in oracled queries;
+- DECIMAL internally (order-independent sums), DOUBLE on the final
+  result columns of BOTH engines — DECIMAL/int>2^53 outputs fall
+  outside the driver comparator's canonical domain (guarded by
+  tests/test_protocol_domain.py).
 """
 
 from __future__ import annotations
@@ -199,6 +203,32 @@ _ATTESTED: tuple[str, ...] = (
     "event_transition_matrix", "etl_late_arriving_dim", "xlsx_formula_scan",
     "stat_lorenz_curve", "ml_kfold_cv", "parquet_stats_scan",
     "interval_point_stab", "etl_scd3", "graph_kcore",
+    # CORRECTNESS_r09.json greens: 47 fresh entries (45 exact-pass +
+    # sim_diversity_mmr / event_alert_throttle as the declared rows-only
+    # bounded-walk ops; dq_table_checksum — r08's RED row, rewritten to
+    # 16-bit limb sums — re-attested green). The 3 RED rows (udf_sql,
+    # dq_double_charge, udf_pandas_iter) are NOT folded: rows/schema
+    # matched and the r9 judge proved the values cell-identical across
+    # engines, but their DECIMAL-typed output columns fall outside the
+    # driver comparator's canonical domain ('X.90' as Decimal vs 'X.9'
+    # as float). They stay fresh so the driver re-checks the round-10
+    # DOUBLE-output rewrite.
+    "dq_table_checksum", "sample_balanced_classes", "stat_hurst",
+    "text_kwic", "dq_tukey_outliers", "win_donchian", "table_clone",
+    "text_chat_template", "corpus_shard_shuffle", "text_fim_split",
+    "agg_geometric_mean", "stat_wilcoxon_signed", "udtf_sql",
+    "stat_beta_binomial_eb", "ml_isotonic_calibration", "csv_bom_scan",
+    "win_ulcer_index", "sim_mips_transform", "win_twap",
+    "etl_scd2_snapshot", "table_check_constraint", "text_freq_spectrum",
+    "stat_histogram2d", "graph_modularity", "pipeline_pretrain_corpus",
+    "event_time_heatmap", "stat_cohens_d", "ml_cluster_purity",
+    "agg_revenue_concentration", "text_js_divergence",
+    "csv_fixed_width_scan", "stat_fdr_bh", "ml_learning_curve",
+    "etl_currency_normalize", "text_burstiness", "event_burstiness",
+    "win_parkinson_vol", "csv_multichar_delim_scan", "etl_gdpr_erasure",
+    "sim_recall_report", "ml_threshold_cost_opt", "event_alert_throttle",
+    "event_dau_mau", "stat_weibull_fit", "agg_percent_of_parent",
+    "sim_diversity_mmr", "stat_ljung_box",
 )
 
 # Attested ops whose IMPLEMENTATION changed after their attestation round:
@@ -227,16 +257,35 @@ _ATTESTED: tuple[str, ...] = (
 # Round-8's two merge-path riders (table_merge_upsert, stream_txn_sink)
 # re-attested green in CORRECTNESS_r08.json and are folded back.
 #
-# Round-9 rewrites: none of the ATTESTED ops change implementation this
-# round. dq_table_checksum (the r08 RED row, rewritten to a hi/lo
-# sub-2^53 digest split) was never attested, so it is already fresh and
-# sits in the driver window without needing a reopen slot. The
-# `update_where_dv` race-classification hardening (operators/
-# txn_table.py) only changes which EXCEPTION type escapes under a
-# concurrent-writer interleaving the driver never exercises
-# (single-writer plans and commit arithmetic are byte-identical), so
-# the txn riders' attestations remain valid.
-_REOPENED: frozenset[str] = frozenset()
+# Round-9 rewrites: none of the ATTESTED ops changed implementation
+# that round. dq_table_checksum (the r08 RED row, rewritten to a hi/lo
+# sub-2^53 digest split) was never attested, so it was already fresh
+# and sat in the driver window without needing a reopen slot. Round 9
+# touched FIVE txn-table commit legs (operators/txn_table.py) —
+# append / merge / append_once gained `_rebased_map_extension`
+# (re-validate staged new-column extensions against the LIVE map +
+# retired set at commit time), restore gained the rollback
+# collision policy (rename-wins / identical-adopt / refuse on the
+# merge leg), and `_commit` gained the duplicate-physical publish
+# refusal — but every one of those changes is reachable ONLY under a
+# concurrent-writer interleaving (a racer committing between this
+# writer's snapshot and its publish): in the single-writer executions
+# the driver and riders exercise, the rebase sees an unchanged map and
+# adopts the staged extension verbatim, the restore sees no collision,
+# and the publish guard sees no duplicate physical — plans and commit
+# arithmetic are byte-identical, so the txn riders' attestations
+# remained valid (r10 audit note per round-9 ADVICE).
+#
+# Round-10 rewrites: the three _ATTESTED ops below change their OUTPUT
+# SCHEMA this round — their final result columns are cast from DECIMAL
+# to DOUBLE on both engines (round-9 verdict #2: DECIMAL result
+# columns sit outside the driver comparator's canonical domain; these
+# three were green only because their current values carry no
+# trailing-zero fractional cell). The prior green rows attest the old
+# DECIMAL-typed schema, so the driver must re-verify the new one.
+_REOPENED: frozenset[str] = frozenset({
+    "obs_metrics", "corpus_mix_schedule", "dedup_threshold_sweep",
+})
 
 #: The driver evaluates this many registry-order entries per round
 #: (empirically: r01 covered exactly the first 50).
