@@ -224,6 +224,19 @@ def main() -> int:
             if timer is not None:
                 timer.cancel()
         problems = []
+        # Protocol-domain rule (round-9 verdict #3): an oracled op may
+        # not emit a DECIMAL-typed RESULT column on the SPARK side. The
+        # value hash below only catches a Spark-Decimal/oracle-double
+        # split when a cell happens to carry a trailing zero (str() vs
+        # repr()), so the schema is checked directly — value-LUCK must
+        # not green a protocol-unsafe type. The DuckDB side is covered
+        # by tests/test_protocol_domain.py's DESCRIBE sweep.
+        dec_cols = [
+            f.name for f in sdf.schema.fields
+            if "decimal" in f.dataType.simpleString()
+        ]
+        if dec_cols:
+            problems.append(f"spark DECIMAL result columns: {dec_cols}")
         if len(srows) != len(drows):
             problems.append(f"rowcount spark={len(srows)} duck={len(drows)}")
         if sorted(scols) != sorted(dcols):
