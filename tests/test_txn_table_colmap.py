@@ -661,3 +661,31 @@ def test_merge_new_column_rebases_across_racing_rename(
     )
     got = {r.k: (r.value, r.w) for r in t.read().collect()}
     assert got[200] == (1, 10) and got[7] == (14, None)
+
+
+def test_rewrite_phys_columns_rekeys_col_stats(spark, tmp_path):
+    """The restore-rollback alias-collision rewrite renames a racer
+    file's physical columns; its ``col_stats`` must follow the renames
+    (round-9 ADVICE): a stat left under the OLD physical name would
+    describe a column the file no longer contains — and one the PRIOR
+    column now owns — so downstream footer pruning
+    (``_split_by_key_range``) would classify the prior column off the
+    WRONG file's bounds instead of conservatively touching it."""
+    import pyarrow.parquet as pq
+
+    t = _mk(spark, tmp_path)
+    man = t.manifest()
+    entry = next(e for e in man["files"] if e.get("col_stats"))
+    old_stats = dict(entry["col_stats"])
+    assert set(old_stats) == {"k", "v"}
+
+    out = t._rewrite_phys_columns(entry, {"v": "v__r0"}, 99)
+    # file really rewritten with the fresh physical name
+    names = pq.read_schema(os.path.join(t.path, out["path"])).names
+    assert "v__r0" in names and "v" not in names
+    # stats re-keyed through the rename, values carried verbatim,
+    # untouched columns keep their keys
+    assert out["col_stats"] == {"k": old_stats["k"], "v__r0": old_stats["v"]}
+    # an entry whose schema touches no renamed column passes through
+    untouched = t._rewrite_phys_columns(entry, {"zzz": "zzz__r0"}, 99)
+    assert untouched is entry
