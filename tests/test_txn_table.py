@@ -1036,6 +1036,104 @@ def test_restore_rollback_preserves_prior_dv(spark, tmp_path):
     assert got[90] == -90 and len(got) == 90
 
 
+def test_restore_rollback_survives_vacuum_racing_rollback(spark, tmp_path):
+    """Round-10 find (the rollback-WINDOW race, one step past
+    test_restore_rollback_rebases_over_racing_append): while a broken
+    restore is latest, a ``vacuum(retain_versions=1)`` keeps only the
+    broken manifest's files — so it could collect the PRIOR version's
+    exclusive files, and the subsequent rollback published a latest
+    referencing deleted files, violating restore's own "readers of
+    latest keep working either way" guarantee. Fixed in vacuum: a
+    retained ``restore(...)`` manifest is provisional until its
+    post-commit verify completes, so it pins its rollback target's
+    (prior version's) files too (``_pinned``)."""
+    import os
+
+    t = _mk(spark, tmp_path, n=100, parts=2)
+    t.merge(_negate_all(spark), "k")          # v1 rewrites everything
+    victim = t.manifest(0)["files"][0]["path"]
+    orig = t._commit
+    state = {"unlinked": False, "vacuumed": False}
+
+    def patched(version, op, files, **kw):
+        if op.startswith("restore(") and not state["unlinked"]:
+            state["unlinked"] = True
+            os.unlink(os.path.join(t.path, victim))
+        if op.startswith("restore-rollback") and not state["vacuumed"]:
+            state["vacuumed"] = True
+            racer = TxnTable(spark, t.path, "k")
+            # latest = the broken restore v2; v1's exclusive files are
+            # unreferenced by it — collectible before the fix
+            racer.vacuum(retain_versions=1, min_age_seconds=0.0)
+        return orig(version, op, files, **kw)
+
+    t._commit = patched
+    with pytest.raises(FileNotFoundError):
+        t.restore(0)
+    t._commit = orig
+    man = t.manifest()
+    assert man["op"].startswith("restore-rollback")
+    missing = [
+        e["path"] for e in man["files"]
+        if not os.path.exists(os.path.join(t.path, e["path"]))
+    ]
+    assert not missing, f"latest references vacuumed files: {missing}"
+    got = {r.k: r.v for r in t.read().collect()}
+    assert got[1] == -1 and len(got) == 100, "pre-restore content lost"
+
+
+def test_restore_rollback_pin_survives_rebased_append_then_vacuum(
+    spark, tmp_path
+):
+    """The seed-79 interleaving from the restore-vacuum schedule
+    stress: a blind append REBASES onto the broken restore before the
+    rollback lands, so the vacuum's retained manifest is an APPEND
+    carrying the missing reference — an op-based 'pin the prior of a
+    retained restore' misses it, the vacuum collects the rollback
+    target's exclusive files, and the rebased rollback publishes a
+    latest referencing deleted files. The pin is therefore
+    STATE-based: a retained non-restore manifest referencing missing
+    files pins the prior of the most recent restore below it."""
+    import os
+
+    t = _mk(spark, tmp_path, n=100, parts=2)
+    t.merge(_negate_all(spark), "k")          # v1 rewrites everything
+    victim = t.manifest(0)["files"][0]["path"]
+    orig = t._commit
+    state = {"unlinked": False, "raced": False}
+
+    def patched(version, op, files, **kw):
+        if op.startswith("restore(") and not state["unlinked"]:
+            state["unlinked"] = True
+            os.unlink(os.path.join(t.path, victim))
+        if op.startswith("restore-rollback") and not state["raced"]:
+            state["raced"] = True
+            racer = TxnTable(spark, t.path, "k")
+            racer.append(                      # rebases onto broken v2
+                spark.createDataFrame([(999, 999)], "k long, v long")
+                .coalesce(1)
+            )
+            # retained manifest is now the APPEND (broken by carry);
+            # v1's exclusive files must still be pinned for the
+            # pending rollback
+            racer.vacuum(retain_versions=1, min_age_seconds=0.0)
+        return orig(version, op, files, **kw)
+
+    t._commit = patched
+    with pytest.raises(FileNotFoundError):
+        t.restore(0)
+    t._commit = orig
+    man = t.manifest()
+    assert man["op"].startswith("restore-rollback")
+    missing = [
+        e["path"] for e in man["files"]
+        if not os.path.exists(os.path.join(t.path, e["path"]))
+    ]
+    assert not missing, f"latest references vacuumed files: {missing}"
+    got = {r.k: r.v for r in t.read().collect()}
+    assert got[999] == 999 and got[1] == -1 and len(got) == 101
+
+
 def test_restore_rollback_rewrites_aliasing_racer_column(spark, tmp_path):
     """The rollback leg of the round-9 schema-race fix: a racer that
     blind-appends a NEW column during the rollback window allocates

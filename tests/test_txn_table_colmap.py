@@ -689,3 +689,286 @@ def test_rewrite_phys_columns_rekeys_col_stats(spark, tmp_path):
     # an entry whose schema touches no renamed column passes through
     untouched = t._rewrite_phys_columns(entry, {"zzz": "zzz__r0"}, 99)
     assert untouched is entry
+
+
+def test_seeded_schedule_stress_restore_vacuum(spark, tmp_path):
+    """Seeded-schedule stress pointed at RESTORE — the newest raced
+    commit leg (round-9's rollback collision policy; round-10's
+    rollback-window vacuum pin and col_stats re-key). One RESTORING
+    writer interleaves restores-to-early-versions with two writers
+    doing blind appends (sometimes a NEW column, a third of those the
+    SHARED name 'xs'), renames, drops, and vacuums whose age guard
+    (min_age_seconds=0.25) makes the PRE-AGED setup snapshots
+    collectible while racers' fresh stagings stay safe (age 0 under
+    concurrent writers is documented misuse). Restores race vacuums
+    into the check→commit window, so the refusal leg, the rollback
+    leg, and the rollback-target pin all get schedule-randomized
+    coverage on top of the directed tests.
+
+    Exactly ONE restoring writer by design: overlapping restores can
+    roll back onto EACH OTHER'S broken manifests (a cascade the
+    current protocol does not re-verify — an open hardening item), so
+    a multi-restorer schedule has no sound latest-readable invariant.
+    Row-level exactly-once is also not asserted — an explicit restore
+    legitimately un-does racer data; the colmap battery pins those in
+    a restore-free mix.
+
+    Acceptable per-writer outcomes: success; ConcurrentWriteError;
+    ValueError from rename/drop losing a LOGICAL race (column already
+    renamed/dropped, or absent after a restore to a pre-rename
+    schema); FileNotFoundError from restore (refused on a vacuumed
+    target, or committed-verified-rolled-back); PATH_NOT_FOUND from
+    rename/drop reading latest inside the broken-restore transient
+    window (a verified-then-rolled-back restore is briefly latest by
+    design — readers there fail loudly; the invariants pin the END
+    state readable). Anything else fails.
+
+    Invariants per seed: contiguous version chain; every latest-
+    manifest file exists ON DISK (the guarantee the rollback-target
+    pin repairs); unique physical names in the final map; every
+    entry's col_stats keys are columns of its physical file (guards
+    the aliasing rewrite's re-key); a real Spark read of latest
+    succeeds, contains the base rows, and — when a map exists —
+    presents exactly its logical schema."""
+    import random
+    import threading
+    import time
+    import uuid
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from xlsx_to_database_spark.operators.txn_table import (
+        ConcurrentWriteError,
+    )
+
+    n_seeds = int(os.environ.get("SPARK_GRAFT_RESTORE_STRESS_SEEDS", "60"))
+    jitter = float(
+        os.environ.get("SPARK_GRAFT_RESTORE_STRESS_JITTER", "0.002")
+    )
+    # Coverage ledger (printed with -s): a green battery is only
+    # meaningful if the raced legs actually fired across the seeds.
+    tally = {"restore_ok": 0, "restore_fnf": 0, "rollbacks": 0,
+             "vacuum_deleted": 0, "transient_reads": 0}
+
+    class Batch:
+        def __init__(self, columns, rows):
+            self.columns = list(columns)
+            self.rows = rows
+
+    class RestoreFastTable(TxnTable):
+        checkpoint_interval = 2
+
+        def _to_physical(self, df, cmap, retired=()):
+            if not isinstance(df, Batch) or not cmap:
+                return super()._to_physical(df, cmap, retired)
+            ext = self._extend_cmap(df.columns, cmap, retired)
+            return Batch([ext[c] for c in df.columns], df.rows), ext
+
+        def _stage_files(self, df, version, stats_col=None):
+            if not isinstance(df, Batch):
+                return super()._stage_files(df, version, stats_col)
+            out = os.path.join(
+                self.path, "data",
+                f"v{version:010d}-{uuid.uuid4().hex[:8]}",
+            )
+            os.makedirs(out, exist_ok=True)
+            f = os.path.join(out, "part-00000.parquet")
+            cols = {
+                c: pa.array([r[i] for r in df.rows], pa.int64())
+                for i, c in enumerate(df.columns)
+            }
+            pq.write_table(pa.table(cols), f)
+            sc = stats_col or self.stats_col
+            ks = [r[df.columns.index(sc)] for r in df.rows]
+            # real col_stats (per-column bounds) so the rollback's
+            # aliasing rewrite has stats to re-key
+            stats = {
+                c: [min(r[i] for r in df.rows), max(r[i] for r in df.rows)]
+                for i, c in enumerate(df.columns)
+            }
+            return [{
+                "path": os.path.relpath(f, self.path),
+                "rows": len(df.rows),
+                "min": min(ks),
+                "max": max(ks),
+                "col_stats": stats,
+            }]
+
+    for seed in range(n_seeds):
+        rng = random.Random(21_000 + seed)
+        root = str(tmp_path / f"rs{seed}")
+        t = RestoreFastTable(spark, root, "k")
+        t.create(Batch(["k", "v"], [(i, i * 2) for i in range(1, 21)]))
+        t.rename_column("v", "val")              # v1: map materialized
+        t.append(Batch(["k", "val"], [(100, 1)]))  # v2: file B
+        # v3: a CoW rewrite of file A (drop k=5) via pyarrow + the real
+        # put-if-absent commit — strands A as EXCLUSIVE to v0-v2, so
+        # every restore target genuinely races the vacuums for it
+        # (without a rewrite, appends never supersede a file and the
+        # restore-vs-vacuum legs never arm — measured, not assumed).
+        man2 = t.manifest()
+        a_entry = next(e for e in man2["files"] if e["min"] == 1)
+        b_entry = next(e for e in man2["files"] if e is not a_entry)
+        tbl_a = pq.read_table(os.path.join(root, a_entry["path"]))
+        tbl_a2 = tbl_a.filter(pa.compute.field("k") != 5)
+        out = os.path.join(root, "data", f"v{3:010d}-{uuid.uuid4().hex[:8]}")
+        os.makedirs(out, exist_ok=True)
+        a2_path = os.path.join(out, "part-00000.parquet")
+        pq.write_table(tbl_a2, a2_path)
+        ks2 = tbl_a2.column("k").to_pylist()
+        t._commit(3, "rewrite", [
+            {
+                "path": os.path.relpath(a2_path, root),
+                "rows": len(ks2), "min": min(ks2), "max": max(ks2),
+                "col_stats": {
+                    c: [min(tbl_a2.column(c).to_pylist()),
+                        max(tbl_a2.column(c).to_pylist())]
+                    for c in tbl_a2.column_names
+                },
+            },
+            b_entry,
+        ])
+        time.sleep(0.3)  # age file A past the 0.25 s vacuum guard
+
+        assignment: list[list] = [[], [], []]
+        for _ in range(rng.randint(1, 2)):       # writer 0: the restorer
+            assignment[0].append(("restore", rng.choice([0, 1, 2]), None))
+        rng.shuffle(assignment[0])
+        if rng.random() < 0.4:
+            assignment[0].append(("append", None, 300))
+        for w in (1, 2):
+            if rng.random() < 0.7:
+                new_col = (
+                    None if rng.random() >= 0.5
+                    else "xs" if rng.random() < 0.34
+                    else f"x{w}"
+                )
+                assignment[w].append(("append", new_col, 200 + w))
+            if rng.random() < 0.5:
+                assignment[w].append(("rename", w, None))
+            if rng.random() < 0.3:
+                assignment[w].append(("drop", w, None))
+            if rng.random() < 0.6:
+                assignment[w].append(("vacuum", None, None))
+            rng.shuffle(assignment[w])
+
+        errors: list = []
+
+        def writer(w: int, script: list, jseed: int) -> None:
+            jrng = random.Random(jseed)
+            op = "(pre-script)"
+            try:
+                tt = RestoreFastTable(spark, root, "k")
+                for op, a, b in script:
+                    time.sleep(jrng.random() * jitter)
+                    try:
+                        if op == "restore":
+                            tt.restore(a)
+                            tally["restore_ok"] += 1
+                        elif op == "append":
+                            if a:
+                                tt.append(Batch(
+                                    ["k", "val", a], [(b, w, 7)]
+                                ))
+                            else:
+                                tt.append(Batch(["k", "val"], [(b, w)]))
+                        elif op == "rename":
+                            tt.rename_column("val", f"val_{a}")
+                        elif op == "drop":
+                            cm = tt._cmap() or {}
+                            victims = [c for c in cm if c.startswith("x")]
+                            tt.drop_column(
+                                victims[0] if victims else "nope"
+                            )
+                        else:
+                            d, _ = tt.vacuum(
+                                retain_versions=1, min_age_seconds=0.25
+                            )
+                            tally["vacuum_deleted"] += d
+                    except ConcurrentWriteError:
+                        pass  # conflict-matrix refusal: documented
+                    except ValueError:
+                        if op not in ("rename", "drop", "append"):
+                            raise
+                        # lost logical DDL race / nothing to drop /
+                        # schema changed under a restore mid-flight
+                    except FileNotFoundError:
+                        if op != "restore":
+                            raise
+                        # target vacuumed (refusal) or verified-and-
+                        # rolled-back: both documented loud failures
+                        tally["restore_fnf"] += 1
+                    except Exception as e:  # noqa: BLE001
+                        if op in ("rename", "drop") and (
+                            "PATH_NOT_FOUND" in str(e)
+                        ):
+                            # transient: between a broken restore's
+                            # commit and its verify-rollback, latest
+                            # briefly references vacuumed files; a
+                            # reader in that window fails LOUDLY by
+                            # design (the identity-map derivation
+                            # resolves schema off the data files).
+                            # The END state is what the invariants
+                            # below guarantee readable.
+                            tally["transient_reads"] += 1
+                        else:
+                            raise
+            except Exception as e:  # noqa: BLE001
+                import traceback
+
+                errors.append(
+                    (seed, w, op, f"{type(e).__name__}: {e}",
+                     traceback.format_exc())
+                )
+
+        threads = [
+            threading.Thread(
+                target=writer, args=(w, assignment[w], seed * 10 + w)
+            )
+            for w in range(3)
+        ]
+        for th in threads:
+            th.start()
+        for th in threads:
+            th.join()
+
+        assert not errors, errors
+        vs = t.versions()
+        assert vs == list(range(len(vs))), f"seed {seed}: gap in {vs}"
+        man = t.manifest()
+        missing = [
+            e["path"] for e in man["files"]
+            if not os.path.exists(os.path.join(root, e["path"]))
+        ]
+        assert not missing, f"seed {seed}: latest references {missing}"
+        cm = man.get("columns") or {}
+        phys = list(cm.values())
+        assert len(set(phys)) == len(phys), f"seed {seed}: dup physical"
+        for e in man["files"]:
+            if not e.get("col_stats"):
+                continue
+            names = set(
+                pq.read_schema(os.path.join(root, e["path"])).names
+            )
+            stale = set(e["col_stats"]) - names
+            assert not stale, (
+                f"seed {seed}: col_stats keyed off columns the file "
+                f"does not contain: {stale} ({e['path']})"
+            )
+        got = t.read().collect()
+        if cm:
+            assert sorted(t.read().columns) == sorted(cm), (
+                f"seed {seed}: read schema != logical map"
+            )
+        ks = [r["k"] for r in got]
+        # k=5 is deleted in the v3+ era and present in restored v0-v2
+        # eras; every other base row must survive either way
+        assert set(range(1, 21)) - {5} <= set(ks), (
+            f"seed {seed}: base rows lost from latest"
+        )
+        tally["rollbacks"] += sum(
+            1 for v in vs
+            if t.manifest(v).get("op", "").startswith("restore-rollback")
+        )
+    print(f"\nrestore-stress coverage over {n_seeds} seeds: {tally}")

@@ -1112,15 +1112,18 @@ class TxnTable:
 
         The age guard does NOT cover commits that re-reference OLD
         files (``restore``, a shallow clone's source): those files'
-        mtimes predate any guard. Two mitigations: the candidate set is
-        re-validated against any manifest committed while the scan ran
-        (closing all but a sub-second window), and ``restore`` itself
+        mtimes predate any guard. Three mitigations: the candidate set
+        is re-validated against any manifest committed while the scan
+        ran (closing all but a sub-second window); ``restore`` itself
         verifies its referenced files after committing, so a lost race
         fails loudly instead of leaving a silently broken snapshot —
         the residual caveat Delta also documents (RESTORE after VACUUM
-        may fail). Stale ``.tmp`` manifests from crashed writers are
-        swept from the log once ≥ 300 s old (a live writer's
-        write→link window is milliseconds)."""
+        may fail); and a retained restore manifest pins its ROLLBACK
+        target's files (prior version) so the loud failure's recovery
+        path stays intact — see ``_pinned`` below. Stale ``.tmp``
+        manifests from crashed writers are swept from the log once
+        ≥ 300 s old (a live writer's write→link window is
+        milliseconds)."""
         import glob as _glob
         import time as _time
 
@@ -1135,9 +1138,54 @@ class TxnTable:
                     out.add(e["dv"]["path"])
             return out
 
+        def _pinned(version: int) -> set[str]:
+            # A restore commit is PROVISIONAL until its post-commit
+            # verify completes: restore() may still roll back onto the
+            # version just before it (prior = restore_version - 1), so
+            # a retained restore manifest pins its rollback target's
+            # files too. Without this, a vacuum landing while a broken
+            # restore is latest collects the prior snapshot's exclusive
+            # files, and the subsequent rollback publishes a latest
+            # referencing deleted files — breaking restore's "readers
+            # of latest keep working either way" guarantee (found by
+            # the round-10 rollback-window race test). Delta closes the
+            # same window with its retention-duration guard; this pin
+            # is the explicit, duration-free equivalent.
+            out = _live(version)
+            if version <= 0:
+                return out
+            if self.manifest(version).get("op", "").startswith(
+                "restore("
+            ):
+                out |= _live(version - 1)
+                return out
+            # A retained NON-restore manifest that references MISSING
+            # files carries an unresolved broken restore — a blind
+            # append can rebase onto the broken snapshot before the
+            # rollback lands (the restore-stress seed-79 interleaving),
+            # making the retained op an append while the pending
+            # recovery still targets the prior of the most recent
+            # restore BELOW it. Pin that prior too. Existence checks
+            # run only on this manifest's own paths (O(files),
+            # driver-side), and the back-walk only when breakage is
+            # actually present.
+            if any(
+                not os.path.exists(os.path.join(self.path, p))
+                for p in out
+            ):
+                for v in range(version - 1, 0, -1):
+                    if self.manifest(v).get("op", "").startswith(
+                        "restore("
+                    ):
+                        out |= _live(v - 1)
+                        break
+            return out
+
         vs = self.versions()
         keep_vs = vs[-retain_versions:]
-        live = set().union(*(_live(v) for v in keep_vs)) if keep_vs else set()
+        live = (
+            set().union(*(_pinned(v) for v in keep_vs)) if keep_vs else set()
+        )
         now = _time.time()
         candidates = []
         seen = 0  # parquet files actually on disk during the walk
@@ -1161,10 +1209,11 @@ class TxnTable:
                                 continue  # concurrently removed
                         candidates.append((full, rel))
         # Re-validate against manifests committed DURING the scan (a
-        # concurrent restore/clone may re-reference old files).
+        # concurrent restore/clone may re-reference old files); a fresh
+        # restore commit pins its rollback target here too.
         for v in self.versions():
             if v not in vs:
-                live |= _live(v)
+                live |= _pinned(v)
         deleted = 0
         for full, rel in candidates:
             if rel in live:

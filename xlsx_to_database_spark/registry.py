@@ -283,6 +283,14 @@ _ATTESTED: tuple[str, ...] = (
 # three were green only because their current values carry no
 # trailing-zero fractional cell). The prior green rows attest the old
 # DECIMAL-typed schema, so the driver must re-verify the new one.
+#
+# Round 10 also changes TxnTable.vacuum (a retained restore(...)
+# manifest now pins its rollback target's files — the rollback-window
+# race found by this round's directed test). table_vacuum's attestation
+# remains valid: its scenario (create → merge → vacuum) retains no
+# restore manifest, so the new pin is unreachable and the executed
+# liveness set is byte-identical (_pinned == _live for every
+# non-restore manifest). table_restore never vacuums; unaffected.
 _REOPENED: frozenset[str] = frozenset({
     "obs_metrics", "corpus_mix_schedule", "dedup_threshold_sweep",
 })
