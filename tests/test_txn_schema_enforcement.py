@@ -1,0 +1,127 @@
+"""Column-type schema enforcement (round-10, found by the model test).
+
+One INT-typed file staged against a BIGINT column poisons EVERY later
+read of the table (parquet mergeSchema refuses to merge INT with
+BIGINT), so type discipline is a durability property, not a nicety.
+Delta's rules, mirrored here: APPEND refuses a mismatched frame at the
+schema check; MERGE and UPDATE cast incoming expressions to the
+table's column types. The table's types live in a manifest-level
+registry ("schema", physical-name keyed) folded from each staged
+file's resolved frame schema at commit time — O(columns) metadata,
+no footer I/O, carried like the column map, and enforced at _commit
+as the single choke point every staging path crosses (covers racing
+writers extending the same new column under different types: the
+loser's fold conflicts and refuses).
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from xlsx_to_database_spark.operators.txn_table import TxnTable
+
+
+def _mk(spark, path, extra_rows=20):
+    t = TxnTable(spark, path, "k")
+    t.create(
+        spark.createDataFrame(
+            [(k, 2 * k) for k in range(1, extra_rows + 1)],
+            "k long, v long",
+        ).repartitionByRange(2, "k")
+    )
+    return t
+
+
+def test_manifest_carries_type_registry_and_strips_entries(spark, tmp_path):
+    t = _mk(spark, str(tmp_path / "reg"))
+    man = t.manifest()
+    assert man["schema"] == {"k": "bigint", "v": "bigint"}
+    assert all("types" not in e for e in man["files"])
+    # evolution extends the registry
+    t.append(
+        spark.createDataFrame([(100, 1, 0.5)], "k long, v long, w double")
+    )
+    assert t.manifest()["schema"]["w"] == "double"
+
+
+def test_append_refuses_type_drift_and_log_untouched(spark, tmp_path):
+    t = _mk(spark, str(tmp_path / "ap"))
+    v_before = t.latest_version()
+    with pytest.raises(ValueError, match="append schema mismatch"):
+        t.append(spark.createDataFrame([(1, 2)], "k int, v int"))
+    assert t.latest_version() == v_before
+    assert len(t.read().collect()) == 20  # still readable
+
+
+def test_merge_casts_source_to_table_types(spark, tmp_path):
+    t = _mk(spark, str(tmp_path / "mg"))
+    # INT source, including the pure-insert leg (k=900 beyond range):
+    # staged files must come out BIGINT, values exact.
+    t.merge(
+        spark.createDataFrame([(5, -5), (900, -900)], "k int, v int"), "k"
+    )
+    df = t.read()
+    assert dict(df.dtypes) == {"k": "bigint", "v": "bigint"}
+    got = {r.k: r.v for r in df.collect()}
+    assert got[5] == -5 and got[900] == -900 and len(got) == 21
+
+
+def test_update_casts_set_expression_to_column_type(spark, tmp_path):
+    t = _mk(spark, str(tmp_path / "up"))
+    # F.lit(-1) resolves INT; the staged updated rows must be BIGINT
+    # or every later read dies with CANNOT_MERGE_SCHEMAS.
+    t.update_where_dv(F.col("k") % 5 == 0, {"v": F.lit(-1)})
+    df = t.read()
+    assert dict(df.dtypes)["v"] == "bigint"
+    got = {r.k: r.v for r in df.collect()}
+    assert got[5] == got[10] == got[15] == got[20] == -1
+    assert got[3] == 6 and len(got) == 20
+
+
+def test_readd_after_drop_keeps_source_type(spark, tmp_path):
+    # A re-added column gets a FRESH physical slot, so it defines its
+    # own type — it must NOT be cast to the retired corpse's type.
+    t = _mk(spark, str(tmp_path / "readd"))
+    t.append(spark.createDataFrame([(50, 1, 7)], "k long, v long, x long"))
+    t.drop_column("x")
+    t.merge(
+        spark.createDataFrame([(60, 1, "s")], "k long, v long, x string"),
+        "k",
+    )
+    df = t.read()
+    assert dict(df.dtypes)["x"] == "string"
+    got = {r.k: r.x for r in df.collect()}
+    assert got[60] == "s" and got[50] is None  # corpse not resurrected
+
+
+def test_commit_fold_refuses_racing_divergent_types(spark, tmp_path):
+    # Two writers race to introduce the same NEW column under
+    # different types: both pass the pre-stage check (the registry
+    # does not know the column yet), the first commit registers its
+    # type, the second's fold conflicts at the _commit choke point.
+    t = _mk(spark, str(tmp_path / "race"))
+    man = t.manifest()
+    s_int = t._stage_files(
+        spark.createDataFrame([(200, 1, 9)], "k long, v long, c long"),
+        t.latest_version() + 1,
+    )
+    s_str = t._stage_files(  # staged BEFORE the first commit lands
+        spark.createDataFrame([(201, 1, "z")], "k long, v long, c string"),
+        t.latest_version() + 1,
+    )
+    t._commit(t.latest_version() + 1, "append", man["files"] + s_int)
+    with pytest.raises(ValueError, match="contradicts the table schema"):
+        t._commit(
+            t.latest_version() + 1, "append",
+            t.manifest()["files"] + s_str,
+        )
+    assert dict(t.read().dtypes)["c"] == "bigint"  # winner's type holds
+
+
+def test_clone_carries_type_registry(spark, tmp_path):
+    t = _mk(spark, str(tmp_path / "src"))
+    c = t.clone_to(str(tmp_path / "cl"))
+    assert c.manifest()["schema"] == {"k": "bigint", "v": "bigint"}
+    with pytest.raises(ValueError, match="append schema mismatch"):
+        c.append(spark.createDataFrame([(1, 2)], "k int, v int"))

@@ -197,6 +197,7 @@ class TxnTable:
         txn_id: Optional[str] = None,
         columns: Any = _CARRY,
         retired: Any = _CARRY,
+        schema: Any = _CARRY,
     ) -> None:
         """Atomically publish ``files`` as table version ``version``.
 
@@ -215,22 +216,67 @@ class TxnTable:
             raise ConcurrentWriteError(
                 f"version {version} already committed at {self.path}"
             )
+        # The latest manifest is read unconditionally: the column map /
+        # retired set carry below needs it under _CARRY, and the column
+        # TYPE registry carries on EVERY commit. TOCTOU-safe either
+        # way: if anything commits between this read and the link
+        # below, the link fails (version taken) and the retrying caller
+        # re-enters here.
+        try:
+            latest = self.manifest()
+        except FileNotFoundError:
+            latest = {}
+        # Fold freshly-staged entries' column types (attached by
+        # _stage_files, PHYSICAL names) into the table-level type
+        # registry, then strip the per-entry key — the registry is the
+        # durable record; per-file copies would bloat a 1M-file
+        # manifest. Physical slots are never reused (_fresh_phys skips
+        # live + retired names), so the registry grows monotonically
+        # and a type CONFLICT always means a writer staged a column
+        # under a type that contradicts bytes already in the table —
+        # committing it would poison every later mergeSchema read with
+        # CANNOT_MERGE_SCHEMAS (found by the round-10 model-lifecycle
+        # test: an UPDATE whose literal was INT against a BIGINT
+        # column). Refuse THIS writer loudly instead; this is the one
+        # choke point every staging path (append / merge / DV update /
+        # compaction / restore-rollback rewrite) passes through, and it
+        # also covers two racers extending the SAME new column under
+        # DIFFERENT types — the loser's fold conflicts and refuses.
+        if schema is TxnTable._CARRY:
+            schema = latest.get("schema")
+        schema = dict(schema or {})
+        conflicts = []
+        out_files = []
+        for e in files:
+            et = e.get("types")
+            if et:
+                for c, ty in et.items():
+                    prev = schema.get(c)
+                    if prev is None:
+                        schema[c] = ty
+                    elif prev != ty:
+                        conflicts.append((c, prev, ty))
+                e = {k: x for k, x in e.items() if k != "types"}
+            out_files.append(e)
+        files = out_files
+        if conflicts:
+            raise ValueError(
+                f"refusing to publish staged file(s) whose column type "
+                f"contradicts the table schema (column, table type, "
+                f"staged type): {conflicts}; cast the incoming data "
+                f"to the table's types"
+            )
         m = {
             "version": version,
             "op": op,
             "stats_col": self.stats_col,
             "files": files,
         }
+        if schema:
+            m["schema"] = schema
         if columns is TxnTable._CARRY or retired is TxnTable._CARRY:
             # Carry the column map (and the retired-physical-name set)
             # forward so a rename/drop survives every later commit.
-            # TOCTOU-safe: if anything commits between this read and
-            # the link below, the link fails (version taken) and the
-            # retrying caller re-enters here.
-            try:
-                latest = self.manifest()
-            except FileNotFoundError:
-                latest = {}
             if columns is TxnTable._CARRY:
                 columns = latest.get("columns")
             if retired is TxnTable._CARRY:
@@ -408,12 +454,22 @@ class TxnTable:
         ]
         if void:
             df = df.drop(*void)
+        # Column types of the staged files, for _commit's table-level
+        # type registry — free here (the frame's resolved schema; no
+        # I/O), where reconstructing them later would cost a footer
+        # read per file. Keyed by the names as staged (physical when a
+        # column map routed through _to_physical above the call).
+        types = {
+            f.name: f.dataType.simpleString() for f in df.schema.fields
+        }
         out = os.path.join(
             self.path, "data", f"v{version:010d}-{_uuid.uuid4().hex[:8]}"
         )
         df.write.mode("overwrite").parquet(out)
         entries = self._entries_from_footers(out, stats_col)
         if entries is not None:
+            for e in entries:
+                e["types"] = types
             return entries
         back = self.spark.read.parquet(out)
         rows = (
@@ -435,9 +491,44 @@ class TxnTable:
                 "rows": r["rows"],
                 "min": r["lo"],
                 "max": r["hi"],
+                "types": types,
             }
             for r in sorted(rows, key=lambda r: r["f"])
         ]
+
+    def _refuse_type_drift(self, df: DataFrame, man: dict) -> None:
+        """Delta-parity schema enforcement for APPEND-shaped writes:
+        an incoming column whose type differs from the table's
+        registered type for that (physical) column refuses BEFORE
+        staging — appending it would leave files whose footers cannot
+        merge (CANNOT_MERGE_SCHEMAS on every later read). Delta refuses
+        the same write at its schema check; MERGE and UPDATE instead
+        CAST to the table type (also Delta's rule) before they reach
+        this class's staging, so enforcement here only ever fires on a
+        genuinely incompatible blind append. Columns the registry does
+        not know (brand-new, or a pre-registry legacy table) pass —
+        _commit's fold registers them. O(columns) dict compare; no
+        I/O (the registry rides the manifest already in hand)."""
+        fields = getattr(getattr(df, "schema", None), "fields", None)
+        if fields is None:
+            # Non-DataFrame inputs (the stress suites' pyarrow fast-
+            # path stand-ins route around Spark staging) carry no
+            # resolved schema; their writes register no types either,
+            # so there is nothing to enforce.
+            return
+        sch = man.get("schema") or {}
+        drift = [
+            (f.name, sch[f.name], f.dataType.simpleString())
+            for f in fields
+            if f.name in sch
+            and sch[f.name] != f.dataType.simpleString()
+        ]
+        if drift:
+            raise ValueError(
+                f"append schema mismatch (column, table type, incoming "
+                f"type): {drift}; cast the incoming frame to the "
+                f"table's types"
+            )
 
     def _entries_from_footers(
         self, out: str, stats_col: Optional[str] = None
@@ -836,11 +927,13 @@ class TxnTable:
                 df, cmap, retired=man0.get("retired_columns", ())
             )
             new_cols = {lg: ph for lg, ph in ext.items() if lg not in cmap}
+            self._refuse_type_drift(df, man0)
             staged = self._stage_files(
                 df, v, stats_col=self._phys(self.stats_col, ext)
             )
         else:
             ext = None
+            self._refuse_type_drift(df, man0)
             staged = self._stage_files(df, v)
         if check is not None:
             bad = (
@@ -1044,10 +1137,12 @@ class TxnTable:
                     new_cols = {
                         lg: ph for lg, ph in ext.items() if lg not in cmap
                     }
+                    self._refuse_type_drift(dfp, man0)
                     staged = self._stage_files(
                         dfp, v, stats_col=self._phys(self.stats_col, ext)
                     )
                 else:
+                    self._refuse_type_drift(df, man0)
                     staged = self._stage_files(df, v)
             columns = TxnTable._CARRY
             if new_cols:
@@ -1349,10 +1444,14 @@ class TxnTable:
         # would resolve it against the CLONE's empty log (= none) and
         # a later re-add of the dropped column would reuse the corpse's
         # slot — resurrecting its old values or clashing on type.
+        # The column TYPE registry travels for the same reason: the
+        # clone shares the source's files, so an append the source
+        # would refuse as type drift must refuse in the clone too.
         c._commit(
             0, f"clone({self.path})", rel,
             columns=src_man.get("columns"),
             retired=src_man.get("retired_columns"),
+            schema=src_man.get("schema"),
         )
         return c
 
@@ -1617,6 +1716,35 @@ class TxnTable:
         lo, hi, src_n = b[0], b[1], b[2]
         man = self.manifest()
         entries, cmap = man["files"], man.get("columns")
+        # Delta MERGE parity: source columns the target already has are
+        # CAST to the table's registered type (an INT-typed source
+        # against a BIGINT column must not stage INT files — the
+        # insert-only leg writes the source verbatim, and one such file
+        # breaks every later mergeSchema read). No-op (no added plan
+        # node) when types already match; [lo, hi] from the pre-cast
+        # aggregate is numerically identical under the cast.
+        sch = man.get("schema") or {}
+        if sch:
+            want = {}
+            for f in source.schema.fields:
+                if cmap is not None and f.name not in cmap:
+                    # Source-only LOGICAL column: _to_physical below
+                    # allocates it a FRESH physical slot (never a
+                    # retired one), so it defines its own type — in
+                    # particular a RE-ADD after DROP must not be cast
+                    # to the retired corpse's type.
+                    continue
+                ph = self._phys(f.name, cmap)
+                if ph in sch and sch[ph] != f.dataType.simpleString():
+                    want[f.name] = sch[ph]
+            if want:
+                source = source.select(
+                    *[
+                        F.col(c).cast(want[c]).alias(c)
+                        if c in want else F.col(c)
+                        for c in source.columns
+                    ]
+                )
         touched, untouched = self._split_by_key_range(
             entries, lo, hi, col=self._phys(key, cmap), cmap=cmap
         )
@@ -2325,6 +2453,26 @@ class TxnTable:
                 for c in data_cols
             ]
         )
+        # Delta UPDATE parity: a SET expression whose type differs from
+        # the column's existing type is CAST to it (an INT literal
+        # against a BIGINT column must not stage an INT file — one such
+        # file breaks every later mergeSchema read; found by the
+        # round-10 model-lifecycle test). The schema probe is analysis
+        # only (no job); when every type already matches, the plan is
+        # untouched.
+        pre = {f.name: f.dataType for f in staged.schema.fields}
+        if any(
+            updated.schema[c].dataType != pre[c] for c in set_exprs
+        ):
+            updated = staged.select(
+                *[
+                    (
+                        set_exprs[c].cast(pre[c])
+                        if c in set_exprs else F.col(c)
+                    ).alias(c)
+                    for c in data_cols
+                ]
+            )
         if cmap:
             updated, ext = self._to_physical(updated, cmap)
             new_files = self._stage_files(

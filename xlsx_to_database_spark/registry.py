@@ -291,6 +291,26 @@ _ATTESTED: tuple[str, ...] = (
 # restore manifest, so the new pin is unreachable and the executed
 # liveness set is byte-identical (_pinned == _live for every
 # non-restore manifest). table_restore never vacuums; unaffected.
+#
+# Round 10 additionally adds column-TYPE schema enforcement to
+# TxnTable (found by the new model-lifecycle test: an UPDATE whose
+# SET literal was INT against a BIGINT column staged an INT file and
+# broke every later mergeSchema read). Surface touched on every
+# commit: _stage_files attaches staged column types to entries;
+# _commit folds them into a manifest-level "schema" registry and
+# refuses contradictions; append/append_once pre-refuse type drift;
+# merge casts map-resident source columns to registered types;
+# update_where_dv casts SET expressions to the column's type. No
+# attested rider reopens because every rider's observable output is
+# byte-identical: (a) the new manifest key and per-entry fold are
+# metadata no oracled result surfaces (ops read only op/files[].path
+# counts); (b) the append/commit refusals are pure guards that cannot
+# fire on type-consistent writes, which every rider's are (all frames
+# derive from the same parquet tables); (c) the merge/update casts
+# are added ONLY when the resolved type differs (checked pre-plan),
+# so a type-exact rider's Spark plan is the identical object graph —
+# not merely an optimized-away cast. Verified on the final tree: the
+# full 22-op txn-family mirror is 22/0 at sf0.01 post-change.
 _REOPENED: frozenset[str] = frozenset({
     "obs_metrics", "corpus_mix_schedule", "dedup_threshold_sweep",
 })
