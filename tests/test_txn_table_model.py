@@ -83,11 +83,13 @@ def _run_seed(spark, tmp_path, seed: int) -> None:
         next_col += 1
         return f"c{next_col}"
 
-    for step in range(rng.randint(6, 10)):
+    lo_hi = os.environ.get("SPARK_GRAFT_MODEL_STEPS", "6-10").split("-")
+    for step in range(rng.randint(int(lo_hi[0]), int(lo_hi[-1]))):
         op = rng.choices(
             ["append", "merge", "dv_delete", "dv_update", "rename",
-             "drop", "restore", "layout", "vacuum", "once"],
-            weights=[20, 15, 12, 10, 10, 8, 8, 7, 5, 5],
+             "drop", "restore", "layout", "vacuum", "once",
+             "cow_delete", "check_append", "clone"],
+            weights=[18, 13, 10, 10, 9, 7, 8, 6, 4, 4, 6, 3, 2],
         )[0]
 
         if op == "append":
@@ -235,6 +237,53 @@ def _run_seed(spark, tmp_path, seed: int) -> None:
                 f"seed {seed} step {step}: append_once replay landed"
             )
             rows[row[key]] = dict(row)
+
+        elif op == "cow_delete":
+            # Copy-on-write delete: matching files rewritten without
+            # the rows — content semantics identical to the DV path,
+            # composed here against DV/rename/restore interleavings.
+            m, r0 = rng.choice([3, 5, 7]), rng.randint(0, 2)
+            t.delete_where(F.col(key) % m == r0)
+            rows = {k: v for k, v in rows.items() if k % m != r0}
+
+        elif op == "check_append":
+            # A CHECK-violating append must reject WITHOUT committing
+            # and leave the table exactly as it was (staged files are
+            # swept); a passing CHECK commits normally.
+            from xlsx_to_database_spark.operators.txn_table import (
+                CheckViolation,
+            )
+
+            good = rng.random() < 0.5
+            batch = [{c: (1 if good else -1) for c in cols}]
+            batch[0][key] = next_key
+            next_key += 1
+            try:
+                t.append(
+                    _df(spark, cols, batch),
+                    check=(F.col(key) > 0) if good
+                    else F.col(key) < -(10 ** 9),
+                )
+            except CheckViolation:
+                assert not good
+            else:
+                assert good
+                rows[batch[0][key]] = dict(batch[0])
+
+        elif op == "clone":
+            # Shallow clone is zero-copy and ISOLATED: a write into the
+            # clone must never leak into the source's content.
+            cpath = str(tmp_path / f"model{seed}-clone{step}")
+            c = t.clone_to(cpath)
+            c.append(_df(spark, cols, [
+                {**{x: 123 for x in cols}, key: 900_000 + step}
+            ]))
+            c_cols, c_rows = _read_state(c, key)
+            assert c_cols == set(cols)
+            assert 900_000 + step in c_rows
+            assert set(c_rows) - {900_000 + step} == set(rows), (
+                f"seed {seed} step {step}: clone content != source"
+            )
 
         ops_run.append(op)
         got_cols, got_rows = _read_state(t, key)
