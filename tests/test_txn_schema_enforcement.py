@@ -119,6 +119,64 @@ def test_commit_fold_refuses_racing_divergent_types(spark, tmp_path):
     assert dict(t.read().dtypes)["c"] == "bigint"  # winner's type holds
 
 
+def test_racing_appends_divergent_new_column_types(spark, tmp_path):
+    # Two REAL Spark writers race the same NEW column under different
+    # types, with a barrier pinning both in the staged-but-uncommitted
+    # window (so neither sees the other at the pre-stage check).
+    # Exactly one type may win; the loser must surface ValueError —
+    # from the commit-time fold (conflict) — and the table must stay
+    # readable with the winner's type.
+    import threading
+
+    t = _mk(spark, str(tmp_path / "tr"))
+    barrier = threading.Barrier(2, timeout=60)
+
+    class StageSync(TxnTable):
+        def _stage_files(self, df, version, stats_col=None):
+            staged = super()._stage_files(df, version, stats_col)
+            barrier.wait()  # both writers staged before either commits
+            return staged
+
+    outcomes: dict[str, Exception | int] = {}
+
+    def writer(name: str, ddl: str, val) -> None:
+        tt = StageSync(spark, str(tmp_path / "tr"), "k")
+        try:
+            outcomes[name] = tt.append(
+                spark.createDataFrame(
+                    [(300 if name == "a" else 301, 1, val)], ddl
+                )
+            )
+        except Exception as e:  # noqa: BLE001
+            outcomes[name] = e
+
+    th = [
+        threading.Thread(
+            target=writer, args=("a", "k long, v long, c long", 9)
+        ),
+        threading.Thread(
+            target=writer, args=("b", "k long, v long, c string", "z")
+        ),
+    ]
+    for x in th:
+        x.start()
+    for x in th:
+        x.join()
+
+    winners = [n for n, o in outcomes.items() if isinstance(o, int)]
+    losers = [n for n, o in outcomes.items() if isinstance(o, Exception)]
+    assert len(winners) == 1 and len(losers) == 1, outcomes
+    assert isinstance(outcomes[losers[0]], ValueError), outcomes
+    df = t.read()
+    want = "bigint" if winners[0] == "a" else "string"
+    assert dict(df.dtypes)["c"] == want
+    got = {r.k: r.c for r in df.collect()}
+    assert got[300 if winners[0] == "a" else 301] == (
+        9 if winners[0] == "a" else "z"
+    )
+    assert len(got) == 21  # 20 base rows + the winner's row only
+
+
 def test_clone_carries_type_registry(spark, tmp_path):
     t = _mk(spark, str(tmp_path / "src"))
     c = t.clone_to(str(tmp_path / "cl"))
