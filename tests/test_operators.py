@@ -3694,7 +3694,15 @@ def test_gdpr_erasure_is_physical_and_versioned(spark, sf_dir):
     # erased key modulus is too brittle: legitimate per-file min/max
     # stats are arbitrary data values and may contain any digits —
     # round-7's multi-column col_stats made that a real flake.)
-    assert set(m) == {"version", "op", "stats_col", "files"}
+    # "schema" (round 10) is the column-TYPE registry: physical column
+    # name -> type string only — structurally incapable of retaining
+    # subject keys, so it is audit-safe by construction (asserted).
+    assert set(m) == {"version", "op", "stats_col", "files", "schema"}
+    assert set(m["schema"]) == {
+        "o_orderkey", "o_custkey", "o_orderstatus", "price"
+    } and set(m["schema"].values()) <= {
+        "bigint", "string", "decimal(18,2)"
+    }, m["schema"]
     allowed_entry_fields = {"path", "rows", "min", "max", "col_stats"}
     for e in m["files"]:
         assert set(e) <= allowed_entry_fields, e
