@@ -119,6 +119,46 @@ def test_commit_fold_refuses_racing_divergent_types(spark, tmp_path):
     assert dict(t.read().dtypes)["c"] == "bigint"  # winner's type holds
 
 
+def test_append_with_void_column_still_legal(spark, tmp_path):
+    # A NullType (VOID) column never reaches the data files —
+    # _stage_files drops it and reads re-materialize NULL — so the
+    # drift guard must not refuse it (regression guard: the first cut
+    # compared 'void' against the registered type and rejected a
+    # previously-legal, read-equivalent append).
+    t = _mk(spark, str(tmp_path / "void"))
+    t.append(
+        spark.createDataFrame([(500,)], "k long").select(
+            "k", F.lit(None).alias("v")
+        )
+    )
+    got = {r.k: r.v for r in t.read().collect()}
+    assert got[500] is None and got[3] == 6 and len(got) == 21
+    assert t.manifest()["schema"]["v"] == "bigint"  # registry untouched
+
+
+def test_merge_narrowing_key_overflow_fails_before_commit(spark, tmp_path):
+    # Table key registered INT; a source key beyond INT range must
+    # fail LOUDLY (ANSI cast overflow in the pre-stage aggregate) and
+    # leave the log untouched — never wrap silently into a key that
+    # prunes differently than it stages.
+    t = TxnTable(spark, str(tmp_path / "nar"), "k")
+    t.create(
+        spark.createDataFrame([(k, k) for k in range(1, 11)],
+                              "k int, v int").coalesce(1)
+    )
+    v_before = t.latest_version()
+    with pytest.raises(Exception) as ei:
+        t.merge(
+            spark.createDataFrame([(3_000_000_000, 1)], "k long, v long"),
+            "k",
+        )
+    assert "CAST_OVERFLOW" in str(ei.value) or "overflow" in str(
+        ei.value
+    ).lower(), ei.value
+    assert t.latest_version() == v_before
+    assert len(t.read().collect()) == 10
+
+
 def test_racing_appends_divergent_new_column_types(spark, tmp_path):
     # Two REAL Spark writers race the same NEW column under different
     # types, with a barrier pinning both in the staged-but-uncommitted

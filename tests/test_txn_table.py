@@ -1193,6 +1193,11 @@ def test_restore_rollback_rewrites_aliasing_racer_column(spark, tmp_path):
         "racer's x leaked into y, or its value was lost"
     )
     assert got[1] == (None, None) and len(got) == 102
+    # The fresh physical slot must be TYPE-registered (round-10 review):
+    # the rewrite re-keys the racer's registered type through the
+    # rename, so a later mistyped write to the re-slotted column is
+    # refused rather than first-claiming the slot as a new type.
+    assert man["schema"][cm["x"]] == "bigint", man["schema"]
 
 
 def test_merge_extension_refuses_racing_logical_claim(

@@ -516,11 +516,18 @@ class TxnTable:
             # resolved schema; their writes register no types either,
             # so there is nothing to enforce.
             return
+        from pyspark.sql.types import NullType
+
         sch = man.get("schema") or {}
         drift = [
             (f.name, sch[f.name], f.dataType.simpleString())
             for f in fields
+            # A NullType (VOID) column never reaches the data files —
+            # _stage_files drops it and reads re-materialize NULL — so
+            # it cannot drift; refusing it here would reject a write
+            # that was legal and read-equivalent before the registry.
             if f.name in sch
+            and not isinstance(f.dataType, NullType)
             and sch[f.name] != f.dataType.simpleString()
         ]
         if drift:
@@ -766,6 +773,24 @@ class TxnTable:
             out["col_stats"] = {
                 renames.get(c, c): v for c, v in e["col_stats"].items()
             }
+        # Register the fresh physical slots' types: the racer's commit
+        # registered the OLD physical names (its staging attached
+        # them), so re-key those registrations through ``renames`` and
+        # ride them on the rewritten entry — the rollback commit's
+        # fold then knows the fresh slot, keeping the type-drift guard
+        # airtight on this path too (an unregistered fresh slot would
+        # accept a first-claim INT against these BIGINT bytes).
+        try:
+            reg = self.manifest().get("schema") or {}
+        except FileNotFoundError:
+            reg = {}
+        fresh_types = {
+            renames[c]: reg[c]
+            for c in schema_names
+            if c in renames and c in reg
+        }
+        if fresh_types:
+            out["types"] = fresh_types
         return out
 
     def _to_physical(
@@ -1708,12 +1733,6 @@ class TxnTable:
         stats for ``key`` are conservatively rewritten."""
         if key not in source.columns:
             raise ValueError(f"merge key {key!r} not in source columns")
-        b = source.agg(
-            F.min(key), F.max(key), F.count(F.lit(1))
-        ).collect()[0]
-        if b[0] is None:
-            raise ValueError("merge source has no non-null keys")
-        lo, hi, src_n = b[0], b[1], b[2]
         man = self.manifest()
         entries, cmap = man["files"], man.get("columns")
         # Delta MERGE parity: source columns the target already has are
@@ -1721,8 +1740,12 @@ class TxnTable:
         # against a BIGINT column must not stage INT files — the
         # insert-only leg writes the source verbatim, and one such file
         # breaks every later mergeSchema read). No-op (no added plan
-        # node) when types already match; [lo, hi] from the pre-cast
-        # aggregate is numerically identical under the cast.
+        # node) when types already match. The cast precedes the [lo,
+        # hi] aggregate below so the prune bounds are computed on the
+        # values that actually stage: a NARROWING key cast fails the
+        # aggregate loudly under ANSI (this engine's sessions) before
+        # any file is staged, and even under ansi=false a wrapped key
+        # prunes consistently with the wrapped bytes it writes.
         sch = man.get("schema") or {}
         if sch:
             want = {}
@@ -1745,6 +1768,12 @@ class TxnTable:
                         for c in source.columns
                     ]
                 )
+        b = source.agg(
+            F.min(key), F.max(key), F.count(F.lit(1))
+        ).collect()[0]
+        if b[0] is None:
+            raise ValueError("merge source has no non-null keys")
+        lo, hi, src_n = b[0], b[1], b[2]
         touched, untouched = self._split_by_key_range(
             entries, lo, hi, col=self._phys(key, cmap), cmap=cmap
         )
@@ -2461,15 +2490,14 @@ class TxnTable:
         # only (no job); when every type already matches, the plan is
         # untouched.
         pre = {f.name: f.dataType for f in staged.schema.fields}
-        if any(
-            updated.schema[c].dataType != pre[c] for c in set_exprs
-        ):
-            updated = staged.select(
+        drift = [
+            c for c in set_exprs if updated.schema[c].dataType != pre[c]
+        ]
+        if drift:
+            updated = updated.select(
                 *[
-                    (
-                        set_exprs[c].cast(pre[c])
-                        if c in set_exprs else F.col(c)
-                    ).alias(c)
+                    F.col(c).cast(pre[c]).alias(c) if c in drift
+                    else F.col(c)
                     for c in data_cols
                 ]
             )
