@@ -229,6 +229,26 @@ _ATTESTED: tuple[str, ...] = (
     "sim_recall_report", "ml_threshold_cost_opt", "event_alert_throttle",
     "event_dau_mau", "stat_weibull_fit", "agg_percent_of_parent",
     "sim_diversity_mmr", "stat_ljung_box",
+    # CORRECTNESS_r10.json greens: 37 fresh entries (35 exact-pass +
+    # graph_lpa_communities / win_holt_linear as the declared rows-only
+    # iterative ops), plus the 3 round-10 _REOPENED DECIMAL→DOUBLE
+    # rewrites (obs_metrics, corpus_mix_schedule, dedup_threshold_sweep —
+    # re-attested green on the new DOUBLE output schema and folded back
+    # by resetting _REOPENED below) and 10 re-confirmed core attestations.
+    # With this fold every registered op is driver-attested: 454/454.
+    "udf_sql", "dq_double_charge", "udf_pandas_iter", "agg_yoy_growth",
+    "str_format_funcs", "text_tokenizer_fertility", "stat_power_analysis",
+    "ml_reg_metrics", "stat_histogram_log", "table_history",
+    "graph_lpa_communities", "stat_entropy_rate", "agg_waterfall_decomp",
+    "win_underwater_duration", "table_optimistic_retry", "text_code_detect",
+    "stat_mcnemar", "stat_bayes_prob", "event_path_sankey",
+    "graph_walk_sample", "win_holt_linear", "agg_basket_profile",
+    "text_autocomplete_index", "event_new_vs_returning",
+    "dedup_cluster_profile", "geo_geohash", "geo_haversine_nearest",
+    "geo_bbox_agg", "geo_point_in_polygon", "geo_grid_density",
+    "table_txn_checkpoint", "table_delete_vectors", "table_update_vectors",
+    "table_rename_column", "table_reorg_purge", "table_cdc_rows",
+    "table_auto_optimize",
 )
 
 # Attested ops whose IMPLEMENTATION changed after their attestation round:
@@ -311,8 +331,24 @@ _ATTESTED: tuple[str, ...] = (
 # so a type-exact rider's Spark plan is the identical object graph —
 # not merely an optimized-away cast. Verified on the final tree: the
 # full 22-op txn-family mirror is 22/0 at sf0.01 post-change.
+# Round-11 rewrites: the txn-table READ path is rewritten this round
+# (manifest-pinned read schema replacing the mergeSchema footer union —
+# operators/txn_table.py, round-10 verdict What's-wrong #1 — plus the
+# five round-10 ADVICE type-registry fixes). Every attested op that
+# plans a read through TxnTable._read_files/snapshot reopens: the prior
+# green rows attest the footer-union planner. The set below is exactly
+# the registered ops that construct a TxnTable (grep-verified); the
+# driver window (fully empty after the r10 fold) has room for all of
+# them.
 _REOPENED: frozenset[str] = frozenset({
-    "obs_metrics", "corpus_mix_schedule", "dedup_threshold_sweep",
+    "table_merge_upsert", "table_time_travel", "table_incremental_read",
+    "table_schema_evolution", "table_zorder_optimize", "table_restore",
+    "table_vacuum", "table_clone", "table_check_constraint",
+    "table_history", "table_optimistic_retry", "table_txn_checkpoint",
+    "table_delete_vectors", "table_update_vectors", "table_rename_column",
+    "table_reorg_purge", "table_cdc_rows", "table_auto_optimize",
+    "stream_txn_sink", "etl_gdpr_erasure", "tpch_refresh",
+    "stream_restart_resume",
 })
 
 #: The driver evaluates this many registry-order entries per round
