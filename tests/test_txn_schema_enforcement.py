@@ -163,9 +163,12 @@ def test_racing_appends_divergent_new_column_types(spark, tmp_path):
     # Two REAL Spark writers race the same NEW column under different
     # types, with a barrier pinning both in the staged-but-uncommitted
     # window (so neither sees the other at the pre-stage check).
-    # Exactly one type may win; the loser must surface ValueError —
-    # from the commit-time fold (conflict) — and the table must stay
-    # readable with the winner's type.
+    # Exactly one type may win; the loser must surface
+    # ConcurrentSchemaError — the registration arrived from a manifest
+    # newer than its pinned snapshot, a lost METADATA RACE, not a
+    # caller typing mistake (round-10 ADVICE: ValueError is reserved
+    # for pre-stage drift the caller can fix by casting) — and the
+    # table must stay readable with the winner's type.
     import threading
 
     t = _mk(spark, str(tmp_path / "tr"))
@@ -203,10 +206,14 @@ def test_racing_appends_divergent_new_column_types(spark, tmp_path):
     for x in th:
         x.join()
 
+    from xlsx_to_database_spark.operators.txn_table import (
+        ConcurrentSchemaError,
+    )
+
     winners = [n for n, o in outcomes.items() if isinstance(o, int)]
     losers = [n for n, o in outcomes.items() if isinstance(o, Exception)]
     assert len(winners) == 1 and len(losers) == 1, outcomes
-    assert isinstance(outcomes[losers[0]], ValueError), outcomes
+    assert isinstance(outcomes[losers[0]], ConcurrentSchemaError), outcomes
     df = t.read()
     want = "bigint" if winners[0] == "a" else "string"
     assert dict(df.dtypes)["c"] == want

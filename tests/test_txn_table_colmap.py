@@ -170,12 +170,13 @@ def test_append_rebases_across_racing_rename(spark, tmp_path, monkeypatch):
     orig_commit = t._commit
     raced = {"done": False}
 
-    def commit_and_race(version, op, files, txn_id=None, columns=None):
+    def commit_and_race(version, op, files, txn_id=None, columns=None, **kw):
         if op == "append" and not raced["done"]:
             raced["done"] = True
             racer = TxnTable(spark, t.path, "k")
             racer.rename_column("v", "value")
-        kw = {} if columns is None else {"columns": columns}
+        if columns is not None:
+            kw["columns"] = columns
         return orig_commit(version, op, files, txn_id=txn_id, **kw)
 
     monkeypatch.setattr(t, "_commit", commit_and_race)

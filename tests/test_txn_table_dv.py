@@ -304,14 +304,14 @@ def test_update_dv_rebases_across_interleaved_append(
     orig_commit = t._commit
     raced = {"done": False}
 
-    def commit_and_race(version, op, files, txn_id=None):
+    def commit_and_race(version, op, files, txn_id=None, **kw):
         if op == "update_dv" and not raced["done"]:
             raced["done"] = True
             racer = TxnTable(spark, t.path, "k")
             racer.append(
                 spark.createDataFrame([(2000, 0)], "k long, v long")
             )
-        return orig_commit(version, op, files, txn_id=txn_id)
+        return orig_commit(version, op, files, txn_id=txn_id, **kw)
 
     monkeypatch.setattr(t, "_commit", commit_and_race)
     v, marked, n = t.update_where_dv(
@@ -337,14 +337,14 @@ def test_dv_delete_rebases_across_interleaved_append(
     orig_commit = t._commit
     raced = {"done": False}
 
-    def commit_and_race(version, op, files, txn_id=None):
+    def commit_and_race(version, op, files, txn_id=None, **kw):
         if op == "delete_dv" and not raced["done"]:
             raced["done"] = True
             racer = TxnTable(spark, t.path, "k")
             racer.append(
                 spark.createDataFrame([(2000, 0)], "k long, v long")
             )  # 2000 % 10 == 0: matches the pred, post-snapshot
-        return orig_commit(version, op, files, txn_id=txn_id)
+        return orig_commit(version, op, files, txn_id=txn_id, **kw)
 
     monkeypatch.setattr(t, "_commit", commit_and_race)
     v, marked, deleted = t.delete_where_dv(F.col("k") % 10 == 0)
@@ -366,12 +366,12 @@ def test_dv_delete_conflicts_with_overlapping_dv_delete(
     orig_commit = t._commit
     raced = {"done": False}
 
-    def commit_and_race(version, op, files, txn_id=None):
+    def commit_and_race(version, op, files, txn_id=None, **kw):
         if op == "delete_dv" and not raced["done"]:
             raced["done"] = True
             racer = TxnTable(spark, t.path, "k")
             racer.delete_where_dv(F.col("k") == 7)  # same first file
-        return orig_commit(version, op, files, txn_id=txn_id)
+        return orig_commit(version, op, files, txn_id=txn_id, **kw)
 
     monkeypatch.setattr(t, "_commit", commit_and_race)
     with pytest.raises(ConcurrentWriteError):

@@ -48,6 +48,20 @@ anti-join, and the next compaction/MERGE rewrite materializes it away.
 The file key is pinned at the first DV delete and survives clone
 rebasing; VACUUM/RESTORE treat referenced sidecars as live.
 
+Schema metadata (round 11): each manifest carries TWO registries —
+``schema``, the MONOTONIC column-type record (physical name → type,
+grows forever; the durability guard against a mistyped write poisoning
+bytes already in the table) and ``read_schema``, the ordered (name,
+type) list that IS the snapshot's scan schema. Every read pins its
+schema from the manifest (``_pinned_read_schema``) exactly as Delta
+reads schema from the log: planning opens ZERO parquet footers, so a
+10M-file table plans as fast as a 10-file one. Restore rolls
+``read_schema`` back to its target's (metadata rollback); the type
+registry deliberately does not roll back (old bytes stay reachable via
+time travel). Pre-registry manifests fall back to a mergeSchema footer
+union and are backfilled — one O(files) driver metadata pass — at
+their first post-upgrade commit.
+
 Scale notes: every driver-side structure is metadata-bounded (one list
 entry per file, one JSON per version). Data movement is Spark jobs over
 only the touched files. Manifests are O(files) — the same growth class
@@ -69,6 +83,16 @@ from pyspark.sql import functions as F
 
 class ConcurrentWriteError(RuntimeError):
     """Another writer committed this version first — retry on latest."""
+
+
+class ConcurrentSchemaError(ConcurrentWriteError):
+    """A racer registered a column type after this writer's snapshot
+    that contradicts what this writer staged. Unlike the ``ValueError``
+    the type fold raises for pre-stage drift (a caller typing mistake,
+    fixable by casting), this is a LOST METADATA RACE: the writer's
+    staging was consistent with everything its pinned snapshot knew, so
+    the remedy is re-staging against the current snapshot — the same
+    contract as the rest of Delta's conflict matrix (round-10 ADVICE)."""
 
 
 class CheckViolation(ValueError):
@@ -198,6 +222,8 @@ class TxnTable:
         columns: Any = _CARRY,
         retired: Any = _CARRY,
         schema: Any = _CARRY,
+        read_schema: Any = _CARRY,
+        base_schema: Optional[dict] = None,
     ) -> None:
         """Atomically publish ``files`` as table version ``version``.
 
@@ -242,11 +268,48 @@ class TxnTable:
         # compaction / restore-rollback rewrite) passes through, and it
         # also covers two racers extending the SAME new column under
         # DIFFERENT types — the loser's fold conflicts and refuses.
+        read_schema_arg = read_schema
         if schema is TxnTable._CARRY:
             schema = latest.get("schema")
+        if read_schema is TxnTable._CARRY:
+            read_schema = latest.get("read_schema")
+        carried_files = latest.get("files")
+        backfilled: set[str] = set()
+        if (
+            carried_files
+            and read_schema is None
+            and read_schema_arg is TxnTable._CARRY
+        ):
+            # Legacy upgrade (round-10 ADVICE #1): a table created
+            # before the registries existed backfills them from its
+            # LIVE files' parquet footers — one O(files) driver
+            # metadata pass, run once at the first post-upgrade commit
+            # — so an incoming mistyped write is checked against the
+            # footer truth instead of first-claiming the wrong type
+            # (and additionally poisoning the registry). Also covers
+            # tables that have the type registry but predate the
+            # pinned read schema. Explicit read_schema= callers
+            # (restore/clone/rollback) skip this — they know their
+            # snapshot's schema source better than latest's files do.
+            b_reg, b_rs = self._footer_schema_backfill(carried_files)
+            if schema is None and b_reg is not None:
+                schema = b_reg
+                backfilled.update(b_reg)
+            read_schema = b_rs
         schema = dict(schema or {})
-        conflicts = []
-        out_files = []
+        if read_schema is not None:
+            rs: Optional[list[list]] = [list(x) for x in read_schema]
+        elif not carried_files and read_schema_arg is TxnTable._CARRY:
+            # Fresh table (create / clone target at v0): the pin is
+            # built entirely from this commit's staged types below.
+            rs = []
+        else:
+            rs = None  # unknown provenance: reads fall back to footers
+        rs_known = {n for n, _ in rs} if rs is not None else set()
+        latest_paths = {e["path"] for e in (carried_files or ())}
+        conflicts, races = [], []
+        out_files: list[dict] = []
+        untyped_fresh: list[dict] = []
         for e in files:
             et = e.get("types")
             if et:
@@ -255,10 +318,40 @@ class TxnTable:
                     if prev is None:
                         schema[c] = ty
                     elif prev != ty:
-                        conflicts.append((c, prev, ty))
+                        # Race vs drift (round-10 ADVICE #2): if the
+                        # writer's pinned snapshot (base_schema) did
+                        # NOT carry this registration, it arrived from
+                        # a manifest newer than the snapshot — a lost
+                        # metadata race, not a caller typing mistake.
+                        # Backfilled registrations are never races:
+                        # their bytes predate every snapshot.
+                        if (
+                            base_schema is not None
+                            and c not in backfilled
+                            and base_schema.get(c) != prev
+                        ):
+                            races.append((c, prev, ty))
+                        else:
+                            conflicts.append((c, prev, ty))
+                    if rs is not None and c not in rs_known:
+                        rs.append([c, ty])
+                        rs_known.add(c)
+            if "types" in e:
+                # Strip unconditionally — an empty dict (zero-data-
+                # column frame) must not leak a stray key into the
+                # durable manifest either (round-10 ADVICE #5).
                 e = {k: x for k, x in e.items() if k != "types"}
+            elif e.get("path") not in latest_paths:
+                untyped_fresh.append(e)
             out_files.append(e)
         files = out_files
+        if races:
+            raise ConcurrentSchemaError(
+                f"column type registration(s) lost a race: a commit "
+                f"after this writer's snapshot registered (column, "
+                f"table type, staged type): {races}; re-stage against "
+                f"the current snapshot"
+            )
         if conflicts:
             raise ValueError(
                 f"refusing to publish staged file(s) whose column type "
@@ -266,6 +359,33 @@ class TxnTable:
                 f"staged type): {conflicts}; cast the incoming data "
                 f"to the table's types"
             )
+        if (
+            untyped_fresh
+            and rs is not None
+            and read_schema_arg is TxnTable._CARRY
+        ):
+            # Fresh entries with no staged-type provenance (the stress
+            # suites' non-DataFrame pyarrow stand-in staging): learn
+            # their columns from their footers so the pinned read
+            # schema stays COMPLETE — a pin missing a live column
+            # would silently hide it from every read. Unreadable or
+            # contradicting footers drop the pin for this manifest
+            # (mergeSchema fallback — always correct) rather than
+            # guessing.
+            b_reg, b_rs = self._footer_schema_backfill(untyped_fresh)
+            if b_reg is None:
+                rs = None
+            else:
+                for c, ty in b_rs:
+                    prev = schema.get(c)
+                    if prev is None:
+                        schema[c] = ty
+                    elif prev != ty:
+                        rs = None
+                        break
+                    if rs is not None and c not in rs_known:
+                        rs.append([c, ty])
+                        rs_known.add(c)
         m = {
             "version": version,
             "op": op,
@@ -274,6 +394,15 @@ class TxnTable:
         }
         if schema:
             m["schema"] = schema
+        if rs:
+            # The ordered physical READ schema of THIS snapshot — what
+            # lets every read plan with an explicit schema instead of a
+            # footer union (see _pinned_read_schema). Distinct from the
+            # "schema" registry above: the registry is the MONOTONIC
+            # type-enforcement record (retired slots and all); this key
+            # is exactly the columns a reader of this version presents,
+            # and restore rolls it back to its target's.
+            m["read_schema"] = rs
         if columns is TxnTable._CARRY or retired is TxnTable._CARRY:
             # Carry the column map (and the retired-physical-name set)
             # forward so a rename/drop survives every later commit.
@@ -618,8 +747,78 @@ class TxnTable:
                 return None
         return entries
 
+    def _footer_schema_backfill(
+        self, entries: list[dict]
+    ) -> tuple[Optional[dict], Optional[list[list]]]:
+        """(type registry, ordered read schema) of ``entries`` read
+        from their parquet FOOTERS — the one-time driver-side metadata
+        pass that upgrades a pre-registry table (round-10 ADVICE #1)
+        or learns a stand-in-staged file's columns. Returns (None,
+        None) when any footer is unreadable, a type has no Spark
+        equivalent, or two files carry the same column under different
+        types (a table already poisoned for schema-merged reads —
+        nothing sound to pin)."""
+        try:
+            import pyarrow.parquet as _pq
+
+            from pyspark.sql.pandas.types import from_arrow_type
+        except ImportError:
+            return None, None
+        reg: dict[str, str] = {}
+        rs: list[list] = []
+        for e in entries:
+            try:
+                sch = _pq.read_schema(
+                    os.path.join(self.path, e["path"])
+                )
+                for fld in sch:
+                    ty = from_arrow_type(fld.type).simpleString()
+                    prev = reg.get(fld.name)
+                    if prev is None:
+                        reg[fld.name] = ty
+                        rs.append([fld.name, ty])
+                    elif prev != ty:
+                        return None, None
+            except Exception:
+                return None, None
+        return reg, rs
+
+    def _pinned_read_schema(self, man: Optional[dict]):
+        """The StructType pinned by ``man``'s ``read_schema``, or None
+        when the manifest carries no pin (legacy) — the caller then
+        falls back to the mergeSchema footer union. With a pin, read
+        PLANNING is pure manifest metadata: zero parquet footers are
+        opened to resolve the scan schema, which at a 10M-file
+        inventory is the difference between instant planning and a
+        driver-side metadata storm (Delta likewise reads its schema
+        from the log, never from data files)."""
+        rs = (man or {}).get("read_schema")
+        if not rs:
+            return None
+        from pyspark.sql.types import StructType
+
+        try:
+            return StructType.fromDDL(
+                ", ".join(f"`{n}` {t}" for n, t in rs)
+            )
+        except Exception:
+            return None
+
+    def _reader(self, man: Optional[dict]):
+        """A DataFrameReader for ``man``'s snapshot: schema pinned
+        from the manifest when available, mergeSchema footer union
+        otherwise. ``man=None`` (staged-file probes, legacy) always
+        takes the union path."""
+        pinned = self._pinned_read_schema(man)
+        if pinned is not None:
+            return self.spark.read.schema(pinned)
+        return self.spark.read.option("mergeSchema", "true")
+
     def _read_files(
-        self, entries: list[dict], with_fp: bool = False
+        self,
+        entries: list[dict],
+        with_fp: bool = False,
+        man: Optional[dict] = None,
     ) -> DataFrame:
         """Read the live rows of ``entries`` — the merge-on-read seam.
 
@@ -634,9 +833,13 @@ class TxnTable:
         here, so compaction/MERGE materialize DVs automatically — the
         rewritten files carry no ``dv`` key.
 
-        mergeSchema: files written before a column was added read as
-        NULL for it — additive schema evolution without rewriting
-        history (the parquet-footer union Delta calls schema merging).
+        Schema resolution: ``man`` (the manifest these entries came
+        from) pins the read schema from its ``read_schema`` metadata —
+        files written before a column was added read it as NULL, same
+        additive evolution mergeSchema gave, but the scan plans with
+        ZERO footer reads. Without a pin (``man=None``: staged-file
+        probes, pre-pin manifests) the mergeSchema footer union is the
+        fallback.
 
         ``with_fp=True`` keeps each row's ``__fp`` (its file's
         ``_metadata.file_path`` URI), attached per scan branch BEFORE
@@ -645,7 +848,7 @@ class TxnTable:
         """
         plain = [e for e in entries if not e.get("dv")]
         dvd = [e for e in entries if e.get("dv")]
-        reader = self.spark.read.option("mergeSchema", "true")
+        reader = self._reader(man)
         parts = []
         if plain:
             parts.append(
@@ -656,7 +859,7 @@ class TxnTable:
                 )
             )
         if dvd:
-            scan = self._scan_identity(dvd)
+            scan = self._scan_identity(dvd, man=man)
             dv = self._dv_rows(dvd)
             live = scan.join(
                 F.broadcast(dv),
@@ -784,11 +987,28 @@ class TxnTable:
             reg = self.manifest().get("schema") or {}
         except FileNotFoundError:
             reg = {}
-        fresh_types = {
-            renames[c]: reg[c]
-            for c in schema_names
-            if c in renames and c in reg
-        }
+        fresh_types = {}
+        for c in schema_names:
+            if c not in renames:
+                continue
+            if c in reg:
+                fresh_types[renames[c]] = reg[c]
+            else:
+                # Unregistered old slot (the racer wrote through a
+                # path that registered no types, or a legacy table):
+                # derive the type from the file's own schema — already
+                # loaded as ``tbl`` — so the fresh slot is ALWAYS
+                # registered and a later mistyped write can never
+                # first-claim it against these bytes (round-10 ADVICE
+                # #4).
+                try:
+                    from pyspark.sql.pandas.types import from_arrow_type
+
+                    fresh_types[renames[c]] = from_arrow_type(
+                        tbl.schema.field(c).type
+                    ).simpleString()
+                except Exception:
+                    pass  # no Spark equivalent: leave unregistered
         if fresh_types:
             out["types"] = fresh_types
         return out
@@ -866,7 +1086,9 @@ class TxnTable:
             .select("s.*")
         )
 
-    def _scan_identity(self, entries: list[dict]) -> DataFrame:
+    def _scan_identity(
+        self, entries: list[dict], man: Optional[dict] = None
+    ) -> DataFrame:
         """Scan ``entries`` with each row's stable identity attached:
         ``__fp`` (the file's ``_metadata.file_path`` URI) and ``__ri``
         (the row's parquet ordinal, ``_metadata.row_index`` — stable
@@ -874,8 +1096,9 @@ class TxnTable:
         metadata columns — measured ~0.1 s overhead on a 20M-row scan —
         so row identity costs nothing on the big side; translating
         between the URI and the manifest's pinned DV key happens on the
-        SMALL (sidecar) side only, in ``_dv_rows``."""
-        return self.spark.read.option("mergeSchema", "true").parquet(
+        SMALL (sidecar) side only, in ``_dv_rows``. ``man`` pins the
+        read schema exactly as in ``_read_files``."""
+        return self._reader(man).parquet(
             *[os.path.join(self.path, e["path"]) for e in entries]
         ).select(
             "*",
@@ -979,7 +1202,8 @@ class TxnTable:
                     f"constraint; commit rejected"
                 )
         return self._commit_append_rebasing(
-            staged, max_retries, extend_cols=new_cols
+            staged, max_retries, extend_cols=new_cols,
+            base_schema=man0.get("schema") or {},
         )
 
     def _rebased_map_extension(self, extend_cols: dict) -> Any:
@@ -1045,6 +1269,7 @@ class TxnTable:
         max_retries: int,
         txn_id: Optional[str] = None,
         extend_cols: Optional[dict] = None,
+        base_schema: Optional[dict] = None,
     ) -> int:
         """Commit already-staged files as an append, rebasing onto the
         latest manifest after each lost version race. ``extend_cols``
@@ -1061,9 +1286,15 @@ class TxnTable:
                 columns = self._rebased_map_extension(extend_cols)
             try:
                 self._commit(
-                    v, "append", files, txn_id=txn_id, columns=columns
+                    v, "append", files, txn_id=txn_id, columns=columns,
+                    base_schema=base_schema,
                 )
                 return v
+            except ConcurrentSchemaError:
+                # Retrying with the SAME staged files can never clear a
+                # type-registration race — the caller must re-stage
+                # (cast) against the current snapshot. Surface it.
+                raise
             except ConcurrentWriteError:
                 continue
         raise ConcurrentWriteError(
@@ -1109,8 +1340,13 @@ class TxnTable:
                 e for e in cur["files"] if e["path"] not in in_paths
             ]
             try:
-                self._commit(v, op, carried + new_files)
+                self._commit(
+                    v, op, carried + new_files,
+                    base_schema=man.get("schema") or {},
+                )
                 return v
+            except ConcurrentSchemaError:
+                raise
             except ConcurrentWriteError:
                 cur = self.manifest()
                 if _ident(cur["files"]) != want:
@@ -1148,12 +1384,14 @@ class TxnTable:
         which is why this loop calls ``_commit`` directly.)"""
         staged: Optional[list[dict]] = None
         new_cols: Optional[dict] = None
+        base_sch: Optional[dict] = None
         for _ in range(51):
             v = self.latest_version() + 1
             if txn_id in self._txn_ids_before(v):
                 return None  # already landed (possibly by a racer)
             if staged is None:
                 man0 = self.manifest()
+                base_sch = man0.get("schema") or {}
                 cmap = man0.get("columns")
                 if cmap:
                     dfp, ext = self._to_physical(
@@ -1199,8 +1437,26 @@ class TxnTable:
                     v, "append",
                     self.manifest()["files"] + staged,
                     txn_id=txn_id, columns=columns,
+                    base_schema=base_sch,
                 )
                 return v
+            except ConcurrentSchemaError:
+                # A racer registered a conflicting column type after
+                # our staging snapshot. Same contract as the map-
+                # extension race above: discard the unusable staging
+                # and RE-STAGE against the fresh snapshot — where the
+                # pre-stage drift check then refuses with the accurate
+                # "cast the incoming frame" signal if the conflict is
+                # real for the new registry too.
+                import shutil as _sh
+
+                for d in {
+                    os.path.dirname(os.path.join(self.path, e["path"]))
+                    for e in staged
+                }:
+                    _sh.rmtree(d, ignore_errors=True)
+                staged, new_cols = None, None
+                continue
             except ConcurrentWriteError:
                 continue  # something committed since the pin; re-scan
         raise ConcurrentWriteError(
@@ -1360,9 +1616,11 @@ class TxnTable:
     def read(self, version: Optional[int] = None) -> DataFrame:
         man = self.manifest(version)
         # Each snapshot is presented under ITS OWN column map — time
-        # travel across a rename shows the historical logical schema.
+        # travel across a rename shows the historical logical schema —
+        # and under its own pinned read schema (evolution/restore
+        # history included), so planning reads zero parquet footers.
         return self._to_logical(
-            self._read_files(man["files"]), man.get("columns")
+            self._read_files(man["files"], man=man), man.get("columns")
         )
 
     def rename_column(self, old: str, new: str) -> int:
@@ -1430,7 +1688,15 @@ class TxnTable:
         cm = man.get("columns")
         if cm:
             return dict(cm)
-        return {c: c for c in self._read_files(man["files"]).columns}
+        rs = man.get("read_schema")
+        if rs:
+            # Pure manifest metadata — not even a schema-resolution
+            # Spark call is needed to materialize the identity map.
+            return {n: n for n, _ in rs}
+        return {
+            c: c
+            for c in self._read_files(man["files"], man=man).columns
+        }
 
     def clone_to(self, path: str, version: Optional[int] = None) -> "TxnTable":
         """SHALLOW CLONE: create a new table at ``path`` whose v0
@@ -1477,6 +1743,7 @@ class TxnTable:
             columns=src_man.get("columns"),
             retired=src_man.get("retired_columns"),
             schema=src_man.get("schema"),
+            read_schema=src_man.get("read_schema"),
         )
         return c
 
@@ -1522,11 +1789,17 @@ class TxnTable:
                 f"an un-vacuumed version or re-ingest"
             )
         new_v = prior_v + 1
-        # RESTORE carries the restored snapshot's COLUMN MAP too —
-        # restoring across a rename restores the old logical schema.
+        # RESTORE carries the restored snapshot's COLUMN MAP and its
+        # pinned READ SCHEMA — restoring across a rename or a column
+        # addition restores the old logical schema exactly (Delta's
+        # RESTORE rolls table metadata back the same way). The TYPE
+        # registry, by contrast, stays monotonic via _CARRY: old files'
+        # bytes remain reachable through retained manifests, so their
+        # type claims must outlive any restore.
         self._commit(
             new_v, f"restore({version})", files,
             columns=restored.get("columns"),
+            read_schema=restored.get("read_schema"),
         )
         missing = _missing(files)
         if missing:
@@ -1653,11 +1926,20 @@ class TxnTable:
                         ]
                     cols = {**cols, **adopted}
                 try:
+                    # The rollback composes files from THREE schema
+                    # sources (prior snapshot, racer appends, rewritten
+                    # fresh slots) in an already-doubly-raced recovery
+                    # path; publish it UNPINNED (read_schema=None) —
+                    # reads of it fall back to the always-correct
+                    # footer union, and the next ordinary commit
+                    # backfills the pin from footers in one metadata
+                    # pass.
                     self._commit(
                         roll_v,
                         f"restore-rollback({version})",
                         rolled,
                         columns=cols,
+                        read_schema=None,
                     )
                     break
                 except ConcurrentWriteError:
@@ -1780,7 +2062,7 @@ class TxnTable:
         v = man["version"] + 1  # snapshot pin — see rename_column
         if touched:
             t = self._to_logical(
-                self._read_files(touched), cmap
+                self._read_files(touched, man=man), cmap
             ).alias("t")
             # Column semantics (Delta MERGE parity):
             # - a source column the target lacks (additive evolution,
@@ -1871,9 +2153,12 @@ class TxnTable:
                 columns = self._rebased_map_extension(new_cols)
             try:
                 self._commit(
-                    v, "merge", untouched + new_files, columns=columns
+                    v, "merge", untouched + new_files, columns=columns,
+                    base_schema=sch,
                 )
                 return v, len(touched), len(untouched)
+            except ConcurrentSchemaError:
+                raise  # re-staging (with casts) is the only cure
             except ConcurrentWriteError:
                 now_man = self.manifest()
                 now_touched, now_untouched = self._split_by_key_range(
@@ -1921,7 +2206,7 @@ class TxnTable:
         # Physical round-trip: content-preserving rewrites never leave
         # the frozen physical schema, so a column map stays untouched.
         df = (
-            self._read_files(small)
+            self._read_files(small, man=man)
             .repartitionByRange(target_files, stats_phys)
             .sortWithinPartitions(stats_phys)
         )
@@ -1960,7 +2245,7 @@ class TxnTable:
         cold = [e for e in entries if e["path"] not in hot_paths]
         v = man["version"] + 1  # snapshot pin — see rename_column
         new_files = self._stage_files(
-            self._read_files(hot), v,
+            self._read_files(hot, man=man), v,
             stats_col=self._phys(self.stats_col, man.get("columns")),
         )
         v = self._commit_rewrite_rebasing(
@@ -1990,14 +2275,14 @@ class TxnTable:
         stats_phys = self._phys(self.stats_col, cmap)
         v = man["version"] + 1  # snapshot pin — see rename_column
         if order_by is None:
-            key, df = stats_phys, self._read_files(entries)
+            key, df = stats_phys, self._read_files(entries, man=man)
         elif cmap:
             # A caller-supplied clustering expression references
             # LOGICAL names: sort the logical view, stage back to the
             # frozen physical schema.
             key = order_by
             df, _ = self._to_physical(
-                self._to_logical(self._read_files(entries), cmap)
+                self._to_logical(self._read_files(entries, man=man), cmap)
                 .repartitionByRange(target_files, key)
                 .sortWithinPartitions(key),
                 cmap,
@@ -2008,7 +2293,7 @@ class TxnTable:
             )
             return v, len(entries)
         else:
-            key, df = order_by, self._read_files(entries)
+            key, df = order_by, self._read_files(entries, man=man)
         df = df.repartitionByRange(target_files, key).sortWithinPartitions(key)
         v = self._commit_rewrite_rebasing(
             v, "compact", man, entries,
@@ -2024,15 +2309,13 @@ class TxnTable:
         scans give). File identity is the manifest path: carried-by-
         reference files never reappear in a changes read."""
         old = {e["path"] for e in self.manifest(from_version)["files"]}
-        new = [
-            e for e in self.manifest(to_version)["files"]
-            if e["path"] not in old
-        ]
+        to_man = self.manifest(to_version)
+        new = [e for e in to_man["files"] if e["path"] not in old]
         if not new:
             return self._read_files(
-                self.manifest(to_version)["files"]
+                to_man["files"], man=to_man
             ).limit(0)
-        return self._read_files(new)
+        return self._read_files(new, man=to_man)
 
     def read_changes_rows(
         self, from_version: int, to_version: int
@@ -2135,17 +2418,17 @@ class TxnTable:
             ]
             if removed:
                 parts.append(
-                    self._read_files(removed).select(
+                    self._read_files(removed, man=prev).select(
                         F.lit("delete").alias("_change_type"), "*"
                     )
                 )
             if added:
                 parts.append(
-                    self._read_files(added).select(
+                    self._read_files(added, man=man).select(
                         F.lit("insert").alias("_change_type"), "*"
                     )
                 )
-            d = self._dv_delta_rows(prev["files"], man["files"])
+            d = self._dv_delta_rows(prev["files"], man["files"], man=man)
             if d is not None:
                 parts.append(
                     d.select(F.lit("delete").alias("_change_type"), "*")
@@ -2166,7 +2449,10 @@ class TxnTable:
         )
 
     def _dv_delta_rows(
-        self, prev_entries: list[dict], cur_entries: list[dict]
+        self,
+        prev_entries: list[dict],
+        cur_entries: list[dict],
+        man: Optional[dict] = None,
     ) -> Optional[DataFrame]:
         """The data rows deleted by one commit's vector changes: this
         version's sidecar rows minus the previous version's (both
@@ -2204,7 +2490,7 @@ class TxnTable:
                 & (cur_rows["__ri"] == prev_rows["__ri"]),
                 "left_anti",
             )
-        scan = self._scan_identity(hit)
+        scan = self._scan_identity(hit, man=man)
         return scan.join(
             F.broadcast(cur_rows),
             (scan["__fp"] == cur_rows["__fp"])
@@ -2229,7 +2515,7 @@ class TxnTable:
         by_uri = {self._fp_uri(e): e["path"] for e in entries}
         probe = (
             self._to_logical(
-                self._read_files(entries, with_fp=True), cmap,
+                self._read_files(entries, with_fp=True, man=man), cmap,
                 extra=("__fp",),
             )
             .filter(pred)
@@ -2247,7 +2533,7 @@ class TxnTable:
             # where it is FALSE **or NULL** survive (plain ~pred would
             # drop the NULLs too).
             kept = self._to_logical(
-                self._read_files(touched), cmap
+                self._read_files(touched, man=man), cmap
             ).filter(F.coalesce(~pred, F.lit(True)))
             if cmap:
                 kept, ext = self._to_physical(kept, cmap)
@@ -2293,7 +2579,7 @@ class TxnTable:
         man = self.manifest()
         entries, cmap = man["files"], man.get("columns")
         dvd = [e for e in entries if e.get("dv")]
-        scan = self._scan_identity(entries)
+        scan = self._scan_identity(entries, man=man)
         if dvd:
             old = self._dv_rows(dvd)
             scan = scan.join(
@@ -2388,6 +2674,8 @@ class TxnTable:
             try:
                 self._commit(v, "delete_dv", files)
                 return v, len(hit), sum(per_file.values())
+            except ConcurrentSchemaError:
+                raise
             except ConcurrentWriteError:
                 now_man = self.manifest()
                 now = now_man["files"]
@@ -2437,7 +2725,7 @@ class TxnTable:
         man = self.manifest()
         entries, cmap = man["files"], man.get("columns")
         dvd = [e for e in entries if e.get("dv")]
-        scan = self._scan_identity(entries)
+        scan = self._scan_identity(entries, man=man)
         if dvd:
             old = self._dv_rows(dvd)
             scan = scan.join(
@@ -2485,13 +2773,26 @@ class TxnTable:
         # Delta UPDATE parity: a SET expression whose type differs from
         # the column's existing type is CAST to it (an INT literal
         # against a BIGINT column must not stage an INT file — one such
-        # file breaks every later mergeSchema read; found by the
-        # round-10 model-lifecycle test). The schema probe is analysis
-        # only (no job); when every type already matches, the plan is
-        # untouched.
-        pre = {f.name: f.dataType for f in staged.schema.fields}
+        # file breaks every later schema-merged read; found by the
+        # round-10 model-lifecycle test). The cast TARGET is the
+        # manifest type registry — the type _commit's fold will hold
+        # this staging to — falling back to the staged scan type only
+        # for unregistered columns (round-10 ADVICE #3: on a legacy
+        # table the footer-resolved scan type can differ from the
+        # registered one, and deriving the target from the scan then
+        # refuses the commit AFTER the sidecar and updated-row files
+        # were written). The schema probe is analysis only (no job);
+        # when every type already matches, the plan is untouched.
+        reg = man.get("schema") or {}
+        pre = {
+            f.name: reg.get(
+                self._phys(f.name, cmap), f.dataType.simpleString()
+            )
+            for f in staged.schema.fields
+        }
         drift = [
-            c for c in set_exprs if updated.schema[c].dataType != pre[c]
+            c for c in set_exprs
+            if updated.schema[c].dataType.simpleString() != pre[c]
         ]
         if drift:
             updated = updated.select(
@@ -2549,8 +2850,13 @@ class TxnTable:
         n_updated = sum(per_file.values())
         for _ in range(11):
             try:
-                self._commit(v, "update_dv", files)
+                self._commit(
+                    v, "update_dv", files,
+                    base_schema=man.get("schema") or {},
+                )
                 return v, len(hit), n_updated
+            except ConcurrentSchemaError:
+                raise
             except ConcurrentWriteError:
                 now_man = self.manifest()
                 now = now_man["files"]

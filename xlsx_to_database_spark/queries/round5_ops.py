@@ -1720,7 +1720,7 @@ def table_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
             c.repartitionByRange(4, "c_custkey")
         )
 
-    root = staged_copy("txn_merge_v1", sf_dir, _build)
+    root = staged_copy("txn_merge_v2", sf_dir, _build)
     tt = TxnTable(spark, root, "c_custkey")
     updates = c.filter(
         (F.col("c_custkey") <= 150) & (F.col("c_custkey") % 3 == 0)

@@ -144,7 +144,7 @@ def table_delete_vectors(spark: SparkSession, sf_dir: str) -> DataFrame:
             orders.repartitionByRange(4, "o_orderkey")
         )
 
-    root = staged_copy("txn_dv_v1", sf_dir, _build)
+    root = staged_copy("txn_dv_v2", sf_dir, _build)
     t = TxnTable(spark, root, "o_orderkey")
     key = F.col("o_orderkey")
     _, marked1, deleted1 = t.delete_where_dv(key % 7 == 3)
@@ -216,7 +216,7 @@ def table_update_vectors(spark: SparkSession, sf_dir: str) -> DataFrame:
             orders.repartitionByRange(4, "o_orderkey")
         )
 
-    root = staged_copy("txn_dv_v1", sf_dir, _build, work_tag="txn_updv_v1")
+    root = staged_copy("txn_dv_v2", sf_dir, _build, work_tag="txn_updv_v2")
     t = TxnTable(spark, root, "o_orderkey")
     _, marked, updated = t.update_where_dv(
         F.col("o_orderkey") % 7 == 3,
@@ -418,7 +418,7 @@ def table_cdc_rows(spark: SparkSession, sf_dir: str) -> DataFrame:
             orders.filter(key % 5 != 0).repartitionByRange(4, "o_orderkey")
         )
 
-    root = staged_copy("txn_cdc_v1", sf_dir, _build)
+    root = staged_copy("txn_cdc_v2", sf_dir, _build)
     t = TxnTable(spark, root, "o_orderkey")
     t.append(orders.filter(key % 5 == 0).coalesce(1))
     t.delete_where_dv(key % 9 == 2)
