@@ -218,6 +218,62 @@ def test_ivf_topk_full_probe_equals_brute_force(spark):
     assert all(abs(all_scores[r.vec_id] - r.cos_sim) < 1e-9 for r in part)
 
 
+def test_ivf_matrix_assignment_agrees_with_literal_path(spark):
+    # Round-10 verdict #4: the broadcast-matrix assignment must agree
+    # EXACTLY with the literal-codegen path on the registered op's
+    # configuration (8 centroids, real embeddings) — per-vector cell
+    # AND the final top-k output.
+    from xlsx_to_database_spark.operators.similarity import (
+        ivf_topk,
+        ivf_topk_matrix,
+    )
+
+    e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    lit = ivf_topk(e, k=10, n_centroids=8, nprobe=2).collect()
+    mat = ivf_topk_matrix(e, k=10, n_centroids=8, nprobe=2).collect()
+    assert [(r.vec_id, r.cos_sim) for r in lit] == [
+        (r.vec_id, r.cos_sim) for r in mat
+    ]
+
+
+def test_ivf_matrix_assignment_at_1k_centroids(spark):
+    # The regime the literal path cannot reach: 1,024 centroids. The
+    # Spark matrix assignment must match a pure-numpy reference
+    # (identical math: round(dot/(|x||c|), 6), first-max tie-break)
+    # on every vector.
+    import numpy as np
+
+    from xlsx_to_database_spark.operators.similarity import (
+        ivf_assign_matrix,
+    )
+
+    rng = np.random.RandomState(7)
+    C, d, n = 1024, 16, 3000
+    cents_m = rng.standard_normal((C, d))
+    cents = [
+        (cid + 1, [float(x) for x in cents_m[cid]]) for cid in range(C)
+    ]
+    X = rng.standard_normal((n, d))
+    df = spark.createDataFrame(
+        [(i, [float(x) for x in X[i]]) for i in range(n)],
+        "vec_id long, embedding array<double>",
+    ).repartition(8)
+
+    got = {
+        r.vec_id: r.cell
+        for r in ivf_assign_matrix(df, cents).collect()
+    }
+    M = np.array([v for _, v in cents])
+    ids = np.array([c for c, _ in cents])
+    sims = np.round(
+        (X @ M.T)
+        / np.outer(np.linalg.norm(X, axis=1), np.linalg.norm(M, axis=1)),
+        6,
+    )
+    want = ids[np.argmax(sims, axis=1)]
+    assert got == {i: int(want[i]) for i in range(n)}
+
+
 def test_hll_sketch_estimates_within_tolerance(spark):
     from pyspark.sql import functions as F
     from xlsx_to_database_spark.registry import all_queries

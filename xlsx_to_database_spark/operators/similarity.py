@@ -14,6 +14,8 @@ math, select = per-query top-k window. No driver-side collect anywhere.
 
 from __future__ import annotations
 
+import pandas as pd  # noqa: F401 — resolves pandas_udf type hints
+
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
@@ -212,6 +214,107 @@ def ivf_topk(
     cell = (-F.array_max(ranked)["nc"]).alias("cell")
     assigned = embeddings.select(F.col(id_col), F.col(vec_col), cell)
 
+    probe_cells = F.slice(
+        F.transform(F.sort_array(ranked, asc=False), lambda x: -x["nc"]), 1, nprobe
+    )
+    qdf = embeddings.filter(F.col(id_col) == query_id).select(
+        F.col(vec_col).alias("qvec"), probe_cells.alias("probe_cells")
+    )
+    cand = assigned.crossJoin(F.broadcast(qdf)).filter(
+        F.array_contains(F.col("probe_cells"), F.col("cell"))
+    )
+    scored = cand.select(
+        F.col(id_col), cosine_sim(F.col(vec_col), F.col("qvec")).alias("cos_sim")
+    )
+    return scored.orderBy(F.col("cos_sim").desc(), F.col(id_col).asc()).limit(k)
+
+
+def ivf_assign_matrix(
+    embeddings: DataFrame,
+    cents: list[tuple[int, list[float]]],
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Centroid-cell assignment for REAL centroid counts — the scale
+    path beside :func:`ivf_topk`'s literal-codegen assignment.
+
+    The literal path inlines one ``cosine_sim`` expression PER
+    centroid; right at n_centroids≈8, but the analyzer cost grows with
+    expression count, so the docstring's 65,536-centroid regime cannot
+    inline (round-10 verdict #2). Here the centroid matrix ships ONCE
+    as a Spark broadcast (65,536 × 64 float64 ≈ 32 MB — coarse-
+    quantizer metadata), and each Arrow batch scores via one BLAS
+    matmul: O(batch·C·d) FLOPs, zero shuffle, constant-size plan
+    regardless of C.
+
+    Parity with the literal path: similarity = round(dot/(|x||c|), 6)
+    in float64, argmax tie-break = smallest centroid id (``cents`` is
+    sorted ascending and ``np.argmax`` returns the first maximum).
+    BLAS accumulation order differs from the codegen'd sequential
+    fold, so unrounded values can differ in the last ulp — the shared
+    6-decimal rounding absorbs it (asserted exact on the registered
+    configuration by tests/test_operators.py).
+
+    Crossover: inline literals win below a few dozen centroids (no
+    Python worker, no Arrow hop); the matrix path wins beyond that and
+    is the only option past ~1k centroids.
+    """
+    import numpy as np
+    from pyspark.sql.functions import pandas_udf
+
+    ids = np.array([c for c, _ in cents], dtype=np.int64)
+    M = np.array([v for _, v in cents], dtype=np.float64)  # C × d
+    cn = np.linalg.norm(M, axis=1)  # centroid norms, C
+    bc = embeddings.sparkSession.sparkContext.broadcast((ids, M, cn))
+
+    @pandas_udf("long")
+    def assign(vecs: pd.Series) -> pd.Series:
+        ids_, M_, cn_ = bc.value
+        X = np.array(vecs.tolist(), dtype=np.float64)  # B × d
+        xn = np.maximum(np.linalg.norm(X, axis=1), 1e-300)
+        sims = np.round((X @ M_.T) / np.outer(xn, cn_), 6)  # B × C
+        return pd.Series(ids_[np.argmax(sims, axis=1)])
+
+    return embeddings.select(
+        F.col(id_col), F.col(vec_col), assign(F.col(vec_col)).alias("cell")
+    )
+
+
+def ivf_topk_matrix(
+    embeddings: DataFrame,
+    k: int = 10,
+    n_centroids: int = 8,
+    nprobe: int = 2,
+    query_id: int = 0,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """:func:`ivf_topk` with corpus-side cell assignment through the
+    broadcast-matrix path (``ivf_assign_matrix``) instead of inline
+    literals — identical semantics, identical output, a plan that
+    survives real centroid counts. The QUERY's probe cells still rank
+    through the literal expression (one row — plan cost is nil) so the
+    probe order is byte-identical to ivf_topk's."""
+    cents = sorted(
+        (int(r[0]), [float(x) for x in r[1]])
+        for r in embeddings.filter(
+            F.col(id_col).between(1, n_centroids)
+        ).select(id_col, vec_col).collect()
+    )
+    assigned = ivf_assign_matrix(embeddings, cents, id_col, vec_col)
+
+    def lit_vec(vals):
+        return F.array(*[F.lit(v) for v in vals])
+
+    ranked = F.array(
+        *[
+            F.struct(
+                cosine_sim(F.col(vec_col), lit_vec(cv)).alias("s"),
+                F.lit(-cid).cast("long").alias("nc"),
+            )
+            for cid, cv in cents
+        ]
+    )
     probe_cells = F.slice(
         F.transform(F.sort_array(ranked, asc=False), lambda x: -x["nc"]), 1, nprobe
     )

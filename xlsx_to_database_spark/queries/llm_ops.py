@@ -250,6 +250,51 @@ def sim_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "sim_ivf_matrix_topk",
+    _VEC_CTE
+    + """
+    , c AS (
+      SELECT vec_id AS c_id, e AS ce, nrm AS cn FROM n WHERE vec_id BETWEEN 1 AND 8
+    ), sc AS (
+      SELECT n.vec_id, c.c_id,
+             round(list_sum(list_transform(generate_series(1, len(e)),
+                                           i -> e[i] * ce[i])) / (nrm * cn), 6) AS csim
+      FROM n, c
+    ), asg AS (
+      SELECT vec_id, c_id AS cell FROM (
+        SELECT vec_id, c_id,
+               row_number() OVER (PARTITION BY vec_id
+                                  ORDER BY csim DESC, c_id ASC) AS rn
+        FROM sc
+      ) WHERE rn = 1
+    ), qp AS (
+      SELECT c_id AS cell FROM sc WHERE vec_id = 0
+      ORDER BY csim DESC, c_id ASC LIMIT 2
+    ), q AS (SELECT e AS qe, nrm AS qn FROM n WHERE vec_id = 0)
+    SELECT n.vec_id,
+           round(list_sum(list_transform(generate_series(1, len(e)),
+                                         i -> e[i] * qe[i])) / (nrm * qn), 6) AS cos_sim
+    FROM n
+    JOIN asg ON n.vec_id = asg.vec_id
+    JOIN qp ON asg.cell = qp.cell, q
+    ORDER BY cos_sim DESC, n.vec_id ASC
+    LIMIT 10
+    """,
+)
+def sim_ivf_matrix_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """sim_ivf_topk through the REAL-centroid-count assignment path:
+    the centroid matrix broadcasts once and each Arrow batch scores
+    via one BLAS matmul (operators/similarity.py::ivf_assign_matrix) —
+    the plan shape that survives 65k centroids, where the literal path
+    cannot inline (round-10 verdict #4). Same oracle as sim_ivf_topk:
+    the two assignment paths agree exactly on this configuration (the
+    shared 6-decimal rounding absorbs BLAS-vs-codegen ulp drift)."""
+    return S.ivf_topk_matrix(
+        table(spark, sf_dir, "embeddings"), k=10, n_centroids=8, nprobe=2
+    )
+
+
+@query(
     "sim_knn_join",
     _VEC_CTE
     + """
