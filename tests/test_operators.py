@@ -3750,15 +3750,23 @@ def test_gdpr_erasure_is_physical_and_versioned(spark, sf_dir):
     # erased key modulus is too brittle: legitimate per-file min/max
     # stats are arbitrary data values and may contain any digits —
     # round-7's multi-column col_stats made that a real flake.)
-    # "schema" (round 10) is the column-TYPE registry: physical column
-    # name -> type string only — structurally incapable of retaining
-    # subject keys, so it is audit-safe by construction (asserted).
-    assert set(m) == {"version", "op", "stats_col", "files", "schema"}
+    # "schema" (round 10) is the column-TYPE registry and "read_schema"
+    # (round 11) the pinned scan schema: both hold physical column
+    # name -> type string pairs only — structurally incapable of
+    # retaining subject keys, audit-safe by construction (asserted,
+    # including that no OTHER key appears).
+    assert set(m) == {
+        "version", "op", "stats_col", "files", "schema", "read_schema",
+    }
     assert set(m["schema"]) == {
         "o_orderkey", "o_custkey", "o_orderstatus", "price"
     } and set(m["schema"].values()) <= {
         "bigint", "string", "decimal(18,2)"
     }, m["schema"]
+    assert all(
+        isinstance(n, str) and isinstance(ty, str)
+        for n, ty in m["read_schema"]
+    ) and {n for n, _ in m["read_schema"]} == set(m["schema"])
     allowed_entry_fields = {"path", "rows", "min", "max", "col_stats"}
     for e in m["files"]:
         assert set(e) <= allowed_entry_fields, e
