@@ -5,6 +5,8 @@ O(touched files) instead of O(table) at 100 TB."""
 
 from __future__ import annotations
 
+import json
+
 import pytest
 from pyspark.sql import functions as F
 
@@ -361,7 +363,12 @@ def test_restore_is_zero_copy_and_keeps_history(spark, tmp_path):
     v = tt.restore(0)
     assert v == 3
     # zero-copy: the restore manifest references v0's entries verbatim
-    assert tt.manifest(3)["files"] == tt.manifest(0)["files"]
+    # (entry-SET equality: delta-encoded manifests reconstruct in
+    # canonical base-order-plus-adds order, which may permute the list)
+    def _eset(es):
+        return {json.dumps(e, sort_keys=True) for e in es}
+
+    assert _eset(tt.manifest(3)["files"]) == _eset(tt.manifest(0)["files"])
     # final state == v0; damaged versions remain readable history
     assert sorted(r.k for r in tt.read().collect()) == list(range(100))
     assert tt.read(1).count() == 50

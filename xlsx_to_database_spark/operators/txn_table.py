@@ -14,7 +14,13 @@ Protocol (the load-bearing subset of Delta's):
   ``_txn_log/`` holds one JSON manifest per version (``v0000000012.json``).
 - A manifest lists the table's files BY REFERENCE with per-file
   ``(rows, min, max)`` stats on one declared stats column. Commits never
-  mutate data files — they add files and drop references.
+  mutate data files — they add files and drop references. On disk,
+  every ``snapshot_interval``-th version stores the FULL file list;
+  versions between store only the commit's (add, remove) DELTA vs
+  version-1 — O(changed) JSON per commit instead of O(files), the
+  action-log half of Delta's checkpoint design (a 10M-file table
+  would otherwise write ~1 GB of manifest per commit). ``manifest()``
+  reconstructs any version from the nearest snapshot.
 - A commit writes the manifest to a WRITER-UNIQUE temp name
   (``v{N}.json.{uuid}.tmp``) and ``os.link``s it to ``v{N}.json`` —
   a true put-if-absent: ``link`` fails with EEXIST if the version was
@@ -174,18 +180,37 @@ class TxnTable:
     #: grows with history.
     checkpoint_interval: int = 20
 
+    #: Write a FULL file-list manifest every N versions; the versions
+    #: between them store only the commit's file DELTA (add/remove vs
+    #: version-1) plus full metadata. This is the other half of
+    #: Delta's log design (action deltas + periodic checkpoints): a
+    #: full manifest is O(files) JSON — at a 10M-file inventory ~1 GB
+    #: PER COMMIT if every version wrote one — while a typical commit
+    #: touches O(changed) files. Readers reconstruct any version from
+    #: the nearest snapshot at ≤ interval-1 delta applications, each
+    #: O(changed) (see ``manifest``).
+    snapshot_interval: int = 10
+
     def __init__(
         self,
         spark: SparkSession,
         path: str,
         stats_col: str,
         checkpoint_interval: Optional[int] = None,
+        snapshot_interval: Optional[int] = None,
     ):
         self.spark = spark
         self.path = path
         self.stats_col = stats_col
         if checkpoint_interval is not None:
             self.checkpoint_interval = checkpoint_interval
+        if snapshot_interval is not None:
+            self.snapshot_interval = snapshot_interval
+        #: version -> reconstructed manifest (delta versions only:
+        #: manifests are immutable once linked, so the cache can never
+        #: go stale; full manifests are returned straight from disk so
+        #: tests simulating legacy logs may rewrite them in place).
+        self._man_cache: dict[int, dict] = {}
 
     # -- log primitives ----------------------------------------------------
 
@@ -204,10 +229,58 @@ class TxnTable:
             raise FileNotFoundError(f"no table at {self.path}")
         return vs[-1]
 
-    def manifest(self, version: Optional[int] = None) -> dict[str, Any]:
-        v = self.latest_version() if version is None else version
-        with open(_manifest_path(self.path, v)) as f:
+    def _raw_manifest(self, version: int) -> dict[str, Any]:
+        """The manifest file's literal JSON — a full snapshot (has
+        ``files``) or a delta record (``delta_base``/``add``/
+        ``remove`` + full metadata). Metadata-only consumers (txn-id
+        scans, op strings) read this to avoid reconstruction."""
+        with open(_manifest_path(self.path, version)) as f:
             return json.load(f)
+
+    def manifest(self, version: Optional[int] = None) -> dict[str, Any]:
+        """The manifest of ``version`` (default latest) in its PUBLIC
+        shape: metadata keys + the full ``files`` list. Snapshot
+        versions return verbatim; delta versions reconstruct by
+        walking back to the nearest snapshot (≤ snapshot_interval-1
+        hops, each O(changed) — the log-reading cost Delta pays
+        between checkpoints) and are memoized per instance (manifests
+        are immutable, so the cache cannot go stale). File order is
+        canonical-by-reconstruction: base order with removed paths
+        dropped, adds appended — identical across instances."""
+        v = self.latest_version() if version is None else version
+        raw = self._raw_manifest(v)
+        if "files" in raw:
+            return raw
+        cached = self._man_cache.get(v)
+        if cached is not None:
+            return {**cached, "files": list(cached["files"])}
+        chain = [raw]
+        base_v = raw["delta_base"]
+        base_files: Optional[list] = None
+        while True:
+            c = self._man_cache.get(base_v)
+            if c is not None:
+                base_files = c["files"]
+                break
+            j = self._raw_manifest(base_v)
+            if "files" in j:
+                base_files = j["files"]
+                break
+            chain.append(j)
+            base_v = j["delta_base"]
+        files = list(base_files)
+        for d in reversed(chain):
+            rm = set(d["remove"])
+            files = [e for e in files if e["path"] not in rm] + d["add"]
+        out = {
+            k: x for k, x in raw.items()
+            if k not in ("delta_base", "add", "remove")
+        }
+        out["files"] = files
+        self._man_cache[v] = out
+        if len(self._man_cache) > 32:
+            self._man_cache.pop(next(iter(self._man_cache)))
+        return {**out, "files": list(files)}
 
     #: Sentinel: _commit carries the latest manifest's column map
     #: forward unless the caller passes an explicit map (or None).
@@ -431,12 +504,41 @@ class TxnTable:
             m["retired_columns"] = retired
         if txn_id is not None:
             m["txn_id"] = txn_id
+        # Delta-encode the file list when it pays (Delta's action-log
+        # half of the checkpoint design): off-snapshot versions store
+        # only (add entries, remove paths) vs version-1 — O(changed)
+        # JSON instead of O(files) — with metadata always full. Safe
+        # because the log is GAPLESS and the link is the serialization
+        # point: a successful link at ``version`` proves the ``latest``
+        # this diff was computed against IS version-1 (anything newer
+        # would have claimed the name and failed the link), so the
+        # recorded base can never be wrong on a published manifest.
+        body = m
+        if (
+            version > 0
+            and self.snapshot_interval > 1
+            and version % self.snapshot_interval
+            and latest.get("version") == version - 1
+            and isinstance(latest.get("files"), list)
+        ):
+            base_by_path = {e["path"]: e for e in latest["files"]}
+            new_paths = {e["path"] for e in files}
+            add = [e for e in files if base_by_path.get(e["path"]) != e]
+            remove = sorted(
+                [p for p in base_by_path if p not in new_paths]
+                + [e["path"] for e in add if e["path"] in base_by_path]
+            )
+            if len(add) + len(remove) < len(files):
+                body = {k: x for k, x in m.items() if k != "files"}
+                body["delta_base"] = version - 1
+                body["add"] = add
+                body["remove"] = remove
         import uuid as _uuid
 
         tmp = f"{final}.{_uuid.uuid4().hex}.tmp"
         try:
             with open(tmp, "w") as f:
-                json.dump(m, f, indent=1, sort_keys=True)
+                json.dump(body, f, indent=1, sort_keys=True)
             os.link(tmp, final)
         except FileExistsError:
             raise ConcurrentWriteError(
@@ -496,7 +598,9 @@ class TxnTable:
             start = prev["version"] + 1
         for v in self.versions():
             if start <= v <= version:
-                tok = self.manifest(v).get("txn_id")
+                # Raw read: txn_id is metadata, present verbatim in
+                # delta manifests — no file-list reconstruction.
+                tok = self._raw_manifest(v).get("txn_id")
                 if tok is not None:
                     tokens.add(tok)
         final = _ckpt_path(self.path, version)
@@ -533,7 +637,7 @@ class TxnTable:
             start = ck["version"] + 1
         for v in self.versions():
             if start <= v < upto:
-                tok = self.manifest(v).get("txn_id")
+                tok = self._raw_manifest(v).get("txn_id")
                 if tok is not None:
                     seen.add(tok)
         return seen
