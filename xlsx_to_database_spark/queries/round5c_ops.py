@@ -3844,10 +3844,12 @@ def _recall_oracle() -> str:
     ex = _ORACLES["sim_cosine_topk"]
     lsh = _ORACLES["sim_lsh_topk"]
     ivf = _ORACLES["sim_ivf_topk"]
+    ivf_m = _ORACLES["sim_ivf_matrix_topk"]
     return f"""
     WITH exact AS (SELECT vec_id FROM ({ex})),
     lsh AS (SELECT vec_id FROM ({lsh})),
-    ivf AS (SELECT vec_id FROM ({ivf}))
+    ivf AS (SELECT vec_id FROM ({ivf})),
+    ivf_m AS (SELECT vec_id FROM ({ivf_m}))
     SELECT method, n_hits, round(CAST(n_hits AS DOUBLE) / 10, 2) AS recall
     FROM (
       SELECT 'lsh' AS method,
@@ -3857,6 +3859,11 @@ def _recall_oracle() -> str:
       UNION ALL
       SELECT 'ivf',
              CAST((SELECT count(*) FROM ivf
+                   WHERE vec_id IN (SELECT vec_id FROM exact))
+                  AS BIGINT)
+      UNION ALL
+      SELECT 'ivf_matrix',
+             CAST((SELECT count(*) FROM ivf_m
                    WHERE vec_id IN (SELECT vec_id FROM exact))
                   AS BIGINT)
     )
@@ -3890,6 +3897,10 @@ def sim_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     exact = S.cosine_topk(e, qv, k=10).select("vec_id")
     lsh = S.lsh_topk(e, qv, k=10).select("vec_id")
     ivf = S.ivf_topk(e, k=10, query_id=0).select("vec_id")
+    # Round 11: the broadcast-matrix assignment path, measured through
+    # the SAME report (round-10 verdict #4 — recall must be a
+    # published number for every index variant, not an assertion).
+    ivf_m = S.ivf_topk_matrix(e, k=10, query_id=0).select("vec_id")
 
     def hits(df: DataFrame, name: str) -> DataFrame:
         return (
@@ -3905,7 +3916,11 @@ def sim_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         )
 
-    return hits(lsh, "lsh").unionByName(hits(ivf, "ivf"))
+    return (
+        hits(lsh, "lsh")
+        .unionByName(hits(ivf, "ivf"))
+        .unionByName(hits(ivf_m, "ivf_matrix"))
+    )
 
 
 # Late registration with the composed oracle: the decorator ran with

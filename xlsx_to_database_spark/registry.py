@@ -349,6 +349,10 @@ _REOPENED: frozenset[str] = frozenset({
     "table_reorg_purge", "table_cdc_rows", "table_auto_optimize",
     "stream_txn_sink", "etl_gdpr_erasure", "tpch_refresh",
     "stream_restart_resume",
+    # Round 11 also extends sim_recall_report's output with the
+    # ivf_matrix row (the new broadcast-matrix assignment path measured
+    # through the same report) — the r9 green attests the 2-row form.
+    "sim_recall_report",
 })
 
 #: The driver evaluates this many registry-order entries per round
