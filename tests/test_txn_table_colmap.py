@@ -162,6 +162,45 @@ def test_rename_stats_column_keeps_pruning(spark, tmp_path):
     assert rw2 == 1  # only the top range file
 
 
+def test_mapless_new_column_survives_map_creating_rename(
+    spark, tmp_path, monkeypatch
+):
+    # Found by the multi-writer model (seed 51003): an append that
+    # stages a NEW column while the table has NO column map (physical
+    # == logical), then loses its version race to a rename — which
+    # CREATES the map from a snapshot predating the append — used to
+    # adopt that map verbatim, publishing the staged column UNMAPPED
+    # and silently invisible on every read. The rebase must extend
+    # the adopted map with the identity mapping for the staged
+    # physical (validated like any staging-time extension).
+    t = _mk(spark, tmp_path, name="mapless")
+    orig_commit = t._commit
+    raced = {"done": False}
+
+    def commit_and_race(version, op, files, txn_id=None, **kw):
+        if op == "append" and not raced["done"]:
+            raced["done"] = True
+            racer = TxnTable(spark, t.path, "k")
+            racer.rename_column("v", "value")  # creates the map
+        return orig_commit(version, op, files, txn_id=txn_id, **kw)
+
+    monkeypatch.setattr(t, "_commit", commit_and_race)
+    t.append(
+        spark.range(101, 103).select(
+            F.col("id").alias("k"),
+            (F.col("id") * 2).alias("v"),
+            (F.col("id") + 7).alias("extra"),  # NEW, staged map-less
+        )
+    )
+    df = t.read()
+    assert set(df.columns) == {"k", "value", "extra"}, df.columns
+    got = {r.k: (r.value, r.extra) for r in df.collect()}
+    assert got[101] == (202, 108) and got[7] == (14, None)
+    assert len(got) == 102
+    # the adopted map carries the identity entry for the new column
+    assert t.manifest()["columns"]["extra"] == "extra"
+
+
 def test_append_rebases_across_racing_rename(spark, tmp_path, monkeypatch):
     # An append that loses its version race to a RENAME must adopt the
     # new map on rebase (carry, not clobber) — its staged files hold

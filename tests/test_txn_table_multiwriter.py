@@ -73,21 +73,35 @@ def _run_writer(
     lo = 1_000_000 * (tid + 1)  # thread-owned insert space
     base_lo = 1 + BASE_PER_THREAD * tid  # thread-owned base keys
     next_key = lo
-    my_col = f"t{tid}c"
+    # The thread's OWN evolving column: introduced by append_col,
+    # renamed/dropped/re-added only by this thread (names are
+    # tid-scoped), so metadata ops stay serializable per thread while
+    # their MAP allocations race globally against every other writer.
+    my_cur: str | None = None
+    my_dropped: list[str] = []
     try:
         for step in range(rng.randint(5, 7)):
             op = rng.choices(
                 ["append", "append_col", "merge", "dv_delete",
-                 "dv_update", "compact_small", "once", "clash_col"],
-                weights=[20, 8, 16, 10, 10, 6, 6, 5],
+                 "dv_update", "compact_small", "once", "clash_col",
+                 "rename_own", "drop_own", "vacuum"],
+                weights=[18, 9, 14, 9, 9, 5, 5, 5, 7, 5, 3],
             )[0]
             try:
                 if op in ("append", "append_col", "clash_col"):
                     cols = ["k", "v"]
                     extra, types = {}, None
                     if op == "append_col":
-                        cols.append(my_col)
-                        extra[my_col] = 70_000 + step
+                        if my_cur is None:
+                            # fresh name, or RE-ADD a dropped one (the
+                            # fresh-physical-slot allocation path)
+                            my_cur = (
+                                rng.choice(my_dropped)
+                                if my_dropped and rng.random() < 0.5
+                                else f"t{tid}c{step}"
+                            )
+                        cols.append(my_cur)
+                        extra[my_cur] = 70_000 + step
                     elif op == "clash_col":
                         # Divergent first-introduction: odd threads
                         # stage 'clash' as double, even as long — the
@@ -149,6 +163,26 @@ def _run_writer(
                     v, n_comp, _ = t.compact_small(max_rows=500)
                     if n_comp:
                         ledger.append((v, "layout", None))
+                elif op == "rename_own":
+                    if my_cur is None:
+                        continue
+                    new = f"t{tid}c{step}"
+                    v = t.rename_column(my_cur, new)
+                    ledger.append((v, "rename", (my_cur, new)))
+                    my_cur = new
+                elif op == "drop_own":
+                    if my_cur is None:
+                        continue
+                    v = t.drop_column(my_cur)
+                    ledger.append((v, "drop", (my_cur,)))
+                    my_dropped.append(my_cur)
+                    my_cur = None
+                elif op == "vacuum":
+                    # Age-guarded per the documented multi-writer
+                    # contract (a racer's staged-uncommitted files must
+                    # survive): collects nothing here, but exercises
+                    # the liveness walk concurrently with commits.
+                    t.vacuum(retain_versions=3, min_age_seconds=120)
                 elif op == "once":
                     tok = f"mw-{seed}-{tid}-{step}"
                     row = {"k": next_key, "v": 777}
@@ -242,6 +276,19 @@ def _run_seed(spark, tmp_path, seed: int) -> None:
                         and owner(k) == owner_tid
                     ):
                         r["v"] = val
+            elif kind == "rename":
+                # thread-owned column: only this thread's rows carry it
+                old, new = payload
+                cols.discard(old)
+                cols.add(new)
+                for r in model.values():
+                    if old in r:
+                        r[new] = r.pop(old)
+            elif kind == "drop":
+                (name,) = payload
+                cols.discard(name)
+                for r in model.values():
+                    r.pop(name, None)
 
     df = t.read()
     assert set(df.columns) == cols, (

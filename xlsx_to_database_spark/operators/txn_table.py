@@ -1367,6 +1367,39 @@ class TxnTable:
             phys_owner[ph] = lg
         return merged
 
+    def _staged_map_extension(
+        self, man: dict, staged: list[dict], extend_cols: Optional[dict]
+    ) -> dict:
+        """The {logical: physical} extension a commit of ``staged``
+        needs against ``man``'s LIVE map: the caller's staging-time
+        extension plus an IDENTITY mapping for any staged physical
+        column the live map does not know.
+
+        The identity part closes the map-less-staging × map-creating-
+        racer hole (found by the multi-writer model, seed 51003): a
+        writer that staged a NEW column while the table had no column
+        map (physical == logical) can lose its version race to a
+        rename — which CREATES the map from a snapshot predating this
+        writer's registration. Blindly carrying that map would publish
+        the staged column unmapped, hence silently invisible on every
+        read. The staged file froze the physical name and the writer
+        meant it as the logical name, so the sound rebase is the
+        identity entry — validated through ``_rebased_map_extension``
+        exactly like staging-time extensions (a clash with a live
+        logical, an owned physical, or a retired slot still refuses).
+        Empty when the table carries no map."""
+        ext = dict(extend_cols) if extend_cols else {}
+        live_map = man.get("columns")
+        if live_map is None:
+            return ext if extend_cols else {}
+        known = set(live_map.values()) | set(ext.values())
+        for e in staged:
+            for c in (e.get("types") or {}):
+                if c not in known:
+                    ext[c] = c
+                    known.add(c)
+        return ext
+
     def _commit_append_rebasing(
         self,
         staged: list[dict],
@@ -1383,11 +1416,13 @@ class TxnTable:
         extension whose names are no longer allocatable refuses (see
         ``_rebased_map_extension``)."""
         for _ in range(max_retries + 1):
-            v = self.latest_version() + 1
-            files = self.manifest()["files"] + staged
+            man = self.manifest()
+            v = man["version"] + 1
+            files = man["files"] + staged
             columns = TxnTable._CARRY
-            if extend_cols:
-                columns = self._rebased_map_extension(extend_cols)
+            ext = self._staged_map_extension(man, staged, extend_cols)
+            if ext:
+                columns = self._rebased_map_extension(ext)
             try:
                 self._commit(
                     v, "append", files, txn_id=txn_id, columns=columns,
@@ -1512,9 +1547,12 @@ class TxnTable:
                     self._refuse_type_drift(df, man0)
                     staged = self._stage_files(df, v)
             columns = TxnTable._CARRY
-            if new_cols:
+            ext = self._staged_map_extension(
+                self.manifest(), staged, new_cols
+            )
+            if ext:
                 try:
-                    columns = self._rebased_map_extension(new_cols)
+                    columns = self._rebased_map_extension(ext)
                 except ConcurrentWriteError:
                     # Schema race: a racer made our staged physical
                     # names unallocatable (rename onto the slot, same
@@ -2249,12 +2287,17 @@ class TxnTable:
         touched_ident = _ident(touched)
         for _ in range(max_retries + 1):
             columns: Any = TxnTable._CARRY
-            if new_cols:
-                # Re-read the live map each attempt so a racing rename's
-                # map is adopted (extended), not clobbered — the same
-                # validated rebase rule _commit_append_rebasing applies
-                # (a no-longer-allocatable name refuses).
-                columns = self._rebased_map_extension(new_cols)
+            # Re-read the live map each attempt so a racing rename's
+            # map is adopted (extended), not clobbered — the same
+            # validated rebase rule _commit_append_rebasing applies
+            # (a no-longer-allocatable name refuses), including the
+            # identity extension for columns staged before a racer
+            # CREATED the map (_staged_map_extension).
+            ext = self._staged_map_extension(
+                self.manifest(), new_files, new_cols
+            )
+            if ext:
+                columns = self._rebased_map_extension(ext)
             try:
                 self._commit(
                     v, "merge", untouched + new_files, columns=columns,
