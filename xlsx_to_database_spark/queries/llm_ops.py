@@ -294,6 +294,89 @@ def sim_ivf_matrix_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: Shared PQ oracle scaffolding: per-(vector, subspace, codeword)
+#: rounded squared-L2 over 16-dim segments, then the per-(vector,
+#: subspace) argmin with a smallest-codeword tie-break.
+_PQ_CTE = (
+    _VEC_CTE
+    + """
+    , c AS (
+      SELECT vec_id AS cid, e AS ce FROM n WHERE vec_id BETWEEN 1 AND 8
+    ), sub AS (SELECT unnest(generate_series(0, 3)) AS s),
+    pairs AS (
+      SELECT n.vec_id, sub.s, c.cid,
+             round(list_sum(list_transform(generate_series(1, 16),
+                   i -> (e[s*16+i] - ce[s*16+i])
+                      * (e[s*16+i] - ce[s*16+i]))), 6) AS d2
+      FROM n, c, sub
+    ), best AS (
+      SELECT vec_id, s, cid, d2,
+             row_number() OVER (PARTITION BY vec_id, s
+                                ORDER BY d2 ASC, cid ASC) AS rn
+      FROM pairs
+    )
+"""
+)
+
+
+@query(
+    "vec_pq_encode",
+    _PQ_CTE
+    + """
+    SELECT vec_id,
+           CAST(max(CASE WHEN s = 0 THEN cid END) AS BIGINT) AS c0,
+           CAST(max(CASE WHEN s = 1 THEN cid END) AS BIGINT) AS c1,
+           CAST(max(CASE WHEN s = 2 THEN cid END) AS BIGINT) AS c2,
+           CAST(max(CASE WHEN s = 3 THEN cid END) AS BIGINT) AS c3,
+           round(sum(d2), 6) AS distortion
+    FROM best WHERE rn = 1
+    GROUP BY vec_id
+    """,
+)
+def vec_pq_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantization encode (FAISS-IVFPQ's compression half):
+    4 subspaces × 8 deterministic codewords (the subspace slices of
+    vectors 1..8) — each 64-dim vector becomes 4 codes + a measured
+    quantization distortion. Codegen'd array math over inline codeword
+    literals; no shuffle (operators/similarity.py::pq_encode — the
+    100 TB path stores 4-byte codes instead of 256-byte vectors)."""
+    return S.pq_encode(
+        table(spark, sf_dir, "embeddings"), n_subspaces=4, n_codes=8
+    )
+
+
+@query(
+    "sim_pq_adc_topk",
+    _PQ_CTE
+    + """
+    , q AS (SELECT e AS qe FROM n WHERE vec_id = 0),
+    qtab AS (
+      SELECT sub.s, c.cid,
+             round(list_sum(list_transform(generate_series(1, 16),
+                   i -> (qe[s*16+i] - ce[s*16+i])
+                      * (qe[s*16+i] - ce[s*16+i]))), 6) AS dq2
+      FROM q, c, sub
+    )
+    SELECT b.vec_id, round(sum(qtab.dq2), 6) AS adc_dist
+    FROM best b JOIN qtab ON b.s = qtab.s AND b.cid = qtab.cid
+    WHERE b.rn = 1
+    GROUP BY b.vec_id
+    ORDER BY adc_dist ASC, b.vec_id ASC
+    LIMIT 10
+    """,
+)
+def sim_pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PQ asymmetric-distance top-10 (the serving half): the query
+    precomputes a 4×8 distance table to the codewords; each corpus
+    row's distance is the sum of 4 table lookups on its codes — the
+    candidate sweep reads codes, never vectors. Table inlined as map
+    literals; one TakeOrdered top-k is the only shuffle
+    (operators/similarity.py::pq_adc_topk)."""
+    return S.pq_adc_topk(
+        table(spark, sf_dir, "embeddings"), k=10, n_subspaces=4, n_codes=8
+    )
+
+
 @query(
     "sim_knn_join",
     _VEC_CTE
