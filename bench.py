@@ -71,6 +71,51 @@ HEADLINE = [
 ]
 
 
+#: Calibration reference (round-11 verdict #4): the calibration chain's
+#: median seconds on the round-12 artifact host while idle. Future
+#: rounds report value_normalized = value * (CAL_REF_SEC / calibration_sec)
+#: alongside the raw value, so host drift (the r10→r11 1.5× ambiguity)
+#: becomes a measured ratio instead of an argued one. Re-pin ONLY if the
+#: calibration chain itself changes.
+CAL_REF_SEC = 0.84  # measured 2026-08-16, idle host, warm JVM (median
+#                     of repeated runs 0.833–0.841 after first-run JIT)
+
+
+def calibration(spark) -> float:
+    """Host-speed probe: a fixed PURE-JVM compute chain — range →
+    modulo keys + integer hash mix → hash aggregate → global sum — no
+    I/O, no Python workers, no broadcast, nothing data-dependent. Its
+    wall-clock moves only with the host (CPU contention, thermal
+    state, JVM scheduling), never with this repo's code, so
+    suite_time / calibration_time is a drift-free quality signal.
+    Median of 3 after one warm run (codegen compile excluded)."""
+    from pyspark.sql import functions as F
+
+    def chain():
+        return (
+            spark.range(50_000_000)
+            .select(
+                (F.col("id") % 1000).alias("k"),
+                ((F.col("id") * 2654435761) % 2147483647).alias("h"),
+            )
+            .groupBy("k")
+            .agg(
+                F.sum("h").alias("s"),
+                F.avg("h").alias("a"),
+                F.count("*").alias("c"),
+            )
+            .agg(F.sum("s"), F.sum("a"), F.sum("c"))
+        )
+
+    chain().collect()  # warm: whole-stage codegen compile
+    samples = []
+    for _ in range(3):
+        t0 = time.perf_counter()
+        chain().collect()
+        samples.append(time.perf_counter() - t0)
+    return round(sorted(samples)[1], 4)
+
+
 def main() -> None:
     from xlsx_to_database_spark.registry import all_queries
     from xlsx_to_database_spark.session import get_spark
@@ -144,17 +189,33 @@ def main() -> None:
             file=sys.stderr,
         )
 
+    # Calibration AFTER the suite: the number contextualizes the run it
+    # shared a host window with.
+    cal = calibration(spark)
+
     sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
+    value = round(sum(timings.values()), 4)
     out = {
         "metric": (
             "isolated_op_wall_clock" if isolated
             else "headline_suite_wall_clock"
         ),
-        "value": round(sum(timings.values()), 4),
+        "value": value,
         "unit": "sec",
         "queries": timings,
         "sf": float(sf) if sf.replace(".", "").isdigit() else SF_DIR,
+        # Host-speed probe + normalization (round-11 verdict #4): the
+        # suite value rescaled to the pinned reference host speed.
+        # value_normalized ≈ what this suite would read on the
+        # CAL_REF_SEC host — compare THESE across rounds, not raw values.
+        "calibration_sec": cal,
     }
+    if CAL_REF_SEC:
+        out["cal_ref_sec"] = CAL_REF_SEC
+        out["value_normalized"] = round(value * (CAL_REF_SEC / cal), 4)
+        out["queries_normalized"] = {
+            n: round(t * (CAL_REF_SEC / cal), 4) for n, t in timings.items()
+        }
     print(json.dumps(out))
 
 

@@ -274,6 +274,34 @@ def test_ivf_matrix_assignment_at_1k_centroids(spark):
     assert got == {i: int(want[i]) for i in range(n)}
 
 
+def test_ivf_matrix_zero_norm_centroid_is_inert(spark):
+    # Round-11 ADVICE #4: an unclamped zero-norm centroid made every
+    # similarity in its column NaN, and np.argmax then assigned EVERY
+    # row in the batch to it. With the clamp its similarity is ~0, so
+    # a vector aligned with a real centroid must assign there, and
+    # only a true zero vector (sim 0 everywhere, first-max tie-break)
+    # falls into the degenerate cell.
+    from xlsx_to_database_spark.operators.similarity import (
+        ivf_assign_matrix,
+    )
+
+    cents = [(0, [0.0, 0.0]), (1, [1.0, 0.0]), (2, [0.0, 1.0])]
+    df = spark.createDataFrame(
+        [(10, [1.0, 0.0]), (11, [0.0, 2.0]), (12, [0.0, 0.0])],
+        "vec_id long, embedding array<double>",
+    )
+    got = {r.vec_id: r.cell for r in ivf_assign_matrix(df, cents).collect()}
+    assert got == {10: 1, 11: 2, 12: 0}
+    # And the registered configuration (the one the oracle attests)
+    # contains no zero-norm centroid — the no-reopen argument for the
+    # clamp rests on the clamp being the identity there.
+    import numpy as np
+
+    e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    for r in e.filter(F.col("vec_id").between(1, 8)).collect():
+        assert np.linalg.norm([float(x) for x in r.embedding]) > 0
+
+
 def test_pq_encode_codebook_self_distortion_zero(spark):
     # Each codebook vector IS its own nearest codeword in every
     # subspace: codes = own id, distortion exactly 0. And ADC of the

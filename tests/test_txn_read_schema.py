@@ -185,3 +185,100 @@ def test_untyped_standin_commit_keeps_pin_complete(spark, tmp_path):
     assert df.columns == ["k", "v", "z"]
     got = {r.k: r.z for r in df.collect()}
     assert got[500] == 3.5 and got[3] is None
+
+
+def test_backfill_pin_cross_checked_against_registry(spark, tmp_path):
+    # Round-11 ADVICE #2: a table with a type REGISTRY but no pin must
+    # not adopt a footer-derived pin that the registry contradicts —
+    # the registry is the enforcement record, so a divergent pin would
+    # plan scans under a type the table refuses to stage. Simulate the
+    # divergence by stripping the pin and rewriting v's registered
+    # type; the next commit must fall back to no-pin (footer union)
+    # instead of pinning the contradicted footer type.
+    from xlsx_to_database_spark.operators.txn_table import _manifest_path
+
+    t = _mk(spark, str(tmp_path / "bfxcheck"))
+    v = t.latest_version()
+    p = _manifest_path(t.path, v)
+    man = json.load(open(p))
+    man.pop("read_schema", None)
+    man["schema"]["v"] = "int"  # registry now contradicts the footers
+    os.unlink(p)
+    with open(p, "w") as f:
+        json.dump(man, f)
+    # stage only k (no v) so the staged-type fold itself cannot refuse
+    t2 = TxnTable(spark, t.path, "k")
+    t2.append(spark.createDataFrame([(999,)], "k long"))
+    out = t2.manifest()
+    assert "read_schema" not in out  # pin NOT adopted
+    assert out.get("rs_unpinnable") is True  # and the memo is durable
+    # reads still correct via the footer-union fallback
+    assert len(t2.read().collect()) == 21
+
+
+def test_failed_backfill_memoized_across_commits(spark, tmp_path):
+    # Round-11 ADVICE #3: when the backfill pass fails (an unreadable
+    # footer), subsequent commits must NOT re-run the O(files) footer
+    # pass — one bad file costs one scan, not one per commit forever.
+    t = _mk(spark, str(tmp_path / "bfmemo"))
+    _strip_registries(t)
+    victim = os.path.join(t.path, t.manifest()["files"][0]["path"])
+    orig = open(victim, "rb").read()
+    calls = []
+    real = TxnTable._footer_schema_backfill
+
+    def counting(self, entries):
+        calls.append(len(entries))
+        return real(self, entries)
+
+    TxnTable._footer_schema_backfill = counting
+    try:
+        with open(victim, "wb") as f:
+            f.write(b"not parquet")
+        t.append(spark.createDataFrame([(101, 1)], "k long, v long"))
+        assert calls, "first commit must attempt the backfill"
+        assert t.manifest().get("rs_unpinnable") is True
+        n_first = len(calls)
+        t.append(spark.createDataFrame([(102, 2)], "k long, v long"))
+        assert len(calls) == n_first, (
+            "tombstoned table re-ran the footer backfill pass"
+        )
+        assert t.manifest().get("rs_unpinnable") is True
+    finally:
+        TxnTable._footer_schema_backfill = real
+        with open(victim, "wb") as f:
+            f.write(orig)
+    assert len(t.read().collect()) == 22
+    # an explicit read_schema= caller (restore semantics) clears the
+    # tombstone and re-establishes the pin
+    man = t.manifest()
+    t._commit(
+        man["version"] + 1, "repin", man["files"],
+        read_schema=[["k", "bigint"], ["v", "bigint"]],
+    )
+    out = t.manifest()
+    assert out["read_schema"] == [["k", "bigint"], ["v", "bigint"]]
+    assert "rs_unpinnable" not in out
+
+
+def test_manifest_entries_are_caller_owned_copies(spark, tmp_path):
+    # Round-11 ADVICE #1: manifest() used to alias file-entry dicts
+    # into _man_cache (and across cached versions via the delta
+    # reconstruction base chain) — a caller mutating an entry in place
+    # would silently corrupt reconstructions of other versions. Now
+    # the returned list AND each entry dict are caller-owned copies.
+    t = _mk(spark, str(tmp_path / "alias"))
+    t.append(spark.createDataFrame([(100, 1)], "k long, v long"))
+    t.append(spark.createDataFrame([(101, 1)], "k long, v long"))
+    v = t.latest_version()
+    assert "files" not in t._raw_manifest(v), "test needs a delta version"
+    first = t.manifest(v)
+    first["files"][0]["path"] = "CORRUPTED"
+    first["files"].clear()
+    again = t.manifest(v)
+    assert again["files"], "list aliased into the cache"
+    assert all(e["path"] != "CORRUPTED" for e in again["files"]), (
+        "entry dict aliased into the cache"
+    )
+    # and the prior version reconstructs intact through the base chain
+    assert len(t.read().collect()) == 22

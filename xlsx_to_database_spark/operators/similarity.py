@@ -264,7 +264,13 @@ def ivf_assign_matrix(
 
     ids = np.array([c for c, _ in cents], dtype=np.int64)
     M = np.array([v for _, v in cents], dtype=np.float64)  # C × d
-    cn = np.linalg.norm(M, axis=1)  # centroid norms, C
+    # Clamp centroid norms exactly like the row-side clamp below
+    # (round-11 ADVICE #4): an unclamped zero-norm centroid yields a
+    # NaN similarity COLUMN, and np.argmax then silently assigns every
+    # row in the batch to that centroid. With the clamp its similarity
+    # is ~0 instead, so it only wins ties at id order — degenerate
+    # centroids become inert rather than a black hole.
+    cn = np.maximum(np.linalg.norm(M, axis=1), 1e-300)  # centroid norms, C
     bc = embeddings.sparkSession.sparkContext.broadcast((ids, M, cn))
 
     @pandas_udf("long")

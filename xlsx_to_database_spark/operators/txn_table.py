@@ -246,14 +246,23 @@ class TxnTable:
         between checkpoints) and are memoized per instance (manifests
         are immutable, so the cache cannot go stale). File order is
         canonical-by-reconstruction: base order with removed paths
-        dropped, adds appended — identical across instances."""
+        dropped, adds appended — identical across instances.
+
+        Aliasing contract (round-11 ADVICE #1): the returned ``files``
+        LIST and each entry DICT are caller-owned copies — mutating
+        them cannot corrupt the memo or reconstructions of other
+        versions (cache chains share entry objects internally).
+        Entry VALUES (e.g. the nested ``col_stats`` dict) remain
+        shared and are immutable by contract: code that patches an
+        entry (DV attach, stats refresh) must build a new nested dict,
+        never mutate one in place — every current writer does."""
         v = self.latest_version() if version is None else version
         raw = self._raw_manifest(v)
         if "files" in raw:
             return raw
         cached = self._man_cache.get(v)
         if cached is not None:
-            return {**cached, "files": list(cached["files"])}
+            return {**cached, "files": [dict(e) for e in cached["files"]]}
         chain = [raw]
         base_v = raw["delta_base"]
         base_files: Optional[list] = None
@@ -280,7 +289,7 @@ class TxnTable:
         self._man_cache[v] = out
         if len(self._man_cache) > 32:
             self._man_cache.pop(next(iter(self._man_cache)))
-        return {**out, "files": list(files)}
+        return {**out, "files": [dict(e) for e in files]}
 
     #: Sentinel: _commit carries the latest manifest's column map
     #: forward unless the caller passes an explicit map (or None).
@@ -348,9 +357,24 @@ class TxnTable:
             read_schema = latest.get("read_schema")
         carried_files = latest.get("files")
         backfilled: set[str] = set()
+        # Failed-backfill memo (round-11 ADVICE #3): when the one-time
+        # footer pass concludes "no sound pin exists" (an unreadable
+        # footer, or two files carrying one column under different
+        # types), record a durable tombstone so subsequent commits do
+        # NOT re-pay the O(files) driver-side metadata pass — at the
+        # 10M-file scale this targets, a single bad file must cost one
+        # scan, not one per commit forever. Explicit read_schema=
+        # callers (restore/clone/rollback) clear the tombstone: they
+        # re-establish the pin from a known-good snapshot.
+        rs_unpinnable = (
+            bool(latest.get("rs_unpinnable"))
+            if read_schema_arg is TxnTable._CARRY
+            else False
+        )
         if (
             carried_files
             and read_schema is None
+            and not rs_unpinnable
             and read_schema_arg is TxnTable._CARRY
         ):
             # Legacy upgrade (round-10 ADVICE #1): a table created
@@ -368,7 +392,25 @@ class TxnTable:
             if schema is None and b_reg is not None:
                 schema = b_reg
                 backfilled.update(b_reg)
+            elif schema and b_rs is not None:
+                # The table already has a type registry but no pin
+                # (round-11 ADVICE #2): the footer-derived pin must
+                # agree with the registry before being adopted — a
+                # footer/registry divergence (e.g. an arrow-roundtrip
+                # type the registry records differently) would pin a
+                # scan type the enforcement registry contradicts.
+                # Mismatch → no pin (footer-union fallback, always
+                # correct) + tombstone below; names the registry has
+                # never seen are fine (registry grows monotonically
+                # from staged types, footers may know legacy columns
+                # first).
+                if any(
+                    schema.get(n) not in (None, t) for n, t in b_rs
+                ):
+                    b_rs = None
             read_schema = b_rs
+            if b_rs is None:
+                rs_unpinnable = True
         schema = dict(schema or {})
         if read_schema is not None:
             rs: Optional[list[list]] = [list(x) for x in read_schema]
@@ -459,6 +501,12 @@ class TxnTable:
                     if rs is not None and c not in rs_known:
                         rs.append([c, ty])
                         rs_known.add(c)
+            if rs is None:
+                # Same memo as the legacy branch: the unreadable /
+                # contradicting footer persists into carried_files, so
+                # without the tombstone every later commit would
+                # re-attempt (and re-fail) the full backfill pass.
+                rs_unpinnable = True
         m = {
             "version": version,
             "op": op,
@@ -476,6 +524,8 @@ class TxnTable:
             # is exactly the columns a reader of this version presents,
             # and restore rolls it back to its target's.
             m["read_schema"] = rs
+        elif rs_unpinnable:
+            m["rs_unpinnable"] = True
         if columns is TxnTable._CARRY or retired is TxnTable._CARRY:
             # Carry the column map (and the retired-physical-name set)
             # forward so a rename/drop survives every later commit.

@@ -249,6 +249,12 @@ _ATTESTED: tuple[str, ...] = (
     "table_txn_checkpoint", "table_delete_vectors", "table_update_vectors",
     "table_rename_column", "table_reorg_purge", "table_cdc_rows",
     "table_auto_optimize",
+    # CORRECTNESS_r11.json greens: 50 evaluated entries, 50 exact-pass,
+    # ZERO reds — the 3 new round-11 ops below, the full 23-op reopened
+    # txn-family set (re-attested on the manifest-pinned read-schema
+    # planner and folded back by resetting _REOPENED below), and 24
+    # re-confirmed core attestations already listed above.
+    "sim_ivf_matrix_topk", "vec_pq_encode", "sim_pq_adc_topk",
 )
 
 # Attested ops whose IMPLEMENTATION changed after their attestation round:
@@ -331,28 +337,27 @@ _ATTESTED: tuple[str, ...] = (
 # so a type-exact rider's Spark plan is the identical object graph —
 # not merely an optimized-away cast. Verified on the final tree: the
 # full 22-op txn-family mirror is 22/0 at sf0.01 post-change.
-# Round-11 rewrites: the txn-table READ path is rewritten this round
-# (manifest-pinned read schema replacing the mergeSchema footer union —
-# operators/txn_table.py, round-10 verdict What's-wrong #1 — plus the
-# five round-10 ADVICE type-registry fixes). Every attested op that
-# plans a read through TxnTable._read_files/snapshot reopens: the prior
-# green rows attest the footer-union planner. The set below is exactly
-# the registered ops that construct a TxnTable (grep-verified); the
-# driver window (fully empty after the r10 fold) has room for all of
-# them.
+# Round-11 rewrites (the 23-op txn-family reopen for the manifest-pinned
+# read-schema planner + sim_recall_report's 3-row extension) ALL
+# re-attested green in CORRECTNESS_r11.json — 50/50 exact, zero reds —
+# and are folded back.
+#
+# Round-12 rewrites: the PQ codebook is TRAINED this round (deterministic
+# fixed-iteration per-subspace Lloyd's replacing the positional
+# "vectors 1..n_codes" stand-in — round-11 verdict #3b), which changes
+# the codes vec_pq_encode emits and the ADC ranking sim_pq_adc_topk
+# serves; sim_recall_report grows an ivfpq row (the new composed
+# sim_ivfpq_topk path measured through the same report). Their r11
+# greens attest the stand-in codebook, so all three reopen. The
+# round-12 ADVICE fixes (manifest() entry aliasing hardening, backfill
+# registry cross-check + failure memo, ivf_assign_matrix centroid-norm
+# clamp) do NOT reopen their riders: each is a pure guard or an
+# identical-value defensive copy whose observable output is
+# byte-identical on every rider configuration (copies of equal dicts;
+# clamp is the identity for every non-zero-norm centroid, and no test
+# centroid has zero norm — asserted in tests/test_similarity_ops.py).
 _REOPENED: frozenset[str] = frozenset({
-    "table_merge_upsert", "table_time_travel", "table_incremental_read",
-    "table_schema_evolution", "table_zorder_optimize", "table_restore",
-    "table_vacuum", "table_clone", "table_check_constraint",
-    "table_history", "table_optimistic_retry", "table_txn_checkpoint",
-    "table_delete_vectors", "table_update_vectors", "table_rename_column",
-    "table_reorg_purge", "table_cdc_rows", "table_auto_optimize",
-    "stream_txn_sink", "etl_gdpr_erasure", "tpch_refresh",
-    "stream_restart_resume",
-    # Round 11 also extends sim_recall_report's output with the
-    # ivf_matrix row (the new broadcast-matrix assignment path measured
-    # through the same report) — the r9 green attests the 2-row form.
-    "sim_recall_report",
+    "vec_pq_encode", "sim_pq_adc_topk", "sim_recall_report",
 })
 
 #: The driver evaluates this many registry-order entries per round
