@@ -327,6 +327,95 @@ def test_pq_encode_codebook_self_distortion_zero(spark):
     assert len(adc) == e.count()
 
 
+def test_pq_trained_codebook_lowers_distortion(spark):
+    # Round-11 verdict #3b: a trained codebook is what makes PQ
+    # distortion meaningful — after one Lloyd's round the TOTAL
+    # quantization distortion must be measurably below the positional
+    # stand-in's (Lloyd's update is the distortion-minimizing step by
+    # construction; on this corpus the drop is large, assert ≥10%).
+    from pyspark.sql import functions as F
+    from xlsx_to_database_spark.operators.similarity import (
+        pq_encode,
+        pq_train_codebook,
+    )
+
+    e = spark.read.parquet(
+        "/root/testdata/sf0.001/embeddings.parquet"
+    ).select(
+        "vec_id",
+        F.transform(
+            F.col("embedding"), lambda x: F.round(x.cast("double"), 4)
+        ).alias("embedding"),
+    )
+    base = pq_encode(e).agg(F.sum("distortion")).collect()[0][0]
+    cb = pq_train_codebook(e)
+    trained = (
+        pq_encode(e, codebook=cb).agg(F.sum("distortion")).collect()[0][0]
+    )
+    assert trained < 0.9 * base, (base, trained)
+
+
+def test_ivfpq_is_adc_restricted_to_probed_cells(spark):
+    # The composition contract: ivfpq_topk == pq_adc_topk swept over
+    # exactly the vectors whose IVF cell is among the query's probe
+    # cells — nothing else pruned, nothing else added.
+    from pyspark.sql import functions as F
+    from xlsx_to_database_spark.operators.similarity import (
+        ivf_assign_matrix,
+        ivfpq_topk,
+        pq_adc_topk,
+        pq_train_codebook,
+    )
+
+    e = spark.read.parquet(
+        "/root/testdata/sf0.001/embeddings.parquet"
+    ).select(
+        "vec_id",
+        F.transform(
+            F.col("embedding"), lambda x: F.round(x.cast("double"), 4)
+        ).alias("embedding"),
+    )
+    cb = pq_train_codebook(e)
+    got = [
+        (r.vec_id, r.adc_dist)
+        for r in ivfpq_topk(e, k=10, codebook=cb).collect()
+    ]
+    # reference: assign cells, compute the query's probe set from the
+    # full ADC machinery, filter, rank corpus-wide ADC to those cells
+    cents = sorted(
+        (int(r[0]), [float(x) for x in r[1]])
+        for r in e.filter(F.col("vec_id").between(1, 8)).collect()
+    )
+    cells = {
+        r.vec_id: r.cell
+        for r in ivf_assign_matrix(e, cents).collect()
+    }
+    import numpy as np
+
+    q = np.array(
+        e.filter(F.col("vec_id") == 0).collect()[0].embedding
+    )
+    sims = sorted(
+        (
+            -round(
+                float(np.dot(q, c) / (np.linalg.norm(q) * np.linalg.norm(c))),
+                6,
+            ),
+            cid,
+        )
+        for cid, c in ((cid, np.array(v)) for cid, v in cents)
+    )
+    probe = {cid for _, cid in sims[:2]}
+    full_adc = {
+        r.vec_id: r.adc_dist
+        for r in pq_adc_topk(e, k=10**9, codebook=cb).collect()
+    }
+    want = sorted(
+        ((d, vid) for vid, d in full_adc.items() if cells[vid] in probe),
+    )[:10]
+    assert got == [(vid, d) for d, vid in want]
+
+
 def test_hll_sketch_estimates_within_tolerance(spark):
     from pyspark.sql import functions as F
     from xlsx_to_database_spark.registry import all_queries

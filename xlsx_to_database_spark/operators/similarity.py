@@ -14,6 +14,8 @@ math, select = per-query top-k window. No driver-side collect anywhere.
 
 from __future__ import annotations
 
+from typing import Optional
+
 import pandas as pd  # noqa: F401 — resolves pandas_udf type hints
 
 from pyspark.sql import Column, DataFrame, Window
@@ -350,6 +352,126 @@ def _collect_codebook(
     )
 
 
+#: A product-quantization codebook: per-subspace list of
+#: (codeword id, segment values). ``pq_encode``/``pq_adc_topk`` accept
+#: one (trained via :func:`pq_train_codebook`) or default to the
+#: positional stand-in (subspace slices of vectors 1..n_codes).
+Codebook = dict[int, list[tuple[int, list[float]]]]
+
+
+def _positional_codebook(
+    embeddings: DataFrame,
+    n_subspaces: int,
+    n_codes: int,
+    id_col: str,
+    vec_col: str,
+) -> Codebook:
+    """The untrained stand-in: subspace slices of vectors 1..n_codes —
+    deterministic and oracle-checkable, but its codewords are arbitrary
+    corpus points, so quantization distortion is whatever the draw
+    gives. Kept as the INIT for :func:`pq_train_codebook` and as the
+    default when no trained codebook is supplied."""
+    cents = _collect_codebook(embeddings, n_codes, id_col, vec_col)
+    d = len(cents[0][1])
+    if d % n_subspaces:
+        raise ValueError(f"dim {d} not divisible by {n_subspaces}")
+    seg = d // n_subspaces
+    return {
+        s: [(cid, cv[s * seg:(s + 1) * seg]) for cid, cv in cents]
+        for s in range(n_subspaces)
+    }
+
+
+def pq_train_codebook(
+    embeddings: DataFrame,
+    n_subspaces: int = 4,
+    n_codes: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    iters: int = 1,
+    decimals: int = 6,
+) -> Codebook:
+    """TRAIN the PQ codebook: deterministic fixed-iteration per-subspace
+    Lloyd's k-means (round-11 verdict #3b — replaces the positional
+    stand-in with what makes PQ distortion meaningful). Init = the
+    positional codebook; each iteration assigns every (vector, subspace)
+    segment to its nearest codeword (rounded-6dp squared L2, smallest-id
+    tie-break) and recomputes each codeword as the per-dimension mean of
+    its members; a codeword with no members keeps its previous value
+    (FAISS keeps empty centroids too).
+
+    Engine-exactness (the ml_kmeans discipline): callers pass vectors
+    QUANTIZED to ≤10 decimal places (the registered config uses 4dp), so
+    the DECIMAL(28,10) member sums are exact and order-independent; the
+    mean is one double division rounded to ``decimals`` before feeding
+    the next assignment — both engines carry IDENTICAL doubles forward,
+    which is what lets a fixed-iteration oracle exist at all.
+
+    Scale shape per iteration: assignment is map-only codegen over
+    inline codeword literals (no join, no shuffle of vectors); the
+    update explodes each row to (subspace, codeword, dim, value) SCALAR
+    cells and hash-aggregates — the shuffle carries m·k·seg running
+    sums, never vectors; the collect is m·k·seg scalars (here 4·8·16 =
+    512 — codebook metadata by definition, same as FAISS training's
+    output artifact)."""
+    cb = _positional_codebook(
+        embeddings, n_subspaces, n_codes, id_col, vec_col
+    )
+    seg = len(cb[0][0][1])
+    for _ in range(iters):
+        branches = []
+        for s in range(n_subspaces):
+            sub = F.slice(F.col(vec_col), s * seg + 1, seg)
+            ranked = F.array(
+                *[
+                    F.struct(
+                        _sq_l2(sub, seg_vals).alias("d"),
+                        F.lit(cid).cast("long").alias("c"),
+                    )
+                    for cid, seg_vals in cb[s]
+                ]
+            )
+            branches.append(
+                F.struct(
+                    F.lit(s).cast("int").alias("s"),
+                    F.array_min(ranked)["c"].alias("c"),
+                    sub.alias("x"),
+                )
+            )
+        cells = (
+            embeddings.select(F.explode(F.array(*branches)).alias("a"))
+            .select(
+                F.col("a.s").alias("s"),
+                F.col("a.c").alias("c"),
+                F.posexplode(F.col("a.x")).alias("dim", "x"),
+            )
+            .groupBy("s", "c", "dim")
+            .agg(
+                F.round(
+                    F.sum(F.col("x").cast("decimal(28,10)")).cast("double")
+                    / F.count(F.lit(1)),
+                    decimals,
+                ).alias("m")
+            )
+        )
+        trained: dict[tuple[int, int], dict[int, float]] = {}
+        for r in cells.collect():  # m·k·seg scalars — codebook metadata
+            trained.setdefault((r["s"], r["c"]), {})[r["dim"]] = r["m"]
+        cb = {
+            s: [
+                (
+                    cid,
+                    [ms[i] for i in sorted(ms)]
+                    if (ms := trained.get((s, cid))) is not None
+                    else seg_vals,  # empty cell: keep previous codeword
+                )
+                for cid, seg_vals in cb[s]
+            ]
+            for s in range(n_subspaces)
+        }
+    return cb
+
+
 def _sq_l2(a: Column, b_vals: list[float]) -> Column:
     """Rounded squared L2 distance between an array column and a
     literal vector — float64, sequential fold, 6dp (engine-stable)."""
@@ -374,6 +496,7 @@ def pq_encode(
     n_codes: int = 8,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    codebook: Optional[Codebook] = None,
 ) -> DataFrame:
     """PRODUCT QUANTIZATION encode: split each d-dim vector into
     ``n_subspaces`` contiguous segments and replace every segment with
@@ -391,12 +514,16 @@ def pq_encode(
     is codegen'd array math over inline codeword literals (the
     codebook is metadata-scale by definition); the scan never
     shuffles. Argmin tie-break: smallest codeword id (lexicographic
-    struct min on (distance, id))."""
-    cents = _collect_codebook(embeddings, n_codes, id_col, vec_col)
-    d = len(cents[0][1])
-    if d % n_subspaces:
-        raise ValueError(f"dim {d} not divisible by {n_subspaces}")
-    seg = d // n_subspaces
+    struct min on (distance, id)).
+
+    ``codebook``: a trained :func:`pq_train_codebook` result; default
+    is the positional stand-in (subspace slices of vectors
+    1..n_codes)."""
+    if codebook is None:
+        codebook = _positional_codebook(
+            embeddings, n_subspaces, n_codes, id_col, vec_col
+        )
+    seg = len(codebook[0][0][1])
     cols = [F.col(id_col)]
     dist: Column = F.lit(0.0)
     for s in range(n_subspaces):
@@ -404,10 +531,10 @@ def pq_encode(
         ranked = F.array(
             *[
                 F.struct(
-                    _sq_l2(sub, cv[s * seg:(s + 1) * seg]).alias("d"),
+                    _sq_l2(sub, seg_vals).alias("d"),
                     F.lit(cid).cast("long").alias("c"),
                 )
-                for cid, cv in cents
+                for cid, seg_vals in codebook[s]
             ]
         )
         best = F.array_min(ranked)
@@ -425,6 +552,8 @@ def pq_adc_topk(
     query_id: int = 0,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    codebook: Optional[Codebook] = None,
+    corpus: Optional[DataFrame] = None,
 ) -> DataFrame:
     """Asymmetric distance computation over PQ codes: the query stays
     EXACT while every corpus row is represented only by its codes —
@@ -434,10 +563,18 @@ def pq_adc_topk(
     4-byte codes instead of 256-byte vectors (the 100 TB candidate
     sweep becomes memory-bandwidth-cheap), and the table is per-query
     metadata inlined as literals. Returns the k nearest by ADC
-    distance (ascending, vec_id tie-break)."""
-    cents = _collect_codebook(embeddings, n_codes, id_col, vec_col)
-    d = len(cents[0][1])
-    seg = d // n_subspaces
+    distance (ascending, vec_id tie-break).
+
+    ``codebook``: a trained :func:`pq_train_codebook` result; default
+    is the positional stand-in. ``corpus``: the candidate set to sweep
+    (default: all of ``embeddings``) — :func:`ivfpq_topk` passes the
+    IVF-probed cells here, which is how the corpus-wide code sweep
+    becomes a cell-local one."""
+    if codebook is None:
+        codebook = _positional_codebook(
+            embeddings, n_subspaces, n_codes, id_col, vec_col
+        )
+    seg = len(codebook[0][0][1])
     q = [
         float(x)
         for x in embeddings.filter(F.col(id_col) == query_id)
@@ -450,16 +587,19 @@ def pq_adc_topk(
         s: {
             cid: round(
                 sum(
-                    (q[s * seg + i] - cv[s * seg + i]) ** 2
+                    (q[s * seg + i] - seg_vals[i]) ** 2
                     for i in range(seg)
                 ),
                 6,
             )
-            for cid, cv in cents
+            for cid, seg_vals in codebook[s]
         }
         for s in range(n_subspaces)
     }
-    enc = pq_encode(embeddings, n_subspaces, n_codes, id_col, vec_col)
+    enc = pq_encode(
+        corpus if corpus is not None else embeddings,
+        n_subspaces, n_codes, id_col, vec_col, codebook=codebook,
+    )
     adc: Column = F.lit(0.0)
     for s in range(n_subspaces):
         lookup = F.create_map(
@@ -474,6 +614,73 @@ def pq_adc_topk(
         enc.select(F.col(id_col), F.round(adc, 6).alias("adc_dist"))
         .orderBy(F.col("adc_dist").asc(), F.col(id_col).asc())
         .limit(k)
+    )
+
+
+def ivfpq_topk(
+    embeddings: DataFrame,
+    k: int = 10,
+    n_centroids: int = 8,
+    nprobe: int = 2,
+    n_subspaces: int = 4,
+    n_codes: int = 8,
+    query_id: int = 0,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    codebook: Optional[Codebook] = None,
+) -> DataFrame:
+    """IVF + PQ COMPOSED — FAISS ``IndexIVFPQ``'s serving shape
+    (round-11 verdict #3a), with ``by_residual=False`` semantics: the
+    coarse IVF quantizer prunes the candidate sweep to the query's
+    ``nprobe`` cells, and ADC over PQ codes ranks WITHIN those cells
+    only. Neither half alone has this cost profile: IVF-flat still
+    reads full vectors inside probed cells; corpus-wide ADC reads
+    every code. Composed, the scan reads codes of ~nprobe/n_centroids
+    of the corpus — the actual billion-vector serving topology.
+
+    Plan shape: cell assignment is the broadcast-matrix path
+    (:func:`ivf_assign_matrix` — one BLAS matmul per Arrow batch, plan
+    size constant in centroid count); the probe-cell filter is a
+    broadcast of one query row; the ADC sweep is map-only literal
+    lookups; the final TakeOrdered top-k is the only shuffle.
+    (Residual encoding — PQ over x−centroid — needs a per-cell
+    codebook shift; deterministic but a different oracle; documented
+    out of scope, as FAISS itself serves both modes.)"""
+    cents = sorted(
+        (int(r[0]), [float(x) for x in r[1]])
+        for r in embeddings.filter(
+            F.col(id_col).between(1, n_centroids)
+        ).select(id_col, vec_col).collect()
+    )
+    assigned = ivf_assign_matrix(embeddings, cents, id_col, vec_col)
+
+    def lit_vec(vals):
+        return F.array(*[F.lit(v) for v in vals])
+
+    ranked = F.array(
+        *[
+            F.struct(
+                cosine_sim(F.col(vec_col), lit_vec(cv)).alias("s"),
+                F.lit(-cid).cast("long").alias("nc"),
+            )
+            for cid, cv in cents
+        ]
+    )
+    probe_cells = F.slice(
+        F.transform(F.sort_array(ranked, asc=False), lambda x: -x["nc"]),
+        1, nprobe,
+    )
+    qdf = embeddings.filter(F.col(id_col) == query_id).select(
+        probe_cells.alias("probe_cells")
+    )
+    cand = (
+        assigned.crossJoin(F.broadcast(qdf))
+        .filter(F.array_contains(F.col("probe_cells"), F.col("cell")))
+        .select(F.col(id_col), F.col(vec_col))
+    )
+    return pq_adc_topk(
+        embeddings, k, n_subspaces, n_codes, query_id, id_col, vec_col,
+        codebook=codebook, corpus=cand,
     )
 
 

@@ -294,21 +294,68 @@ def sim_ivf_matrix_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-#: Shared PQ oracle scaffolding: per-(vector, subspace, codeword)
-#: rounded squared-L2 over 16-dim segments, then the per-(vector,
-#: subspace) argmin with a smallest-codeword tie-break.
-_PQ_CTE = (
-    _VEC_CTE
-    + """
-    , c AS (
-      SELECT vec_id AS cid, e AS ce FROM n WHERE vec_id BETWEEN 1 AND 8
+def _quantized_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The embeddings table with vectors quantized to 4dp doubles —
+    the PQ ops' input contract (mirrors the oracle's ``v4`` CTE): 4dp
+    values cast EXACTLY to DECIMAL(28,10), so training's member sums
+    are order-independent and engine-identical."""
+    return table(spark, sf_dir, "embeddings").select(
+        "vec_id",
+        F.transform(
+            F.col("embedding"), lambda x: F.round(x.cast("double"), 4)
+        ).alias("embedding"),
+    )
+
+
+#: Shared PQ oracle scaffolding, TRAINED codebook (round-11 verdict
+#: #3b). Vectors quantize to 4dp up front (the ml_kmeans discipline:
+#: makes the DECIMAL member sums exact, so both engines carry identical
+#: doubles through training). Then one deterministic Lloyd's round per
+#: subspace: assign every 16-dim segment to its nearest INIT codeword
+#: (the positional stand-in — subspace slices of vectors 1..8; rounded
+#: 6dp squared-L2, smallest-id tie-break), recompute each codeword as
+#: the per-dimension decimal mean rounded to 6dp, empty cells keeping
+#: their init values. ``best`` is then the per-(vector, subspace)
+#: argmin against the TRAINED codebook — the encode every PQ op reads.
+_PQ_CTE = """
+    WITH v4 AS (
+      SELECT vec_id,
+             list_transform(embedding, x -> round(CAST(x AS DOUBLE), 4)) AS e
+      FROM embeddings
     ), sub AS (SELECT unnest(generate_series(0, 3)) AS s),
-    pairs AS (
-      SELECT n.vec_id, sub.s, c.cid,
+    ini AS (
+      SELECT sub.s, c.vec_id AS cid, c.e
+      FROM sub, (SELECT vec_id, e FROM v4 WHERE vec_id BETWEEN 1 AND 8) c
+    ), inidim AS (
+      SELECT s, cid, t.i AS dim, e[s*16 + t.i] AS m
+      FROM ini, UNNEST(generate_series(1, 16)) AS t(i)
+    ), asg0 AS (
+      SELECT vec_id, s, cid, e FROM (
+        SELECT v4.vec_id, ini.s, ini.cid, v4.e,
+               row_number() OVER (PARTITION BY v4.vec_id, ini.s
+                 ORDER BY round(list_sum(list_transform(generate_series(1, 16),
+                     i -> (v4.e[ini.s*16+i] - ini.e[ini.s*16+i])
+                        * (v4.e[ini.s*16+i] - ini.e[ini.s*16+i]))), 6) ASC,
+                   ini.cid ASC) AS rn
+        FROM v4, ini
+      ) WHERE rn = 1
+    ), upd AS (
+      SELECT a.s, a.cid, t.i AS dim,
+             round(CAST(sum(CAST(a.e[a.s*16 + t.i] AS DECIMAL(28,10)))
+                        AS DOUBLE) / count(*), 6) AS m
+      FROM asg0 a, UNNEST(generate_series(1, 16)) AS t(i)
+      GROUP BY a.s, a.cid, t.i
+    ), cb AS (
+      SELECT i.s, i.cid, list(coalesce(u.m, i.m) ORDER BY i.dim) AS cw
+      FROM inidim i LEFT JOIN upd u
+        ON u.s = i.s AND u.cid = i.cid AND u.dim = i.dim
+      GROUP BY i.s, i.cid
+    ), pairs AS (
+      SELECT v4.vec_id, cb.s, cb.cid,
              round(list_sum(list_transform(generate_series(1, 16),
-                   i -> (e[s*16+i] - ce[s*16+i])
-                      * (e[s*16+i] - ce[s*16+i]))), 6) AS d2
-      FROM n, c, sub
+                   i -> (v4.e[cb.s*16+i] - cb.cw[i])
+                      * (v4.e[cb.s*16+i] - cb.cw[i]))), 6) AS d2
+      FROM v4, cb
     ), best AS (
       SELECT vec_id, s, cid, d2,
              row_number() OVER (PARTITION BY vec_id, s
@@ -316,7 +363,6 @@ _PQ_CTE = (
       FROM pairs
     )
 """
-)
 
 
 @query(
@@ -335,28 +381,39 @@ _PQ_CTE = (
 )
 def vec_pq_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Product-quantization encode (FAISS-IVFPQ's compression half):
-    4 subspaces × 8 deterministic codewords (the subspace slices of
-    vectors 1..8) — each 64-dim vector becomes 4 codes + a measured
-    quantization distortion. Codegen'd array math over inline codeword
-    literals; no shuffle (operators/similarity.py::pq_encode — the
-    100 TB path stores 4-byte codes instead of 256-byte vectors)."""
-    return S.pq_encode(
-        table(spark, sf_dir, "embeddings"), n_subspaces=4, n_codes=8
+    4 subspaces × 8 TRAINED codewords — one deterministic Lloyd's round
+    per subspace from the positional init (round-11 verdict #3b;
+    operators/similarity.py::pq_train_codebook) — each 64-dim vector
+    becomes 4 codes + a measured quantization distortion. Vectors
+    quantize to 4dp up front so training's decimal means are
+    engine-exact. Codegen'd array math over inline codeword literals;
+    no shuffle (the 100 TB path stores 4-byte codes instead of
+    256-byte vectors)."""
+    e = _quantized_embeddings(spark, sf_dir)
+    cb = S.pq_train_codebook(e, n_subspaces=4, n_codes=8)
+    return S.pq_encode(e, n_subspaces=4, n_codes=8, codebook=cb)
+
+
+#: Query-side ADC scaffolding shared by the corpus-wide and the
+#: IVF-probed serving oracles: the query's per-(subspace, codeword)
+#: distance table against the TRAINED codebook.
+_QTAB_CTE = """
+    , q AS (SELECT e AS qe FROM v4 WHERE vec_id = 0),
+    qtab AS (
+      SELECT cb.s, cb.cid,
+             round(list_sum(list_transform(generate_series(1, 16),
+                   i -> (qe[cb.s*16+i] - cb.cw[i])
+                      * (qe[cb.s*16+i] - cb.cw[i]))), 6) AS dq2
+      FROM q, cb
     )
+"""
 
 
 @query(
     "sim_pq_adc_topk",
     _PQ_CTE
+    + _QTAB_CTE
     + """
-    , q AS (SELECT e AS qe FROM n WHERE vec_id = 0),
-    qtab AS (
-      SELECT sub.s, c.cid,
-             round(list_sum(list_transform(generate_series(1, 16),
-                   i -> (qe[s*16+i] - ce[s*16+i])
-                      * (qe[s*16+i] - ce[s*16+i]))), 6) AS dq2
-      FROM q, c, sub
-    )
     SELECT b.vec_id, round(sum(qtab.dq2), 6) AS adc_dist
     FROM best b JOIN qtab ON b.s = qtab.s AND b.cid = qtab.cid
     WHERE b.rn = 1
@@ -367,13 +424,73 @@ def vec_pq_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def sim_pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PQ asymmetric-distance top-10 (the serving half): the query
-    precomputes a 4×8 distance table to the codewords; each corpus
-    row's distance is the sum of 4 table lookups on its codes — the
-    candidate sweep reads codes, never vectors. Table inlined as map
-    literals; one TakeOrdered top-k is the only shuffle
+    precomputes a 4×8 distance table to the TRAINED codewords; each
+    corpus row's distance is the sum of 4 table lookups on its codes —
+    the candidate sweep reads codes, never vectors. Table inlined as
+    map literals; one TakeOrdered top-k is the only shuffle
     (operators/similarity.py::pq_adc_topk)."""
-    return S.pq_adc_topk(
-        table(spark, sf_dir, "embeddings"), k=10, n_subspaces=4, n_codes=8
+    e = _quantized_embeddings(spark, sf_dir)
+    cb = S.pq_train_codebook(e, n_subspaces=4, n_codes=8)
+    return S.pq_adc_topk(e, k=10, n_subspaces=4, n_codes=8, codebook=cb)
+
+
+@query(
+    "sim_ivfpq_topk",
+    _PQ_CTE
+    + """
+    , nv AS (
+      SELECT vec_id, e,
+             sqrt(list_sum(list_transform(e, x -> x * x))) AS nrm
+      FROM v4
+    ), cc AS (
+      SELECT vec_id AS c_id, e AS ce, nrm AS cn
+      FROM nv WHERE vec_id BETWEEN 1 AND 8
+    ), sc AS (
+      SELECT nv.vec_id, cc.c_id,
+             round(list_sum(list_transform(generate_series(1, len(e)),
+                                           i -> e[i] * ce[i]))
+                   / (nrm * cn), 6) AS csim
+      FROM nv, cc
+    ), cellasg AS (
+      SELECT vec_id, c_id AS cell FROM (
+        SELECT vec_id, c_id,
+               row_number() OVER (PARTITION BY vec_id
+                                  ORDER BY csim DESC, c_id ASC) AS rn
+        FROM sc
+      ) WHERE rn = 1
+    ), qp AS (
+      SELECT c_id AS cell FROM sc WHERE vec_id = 0
+      ORDER BY csim DESC, c_id ASC LIMIT 2
+    )
+    """
+    + _QTAB_CTE
+    + """
+    SELECT b.vec_id, round(sum(qtab.dq2), 6) AS adc_dist
+    FROM best b
+    JOIN cellasg ca ON b.vec_id = ca.vec_id
+    JOIN qp ON ca.cell = qp.cell
+    JOIN qtab ON b.s = qtab.s AND b.cid = qtab.cid
+    WHERE b.rn = 1
+    GROUP BY b.vec_id
+    ORDER BY adc_dist ASC, b.vec_id ASC
+    LIMIT 10
+    """,
+)
+def sim_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF + PQ COMPOSED (round-11 verdict #3a) — FAISS IndexIVFPQ's
+    serving shape, by_residual=False: the broadcast-matrix coarse
+    quantizer assigns every vector to one of 8 cells, the query probes
+    its 2 closest cells, and ADC over TRAINED PQ codes ranks within
+    those cells only — the scan reads 4-byte codes of ~1/4 of the
+    corpus instead of 256-byte vectors of all of it. The oracle
+    composes the trained-codebook encode CTE with the IVF cell
+    assignment on the same 4dp-quantized vectors
+    (operators/similarity.py::ivfpq_topk)."""
+    e = _quantized_embeddings(spark, sf_dir)
+    cb = S.pq_train_codebook(e, n_subspaces=4, n_codes=8)
+    return S.ivfpq_topk(
+        e, k=10, n_centroids=8, nprobe=2, n_subspaces=4, n_codes=8,
+        codebook=cb,
     )
 
 

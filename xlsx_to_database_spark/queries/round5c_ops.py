@@ -3845,11 +3845,13 @@ def _recall_oracle() -> str:
     lsh = _ORACLES["sim_lsh_topk"]
     ivf = _ORACLES["sim_ivf_topk"]
     ivf_m = _ORACLES["sim_ivf_matrix_topk"]
+    ivfpq = _ORACLES["sim_ivfpq_topk"]
     return f"""
     WITH exact AS (SELECT vec_id FROM ({ex})),
     lsh AS (SELECT vec_id FROM ({lsh})),
     ivf AS (SELECT vec_id FROM ({ivf})),
-    ivf_m AS (SELECT vec_id FROM ({ivf_m}))
+    ivf_m AS (SELECT vec_id FROM ({ivf_m})),
+    ivfpq AS (SELECT vec_id FROM ({ivfpq}))
     SELECT method, n_hits, round(CAST(n_hits AS DOUBLE) / 10, 2) AS recall
     FROM (
       SELECT 'lsh' AS method,
@@ -3864,6 +3866,11 @@ def _recall_oracle() -> str:
       UNION ALL
       SELECT 'ivf_matrix',
              CAST((SELECT count(*) FROM ivf_m
+                   WHERE vec_id IN (SELECT vec_id FROM exact))
+                  AS BIGINT)
+      UNION ALL
+      SELECT 'ivfpq',
+             CAST((SELECT count(*) FROM ivfpq
                    WHERE vec_id IN (SELECT vec_id FROM exact))
                   AS BIGINT)
     )
@@ -3901,6 +3908,14 @@ def sim_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     # the SAME report (round-10 verdict #4 — recall must be a
     # published number for every index variant, not an assertion).
     ivf_m = S.ivf_topk_matrix(e, k=10, query_id=0).select("vec_id")
+    # Round 12: the composed IVF+PQ serving path (trained codebook,
+    # cell-probed ADC) — reuse the registered query so the report
+    # measures exactly what sim_ivfpq_topk serves.
+    from xlsx_to_database_spark.queries.llm_ops import (
+        sim_ivfpq_topk as _ivfpq_q,
+    )
+
+    ivfpq = _ivfpq_q(spark, sf_dir).select("vec_id")
 
     def hits(df: DataFrame, name: str) -> DataFrame:
         return (
@@ -3920,6 +3935,7 @@ def sim_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         hits(lsh, "lsh")
         .unionByName(hits(ivf, "ivf"))
         .unionByName(hits(ivf_m, "ivf_matrix"))
+        .unionByName(hits(ivfpq, "ivfpq"))
     )
 
 
