@@ -109,6 +109,150 @@ def test_append_once_tokens_survive_delta_encoding(spark, tmp_path):
     assert t.read().filter(F.col("k") == 500).count() == 1
 
 
+def test_cold_cache_reconstruction_at_every_version(spark, tmp_path):
+    # Crash-shaped replay (round-11 verdict #5): a reader that starts
+    # from NOTHING (fresh instance, empty memo cache) at every single
+    # version must reconstruct the same manifest and content a warm
+    # instance serves — snapshot_interval=2 forces the deepest chains
+    # the encoder produces (every odd version is a delta).
+    t = TxnTable(spark, str(tmp_path / "cold"), "k", snapshot_interval=2)
+    t.create(
+        spark.createDataFrame(
+            [(k, 2 * k) for k in range(1, 31)], "k long, v long"
+        ).repartitionByRange(3, "k")
+    )
+    t.append(spark.createDataFrame([(101, 1)], "k long, v long"))
+    t.merge(spark.createDataFrame([(5, -5)], "k long, v long"), "k")
+    t.delete_where_dv(F.col("k") % 7 == 0)
+    t.update_where_dv(F.col("k") % 11 == 3, {"v": F.lit(0)})
+    t.append(spark.createDataFrame([(102, 2)], "k long, v long"))
+    t.compact(target_files=2)
+    t.restore(2)
+    latest = t.latest_version()
+    assert latest >= 7
+    warm_counts = [t.read(v).count() for v in range(latest + 1)]
+    for v in range(latest + 1):
+        cold = TxnTable(spark, t.path, "k", snapshot_interval=2)
+        assert cold._man_cache == {}, "instance must start cache-cold"
+        assert cold.manifest(v) == t.manifest(v), f"v{v} manifests"
+        assert cold.read(v).count() == warm_counts[v], f"v{v} content"
+
+
+def test_vacuum_liveness_walk_across_delta_chains(spark, tmp_path):
+    # Vacuum's liveness set is computed from RECONSTRUCTED manifests;
+    # with snapshot_interval=2 every retained version is (or chains
+    # through) a delta. After collecting history, every retained
+    # version must stay readable and the live read must be untouched.
+    t = TxnTable(spark, str(tmp_path / "vwalk"), "k", snapshot_interval=2)
+    t.create(
+        spark.createDataFrame(
+            [(k, k) for k in range(1, 41)], "k long, v long"
+        ).repartitionByRange(4, "k")
+    )
+    for i in range(4):
+        t.append(spark.createDataFrame([(200 + i, i)], "k long, v long"))
+    t.delete_where(F.col("k") <= 5)  # rewrite: makes old files orphanable
+    t.compact(target_files=2)
+    latest = t.latest_version()
+    n_live = t.read().count()
+    deleted, kept = t.vacuum(retain_versions=2)
+    assert deleted > 0, "rewrite history must yield collectible files"
+    assert t.read().count() == n_live
+    for v in (latest - 1, latest):  # the retained window
+        fresh = TxnTable(spark, t.path, "k", snapshot_interval=2)
+        assert fresh.read(v).count() > 0
+    # manifests BEFORE the retained window remain reconstructable as
+    # metadata (vacuum collects data files, never the log), even cold
+    fresh = TxnTable(spark, t.path, "k", snapshot_interval=2)
+    assert fresh.manifest(0)["version"] == 0
+
+
+def test_mass_rewrite_full_fallback_racing_append(spark, tmp_path, monkeypatch):
+    # A compact rewrites (almost) every file, so the delta encoder's
+    # "only when smaller" guard falls back to a FULL snapshot even at
+    # an off-snapshot version. Race a blind append into exactly that
+    # commit window: the compact must retry, adopt the racer's file by
+    # reference, and the published manifest — whatever its encoding —
+    # must reconstruct identically for a cold reader.
+    t = TxnTable(spark, str(tmp_path / "mrw"), "k", snapshot_interval=5)
+    t.create(
+        spark.createDataFrame(
+            [(k, k) for k in range(1, 41)], "k long, v long"
+        ).repartitionByRange(8, "k")
+    )
+    orig = t._commit
+    raced = {"done": False}
+
+    def patched(version, op, files, txn_id=None, **kw):
+        if op == "compact" and not raced["done"]:
+            raced["done"] = True
+            racer = TxnTable(spark, t.path, "k", snapshot_interval=5)
+            racer.append(
+                spark.createDataFrame([(999, 999)], "k long, v long")
+                .coalesce(1)
+            )
+        return orig(version, op, files, txn_id=txn_id, **kw)
+
+    monkeypatch.setattr(t, "_commit", patched)
+    v, n_before = t.compact(target_files=2)
+    assert v == 2 and n_before == 8
+    got = {r.k: r.v for r in t.read().collect()}
+    assert got.get(999) == 999 and len(got) == 41
+    # v1 (the racer) is a delta; v2 (the mass rewrite) fell back to a
+    # full snapshot because its delta would not have been smaller.
+    assert "delta_base" in _raw(t, 1)
+    assert "files" in _raw(t, 2)
+    cold = TxnTable(spark, t.path, "k", snapshot_interval=5)
+    for ver in range(t.latest_version() + 1):
+        assert cold.manifest(ver) == t.manifest(ver)
+
+
+def test_restore_commit_racing_append_stays_reconstructable(
+    spark, tmp_path, monkeypatch
+):
+    # Restore republishes an old version's file list — another
+    # not-delta-shaped commit. Let a blind append steal restore's
+    # version: restore must refuse cleanly (no phantom manifest), and
+    # a retried restore over the deeper log lands with every version
+    # still cold-reconstructable.
+    t = TxnTable(spark, str(tmp_path / "rra"), "k", snapshot_interval=2)
+    t.create(
+        spark.createDataFrame(
+            [(k, k) for k in range(1, 21)], "k long, v long"
+        ).repartitionByRange(2, "k")
+    )
+    t.append(spark.createDataFrame([(100, 1)], "k long, v long"))
+    t.append(spark.createDataFrame([(101, 2)], "k long, v long"))
+    orig = t._commit
+    raced = {"done": False}
+
+    def patched(version, op, files, txn_id=None, **kw):
+        if op.startswith("restore(") and not raced["done"]:
+            raced["done"] = True
+            racer = TxnTable(spark, t.path, "k", snapshot_interval=2)
+            racer.append(
+                spark.createDataFrame([(999, 9)], "k long, v long")
+                .coalesce(1)
+            )
+        return orig(version, op, files, txn_id=txn_id, **kw)
+
+    monkeypatch.setattr(t, "_commit", patched)
+    import pytest as _pytest
+
+    from xlsx_to_database_spark.operators.txn_table import (
+        ConcurrentWriteError,
+    )
+
+    with _pytest.raises(ConcurrentWriteError):
+        t.restore(0)
+    v = t.restore(0)  # retry wins on the deeper log
+    assert t.read().count() == 20  # rolled back; racer's row restored away
+    assert t.manifest(v)["op"] == "restore(0)"
+    cold = TxnTable(spark, t.path, "k", snapshot_interval=2)
+    for ver in range(t.latest_version() + 1):
+        assert cold.manifest(ver) == t.manifest(ver)
+
+
 def test_delta_bytes_are_o_changed_not_o_files(spark, tmp_path):
     # The design claim, measured: an append to a many-file table must
     # write a manifest an order of magnitude smaller than the full

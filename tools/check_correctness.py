@@ -160,21 +160,14 @@ def main() -> int:
                 "status": "rows_only", "spark_rows": len(srows),
             }
             if len(srows) == 0:
-                # Empty rows-only output usually means a dead op — but a
-                # few results are legitimately empty above oracle scale
-                # (graph_kcore: the 3-core of the strong-tie co-purchase
-                # graph is VERIFIED empty at sf0.1 — 3,573 strong edges,
-                # all peeled; replayed independently in driver-side
-                # Python). The exemption is gated on the EXACT verified
-                # scale; everywhere else the strict heuristic holds, so
-                # a regression to 0 rows at a future scale still fails.
-                scale = os.path.basename(os.path.normpath(sf_dir))
-                exempt = scale == "sf0.1" and name in {"graph_kcore"}
-                if not exempt:
-                    failures.append((name, "rows-only op returned 0 rows"))
-                    results[name]["status"] = "rows_only_empty"
-                else:
-                    results[name]["status"] = "rows_only_empty_expected"
+                # Empty rows-only output means a dead op. (graph_kcore
+                # used to hold an sf0.1 exemption here — its 3-core was
+                # verified empty at that scale; round 12 lowered it to
+                # the 2-core, non-empty at every tested scale, so the
+                # strict heuristic now holds everywhere: round-11
+                # verdict #8.)
+                failures.append((name, "rows-only op returned 0 rows"))
+                results[name]["status"] = "rows_only_empty"
             continue
         # Optional oracle watchdog (MIRROR_ORACLE_TIMEOUT seconds): the
         # DuckDB oracles are deliberately brute-force references sized

@@ -92,12 +92,15 @@ DEFAULT_OPS = [
 ]
 
 
-def stage(spark) -> None:
+def stage(spark, dst: str = DST, copies: int = COPIES,
+          tables: list[str] | None = None) -> None:
     from pyspark.sql import functions as F
 
-    os.makedirs(DST, exist_ok=True)
+    os.makedirs(dst, exist_ok=True)
     for t, keys in KEYED.items():
-        out = os.path.join(DST, f"{t}.parquet")
+        if tables is not None and t not in tables:
+            continue
+        out = os.path.join(dst, f"{t}.parquet")
         if os.path.exists(os.path.join(out, "_SUCCESS")):
             continue
         src = spark.read.parquet(os.path.join(SRC, f"{t}.parquet"))
@@ -105,7 +108,7 @@ def stage(spark) -> None:
             src.write.mode("overwrite").parquet(out)
             continue
         parts = []
-        for i in range(COPIES):
+        for i in range(copies):
             cp = src
             for k in keys:
                 cp = cp.withColumn(k, F.col(k) + F.lit(i * OFFSET))
@@ -141,7 +144,7 @@ def stage(spark) -> None:
         for p in parts[1:]:
             big = big.unionByName(p)
         big.write.mode("overwrite").parquet(out)
-        print(f"staged {t} x{COPIES}", file=sys.stderr)
+        print(f"staged {t} x{copies} -> {dst}", file=sys.stderr)
 
 
 def _synth_docs(spark, n_docs: int, n_tok: int = 10, vocab: int = 200_000):
@@ -499,6 +502,68 @@ def big_smoke(spark, which: list[str]) -> None:
         )
 
 
+#: op id -> tables it reads (so the 32x staging inflates only those).
+X32_TABLES = {
+    "win_global_rank": ["orders", "nation", "region"],
+    "text_tfidf": ["documents", "nation", "region"],
+}
+
+DST32 = "/tmp/spark_scale_smoke/sf3.2c"
+
+
+def x32(spark, ops: list[str], out_json: str | None) -> None:
+    """1x / 8x / 32x timings for ``ops`` — see main()'s --x32 note."""
+    import json
+
+    from xlsx_to_database_spark.registry import all_queries
+
+    need = sorted({t for op in ops for t in X32_TABLES[op]})
+    stage(spark)  # the 8x copy (all tables, shared with the default run)
+    # 32x copy of only the needed tables (key offsets stay disjoint:
+    # 32 * OFFSET = 3.2e9 fits comfortably in the long key domain)
+    stage(spark, dst=DST32, copies=32, tables=need)
+    qs = all_queries()
+    results = {}
+    print(f"{'op':20} {'1x(s)':>8} {'8x(s)':>8} {'32x(s)':>8} "
+          f"{'r8':>6} {'r32':>7} {'r32/8':>6}")
+    for name in ops:
+        fn = qs[name]
+        ts = {}
+        for label, d in (("1x", SRC), ("8x", DST), ("32x", DST32)):
+            fn(spark, d).count()  # warm
+            t0 = time.perf_counter()
+            fn(spark, d).count()
+            ts[label] = time.perf_counter() - t0
+        r8 = ts["8x"] / max(ts["1x"], 1e-9)
+        r32 = ts["32x"] / max(ts["1x"], 1e-9)
+        results[name] = {
+            "t_1x_sec": round(ts["1x"], 3),
+            "t_8x_sec": round(ts["8x"], 3),
+            "t_32x_sec": round(ts["32x"], 3),
+            "ratio_8x": round(r8, 2),
+            "ratio_32x": round(r32, 2),
+            "ratio_32_over_8": round(ts["32x"] / max(ts["8x"], 1e-9), 2),
+        }
+        print(f"{name:20} {ts['1x']:8.2f} {ts['8x']:8.2f} "
+              f"{ts['32x']:8.2f} {r8:6.1f} {r32:7.1f} "
+              f"{results[name]['ratio_32_over_8']:6.1f}")
+    if out_json:
+        with open(out_json, "w") as f:
+            json.dump(
+                {
+                    "note": (
+                        "1x/8x/32x disjoint-key inflation of sf0.1 "
+                        "(round-11 verdict #7): linear-in-data means "
+                        "ratio_32_over_8 <= ~4; a compounding ratio "
+                        "flags a superlinear term"
+                    ),
+                    "ops": results,
+                },
+                f, indent=1, sort_keys=True,
+            )
+        print(f"wrote {out_json}")
+
+
 def main() -> None:
     from xlsx_to_database_spark.registry import all_queries
     from xlsx_to_database_spark.session import get_spark
@@ -511,6 +576,16 @@ def main() -> None:
     argv = sys.argv[1:]
     if argv and argv[0] == "--json":
         out_json, argv = argv[1], argv[2:]
+    if argv and argv[0] == "--x32":
+        # Second sweep point (round-11 verdict #7): run the named ops at
+        # 1x / 8x / 32x. The claim under test is that the 8x ratio
+        # FLATTENS toward linear-in-data between 8x and 32x (ratio_32_8
+        # <= ~4x + noise) rather than compounding — the difference
+        # between a constant-factor overhead and a genuinely
+        # superlinear term that 100 TB would amplify.
+        x32(spark, argv[1:] or ["win_global_rank", "text_tfidf"],
+            out_json)
+        return
     stage(spark)
     qs = all_queries()
     ops = argv or DEFAULT_OPS

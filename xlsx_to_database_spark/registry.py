@@ -358,6 +358,10 @@ _ATTESTED: tuple[str, ...] = (
 # centroid has zero norm — asserted in tests/test_similarity_ops.py).
 _REOPENED: frozenset[str] = frozenset({
     "vec_pq_encode", "sim_pq_adc_topk", "sim_recall_report",
+    # graph_kcore's coreness threshold drops 3 -> 2 this round so the
+    # core is non-empty at every tested scale (round-11 verdict #8) —
+    # the r8 rows-only green attests the 3-core output.
+    "graph_kcore",
 })
 
 #: The driver evaluates this many registry-order entries per round
