@@ -93,6 +93,51 @@ def test_driver_window_composition():
         assert not wasted, f"attested ops wasting window slots: {wasted}"
 
 
+def test_round_artifacts_cover_the_live_registry():
+    """Round-11 verdict #2: the three per-round artifacts (sf0.01
+    mirror, sf0.1 mirror, determinism audit) must be regenerated
+    TOGETHER after the last registry-growing commit — r11 shipped a
+    mirror at 457 ops beside an sf0.1 mirror at 455 and a determinism
+    audit at 436, a two-op evidence hole. Guard: the NEWEST committed
+    round of each family must cover exactly the live registry (mirrors:
+    every registered op; determinism: every oracled op). Fails until
+    this round's artifacts are (re)generated — the same deliberate
+    lifecycle pressure as the attestation-fold test above."""
+    import glob
+    import json
+    import os
+    import re
+
+    from xlsx_to_database_spark import registry as r
+
+    root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+    def newest(pattern: str) -> dict:
+        paths = glob.glob(os.path.join(root, pattern))
+        assert paths, f"no committed {pattern} artifacts"
+        def rnum(p):
+            return int(re.search(r"_r(\d+)\.json$", p).group(1))
+        return json.load(open(max(paths, key=rnum)))
+
+    registered = set(r.all_queries())
+    oracled = set(r.all_oracles())
+    mirror = newest("MIRROR_r*.json")
+    sf01 = newest("MIRROR_SF01_r*.json")
+    det = newest("DETERMINISM_r*.json")
+    assert set(mirror["results"]) == registered, (
+        "sf0.01 mirror stale: regenerate tools/check_correctness.py "
+        f"(missing {sorted(registered - set(mirror['results']))[:5]})"
+    )
+    assert set(sf01["results"]) == registered, (
+        "sf0.1 mirror stale: regenerate "
+        f"(missing {sorted(registered - set(sf01['results']))[:5]})"
+    )
+    assert set(det["results"]) == oracled, (
+        "determinism audit stale: regenerate "
+        f"(missing {sorted(oracled - set(det['results']))[:5]})"
+    )
+
+
 def test_attested_fold_complete():
     """Round-6 verdict #2: the _ATTESTED fold is manual, so guard it with
     a test — parse every committed CORRECTNESS_r*.json and assert every

@@ -3940,6 +3940,13 @@ def test_recall_report_matches_set_intersections(spark, sf_dir):
     assert got["lsh"] == (len(lsh & exact), round(len(lsh & exact) / 10, 2))
     assert got["ivf"] == (len(ivf & exact), round(len(ivf & exact) / 10, 2))
     assert got["ivf"][0] >= 5, "IVF recall collapsed"
+    # All five index variants publish through the report; the two PQ
+    # serving paths cannot beat the IVF candidate set they prune, and
+    # a collapse to 0 would mean a dead codebook.
+    assert set(got) == {"lsh", "ivf", "ivf_matrix", "ivfpq",
+                        "ivfpq_residual"}
+    for m in ("ivfpq", "ivfpq_residual"):
+        assert 1 <= got[m][0] <= got["ivf_matrix"][0], (m, got)
 
 
 def test_cost_opt_marks_the_true_argmin(spark, sf_dir):

@@ -390,11 +390,14 @@ def pq_train_codebook(
     vec_col: str = "embedding",
     iters: int = 1,
     decimals: int = 6,
+    init: Optional[Codebook] = None,
 ) -> Codebook:
     """TRAIN the PQ codebook: deterministic fixed-iteration per-subspace
     Lloyd's k-means (round-11 verdict #3b — replaces the positional
     stand-in with what makes PQ distortion meaningful). Init = the
-    positional codebook; each iteration assigns every (vector, subspace)
+    positional codebook (or an explicit ``init`` — the residual IVFPQ
+    path needs one, because the residuals of vectors 1..n_codes are
+    ~zero by construction); each iteration assigns every (vector, subspace)
     segment to its nearest codeword (rounded-6dp squared L2, smallest-id
     tie-break) and recomputes each codeword as the per-dimension mean of
     its members; a codeword with no members keeps its previous value
@@ -414,7 +417,7 @@ def pq_train_codebook(
     sums, never vectors; the collect is m·k·seg scalars (here 4·8·16 =
     512 — codebook metadata by definition, same as FAISS training's
     output artifact)."""
-    cb = _positional_codebook(
+    cb = init if init is not None else _positional_codebook(
         embeddings, n_subspaces, n_codes, id_col, vec_col
     )
     seg = len(cb[0][0][1])
@@ -681,6 +684,171 @@ def ivfpq_topk(
     return pq_adc_topk(
         embeddings, k, n_subspaces, n_codes, query_id, id_col, vec_col,
         codebook=codebook, corpus=cand,
+    )
+
+
+def ivfpq_residual_topk(
+    embeddings: DataFrame,
+    k: int = 10,
+    n_centroids: int = 8,
+    nprobe: int = 2,
+    n_subspaces: int = 4,
+    n_codes: int = 8,
+    query_id: int = 0,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVFPQ with RESIDUAL encoding — FAISS ``IndexIVFPQ``'s DEFAULT
+    mode (``by_residual=True``), completing :func:`ivfpq_topk`'s
+    by_residual=False variant: PQ quantizes x − centroid(cell(x)), not
+    x. Residuals cluster near the origin, so one shared codebook
+    spends its codewords on the fine structure the coarse quantizer
+    missed — materially lower distortion at the same code budget.
+    Serving consequence: the query's ADC table is PER PROBED CELL
+    (the query residual differs per cell), so a candidate's distance
+    is m lookups in ITS OWN cell's table.
+
+    Determinism: residuals re-quantize to 4dp after the subtraction
+    (two 4dp doubles differ exactly in float64 only by luck; the
+    re-round puts both engines back on identical values — the
+    ml_kmeans input-quantization discipline applied a second time).
+    Codebook = one shared :func:`pq_train_codebook` Lloyd's round over
+    the residual vectors, init = residuals of vectors 1..n_codes.
+
+    Plan shape: assignment is the broadcast-matrix path; the residual
+    subtraction is a map-literal lookup (centroid count is metadata —
+    at real centroid counts, a broadcast join on ``cell`` carries the
+    same plan); encode + per-cell ADC are codegen'd literals; the
+    TakeOrdered top-k is the only shuffle."""
+    cents = sorted(
+        (int(r[0]), [float(x) for x in r[1]])
+        for r in embeddings.filter(
+            F.col(id_col).between(1, n_centroids)
+        ).select(id_col, vec_col).collect()
+    )
+    assigned = ivf_assign_matrix(embeddings, cents, id_col, vec_col)
+
+    def lit_vec(vals):
+        return F.array(*[F.lit(v) for v in vals])
+
+    cmap = F.create_map(
+        *[x for cid, cv in cents for x in (F.lit(cid), lit_vec(cv))]
+    )
+    residuals = assigned.select(
+        F.col(id_col),
+        F.col("cell"),
+        F.transform(
+            F.zip_with(
+                F.col(vec_col), F.element_at(cmap, F.col("cell")),
+                lambda a, b: a - b,
+            ),
+            lambda x: F.round(x, 4),
+        ).alias("rvec"),
+    )
+    # Init codewords = residuals of vectors n_centroids+1 ..
+    # n_centroids+n_codes (ids 9..16 on the registered config): the
+    # residuals of vectors 1..n_codes would be ~zero (each IS its own
+    # centroid), collapsing the init to 8 identical zero codewords.
+    init_rows = sorted(
+        (int(r[0]), [float(x) for x in r[1]])
+        for r in residuals.filter(
+            F.col(id_col).between(
+                n_centroids + 1, n_centroids + n_codes
+            )
+        ).select(id_col, "rvec").collect()
+    )
+    seg_i = len(init_rows[0][1]) // n_subspaces
+    init_cb: Codebook = {
+        s: [
+            (cid, rv[s * seg_i:(s + 1) * seg_i])
+            for cid, rv in init_rows
+        ]
+        for s in range(n_subspaces)
+    }
+    cb = pq_train_codebook(
+        residuals, n_subspaces, n_codes, id_col, "rvec", init=init_cb
+    )
+    # Inline encode (pq_encode's argmin, plus the cell column carried
+    # through) — a pq_encode + join-back would shuffle on id; this
+    # keeps the whole candidate pipeline map-only.
+    seg0 = len(cb[0][0][1])
+    enc_cols = [F.col(id_col), F.col("cell")]
+    for s in range(n_subspaces):
+        sub = F.slice(F.col("rvec"), s * seg0 + 1, seg0)
+        rankd = F.array(
+            *[
+                F.struct(
+                    _sq_l2(sub, seg_vals).alias("d"),
+                    F.lit(cid).cast("long").alias("c"),
+                )
+                for cid, seg_vals in cb[s]
+            ]
+        )
+        enc_cols.append(F.array_min(rankd)["c"].alias(f"c{s}"))
+    enc = residuals.select(*enc_cols)
+
+    # Query: probe cells ranked by cosine to the RAW query (the coarse
+    # quantizer sees raw vectors), then one ADC table per probed cell
+    # from the query's PER-CELL residual.
+    ranked = F.array(
+        *[
+            F.struct(
+                cosine_sim(F.col(vec_col), lit_vec(cv)).alias("s"),
+                F.lit(-cid).cast("long").alias("nc"),
+            )
+            for cid, cv in cents
+        ]
+    )
+    probe_cells = F.slice(
+        F.transform(F.sort_array(ranked, asc=False), lambda x: -x["nc"]),
+        1, nprobe,
+    )
+    q_row = embeddings.filter(F.col(id_col) == query_id).select(
+        vec_col, probe_cells.alias("pc")
+    ).collect()[0]
+    q, probed = [float(x) for x in q_row[0]], [int(c) for c in q_row[1]]
+    seg = len(cb[0][0][1])
+    cvec = dict(cents)
+    tables = {
+        c: {
+            s: {
+                cid: round(
+                    sum(
+                        (round(q[s * seg + i] - cvec[c][s * seg + i], 4)
+                         - seg_vals[i]) ** 2
+                        for i in range(seg)
+                    ),
+                    6,
+                )
+                for cid, seg_vals in cb[s]
+            }
+            for s in range(n_subspaces)
+        }
+        for c in probed
+    }
+    cand = enc.filter(F.col("cell").isin(probed))
+    adc: Column = F.lit(0.0)
+    for s in range(n_subspaces):
+        per_cell = None
+        for c in probed:
+            lookup = F.create_map(
+                *[
+                    x
+                    for cid in tables[c][s]
+                    for x in (F.lit(cid), F.lit(tables[c][s][cid]))
+                ]
+            )
+            branch = F.element_at(lookup, F.col(f"c{s}"))
+            per_cell = (
+                F.when(F.col("cell") == c, branch)
+                if per_cell is None
+                else per_cell.when(F.col("cell") == c, branch)
+            )
+        adc = adc + per_cell
+    return (
+        cand.select(F.col(id_col), F.round(adc, 6).alias("adc_dist"))
+        .orderBy(F.col("adc_dist").asc(), F.col(id_col).asc())
+        .limit(k)
     )
 
 

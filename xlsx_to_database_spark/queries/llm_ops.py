@@ -495,6 +495,121 @@ def sim_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "sim_ivfpq_residual_topk",
+    """
+    WITH v4 AS (
+      SELECT vec_id,
+             list_transform(embedding, x -> round(CAST(x AS DOUBLE), 4)) AS e
+      FROM embeddings
+    ), sub AS (SELECT unnest(generate_series(0, 3)) AS s),
+    nv AS (
+      SELECT vec_id, e,
+             sqrt(list_sum(list_transform(e, x -> x * x))) AS nrm
+      FROM v4
+    ), cc AS (
+      SELECT vec_id AS c_id, e AS ce, nrm AS cn
+      FROM nv WHERE vec_id BETWEEN 1 AND 8
+    ), sc AS (
+      SELECT nv.vec_id, cc.c_id,
+             round(list_sum(list_transform(generate_series(1, len(e)),
+                                           i -> e[i] * ce[i]))
+                   / (nrm * cn), 6) AS csim
+      FROM nv, cc
+    ), cellasg AS (
+      SELECT vec_id, c_id AS cell FROM (
+        SELECT vec_id, c_id,
+               row_number() OVER (PARTITION BY vec_id
+                                  ORDER BY csim DESC, c_id ASC) AS rn
+        FROM sc
+      ) WHERE rn = 1
+    ), qp AS (
+      SELECT c_id AS cell FROM sc WHERE vec_id = 0
+      ORDER BY csim DESC, c_id ASC LIMIT 2
+    ), q AS (SELECT e AS qe FROM v4 WHERE vec_id = 0),
+    rv AS (
+      SELECT v4.vec_id, ca.cell,
+             list_transform(generate_series(1, len(v4.e)),
+                            i -> round(v4.e[i] - cc.ce[i], 4)) AS r
+      FROM v4
+      JOIN cellasg ca ON v4.vec_id = ca.vec_id
+      JOIN cc ON cc.c_id = ca.cell
+    ), rini AS (
+      SELECT sub.s, c.vec_id AS cid, c.r
+      FROM sub, (SELECT vec_id, r FROM rv
+                 WHERE vec_id BETWEEN 9 AND 16) c
+    ), rinidim AS (
+      SELECT s, cid, t.i AS dim, r[s*16 + t.i] AS m
+      FROM rini, UNNEST(generate_series(1, 16)) AS t(i)
+    ), rasg0 AS (
+      SELECT vec_id, s, cid, r FROM (
+        SELECT rv.vec_id, rini.s, rini.cid, rv.r,
+               row_number() OVER (PARTITION BY rv.vec_id, rini.s
+                 ORDER BY round(list_sum(list_transform(generate_series(1, 16),
+                     i -> (rv.r[rini.s*16+i] - rini.r[rini.s*16+i])
+                        * (rv.r[rini.s*16+i] - rini.r[rini.s*16+i]))), 6) ASC,
+                   rini.cid ASC) AS rn
+        FROM rv, rini
+      ) WHERE rn = 1
+    ), rupd AS (
+      SELECT a.s, a.cid, t.i AS dim,
+             round(CAST(sum(CAST(a.r[a.s*16 + t.i] AS DECIMAL(28,10)))
+                        AS DOUBLE) / count(*), 6) AS m
+      FROM rasg0 a, UNNEST(generate_series(1, 16)) AS t(i)
+      GROUP BY a.s, a.cid, t.i
+    ), rcb AS (
+      SELECT i.s, i.cid, list(coalesce(u.m, i.m) ORDER BY i.dim) AS cw
+      FROM rinidim i LEFT JOIN rupd u
+        ON u.s = i.s AND u.cid = i.cid AND u.dim = i.dim
+      GROUP BY i.s, i.cid
+    ), rpairs AS (
+      SELECT rv.vec_id, rv.cell, rcb.s, rcb.cid,
+             round(list_sum(list_transform(generate_series(1, 16),
+                   i -> (rv.r[rcb.s*16+i] - rcb.cw[i])
+                      * (rv.r[rcb.s*16+i] - rcb.cw[i]))), 6) AS d2
+      FROM rv, rcb
+    ), rbest AS (
+      SELECT vec_id, cell, s, cid,
+             row_number() OVER (PARTITION BY vec_id, s
+                                ORDER BY d2 ASC, cid ASC) AS rn
+      FROM rpairs
+    ), qrv AS (
+      SELECT qp.cell,
+             list_transform(generate_series(1, len(q.qe)),
+                            i -> round(q.qe[i] - cc.ce[i], 4)) AS qr
+      FROM q, qp JOIN cc ON cc.c_id = qp.cell
+    ), rqtab AS (
+      SELECT qrv.cell, rcb.s, rcb.cid,
+             round(list_sum(list_transform(generate_series(1, 16),
+                   i -> (qr[rcb.s*16+i] - rcb.cw[i])
+                      * (qr[rcb.s*16+i] - rcb.cw[i]))), 6) AS dq2
+      FROM qrv, rcb
+    )
+    SELECT b.vec_id, round(sum(t.dq2), 6) AS adc_dist
+    FROM rbest b
+    JOIN rqtab t ON t.cell = b.cell AND t.s = b.s AND t.cid = b.cid
+    WHERE b.rn = 1
+    GROUP BY b.vec_id
+    ORDER BY adc_dist ASC, b.vec_id ASC
+    LIMIT 10
+    """,
+)
+def sim_ivfpq_residual_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVFPQ with RESIDUAL encoding — FAISS IndexIVFPQ's DEFAULT mode
+    (by_residual=True), beside sim_ivfpq_topk's by_residual=False: PQ
+    quantizes x − centroid(cell(x)), so the shared codebook spends its
+    codewords on what the coarse quantizer missed, and the query's ADC
+    table is PER PROBED CELL. Residuals re-quantize to 4dp after the
+    subtraction (both engines back on identical doubles); codebook =
+    one Lloyd's round over residuals, init = the residuals of vectors
+    9..16 (1..8 are their own centroids — residual ~0)
+    (operators/similarity.py::ivfpq_residual_topk)."""
+    return S.ivfpq_residual_topk(
+        _quantized_embeddings(spark, sf_dir),
+        k=10, n_centroids=8, nprobe=2, n_subspaces=4, n_codes=8,
+    )
+
+
+@query(
     "sim_knn_join",
     _VEC_CTE
     + """

@@ -3852,12 +3852,14 @@ def _recall_oracle() -> str:
     ivf = _ORACLES["sim_ivf_topk"]
     ivf_m = _ORACLES["sim_ivf_matrix_topk"]
     ivfpq = _ORACLES["sim_ivfpq_topk"]
+    ivfpq_r = _ORACLES["sim_ivfpq_residual_topk"]
     return f"""
     WITH exact AS (SELECT vec_id FROM ({ex})),
     lsh AS (SELECT vec_id FROM ({lsh})),
     ivf AS (SELECT vec_id FROM ({ivf})),
     ivf_m AS (SELECT vec_id FROM ({ivf_m})),
-    ivfpq AS (SELECT vec_id FROM ({ivfpq}))
+    ivfpq AS (SELECT vec_id FROM ({ivfpq})),
+    ivfpq_r AS (SELECT vec_id FROM ({ivfpq_r}))
     SELECT method, n_hits, round(CAST(n_hits AS DOUBLE) / 10, 2) AS recall
     FROM (
       SELECT 'lsh' AS method,
@@ -3877,6 +3879,11 @@ def _recall_oracle() -> str:
       UNION ALL
       SELECT 'ivfpq',
              CAST((SELECT count(*) FROM ivfpq
+                   WHERE vec_id IN (SELECT vec_id FROM exact))
+                  AS BIGINT)
+      UNION ALL
+      SELECT 'ivfpq_residual',
+             CAST((SELECT count(*) FROM ivfpq_r
                    WHERE vec_id IN (SELECT vec_id FROM exact))
                   AS BIGINT)
     )
@@ -3918,10 +3925,12 @@ def sim_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     # cell-probed ADC) — reuse the registered query so the report
     # measures exactly what sim_ivfpq_topk serves.
     from xlsx_to_database_spark.queries.llm_ops import (
+        sim_ivfpq_residual_topk as _ivfpq_r_q,
         sim_ivfpq_topk as _ivfpq_q,
     )
 
     ivfpq = _ivfpq_q(spark, sf_dir).select("vec_id")
+    ivfpq_r = _ivfpq_r_q(spark, sf_dir).select("vec_id")
 
     def hits(df: DataFrame, name: str) -> DataFrame:
         return (
@@ -3942,6 +3951,7 @@ def sim_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionByName(hits(ivf, "ivf"))
         .unionByName(hits(ivf_m, "ivf_matrix"))
         .unionByName(hits(ivfpq, "ivfpq"))
+        .unionByName(hits(ivfpq_r, "ivfpq_residual"))
     )
 
 
