@@ -355,6 +355,70 @@ def test_pq_trained_codebook_lowers_distortion(spark):
     assert trained < 0.9 * base, (base, trained)
 
 
+def test_residual_pq_distortion_band(spark):
+    # Residual PQ's distortion advantage is a property of CLUSTERED
+    # data; on this near-uniform synthetic corpus it measured ~1.24x
+    # the plain trained distortion (524 vs 422, sf0.001). Pin a band,
+    # not a direction: a drift outside [0.5x, 2x] means the residual
+    # pipeline (assignment/subtraction/init/training) broke, while the
+    # sign of the gap is the data's business.
+    from pyspark.sql import functions as F
+    from xlsx_to_database_spark.operators.similarity import (
+        ivf_assign_matrix,
+        pq_encode,
+        pq_train_codebook,
+    )
+
+    e = spark.read.parquet(
+        "/root/testdata/sf0.001/embeddings.parquet"
+    ).select(
+        "vec_id",
+        F.transform(
+            F.col("embedding"), lambda x: F.round(x.cast("double"), 4)
+        ).alias("embedding"),
+    )
+    plain = (
+        pq_encode(e, codebook=pq_train_codebook(e))
+        .agg(F.sum("distortion")).collect()[0][0]
+    )
+    cents = sorted(
+        (int(r[0]), [float(x) for x in r[1]])
+        for r in e.filter(F.col("vec_id").between(1, 8)).collect()
+    )
+    cmap = F.create_map(
+        *[
+            x
+            for cid, cv in cents
+            for x in (F.lit(cid), F.array(*[F.lit(v) for v in cv]))
+        ]
+    )
+    res = ivf_assign_matrix(e, cents).select(
+        "vec_id",
+        F.transform(
+            F.zip_with(
+                F.col("embedding"), F.element_at(cmap, F.col("cell")),
+                lambda a, b: a - b,
+            ),
+            lambda x: F.round(x, 4),
+        ).alias("rvec"),
+    )
+    init_rows = sorted(
+        (int(r[0]), [float(x) for x in r[1]])
+        for r in res.filter(F.col("vec_id").between(9, 16))
+        .select("vec_id", "rvec").collect()
+    )
+    init_cb = {
+        s: [(cid, rv[s * 16:(s + 1) * 16]) for cid, rv in init_rows]
+        for s in range(4)
+    }
+    rcb = pq_train_codebook(res, vec_col="rvec", init=init_cb)
+    resid = (
+        pq_encode(res, vec_col="rvec", codebook=rcb)
+        .agg(F.sum("distortion")).collect()[0][0]
+    )
+    assert 0.5 * plain < resid < 2.0 * plain, (plain, resid)
+
+
 def test_ivfpq_is_adc_restricted_to_probed_cells(spark):
     # The composition contract: ivfpq_topk == pq_adc_topk swept over
     # exactly the vectors whose IVF cell is among the query's probe
