@@ -349,6 +349,24 @@ def test_partitioned_read_prunes_directories(spark, sf_dir, qs):
     assert m and "o_year" in m.group(1), plan
 
 
+def test_index_serve_prunes_cells_and_reads_no_vectors(spark, sf_dir, qs):
+    # The persisted-IVFPQ serving claim, plan-asserted: the probe-cell
+    # filter must land as a PartitionFilter (unprobed cells pruned at
+    # the DIRECTORY level — at a billion vectors that is the difference
+    # between scanning nprobe/n_centroids of the codes and all of
+    # them), and the scan schema must be codes only — the index table
+    # holds no vector column, so serving reads 4-byte codes, period.
+    import re
+
+    plan = explain_str(qs["sim_index_serve_topk"](spark, sf_dir))
+    m = re.search(r"PartitionFilters: \[([^\]]*)\]", plan)
+    assert m and "cell" in m.group(1), plan
+    rs = re.search(r"ReadSchema: ([^\n]*)", plan)
+    assert rs and "embedding" not in rs.group(1), plan
+    assert "c0" in rs.group(1), plan
+    assert "TakeOrderedAndProject" in plan, plan
+
+
 def test_running_distinct_reuses_partitioning(spark, sf_dir, qs):
     # Two window sorts, both partitioned on user_id: the running-sum
     # window must reuse the first-occurrence window's Exchange.

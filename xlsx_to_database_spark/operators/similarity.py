@@ -687,6 +687,127 @@ def ivfpq_topk(
     )
 
 
+def ivfpq_index_build(
+    embeddings: DataFrame,
+    path: str,
+    n_centroids: int = 8,
+    n_subspaces: int = 4,
+    n_codes: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> dict:
+    """BUILD a persisted IVFPQ index (by_residual=False): train the
+    codebook, assign every vector to its IVF cell, encode to PQ codes,
+    and write ``(id, c0..cm-1)`` parquet PARTITIONED BY cell. This is
+    the encode-once/serve-many separation every production ANN system
+    has: the index table stores 4-byte codes (no vectors at all), and
+    the hive layout means a serving scan of nprobe cells prunes the
+    other cells at the DIRECTORY level — ``PartitionFilters``, zero
+    footer reads for unprobed cells. Returns the serving metadata
+    (centroids + codebook — in production, the JSON sidecar written
+    next to the index; both are deterministic retraining outputs here,
+    so a fresh process can regenerate them bit-identically)."""
+    cents = sorted(
+        (int(r[0]), [float(x) for x in r[1]])
+        for r in embeddings.filter(
+            F.col(id_col).between(1, n_centroids)
+        ).select(id_col, vec_col).collect()
+    )
+    cb = pq_train_codebook(
+        embeddings, n_subspaces, n_codes, id_col, vec_col
+    )
+    assigned = ivf_assign_matrix(embeddings, cents, id_col, vec_col)
+    seg = len(cb[0][0][1])
+    enc_cols = [F.col(id_col), F.col("cell")]
+    for s in range(n_subspaces):
+        sub = F.slice(F.col(vec_col), s * seg + 1, seg)
+        ranked = F.array(
+            *[
+                F.struct(
+                    _sq_l2(sub, seg_vals).alias("d"),
+                    F.lit(cid).cast("long").alias("c"),
+                )
+                for cid, seg_vals in cb[s]
+            ]
+        )
+        enc_cols.append(F.array_min(ranked)["c"].alias(f"c{s}"))
+    assigned.select(*enc_cols).write.mode("overwrite").partitionBy(
+        "cell"
+    ).parquet(path)
+    return {"centroids": cents, "codebook": cb}
+
+
+def ivfpq_index_serve(
+    spark,
+    path: str,
+    meta: dict,
+    query_vec: list[float],
+    k: int = 10,
+    nprobe: int = 2,
+    n_subspaces: int = 4,
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """SERVE top-k from a persisted :func:`ivfpq_index_build` index:
+    rank probe cells driver-side against the metadata centroids (the
+    coarse quantizer is metadata by definition), scan ONLY those
+    cells' directories (partition pruning — plan-asserted in
+    tests/test_plans.py), and rank by ADC table lookups over the
+    stored codes. The serving plan never touches a vector: the index
+    has none, the query's distance table is inlined literals, and the
+    TakeOrdered top-k is the only shuffle. Same output contract as
+    :func:`ivfpq_topk` — the persisted codes must serve the identical
+    ranking (shared oracle)."""
+    cents: list[tuple[int, list[float]]] = meta["centroids"]
+    cb: Codebook = meta["codebook"]
+    q = [float(x) for x in query_vec]
+
+    def cos6(cv: list[float]) -> float:
+        # Sequential float64 folds — the same accumulation order the
+        # oracle's list_sum uses; 6dp rounding absorbs the rest.
+        dot = 0.0
+        nq = 0.0
+        nc = 0.0
+        for a, b in zip(q, cv):
+            dot += a * b
+            nq += a * a
+            nc += b * b
+        return round(dot / ((nq ** 0.5) * (nc ** 0.5)), 6)
+
+    probed = [
+        cid for _, cid in sorted((-cos6(cv), cid) for cid, cv in cents)
+    ][:nprobe]
+    seg = len(cb[0][0][1])
+    table = {
+        s: {
+            cid: round(
+                sum(
+                    (q[s * seg + i] - seg_vals[i]) ** 2
+                    for i in range(seg)
+                ),
+                6,
+            )
+            for cid, seg_vals in cb[s]
+        }
+        for s in range(n_subspaces)
+    }
+    scan = spark.read.parquet(path).filter(F.col("cell").isin(probed))
+    adc: Column = F.lit(0.0)
+    for s in range(n_subspaces):
+        lookup = F.create_map(
+            *[
+                x
+                for cid in table[s]
+                for x in (F.lit(cid), F.lit(table[s][cid]))
+            ]
+        )
+        adc = adc + F.element_at(lookup, F.col(f"c{s}"))
+    return (
+        scan.select(F.col(id_col), F.round(adc, 6).alias("adc_dist"))
+        .orderBy(F.col("adc_dist").asc(), F.col(id_col).asc())
+        .limit(k)
+    )
+
+
 def ivfpq_residual_topk(
     embeddings: DataFrame,
     k: int = 10,

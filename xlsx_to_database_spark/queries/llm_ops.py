@@ -434,10 +434,11 @@ def sim_pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return S.pq_adc_topk(e, k=10, n_subspaces=4, n_codes=8, codebook=cb)
 
 
-@query(
-    "sim_ivfpq_topk",
-    _PQ_CTE
-    + """
+#: IVF cell-assignment scaffolding over the 4dp-quantized vectors
+#: (cosine to centroids 1..8, rounded 6dp, smallest-id tie-break) plus
+#: the query's probe-cell ranking — shared by the composed IVFPQ
+#: serving oracle and the persisted-index build oracle.
+_IVF_CELL_CTE = """
     , nv AS (
       SELECT vec_id, e,
              sqrt(list_sum(list_transform(e, x -> x * x))) AS nrm
@@ -462,7 +463,14 @@ def sim_pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT c_id AS cell FROM sc WHERE vec_id = 0
       ORDER BY csim DESC, c_id ASC LIMIT 2
     )
-    """
+"""
+
+#: The full composed IVFPQ (by_residual=False) serving oracle — also
+#: the oracle of sim_index_serve_topk, which must return the identical
+#: ranking from the PERSISTED codes.
+_IVFPQ_ORACLE = (
+    _PQ_CTE
+    + _IVF_CELL_CTE
     + _QTAB_CTE
     + """
     SELECT b.vec_id, round(sum(qtab.dq2), 6) AS adc_dist
@@ -474,8 +482,11 @@ def sim_pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     GROUP BY b.vec_id
     ORDER BY adc_dist ASC, b.vec_id ASC
     LIMIT 10
-    """,
+    """
 )
+
+
+@query("sim_ivfpq_topk", _IVFPQ_ORACLE)
 def sim_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF + PQ COMPOSED (round-11 verdict #3a) — FAISS IndexIVFPQ's
     serving shape, by_residual=False: the broadcast-matrix coarse
@@ -491,6 +502,71 @@ def sim_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return S.ivfpq_topk(
         e, k=10, n_centroids=8, nprobe=2, n_subspaces=4, n_codes=8,
         codebook=cb,
+    )
+
+
+def _index_path(sf_dir: str) -> str:
+    import os
+
+    tag = os.path.basename(os.path.normpath(sf_dir))
+    return os.path.join("/tmp/spark_stage", f"{tag}_ivfpq_index")
+
+
+@query(
+    "vec_index_build",
+    _PQ_CTE
+    + _IVF_CELL_CTE
+    + """
+    SELECT b.vec_id, CAST(ca.cell AS BIGINT) AS cell,
+           CAST(max(CASE WHEN s = 0 THEN cid END) AS BIGINT) AS c0,
+           CAST(max(CASE WHEN s = 1 THEN cid END) AS BIGINT) AS c1,
+           CAST(max(CASE WHEN s = 2 THEN cid END) AS BIGINT) AS c2,
+           CAST(max(CASE WHEN s = 3 THEN cid END) AS BIGINT) AS c3
+    FROM best b JOIN cellasg ca ON b.vec_id = ca.vec_id
+    WHERE b.rn = 1
+    GROUP BY b.vec_id, ca.cell
+    """,
+)
+def vec_index_build(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Persisted IVFPQ index BUILD (encode-once half of every
+    production ANN system): cell-assign + trained-PQ-encode every
+    vector and write (vec_id, codes) parquet PARTITIONED BY cell —
+    the index stores 4-byte codes, no vectors, and its hive layout
+    gives serving directory-level partition pruning
+    (operators/similarity.py::ivfpq_index_build). The read-back is the
+    oracle-checked result, so the round trip through the persisted
+    files is what's verified."""
+    e = _quantized_embeddings(spark, sf_dir)
+    path = _index_path(sf_dir)
+    S.ivfpq_index_build(e, path)
+    import os
+
+    back = spark.read.parquet(path)
+    return back.select(
+        "vec_id", F.col("cell").cast("long").alias("cell"),
+        "c0", "c1", "c2", "c3",
+    )
+
+
+@query("sim_index_serve_topk", _IVFPQ_ORACLE)
+def sim_index_serve_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Serve top-10 from the PERSISTED IVFPQ index — the serve-many
+    half: probe cells rank driver-side against the metadata centroids,
+    the scan reads ONLY the probed cells' directories (partition
+    pruning, plan-asserted) and ONLY code columns (the index has no
+    vectors), ADC ranks via inlined lookup literals. Must serve the
+    IDENTICAL ranking to sim_ivfpq_topk — the two share one oracle,
+    which is the claim that persisting the codes loses nothing
+    (operators/similarity.py::ivfpq_index_serve)."""
+    e = _quantized_embeddings(spark, sf_dir)
+    meta = S.ivfpq_index_build(e, _index_path(sf_dir))
+    q = [
+        float(x)
+        for x in e.filter(F.col("vec_id") == 0)
+        .select("embedding").collect()[0][0]
+    ]
+    return S.ivfpq_index_serve(
+        spark, _index_path(sf_dir), meta, q, k=10, nprobe=2
     )
 
 
