@@ -68,6 +68,12 @@ HEADLINE = [
     # commits plus the anti-join read-back; tracks both the sidecar
     # write path and the DV read tax.
     "table_delete_vectors",
+    # Round-12 addition: the composed IVFPQ serving path — codebook
+    # training (explode + scalar-cell aggregate), Arrow-batched matrix
+    # cell assignment, probe-cell broadcast, literal-lookup ADC,
+    # TakeOrdered — a plan shape (pandas_udf + training collects) the
+    # rest of the suite doesn't cover.
+    "sim_ivfpq_topk",
 ]
 
 
