@@ -292,6 +292,23 @@ def test_ivf_matrix_zero_norm_centroid_is_inert(spark):
     )
     got = {r.vec_id: r.cell for r in ivf_assign_matrix(df, cents).collect()}
     assert got == {10: 1, 11: 2, 12: 0}
+    # The underflow case the first clamp (1e-300) missed: a zero-norm
+    # ROW against a zero-norm centroid NOT at index 0. 1e-300*1e-300
+    # underflows to 0.0 → NaN → argmax would pick the NaN column (the
+    # degenerate centroid, id 2); the 1e-150 clamp keeps the product a
+    # normal double, so every similarity is 0.0 and the zero row
+    # tie-breaks to the SMALLEST centroid id instead.
+    cents2 = [(0, [1.0, 0.0]), (1, [0.0, 1.0]), (2, [0.0, 0.0])]
+    got2 = {
+        r.vec_id: r.cell
+        for r in ivf_assign_matrix(
+            spark.createDataFrame(
+                [(20, [0.0, 0.0])], "vec_id long, embedding array<double>"
+            ),
+            cents2,
+        ).collect()
+    }
+    assert got2 == {20: 0}
     # And the registered configuration (the one the oracle attests)
     # contains no zero-norm centroid — the no-reopen argument for the
     # clamp rests on the clamp being the identity there.

@@ -220,9 +220,13 @@ def test_failed_backfill_memoized_across_commits(spark, tmp_path):
     # Round-11 ADVICE #3: when the backfill pass fails (an unreadable
     # footer), subsequent commits must NOT re-run the O(files) footer
     # pass — one bad file costs one scan, not one per commit forever.
+    # Round-12 refinement: the tombstone is SCOPED TO the offending
+    # file's path, so once a rewrite retires that file the backfill
+    # retries and the table regains pinned-read planning by itself.
     t = _mk(spark, str(tmp_path / "bfmemo"))
     _strip_registries(t)
-    victim = os.path.join(t.path, t.manifest()["files"][0]["path"])
+    victim_rel = t.manifest()["files"][0]["path"]
+    victim = os.path.join(t.path, victim_rel)
     orig = open(victim, "rb").read()
     calls = []
     real = TxnTable._footer_schema_backfill
@@ -237,13 +241,13 @@ def test_failed_backfill_memoized_across_commits(spark, tmp_path):
             f.write(b"not parquet")
         t.append(spark.createDataFrame([(101, 1)], "k long, v long"))
         assert calls, "first commit must attempt the backfill"
-        assert t.manifest().get("rs_unpinnable") is True
+        assert t.manifest().get("rs_unpinnable") == victim_rel
         n_first = len(calls)
         t.append(spark.createDataFrame([(102, 2)], "k long, v long"))
         assert len(calls) == n_first, (
             "tombstoned table re-ran the footer backfill pass"
         )
-        assert t.manifest().get("rs_unpinnable") is True
+        assert t.manifest().get("rs_unpinnable") == victim_rel
     finally:
         TxnTable._footer_schema_backfill = real
         with open(victim, "wb") as f:
@@ -259,6 +263,37 @@ def test_failed_backfill_memoized_across_commits(spark, tmp_path):
     out = t.manifest()
     assert out["read_schema"] == [["k", "bigint"], ["v", "bigint"]]
     assert "rs_unpinnable" not in out
+
+
+def test_tombstone_autoclears_when_bad_file_is_rewritten(spark, tmp_path):
+    # The path-scoped half of the round-12 refinement, end to end: a
+    # corrupt footer tombstones the table; a compaction retires the
+    # bad file (rewriting its rows from restored-good bytes); the NEXT
+    # commit sees the tombstoned path gone from the live set, retries
+    # the backfill, and the pin comes back WITHOUT any explicit repin.
+    t = _mk(spark, str(tmp_path / "bfauto"))
+    _strip_registries(t)
+    victim_rel = t.manifest()["files"][0]["path"]
+    victim = os.path.join(t.path, victim_rel)
+    orig = open(victim, "rb").read()
+    with open(victim, "wb") as f:
+        f.write(b"not parquet")
+    t.append(spark.createDataFrame([(101, 1)], "k long, v long"))
+    assert t.manifest().get("rs_unpinnable") == victim_rel
+    # heal the bytes (so the rewrite can read them), then retire the
+    # file; the tombstone — keyed on the PATH, not the bytes — holds
+    # until the path leaves the live set
+    with open(victim, "wb") as f:
+        f.write(orig)
+    t.compact(target_files=1)
+    assert all(
+        e["path"] != victim_rel for e in t.manifest()["files"]
+    ), "compaction should retire the bad file"
+    t.append(spark.createDataFrame([(102, 2)], "k long, v long"))
+    out = t.manifest()
+    assert "rs_unpinnable" not in out
+    assert ["k", "bigint"] in out["read_schema"]
+    assert len(t.read().collect()) == 22
 
 
 def test_manifest_entries_are_caller_owned_copies(spark, tmp_path):

@@ -517,6 +517,12 @@ def x32(spark, ops: list[str], out_json: str | None) -> None:
 
     from xlsx_to_database_spark.registry import all_queries
 
+    unknown = [op for op in ops if op not in X32_TABLES]
+    if unknown:
+        sys.exit(
+            f"--x32: no table mapping for {unknown}; supported ops: "
+            f"{sorted(X32_TABLES)} (add the op's tables to X32_TABLES)"
+        )
     need = sorted({t for op in ops for t in X32_TABLES[op]})
     stage(spark)  # the 8x copy (all tables, shared with the default run)
     # 32x copy of only the needed tables (key offsets stay disjoint:

@@ -266,20 +266,24 @@ def ivf_assign_matrix(
 
     ids = np.array([c for c, _ in cents], dtype=np.int64)
     M = np.array([v for _, v in cents], dtype=np.float64)  # C × d
-    # Clamp centroid norms exactly like the row-side clamp below
-    # (round-11 ADVICE #4): an unclamped zero-norm centroid yields a
-    # NaN similarity COLUMN, and np.argmax then silently assigns every
-    # row in the batch to that centroid. With the clamp its similarity
-    # is ~0 instead, so it only wins ties at id order — degenerate
-    # centroids become inert rather than a black hole.
-    cn = np.maximum(np.linalg.norm(M, axis=1), 1e-300)  # centroid norms, C
+    # Clamp centroid norms like the row-side clamp below (round-11
+    # ADVICE #4): an unclamped zero-norm centroid yields a NaN
+    # similarity COLUMN, and np.argmax then silently assigns every row
+    # in the batch to that centroid. Clamp value 1e-150, NOT 1e-300:
+    # the denominator is the PRODUCT of the two clamps, and
+    # 1e-300 * 1e-300 underflows to 0.0 — a zero-norm row meeting a
+    # zero-norm centroid would still produce NaN and resurrect the
+    # black-hole assignment (round-12 review finding). 1e-150 squared
+    # is 1e-300, a normal double, so the degenerate similarity is an
+    # ordinary 0.0 and such a centroid only wins ties at id order.
+    cn = np.maximum(np.linalg.norm(M, axis=1), 1e-150)  # centroid norms, C
     bc = embeddings.sparkSession.sparkContext.broadcast((ids, M, cn))
 
     @pandas_udf("long")
     def assign(vecs: pd.Series) -> pd.Series:
         ids_, M_, cn_ = bc.value
         X = np.array(vecs.tolist(), dtype=np.float64)  # B × d
-        xn = np.maximum(np.linalg.norm(X, axis=1), 1e-300)
+        xn = np.maximum(np.linalg.norm(X, axis=1), 1e-150)
         sims = np.round((X @ M_.T) / np.outer(xn, cn_), 6)  # B × C
         return pd.Series(ids_[np.argmax(sims, axis=1)])
 
@@ -303,31 +307,11 @@ def ivf_topk_matrix(
     survives real centroid counts. The QUERY's probe cells still rank
     through the literal expression (one row — plan cost is nil) so the
     probe order is byte-identical to ivf_topk's."""
-    cents = sorted(
-        (int(r[0]), [float(x) for x in r[1]])
-        for r in embeddings.filter(
-            F.col(id_col).between(1, n_centroids)
-        ).select(id_col, vec_col).collect()
-    )
+    cents = _collect_codebook(embeddings, n_centroids, id_col, vec_col)
     assigned = ivf_assign_matrix(embeddings, cents, id_col, vec_col)
-
-    def lit_vec(vals):
-        return F.array(*[F.lit(v) for v in vals])
-
-    ranked = F.array(
-        *[
-            F.struct(
-                cosine_sim(F.col(vec_col), lit_vec(cv)).alias("s"),
-                F.lit(-cid).cast("long").alias("nc"),
-            )
-            for cid, cv in cents
-        ]
-    )
-    probe_cells = F.slice(
-        F.transform(F.sort_array(ranked, asc=False), lambda x: -x["nc"]), 1, nprobe
-    )
     qdf = embeddings.filter(F.col(id_col) == query_id).select(
-        F.col(vec_col).alias("qvec"), probe_cells.alias("probe_cells")
+        F.col(vec_col).alias("qvec"),
+        _probe_cells_expr(cents, vec_col, nprobe).alias("probe_cells"),
     )
     cand = assigned.crossJoin(F.broadcast(qdf)).filter(
         F.array_contains(F.col("probe_cells"), F.col("cell"))
@@ -341,15 +325,65 @@ def ivf_topk_matrix(
 def _collect_codebook(
     embeddings: DataFrame, n_codes: int, id_col: str, vec_col: str
 ) -> list[tuple[int, list[float]]]:
-    """The deterministic PQ/IVF codebook: the vectors with ids
-    1..n_codes, collected driver-side (metadata-scale — a coarse
-    quantizer is broadcast/inline-size by definition)."""
+    """The deterministic PQ/IVF codebook (and coarse-quantizer
+    centroid set): the vectors with ids 1..n_codes, collected
+    driver-side (metadata-scale — a coarse quantizer is
+    broadcast/inline-size by definition). The ONE collect behind every
+    IVF/PQ op here — change the contract in exactly one place."""
     return sorted(
         (int(r[0]), [float(x) for x in r[1]])
         for r in embeddings.filter(
             F.col(id_col).between(1, n_codes)
         ).select(id_col, vec_col).collect()
     )
+
+
+def _probe_cells_expr(
+    cents: list[tuple[int, list[float]]], vec_col: str, nprobe: int
+) -> Column:
+    """The query row's ``nprobe`` closest cells, as one codegen'd
+    expression: rank (rounded-6dp cosine DESC, centroid id ASC) via
+    lexicographic struct sort, slice the head. Shared by every
+    IVF-probed serving op so the probe contract (rounding, tie-break)
+    lives in one place."""
+    ranked = F.array(
+        *[
+            F.struct(
+                cosine_sim(
+                    F.col(vec_col), F.array(*[F.lit(v) for v in cv])
+                ).alias("s"),
+                F.lit(-cid).cast("long").alias("nc"),
+            )
+            for cid, cv in cents
+        ]
+    )
+    return F.slice(
+        F.transform(F.sort_array(ranked, asc=False), lambda x: -x["nc"]),
+        1, nprobe,
+    )
+
+
+def _code_cols(cb: "Codebook", vec_col: str) -> list[Column]:
+    """Per-subspace nearest-codeword code columns ``c0..cm-1``
+    (rounded-6dp squared-L2 argmin, smallest-id tie-break) — the PQ
+    encode expression shared by the persisted-index build and the
+    residual pipeline; ``pq_encode`` keeps its own loop because it
+    additionally accumulates the distortion column."""
+    seg = len(cb[0][0][1])
+    cols = []
+    for s in range(len(cb)):
+        sub = F.slice(F.col(vec_col), s * seg + 1, seg)
+        ranked = F.array(
+            *[
+                F.struct(
+                    _sq_l2(sub, seg_vals).alias("d"),
+                    F.lit(cid).cast("long").alias("c"),
+                )
+                for cid, seg_vals in cb[s]
+            ]
+        )
+        cols.append(F.array_min(ranked)["c"].alias(f"c{s}"))
+    return cols
 
 
 #: A product-quantization codebook: per-subspace list of
@@ -646,35 +680,12 @@ def ivfpq_topk(
     size constant in centroid count); the probe-cell filter is a
     broadcast of one query row; the ADC sweep is map-only literal
     lookups; the final TakeOrdered top-k is the only shuffle.
-    (Residual encoding — PQ over x−centroid — needs a per-cell
-    codebook shift; deterministic but a different oracle; documented
-    out of scope, as FAISS itself serves both modes.)"""
-    cents = sorted(
-        (int(r[0]), [float(x) for x in r[1]])
-        for r in embeddings.filter(
-            F.col(id_col).between(1, n_centroids)
-        ).select(id_col, vec_col).collect()
-    )
+    (Residual encoding — PQ over x−centroid — is the sibling
+    :func:`ivfpq_residual_topk`, FAISS's default mode.)"""
+    cents = _collect_codebook(embeddings, n_centroids, id_col, vec_col)
     assigned = ivf_assign_matrix(embeddings, cents, id_col, vec_col)
-
-    def lit_vec(vals):
-        return F.array(*[F.lit(v) for v in vals])
-
-    ranked = F.array(
-        *[
-            F.struct(
-                cosine_sim(F.col(vec_col), lit_vec(cv)).alias("s"),
-                F.lit(-cid).cast("long").alias("nc"),
-            )
-            for cid, cv in cents
-        ]
-    )
-    probe_cells = F.slice(
-        F.transform(F.sort_array(ranked, asc=False), lambda x: -x["nc"]),
-        1, nprobe,
-    )
     qdf = embeddings.filter(F.col(id_col) == query_id).select(
-        probe_cells.alias("probe_cells")
+        _probe_cells_expr(cents, vec_col, nprobe).alias("probe_cells")
     )
     cand = (
         assigned.crossJoin(F.broadcast(qdf))
@@ -707,30 +718,12 @@ def ivfpq_index_build(
     (centroids + codebook — in production, the JSON sidecar written
     next to the index; both are deterministic retraining outputs here,
     so a fresh process can regenerate them bit-identically)."""
-    cents = sorted(
-        (int(r[0]), [float(x) for x in r[1]])
-        for r in embeddings.filter(
-            F.col(id_col).between(1, n_centroids)
-        ).select(id_col, vec_col).collect()
-    )
+    cents = _collect_codebook(embeddings, n_centroids, id_col, vec_col)
     cb = pq_train_codebook(
         embeddings, n_subspaces, n_codes, id_col, vec_col
     )
     assigned = ivf_assign_matrix(embeddings, cents, id_col, vec_col)
-    seg = len(cb[0][0][1])
-    enc_cols = [F.col(id_col), F.col("cell")]
-    for s in range(n_subspaces):
-        sub = F.slice(F.col(vec_col), s * seg + 1, seg)
-        ranked = F.array(
-            *[
-                F.struct(
-                    _sq_l2(sub, seg_vals).alias("d"),
-                    F.lit(cid).cast("long").alias("c"),
-                )
-                for cid, seg_vals in cb[s]
-            ]
-        )
-        enc_cols.append(F.array_min(ranked)["c"].alias(f"c{s}"))
+    enc_cols = [F.col(id_col), F.col("cell")] + _code_cols(cb, vec_col)
     assigned.select(*enc_cols).write.mode("overwrite").partitionBy(
         "cell"
     ).parquet(path)
@@ -848,19 +841,14 @@ def ivfpq_residual_topk(
     at real centroid counts, a broadcast join on ``cell`` carries the
     same plan); encode + per-cell ADC are codegen'd literals; the
     TakeOrdered top-k is the only shuffle."""
-    cents = sorted(
-        (int(r[0]), [float(x) for x in r[1]])
-        for r in embeddings.filter(
-            F.col(id_col).between(1, n_centroids)
-        ).select(id_col, vec_col).collect()
-    )
+    cents = _collect_codebook(embeddings, n_centroids, id_col, vec_col)
     assigned = ivf_assign_matrix(embeddings, cents, id_col, vec_col)
-
-    def lit_vec(vals):
-        return F.array(*[F.lit(v) for v in vals])
-
     cmap = F.create_map(
-        *[x for cid, cv in cents for x in (F.lit(cid), lit_vec(cv))]
+        *[
+            x
+            for cid, cv in cents
+            for x in (F.lit(cid), F.array(*[F.lit(v) for v in cv]))
+        ]
     )
     residuals = assigned.select(
         F.col(id_col),
@@ -896,43 +884,18 @@ def ivfpq_residual_topk(
     cb = pq_train_codebook(
         residuals, n_subspaces, n_codes, id_col, "rvec", init=init_cb
     )
-    # Inline encode (pq_encode's argmin, plus the cell column carried
-    # through) — a pq_encode + join-back would shuffle on id; this
-    # keeps the whole candidate pipeline map-only.
-    seg0 = len(cb[0][0][1])
-    enc_cols = [F.col(id_col), F.col("cell")]
-    for s in range(n_subspaces):
-        sub = F.slice(F.col("rvec"), s * seg0 + 1, seg0)
-        rankd = F.array(
-            *[
-                F.struct(
-                    _sq_l2(sub, seg_vals).alias("d"),
-                    F.lit(cid).cast("long").alias("c"),
-                )
-                for cid, seg_vals in cb[s]
-            ]
-        )
-        enc_cols.append(F.array_min(rankd)["c"].alias(f"c{s}"))
-    enc = residuals.select(*enc_cols)
+    # Inline encode (shared _code_cols argmin, plus the cell column
+    # carried through) — a pq_encode + join-back would shuffle on id;
+    # this keeps the whole candidate pipeline map-only.
+    enc = residuals.select(
+        F.col(id_col), F.col("cell"), *_code_cols(cb, "rvec")
+    )
 
     # Query: probe cells ranked by cosine to the RAW query (the coarse
     # quantizer sees raw vectors), then one ADC table per probed cell
     # from the query's PER-CELL residual.
-    ranked = F.array(
-        *[
-            F.struct(
-                cosine_sim(F.col(vec_col), lit_vec(cv)).alias("s"),
-                F.lit(-cid).cast("long").alias("nc"),
-            )
-            for cid, cv in cents
-        ]
-    )
-    probe_cells = F.slice(
-        F.transform(F.sort_array(ranked, asc=False), lambda x: -x["nc"]),
-        1, nprobe,
-    )
     q_row = embeddings.filter(F.col(id_col) == query_id).select(
-        vec_col, probe_cells.alias("pc")
+        vec_col, _probe_cells_expr(cents, vec_col, nprobe).alias("pc")
     ).collect()[0]
     q, probed = [float(x) for x in q_row[0]], [int(c) for c in q_row[1]]
     seg = len(cb[0][0][1])

@@ -255,7 +255,12 @@ class TxnTable:
         Entry VALUES (e.g. the nested ``col_stats`` dict) remain
         shared and are immutable by contract: code that patches an
         entry (DV attach, stats refresh) must build a new nested dict,
-        never mutate one in place — every current writer does."""
+        never mutate one in place — every current writer does.
+        Cost note: the per-entry dict copy is a constant factor on the
+        ALREADY-O(files) reconstruction/list-copy this method performs
+        (snapshot versions re-parse JSON per call and take no copy at
+        all); if a profile ever shows it, the cheaper equivalent is
+        freezing entries (MappingProxyType) at cache-insert time."""
         v = self.latest_version() if version is None else version
         raw = self._raw_manifest(v)
         if "files" in raw:
@@ -363,14 +368,28 @@ class TxnTable:
         # types), record a durable tombstone so subsequent commits do
         # NOT re-pay the O(files) driver-side metadata pass — at the
         # 10M-file scale this targets, a single bad file must cost one
-        # scan, not one per commit forever. Explicit read_schema=
-        # callers (restore/clone/rollback) clear the tombstone: they
-        # re-establish the pin from a known-good snapshot.
-        rs_unpinnable = (
-            bool(latest.get("rs_unpinnable"))
-            if read_schema_arg is TxnTable._CARRY
-            else False
-        )
+        # scan, not one per commit forever. The tombstone is the
+        # OFFENDING FILE'S relpath where one is known (round-12
+        # review): it holds only while that file is live, so a
+        # compaction/delete that rewrites the bad file re-enables the
+        # backfill and the table regains pinned-read planning without
+        # manual intervention. A bare True (registry-divergence cases,
+        # where no single file is at fault) is permanent until an
+        # explicit read_schema= caller (restore/clone/rollback/repin)
+        # re-establishes the pin and clears the memo.
+        _tomb = latest.get("rs_unpinnable")
+        if read_schema_arg is not TxnTable._CARRY:
+            rs_unpinnable: Any = False
+        elif isinstance(_tomb, str):
+            rs_unpinnable = (
+                _tomb
+                if any(
+                    e["path"] == _tomb for e in (carried_files or ())
+                )
+                else False
+            )
+        else:
+            rs_unpinnable = bool(_tomb)
         if (
             carried_files
             and read_schema is None
@@ -388,7 +407,9 @@ class TxnTable:
             # pinned read schema. Explicit read_schema= callers
             # (restore/clone/rollback) skip this — they know their
             # snapshot's schema source better than latest's files do.
-            b_reg, b_rs = self._footer_schema_backfill(carried_files)
+            b_reg, b_rs, b_bad = self._footer_schema_backfill(
+                carried_files
+            )
             if schema is None and b_reg is not None:
                 schema = b_reg
                 backfilled.update(b_reg)
@@ -410,7 +431,15 @@ class TxnTable:
                     b_rs = None
             read_schema = b_rs
             if b_rs is None:
-                rs_unpinnable = True
+                # Path-scoped tombstone where a single file is at
+                # fault; permanent (True) for registry divergence; NO
+                # tombstone for an environment failure (pyarrow
+                # missing: b_bad is None AND b_reg is None) — retry
+                # next commit instead of durably degrading the table.
+                if b_bad is not None:
+                    rs_unpinnable = b_bad
+                elif b_reg is not None:
+                    rs_unpinnable = True
         schema = dict(schema or {})
         if read_schema is not None:
             rs: Optional[list[list]] = [list(x) for x in read_schema]
@@ -487,7 +516,9 @@ class TxnTable:
             # contradicting footers drop the pin for this manifest
             # (mergeSchema fallback — always correct) rather than
             # guessing.
-            b_reg, b_rs = self._footer_schema_backfill(untyped_fresh)
+            b_reg, b_rs, b_bad = self._footer_schema_backfill(
+                untyped_fresh
+            )
             if b_reg is None:
                 rs = None
             else:
@@ -502,11 +533,14 @@ class TxnTable:
                         rs.append([c, ty])
                         rs_known.add(c)
             if rs is None:
-                # Same memo as the legacy branch: the unreadable /
-                # contradicting footer persists into carried_files, so
-                # without the tombstone every later commit would
-                # re-attempt (and re-fail) the full backfill pass.
-                rs_unpinnable = True
+                # Same memo policy as the legacy branch: path-scoped
+                # when one footer is at fault, permanent for a
+                # registry contradiction (the fold loop's break — no
+                # single file identified), none for env failures.
+                if b_bad is not None:
+                    rs_unpinnable = b_bad
+                elif b_reg is not None:
+                    rs_unpinnable = True
         m = {
             "version": version,
             "op": op,
@@ -525,7 +559,9 @@ class TxnTable:
             # and restore rolls it back to its target's.
             m["read_schema"] = rs
         elif rs_unpinnable:
-            m["rs_unpinnable"] = True
+            # True (permanent) or the offending file's relpath
+            # (auto-clears once that file leaves the live set).
+            m["rs_unpinnable"] = rs_unpinnable
         if columns is TxnTable._CARRY or retired is TxnTable._CARRY:
             # Carry the column map (and the retired-physical-name set)
             # forward so a rename/drop survives every later commit.
@@ -903,21 +939,25 @@ class TxnTable:
 
     def _footer_schema_backfill(
         self, entries: list[dict]
-    ) -> tuple[Optional[dict], Optional[list[list]]]:
-        """(type registry, ordered read schema) of ``entries`` read
-        from their parquet FOOTERS — the one-time driver-side metadata
-        pass that upgrades a pre-registry table (round-10 ADVICE #1)
-        or learns a stand-in-staged file's columns. Returns (None,
-        None) when any footer is unreadable, a type has no Spark
-        equivalent, or two files carry the same column under different
-        types (a table already poisoned for schema-merged reads —
-        nothing sound to pin)."""
+    ) -> tuple[Optional[dict], Optional[list[list]], Optional[str]]:
+        """(type registry, ordered read schema, offending path) of
+        ``entries`` read from their parquet FOOTERS — the one-time
+        driver-side metadata pass that upgrades a pre-registry table
+        (round-10 ADVICE #1) or learns a stand-in-staged file's
+        columns. On failure returns (None, None, bad_path):
+        ``bad_path`` names the entry whose footer was unreadable or
+        contradicted an earlier file's type — the tombstone is scoped
+        to it, so the pin retries once that file leaves the live set
+        (round-12 review). A missing pyarrow returns (None, None,
+        None): an ENVIRONMENT failure must not durably tombstone a
+        healthy table — the caller skips the memo and simply retries
+        next commit."""
         try:
             import pyarrow.parquet as _pq
 
             from pyspark.sql.pandas.types import from_arrow_type
         except ImportError:
-            return None, None
+            return None, None, None
         reg: dict[str, str] = {}
         rs: list[list] = []
         for e in entries:
@@ -932,10 +972,10 @@ class TxnTable:
                         reg[fld.name] = ty
                         rs.append([fld.name, ty])
                     elif prev != ty:
-                        return None, None
+                        return None, None, e["path"]
             except Exception:
-                return None, None
-        return reg, rs
+                return None, None, e["path"]
+        return reg, rs, None
 
     def _pinned_read_schema(self, man: Optional[dict]):
         """The StructType pinned by ``man``'s ``read_schema``, or None

@@ -506,10 +506,16 @@ def sim_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _index_path(sf_dir: str) -> str:
+    # Reuse the shared staging-path convention (one stage root, one
+    # tag scheme) rather than a private copy of it.
     import os
 
-    tag = os.path.basename(os.path.normpath(sf_dir))
-    return os.path.join("/tmp/spark_stage", f"{tag}_ivfpq_index")
+    from xlsx_to_database_spark.queries.sources_sinks import (
+        _STAGE_ROOT,
+        _tag,
+    )
+
+    return os.path.join(_STAGE_ROOT, f"{_tag(sf_dir)}_ivfpq_index")
 
 
 @query(
@@ -539,8 +545,6 @@ def vec_index_build(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = _quantized_embeddings(spark, sf_dir)
     path = _index_path(sf_dir)
     S.ivfpq_index_build(e, path)
-    import os
-
     back = spark.read.parquet(path)
     return back.select(
         "vec_id", F.col("cell").cast("long").alias("cell"),

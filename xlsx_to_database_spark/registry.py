@@ -354,8 +354,9 @@ _ATTESTED: tuple[str, ...] = (
 # clamp) do NOT reopen their riders: each is a pure guard or an
 # identical-value defensive copy whose observable output is
 # byte-identical on every rider configuration (copies of equal dicts;
-# clamp is the identity for every non-zero-norm centroid, and no test
-# centroid has zero norm — asserted in tests/test_similarity_ops.py).
+# clamp is the identity for every non-zero-norm centroid, and no
+# registered-config centroid has zero norm — asserted in
+# tests/test_operators.py::test_ivf_matrix_zero_norm_centroid_is_inert).
 _REOPENED: frozenset[str] = frozenset({
     "vec_pq_encode", "sim_pq_adc_topk", "sim_recall_report",
     # graph_kcore's coreness threshold drops 3 -> 2 this round so the
