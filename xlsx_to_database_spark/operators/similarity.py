@@ -437,12 +437,16 @@ def pq_train_codebook(
     its members; a codeword with no members keeps its previous value
     (FAISS keeps empty centroids too).
 
-    Engine-exactness (the ml_kmeans discipline): callers pass vectors
-    QUANTIZED to ≤10 decimal places (the registered config uses 4dp), so
-    the DECIMAL(28,10) member sums are exact and order-independent; the
-    mean is one double division rounded to ``decimals`` before feeding
-    the next assignment — both engines carry IDENTICAL doubles forward,
-    which is what lets a fixed-iteration oracle exist at all.
+    Engine-exactness (the ml_kmeans discipline, hardened): callers pass
+    vectors QUANTIZED to 4 decimal places, so member values are exact
+    integers in 1e-4 units and the member SUM is an exact BIGINT;
+    the codeword mean is then rounded to ``decimals`` places with
+    HALF-AWAY-FROM-ZERO semantics computed in PURE INTEGER arithmetic
+    (sign · ⌊(|S|·2·10^(d-4) + n) / 2n⌋), so both engines carry
+    IDENTICAL doubles forward. The first version rounded a double
+    quotient instead and a 6dp-midpoint mean at sf0.1 rounded
+    DIFFERENTLY in Spark (BigDecimal shortest-repr HALF_UP) and DuckDB
+    (scaled-binary nearbyint) — the integer form has no such boundary.
 
     Scale shape per iteration: assignment is map-only codegen over
     inline codeword literals (no join, no shuffle of vectors); the
@@ -484,16 +488,27 @@ def pq_train_codebook(
             )
             .groupBy("s", "c", "dim")
             .agg(
-                F.round(
-                    F.sum(F.col("x").cast("decimal(28,10)")).cast("double")
-                    / F.count(F.lit(1)),
-                    decimals,
-                ).alias("m")
+                # Exact integer sum in 1e-4 units (inputs are 4dp, so
+                # x*10000 is within fp-noise of an integer and round()
+                # lands exactly); the mean-rounding happens in pure
+                # integer arithmetic driver-side — see docstring.
+                F.sum(
+                    F.round(F.col("x") * 10000).cast("long")
+                ).alias("si"),
+                F.count(F.lit(1)).alias("n"),
             )
         )
+        mul = 2 * 10 ** (decimals - 4)
+        den = 10 ** decimals
         trained: dict[tuple[int, int], dict[int, float]] = {}
         for r in cells.collect():  # m·k·seg scalars — codebook metadata
-            trained.setdefault((r["s"], r["c"]), {})[r["dim"]] = r["m"]
+            si, n = int(r["si"]), int(r["n"])
+            m_int = (abs(si) * mul + n) // (2 * n)
+            if si < 0:
+                m_int = -m_int
+            trained.setdefault((r["s"], r["c"]), {})[r["dim"]] = (
+                m_int / den
+            )
         cb = {
             s: [
                 (

@@ -339,12 +339,24 @@ _PQ_CTE = """
                    ini.cid ASC) AS rn
         FROM v4, ini
       ) WHERE rn = 1
-    ), upd AS (
+    ), upd0 AS (
+      -- exact BIGINT sum in 1e-4 units (inputs are 4dp): the codeword
+      -- mean is then rounded at 6dp HALF-AWAY-FROM-ZERO in pure
+      -- integer arithmetic — a double-quotient round() here hit a
+      -- midpoint at sf0.1 that Spark and DuckDB rounded differently
       SELECT a.s, a.cid, t.i AS dim,
-             round(CAST(sum(CAST(a.e[a.s*16 + t.i] AS DECIMAL(28,10)))
-                        AS DOUBLE) / count(*), 6) AS m
+             CAST(sum(CAST(round(a.e[a.s*16 + t.i] * 10000) AS BIGINT))
+                  AS BIGINT) AS si,
+             count(*) AS n
       FROM asg0 a, UNNEST(generate_series(1, 16)) AS t(i)
       GROUP BY a.s, a.cid, t.i
+    ), upd AS (
+      SELECT s, cid, dim,
+             CAST(CASE WHEN si >= 0
+                  THEN (si * 200 + n) // (2 * n)
+                  ELSE 0 - (((0 - si) * 200 + n) // (2 * n))
+                  END AS DOUBLE) / 1000000 AS m
+      FROM upd0
     ), cb AS (
       SELECT i.s, i.cid, list(coalesce(u.m, i.m) ORDER BY i.dim) AS cw
       FROM inidim i LEFT JOIN upd u
@@ -630,12 +642,21 @@ def sim_index_serve_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
                    rini.cid ASC) AS rn
         FROM rv, rini
       ) WHERE rn = 1
-    ), rupd AS (
+    ), rupd0 AS (
+      -- same exact-integer mean rounding as the x-space upd CTE
       SELECT a.s, a.cid, t.i AS dim,
-             round(CAST(sum(CAST(a.r[a.s*16 + t.i] AS DECIMAL(28,10)))
-                        AS DOUBLE) / count(*), 6) AS m
+             CAST(sum(CAST(round(a.r[a.s*16 + t.i] * 10000) AS BIGINT))
+                  AS BIGINT) AS si,
+             count(*) AS n
       FROM rasg0 a, UNNEST(generate_series(1, 16)) AS t(i)
       GROUP BY a.s, a.cid, t.i
+    ), rupd AS (
+      SELECT s, cid, dim,
+             CAST(CASE WHEN si >= 0
+                  THEN (si * 200 + n) // (2 * n)
+                  ELSE 0 - (((0 - si) * 200 + n) // (2 * n))
+                  END AS DOUBLE) / 1000000 AS m
+      FROM rupd0
     ), rcb AS (
       SELECT i.s, i.cid, list(coalesce(u.m, i.m) ORDER BY i.dim) AS cw
       FROM rinidim i LEFT JOIN rupd u
