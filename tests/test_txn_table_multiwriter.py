@@ -252,7 +252,8 @@ def _run_writer(
 
 def test_multiwriter_schedules_match_serializable_model(spark, tmp_path):
     n_seeds = int(os.environ.get("SPARK_GRAFT_MW_SEEDS", "3"))
-    for seed in range(n_seeds):
+    base = int(os.environ.get("SPARK_GRAFT_MW_SEED_BASE", "51000")) - 51_000
+    for seed in range(base, base + n_seeds):
         # Odd seeds force snapshot_interval=2: every other manifest is
         # delta-encoded, so the whole mix — concurrent commits, DV
         # reads, vacuum liveness walks, restore targets, clone sources
