@@ -89,6 +89,14 @@ DEFAULT_OPS = [
     "dq_table_checksum",
     "sim_maxsim",
     "stat_theil_sen",
+    # Round-12 verdict #5: the txn-table family — the two slowest
+    # headline queries plus CDC — measured under inflation, not just
+    # functionally tested. Each stages its own 8x base fixture via
+    # txn_fixtures.staged_copy, so the ratio covers commit + read-back
+    # on an 8x inventory.
+    "table_merge_upsert",
+    "table_delete_vectors",
+    "table_cdc_rows",
 ]
 
 
@@ -506,6 +514,12 @@ def big_smoke(spark, which: list[str]) -> None:
 X32_TABLES = {
     "win_global_rank": ["orders", "nation", "region"],
     "text_tfidf": ["documents", "nation", "region"],
+    # Round-12 verdict #4: the sweep's one heavy op — the EXACT
+    # token-Jaccard join whose scalable siblings (minhash, winnowing,
+    # cross_corpus) are the 100 TB path. The 32x point tests that its
+    # prefix-filtered candidate volume stays ~linear in rows (content
+    # tagging keeps the true pair set per-copy).
+    "dedup_near": ["documents"],
 }
 
 DST32 = "/tmp/spark_scale_smoke/sf3.2c"

@@ -822,19 +822,41 @@ def stat_lorenz_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
 #: the strong-tie graph thins super-linearly with scale — at sf0.1 its
 #: 3-core is VERIFIED empty (3,573 strong edges, all peeled), which
 #: made the scale mirror vacuous for this op (round-11 verdict #8).
-#: The 2-core is non-empty at every tested scale while the peel stays
-#: non-trivial (sf0.01: 2,000 -> 1,535 nodes; sf0.1: 20,000 -> 3).
 _KCORE_K = 2
+#: Per-node neighbor budget for the graph DERIVATION (round-12 verdict
+#: #7): instead of a global co-occurrence-count cutoff (m >= 2), whose
+#: edge density collapses ~1/sf as the key space grows (2-core rows:
+#: 1,535 at sf0.01 -> 3 at sf0.1 -> predictably 0 at sf1), each node
+#: keeps its TOPN strongest co-purchase edges (weight = distinct
+#: shared orders, ties to the smaller neighbor id) and an edge needs
+#: BOTH endpoints' picks (mutual kNN graph). Degree is bounded in
+#: [0, TOPN] by construction — |E| <= TOPN·n/2 at ANY scale — so the
+#: k-core's row signal stays non-trivial AND the peel stays real at
+#: every sf without per-scale exemptions.
+_KCORE_TOPN = 3
 _KCORE_MAX_ITERS = 30  #: safety bound; peeling converges long before
 
 
 @query("graph_kcore")  # rows-only: iterative peeling has no SQL fixpoint
 def graph_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """K-core (k=2) of the strong-tie co-purchase graph: repeatedly
-    peel nodes with degree < k until none remain — the standard
-    community-density filter (a node in the k-core has k neighbors who
-    ALSO survive peeling; raw degree can't tell you that). Emits each
-    surviving part with its within-core degree.
+    """K-core (k=2) of the top-N strong-tie co-purchase graph:
+    repeatedly peel nodes with degree < k until none remain — the
+    standard community-density filter (a node in the k-core has k
+    neighbors who ALSO survive peeling; raw degree can't tell you
+    that). Emits each surviving part with its within-core degree.
+
+    Graph derivation is SCALE-STABLE by construction (round-12 verdict
+    #7): each part keeps its _KCORE_TOPN strongest co-purchase edges
+    (weight = distinct shared orders, ties to the smaller neighbor
+    id), and an undirected edge survives only if BOTH endpoints picked
+    it (MUTUAL top-k neighbor graph — the standard community-density
+    construction). Density is degree-bounded in [0, TOPN] at every
+    scale — the previous global m >= 2 cutoff thinned ~1/sf and left a
+    3-row 2-core at sf0.1, while a UNION top-k graph guarantees degree
+    >= TOPN and makes the 2-core the whole graph. The top-N selection
+    is one window over the directed edge list, partitioned by source —
+    the same shuffle shape as topk_per_group; mutuality is one grouped
+    count over the picks.
 
     Iterative by nature (like `graph_connected_components`): each round
     is degrees-aggregate → semi-join; convergence is detected by the
@@ -854,12 +876,42 @@ def graph_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     a = li.select(F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("u"))
     b = li.select(F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("v"))
-    edges = (
+    weighted = (
         a.join(b, "o")
         .filter(F.col("u") < F.col("v"))
         .groupBy("u", "v")
         .agg(F.count(F.lit(1)).alias("m"))
-        .filter(F.col("m") >= 2)
+    )
+    directed = weighted.select(
+        F.col("u").alias("src"), F.col("v").alias("dst"), "m"
+    ).unionAll(
+        weighted.select(
+            F.col("v").alias("src"), F.col("u").alias("dst"), "m"
+        )
+    )
+    wsel = Window.partitionBy("src").orderBy(
+        F.col("m").desc(), F.col("dst").asc()
+    )
+    picks = (
+        directed.withColumn("rn", F.row_number().over(wsel))
+        .filter(F.col("rn") <= _KCORE_TOPN)
+        .select(
+            F.least("src", "dst").alias("u"),
+            F.greatest("src", "dst").alias("v"),
+        )
+    )
+    # MUTUAL top-N: an undirected edge survives only if BOTH endpoints
+    # picked it (it appears once from each direction). The union
+    # variant guarantees degree >= TOPN for every node — its 2-core is
+    # the whole graph (vacuous in the opposite direction); mutuality
+    # makes degree vary in [0, TOPN], so peeling actually bites.
+    # Measured cores: 47/161 nodes at sf0.001, 665/1,631 at sf0.01,
+    # 118/6,408 at sf0.1 — non-trivial and genuinely peeled at every
+    # tested scale.
+    edges = (
+        picks.groupBy("u", "v")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .filter(F.col("c") == 2)
         .select("u", "v")
         .localCheckpoint()
     )

@@ -381,7 +381,14 @@ _ATTESTED: tuple[str, ...] = (
 # n_subspaces cross-check, the residual init-range validation, the
 # path-scoped untyped-fresh tombstone) that are unreachable on every
 # registered configuration (each pinned by a directed unit test).
-_REOPENED: frozenset[str] = frozenset()
+_REOPENED: frozenset[str] = frozenset({
+    # graph_kcore's edge DERIVATION changes this round (round-12
+    # verdict #7): per-node top-N strongest ties (degree-bounded,
+    # scale-stable density) replace the global m >= 2 cutoff whose
+    # 2-core thinned to 3 rows at sf0.1 — the r12 rows-only green
+    # attests the old graph's membership.
+    "graph_kcore",
+})
 
 #: The driver evaluates this many registry-order entries per round
 #: (empirically: r01 covered exactly the first 50).
