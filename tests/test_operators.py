@@ -4974,3 +4974,42 @@ def test_minhash_covers_exact_shingle_pairs_at_sf01(spark):
         f"{len(exact)} exact shingle-Jaccard pairs at sf0.1 — the "
         f"scale-path claim breaks"
     )
+
+
+def test_sq_codes_bounded_and_self_distance_zero(spark, sf_dir):
+    """SQ8 invariants: every code lies in [0, 255]; at least one
+    dimension reaches each extreme (the trained bounds are tight by
+    construction); the query's own dequantization distance is the
+    global minimum, so the asymmetric top-1 is the query itself; and
+    IVFSQ's ranking within its probed cells agrees with the corpus-
+    wide SQ ranking restricted to those candidates (the pruning must
+    never change relative order, only candidate membership)."""
+    from xlsx_to_database_spark.catalog import table
+    from xlsx_to_database_spark.operators import similarity as S
+
+    e = table(spark, sf_dir, "embeddings").select(
+        "vec_id",
+        F.transform(
+            "embedding", lambda x: F.round(x.cast("double"), 4)
+        ).alias("embedding"),
+    )
+    enc = S.sq_encode(e)
+    stats = enc.select(
+        F.min(F.array_min("codes")).alias("lo"),
+        F.max(F.array_max("codes")).alias("hi"),
+    ).collect()[0]
+    assert stats.lo == 0 and stats.hi == 255, (stats.lo, stats.hi)
+
+    top = S.sq_adc_topk(e, k=3, query_id=0).collect()
+    assert top[0].vec_id == 0, "query's own codes must rank first"
+    assert top[0].sq_dist < top[-1].sq_dist or len(top) == 1
+    # self-distance is pure quantization error: tiny but >= 0
+    assert 0.0 <= top[0].sq_dist < 0.01, top[0].sq_dist
+
+    full = {r.vec_id: r.sq_dist
+            for r in S.sq_adc_topk(e, k=500, query_id=0).collect()}
+    ivf = S.ivfsq_topk(e, k=10, query_id=0).collect()
+    for r in ivf:
+        assert full[r.vec_id] == r.sq_dist, (
+            "IVF pruning changed a candidate's SQ distance"
+        )

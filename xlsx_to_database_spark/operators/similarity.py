@@ -1133,3 +1133,187 @@ def batch_cosine_topk(
         .filter(F.col("rk") <= k)
         .select(q_id_col, id_col, "cos_sim", F.col("rk").cast("long").alias("rk"))
     )
+
+
+def sq_train(
+    embeddings: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> tuple[list[int], list[int]]:
+    """Train a SCALAR quantizer (FAISS ``IndexScalarQuantizer`` /
+    SQ8): the per-DIMENSION [min, max] of the corpus, returned in
+    exact 1e-4 integer units (the corpus is 4dp-quantized up front,
+    so min/max are exact decimals — no float ambiguity enters the
+    trained bounds). One aggregate over the corpus, d scalars out:
+    metadata-scale by definition, like the IVF centroid collect.
+
+    SQ is the OTHER production compression ladder rung beside PQ:
+    d bytes/vector (4x over float32, vs PQ's 64x) but with no
+    codebook training and near-exact recall — the usual choice when
+    memory pressure is moderate and recall must stay high."""
+    # One pass: per-dimension min/max via posexplode + groupBy(dim) —
+    # linear in rows, and the shuffle is d rows wide.
+    dims = embeddings.select(
+        F.posexplode(F.col(vec_col)).alias("dim", "x")
+    ).groupBy("dim").agg(F.min("x").alias("lo"), F.max("x").alias("hi"))
+    rows = sorted((int(r[0]), float(r[1]), float(r[2]))
+                  for r in dims.collect())
+    lo = [round(r[1] * 10000) for r in rows]
+    hi = [round(r[2] * 10000) for r in rows]
+    return lo, hi
+
+
+def _sq_codes_expr(
+    vec_col: str, lo: list[int], hi: list[int]
+) -> Column:
+    """codes[d] = round-half-up((x_d - lo_d) * 255 / (hi_d - lo_d)),
+    computed ENTIRELY in int64 (inputs are 4dp -> exact 1e-4 integer
+    units): (2*N + D) // (2*D) with N = (xi - lo)*255, D = hi - lo.
+    Zero-range dimensions (hi == lo) code to 0. No float enters, so
+    Spark and the DuckDB oracle agree bit-for-bit by construction —
+    the discipline the PQ codeword means needed retrofitted is native
+    here."""
+    lo_arr = F.array(*[F.lit(v).cast("long") for v in lo])
+    rng_arr = F.array(
+        *[F.lit(h - l).cast("long") for l, h in zip(lo, hi)]
+    )
+    xi = F.transform(
+        F.col(vec_col),
+        lambda x: F.round(x.cast("double") * 10000).cast("long"),
+    )
+    n255 = F.zip_with(xi, lo_arr, lambda x, l: (x - l) * 255)
+
+    def _halfup(n: Column, d: Column) -> Column:
+        # round-half-up(n / d) for non-negative longs as
+        # floor((2n + d) / (2d)), with the floor computed EXACTLY:
+        # subtract the long remainder first, so the one double
+        # division is of an exact multiple (values here ≤ ~4e7,
+        # far below 2^53 — the quotient double IS the integer).
+        num = n * 2 + d
+        den = d * 2
+        return ((num - num % den) / den).cast("long")
+
+    return F.zip_with(
+        n255,
+        rng_arr,
+        lambda n, d: F.when(
+            d == 0, F.lit(0).cast("long")
+        ).otherwise(_halfup(n, d)),
+    )
+
+
+def sq_encode(
+    embeddings: DataFrame,
+    bounds: Optional[tuple[list[int], list[int]]] = None,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """SQ8 encode: each dimension independently quantized to an
+    8-bit level over the trained per-dimension [min, max]. Output
+    ``(id, codes array)`` — d bytes/vector in a real store; map-only
+    (the bounds ride the plan as 2·d literals), no shuffle."""
+    if bounds is None:
+        bounds = sq_train(embeddings, id_col, vec_col)
+    lo, hi = bounds
+    return embeddings.select(
+        F.col(id_col), _sq_codes_expr(vec_col, lo, hi).alias("codes")
+    )
+
+
+def sq_adc_topk(
+    embeddings: DataFrame,
+    k: int = 10,
+    query_id: int = 0,
+    bounds: Optional[tuple[list[int], list[int]]] = None,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    corpus: Optional[DataFrame] = None,
+) -> DataFrame:
+    """SQ asymmetric top-k: the query stays EXACT, each candidate is
+    its dequantized codes. Per-dimension error term in closed integer
+    form — x̂_d = lo_d + code_d·(hi_d−lo_d)/255, so
+    255·10^4·(q_d − x̂_d) = 255·(qi_d − lo_d) − code_d·(hi_d − lo_d),
+    an int64 — summed squares stay exact integers (≤ 64·(2.6e7)² ≈
+    4e16 < 2^63), and the final 6dp rounding is one integer
+    half-away-from-zero division by 255²·10². The ENTIRE distance
+    pipeline is integer arithmetic: zero cross-engine rounding risk,
+    unlike the PQ ADC tables' documented float-midpoint residual.
+    Ranking: sq_dist ASC, id ASC; one TakeOrdered is the only
+    shuffle."""
+    if bounds is None:
+        bounds = sq_train(embeddings, id_col, vec_col)
+    lo, hi = bounds
+    q = [
+        float(x)
+        for x in embeddings.filter(F.col(id_col) == query_id)
+        .select(vec_col).collect()[0][0]
+    ]
+    qi = [round(v * 10000) for v in q]
+    qnum = [255 * (a - l) for a, l in zip(qi, lo)]
+    rng = [h - l for l, h in zip(lo, hi)]
+    qnum_arr = F.array(*[F.lit(v).cast("long") for v in qnum])
+    rng_arr = F.array(*[F.lit(v).cast("long") for v in rng])
+    codes = _sq_codes_expr(vec_col, lo, hi)
+    num = F.zip_with(
+        qnum_arr,
+        F.zip_with(codes, rng_arr, lambda c, d: c * d),
+        lambda a, b: a - b,
+    )
+    ssq = F.aggregate(
+        num, F.lit(0).cast("long"), lambda acc, x: acc + x * x
+    )
+    # round-half-up(ssq / (255^2 * 10^2)) in 1e-6 units, exact in
+    # int64: ssq can exceed 2^53 (up to ~4e16), so the quotient is
+    # NOT computed by one double division — the long remainder comes
+    # off first (exact), the remaining exact multiple divides to a
+    # quotient ≤ ~6e9 whose double error (≤ ~6e-7) F.round absorbs,
+    # and the half-up increment is a pure long comparison.
+    denom = 255 * 255 * 100
+    rem = ssq % denom
+    q0 = F.round((ssq - rem) / F.lit(float(denom))).cast("long")
+    dist6 = q0 + F.when(rem * 2 >= denom, 1).otherwise(0)
+    base = corpus if corpus is not None else embeddings
+    return (
+        base.select(
+            F.col(id_col),
+            (dist6.cast("double") / F.lit(1000000.0)).alias("sq_dist"),
+        )
+        .orderBy(F.col("sq_dist").asc(), F.col(id_col).asc())
+        .limit(k)
+    )
+
+
+def ivfsq_topk(
+    embeddings: DataFrame,
+    k: int = 10,
+    n_centroids: int = 8,
+    nprobe: int = 2,
+    query_id: int = 0,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    bounds: Optional[tuple[list[int], list[int]]] = None,
+) -> DataFrame:
+    """IVF + SQ COMPOSED — FAISS ``IndexIVFScalarQuantizer``'s serving
+    shape, completing the quantization matrix beside
+    :func:`ivfpq_topk`: the coarse quantizer prunes the sweep to the
+    query's ``nprobe`` cells, and the exact-integer SQ distance ranks
+    WITHIN those cells only. Same plan skeleton as IVFPQ (broadcast-
+    matmul assignment, broadcast one-row probe filter, map-only
+    distance, one TakeOrdered shuffle) with SQ's d-byte codes and
+    zero-rounding-risk arithmetic instead of the PQ tables. ``bounds``
+    are trained on the WHOLE corpus (FAISS trains its scalar
+    quantizer before adding to the index), so probed-cell candidates
+    decode against global scales."""
+    cents = _collect_codebook(embeddings, n_centroids, id_col, vec_col)
+    assigned = ivf_assign_matrix(embeddings, cents, id_col, vec_col)
+    qdf = embeddings.filter(F.col(id_col) == query_id).select(
+        _probe_cells_expr(cents, vec_col, nprobe).alias("probe_cells")
+    )
+    cand = (
+        assigned.crossJoin(F.broadcast(qdf))
+        .filter(F.array_contains(F.col("probe_cells"), F.col("cell")))
+        .select(F.col(id_col), F.col(vec_col))
+    )
+    return sq_adc_topk(
+        embeddings, k, query_id, bounds, id_col, vec_col, corpus=cand
+    )

@@ -798,6 +798,132 @@ def sim_residual_serve_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: Scalar-quantization scaffolding (SQ8 — FAISS IndexScalarQuantizer):
+#: 4dp vectors in exact 1e-4 integer units, per-DIMENSION [min, max]
+#: bounds, and round-half-up 8-bit codes — every step integer-exact on
+#: both engines (no float enters until the final fixed display
+#: division), the discipline the PQ codeword means needed retrofitted.
+_SQ_CTE = """
+    WITH v4 AS (
+      SELECT vec_id,
+             list_transform(embedding, x -> round(CAST(x AS DOUBLE), 4)) AS e
+      FROM embeddings
+    ), xd AS (
+      SELECT vec_id, t.i AS dim,
+             CAST(round(e[t.i] * 10000) AS BIGINT) AS xi
+      FROM v4, UNNEST(generate_series(1, len(e))) AS t(i)
+    ), mm AS (
+      SELECT dim, min(xi) AS lo, max(xi) AS hi FROM xd GROUP BY dim
+    ), sqcodes AS (
+      SELECT xd.vec_id, xd.dim,
+             CASE WHEN mm.hi = mm.lo THEN 0
+                  ELSE ((xd.xi - mm.lo) * 255 * 2 + (mm.hi - mm.lo))
+                       // (2 * (mm.hi - mm.lo))
+             END AS c
+      FROM xd JOIN mm ON mm.dim = xd.dim
+    )
+"""
+
+
+@query(
+    "vec_sq_encode",
+    _SQ_CTE
+    + """
+    SELECT vec_id, list(c ORDER BY dim) AS codes
+    FROM sqcodes GROUP BY vec_id
+    """,
+)
+def vec_sq_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCALAR quantization encode (SQ8 — FAISS IndexScalarQuantizer,
+    the production ladder rung beside PQ: d bytes/vector, no codebook
+    training, near-exact recall): per-dimension [min, max] trained in
+    one d-row aggregate, then each dimension independently
+    round-half-up quantized to an 8-bit level — computed ENTIRELY in
+    int64 on both engines (4dp inputs are exact 1e-4 integers), so
+    unlike the PQ tables there is no cross-engine rounding surface at
+    all. Map-only encode; the bounds ride the plan as 2·d literals
+    (operators/similarity.py::sq_encode)."""
+    e = _quantized_embeddings(spark, sf_dir)
+    return S.sq_encode(e)
+
+
+@query(
+    "sim_sq_topk",
+    _SQ_CTE
+    + """
+    , nums AS (
+      SELECT c.vec_id,
+             ((qx.xi - mm.lo) * 255 - c.c * (mm.hi - mm.lo)) AS nm
+      FROM sqcodes c
+      JOIN mm ON mm.dim = c.dim
+      JOIN (SELECT dim, xi FROM xd WHERE vec_id = 0) qx
+        ON qx.dim = c.dim
+    ), ss AS (
+      SELECT vec_id, CAST(sum(nm * nm) AS BIGINT) AS ssq
+      FROM nums GROUP BY vec_id
+    )
+    SELECT vec_id,
+           CAST((ssq - ssq % 6502500) // 6502500
+                + CASE WHEN (ssq % 6502500) * 2 >= 6502500
+                       THEN 1 ELSE 0 END AS DOUBLE) / 1000000
+             AS sq_dist
+    FROM ss
+    ORDER BY sq_dist ASC, vec_id ASC
+    LIMIT 10
+    """,
+)
+def sim_sq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SQ asymmetric top-10: the query stays exact, candidates are
+    their dequantized 8-bit codes — the per-dimension error term has
+    the closed integer form 255·(qi−lo) − code·(hi−lo), so the summed
+    squared distance and its 6dp rounding are PURE int64 on both
+    engines (the one documented float-midpoint residual of the PQ ADC
+    tables does not exist here). One TakeOrdered is the only shuffle
+    (operators/similarity.py::sq_adc_topk)."""
+    e = _quantized_embeddings(spark, sf_dir)
+    return S.sq_adc_topk(e, k=10, query_id=0)
+
+
+@query(
+    "sim_ivfsq_topk",
+    _SQ_CTE.rstrip()
+    + _IVF_CELL_CTE
+    + """
+    , nums AS (
+      SELECT c.vec_id,
+             ((qx.xi - mm.lo) * 255 - c.c * (mm.hi - mm.lo)) AS nm
+      FROM sqcodes c
+      JOIN cellasg ca ON ca.vec_id = c.vec_id
+      JOIN qp ON ca.cell = qp.cell
+      JOIN mm ON mm.dim = c.dim
+      JOIN (SELECT dim, xi FROM xd WHERE vec_id = 0) qx
+        ON qx.dim = c.dim
+    ), ss AS (
+      SELECT vec_id, CAST(sum(nm * nm) AS BIGINT) AS ssq
+      FROM nums GROUP BY vec_id
+    )
+    SELECT vec_id,
+           CAST((ssq - ssq % 6502500) // 6502500
+                + CASE WHEN (ssq % 6502500) * 2 >= 6502500
+                       THEN 1 ELSE 0 END AS DOUBLE) / 1000000
+             AS sq_dist
+    FROM ss
+    ORDER BY sq_dist ASC, vec_id ASC
+    LIMIT 10
+    """,
+)
+def sim_ivfsq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF + SQ COMPOSED — FAISS IndexIVFScalarQuantizer's serving
+    shape, completing the quantization matrix beside sim_ivfpq_topk:
+    the broadcast-matrix coarse quantizer prunes to the query's 2
+    probed cells, and the exact-integer SQ distance ranks within them
+    only. Bounds train on the whole corpus (FAISS trains the scalar
+    quantizer before adding), so probed-cell candidates decode against
+    global scales (operators/similarity.py::ivfsq_topk)."""
+    e = _quantized_embeddings(spark, sf_dir)
+    return S.ivfsq_topk(e, k=10, n_centroids=8, nprobe=2, query_id=0)
+
+
 @query(
     "sim_knn_join",
     _VEC_CTE
