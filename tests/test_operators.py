@@ -4040,13 +4040,44 @@ def test_recall_report_matches_set_intersections(spark, sf_dir):
     assert got["lsh"] == (len(lsh & exact), round(len(lsh & exact) / 10, 2))
     assert got["ivf"] == (len(ivf & exact), round(len(ivf & exact) / 10, 2))
     assert got["ivf"][0] >= 5, "IVF recall collapsed"
-    # All five index variants publish through the report; the two PQ
+    # All ten index variants publish through the report; the two PQ
     # serving paths cannot beat the IVF candidate set they prune, and
     # a collapse to 0 would mean a dead codebook.
     assert set(got) == {"lsh", "ivf", "ivf_matrix", "ivfpq",
-                        "ivfpq_residual"}
+                        "ivfpq_residual", "sq", "ivfsq", "pq_refine",
+                        "hamming", "binary_rerank"}
     for m in ("ivfpq", "ivfpq_residual"):
         assert 1 <= got[m][0] <= got["ivf_matrix"][0], (m, got)
+    # SQ is the near-exact rung: 8-bit/dimension against its own
+    # (L2) baseline should recover nearly all of the exact top-10.
+    assert got["sq"][0] >= 8, ("SQ recall collapsed", got)
+    # The exact rerank dominates the plain ADC top-10 BY CONSTRUCTION:
+    # exact-L2-top-10 members inside the R=100 shortlist outrank every
+    # non-member in the rerank (their exact distance is smaller by
+    # definition, and the id tie-break is the same one the baseline
+    # used), and ADC's top-10 is a subset of the shortlist — so every
+    # ADC hit survives. Measured: ADC alone 1-3 hits, refine 6-7.
+    from xlsx_to_database_spark.queries.llm_ops import (
+        _quantized_embeddings as _q4,
+    )
+
+    e4 = _q4(spark, sf_dir)
+    ql2 = [float(x) for x in e4.filter(F.col("vec_id") == 0)
+           .select("embedding").collect()[0][0]]
+    exact_l2 = {
+        r.vec_id
+        for r in e4.select(
+            "vec_id", S._sq_l2(F.col("embedding"), ql2).alias("d"))
+        .orderBy("d", "vec_id").limit(10).collect()
+    }
+    cb = S.pq_train_codebook(e4, 4, 8)
+    adc10 = {r.vec_id
+             for r in S.pq_adc_topk(e4, 10, codebook=cb).collect()}
+    assert got["pq_refine"][0] >= len(adc10 & exact_l2), got
+    assert got["pq_refine"][0] >= 4, ("refine shortlist broken", got)
+    # The binary cascade re-ranks with exact cosine, so it dominates
+    # its own shortlist-only stage against the cosine baseline.
+    assert got["binary_rerank"][0] >= got["hamming"][0], got
 
 
 def test_cost_opt_marks_the_true_argmin(spark, sf_dir):
@@ -5013,3 +5044,61 @@ def test_sq_codes_bounded_and_self_distance_zero(spark, sf_dir):
         assert full[r.vec_id] == r.sq_dist, (
             "IVF pruning changed a candidate's SQ distance"
         )
+
+
+def test_binary_words_match_python_fold_and_hamming_axioms(spark, sf_dir):
+    """The sign-bit pack is an exact integer contract: each word must
+    equal the MSB-first Python fold of the same 32 signs, and the
+    Hamming distance must satisfy identity (self = 0) and the
+    popcount-of-XOR definition replayed in Python."""
+    from xlsx_to_database_spark.operators import similarity as S
+    from xlsx_to_database_spark.queries.llm_ops import (
+        _quantized_embeddings,
+    )
+
+    e = _quantized_embeddings(spark, sf_dir)
+    enc = {r.vec_id: (r.w0, r.w1)
+           for r in S.binary_encode(e).collect()}
+    vecs = {r.vec_id: list(r.embedding)
+            for r in e.limit(50).collect()}
+    for vid, v in vecs.items():
+        for w in range(2):
+            acc = 0
+            for x in v[32 * w:32 * w + 32]:
+                acc = acc * 2 + (1 if x > 0 else 0)
+            assert enc[vid][w] == acc, (vid, w)
+            assert 0 <= acc < 2 ** 32
+    top = S.hamming_topk(e, k=5, query_id=0).collect()
+    assert top[0].vec_id == 0 and top[0].hamming == 0, top[0]
+    q0, q1 = enc[0]
+    full = {r.vec_id: r.hamming
+            for r in S.hamming_topk(e, k=500, query_id=0).collect()}
+    for vid, (w0, w1) in list(enc.items())[:50]:
+        expect = bin((w0 ^ q0)).count("1") + bin((w1 ^ q1)).count("1")
+        assert full[vid] == expect, (vid, full[vid], expect)
+
+
+def test_sq_serve_matches_inline_sweep_and_prunes(spark, sf_dir, tmp_path):
+    """The persisted IVF+SQ pair's round-trip claim, checked directly:
+    serve-from-parquet must equal the inline composed sweep row for
+    row, and the scanned files must be only the probed cells'."""
+    from xlsx_to_database_spark.operators import similarity as S
+    from xlsx_to_database_spark.queries.llm_ops import (
+        _quantized_embeddings,
+    )
+
+    e = _quantized_embeddings(spark, sf_dir)
+    path = str(tmp_path / "sqidx")
+    meta = S.sq_index_build(e, path)
+    q = [float(x) for x in e.filter(F.col("vec_id") == 0)
+         .select("embedding").collect()[0][0]]
+    served = S.sq_index_serve(spark, path, meta, q, k=10, nprobe=2)
+    inline = S.ivfsq_topk(e, k=10, nprobe=2, query_id=0)
+    assert [tuple(r) for r in served.collect()] == [
+        tuple(r) for r in inline.collect()
+    ]
+    import re
+
+    plan = served._jdf.queryExecution().executedPlan().toString()
+    m = re.search(r"PartitionFilters: \[([^\]]*)\]", plan)
+    assert m and "cell" in m.group(1), plan

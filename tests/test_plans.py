@@ -385,6 +385,23 @@ def test_residual_index_serve_prunes_cells_and_reads_no_vectors(
     assert "TakeOrderedAndProject" in plan, plan
 
 
+def test_sq_index_serve_prunes_cells_and_reads_no_vectors(
+    spark, sf_dir, qs
+):
+    # Same serving claims for the persisted IVF+SQ index: directory-
+    # level cell pruning, codes-only scan schema (the SQ index stores
+    # d-byte code arrays, no vectors), one TakeOrdered shuffle.
+    import re
+
+    plan = explain_str(qs["sim_sq_serve_topk"](spark, sf_dir))
+    m = re.search(r"PartitionFilters: \[([^\]]*)\]", plan)
+    assert m and "cell" in m.group(1), plan
+    rs = re.search(r"ReadSchema: ([^\n]*)", plan)
+    assert rs and "embedding" not in rs.group(1), plan
+    assert "codes" in rs.group(1), plan
+    assert "TakeOrderedAndProject" in plan, plan
+
+
 def test_running_distinct_reuses_partitioning(spark, sf_dir, qs):
     # Two window sorts, both partitioned on user_id: the running-sum
     # window must reuse the first-occurrence window's Exchange.

@@ -1249,11 +1249,37 @@ def sq_adc_topk(
         .select(vec_col).collect()[0][0]
     ]
     qi = [round(v * 10000) for v in q]
+    codes = _sq_codes_expr(vec_col, lo, hi)
+    base = corpus if corpus is not None else embeddings
+    return (
+        base.select(
+            F.col(id_col),
+            _sq_dist6_expr(codes, qi, lo, hi).alias("sq_dist"),
+        )
+        .orderBy(F.col("sq_dist").asc(), F.col(id_col).asc())
+        .limit(k)
+    )
+
+
+def _sq_dist6_expr(
+    codes: Column, qi: list[int], lo: list[int], hi: list[int]
+) -> Column:
+    """The SQ asymmetric distance as a 6dp double, from a CODES array
+    column + the query in exact 1e-4 integer units. Shared by the
+    inline sweep (:func:`sq_adc_topk`, codes computed on the fly) and
+    the persisted-index serve (:func:`sq_index_serve`, codes read from
+    parquet) so the integer arithmetic lives in exactly one place:
+    per-dimension term 255·(qi−lo) − code·(hi−lo) (int64), summed
+    squares exact (≤ ~4e16 < 2^63), then ONE round-half-up division
+    by 255²·10² — the long remainder comes off first (exact; ssq can
+    exceed 2^53, so a single double division would be lossy), the
+    remaining exact multiple divides to a quotient ≤ ~6e9 whose
+    double error (≤ ~6e-7) F.round absorbs, and the half-up increment
+    is a pure long comparison."""
     qnum = [255 * (a - l) for a, l in zip(qi, lo)]
     rng = [h - l for l, h in zip(lo, hi)]
     qnum_arr = F.array(*[F.lit(v).cast("long") for v in qnum])
     rng_arr = F.array(*[F.lit(v).cast("long") for v in rng])
-    codes = _sq_codes_expr(vec_col, lo, hi)
     num = F.zip_with(
         qnum_arr,
         F.zip_with(codes, rng_arr, lambda c, d: c * d),
@@ -1262,25 +1288,11 @@ def sq_adc_topk(
     ssq = F.aggregate(
         num, F.lit(0).cast("long"), lambda acc, x: acc + x * x
     )
-    # round-half-up(ssq / (255^2 * 10^2)) in 1e-6 units, exact in
-    # int64: ssq can exceed 2^53 (up to ~4e16), so the quotient is
-    # NOT computed by one double division — the long remainder comes
-    # off first (exact), the remaining exact multiple divides to a
-    # quotient ≤ ~6e9 whose double error (≤ ~6e-7) F.round absorbs,
-    # and the half-up increment is a pure long comparison.
     denom = 255 * 255 * 100
     rem = ssq % denom
     q0 = F.round((ssq - rem) / F.lit(float(denom))).cast("long")
     dist6 = q0 + F.when(rem * 2 >= denom, 1).otherwise(0)
-    base = corpus if corpus is not None else embeddings
-    return (
-        base.select(
-            F.col(id_col),
-            (dist6.cast("double") / F.lit(1000000.0)).alias("sq_dist"),
-        )
-        .orderBy(F.col("sq_dist").asc(), F.col(id_col).asc())
-        .limit(k)
-    )
+    return dist6.cast("double") / F.lit(1000000.0)
 
 
 def ivfsq_topk(
@@ -1316,4 +1328,256 @@ def ivfsq_topk(
     )
     return sq_adc_topk(
         embeddings, k, query_id, bounds, id_col, vec_col, corpus=cand
+    )
+
+
+def sq_index_build(
+    embeddings: DataFrame,
+    path: str,
+    n_centroids: int = 8,
+    bounds: Optional[tuple[list[int], list[int]]] = None,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> dict:
+    """BUILD a persisted IVF+SQ index (FAISS
+    ``IndexIVFScalarQuantizer``'s on-disk shape): train the
+    per-dimension bounds on the WHOLE corpus (FAISS trains the scalar
+    quantizer before adding), assign every vector to its IVF cell,
+    SQ8-encode, and write ``(id, codes)`` parquet PARTITIONED BY cell
+    — the encode-once/serve-many separation the PQ pair already has
+    (:func:`ivfpq_index_build`), at the 4x-compression /
+    near-exact-recall rung: the index stores d bytes/vector and no
+    vectors, and a serving scan of nprobe cells prunes the rest at
+    the DIRECTORY level. Returns the serving metadata (centroids +
+    bounds — deterministic retraining outputs, so a fresh process
+    regenerates them bit-identically)."""
+    cents = _collect_codebook(embeddings, n_centroids, id_col, vec_col)
+    if bounds is None:
+        bounds = sq_train(embeddings, id_col, vec_col)
+    lo, hi = bounds
+    assigned = ivf_assign_matrix(embeddings, cents, id_col, vec_col)
+    assigned.select(
+        F.col(id_col),
+        F.col("cell"),
+        _sq_codes_expr(vec_col, lo, hi).alias("codes"),
+    ).write.mode("overwrite").partitionBy("cell").parquet(path)
+    return {"centroids": cents, "bounds": bounds}
+
+
+def sq_index_serve(
+    spark,
+    path: str,
+    meta: dict,
+    query_vec: list[float],
+    k: int = 10,
+    nprobe: int = 2,
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """SERVE top-k from a persisted :func:`sq_index_build` index: rank
+    probe cells driver-side against the metadata centroids (rounded-6dp
+    cosine DESC, id ASC — the shared probe contract), scan ONLY those
+    cells' directories (partition pruning) and ONLY the codes column,
+    and rank by the exact-integer SQ asymmetric distance
+    (:func:`_sq_dist6_expr` — the identical arithmetic the inline
+    sweep uses, so the persisted codes must serve the identical
+    ranking; shared oracle with the composed ``sim_ivfsq_topk``). The
+    serving plan never touches a vector; the TakeOrdered top-k is the
+    only shuffle."""
+    cents: list[tuple[int, list[float]]] = meta["centroids"]
+    lo, hi = meta["bounds"]
+    q = [float(x) for x in query_vec]
+
+    def cos6(cv: list[float]) -> float:
+        # Sequential float64 folds — the same accumulation order the
+        # oracle's list_sum uses; 6dp rounding absorbs the rest.
+        dot = 0.0
+        nq = 0.0
+        nc = 0.0
+        for a, b in zip(q, cv):
+            dot += a * b
+            nq += a * a
+            nc += b * b
+        return round(dot / ((nq ** 0.5) * (nc ** 0.5)), 6)
+
+    probed = [
+        cid for _, cid in sorted((-cos6(cv), cid) for cid, cv in cents)
+    ][:nprobe]
+    qi = [round(v * 10000) for v in q]
+    scan = spark.read.parquet(path).filter(F.col("cell").isin(probed))
+    return (
+        scan.select(
+            F.col(id_col),
+            _sq_dist6_expr(F.col("codes"), qi, lo, hi).alias("sq_dist"),
+        )
+        .orderBy(F.col("sq_dist").asc(), F.col(id_col).asc())
+        .limit(k)
+    )
+
+
+def _binary_words_expr(
+    vec_col: str, n_words: int = 2
+) -> list[Column]:
+    """Sign-bit packing: word w is the MSB-first fold of the 32
+    dimensions ``[32w, 32w+32)`` — bit j set iff the (4dp-quantized)
+    value is > 0, so each word is an exact int64 in [0, 2^32) and the
+    pack is pure integer on both engines (the oracle's shifted-sum
+    over the same slice produces the identical fold). Sign bits are
+    the 1-bit/dimension rung of the quantization ladder (FAISS
+    ``IndexBinaryFlat``): 256x over float32, distance = popcount of
+    an XOR — memory-bandwidth-trivial at 100 TB candidate-sweep
+    scale."""
+    return [
+        F.aggregate(
+            F.slice(F.col(vec_col), 32 * w + 1, 32),
+            F.lit(0).cast("long"),
+            lambda acc, x: acc * 2
+            + F.when(x.cast("double") > 0, 1).otherwise(0),
+        ).alias(f"w{w}")
+        for w in range(n_words)
+    ]
+
+
+def binary_encode(
+    embeddings: DataFrame,
+    n_words: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Binary (sign-bit) encode: ``(id, w0..w{n-1})`` with one int64
+    word per 32 dimensions. Map-only — no training, no shuffle; the
+    64-dim corpus packs to 2 words (8 bytes/vector vs 256 for
+    float32)."""
+    return embeddings.select(
+        F.col(id_col), *_binary_words_expr(vec_col, n_words)
+    )
+
+
+def _hamming_expr(qwords: list[int], n_words: int) -> Column:
+    """popcount(XOR) summed across words — int64 end to end."""
+    d = F.lit(0).cast("long")
+    for w in range(n_words):
+        d = d + F.bit_count(
+            F.col(f"w{w}").bitwiseXOR(F.lit(qwords[w]).cast("long"))
+        ).cast("long")
+    return d
+
+
+def hamming_topk(
+    embeddings: DataFrame,
+    k: int = 10,
+    query_id: int = 0,
+    n_words: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Binary top-k: Hamming distance between sign-bit words
+    (popcount of XOR, summed across words) — the coarsest, cheapest
+    rung of the ANN ladder and the standard 100 TB prefilter (sweep
+    8-byte signatures, not 256-byte vectors). The query's words are
+    computed driver-side from its (4dp) vector — the same exact
+    integer fold the corpus side uses — and ride the plan as two
+    literals; one TakeOrdered is the only shuffle. Ranking: hamming
+    ASC, id ASC (int ties are dense — 65 possible distances — so the
+    deterministic id tie-break is load-bearing)."""
+    q = [
+        float(x)
+        for x in embeddings.filter(F.col(id_col) == query_id)
+        .select(vec_col).collect()[0][0]
+    ]
+    q4 = [round(v, 4) for v in q]
+    qwords = []
+    for w in range(n_words):
+        acc = 0
+        for x in q4[32 * w:32 * w + 32]:
+            acc = acc * 2 + (1 if x > 0 else 0)
+        qwords.append(acc)
+    enc = binary_encode(embeddings, n_words, id_col, vec_col)
+    return (
+        enc.select(
+            F.col(id_col),
+            _hamming_expr(qwords, n_words).alias("hamming"),
+        )
+        .orderBy(F.col("hamming").asc(), F.col(id_col).asc())
+        .limit(k)
+    )
+
+
+def binary_rerank_topk(
+    embeddings: DataFrame,
+    k: int = 10,
+    shortlist: int = 50,
+    query_id: int = 0,
+    n_words: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Two-stage binary cascade (the production shape for sign-bit
+    codes): a Hamming SHORTLIST of ``shortlist`` candidates (exact
+    integer distance, deterministic hamming-ASC/id-ASC cut), then an
+    exact rounded-6dp cosine RERANK of only those candidates against
+    the full query vector. The shortlist is k·P heap rows
+    (TakeOrdered), broadcast back against the corpus for the rerank —
+    at 100 TB the first stage sweeps 8-byte signatures and the second
+    reads ``shortlist`` full vectors, never the corpus. Output:
+    (id, cos_sim), cosine DESC, id ASC."""
+    sl = hamming_topk(
+        embeddings, shortlist, query_id, n_words, id_col, vec_col
+    ).select(id_col)
+    qdf = (
+        embeddings.filter(F.col(id_col) == query_id)
+        .select(F.col(vec_col).alias("qvec"))
+    )
+    return (
+        embeddings.join(F.broadcast(sl), on=id_col)
+        .crossJoin(F.broadcast(qdf))
+        .select(
+            F.col(id_col),
+            cosine_sim(F.col(vec_col), F.col("qvec")).alias("cos_sim"),
+        )
+        .orderBy(F.col("cos_sim").desc(), F.col(id_col).asc())
+        .limit(k)
+    )
+
+
+def pq_refine_topk(
+    embeddings: DataFrame,
+    k: int = 10,
+    shortlist: int = 30,
+    n_subspaces: int = 4,
+    n_codes: int = 8,
+    query_id: int = 0,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    codebook: Optional[Codebook] = None,
+) -> DataFrame:
+    """PQ + exact refine (FAISS ``IndexRefineFlat``): the ADC sweep
+    produces a SHORTLIST of ``shortlist`` candidates (adc_dist ASC,
+    id ASC — deterministic cut), then only those candidates are
+    re-ranked by their EXACT rounded-6dp squared-L2 to the query.
+    This is how production systems buy back the recall that 4-byte
+    codes give up: the first stage reads codes for the whole corpus,
+    the second reads ``shortlist`` full vectors — O(R) vector
+    fetches, not O(N). Output: (id, l2_dist), ascending, id
+    tie-break."""
+    if codebook is None:
+        codebook = pq_train_codebook(
+            embeddings, n_subspaces, n_codes, id_col, vec_col
+        )
+    sl = pq_adc_topk(
+        embeddings, shortlist, n_subspaces, n_codes, query_id,
+        id_col, vec_col, codebook=codebook,
+    ).select(id_col)
+    q = [
+        float(x)
+        for x in embeddings.filter(F.col(id_col) == query_id)
+        .select(vec_col).collect()[0][0]
+    ]
+    return (
+        embeddings.join(F.broadcast(sl), on=id_col)
+        .select(
+            F.col(id_col),
+            _sq_l2(F.col(vec_col), q).alias("l2_dist"),
+        )
+        .orderBy(F.col("l2_dist").asc(), F.col(id_col).asc())
+        .limit(k)
     )

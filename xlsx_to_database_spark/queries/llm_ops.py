@@ -884,8 +884,11 @@ def sim_sq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return S.sq_adc_topk(e, k=10, query_id=0)
 
 
-@query(
-    "sim_ivfsq_topk",
+#: The full IVF+SQ serving oracle — ALSO the oracle of
+#: sim_sq_serve_topk, which must return the identical ranking from
+#: the PERSISTED SQ codes (the claim that persisting loses nothing,
+#: the same shared-oracle proof the two IVFPQ index pairs carry).
+_IVFSQ_ORACLE = (
     _SQ_CTE.rstrip()
     + _IVF_CELL_CTE
     + """
@@ -910,8 +913,11 @@ def sim_sq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     FROM ss
     ORDER BY sq_dist ASC, vec_id ASC
     LIMIT 10
-    """,
+    """
 )
+
+
+@query("sim_ivfsq_topk", _IVFSQ_ORACLE)
 def sim_ivfsq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF + SQ COMPOSED — FAISS IndexIVFScalarQuantizer's serving
     shape, completing the quantization matrix beside sim_ivfpq_topk:
@@ -922,6 +928,211 @@ def sim_ivfsq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     global scales (operators/similarity.py::ivfsq_topk)."""
     e = _quantized_embeddings(spark, sf_dir)
     return S.ivfsq_topk(e, k=10, n_centroids=8, nprobe=2, query_id=0)
+
+
+def _sq_index_path(sf_dir: str) -> str:
+    import os
+
+    from xlsx_to_database_spark.queries.sources_sinks import (
+        _STAGE_ROOT,
+        _tag,
+    )
+
+    return os.path.join(_STAGE_ROOT, f"{_tag(sf_dir)}_ivfsq_idx")
+
+
+@query(
+    "vec_sq_index_build",
+    _SQ_CTE.rstrip()
+    + _IVF_CELL_CTE
+    + """
+    SELECT sq.vec_id, CAST(ca.cell AS BIGINT) AS cell,
+           list(sq.c ORDER BY sq.dim) AS codes
+    FROM sqcodes sq JOIN cellasg ca ON ca.vec_id = sq.vec_id
+    GROUP BY sq.vec_id, ca.cell
+    """,
+)
+def vec_sq_index_build(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Persisted IVF+SQ index BUILD — the SQ rung's
+    encode-once/serve-many sibling of vec_index_build /
+    vec_residual_index_build: corpus-wide per-dimension bounds,
+    broadcast-matmul cell assignment, exact-integer SQ8 codes, written
+    as (vec_id, codes) parquet PARTITIONED BY cell
+    (operators/similarity.py::sq_index_build). The read-back is the
+    oracle-checked result, so the round trip through the persisted
+    files is what's verified."""
+    e = _quantized_embeddings(spark, sf_dir)
+    path = _sq_index_path(sf_dir)
+    S.sq_index_build(e, path)
+    back = spark.read.parquet(path)
+    return back.select(
+        "vec_id", F.col("cell").cast("long").alias("cell"), "codes"
+    )
+
+
+@query("sim_sq_serve_topk", _IVFSQ_ORACLE)
+def sim_sq_serve_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Serve top-10 from the PERSISTED IVF+SQ index — completing the
+    encode-once/serve-many pair for the scalar-quantization rung:
+    probe cells rank driver-side against the metadata centroids, the
+    scan reads ONLY the probed cells' directories (partition pruning,
+    plan-asserted) and ONLY the codes column, and the exact-integer
+    asymmetric distance is the SAME _sq_dist6_expr arithmetic the
+    inline sweep uses. Must serve the IDENTICAL ranking to
+    sim_ivfsq_topk — the two share one oracle, which is the claim
+    that persisting the SQ codes loses nothing
+    (operators/similarity.py::sq_index_serve)."""
+    e = _quantized_embeddings(spark, sf_dir)
+    meta = S.sq_index_build(e, _sq_index_path(sf_dir))
+    q = [
+        float(x)
+        for x in e.filter(F.col("vec_id") == 0)
+        .select("embedding").collect()[0][0]
+    ]
+    return S.sq_index_serve(
+        spark, _sq_index_path(sf_dir), meta, q, k=10, nprobe=2
+    )
+
+
+#: Binary (sign-bit) scaffolding — the 1-bit/dimension rung of the
+#: quantization ladder (FAISS IndexBinaryFlat): two 32-dim MSB-first
+#: words per 64-dim vector, each an exact int64 in [0, 2^32); Hamming
+#: distance = popcount(XOR) summed across words. Pure integer on both
+#: engines — no float enters anywhere in encode or distance.
+_BIN_CTE = """
+    WITH v4 AS (
+      SELECT vec_id,
+             list_transform(embedding, x -> round(CAST(x AS DOUBLE), 4)) AS e
+      FROM embeddings
+    ), bw AS (
+      SELECT vec_id,
+             list_sum(list_transform(generate_series(1, 32),
+               i -> CASE WHEN e[i] > 0
+                    THEN (CAST(1 AS BIGINT) << (32 - i)) ELSE 0 END)) AS w0,
+             list_sum(list_transform(generate_series(1, 32),
+               i -> CASE WHEN e[32 + i] > 0
+                    THEN (CAST(1 AS BIGINT) << (32 - i)) ELSE 0 END)) AS w1
+      FROM v4
+    ), qbw AS (SELECT w0 AS q0, w1 AS q1 FROM bw WHERE vec_id = 0),
+    hd AS (
+      SELECT bw.vec_id,
+             CAST(bit_count(xor(bw.w0, qbw.q0))
+                + bit_count(xor(bw.w1, qbw.q1)) AS BIGINT) AS hamming
+      FROM bw, qbw
+    )
+"""
+
+
+@query(
+    "vec_binary_encode",
+    _BIN_CTE
+    + """
+    SELECT vec_id, w0, w1 FROM bw
+    """,
+)
+def vec_binary_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binary (sign-bit) encode — the 1-bit/dimension, 256x-compression
+    rung of the quantization ladder (FAISS IndexBinaryFlat): bit j of
+    word w set iff dimension 32w+j of the 4dp vector is > 0, packed by
+    an MSB-first integer fold (exact int64 in [0, 2^32) — both engines
+    produce the identical words by construction). Map-only, no
+    training, no shuffle (operators/similarity.py::binary_encode)."""
+    e = _quantized_embeddings(spark, sf_dir)
+    return S.binary_encode(e)
+
+
+@query(
+    "sim_hamming_topk",
+    _BIN_CTE
+    + """
+    SELECT vec_id, hamming FROM hd
+    ORDER BY hamming ASC, vec_id ASC
+    LIMIT 10
+    """,
+)
+def sim_hamming_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hamming top-10 over the sign-bit words: popcount(XOR) summed
+    across the two words — int64 end to end, zero rounding surface.
+    The query's words are the same integer fold computed driver-side
+    and inlined as two literals; one TakeOrdered is the only shuffle.
+    With only 65 possible distances the id tie-break carries the
+    determinism (operators/similarity.py::hamming_topk)."""
+    e = _quantized_embeddings(spark, sf_dir)
+    return S.hamming_topk(e, k=10, query_id=0)
+
+
+@query(
+    "sim_binary_rerank_topk",
+    _BIN_CTE
+    + """
+    , sl AS (
+      SELECT vec_id FROM (
+        SELECT vec_id,
+               row_number() OVER (ORDER BY hamming ASC, vec_id ASC) AS rn
+        FROM hd
+      ) WHERE rn <= 50
+    ), n4 AS (
+      SELECT vec_id, e,
+             sqrt(list_sum(list_transform(e, x -> x * x))) AS nrm
+      FROM v4
+    ), q4 AS (SELECT e AS qe, nrm AS qn FROM n4 WHERE vec_id = 0)
+    SELECT n4.vec_id,
+           round(list_sum(list_transform(generate_series(1, len(e)),
+                                         i -> e[i] * qe[i]))
+                 / (nrm * qn), 6) AS cos_sim
+    FROM n4 JOIN sl ON sl.vec_id = n4.vec_id, q4
+    ORDER BY cos_sim DESC, n4.vec_id ASC
+    LIMIT 10
+    """,
+)
+def sim_binary_rerank_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-stage binary cascade — the production shape for sign-bit
+    codes: a 50-candidate Hamming shortlist (exact integer distance,
+    deterministic hamming-ASC/id-ASC cut), then an exact rounded-6dp
+    cosine rerank of ONLY those candidates. At 100 TB stage 1 sweeps
+    8-byte signatures and stage 2 fetches 50 full vectors — O(R), not
+    O(N) (operators/similarity.py::binary_rerank_topk)."""
+    e = _quantized_embeddings(spark, sf_dir)
+    return S.binary_rerank_topk(e, k=10, shortlist=50, query_id=0)
+
+
+@query(
+    "sim_pq_refine_topk",
+    _PQ_CTE
+    + _QTAB_CTE
+    + """
+    , adc AS (
+      SELECT b.vec_id, round(sum(qtab.dq2), 6) AS adc_dist
+      FROM best b JOIN qtab ON b.s = qtab.s AND b.cid = qtab.cid
+      WHERE b.rn = 1
+      GROUP BY b.vec_id
+    ), sl AS (
+      SELECT vec_id FROM (
+        SELECT vec_id,
+               row_number() OVER (ORDER BY adc_dist ASC, vec_id ASC) AS rn
+        FROM adc
+      ) WHERE rn <= 100
+    ), q2 AS (SELECT e AS qe FROM v4 WHERE vec_id = 0)
+    SELECT v4.vec_id,
+           round(list_sum(list_transform(generate_series(1, len(e)),
+                 i -> (e[i] - qe[i]) * (e[i] - qe[i]))), 6) AS l2_dist
+    FROM v4 JOIN sl ON sl.vec_id = v4.vec_id, q2
+    ORDER BY l2_dist ASC, v4.vec_id ASC
+    LIMIT 10
+    """,
+)
+def sim_pq_refine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PQ + exact refine (FAISS IndexRefineFlat): the trained-codebook
+    ADC sweep cuts a 100-candidate shortlist (adc_dist ASC, id ASC),
+    and ONLY those candidates are re-ranked by exact rounded-6dp
+    squared-L2 to the query — how production systems buy back the
+    recall that 4-byte codes give up, at O(R) full-vector fetches.
+    Measured here: the 8-codeword ADC top-10 alone recovers 1-3 of
+    the exact-L2 top-10; refine at R=100 recovers 6-7 (published via
+    sim_recall_report). Stage 1 reads codes corpus-wide, stage 2
+    reads 100 vectors (operators/similarity.py::pq_refine_topk)."""
+    e = _quantized_embeddings(spark, sf_dir)
+    return S.pq_refine_topk(e, k=10, shortlist=100)
 
 
 @query(

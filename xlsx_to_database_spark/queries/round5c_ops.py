@@ -28,7 +28,7 @@ from __future__ import annotations
 # Module-level so ``typing.get_type_hints`` can resolve the iterator
 # pandas-UDF signature (postponed annotations stringify the hints, and
 # pandas_udf resolves them against the function's module globals).
-from typing import Iterator, Tuple  # noqa: F401
+from typing import Iterator, Optional, Tuple  # noqa: F401
 
 import pandas as pd  # noqa: F401
 
@@ -3905,40 +3905,64 @@ def _recall_oracle() -> str:
     ivf_m = _ORACLES["sim_ivf_matrix_topk"]
     ivfpq = _ORACLES["sim_ivfpq_topk"]
     ivfpq_r = _ORACLES["sim_ivfpq_residual_topk"]
+    sq = _ORACLES["sim_sq_topk"]
+    ivfsq = _ORACLES["sim_ivfsq_topk"]
+    ham = _ORACLES["sim_hamming_topk"]
+    brr = _ORACLES["sim_binary_rerank_topk"]
+    refine = _ORACLES["sim_pq_refine_topk"]
+    # Exact top-10 in the L2 metric on the 4dp vectors — the honest
+    # baseline for the L2-ranked quantization rungs (SQ / IVFSQ /
+    # PQ+refine); the angle-based rungs keep the cosine baseline.
+    exact_l2 = """
+    WITH v4 AS (
+      SELECT vec_id,
+             list_transform(embedding, x -> round(CAST(x AS DOUBLE), 4)) AS e
+      FROM embeddings
+    ), q AS (SELECT e AS qe FROM v4 WHERE vec_id = 0)
+    SELECT vec_id FROM (
+      SELECT v4.vec_id,
+             round(list_sum(list_transform(generate_series(1, len(e)),
+                   i -> (e[i] - qe[i]) * (e[i] - qe[i]))), 6) AS d2
+      FROM v4, q
+    ) ORDER BY d2 ASC, vec_id ASC LIMIT 10
+    """
+
+    def _hit(name: str, part: str, base: str) -> str:
+        return f"""
+      SELECT '{name}' AS method,
+             CAST((SELECT count(*) FROM {part}
+                   WHERE vec_id IN (SELECT vec_id FROM {base}))
+                  AS BIGINT) AS n_hits"""
+
+    rows = " UNION ALL ".join(
+        [
+            _hit("lsh", "lsh", "exact"),
+            _hit("ivf", "ivf", "exact"),
+            _hit("ivf_matrix", "ivf_m", "exact"),
+            _hit("ivfpq", "ivfpq", "exact"),
+            _hit("ivfpq_residual", "ivfpq_r", "exact"),
+            _hit("sq", "sq", "exact_l2"),
+            _hit("ivfsq", "ivfsq", "exact_l2"),
+            _hit("pq_refine", "refine", "exact_l2"),
+            _hit("hamming", "ham", "exact"),
+            _hit("binary_rerank", "brr", "exact"),
+        ]
+    )
     return f"""
     WITH exact AS (SELECT vec_id FROM ({ex})),
+    exact_l2 AS (SELECT vec_id FROM ({exact_l2})),
     lsh AS (SELECT vec_id FROM ({lsh})),
     ivf AS (SELECT vec_id FROM ({ivf})),
     ivf_m AS (SELECT vec_id FROM ({ivf_m})),
     ivfpq AS (SELECT vec_id FROM ({ivfpq})),
-    ivfpq_r AS (SELECT vec_id FROM ({ivfpq_r}))
+    ivfpq_r AS (SELECT vec_id FROM ({ivfpq_r})),
+    sq AS (SELECT vec_id FROM ({sq})),
+    ivfsq AS (SELECT vec_id FROM ({ivfsq})),
+    refine AS (SELECT vec_id FROM ({refine})),
+    ham AS (SELECT vec_id FROM ({ham})),
+    brr AS (SELECT vec_id FROM ({brr}))
     SELECT method, n_hits, round(CAST(n_hits AS DOUBLE) / 10, 2) AS recall
-    FROM (
-      SELECT 'lsh' AS method,
-             CAST((SELECT count(*) FROM lsh
-                   WHERE vec_id IN (SELECT vec_id FROM exact))
-                  AS BIGINT) AS n_hits
-      UNION ALL
-      SELECT 'ivf',
-             CAST((SELECT count(*) FROM ivf
-                   WHERE vec_id IN (SELECT vec_id FROM exact))
-                  AS BIGINT)
-      UNION ALL
-      SELECT 'ivf_matrix',
-             CAST((SELECT count(*) FROM ivf_m
-                   WHERE vec_id IN (SELECT vec_id FROM exact))
-                  AS BIGINT)
-      UNION ALL
-      SELECT 'ivfpq',
-             CAST((SELECT count(*) FROM ivfpq
-                   WHERE vec_id IN (SELECT vec_id FROM exact))
-                  AS BIGINT)
-      UNION ALL
-      SELECT 'ivfpq_residual',
-             CAST((SELECT count(*) FROM ivfpq_r
-                   WHERE vec_id IN (SELECT vec_id FROM exact))
-                  AS BIGINT)
-    )
+    FROM ({rows})
     """
 
 
@@ -3983,10 +4007,46 @@ def sim_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     ivfpq = _ivfpq_q(spark, sf_dir).select("vec_id")
     ivfpq_r = _ivfpq_r_q(spark, sf_dir).select("vec_id")
+    # Round 13: the SQ / IVFSQ / PQ+refine rungs (L2-ranked — measured
+    # against the exact L2 top-10 on the same 4dp vectors) and the
+    # binary rung (angle-approximating — cosine baseline). Each reuses
+    # the registered query so the report measures exactly what the op
+    # serves.
+    from xlsx_to_database_spark.queries.llm_ops import (
+        _quantized_embeddings as _q4,
+        sim_binary_rerank_topk as _brr_q,
+        sim_hamming_topk as _ham_q,
+        sim_ivfsq_topk as _ivfsq_q,
+        sim_pq_refine_topk as _refine_q,
+        sim_sq_topk as _sq_q,
+    )
 
-    def hits(df: DataFrame, name: str) -> DataFrame:
+    e4 = _q4(spark, sf_dir)
+    ql2 = [
+        float(x)
+        for x in e4.filter(F.col("vec_id") == 0)
+        .select("embedding").collect()[0][0]
+    ]
+    exact_l2 = (
+        e4.select(
+            "vec_id", S._sq_l2(F.col("embedding"), ql2).alias("d2")
+        )
+        .orderBy(F.col("d2").asc(), F.col("vec_id").asc())
+        .limit(10)
+        .select("vec_id")
+    )
+    sq = _sq_q(spark, sf_dir).select("vec_id")
+    ivfsq = _ivfsq_q(spark, sf_dir).select("vec_id")
+    refine = _refine_q(spark, sf_dir).select("vec_id")
+    ham = _ham_q(spark, sf_dir).select("vec_id")
+    brr = _brr_q(spark, sf_dir).select("vec_id")
+
+    def hits(
+        df: DataFrame, name: str, base: Optional[DataFrame] = None
+    ) -> DataFrame:
         return (
-            df.join(exact, "vec_id", "left_semi")
+            df.join(base if base is not None else exact,
+                    "vec_id", "left_semi")
             .agg(
                 F.lit(name).alias("method"),
                 F.count(F.lit(1)).alias("n_hits"),
@@ -4004,6 +4064,11 @@ def sim_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionByName(hits(ivf_m, "ivf_matrix"))
         .unionByName(hits(ivfpq, "ivfpq"))
         .unionByName(hits(ivfpq_r, "ivfpq_residual"))
+        .unionByName(hits(sq, "sq", exact_l2))
+        .unionByName(hits(ivfsq, "ivfsq", exact_l2))
+        .unionByName(hits(refine, "pq_refine", exact_l2))
+        .unionByName(hits(ham, "hamming"))
+        .unionByName(hits(brr, "binary_rerank"))
     )
 
 

@@ -388,6 +388,11 @@ _REOPENED: frozenset[str] = frozenset({
     # 2-core thinned to 3 rows at sf0.1 — the r12 rows-only green
     # attests the old graph's membership.
     "graph_kcore",
+    # sim_recall_report grows from 5 to 10 method rows this round
+    # (the SQ / IVFSQ / PQ+refine rungs against an exact-L2 baseline,
+    # the binary rung against the cosine baseline) — the r12 green
+    # attests the 5-row report.
+    "sim_recall_report",
 })
 
 #: The driver evaluates this many registry-order entries per round
