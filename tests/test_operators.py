@@ -4043,9 +4043,10 @@ def test_recall_report_matches_set_intersections(spark, sf_dir):
     # All ten index variants publish through the report; the two PQ
     # serving paths cannot beat the IVF candidate set they prune, and
     # a collapse to 0 would mean a dead codebook.
-    assert set(got) == {"lsh", "ivf", "ivf_matrix", "ivfpq",
-                        "ivfpq_residual", "sq", "ivfsq", "pq_refine",
-                        "hamming", "binary_rerank"}
+    assert set(got) == {"lsh", "ivf", "ivf_matrix", "ivf_trained",
+                        "ivfpq", "ivfpq_residual", "sq", "ivfsq",
+                        "pq_refine", "hamming", "binary_rerank"}
+    assert got["ivf_trained"][0] >= 1, ("trained IVF collapsed", got)
     for m in ("ivfpq", "ivfpq_residual"):
         assert 1 <= got[m][0] <= got["ivf_matrix"][0], (m, got)
     # SQ is the near-exact rung: 8-bit/dimension against its own
@@ -5102,3 +5103,52 @@ def test_sq_serve_matches_inline_sweep_and_prunes(spark, sf_dir, tmp_path):
     plan = served._jdf.queryExecution().executedPlan().toString()
     m = re.search(r"PartitionFilters: \[([^\]]*)\]", plan)
     assert m and "cell" in m.group(1), plan
+
+
+def test_ivf_training_is_monotone_and_keeps_empty_cells(spark, sf_dir):
+    """Spherical Lloyd's monotonicity, measured: the summed rounded-6dp
+    cosine of every vector to its assigned centroid must not DECREASE
+    when the positional centroids are replaced by one trained round
+    (assignment maximizes per-vector cosine; the mean update maximizes
+    the per-cell sum — cosine to the mean equals cosine to the
+    normalized mean). Plus the empty-cell contract: a centroid that
+    attracts no members must survive training bit-identically."""
+    from xlsx_to_database_spark.operators import similarity as S
+    from xlsx_to_database_spark.queries.llm_ops import (
+        _quantized_embeddings,
+    )
+
+    e = _quantized_embeddings(spark, sf_dir)
+    pos = S._collect_codebook(e, 8, "vec_id", "embedding")
+    trained = S.ivf_train_centroids(e, n_centroids=8)
+    assert [cid for cid, _ in trained] == [cid for cid, _ in pos]
+
+    def objective(cents):
+        asg = S.ivf_assign_matrix(e, cents)
+        by_cell = {cid: cv for cid, cv in cents}
+        rows = asg.select("vec_id", "embedding", "cell").collect()
+        tot = 0.0
+        for r in rows:
+            c = by_cell[r.cell]
+            dot = nq = nc = 0.0
+            for a, b in zip(r.embedding, c):
+                dot += a * b
+                nq += a * a
+                nc += b * b
+            tot += round(dot / ((nq ** 0.5) * (nc ** 0.5)), 6)
+        return tot
+
+    assert objective(trained) >= objective(pos) - 1e-9
+    # Empty-cell contract: train against one far-away synthetic corpus
+    # where centroid 2 can win nothing (all vectors identical to
+    # centroid 1's vector), and check it keeps its init values.
+    import pyspark.sql.functions as F2
+
+    base = [round(0.1 * (i % 7) - 0.3, 4) for i in range(64)]
+    other = [round(-v, 4) if v else 0.25 for v in base]
+    rows = [(1, base), (2, other)] + [(i, base) for i in range(3, 40)]
+    tiny = spark.createDataFrame(
+        rows, "vec_id long, embedding array<double>")
+    t2 = S.ivf_train_centroids(tiny, n_centroids=2)
+    got = dict(t2)
+    assert got[2] == [float(v) for v in other], "empty cell drifted"

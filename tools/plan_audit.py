@@ -95,6 +95,7 @@ ALLOWED: dict[str, dict[str, str]] = {
             "sim_ivfpq_topk",         # query probe-cell row (1 row)
             "sim_ivfsq_topk",         # query probe-cell row (1 row)
             "sim_binary_rerank_topk",  # query vector (1 row) for the rerank
+            "sim_ivf_trained_topk",   # query probe-cell row (1 row)
             "text_tfidf",             # corpus doc count N (1 row)
             "sim_batch_topk",         # batched query vectors (k rows, k small)
             "dq_checks",              # per-check scalar aggregates unioned

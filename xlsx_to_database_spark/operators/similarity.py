@@ -1581,3 +1581,112 @@ def pq_refine_topk(
         .orderBy(F.col("l2_dist").asc(), F.col(id_col).asc())
         .limit(k)
     )
+
+
+def ivf_train_centroids(
+    embeddings: DataFrame,
+    n_centroids: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    iters: int = 1,
+    decimals: int = 6,
+) -> list[tuple[int, list[float]]]:
+    """TRAIN the IVF coarse quantizer: deterministic fixed-iteration
+    spherical Lloyd's over the FULL vectors — the same upgrade
+    :func:`pq_train_codebook` gave the PQ codewords, applied to the
+    cell centroids that every IVF-composed op probes (until now they
+    were the positional stand-in, vectors 1..k). Init = the positional
+    centroids; each iteration assigns every vector to its nearest
+    centroid under the SHARED cell rule (rounded-6dp cosine DESC,
+    smallest-id tie-break — :func:`ivf_assign_matrix`, so training
+    and serving use one assignment contract) and recomputes each
+    centroid as the per-dimension mean of its members; an empty cell
+    keeps its previous centroid (FAISS keeps empty centroids too).
+
+    Engine-exactness (the pq_train_codebook discipline verbatim):
+    callers pass 4dp-quantized vectors, member sums are exact BIGINTs
+    in 1e-4 units, and the mean rounds to ``decimals`` places
+    HALF-AWAY-FROM-ZERO in PURE INTEGER arithmetic
+    (sign · ⌊(|S|·2·10^(d-4) + n) / 2n⌋) — both engines carry
+    identical doubles forward.
+
+    Scale shape per iteration: assignment is one broadcast BLAS
+    matmul per Arrow batch (no shuffle of vectors); the update
+    explodes rows to (cell, dim, value) scalar cells and
+    hash-aggregates — the shuffle carries k·d running sums; the
+    collect is k·d scalars (8·64 = 512 — coarse-quantizer metadata,
+    FAISS training's output artifact)."""
+    cents = _collect_codebook(embeddings, n_centroids, id_col, vec_col)
+    mul = 2 * 10 ** (decimals - 4)
+    den = 10 ** decimals
+    for _ in range(iters):
+        assigned = ivf_assign_matrix(embeddings, cents, id_col, vec_col)
+        cells = (
+            assigned.select(
+                F.col("cell"),
+                F.posexplode(F.col(vec_col)).alias("dim", "x"),
+            )
+            .groupBy("cell", "dim")
+            .agg(
+                F.sum(
+                    F.round(F.col("x").cast("double") * 10000)
+                    .cast("long")
+                ).alias("si"),
+                F.count(F.lit(1)).alias("n"),
+            )
+        )
+        trained: dict[int, dict[int, float]] = {}
+        for r in cells.collect():  # k·d scalars — centroid metadata
+            si, n = int(r["si"]), int(r["n"])
+            m_int = (abs(si) * mul + n) // (2 * n)
+            if si < 0:
+                m_int = -m_int
+            trained.setdefault(int(r["cell"]), {})[int(r["dim"])] = (
+                m_int / den
+            )
+        cents = [
+            (
+                cid,
+                [ms[i] for i in sorted(ms)]
+                if (ms := trained.get(cid)) is not None
+                else cv,  # empty cell: keep previous centroid
+            )
+            for cid, cv in cents
+        ]
+    return cents
+
+
+def ivf_topk_trained(
+    embeddings: DataFrame,
+    k: int = 10,
+    n_centroids: int = 8,
+    nprobe: int = 2,
+    query_id: int = 0,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF top-k over the TRAINED coarse quantizer: identical serving
+    skeleton to :func:`ivf_topk_matrix` (broadcast-matmul assignment,
+    one-row probe broadcast, exact cosine within probed cells, one
+    TakeOrdered) but the cells are :func:`ivf_train_centroids`' Lloyd's
+    centroids instead of the positional stand-in — cells now tile the
+    corpus where it actually lives, which is what makes nprobe/k
+    recall meaningful at real centroid counts."""
+    cents = ivf_train_centroids(
+        embeddings, n_centroids, id_col, vec_col
+    )
+    assigned = ivf_assign_matrix(embeddings, cents, id_col, vec_col)
+    qdf = embeddings.filter(F.col(id_col) == query_id).select(
+        F.col(vec_col).alias("qvec"),
+        _probe_cells_expr(cents, vec_col, nprobe).alias("probe_cells"),
+    )
+    cand = assigned.crossJoin(F.broadcast(qdf)).filter(
+        F.array_contains(F.col("probe_cells"), F.col("cell"))
+    )
+    scored = cand.select(
+        F.col(id_col),
+        cosine_sim(F.col(vec_col), F.col("qvec")).alias("cos_sim"),
+    )
+    return scored.orderBy(
+        F.col("cos_sim").desc(), F.col(id_col).asc()
+    ).limit(k)

@@ -803,12 +803,17 @@ def sim_residual_serve_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 #: bounds, and round-half-up 8-bit codes — every step integer-exact on
 #: both engines (no float enters until the final fixed display
 #: division), the discipline the PQ codeword means needed retrofitted.
-_SQ_CTE = """
+#: The 4dp-quantized vectors — the shared front of every exact-integer
+#: quantization oracle (mirrors _quantized_embeddings).
+_V4_CTE = """
     WITH v4 AS (
       SELECT vec_id,
              list_transform(embedding, x -> round(CAST(x AS DOUBLE), 4)) AS e
       FROM embeddings
-    ), xd AS (
+    )"""
+
+_SQ_CTE = _V4_CTE.rstrip() + """
+    , xd AS (
       SELECT vec_id, t.i AS dim,
              CAST(round(e[t.i] * 10000) AS BIGINT) AS xi
       FROM v4, UNNEST(generate_series(1, len(e))) AS t(i)
@@ -928,6 +933,137 @@ def sim_ivfsq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     global scales (operators/similarity.py::ivfsq_topk)."""
     e = _quantized_embeddings(spark, sf_dir)
     return S.ivfsq_topk(e, k=10, n_centroids=8, nprobe=2, query_id=0)
+
+
+#: TRAINED coarse-quantizer scaffolding: one deterministic spherical
+#: Lloyd's round over the FULL 4dp vectors — init = positional
+#: centroids (vectors 1..8), assignment under the shared cell rule
+#: (rounded-6dp cosine DESC, smallest-id tie-break), per-dimension
+#: means as exact BIGINT sums in 1e-4 units with the pure-integer
+#: half-away-from-zero 6dp rounding (the pq_train_codebook
+#: discipline on full vectors; 64 dims).
+_IVF_TRAIN_CTE = """
+    , inv AS (
+      SELECT vec_id, e,
+             sqrt(list_sum(list_transform(e, x -> x * x))) AS nrm
+      FROM v4
+    ), icc AS (
+      SELECT vec_id AS c_id, e AS ce, nrm AS cn
+      FROM inv WHERE vec_id BETWEEN 1 AND 8
+    ), isc AS (
+      SELECT inv.vec_id, icc.c_id,
+             round(list_sum(list_transform(generate_series(1, len(e)),
+                                           i -> e[i] * ce[i]))
+                   / (nrm * icc.cn), 6) AS csim
+      FROM inv, icc
+    ), iasg AS (
+      SELECT vec_id, c_id AS cell FROM (
+        SELECT vec_id, c_id,
+               row_number() OVER (PARTITION BY vec_id
+                                  ORDER BY csim DESC, c_id ASC) AS rn
+        FROM isc
+      ) WHERE rn = 1
+    ), iupd0 AS (
+      SELECT a.cell, t.i AS dim,
+             CAST(sum(CAST(round(v4.e[t.i] * 10000) AS BIGINT))
+                  AS BIGINT) AS si,
+             count(*) AS n
+      FROM iasg a JOIN v4 ON v4.vec_id = a.vec_id,
+           UNNEST(generate_series(1, 64)) AS t(i)
+      GROUP BY a.cell, t.i
+    ), iupd AS (
+      SELECT cell, dim,
+             CAST(CASE WHEN si >= 0
+                  THEN (si * 200 + n) // (2 * n)
+                  ELSE 0 - (((0 - si) * 200 + n) // (2 * n))
+                  END AS DOUBLE) / 1000000 AS m
+      FROM iupd0
+    ), icd AS (
+      SELECT icc.c_id, t.i AS dim, icc.ce[t.i] AS m0
+      FROM icc, UNNEST(generate_series(1, 64)) AS t(i)
+    ), tcc AS (
+      SELECT icd.c_id,
+             list(coalesce(u.m, icd.m0) ORDER BY icd.dim) AS ce
+      FROM icd LEFT JOIN iupd u
+        ON u.cell = icd.c_id AND u.dim = icd.dim
+      GROUP BY icd.c_id
+    )
+"""
+
+
+@query(
+    "vec_ivf_train_centroids",
+    _V4_CTE.rstrip()
+    + _IVF_TRAIN_CTE
+    + """
+    SELECT c_id AS cell_id, ce AS centroid FROM tcc
+    """,
+)
+def vec_ivf_train_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TRAIN the IVF coarse quantizer — one deterministic spherical
+    Lloyd's round over the full 4dp vectors (the upgrade
+    pq_train_codebook gave the PQ codewords, applied to the cell
+    centroids every IVF-composed op probes; until now they were the
+    positional stand-in): assignment under the SHARED cell rule,
+    per-dimension exact-BIGINT means with pure-integer 6dp
+    half-away-from-zero rounding, empty cells keeping their init. The
+    k·d training aggregate is the only shuffle; the output is k rows
+    of coarse-quantizer metadata — FAISS training's artifact
+    (operators/similarity.py::ivf_train_centroids)."""
+    e = _quantized_embeddings(spark, sf_dir)
+    cents = S.ivf_train_centroids(e, n_centroids=8)
+    return spark.createDataFrame(
+        [(cid, vals) for cid, vals in cents],
+        "cell_id long, centroid array<double>",
+    )
+
+
+@query(
+    "sim_ivf_trained_topk",
+    _V4_CTE.rstrip()
+    + _IVF_TRAIN_CTE
+    + """
+    , tnv AS (
+      SELECT c_id, ce,
+             sqrt(list_sum(list_transform(ce, x -> x * x))) AS cn
+      FROM tcc
+    ), tsc AS (
+      SELECT inv.vec_id, tnv.c_id,
+             round(list_sum(list_transform(generate_series(1, len(e)),
+                                           i -> e[i] * ce[i]))
+                   / (inv.nrm * tnv.cn), 6) AS csim
+      FROM inv, tnv
+    ), tasg AS (
+      SELECT vec_id, c_id AS cell FROM (
+        SELECT vec_id, c_id,
+               row_number() OVER (PARTITION BY vec_id
+                                  ORDER BY csim DESC, c_id ASC) AS rn
+        FROM tsc
+      ) WHERE rn = 1
+    ), tqp AS (
+      SELECT c_id AS cell FROM tsc WHERE vec_id = 0
+      ORDER BY csim DESC, c_id ASC LIMIT 2
+    ), q0 AS (SELECT e AS qe, nrm AS qn FROM inv WHERE vec_id = 0)
+    SELECT inv.vec_id,
+           round(list_sum(list_transform(generate_series(1, len(e)),
+                                         i -> e[i] * qe[i]))
+                 / (inv.nrm * q0.qn), 6) AS cos_sim
+    FROM inv JOIN tasg ON tasg.vec_id = inv.vec_id
+    JOIN tqp ON tasg.cell = tqp.cell, q0
+    ORDER BY cos_sim DESC, inv.vec_id ASC
+    LIMIT 10
+    """,
+)
+def sim_ivf_trained_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF top-10 over the TRAINED coarse quantizer: the same serving
+    skeleton as sim_ivf_matrix_topk (broadcast-matmul assignment,
+    one-row probe broadcast, exact cosine within the 2 probed cells,
+    one TakeOrdered) but the cells are Lloyd's centroids instead of
+    the positional stand-in — cells tile the corpus where it lives,
+    which is what makes nprobe/k recall meaningful at real centroid
+    counts (operators/similarity.py::ivf_topk_trained)."""
+    e = _quantized_embeddings(spark, sf_dir)
+    return S.ivf_topk_trained(e, k=10, n_centroids=8, nprobe=2)
 
 
 def _sq_index_path(sf_dir: str) -> str:

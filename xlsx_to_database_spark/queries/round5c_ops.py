@@ -3909,6 +3909,7 @@ def _recall_oracle() -> str:
     ivfsq = _ORACLES["sim_ivfsq_topk"]
     ham = _ORACLES["sim_hamming_topk"]
     brr = _ORACLES["sim_binary_rerank_topk"]
+    ivf_t = _ORACLES["sim_ivf_trained_topk"]
     refine = _ORACLES["sim_pq_refine_topk"]
     # Exact top-10 in the L2 metric on the 4dp vectors — the honest
     # baseline for the L2-ranked quantization rungs (SQ / IVFSQ /
@@ -3939,6 +3940,7 @@ def _recall_oracle() -> str:
             _hit("lsh", "lsh", "exact"),
             _hit("ivf", "ivf", "exact"),
             _hit("ivf_matrix", "ivf_m", "exact"),
+            _hit("ivf_trained", "ivf_t", "exact"),
             _hit("ivfpq", "ivfpq", "exact"),
             _hit("ivfpq_residual", "ivfpq_r", "exact"),
             _hit("sq", "sq", "exact_l2"),
@@ -3959,6 +3961,7 @@ def _recall_oracle() -> str:
     sq AS (SELECT vec_id FROM ({sq})),
     ivfsq AS (SELECT vec_id FROM ({ivfsq})),
     refine AS (SELECT vec_id FROM ({refine})),
+    ivf_t AS (SELECT vec_id FROM ({ivf_t})),
     ham AS (SELECT vec_id FROM ({ham})),
     brr AS (SELECT vec_id FROM ({brr}))
     SELECT method, n_hits, round(CAST(n_hits AS DOUBLE) / 10, 2) AS recall
@@ -4016,6 +4019,7 @@ def sim_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         _quantized_embeddings as _q4,
         sim_binary_rerank_topk as _brr_q,
         sim_hamming_topk as _ham_q,
+        sim_ivf_trained_topk as _ivf_t_q,
         sim_ivfsq_topk as _ivfsq_q,
         sim_pq_refine_topk as _refine_q,
         sim_sq_topk as _sq_q,
@@ -4040,6 +4044,7 @@ def sim_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     refine = _refine_q(spark, sf_dir).select("vec_id")
     ham = _ham_q(spark, sf_dir).select("vec_id")
     brr = _brr_q(spark, sf_dir).select("vec_id")
+    ivf_t = _ivf_t_q(spark, sf_dir).select("vec_id")
 
     def hits(
         df: DataFrame, name: str, base: Optional[DataFrame] = None
@@ -4062,6 +4067,7 @@ def sim_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         hits(lsh, "lsh")
         .unionByName(hits(ivf, "ivf"))
         .unionByName(hits(ivf_m, "ivf_matrix"))
+        .unionByName(hits(ivf_t, "ivf_trained"))
         .unionByName(hits(ivfpq, "ivfpq"))
         .unionByName(hits(ivfpq_r, "ivfpq_residual"))
         .unionByName(hits(sq, "sq", exact_l2))
