@@ -402,6 +402,21 @@ def test_sq_index_serve_prunes_cells_and_reads_no_vectors(
     assert "TakeOrderedAndProject" in plan, plan
 
 
+def test_ivfflat_serve_prunes_cells_and_reads_vectors(spark, sf_dir, qs):
+    # The flat rung's serving contract differs from the code indexes:
+    # directory-level cell pruning still holds, but the scan MUST read
+    # the vector column — exact within-cell ranking is the point of
+    # flat — and nothing else beyond id + vector.
+    import re
+
+    plan = explain_str(qs["sim_ivfflat_serve_topk"](spark, sf_dir))
+    m = re.search(r"PartitionFilters: \[([^\]]*)\]", plan)
+    assert m and "cell" in m.group(1), plan
+    rs = re.search(r"ReadSchema: ([^\n]*)", plan)
+    assert rs and "embedding" in rs.group(1), plan
+    assert "TakeOrderedAndProject" in plan, plan
+
+
 def test_running_distinct_reuses_partitioning(spark, sf_dir, qs):
     # Two window sorts, both partitioned on user_id: the running-sum
     # window must reuse the first-occurrence window's Exchange.

@@ -101,6 +101,11 @@ DEFAULT_OPS = [
     "sim_sq_topk",
     "sim_ivfsq_topk",
     "sim_residual_serve_topk",
+    "sim_sq_serve_topk",
+    "sim_hamming_topk",
+    "sim_binary_rerank_topk",
+    "sim_ivf_trained_topk",
+    "sim_pq_refine_topk",
 ]
 
 

@@ -1690,3 +1690,78 @@ def ivf_topk_trained(
     return scored.orderBy(
         F.col("cos_sim").desc(), F.col(id_col).asc()
     ).limit(k)
+
+
+def ivfflat_index_build(
+    embeddings: DataFrame,
+    path: str,
+    n_centroids: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> dict:
+    """BUILD a persisted IVF-FLAT index over the TRAINED coarse
+    quantizer (FAISS ``IndexIVFFlat`` on disk — completing the
+    persistence matrix: every IVF family member now has an
+    encode-once/serve-many pair: IVFPQ in both modes, IVFSQ, and flat):
+    train the centroids (:func:`ivf_train_centroids`), assign every
+    vector, and write ``(id, vector)`` parquet PARTITIONED BY cell.
+    Unlike the code indexes this one stores the full vectors — the
+    flat rung trades 1x compression for exact within-cell ranking —
+    so serving reads nprobe cells' VECTORS and nothing else. Returns
+    the serving metadata (trained centroids; deterministic retraining
+    output, bit-identical from a fresh process)."""
+    cents = ivf_train_centroids(embeddings, n_centroids, id_col, vec_col)
+    assigned = ivf_assign_matrix(embeddings, cents, id_col, vec_col)
+    assigned.select(
+        F.col(id_col), F.col("cell"), F.col(vec_col)
+    ).write.mode("overwrite").partitionBy("cell").parquet(path)
+    return {"centroids": cents}
+
+
+def ivfflat_index_serve(
+    spark,
+    path: str,
+    meta: dict,
+    query_vec: list[float],
+    k: int = 10,
+    nprobe: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """SERVE top-k from a persisted :func:`ivfflat_index_build` index:
+    rank probe cells driver-side against the metadata centroids (the
+    shared rounded-6dp-cosine/id probe contract), scan ONLY those
+    cells' directories (partition pruning, plan-asserted), and rank
+    candidates by EXACT rounded-6dp cosine to the inlined query
+    vector — the flat rung's within-cell ranking is exact by
+    definition. Must serve the IDENTICAL ranking to
+    :func:`ivf_topk_trained` (shared oracle): persisting the
+    cell-partitioned vectors loses nothing."""
+    cents: list[tuple[int, list[float]]] = meta["centroids"]
+    q = [float(x) for x in query_vec]
+
+    def cos6(cv: list[float]) -> float:
+        # Sequential float64 folds — the same accumulation order the
+        # oracle's list_sum uses; 6dp rounding absorbs the rest.
+        dot = 0.0
+        nq = 0.0
+        nc = 0.0
+        for a, b in zip(q, cv):
+            dot += a * b
+            nq += a * a
+            nc += b * b
+        return round(dot / ((nq ** 0.5) * (nc ** 0.5)), 6)
+
+    probed = [
+        cid for _, cid in sorted((-cos6(cv), cid) for cid, cv in cents)
+    ][:nprobe]
+    qlit = F.array(*[F.lit(v) for v in q])
+    scan = spark.read.parquet(path).filter(F.col("cell").isin(probed))
+    return (
+        scan.select(
+            F.col(id_col),
+            cosine_sim(F.col(vec_col), qlit).alias("cos_sim"),
+        )
+        .orderBy(F.col("cos_sim").desc(), F.col(id_col).asc())
+        .limit(k)
+    )

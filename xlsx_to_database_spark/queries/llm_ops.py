@@ -1018,8 +1018,11 @@ def vec_ivf_train_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query(
-    "sim_ivf_trained_topk",
+#: The trained-IVF serving oracle — ALSO the oracle of
+#: sim_ivfflat_serve_topk, which must return the identical ranking
+#: from the PERSISTED cell-partitioned vectors (the shared-oracle
+#: persistence proof, fourth instance).
+_IVF_TRAINED_ORACLE = (
     _V4_CTE.rstrip()
     + _IVF_TRAIN_CTE
     + """
@@ -1052,8 +1055,11 @@ def vec_ivf_train_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
     JOIN tqp ON tasg.cell = tqp.cell, q0
     ORDER BY cos_sim DESC, inv.vec_id ASC
     LIMIT 10
-    """,
+    """
 )
+
+
+@query("sim_ivf_trained_topk", _IVF_TRAINED_ORACLE)
 def sim_ivf_trained_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF top-10 over the TRAINED coarse quantizer: the same serving
     skeleton as sim_ivf_matrix_topk (broadcast-matmul assignment,
@@ -1064,6 +1070,85 @@ def sim_ivf_trained_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     counts (operators/similarity.py::ivf_topk_trained)."""
     e = _quantized_embeddings(spark, sf_dir)
     return S.ivf_topk_trained(e, k=10, n_centroids=8, nprobe=2)
+
+
+def _ivfflat_index_path(sf_dir: str) -> str:
+    import os
+
+    from xlsx_to_database_spark.queries.sources_sinks import (
+        _STAGE_ROOT,
+        _tag,
+    )
+
+    return os.path.join(_STAGE_ROOT, f"{_tag(sf_dir)}_ivfflat_idx")
+
+
+@query(
+    "vec_ivfflat_index_build",
+    _V4_CTE.rstrip()
+    + _IVF_TRAIN_CTE
+    + """
+    , tnv2 AS (
+      SELECT c_id, ce,
+             sqrt(list_sum(list_transform(ce, x -> x * x))) AS cn
+      FROM tcc
+    ), tsc2 AS (
+      SELECT inv.vec_id, tnv2.c_id,
+             round(list_sum(list_transform(generate_series(1, len(e)),
+                                           i -> e[i] * ce[i]))
+                   / (inv.nrm * tnv2.cn), 6) AS csim
+      FROM inv, tnv2
+    )
+    SELECT v4.vec_id, CAST(a.cell AS BIGINT) AS cell, v4.e AS embedding
+    FROM v4 JOIN (
+      SELECT vec_id, c_id AS cell FROM (
+        SELECT vec_id, c_id,
+               row_number() OVER (PARTITION BY vec_id
+                                  ORDER BY csim DESC, c_id ASC) AS rn
+        FROM tsc2
+      ) WHERE rn = 1
+    ) a ON a.vec_id = v4.vec_id
+    """,
+)
+def vec_ivfflat_index_build(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Persisted IVF-FLAT index BUILD over the TRAINED coarse
+    quantizer (FAISS IndexIVFFlat on disk) — completes the persistence
+    matrix: IVFPQ (both modes), IVFSQ, and now flat each have an
+    encode-once/serve-many pair. Unlike the code indexes this one
+    stores the full vectors partitioned by trained cell — 1x
+    compression, exact within-cell ranking. The read-back is the
+    oracle-checked result
+    (operators/similarity.py::ivfflat_index_build)."""
+    e = _quantized_embeddings(spark, sf_dir)
+    path = _ivfflat_index_path(sf_dir)
+    S.ivfflat_index_build(e, path)
+    back = spark.read.parquet(path)
+    return back.select(
+        "vec_id", F.col("cell").cast("long").alias("cell"), "embedding"
+    )
+
+
+@query("sim_ivfflat_serve_topk", _IVF_TRAINED_ORACLE)
+def sim_ivfflat_serve_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Serve top-10 from the PERSISTED IVF-flat index: probe cells
+    rank driver-side against the trained metadata centroids, the scan
+    reads ONLY the probed cells' directories (partition pruning,
+    plan-asserted), and candidates rank by EXACT rounded-6dp cosine
+    to the inlined query — the flat rung's within-cell ranking is
+    exact by definition. Must serve the IDENTICAL ranking to
+    sim_ivf_trained_topk — the two share one oracle, the fourth
+    instance of the persistence-loses-nothing proof
+    (operators/similarity.py::ivfflat_index_serve)."""
+    e = _quantized_embeddings(spark, sf_dir)
+    meta = S.ivfflat_index_build(e, _ivfflat_index_path(sf_dir))
+    q = [
+        float(x)
+        for x in e.filter(F.col("vec_id") == 0)
+        .select("embedding").collect()[0][0]
+    ]
+    return S.ivfflat_index_serve(
+        spark, _ivfflat_index_path(sf_dir), meta, q, k=10, nprobe=2
+    )
 
 
 def _sq_index_path(sf_dir: str) -> str:
