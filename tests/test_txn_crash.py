@@ -234,3 +234,148 @@ def test_crash_mid_vacuum_is_resumable(spark, tmp_path):
     assert cold.read().count() == live_rows
     # time travel to pre-compact versions is the documented casualty
     # of vacuum (retention horizon) — not of the crash.
+
+
+def test_crash_mid_checkpoint_write_leaves_no_poison(spark, tmp_path):
+    """Writer dies DURING the checkpoint tmp write (after json began,
+    before the link): the torn ``ckpt-*.json.*.tmp`` — even one
+    containing truncated, unparseable JSON — must be invisible to
+    ``_latest_checkpoint`` (the name filter requires the ``.json``
+    suffix, which only the atomic link produces), duplicate detection
+    must keep working from the tail scan, the NEXT checkpoint-due
+    commit must write a real checkpoint, and vacuum must sweep the
+    stale tmp on the same ≥300 s schedule as manifest tmps."""
+    from xlsx_to_database_spark.operators.txn_table import _ckpt_path
+
+    t = TxnTable(spark, str(tmp_path / "torn4"), "k",
+                 checkpoint_interval=2)
+    t.create(spark.createDataFrame([(1, 1)], "k long, v long"))
+    v1 = t.append_once(
+        spark.createDataFrame([(2, 2)], "k long, v long"),
+        txn_id="cdc-1",
+    )
+    # Torn tmp: truncated JSON, the exact artifact of a mid-dump death.
+    torn = f"{_ckpt_path(t.path, v1)}.deadbeef.tmp"
+    with open(torn, "w") as f:
+        f.write('{"version": 1, "txn_ids": ["cdc-1"')  # no close, no ]
+
+    cold = TxnTable(spark, t.path, "k", checkpoint_interval=2)
+    assert cold._latest_checkpoint() is None, (
+        "a .tmp checkpoint must never be read"
+    )
+    assert cold.read().count() == 2
+    # Dedup still served from the tail scan.
+    assert cold.append_once(
+        spark.createDataFrame([(2, 2)], "k long, v long"),
+        txn_id="cdc-1",
+    ) is None
+    # Next checkpoint-due commit writes a REAL checkpoint beside the
+    # torn tmp, and it parses.
+    v2 = cold.append_once(
+        spark.createDataFrame([(3, 3)], "k long, v long"),
+        txn_id="cdc-2",
+    )
+    assert v2 == 2
+    ck = cold._latest_checkpoint()
+    assert ck is not None and "cdc-1" in ck["txn_ids"]
+    # The torn tmp survives a young vacuum, then is swept once stale.
+    cold.vacuum()
+    assert os.path.exists(torn)
+    os.utime(torn, (time.time() - 400, time.time() - 400))
+    cold.vacuum()
+    assert not os.path.exists(torn), "stale torn ckpt tmp not swept"
+    assert cold.read().count() == 3
+
+
+def test_crash_between_dv_write_and_commit_orphans_the_sidecar(
+    spark, tmp_path
+):
+    """delete_where_dv dies between writing its deletion-vector
+    sidecar and linking the manifest: the sidecar is UNREFERENCED —
+    reads must be byte-identical (no row disappears), vacuum must
+    collect the orphan, and a LIVE sidecar (from a committed DV
+    delete) must never be collected — collecting it would silently
+    RESURRECT deleted rows."""
+    t = _mk(spark, str(tmp_path / "torn5"))
+    # A committed DV delete first: its sidecar is live.
+    t.delete_where_dv(F.col("k") % 10 == 3)
+    rows_after_delete = t.read().count()
+    live_dvs = {
+        e["dv"]["path"] for e in t.manifest()["files"] if e.get("dv")
+    }
+    assert live_dvs, "scenario needs a committed DV sidecar"
+
+    # The torn state: a second writer's sidecar written, never
+    # referenced (death before _commit). Simulate with a stray
+    # parquet under dv/ — content is irrelevant, reachability is the
+    # contract.
+    import shutil
+
+    some_live = os.path.join(t.path, next(iter(live_dvs)))
+    orphan_rel = os.path.join(
+        "dv", "orphan-deadbeef.parquet"
+    )
+    orphan = os.path.join(t.path, orphan_rel)
+    shutil.copyfile(some_live, orphan)
+
+    cold = TxnTable(spark, t.path, "k")
+    assert cold.read().count() == rows_after_delete, (
+        "an unreferenced DV sidecar must not affect reads"
+    )
+    cold.vacuum()
+    assert not os.path.exists(orphan), "orphan DV sidecar not GC'd"
+    assert live_dvs <= _parquet_on_disk(t.path), (
+        "vacuum collected a LIVE DV sidecar — deleted rows would "
+        "resurrect"
+    )
+    assert cold.read().count() == rows_after_delete
+
+
+def test_crash_mid_compact_preserves_old_layout(spark, tmp_path):
+    """Compaction dies at the stage→link seam (rewritten file staged,
+    manifest never linked): the OLD layout remains the committed
+    truth — reads byte-identical, file list unchanged — the staged
+    rewrite is vacuum-collectable, and a re-run compaction succeeds
+    at the version the dead one was aiming for."""
+    t = _mk(spark, str(tmp_path / "torn6"))
+    t.append(spark.createDataFrame([(500, 1)], "k long, v long"))
+    man = t.manifest()
+    files_before = {e["path"] for e in man["files"]}
+    rows_before = t.read().count()
+    dead_v = man["version"] + 1
+
+    # The compact rewrite staged, then death before the link (same
+    # simulate-the-torn-state approach as test_crash_between_stage_
+    # and_link: a kill -9 runs no finally, so both artifacts survive).
+    staged = t._stage_files(t.read().coalesce(1), dead_v)
+    tmp = f"{_manifest_path(t.path, dead_v)}.cafebabe.tmp"
+    with open(tmp, "w") as f:
+        json.dump(
+            {
+                "version": dead_v,
+                "op": "compact",
+                "stats_col": "k",
+                "files": staged,
+            },
+            f,
+        )
+
+    cold = TxnTable(spark, t.path, "k")
+    assert cold.latest_version() == man["version"]
+    assert {e["path"] for e in cold.manifest()["files"]} == files_before
+    assert cold.read().count() == rows_before
+
+    # Re-run compaction: claims the dead writer's version, commits.
+    cold.compact(target_files=1)
+    assert cold.latest_version() == dead_v
+    assert cold.read().count() == rows_before
+    # The dead compact's staged file is an orphan; vacuum collects it
+    # (and the pre-compact layout past retention), reads unaffected.
+    orphan_rels = {e["path"] for e in staged}
+    live_now = {e["path"] for e in cold.manifest()["files"]}
+    assert orphan_rels.isdisjoint(live_now), (
+        "the torn compact's staged file must not be adopted"
+    )
+    cold.vacuum()
+    assert orphan_rels & _parquet_on_disk(t.path) == set()
+    assert cold.read().count() == rows_before

@@ -529,6 +529,13 @@ X32_TABLES = {
     # prefix-filtered candidate volume stays ~linear in rows (content
     # tagging keeps the true pair set per-copy).
     "dedup_near": ["documents"],
+    # Round-13: text_containment is the round's max 8x ratio (4.41 —
+    # within the linear bound, but worth the same flattening proof
+    # dedup_near got); its 5-gram postings read documents only.
+    "text_containment": ["documents"],
+    # table_cdc_rows is the txn trio's max 8x ratio (1.8); its CDC
+    # scenario builds a TxnTable from orders.
+    "table_cdc_rows": ["orders", "nation", "region"],
 }
 
 DST32 = "/tmp/spark_scale_smoke/sf3.2c"
