@@ -5152,3 +5152,35 @@ def test_ivf_training_is_monotone_and_keeps_empty_cells(spark, sf_dir):
     t2 = S.ivf_train_centroids(tiny, n_centroids=2)
     got = dict(t2)
     assert got[2] == [float(v) for v in other], "empty cell drifted"
+
+
+def test_range_bucketed_null_value_purchase_keeps_zero_row(spark, tmp_path):
+    """r13: join_range_bucketed dropped its third events scan by relying
+    on each purchase's own event row to retain the group through the
+    inner bucket join. A NULL-value purchase has no numeric bucket, so
+    the sentinel-bucket path must keep its LEFT-JOIN-mandated 0 row —
+    pinned here because the testdata has no NULL values to catch it."""
+    import datetime
+    import os
+
+    from xlsx_to_database_spark.registry import all_queries
+
+    t = datetime.datetime(2030, 1, 1)
+    rows = [
+        (1, t, 10, "purchase", None, "{}"),   # NULL value: must emit 0
+        (2, t, 11, "purchase", 5.0, "{}"),    # matches event 3 only
+        (3, t, 12, "click", 5.3, "{}"),
+        (4, t, 13, "click", None, "{}"),      # NULL event: never counts
+    ]
+    df = spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double, props string",
+    )
+    d = str(tmp_path)
+    df.write.mode("overwrite").parquet(os.path.join(d, "events.parquet"))
+    out = {
+        r.event_id: r.n_similar
+        for r in all_queries()["join_range_bucketed"](spark, d).collect()
+    }
+    assert out == {1: 0, 2: 1}, out

@@ -201,12 +201,16 @@ def test_tpch_q21_decorrelates_to_semi_and_anti(spark, sf_dir, qs):
 
 
 def test_tpch_q18_topk_and_semi_filter(spark, sf_dir, qs):
-    # The HAVING-filtered orderkey set must act as a semi-join filter
-    # (not inflate the join), and the top-100 must be TakeOrdered.
+    # r13: the HAVING survivor aggregate CARRIES its sum as total_qty,
+    # so lineitem is scanned exactly once (the r12 shape scanned it
+    # twice: once for the semi filter, once to re-aggregate the same
+    # number), the survivors broadcast (never inflating a shuffle),
+    # and the top-100 must be TakeOrdered.
     df = qs["tpch_q18"](spark, sf_dir)
     plan = explain_str(df)
     assert "TakeOrderedAndProject" in plan, plan
-    assert "LeftSemi" in plan, plan
+    assert plan.count("lineitem.parquet") == 1, plan
+    assert "BroadcastHashJoin" in plan, plan
 
 
 def test_tpch_q17_part_filter_broadcasts(spark, sf_dir, qs):

@@ -59,7 +59,16 @@ def tfidf(
     # tf is already one row per (doc, term), so document frequency is a
     # count over tf — no second explode, no distinct shuffle, and the tf
     # exchange is reused (ReusedExchange) instead of recomputed.
-    dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    # The aggregate must REFERENCE the tf column (tf > 0 is always true,
+    # so the count is unchanged): with a plain count(1), column pruning
+    # drops the partial_count from this branch's copy of the tf
+    # subtree, the two Exchanges stop being canonically equal, and AQE
+    # runtime reuse cannot fire — measured as a second full
+    # scan→explode→partial-agg pass of the token stream (r13 plan
+    # audit; plans/r13/text_tfidf_before.txt nodes 12–18).
+    dfreq = tf.groupBy("term").agg(
+        F.count(F.when(F.col("tf") > 0, F.lit(1))).alias("df")
+    )
     return (
         tf.join(dfreq, "term")
         .crossJoin(F.broadcast(n_docs))

@@ -408,18 +408,22 @@ def tpch_q18(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q18 (large-volume customers): orders whose total quantity
     exceeds 300. The IN-subquery is itself a grouped aggregate over the
     fact table; its survivor set is tiny (qty sums > 300 are a ~1e-6
-    fraction of orders at any SF), so after the HAVING it broadcasts as
-    a semi-join filter into orders, and the whole qualified
-    orders⋈customer side — bounded by the survivor count — broadcasts
-    into the lineitem scan. Net: NEITHER fact table ever shuffles; the
-    only shuffle is the final group-by on the qualified rows (round-6:
-    this replaced a lineitem-side shuffle join; tracked artifacts read
-    ~0.8-1.0s at sf0.1 both in-suite — BENCH_r05/r06 0.80s — and
-    isolated — BENCH_ISOLATED_r07.json; an untracked round-6 session
-    once measured 0.52s, which no committed artifact reproduces, so the
-    plan shape, not that number, is the claim here).
-    Integer-valued quantities make the HAVING boundary exact; top-100
-    plans as TakeOrderedAndProject."""
+    fraction of orders at any SF).
+
+    r13 optimization: the outer query's sum(l_quantity) per qualified
+    order IS the HAVING aggregate — lineitem joins only on l_orderkey
+    and the 5 group-by columns are functionally determined by
+    o_orderkey, so re-scanning lineitem and re-aggregating the joined
+    rows recomputes a number the subquery already produced. The
+    survivor aggregate now CARRIES its sum: one lineitem scan, one
+    exchange (the per-orderkey partial/final aggregate), the tiny
+    survivor set broadcast into orders⋈customer, total_qty projected
+    from the carried sum, top-100 as TakeOrderedAndProject. The r12
+    plan paid a second full lineitem scan + a 5-column group-by
+    exchange for the same answer (plans/r13/tpch_q18_before.txt nodes
+    1–2 and 22–24). Neither fact table ever shuffles; quantities are
+    integer-valued doubles so the carried sum is bit-equal to the
+    oracle's re-aggregation regardless of summation order."""
     c = table(spark, sf_dir, "customer")
     o = table(spark, sf_dir, "orders")
     li = table(spark, sf_dir, "lineitem")
@@ -427,16 +431,18 @@ def tpch_q18(spark: SparkSession, sf_dir: str) -> DataFrame:
         li.groupBy("l_orderkey")
         .agg(F.sum("l_quantity").alias("sq"))
         .filter(F.col("sq") > 300)
-        .select(F.col("l_orderkey").alias("big_orderkey"))
-    )
-    qualified = (
-        o.join(F.broadcast(big), o.o_orderkey == F.col("big_orderkey"), "left_semi")
-        .join(c, F.col("c_custkey") == F.col("o_custkey"))
     )
     return (
-        li.join(F.broadcast(qualified), F.col("l_orderkey") == F.col("o_orderkey"))
-        .groupBy("c_name", "c_custkey", "o_orderkey", "o_orderdate", "o_totalprice")
-        .agg(F.round(F.sum("l_quantity"), 2).alias("total_qty"))
+        o.join(F.broadcast(big), o.o_orderkey == big.l_orderkey)
+        .join(c, F.col("c_custkey") == F.col("o_custkey"))
+        .select(
+            "c_name",
+            "c_custkey",
+            "o_orderkey",
+            "o_orderdate",
+            "o_totalprice",
+            F.round(F.col("sq"), 2).alias("total_qty"),
+        )
         .orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey").asc())
         .limit(100)
     )
