@@ -148,6 +148,13 @@ def _write_sidecar(
     import pyarrow.compute as pc
     import pyarrow.parquet as pq
 
+    # Normalize to the sidecar file schema: ``fresh`` may arrive from a
+    # parquet read-back (nullable fields) or straight from
+    # DataFrame.toArrow (Spark-derived nullability) — pin one schema so
+    # the prior-sidecar casts below never depend on the caller's path.
+    fresh = fresh.cast(
+        pa.schema([pa.field("path", pa.string()), pa.field("row_index", pa.int64())])
+    )
     parts = [fresh]
     for p in prior_paths:
         t = _read_sidecar(p)
@@ -1333,26 +1340,42 @@ class TxnTable:
     def _dv_rows(self, dvd: list[dict]) -> DataFrame:
         """The deleted-row identity set of ``dvd`` (entries carrying a
         DV) as ``(__fp, __ri)`` — sidecar rows translated from pinned
-        DV keys to the current snapshot's file URIs via a broadcast
-        (key → URI) mapping built from the manifest (O(files) driver
-        metadata). The translation runs on the sidecar side, which is
-        small by contract, keeping the expensive scan side to ONE
-        broadcast anti-join."""
-        pairs = [(self._dv_key(e), self._fp_uri(e)) for e in dvd]
-        map_df = self._literal_df(pairs, "__key", "__fp")
-        dv = self.spark.read.parquet(
-            *[
-                os.path.join(self.path, p)
-                for p in sorted({e["dv"]["path"] for e in dvd})
-            ]
+        DV keys to the current snapshot's file URIs via the manifest's
+        (key → URI) mapping (O(files) driver metadata).
+
+        r13: the sidecars are KB–MB by contract, so BOTH the read and
+        the key→URI translation run driver-side in Arrow and the
+        result ships to executors as one Arrow-backed local relation
+        (``createDataFrame``). The previous shape planned a Spark
+        parquet scan of the KB sidecar plus a broadcast join — a whole
+        extra (1-task) stage on every DV'd read and every DV delete,
+        pure scheduling overhead on bytes the driver reads in
+        single-digit ms. The scan side still sees exactly one
+        broadcast anti-join either way."""
+        import pyarrow as pa
+        import pyarrow.compute as pc
+
+        key_to_uri = {self._dv_key(e): self._fp_uri(e) for e in dvd}
+        parts = [
+            _read_sidecar(os.path.join(self.path, p))
+            for p in sorted({e["dv"]["path"] for e in dvd})
+        ]
+        t = pa.concat_tables(
+            p.cast(parts[0].schema) for p in parts
         )
-        # Inner join doubles as scoping: sidecar rows for files no
-        # longer in (this view of) the manifest — shared sidecars,
-        # rewritten files — drop out here.
-        return (
-            dv.join(F.broadcast(map_df), dv["path"] == map_df["__key"])
-            .select("__fp", F.col("row_index").alias("__ri"))
+        # Membership filter doubles as scoping (the old inner join's
+        # role): sidecar rows for files no longer in (this view of)
+        # the manifest — shared sidecars, rewritten files — drop here.
+        keys = pa.array(list(key_to_uri), type=pa.string())
+        uris = pa.array(
+            [key_to_uri[k] for k in key_to_uri], type=pa.string()
         )
+        t = t.filter(pc.is_in(t.column("path"), value_set=keys))
+        uri_col = pc.take(uris, pc.index_in(t.column("path"), value_set=keys))
+        out = pa.table(
+            {"__fp": uri_col, "__ri": t.column("row_index")}
+        )
+        return self.spark.createDataFrame(out)
 
     # -- public API --------------------------------------------------------
 
@@ -2873,25 +2896,29 @@ class TxnTable:
                 F.col("__ri").alias("row_index"),
             )
         )
-        # Write-first: the full probe scan runs ONCE, materializing the
-        # matches into the sidecar staging dir. Everything after is
-        # KB-scale sidecar post-processing (per-file counts, prior-DV
-        # merge) and runs DRIVER-SIDE in Arrow: a Spark job here is
-        # ~0.5–0.7 s of pure scheduling overhead on bytes the driver
-        # can read in single-digit ms — the same class of metadata
-        # work as the manifest JSON itself. A delete whose match set
-        # is too big for driver memory is rewrite-shaped and belongs
-        # to delete_where() (the documented contract).
+        # Collect-first: the full probe scan runs ONCE, streaming the
+        # matches to the driver as Arrow batches (toArrow). Everything
+        # after is KB-scale sidecar post-processing (per-file counts,
+        # prior-DV merge) and runs DRIVER-SIDE in Arrow — the same
+        # class of metadata work as the manifest JSON itself. A delete
+        # whose match set is too big for driver memory is
+        # rewrite-shaped and belongs to delete_where() (the documented
+        # contract). r13: this replaced `coalesce(1).write.parquet` of
+        # a staging dir + driver read-back — the coalesce collapsed
+        # the ENTIRE probe scan into one task (coalesce merges
+        # upstream partitions without a shuffle), serializing the
+        # per-file scans, and the staging round-trip paid a write job
+        # + fs churn for bytes that were read straight back into
+        # driver memory anyway. toArrow keeps the scan parallel and
+        # moves the same KBs once (measured on table_delete_vectors:
+        # two commits 1.37 s -> see OPTIMIZATION_r13.md).
         v = man["version"] + 1  # snapshot pin — see rename_column
         dv_rel = os.path.join(
             "dv", f"dv-v{v:010d}-{_uuid.uuid4().hex[:8]}.parquet"
         )
-        stage = os.path.join(self.path, dv_rel) + ".stage"
-        matches.coalesce(1).write.mode("overwrite").parquet(stage)
-        staged_t = _read_sidecar(stage)
+        staged_t = matches.toArrow()
         per_file = _value_counts(staged_t, "path")
         if not per_file:
-            shutil.rmtree(stage, ignore_errors=True)
             return self.latest_version(), 0, 0
         hit = set(per_file)  # DV keys of the files hit this round
         carry_dvs = sorted(
@@ -2904,7 +2931,7 @@ class TxnTable:
             self.path, dv_rel, staged_t,
             [os.path.join(self.path, p) for p in carry_dvs], hit,
         )
-        shutil.rmtree(stage, ignore_errors=True)
+
         def _patched(base: list[dict]) -> list[dict]:
             out = []
             for e in base:
@@ -3012,19 +3039,24 @@ class TxnTable:
         dv_rel = os.path.join(
             "dv", f"dv-v{v:010d}-{_uuid.uuid4().hex[:8]}.parquet"
         )
-        stage = os.path.join(self.path, dv_rel) + ".stage"
-        matched.coalesce(1).write.mode("overwrite").parquet(stage)
-        # Sidecar post-processing is driver-side Arrow over the staged
-        # KB/MB-scale match set (see delete_where_dv); only the
+        # Collect-first (r13, same as delete_where_dv): the matched set
+        # is KB/MB-scale by contract, so it streams to the driver as
+        # Arrow once — replacing a coalesce(1) staging write (which
+        # collapsed the probe scan to one task) plus TWO read-backs
+        # (driver ids + Spark re-read for the append). Only the
         # updated-row APPEND below goes back through Spark — it writes
-        # data files.
-        staged_ids = _read_sidecar(stage, cols=("__key", "__ri"))
+        # data files from the Arrow-backed local relation.
+        staged_all = matched.toArrow()
+        staged_ids = staged_all.select(["__key", "__ri"])
         per_file = _value_counts(staged_ids, "__key")
         if not per_file:
-            shutil.rmtree(stage, ignore_errors=True)
             return self.latest_version(), 0, 0
         hit = set(per_file)
-        staged = self.spark.read.parquet(stage)
+        # coalesce(1) restores the op's contract that the updated
+        # copies append as ONE new file: a local Arrow relation
+        # parallelizes across default-parallelism partitions, and
+        # _stage_files writes one file per partition.
+        staged = self.spark.createDataFrame(staged_all).coalesce(1)
         data_cols = [
             c for c in staged.columns if c not in ("__fp", "__ri", "__key")
         ]
@@ -3088,7 +3120,6 @@ class TxnTable:
             self.path, dv_rel, fresh,
             [os.path.join(self.path, p) for p in carry_dvs], hit,
         )
-        shutil.rmtree(stage, ignore_errors=True)
 
         def _patched(base: list[dict]) -> list[dict]:
             out = []

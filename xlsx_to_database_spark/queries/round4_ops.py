@@ -154,13 +154,50 @@ def parquet_zorder_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
     # locality when both dims contribute comparable high bits — otherwise
     # the wider dim dominates the sort and the narrower one degenerates
     # to 1-D clustering. Quantize each dim to 8 bits against its actual
-    # domain; the (min, max) pair per dim is 4 driver-side scalars from
-    # one aggregate (metadata, same class as approxQuantile boundaries).
-    # The z-value affects LAYOUT only — correctness never depends on it.
+    # domain. r13: the (min, max) pair per dim comes from the parquet
+    # FOOTER statistics (pyarrow, O(row-groups) driver metadata — the
+    # same stats the clustered sinks' pruning tests rely on), replacing
+    # a full-scan Spark aggregate job per call; datediff is monotone in
+    # the date, so day bounds are exactly the bounds of the date stats.
+    # The z-value affects LAYOUT only — correctness never depends on
+    # it, and a footer without stats falls back to the aggregate.
     day = F.datediff(F.col("o_orderdate"), F.lit("1992-01-01"))
-    lo_c, hi_c, lo_d, hi_d = o.agg(
-        F.min("o_custkey"), F.max("o_custkey"), F.min(day), F.max(day)
-    ).collect()[0]
+
+    def _footer_bounds():
+        import datetime
+
+        import pyarrow.parquet as pq
+
+        md = pq.ParquetFile(
+            os.path.join(sf_dir, "orders.parquet")
+        ).metadata
+        mins: dict = {}
+        maxs: dict = {}
+        for g in range(md.num_row_groups):
+            rg = md.row_group(g)
+            for i in range(rg.num_columns):
+                c = rg.column(i)
+                if c.path_in_schema in ("o_custkey", "o_orderdate"):
+                    s = c.statistics
+                    if s is None or not s.has_min_max:
+                        raise ValueError("footer stats missing")
+                    k = c.path_in_schema
+                    mins[k] = s.min if k not in mins else min(mins[k], s.min)
+                    maxs[k] = s.max if k not in maxs else max(maxs[k], s.max)
+        epoch = datetime.date(1992, 1, 1)
+        return (
+            mins["o_custkey"],
+            maxs["o_custkey"],
+            (mins["o_orderdate"].date() - epoch).days,
+            (maxs["o_orderdate"].date() - epoch).days,
+        )
+
+    try:
+        lo_c, hi_c, lo_d, hi_d = _footer_bounds()
+    except Exception:
+        lo_c, hi_c, lo_d, hi_d = o.agg(
+            F.min("o_custkey"), F.max("o_custkey"), F.min(day), F.max(day)
+        ).collect()[0]
 
     def quant(col, lo, hi):
         # Widen to long BEFORE the ×256: for int32 key domains past ~8.4M
