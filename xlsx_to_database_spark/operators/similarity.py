@@ -199,19 +199,17 @@ def ivf_topk(
         ).select(id_col, vec_col).collect()
     )
 
-    def lit_vec(vals):
-        return F.array(*[F.lit(v) for v in vals])
-
     # Per-row array of (similarity, -centroid_id) structs: lexicographic
     # struct ordering gives argmax with a smallest-id tie-break.
-    ranked = F.array(
-        *[
-            F.struct(
-                cosine_sim(F.col(vec_col), lit_vec(cv)).alias("s"),
-                F.lit(-cid).cast("long").alias("nc"),
-            )
+    # Parsed-SQL form (r13) — see the _sq_l2_sql block comment.
+    ranked = F.expr(
+        "array("
+        + ", ".join(
+            f"struct({_cos_sim_sql(f'`{vec_col}`', cv)} AS s, "
+            f"CAST({-cid} AS BIGINT) AS nc)"
             for cid, cv in cents
-        ]
+        )
+        + ")"
     )
     cell = (-F.array_max(ranked)["nc"]).alias("cell")
     assigned = embeddings.select(F.col(id_col), F.col(vec_col), cell)
@@ -346,20 +344,14 @@ def _probe_cells_expr(
     lexicographic struct sort, slice the head. Shared by every
     IVF-probed serving op so the probe contract (rounding, tie-break)
     lives in one place."""
-    ranked = F.array(
-        *[
-            F.struct(
-                cosine_sim(
-                    F.col(vec_col), F.array(*[F.lit(v) for v in cv])
-                ).alias("s"),
-                F.lit(-cid).cast("long").alias("nc"),
-            )
-            for cid, cv in cents
-        ]
+    structs = ", ".join(
+        f"struct({_cos_sim_sql(f'`{vec_col}`', cv)} AS s, "
+        f"CAST({-cid} AS BIGINT) AS nc)"
+        for cid, cv in cents
     )
-    return F.slice(
-        F.transform(F.sort_array(ranked, asc=False), lambda x: -x["nc"]),
-        1, nprobe,
+    return F.expr(
+        f"slice(transform(sort_array(array({structs}), false), "
+        f"x -> -x.nc), 1, {nprobe})"
     )
 
 
@@ -370,20 +362,12 @@ def _code_cols(cb: "Codebook", vec_col: str) -> list[Column]:
     residual pipeline; ``pq_encode`` keeps its own loop because it
     additionally accumulates the distortion column."""
     seg = len(cb[0][0][1])
-    cols = []
-    for s in range(len(cb)):
-        sub = F.slice(F.col(vec_col), s * seg + 1, seg)
-        ranked = F.array(
-            *[
-                F.struct(
-                    _sq_l2(sub, seg_vals).alias("d"),
-                    F.lit(cid).cast("long").alias("c"),
-                )
-                for cid, seg_vals in cb[s]
-            ]
-        )
-        cols.append(F.array_min(ranked)["c"].alias(f"c{s}"))
-    return cols
+    return [
+        F.expr(
+            f"{_best_code_sql(_slice_sql(vec_col, s, seg), cb[s])}.c"
+        ).alias(f"c{s}")
+        for s in range(len(cb))
+    ]
 
 
 #: A product-quantization codebook: per-subspace list of
@@ -460,27 +444,19 @@ def pq_train_codebook(
     )
     seg = len(cb[0][0][1])
     for _ in range(iters):
-        branches = []
-        for s in range(n_subspaces):
-            sub = F.slice(F.col(vec_col), s * seg + 1, seg)
-            ranked = F.array(
-                *[
-                    F.struct(
-                        _sq_l2(sub, seg_vals).alias("d"),
-                        F.lit(cid).cast("long").alias("c"),
-                    )
-                    for cid, seg_vals in cb[s]
-                ]
+        # One parsed SQL expression per iteration (r13): the DSL form
+        # of these codebook-literal branches cost seconds of py4j
+        # round-trips per call — see the _sq_l2_sql block comment.
+        branches = ", ".join(
+            "struct(CAST({s} AS INT) AS s, {best}.c AS c, {sub} AS x)".format(
+                s=s,
+                best=_best_code_sql(_slice_sql(vec_col, s, seg), cb[s]),
+                sub=_slice_sql(vec_col, s, seg),
             )
-            branches.append(
-                F.struct(
-                    F.lit(s).cast("int").alias("s"),
-                    F.array_min(ranked)["c"].alias("c"),
-                    sub.alias("x"),
-                )
-            )
+            for s in range(n_subspaces)
+        )
         cells = (
-            embeddings.select(F.explode(F.array(*branches)).alias("a"))
+            embeddings.selectExpr(f"explode(array({branches})) AS a")
             .select(
                 F.col("a.s").alias("s"),
                 F.col("a.c").alias("c"),
@@ -569,17 +545,16 @@ def _adc_expr(table: dict[int, dict[int, float]]) -> Column:
     ``c0..cm-1`` — the ADC serving expression shared by the corpus
     sweep and the persisted-index scan (pure codegen'd literals; no
     shuffle, no Python at execution time)."""
-    adc: Column = F.lit(0.0)
-    for s in sorted(table):
-        lookup = F.create_map(
-            *[
-                x
-                for cid in table[s]
-                for x in (F.lit(cid), F.lit(table[s][cid]))
-            ]
+    # Parsed-SQL form (r13) — see the _sq_l2_sql block comment.
+    terms = " + ".join(
+        "element_at(map("
+        + ", ".join(
+            f"{cid}, {_dlit(table[s][cid])}" for cid in table[s]
         )
-        adc = adc + F.element_at(lookup, F.col(f"c{s}"))
-    return adc
+        + f"), c{s})"
+        for s in sorted(table)
+    )
+    return F.expr(f"0.0D + {terms}")
 
 
 def _sq_l2(a: Column, b_vals: list[float]) -> Column:
@@ -598,6 +573,76 @@ def _sq_l2(a: Column, b_vals: list[float]) -> Column:
         ),
         6,
     )
+
+
+# -- SQL-string expression builders (r13) -----------------------------------
+#
+# The Column-DSL forms above cost one py4j round-trip PER OPERATION
+# (~0.2–3 ms each on this host), so a codebook-literal expression —
+# n_codes structs × seg-dim literal arrays × lambdas — takes SECONDS of
+# driver latency to BUILD before any job runs (measured: the registered
+# residual-index build spent ~40 s at sf0.001, almost all of it plan
+# construction). These helpers emit the IDENTICAL expressions as SQL
+# text parsed JVM-side in one call; outputs are verified value-identical
+# by the ANN unit batteries and the oracle mirrors. Double literals use
+# repr() (shortest round-trip form) with the D suffix, so the parsed
+# double is bit-identical to F.lit's.
+
+
+def _dlit(v: float) -> str:
+    """Exact SQL double literal (repr round-trips; D forces DoubleType)."""
+    return f"{float(v)!r}D"
+
+
+def _arr_sql(vals) -> str:
+    return "array(" + ", ".join(_dlit(v) for v in vals) + ")"
+
+
+def _sq_l2_sql(a_sql: str, b_vals) -> str:
+    """SQL-text twin of :func:`_sq_l2` — same fold, same 6dp round."""
+    return (
+        f"round(aggregate(zip_with({a_sql}, {_arr_sql(b_vals)}, "
+        "(x, y) -> (CAST(x AS DOUBLE) - y) * (CAST(x AS DOUBLE) - y)), "
+        "0.0D, (acc, x) -> acc + x), 6)"
+    )
+
+
+def _cos_sim_sql(a_sql: str, b_vals, decimals: int = 6) -> str:
+    """SQL-text twin of ``cosine_sim(col, literal-array)`` — identical
+    dot/norm folds, identical rounding."""
+    arr = _arr_sql(b_vals)
+    dot = (
+        f"aggregate(zip_with({a_sql}, {arr}, "
+        "(x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)), "
+        "0.0D, (acc, x) -> acc + x)"
+    )
+    na = (
+        f"sqrt(aggregate(transform({a_sql}, "
+        "x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), "
+        "0.0D, (acc, x) -> acc + x))"
+    )
+    nb = (
+        f"sqrt(aggregate(transform({arr}, "
+        "x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), "
+        "0.0D, (acc, x) -> acc + x))"
+    )
+    return f"round({dot} / ({na} * {nb}), {decimals})"
+
+
+def _slice_sql(vec_col: str, s: int, seg: int) -> str:
+    return f"slice(`{vec_col}`, {s * seg + 1}, {seg})"
+
+
+def _best_code_sql(sub_sql: str, codewords) -> str:
+    """argmin codeword struct over ``codewords`` = [(cid, seg_vals)]:
+    lexicographic struct min on (rounded-6dp squared L2, codeword id) —
+    the same (distance, id) tie-break contract as the DSL form."""
+    structs = ", ".join(
+        f"struct({_sq_l2_sql(sub_sql, seg_vals)} AS d, "
+        f"CAST({cid} AS BIGINT) AS c)"
+        for cid, seg_vals in codewords
+    )
+    return f"array_min(array({structs}))"
 
 
 def pq_encode(
@@ -634,24 +679,21 @@ def pq_encode(
             embeddings, n_subspaces, n_codes, id_col, vec_col
         )
     seg = len(codebook[0][0][1])
-    cols = [F.col(id_col)]
-    dist: Column = F.lit(0.0)
-    for s in range(n_subspaces):
-        sub = F.slice(F.col(vec_col), s * seg + 1, seg)
-        ranked = F.array(
-            *[
-                F.struct(
-                    _sq_l2(sub, seg_vals).alias("d"),
-                    F.lit(cid).cast("long").alias("c"),
-                )
-                for cid, seg_vals in codebook[s]
-            ]
-        )
-        best = F.array_min(ranked)
-        cols.append(best["c"].alias(f"c{s}"))
-        dist = dist + best["d"]
-    cols.append(F.round(dist, 6).alias("distortion"))
-    return embeddings.select(*cols)
+    # Parsed-SQL form (r13, same rationale as _sq_l2_sql): the best
+    # struct's text appears once per code column and once per
+    # distortion term — byte-identical subtrees that whole-stage
+    # codegen CSE evaluates once, exactly as the DSL's reused Column
+    # object planned.
+    bests = [
+        _best_code_sql(_slice_sql(vec_col, s, seg), codebook[s])
+        for s in range(n_subspaces)
+    ]
+    dist = " + ".join(f"{b}.d" for b in bests)
+    return embeddings.selectExpr(
+        f"`{id_col}`",
+        *[f"{b}.c AS c{s}" for s, b in enumerate(bests)],
+        f"round(0.0D + {dist}, 6) AS distortion",
+    )
 
 
 def pq_adc_topk(
@@ -872,23 +914,19 @@ def _residual_encode(
     the init to identical zero codewords)."""
     cents = _collect_codebook(embeddings, n_centroids, id_col, vec_col)
     assigned = ivf_assign_matrix(embeddings, cents, id_col, vec_col)
-    cmap = F.create_map(
-        *[
-            x
-            for cid, cv in cents
-            for x in (F.lit(cid), F.array(*[F.lit(v) for v in cv]))
-        ]
+    # Parsed-SQL centroid map + residual transform (r13): the DSL form
+    # was n_centroids × d F.lit round-trips (~1.4 s of driver latency
+    # at 8×64) — see the _sq_l2_sql block comment.
+    cmap = (
+        "map("
+        + ", ".join(f"{cid}, {_arr_sql(cv)}" for cid, cv in cents)
+        + ")"
     )
-    residuals = assigned.select(
-        F.col(id_col),
-        F.col("cell"),
-        F.transform(
-            F.zip_with(
-                F.col(vec_col), F.element_at(cmap, F.col("cell")),
-                lambda a, b: a - b,
-            ),
-            lambda x: F.round(x, 4),
-        ).alias("rvec"),
+    residuals = assigned.selectExpr(
+        f"`{id_col}`",
+        "cell",
+        f"transform(zip_with(`{vec_col}`, element_at({cmap}, cell), "
+        "(a, b) -> a - b), x -> round(x, 4)) AS rvec",
     )
     init_rows = sorted(
         (int(r[0]), [float(x) for x in r[1]])
@@ -952,26 +990,26 @@ def _percell_adc_topk(
         )
         for c in probed
     }
-    adc: Column = F.lit(0.0)
-    for s in range(len(cb)):
-        per_cell = None
-        for c in probed:
-            lookup = F.create_map(
-                *[
-                    x
+    # Parsed-SQL form (r13) — see the _sq_l2_sql block comment.
+    def _case(s: int) -> str:
+        whens = " ".join(
+            "WHEN cell = {c} THEN element_at(map({pairs}), c{s})".format(
+                c=c,
+                s=s,
+                pairs=", ".join(
+                    f"{cid}, {_dlit(tables[c][s][cid])}"
                     for cid in tables[c][s]
-                    for x in (F.lit(cid), F.lit(tables[c][s][cid]))
-                ]
+                ),
             )
-            branch = F.element_at(lookup, F.col(f"c{s}"))
-            per_cell = (
-                F.when(F.col("cell") == c, branch)
-                if per_cell is None
-                else per_cell.when(F.col("cell") == c, branch)
-            )
-        adc = adc + per_cell
+            for c in probed
+        )
+        return f"CASE {whens} END"
+
+    adc = "0.0D + " + " + ".join(_case(s) for s in range(len(cb)))
     return (
-        cand.select(F.col(id_col), F.round(adc, 6).alias("adc_dist"))
+        cand.select(
+            F.col(id_col), F.expr(f"round({adc}, 6)").alias("adc_dist")
+        )
         .orderBy(F.col("adc_dist").asc(), F.col(id_col).asc())
         .limit(k)
     )
@@ -1173,9 +1211,9 @@ def _sq_codes_expr(
     Spark and the DuckDB oracle agree bit-for-bit by construction —
     the discipline the PQ codeword means needed retrofitted is native
     here."""
-    lo_arr = F.array(*[F.lit(v).cast("long") for v in lo])
-    rng_arr = F.array(
-        *[F.lit(h - l).cast("long") for l, h in zip(lo, hi)]
+    lo_arr = F.expr("array(" + ", ".join(f"{v}L" for v in lo) + ")")
+    rng_arr = F.expr(
+        "array(" + ", ".join(f"{h - l}L" for l, h in zip(lo, hi)) + ")"
     )
     xi = F.transform(
         F.col(vec_col),
@@ -1278,8 +1316,8 @@ def _sq_dist6_expr(
     is a pure long comparison."""
     qnum = [255 * (a - l) for a, l in zip(qi, lo)]
     rng = [h - l for l, h in zip(lo, hi)]
-    qnum_arr = F.array(*[F.lit(v).cast("long") for v in qnum])
-    rng_arr = F.array(*[F.lit(v).cast("long") for v in rng])
+    qnum_arr = F.expr("array(" + ", ".join(f"{v}L" for v in qnum) + ")")
+    rng_arr = F.expr("array(" + ", ".join(f"{v}L" for v in rng) + ")")
     num = F.zip_with(
         qnum_arr,
         F.zip_with(codes, rng_arr, lambda c, d: c * d),
@@ -1755,12 +1793,11 @@ def ivfflat_index_serve(
     probed = [
         cid for _, cid in sorted((-cos6(cv), cid) for cid, cv in cents)
     ][:nprobe]
-    qlit = F.array(*[F.lit(v) for v in q])
     scan = spark.read.parquet(path).filter(F.col("cell").isin(probed))
     return (
         scan.select(
             F.col(id_col),
-            cosine_sim(F.col(vec_col), qlit).alias("cos_sim"),
+            F.expr(_cos_sim_sql(f"`{vec_col}`", q)).alias("cos_sim"),
         )
         .orderBy(F.col("cos_sim").desc(), F.col(id_col).asc())
         .limit(k)
