@@ -430,7 +430,30 @@ def simhash64(text_col, weight_by_count: bool = False):
     bit_i(simhash) = 1 iff Σ_tokens (2·bit_i(xxhash64(token)) − 1) > 0.
     Pure expression tree (64 shifted-sum terms over the token array) —
     codegen'd JVM math, one pass, no shuffle.
+
+    Pass the COLUMN NAME (str) for the fast parse-once path (r13: the
+    64-term Column-DSL tree cost ~2 s of py4j round-trips per call —
+    same finding as minhash); a Column argument keeps the equivalent
+    DSL construction for expression-valued inputs.
     """
+    if isinstance(text_col, str):
+        toks_s = f"split(`{text_col}`, ' ')"
+        if not weight_by_count:
+            toks_s = f"array_distinct({toks_s})"
+        hashes_s = f"transform({toks_s}, t -> xxhash64(t))"
+
+        def bit_sum_s(i: int) -> str:
+            return (
+                f"aggregate({hashes_s}, 0L, "
+                f"(a, h) -> a + ((shiftright(h, {i}) & 1) * 2 - 1))"
+            )
+
+        terms = " + ".join(
+            f"CASE WHEN {bit_sum_s(i)} > 0 "
+            f"THEN shiftleft(1L, {i}) ELSE 0L END"
+            for i in range(64)
+        )
+        return F.expr(f"0L + {terms}")
     toks = F.split(text_col, " ")
     if not weight_by_count:
         toks = F.array_distinct(toks)
@@ -475,7 +498,7 @@ def simhash_pairs(
     recall is exact for max_hamming < n_chunks. Join fan-out is per
     identical chunk value — sub-quadratic on real corpora.
     """
-    sh = df.select(F.col(id_col).alias("doc"), simhash64(F.col(text_col)).alias("sh"))
+    sh = df.select(F.col(id_col).alias("doc"), simhash64(text_col).alias("sh"))
     chunk_bits = 64 // n_chunks
     chunks = sh.select(
         "doc",
