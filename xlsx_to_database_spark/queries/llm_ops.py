@@ -834,8 +834,8 @@ _SQ_CTE = _V4_CTE.rstrip() + """
     "vec_sq_encode",
     _SQ_CTE
     + """
-    SELECT vec_id, list(c ORDER BY dim) AS codes
-    FROM sqcodes GROUP BY vec_id
+    SELECT vec_id, CAST(dim AS BIGINT) AS dim, CAST(c AS BIGINT) AS code
+    FROM sqcodes
     """,
 )
 def vec_sq_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -847,9 +847,20 @@ def vec_sq_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
     int64 on both engines (4dp inputs are exact 1e-4 integers), so
     unlike the PQ tables there is no cross-engine rounding surface at
     all. Map-only encode; the bounds ride the plan as 2·d literals
-    (operators/similarity.py::sq_encode)."""
+    (operators/similarity.py::sq_encode). Declared shape is the
+    EXPLODED ``(vec_id, dim, code)`` — one int64 row per dimension,
+    1-based dim — because top-level array columns sit outside the
+    driver comparator's canonical domain (registry.py discipline);
+    the packed array encode itself is unchanged."""
     e = _quantized_embeddings(spark, sf_dir)
-    return S.sq_encode(e)
+    enc = S.sq_encode(e)
+    return enc.select(
+        "vec_id", F.posexplode("codes").alias("p", "code")
+    ).select(
+        "vec_id",
+        (F.col("p") + 1).cast("long").alias("dim"),
+        F.col("code").cast("long").alias("code"),
+    )
 
 
 @query(
@@ -996,7 +1007,9 @@ _IVF_TRAIN_CTE = """
     _V4_CTE.rstrip()
     + _IVF_TRAIN_CTE
     + """
-    SELECT c_id AS cell_id, ce AS centroid FROM tcc
+    SELECT c_id AS cell_id, CAST(t.i AS BIGINT) AS dim,
+           ce[t.i] AS value
+    FROM tcc, UNNEST(generate_series(1, len(ce))) AS t(i)
     """,
 )
 def vec_ivf_train_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1007,14 +1020,22 @@ def vec_ivf_train_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
     positional stand-in): assignment under the SHARED cell rule,
     per-dimension exact-BIGINT means with pure-integer 6dp
     half-away-from-zero rounding, empty cells keeping their init. The
-    k·d training aggregate is the only shuffle; the output is k rows
-    of coarse-quantizer metadata — FAISS training's artifact
-    (operators/similarity.py::ivf_train_centroids)."""
+    k·d training aggregate is the only shuffle; the output is the
+    coarse-quantizer metadata — FAISS training's artifact
+    (operators/similarity.py::ivf_train_centroids) — declared in the
+    EXPLODED ``(cell_id, dim, value)`` shape (one double row per
+    centroid dimension, 1-based dim) because top-level array columns
+    sit outside the driver comparator's canonical domain
+    (registry.py discipline); training itself is unchanged."""
     e = _quantized_embeddings(spark, sf_dir)
     cents = S.ivf_train_centroids(e, n_centroids=8)
     return spark.createDataFrame(
-        [(cid, vals) for cid, vals in cents],
-        "cell_id long, centroid array<double>",
+        [
+            (cid, i + 1, float(v))
+            for cid, vals in cents
+            for i, v in enumerate(vals)
+        ],
+        "cell_id long, dim long, value double",
     )
 
 
@@ -1099,7 +1120,8 @@ def _ivfflat_index_path(sf_dir: str) -> str:
                    / (inv.nrm * tnv2.cn), 6) AS csim
       FROM inv, tnv2
     )
-    SELECT v4.vec_id, CAST(a.cell AS BIGINT) AS cell, v4.e AS embedding
+    SELECT v4.vec_id, CAST(a.cell AS BIGINT) AS cell,
+           CAST(t.i AS BIGINT) AS dim, v4.e[t.i] AS value
     FROM v4 JOIN (
       SELECT vec_id, c_id AS cell FROM (
         SELECT vec_id, c_id,
@@ -1107,7 +1129,8 @@ def _ivfflat_index_path(sf_dir: str) -> str:
                                   ORDER BY csim DESC, c_id ASC) AS rn
         FROM tsc2
       ) WHERE rn = 1
-    ) a ON a.vec_id = v4.vec_id
+    ) a ON a.vec_id = v4.vec_id,
+    UNNEST(generate_series(1, len(v4.e))) AS t(i)
     """,
 )
 def vec_ivfflat_index_build(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1118,13 +1141,23 @@ def vec_ivfflat_index_build(spark: SparkSession, sf_dir: str) -> DataFrame:
     stores the full vectors partitioned by trained cell — 1x
     compression, exact within-cell ranking. The read-back is the
     oracle-checked result
-    (operators/similarity.py::ivfflat_index_build)."""
+    (operators/similarity.py::ivfflat_index_build), declared in the
+    EXPLODED ``(vec_id, cell, dim, value)`` shape (1-based dim)
+    because top-level array columns sit outside the driver
+    comparator's canonical domain (registry.py discipline); the
+    persisted index keeps its packed vector layout."""
     e = _quantized_embeddings(spark, sf_dir)
     path = _ivfflat_index_path(sf_dir)
     S.ivfflat_index_build(e, path)
     back = spark.read.parquet(path)
     return back.select(
-        "vec_id", F.col("cell").cast("long").alias("cell"), "embedding"
+        "vec_id",
+        F.col("cell").cast("long").alias("cell"),
+        F.posexplode("embedding").alias("p", "value"),
+    ).select(
+        "vec_id", "cell",
+        (F.col("p") + 1).cast("long").alias("dim"),
+        F.col("value").cast("double").alias("value"),
     )
 
 
@@ -1168,9 +1201,8 @@ def _sq_index_path(sf_dir: str) -> str:
     + _IVF_CELL_CTE
     + """
     SELECT sq.vec_id, CAST(ca.cell AS BIGINT) AS cell,
-           list(sq.c ORDER BY sq.dim) AS codes
+           CAST(sq.dim AS BIGINT) AS dim, CAST(sq.c AS BIGINT) AS code
     FROM sqcodes sq JOIN cellasg ca ON ca.vec_id = sq.vec_id
-    GROUP BY sq.vec_id, ca.cell
     """,
 )
 def vec_sq_index_build(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1181,13 +1213,23 @@ def vec_sq_index_build(spark: SparkSession, sf_dir: str) -> DataFrame:
     as (vec_id, codes) parquet PARTITIONED BY cell
     (operators/similarity.py::sq_index_build). The read-back is the
     oracle-checked result, so the round trip through the persisted
-    files is what's verified."""
+    files is what's verified — declared in the EXPLODED
+    ``(vec_id, cell, dim, code)`` shape (1-based dim, all int64)
+    because top-level array columns sit outside the driver
+    comparator's canonical domain (registry.py discipline); the
+    persisted index keeps its packed codes layout."""
     e = _quantized_embeddings(spark, sf_dir)
     path = _sq_index_path(sf_dir)
     S.sq_index_build(e, path)
     back = spark.read.parquet(path)
     return back.select(
-        "vec_id", F.col("cell").cast("long").alias("cell"), "codes"
+        "vec_id",
+        F.col("cell").cast("long").alias("cell"),
+        F.posexplode("codes").alias("p", "code"),
+    ).select(
+        "vec_id", "cell",
+        (F.col("p") + 1).cast("long").alias("dim"),
+        F.col("code").cast("long").alias("code"),
     )
 
 
@@ -1248,7 +1290,8 @@ _BIN_CTE = """
     "vec_binary_encode",
     _BIN_CTE
     + """
-    SELECT vec_id, w0, w1 FROM bw
+    SELECT vec_id, CAST(w0 AS BIGINT) AS w0, CAST(w1 AS BIGINT) AS w1
+    FROM bw
     """,
 )
 def vec_binary_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1256,8 +1299,10 @@ def vec_binary_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
     rung of the quantization ladder (FAISS IndexBinaryFlat): bit j of
     word w set iff dimension 32w+j of the 4dp vector is > 0, packed by
     an MSB-first integer fold (exact int64 in [0, 2^32) — both engines
-    produce the identical words by construction). Map-only, no
-    training, no shuffle (operators/similarity.py::binary_encode)."""
+    produce the identical words by construction; the oracle casts its
+    list_sum words from HUGEINT back to BIGINT so the comparator sees
+    int64 on both sides). Map-only, no training, no shuffle
+    (operators/similarity.py::binary_encode)."""
     e = _quantized_embeddings(spark, sf_dir)
     return S.binary_encode(e)
 
