@@ -242,6 +242,36 @@ def main() -> None:
 
     cal_post = calibration(spark)
 
+    # Round-14 dual-publish (the round-13 §1.4 finding, VERDICT r13
+    # item 4): the timed action above stays df.count() — the comparator
+    # every round since r01 — but count() lets Catalyst prune columns
+    # and elide provably-no-op final joins (measured r13:
+    # join_range_bucketed 0.46 s under count vs ~1.3 s under a noop
+    # sink), so ops whose final join is prunable are understated. A
+    # PARALLEL noop-sink timing per op (full materialization of every
+    # column, guide §1.4) is therefore published as queries_noop /
+    # value_noop in the same artifact. This block runs AFTER the
+    # count-based suite AND after the post-suite calibration so the
+    # existing numbers' session depth, timed region and calibration
+    # brackets are bit-identical to prior rounds; round 15 can re-base
+    # the series on the noop numbers with both series in hand.
+    noop_timings: dict[str, float] = {}
+    for name in names:
+        spark.sparkContext.setJobDescription(f"bench[noop]: {name}")
+        samples = []
+        for _ in range(5):
+            t0 = time.perf_counter()
+            df = qs[name](spark, SF_DIR)
+            df.write.format("noop").mode("overwrite").save()
+            samples.append(time.perf_counter() - t0)
+        noop_timings[name] = round(sorted(samples)[len(samples) // 2], 4)
+        print(
+            f"# {name} [noop]: {noop_timings[name]:.3f}s median of "
+            f"{[round(s, 3) for s in samples]}",
+            file=sys.stderr,
+        )
+    spark.sparkContext.setJobDescription(None)
+
     def med(xs: list[float]) -> float:
         return sorted(xs)[len(xs) // 2]
 
@@ -275,6 +305,19 @@ def main() -> None:
         "calibration_samples_post": cal_post,
         "calibration_post_sec": round(med(cal_post), 4),
         "calibration_spread": spread,
+        # Dual-publish block (additions-only; see the noop loop above):
+        # same ops, same medians-of-5, noop-sink action. NOT summed
+        # into "value" — "value"/"queries" remain the count-based
+        # series comparable to every prior round.
+        "queries_noop": noop_timings,
+        "value_noop": round(sum(noop_timings.values()), 4),
+        "noop_note": (
+            "queries_noop times df.write.format('noop') — full "
+            "materialization of every column; queries (count-based) "
+            "remains the cross-round comparator. Ops with prunable "
+            "final joins (e.g. join_range_bucketed, funnel_steps) "
+            "read higher here by design."
+        ),
     }
     if CAL_REF_SEC:
         out["cal_ref_sec"] = CAL_REF_SEC
