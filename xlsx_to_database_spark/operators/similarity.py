@@ -16,6 +16,8 @@ from __future__ import annotations
 
 from typing import Optional
 
+import math
+
 import pandas as pd  # noqa: F401 — resolves pandas_udf type hints
 
 from pyspark.sql import Column, DataFrame, Window
@@ -205,7 +207,7 @@ def ivf_topk(
     ranked = F.expr(
         "array("
         + ", ".join(
-            f"struct({_cos_sim_sql(f'`{vec_col}`', cv)} AS s, "
+            f"struct({_cos_sim_sql(_quote(vec_col), cv)} AS s, "
             f"CAST({-cid} AS BIGINT) AS nc)"
             for cid, cv in cents
         )
@@ -345,7 +347,7 @@ def _probe_cells_expr(
     IVF-probed serving op so the probe contract (rounding, tie-break)
     lives in one place."""
     structs = ", ".join(
-        f"struct({_cos_sim_sql(f'`{vec_col}`', cv)} AS s, "
+        f"struct({_cos_sim_sql(_quote(vec_col), cv)} AS s, "
         f"CAST({-cid} AS BIGINT) AS nc)"
         for cid, cv in cents
     )
@@ -589,9 +591,25 @@ def _sq_l2(a: Column, b_vals: list[float]) -> Column:
 # double is bit-identical to F.lit's.
 
 
+def _quote(name: str) -> str:
+    """Backtick-quote an identifier for SQL-text interpolation,
+    escaping embedded backticks (r13 ADVICE) — the property the
+    Column-DSL forms had for free."""
+    return "`" + name.replace("`", "``") + "`"
+
+
 def _dlit(v: float) -> str:
-    """Exact SQL double literal (repr round-trips; D forces DoubleType)."""
-    return f"{float(v)!r}D"
+    """Exact SQL double literal (repr round-trips; D forces DoubleType).
+    Non-finite values would render as 'nanD'/'infD' and fail the SQL
+    parse deep inside expression build (r13 ADVICE) — reject them
+    here with a diagnosable message instead."""
+    v = float(v)
+    if not math.isfinite(v):
+        raise ValueError(
+            f"non-finite value {v!r} cannot be rendered as a SQL double "
+            "literal (bad codebook/centroid input?)"
+        )
+    return f"{v!r}D"
 
 
 def _arr_sql(vals) -> str:
@@ -630,7 +648,7 @@ def _cos_sim_sql(a_sql: str, b_vals, decimals: int = 6) -> str:
 
 
 def _slice_sql(vec_col: str, s: int, seg: int) -> str:
-    return f"slice(`{vec_col}`, {s * seg + 1}, {seg})"
+    return f"slice({_quote(vec_col)}, {s * seg + 1}, {seg})"
 
 
 def _best_code_sql(sub_sql: str, codewords) -> str:
@@ -690,7 +708,7 @@ def pq_encode(
     ]
     dist = " + ".join(f"{b}.d" for b in bests)
     return embeddings.selectExpr(
-        f"`{id_col}`",
+        f"{_quote(id_col)}",
         *[f"{b}.c AS c{s}" for s, b in enumerate(bests)],
         f"round(0.0D + {dist}, 6) AS distortion",
     )
@@ -923,9 +941,9 @@ def _residual_encode(
         + ")"
     )
     residuals = assigned.selectExpr(
-        f"`{id_col}`",
+        f"{_quote(id_col)}",
         "cell",
-        f"transform(zip_with(`{vec_col}`, element_at({cmap}, cell), "
+        f"transform(zip_with({_quote(vec_col)}, element_at({cmap}, cell), "
         "(a, b) -> a - b), x -> round(x, 4)) AS rvec",
     )
     init_rows = sorted(
@@ -1797,7 +1815,7 @@ def ivfflat_index_serve(
     return (
         scan.select(
             F.col(id_col),
-            F.expr(_cos_sim_sql(f"`{vec_col}`", q)).alias("cos_sim"),
+            F.expr(_cos_sim_sql(_quote(vec_col), q)).alias("cos_sim"),
         )
         .orderBy(F.col("cos_sim").desc(), F.col(id_col).asc())
         .limit(k)

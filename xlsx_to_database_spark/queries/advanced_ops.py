@@ -1033,23 +1033,26 @@ def ml_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
     }
 
     def assign(cents: dict[int, list[float]], with_dist: bool):
-        """Map-only argmin over literal centroids (codegen, no shuffle)."""
-        dist_cols = []
-        for cid in sorted(cents):
-            carr = F.array(*[F.lit(float(x)) for x in cents[cid]])
-            d = F.aggregate(
-                F.zip_with(F.col("e"), carr, lambda a, b: (a - b) * (a - b)),
-                F.lit(0.0),
-                lambda acc, x: acc + x,
-            )
-            dist_cols.append(F.struct(d.alias("d"), F.lit(cid).alias("cid")))
-        best = F.array_min(F.array(*dist_cols))
-        out = v.select(
-            "vec_id",
-            best["cid"].alias("cid"),
-            F.round(best["d"], 4).alias("d"),
+        """Map-only argmin over literal centroids (codegen, no shuffle).
+        r14: the k × d centroid-literal argmin tree is emitted as ONE
+        parsed SQL string (guide §1.2 driver-latency class — the
+        Column-DSL form cost ~1,900 py4j round-trips / ~0.8 s of plan
+        construction per assign pass); same ANN-family `_arr_sql`
+        double literals (repr + D, bit-identical to F.lit), same
+        (d, cid) struct-min tie-break, same 4dp round."""
+        from xlsx_to_database_spark.operators.similarity import _arr_sql
+
+        structs = ", ".join(
+            f"struct(aggregate(zip_with(e, {_arr_sql(cents[cid])}, "
+            "(a, b) -> (a - b) * (a - b)), 0.0D, (acc, x) -> acc + x)"
+            f" AS d, {cid} AS cid)"
+            for cid in sorted(cents)
         )
-        return out if with_dist else out.drop("d")
+        best = f"array_min(array({structs}))"
+        cols = ["vec_id", f"{best}.cid AS cid"]
+        if with_dist:
+            cols.append(f"round({best}.d, 4) AS d")
+        return v.selectExpr(*cols)
 
     a1 = assign(init, with_dist=False)
     upd = (

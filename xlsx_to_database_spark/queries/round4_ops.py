@@ -104,7 +104,22 @@ def dedup_cross_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _zvalue(a, b, bits: int = 16):
     """Morton (Z-order) interleave of two non-negative int columns'
     low ``bits`` bits — a pure codegen expression chain (2·bits shift
-    terms), no UDF."""
+    terms), no UDF. Given SQL-text operands (both strings), the whole
+    chain is emitted as ONE SQL string parsed JVM-side (r14, guide
+    §1.2 driver-latency class: the Column-DSL form cost 2·bits·~5
+    py4j round-trips of plan construction per call); Column operands
+    keep the DSL. Both forms resolve to the identical expression tree
+    (same shiftright/&1/shiftleft/add chain, same term order)."""
+    if isinstance(a, str) and isinstance(b, str):
+        terms = []
+        for i in range(bits):
+            terms.append(
+                f"shiftleft(CAST(shiftright({a}, {i}) & 1 AS BIGINT), {2 * i})"
+            )
+            terms.append(
+                f"shiftleft(CAST(shiftright({b}, {i}) & 1 AS BIGINT), {2 * i + 1})"
+            )
+        return F.expr("CAST(0 AS BIGINT) + " + " + ".join(terms))
     z = F.lit(0).cast("long")
     for i in range(bits):
         z = (
@@ -185,30 +200,43 @@ def parquet_zorder_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
                     mins[k] = s.min if k not in mins else min(mins[k], s.min)
                     maxs[k] = s.max if k not in maxs else max(maxs[k], s.max)
         epoch = datetime.date(1992, 1, 1)
+
+        def _as_date(m):
+            # pyarrow stats are datetime.datetime for timestamp-typed
+            # columns but datetime.date for date32-typed ones (r13
+            # ADVICE): handle both instead of assuming .date() exists.
+            return m.date() if isinstance(m, datetime.datetime) else m
+
         return (
             mins["o_custkey"],
             maxs["o_custkey"],
-            (mins["o_orderdate"].date() - epoch).days,
-            (maxs["o_orderdate"].date() - epoch).days,
+            (_as_date(mins["o_orderdate"]) - epoch).days,
+            (_as_date(maxs["o_orderdate"]) - epoch).days,
         )
 
     try:
         lo_c, hi_c, lo_d, hi_d = _footer_bounds()
-    except Exception:
+    except (ValueError, OSError, KeyError, AttributeError, TypeError):
+        # Narrowed from a blanket except (r13 ADVICE): stats-missing /
+        # unreadable-footer / unexpected-stat-type fall back to the
+        # full-scan aggregate; anything else should surface.
         lo_c, hi_c, lo_d, hi_d = o.agg(
             F.min("o_custkey"), F.max("o_custkey"), F.min(day), F.max(day)
         ).collect()[0]
 
-    def quant(col, lo, hi):
+    def quant_sql(col_sql, lo, hi):
         # Widen to long BEFORE the ×256: for int32 key domains past ~8.4M
         # (SF ≳ 56) the product overflows 32-bit — silently wrapping
         # (non-ANSI) into a near-random layout, or erroring under ANSI.
-        return F.floor(
-            (col - F.lit(lo)).cast("long") * 256 / F.lit(hi - lo + 1)
-        ).cast("int")
+        return (
+            f"CAST(floor(CAST(({col_sql}) - {lo} AS BIGINT) * 256 "
+            f"/ {hi - lo + 1}) AS INT)"
+        )
 
     z = _zvalue(
-        quant(F.col("o_custkey"), lo_c, hi_c), quant(day, lo_d, hi_d), bits=8
+        quant_sql("o_custkey", lo_c, hi_c),
+        quant_sql("datediff(o_orderdate, '1992-01-01')", lo_d, hi_d),
+        bits=8,
     )
     tag = os.path.basename(os.path.normpath(sf_dir))
     dst = f"/tmp/spark_stage/{tag}_orders_zorder"

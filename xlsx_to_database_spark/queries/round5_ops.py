@@ -3260,13 +3260,16 @@ def table_zorder_optimize(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("o_custkey"), F.max("o_custkey"), F.min(day), F.max(day)
     ).collect()[0]
 
-    def quant(col, lo, hi):
-        return F.floor(
-            (col - F.lit(lo)).cast("long") * 256 / F.lit(hi - lo + 1)
-        ).cast("int")
+    def quant_sql(col_sql, lo, hi):
+        return (
+            f"CAST(floor(CAST(({col_sql}) - {lo} AS BIGINT) * 256 "
+            f"/ {hi - lo + 1}) AS INT)"
+        )
 
     z = _zvalue(
-        quant(F.col("o_custkey"), lo_c, hi_c), quant(day, lo_d, hi_d), bits=8
+        quant_sql("o_custkey", lo_c, hi_c),
+        quant_sql("datediff(o_orderdate, '1992-01-01')", lo_d, hi_d),
+        bits=8,
     )
     tt.compact(target_files=8, order_by=z)
     return (
@@ -3335,40 +3338,51 @@ def sim_two_tier(spark: SparkSession, sf_dir: str) -> DataFrame:
     TakeOrdered(50) (no shuffle of the corpus); tier 2 touches 50 rows
     — free. At 100 TB the coarse tier is the only full pass and it
     reads 8 floats/row instead of d; recall depends on MRL training
-    quality, which is the model's contract, not the engine's."""
-    from xlsx_to_database_spark.operators.similarity import (
-        _dot,
-        _norm,
-        cosine_sim,
-    )
+    quality, which is the model's contract, not the engine's.
+
+    r14: both tiers' dot/norm folds are emitted as parsed SQL strings
+    (guide §1.2 driver-latency class — the Column-DSL `_dot`/`_norm`/
+    `cosine_sim` helpers cost ~0.5 s of py4j plan construction per
+    call); the parsed form resolves to the identical expression tree
+    (same casts, same 0.0D folds, same round-6)."""
+
+    def dot_sql(a, b):
+        return (
+            f"aggregate(zip_with({a}, {b}, "
+            "(x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)), "
+            "0.0D, (acc, x) -> acc + x)"
+        )
+
+    def norm_sql(a):
+        return (
+            f"sqrt(aggregate(transform({a}, "
+            "x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), "
+            "0.0D, (acc, x) -> acc + x))"
+        )
 
     e = table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
-    e8 = F.slice("embedding", 1, 8)
-    q = (
-        e.filter(F.col("vec_id") == 0)
-        .select(
-            F.col("embedding").alias("qe"),
-            F.slice("embedding", 1, 8).alias("qe8"),
-        )
+    e8 = "slice(embedding, 1, 8)"
+    q = e.filter(F.col("vec_id") == 0).selectExpr(
+        "embedding AS qe", "slice(embedding, 1, 8) AS qe8"
     )
     coarse = (
         e.crossJoin(F.broadcast(q))
-        .select(
+        .selectExpr(
             "vec_id",
             "embedding",
             "qe",
-            F.round(
-                _dot(e8, F.col("qe8")) / (_norm(e8) * _norm(F.col("qe8"))), 6
-            ).alias("coarse_sim"),
+            f"round({dot_sql(e8, 'qe8')} / ({norm_sql(e8)} * "
+            f"{norm_sql('qe8')}), 6) AS coarse_sim",
         )
         .orderBy(F.col("coarse_sim").desc(), "vec_id")
         .limit(50)
     )
     return (
-        coarse.select(
+        coarse.selectExpr(
             "vec_id",
             "coarse_sim",
-            cosine_sim(F.col("embedding"), F.col("qe")).alias("cos_sim"),
+            f"round({dot_sql('embedding', 'qe')} / "
+            f"({norm_sql('embedding')} * {norm_sql('qe')}), 6) AS cos_sim",
         )
         .orderBy(F.col("cos_sim").desc(), "vec_id")
         .limit(10)

@@ -2612,53 +2612,51 @@ def sim_maxsim(spark: SparkSession, sf_dir: str) -> DataFrame:
     natural pre-filter tier for an exact multi-vector re-rank.
 
     Determinism: each sub-cosine is rounded to 6 BEFORE max; the four
-    maxima add in a fixed order; final round 6 + vec_id tie-break."""
+    maxima add in a fixed order; final round 6 + vec_id tie-break.
+
+    r14: the 16 sub-cosine dot/norm folds are emitted as parsed SQL
+    strings (guide §1.2 driver-latency class — the Column-DSL form
+    cost ~3,800 py4j round-trips / ~1.3 s of plan construction per
+    call); the parsed form resolves to the identical expression tree
+    (same casts, same 0.0D folds, same round-before-greatest)."""
     e = table(spark, sf_dir, "embeddings")
-    xd = lambda x: x.cast("double")  # noqa: E731
 
-    def sub(col, i):
-        return F.slice(col, 1 + 16 * i, 16)
-
-    def norm(arr):
-        return F.sqrt(
-            F.aggregate(arr, F.lit(0.0), lambda a, x: a + xd(x) * xd(x))
+    def norm_sql(arr):
+        return (
+            f"sqrt(aggregate({arr}, 0.0D, "
+            "(a, x) -> a + CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))"
         )
 
-    def dot(qa, da):
-        return F.aggregate(
-            F.zip_with(qa, da, lambda a, b: xd(a) * xd(b)),
-            F.lit(0.0),
-            lambda a, x: a + x,
+    def dot_sql(qa, da):
+        return (
+            f"aggregate(zip_with({qa}, {da}, "
+            "(a, b) -> CAST(a AS DOUBLE) * CAST(b AS DOUBLE)), "
+            "0.0D, (a, x) -> a + x)"
         )
 
-    base = e.select(
+    base = e.selectExpr(
         "vec_id",
-        *[sub(F.col("embedding"), i).alias(f"s{i}") for i in range(4)],
-    ).select(
+        *[f"slice(embedding, {1 + 16 * i}, 16) AS s{i}" for i in range(4)],
+    ).selectExpr(
         "vec_id",
-        *[F.col(f"s{i}") for i in range(4)],
-        *[norm(F.col(f"s{i}")).alias(f"n{i}") for i in range(4)],
+        *[f"s{i}" for i in range(4)],
+        *[f"{norm_sql(f's{i}')} AS n{i}" for i in range(4)],
     )
-    q = base.filter(F.col("vec_id") == 0).select(
-        *[F.col(f"s{i}").alias(f"qs{i}") for i in range(4)],
-        *[F.col(f"n{i}").alias(f"qn{i}") for i in range(4)],
+    q = base.filter(F.col("vec_id") == 0).selectExpr(
+        *[f"s{i} AS qs{i}" for i in range(4)],
+        *[f"n{i} AS qn{i}" for i in range(4)],
     )
     per_q = [
-        F.greatest(
-            *[
-                F.round(
-                    dot(F.col(f"qs{qi}"), F.col(f"s{dj}"))
-                    / (F.col(f"qn{qi}") * F.col(f"n{dj}")),
-                    6,
-                )
-                for dj in range(4)
-            ]
-        )
+        "greatest(" + ", ".join(
+            f"round({dot_sql(f'qs{qi}', f's{dj}')} / (qn{qi} * n{dj}), 6)"
+            for dj in range(4)
+        ) + ")"
         for qi in range(4)
     ]
-    scored = base.crossJoin(F.broadcast(q)).select(
+    scored = base.crossJoin(F.broadcast(q)).selectExpr(
         "vec_id",
-        F.round(per_q[0] + per_q[1] + per_q[2] + per_q[3], 6).alias("maxsim"),
+        f"round({per_q[0]} + {per_q[1]} + {per_q[2]} + {per_q[3]}, 6)"
+        " AS maxsim",
     )
     return scored.orderBy(F.col("maxsim").desc(), "vec_id").limit(10)
 
@@ -2878,41 +2876,34 @@ def dedup_winnowing(spark: SparkSession, sf_dir: str) -> DataFrame:
     fingerprint posting lists (equi-join on fp — pair volume rides the
     posting-list sizes like every inverted-index join, with AQE
     handling hot fingerprints), never all-pairs."""
+    # r14: the fingerprinting chain (token hash transform, k-gram
+    # modular combine, window minima) is emitted as parsed SQL strings
+    # (guide §1.2 driver-latency class — the Column-DSL lambdas cost
+    # ~0.4 s of py4j plan construction per call). element_at (1-based,
+    # matching the DSL) rather than [] (0-based in SQL); the parsed
+    # form resolves to the identical expression tree.
     d = table(spark, sf_dir, "documents")
     toks = d.select(
         "doc_id", F.split(F.lower("text"), " ").alias("t")
     ).filter(F.size("t") >= 6)
-    th = toks.select(
+    th = toks.selectExpr(
         "doc_id",
-        F.transform(
-            F.col("t"),
-            lambda x: F.conv(F.substring(F.md5(x), 1, 8), 16, 10).cast(
-                "long"
-            ),
-        ).alias("h"),
+        "transform(t, x -> CAST(conv(substring(md5(x), 1, 8), 16, 10)"
+        " AS BIGINT)) AS h",
     )
     M, C1, C2 = _WIN_M, _WIN_C1, _WIN_C2
-    grams = th.select(
+    grams = th.selectExpr(
         "doc_id",
-        F.transform(
-            F.sequence(F.lit(1), F.size("h") - 2),
-            lambda i: (
-                (F.element_at(F.col("h"), i) % M) * C1 % M
-                + (F.element_at(F.col("h"), i + 1) % M) * C2 % M
-                + (F.element_at(F.col("h"), i + 2) % M)
-            )
-            % M,
-        ).alias("g"),
+        "transform(sequence(1, size(h) - 2), i -> "
+        f"((element_at(h, i) % {M}) * {C1} % {M} "
+        f"+ (element_at(h, i + 1) % {M}) * {C2} % {M} "
+        f"+ (element_at(h, i + 2) % {M})) % {M}) AS g",
     )
     fps = (
-        grams.select(
+        grams.selectExpr(
             "doc_id",
-            F.explode(
-                F.transform(
-                    F.sequence(F.lit(1), F.size("g") - 3),
-                    lambda i: F.array_min(F.slice(F.col("g"), i, 4)),
-                )
-            ).alias("fp"),
+            "explode(transform(sequence(1, size(g) - 3), "
+            "i -> array_min(slice(g, i, 4)))) AS fp",
         )
         .distinct()
     )
