@@ -579,13 +579,27 @@ def connected_components(
     # Label sums only decrease; decimal(38,0) so a 10^9-node × 10^18-id
     # sum can't overflow the convergence check.
     prev_sum = labels.agg(F.sum(F.col("lbl").cast("decimal(38,0)"))).collect()[0][0]
-    for _ in range(max_iter):
-        prop = sym.join(labels, sym.s == labels.n).select(
-            F.col("d").alias("n"), F.col("lbl")
-        )
-        labels = (
-            labels.unionByName(prop).groupBy("n").agg(F.min("lbl").alias("lbl"))
-        ).localCheckpoint(eager=True)
+    # TWO propagation rounds per materialization + convergence check
+    # (r14, VERDICT r13 item 6): each checkpoint/sum pair costs two
+    # fixed-overhead job submissions, and dup-cluster diameters are
+    # single digits, so halving the actions halves the driver's
+    # per-round tax. Labels only decrease, so an unchanged sum after a
+    # DOUBLE round still certifies the fixpoint exactly (if the first
+    # inner round changed any label the sum strictly fell); the
+    # converged result is identical, at the cost of one overshoot
+    # propagation at the fixpoint. The loop bound still permits
+    # >= max_iter propagations.
+    for _ in range(max_iter // 2 + 1):
+        for _ in range(2):
+            prop = sym.join(labels, sym.s == labels.n).select(
+                F.col("d").alias("n"), F.col("lbl")
+            )
+            labels = (
+                labels.unionByName(prop)
+                .groupBy("n")
+                .agg(F.min("lbl").alias("lbl"))
+            )
+        labels = labels.localCheckpoint(eager=True)
         cur_sum = labels.agg(F.sum(F.col("lbl").cast("decimal(38,0)"))).collect()[0][0]
         if cur_sum == prev_sum:
             break
