@@ -264,6 +264,20 @@ _ATTESTED: tuple[str, ...] = (
     # re-confirmed core attestations already listed above.
     "sim_ivfpq_topk", "sim_ivfpq_residual_topk", "vec_index_build",
     "sim_index_serve_topk",
+    # CORRECTNESS_r13.json greens: the 10 newly sampled ANN ops from
+    # the round-13 build segment (all running through the parsed-SQL
+    # similarity rewrite, which the driver thereby independently
+    # confirmed), plus graph_kcore / sim_recall_report re-attested out
+    # of the round-13 _REOPENED set and folded back by resetting
+    # _REOPENED below. (This fold was FORGOTTEN at the r13 close —
+    # CORRECTNESS_r13.json landed after the last code commit — which
+    # is exactly the failure test_attested_fold_complete exists to
+    # catch; fixed at the r14 round start. graph_kcore re-reopens
+    # below for the r14 loop restructure.)
+    "sim_sq_topk", "sim_ivfsq_topk", "sim_ivf_trained_topk",
+    "sim_ivfflat_serve_topk", "sim_sq_serve_topk",
+    "sim_residual_serve_topk", "sim_pq_refine_topk", "sim_hamming_topk",
+    "sim_binary_rerank_topk", "vec_residual_index_build",
 )
 
 # Attested ops whose IMPLEMENTATION changed after their attestation round:
@@ -382,17 +396,23 @@ _ATTESTED: tuple[str, ...] = (
 # path-scoped untyped-fresh tombstone) that are unreachable on every
 # registered configuration (each pinned by a directed unit test).
 _REOPENED: frozenset[str] = frozenset({
-    # graph_kcore's edge DERIVATION changes this round (round-12
-    # verdict #7): per-node top-N strongest ties (degree-bounded,
-    # scale-stable density) replace the global m >= 2 cutoff whose
-    # 2-core thinned to 3 rows at sf0.1 — the r12 rows-only green
-    # attests the old graph's membership.
+    # Round-14 loop restructures (job-count reduction, VERDICT r13
+    # item 6): graph_kcore detects convergence from the checkpointed
+    # edge count instead of a per-round keep.count(), and the
+    # connected_components core under the dedup_cluster family runs
+    # two label-propagation rounds per materialization. Outputs are
+    # verified identical (one-session A/B equality + oracle greens at
+    # sf0.01), but the executed job sequence genuinely differs — the
+    # prior greens attest the old loop shape, so the driver should
+    # re-verify. (The round-14 parsed-SQL rewrites — sim_maxsim,
+    # sim_two_tier, ml_kmeans, dedup_winnowing, the z-order pair — do
+    # NOT reopen, per the round-13 precedent: each resolves to the
+    # identical expression tree and was re-verified value-hash-exact
+    # against its oracle on the final code.)
     "graph_kcore",
-    # sim_recall_report grows from 5 to 10 method rows this round
-    # (the SQ / IVFSQ / PQ+refine rungs against an exact-L2 baseline,
-    # the binary rung against the cosine baseline) — the r12 green
-    # attests the 5-row report.
-    "sim_recall_report",
+    "dedup_cluster",
+    "dedup_keep_best",
+    "dedup_cluster_profile",
 })
 
 #: The driver evaluates this many registry-order entries per round
