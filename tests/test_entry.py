@@ -22,10 +22,18 @@ def test_queries_oracle_keys_align():
 
 
 def test_all_queries_run_sf0001(spark, sf_dir):
+    """Default tier: a fixed deterministic quarter of the registry
+    (~120 ops); full registry with SPARK_GRAFT_SLOW_TESTS=1 (r14 —
+    the 476-op sweep alone was ~330 s of the suite's verify budget;
+    full coverage stays via the full tier + the round's MIRROR
+    artifacts, which execute every op against its oracle)."""
     import __spark_entry__ as e
 
-    for name, fn in e.queries().items():
-        df = fn(spark, sf_dir)
+    from tests.conftest import battery_subset
+
+    qs = e.queries()
+    for name in battery_subset(qs):
+        df = qs[name](spark, sf_dir)
         # force execution; smoke-level assertion only
         assert df.count() >= 0, name
 

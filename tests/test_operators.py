@@ -5,6 +5,7 @@ from __future__ import annotations
 
 import math
 
+import pytest
 from pyspark.sql import functions as F
 
 from xlsx_to_database_spark.operators import (
@@ -40,6 +41,7 @@ def test_jaccard_pairs_exact_value(spark):
     assert rows[0].jaccard == 0.5
 
 
+@pytest.mark.slow_battery
 def test_jaccard_full_recall_vs_brute_force(spark):
     # token blocking must find every pair with J>0 that brute force finds
     texts = [(i, " ".join(f"w{(i + j) % 7}" for j in range(4)), "en") for i in range(10)]
@@ -198,6 +200,7 @@ def test_approx_percentile_close_to_exact(spark):
         assert abs(r.approx - r.exact) / r.exact < 0.01, r
 
 
+@pytest.mark.slow_battery
 def test_ivf_topk_full_probe_equals_brute_force(spark):
     from xlsx_to_database_spark.operators.similarity import cosine_topk, ivf_topk
 
@@ -794,6 +797,7 @@ def test_zorder_sink_two_dimensional_locality(spark):
 # ---------------------------------------------------------------------------
 
 
+@pytest.mark.slow_battery
 def test_containment_directional_vs_brute_force(spark):
     from xlsx_to_database_spark.operators.dedup import containment_pairs
 

@@ -682,13 +682,18 @@ def test_plan_hazard_sweep_no_unexpected(spark, sf_dir, qs):
     documented allowlist fails here. Streaming ops are excluded (each
     plan build drains a micro-batch run — seconds apiece; their shapes
     are pinned by the streaming tests and driver attestation)."""
+    from tests.conftest import battery_subset
     from tools.plan_audit import ALLOWED, HAZARDS
 
+    # Default tier: fixed quarter-subset of the registry (~50 s instead
+    # of ~200 s); full sweep with SPARK_GRAFT_SLOW_TESTS=1 (r14). The
+    # hand-picked plan assertions above stay in the default tier for
+    # every benched/headline op.
     unexpected = {}
-    for name, fn in qs.items():
+    for name in battery_subset(qs):
         if name.startswith("stream_"):
             continue
-        plan = explain_str(fn(spark, sf_dir))
+        plan = explain_str(qs[name](spark, sf_dir))
         bad = [
             h for h in HAZARDS if h in plan and h not in ALLOWED.get(name, {})
         ]

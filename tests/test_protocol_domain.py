@@ -77,10 +77,17 @@ def test_no_oracle_emits_float_unsafe_integers():
             )
         return c
 
+    from tests.conftest import battery_subset
+
     con = connect(sf_dir)
     bounded_cons: dict[int, object] = {}
     offenders: dict[str, list] = {}
-    for name, sql in e.oracle_sql().items():
+    oracles = e.oracle_sql()
+    # Default tier: fixed quarter-subset of the 457 oracles (~25 s
+    # instead of ~100 s of DuckDB compute); full sweep with
+    # SPARK_GRAFT_SLOW_TESTS=1 (r14).
+    for name in battery_subset(oracles):
+        sql = oracles[name]
         op_con = con
         if not at_oracle_scale and name in BOUNDED_INPUT_OPS:
             # Above oracle scale the deliberately-quadratic reference

@@ -755,12 +755,20 @@ def test_checkpoint_scan_is_tail_bounded(spark, tmp_path):
     """The dedup scan must read the checkpoint + tail only: after the
     checkpoint at v20, _txn_ids_before must not open manifests <= 20.
     Pinned by counting manifest opens via a counting subclass."""
+    from tests.conftest import battery_n
+
+    # Default tier: checkpoint at v6 with 8 real append_once commits
+    # (the tail-bounding property is interval-independent); full tier
+    # keeps the original v20/22-commit shape (r14 verify-budget split
+    # — each real commit is seconds, so 22 of them were ~160 s).
+    interval = battery_n(6, 20)
+    n_appends = interval + 2
     t = _mk(spark, tmp_path, n=20, parts=1)
-    t.checkpoint_interval = 20
+    t.checkpoint_interval = interval
     one = spark.createDataFrame([(900, 0)], "k long, v long").coalesce(1)
-    for i in range(22):
+    for i in range(n_appends):
         t.append_once(one, f"tok-{i}")
-    assert t._latest_checkpoint()["version"] == 20
+    assert t._latest_checkpoint()["version"] == interval
 
     opened = []
     orig = type(t).manifest
@@ -772,8 +780,8 @@ def test_checkpoint_scan_is_tail_bounded(spark, tmp_path):
 
     c = Counting(spark, t.path, "k")
     seen = c._txn_ids_before(c.latest_version() + 1)
-    assert {f"tok-{i}" for i in range(22)} <= seen
-    old_opens = [v for v in opened if v is not None and v <= 20]
+    assert {f"tok-{i}" for i in range(n_appends)} <= seen
+    old_opens = [v for v in opened if v is not None and v <= interval]
     assert not old_opens, f"scanned behind the checkpoint: {old_opens}"
 
 

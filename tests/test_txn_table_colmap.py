@@ -367,7 +367,15 @@ def test_seeded_schedule_stress_colmap_dv_merge(spark, tmp_path):
         ConcurrentWriteError,
     )
 
-    n_seeds = int(os.environ.get("SPARK_GRAFT_COLMAP_STRESS_SEEDS", "100"))
+    from tests.conftest import battery_n
+
+    # Default tier 24 seeds / full tier 100 (r14 verify-budget split);
+    # the env knob still overrides both.
+    n_seeds = int(
+        os.environ.get(
+            "SPARK_GRAFT_COLMAP_STRESS_SEEDS", str(battery_n(24, 100))
+        )
+    )
 
     class Batch:
         """Stand-in frame for the pyarrow staging fast path."""

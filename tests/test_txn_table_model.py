@@ -50,7 +50,12 @@ def _read_state(t: TxnTable, key: str, version=None):
 
 
 def test_full_surface_random_lifecycle_matches_model(spark, tmp_path):
-    n_seeds = int(os.environ.get("SPARK_GRAFT_MODEL_SEEDS", "8"))
+    from tests.conftest import battery_n
+
+    # Default tier 2 seeds / full tier 8 (r14 verify-budget split).
+    n_seeds = int(
+        os.environ.get("SPARK_GRAFT_MODEL_SEEDS", str(battery_n(2, 8)))
+    )
     for seed in range(n_seeds):
         _run_seed(spark, tmp_path, 31_000 + seed)
 
