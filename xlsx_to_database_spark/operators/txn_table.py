@@ -3003,9 +3003,15 @@ class TxnTable:
         commits nothing.
 
         One table scan total: the matched rows (identity + data
-        columns) land in a staging file; the KB/MB-scale staged set
-        then feeds BOTH the sidecar (old positions) and the updated-row
-        append. Updating 0.001% of a 100 TB table costs O(matches) I/O
+        columns) stream to the DRIVER as one Arrow table, which then
+        feeds BOTH the sidecar (old positions) and the updated-row
+        append. The driver-memory bound is therefore the TOTAL matched
+        bytes (all data columns), not just the id sidecar — wide rows
+        tighten the practical limit accordingly (r13 ADVICE). That is
+        within the documented KB/MB-scale match-set contract; an
+        update whose matches approach driver memory belongs to the
+        rewrite-shaped copy-on-write path, same as ``delete_where``.
+        Updating 0.001% of a 100 TB table costs O(matches) I/O
         where copy-on-write rewrites every hit file. Reads see old
         positions anti-joined away and new rows appended; the read tax
         and its compaction cure are the same as ``delete_where_dv``'s.
