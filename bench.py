@@ -242,6 +242,9 @@ def main() -> None:
 
     cal_post = calibration(spark)
 
+    def med(xs: list[float]) -> float:
+        return sorted(xs)[len(xs) // 2]
+
     # Round-14 dual-publish (the round-13 §1.4 finding, VERDICT r13
     # item 4): the timed action above stays df.count() — the comparator
     # every round since r01 — but count() lets Catalyst prune columns
@@ -264,16 +267,13 @@ def main() -> None:
             df = qs[name](spark, SF_DIR)
             df.write.format("noop").mode("overwrite").save()
             samples.append(time.perf_counter() - t0)
-        noop_timings[name] = round(sorted(samples)[len(samples) // 2], 4)
+        noop_timings[name] = round(med(samples), 4)
         print(
             f"# {name} [noop]: {noop_timings[name]:.3f}s median of "
             f"{[round(s, 3) for s in samples]}",
             file=sys.stderr,
         )
     spark.sparkContext.setJobDescription(None)
-
-    def med(xs: list[float]) -> float:
-        return sorted(xs)[len(xs) // 2]
 
     cal = med(cal_pre)
     # Within-run spread across BOTH ends' samples, relative to the pre

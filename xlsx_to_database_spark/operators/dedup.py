@@ -587,10 +587,12 @@ def connected_components(
     # DOUBLE round still certifies the fixpoint exactly (if the first
     # inner round changed any label the sum strictly fell); the
     # converged result is identical, at the cost of one overshoot
-    # propagation at the fixpoint. The loop bound still permits
-    # >= max_iter propagations.
-    for _ in range(max_iter // 2 + 1):
-        for _ in range(2):
+    # propagation at the fixpoint. Total propagations remain capped at
+    # exactly max_iter (an odd bound makes the final action a single
+    # round).
+    done = 0
+    while done < max_iter:
+        for _ in range(min(2, max_iter - done)):
             prop = sym.join(labels, sym.s == labels.n).select(
                 F.col("d").alias("n"), F.col("lbl")
             )
@@ -599,6 +601,7 @@ def connected_components(
                 .groupBy("n")
                 .agg(F.min("lbl").alias("lbl"))
             )
+            done += 1
         labels = labels.localCheckpoint(eager=True)
         cur_sum = labels.agg(F.sum(F.col("lbl").cast("decimal(38,0)"))).collect()[0][0]
         if cur_sum == prev_sum:

@@ -625,26 +625,35 @@ def _sq_l2_sql(a_sql: str, b_vals) -> str:
     )
 
 
-def _cos_sim_sql(a_sql: str, b_vals, decimals: int = 6) -> str:
-    """SQL-text twin of ``cosine_sim(col, literal-array)`` — identical
-    dot/norm folds, identical rounding."""
-    arr = _arr_sql(b_vals)
-    dot = (
-        f"aggregate(zip_with({a_sql}, {arr}, "
+def _dot_sql(a_sql: str, b_sql: str) -> str:
+    """SQL-text twin of :func:`_dot` — same casts, same sequential
+    left-to-right 0.0D fold. Shared by every SQL-text cosine/dot site
+    (r14: the per-op private copies were a drift surface for the
+    bit-identical-cosine contract)."""
+    return (
+        f"aggregate(zip_with({a_sql}, {b_sql}, "
         "(x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)), "
         "0.0D, (acc, x) -> acc + x)"
     )
-    na = (
+
+
+def _norm_sql(a_sql: str) -> str:
+    """SQL-text twin of :func:`_norm`."""
+    return (
         f"sqrt(aggregate(transform({a_sql}, "
         "x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), "
         "0.0D, (acc, x) -> acc + x))"
     )
-    nb = (
-        f"sqrt(aggregate(transform({arr}, "
-        "x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), "
-        "0.0D, (acc, x) -> acc + x))"
+
+
+def _cos_sim_sql(a_sql: str, b_vals, decimals: int = 6) -> str:
+    """SQL-text twin of ``cosine_sim(col, literal-array)`` — identical
+    dot/norm folds, identical rounding."""
+    arr = _arr_sql(b_vals)
+    return (
+        f"round({_dot_sql(a_sql, arr)} / "
+        f"({_norm_sql(a_sql)} * {_norm_sql(arr)}), {decimals})"
     )
-    return f"round({dot} / ({na} * {nb}), {decimals})"
 
 
 def _slice_sql(vec_col: str, s: int, seg: int) -> str:

@@ -3344,21 +3344,12 @@ def sim_two_tier(spark: SparkSession, sf_dir: str) -> DataFrame:
     (guide §1.2 driver-latency class — the Column-DSL `_dot`/`_norm`/
     `cosine_sim` helpers cost ~0.5 s of py4j plan construction per
     call); the parsed form resolves to the identical expression tree
-    (same casts, same 0.0D folds, same round-6)."""
-
-    def dot_sql(a, b):
-        return (
-            f"aggregate(zip_with({a}, {b}, "
-            "(x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)), "
-            "0.0D, (acc, x) -> acc + x)"
-        )
-
-    def norm_sql(a):
-        return (
-            f"sqrt(aggregate(transform({a}, "
-            "x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), "
-            "0.0D, (acc, x) -> acc + x))"
-        )
+    (same casts, same 0.0D folds, same round-6), via the shared
+    `_dot_sql`/`_norm_sql` twins in operators/similarity.py."""
+    from xlsx_to_database_spark.operators.similarity import (
+        _dot_sql as dot_sql,
+        _norm_sql as norm_sql,
+    )
 
     e = table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
     e8 = "slice(embedding, 1, 8)"

@@ -2617,22 +2617,16 @@ def sim_maxsim(spark: SparkSession, sf_dir: str) -> DataFrame:
     r14: the 16 sub-cosine dot/norm folds are emitted as parsed SQL
     strings (guide §1.2 driver-latency class — the Column-DSL form
     cost ~3,800 py4j round-trips / ~1.3 s of plan construction per
-    call); the parsed form resolves to the identical expression tree
-    (same casts, same 0.0D folds, same round-before-greatest)."""
+    call) via the shared `_dot_sql`/`_norm_sql` twins in
+    operators/similarity.py — the same casts, the same sequential
+    0.0D folds (hence identical values), the same
+    round-before-greatest."""
+    from xlsx_to_database_spark.operators.similarity import (
+        _dot_sql as dot_sql,
+        _norm_sql as norm_sql,
+    )
+
     e = table(spark, sf_dir, "embeddings")
-
-    def norm_sql(arr):
-        return (
-            f"sqrt(aggregate({arr}, 0.0D, "
-            "(a, x) -> a + CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))"
-        )
-
-    def dot_sql(qa, da):
-        return (
-            f"aggregate(zip_with({qa}, {da}, "
-            "(a, b) -> CAST(a AS DOUBLE) * CAST(b AS DOUBLE)), "
-            "0.0D, (a, x) -> a + x)"
-        )
 
     base = e.selectExpr(
         "vec_id",

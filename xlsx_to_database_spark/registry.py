@@ -413,6 +413,11 @@ _REOPENED: frozenset[str] = frozenset({
     "dedup_cluster",
     "dedup_keep_best",
     "dedup_cluster_profile",
+    # ... and the other two connected_components callers (every op
+    # executing the restructured loop reopens, not just the dedup
+    # family).
+    "graph_connected_components",
+    "graph_modularity",
 })
 
 #: The driver evaluates this many registry-order entries per round
