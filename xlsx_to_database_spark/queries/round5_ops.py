@@ -1482,6 +1482,23 @@ def _boot_weight(key, r):
     )
 
 
+def _boot_weight_sql(key_sql: str, r: int) -> str:
+    """SQL-text twin of :func:`_boot_weight` — same pmod hash, same
+    integer-threshold compares, same long casts and sum order (r14,
+    guide §1.2 driver-latency class: the Column-DSL form cost ~15k
+    py4j round-trips / ~3.5 s of plan construction per call across
+    the 64 replicates)."""
+    h = (
+        f"pmod({key_sql} * 1103515245L + {(r + 1) * 2654435761}L, "
+        "2147483648L)"
+    )
+    return (
+        f"(CAST({h} >= {_BOOT_T[0]}L AS BIGINT) "
+        f"+ CAST({h} >= {_BOOT_T[1]}L AS BIGINT) "
+        f"+ CAST({h} >= {_BOOT_T[2]}L AS BIGINT))"
+    )
+
+
 @query(
     "stat_bootstrap_ci",
     f"""
@@ -1537,25 +1554,26 @@ def stat_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
     is one scan + 128 long-typed running partials per task (7.1 s for
     20M rows × 64 reps on local[32], tools/scale_smoke.py --big)."""
     o = table(spark, sf_dir, "orders")
-    xc = F.round(F.col("o_totalprice") * 100).cast("long")
-    key = F.col("o_orderkey")
+    # r14: the 2·B+2 aggregate expressions and the B rep-mean array are
+    # emitted as parsed SQL (identical expression trees; _boot_weight's
+    # SQL twin carries the same casts and term order) — the Column-DSL
+    # form cost ~3.5 s of py4j plan construction per call.
+    xc_sql = "CAST(round(o_totalprice * 100) AS BIGINT)"
     aggs = []
     for r in range(_BOOT_B):
-        w = _boot_weight(key, r)
-        aggs.append(F.sum(w * xc).alias(f"s{r}"))
-        aggs.append(F.sum(w).alias(f"n{r}"))
-    aggs.append(F.sum(xc).alias("sx"))
-    aggs.append(F.count(F.lit(1)).alias("nx"))
-    one = o.agg(*aggs)
-    means = one.select(
-        F.explode(
-            F.array(*[
-                (F.col(f"s{r}").cast("double") / F.col(f"n{r}") / 100.0
-                 ).alias("m")
-                for r in range(_BOOT_B)
-            ])
-        ).alias("m"),
-        (F.col("sx").cast("double") / F.col("nx") / 100.0).alias("point"),
+        w = _boot_weight_sql("o_orderkey", r)
+        aggs.append(f"sum({w} * {xc_sql}) AS s{r}")
+        aggs.append(f"sum({w}) AS n{r}")
+    aggs.append(f"sum({xc_sql}) AS sx")
+    aggs.append("count(1) AS nx")
+    one = o.groupBy().agg(*[F.expr(a) for a in aggs])
+    means = one.selectExpr(
+        "explode(array("
+        + ", ".join(
+            f"CAST(s{r} AS DOUBLE) / n{r} / 100.0D" for r in range(_BOOT_B)
+        )
+        + ")) AS m",
+        "CAST(sx AS DOUBLE) / nx / 100.0D AS point",
     )
     return means.agg(
         F.count(F.lit(1)).alias("n_reps"),
