@@ -703,33 +703,35 @@ def ml_naive_bayes(spark: SparkSession, sf_dir: str) -> DataFrame:
     tot = lt.agg(
         F.sum("c_lt").alias("n"), F.countDistinct("tok").alias("v")
     )
-    num = (F.col("c_lt") + 1).cast("decimal(19,0)") * F.col("n").cast(
-        "decimal(19,0)"
-    )
-    den = (F.col("n_l") + F.col("v")).cast("decimal(19,0)") * F.col(
-        "c_t"
-    ).cast("decimal(19,0)")
+    # r14 dragnet: the lift expression and rank/final selects are
+    # parsed SQL (identical trees — same DECIMAL(19,0) products, the
+    # same double division, window and casts); the Column-DSL form
+    # cost ~650 py4j round-trips of plan construction per call.
     scored = (
         lt.filter(F.col("c_lt") >= 5)
         .join(lc, "lang")
         .join(tc, "tok")
         .crossJoin(F.broadcast(tot))
-        .select(
+        .selectExpr(
             "lang", "tok", "c_lt",
-            (num.cast("double") / den.cast("double")).alias("lift"),
+            "CAST(CAST(c_lt + 1 AS DECIMAL(19,0))"
+            " * CAST(n AS DECIMAL(19,0)) AS DOUBLE)"
+            " / CAST(CAST(n_l + v AS DECIMAL(19,0))"
+            " * CAST(c_t AS DECIMAL(19,0)) AS DOUBLE) AS lift",
         )
     )
-    rk = F.row_number().over(
-        Window.partitionBy("lang").orderBy(F.col("lift").desc(), "tok")
-    )
     return (
-        scored.withColumn("rk", rk)
+        scored.selectExpr(
+            "*",
+            "row_number() OVER (PARTITION BY lang"
+            " ORDER BY lift DESC, tok) AS rk",
+        )
         .filter(F.col("rk") <= 3)
-        .select(
+        .selectExpr(
             "lang", "tok",
-            F.col("c_lt").cast("long").alias("cnt"),
-            F.round("lift", 6).alias("nb_lift"),
-            F.col("rk").cast("int").alias("rk"),
+            "CAST(c_lt AS BIGINT) AS cnt",
+            "round(lift, 6) AS nb_lift",
+            "CAST(rk AS INT) AS rk",
         )
     )
 
@@ -3042,61 +3044,59 @@ def ml_knn_classify(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Determinism: sims rounded to 6 BEFORE ranking with vec_id
     tie-break; vote argmax tie-breaks on the smaller label."""
+    # r14 dragnet: the per-row norm aggregate, the broadcast-scored
+    # cosine, and both rank windows are parsed SQL (identical trees —
+    # note the norm keeps this op's ORIGINAL direct-aggregate fold,
+    # a + CAST(x)·CAST(x), not the transform-then-aggregate _norm
+    # shape); the Column-DSL form cost ~900 py4j round-trips of plan
+    # construction per call.
     e = table(spark, sf_dir, "embeddings")
-    xd = lambda x: x.cast("double")  # noqa: E731
-    n = e.select(
+    n = e.selectExpr(
         "vec_id",
         "label",
-        F.col("embedding").alias("e"),
-        F.sqrt(
-            F.aggregate(
-                F.col("embedding"), F.lit(0.0), lambda a, x: a + xd(x) * xd(x)
-            )
-        ).alias("nrm"),
+        "embedding AS e",
+        "sqrt(aggregate(embedding, 0.0D,"
+        " (a, x) -> a + CAST(x AS DOUBLE) * CAST(x AS DOUBLE))) AS nrm",
     )
-    q = n.filter(F.col("vec_id") < 10).select(
-        F.col("vec_id").alias("qid"),
-        F.col("label").alias("true_label"),
-        F.col("e").alias("qe"),
-        F.col("nrm").alias("qn"),
+    q = n.filter(F.col("vec_id") < 10).selectExpr(
+        "vec_id AS qid", "label AS true_label", "e AS qe", "nrm AS qn"
     )
-    dot = F.aggregate(
-        F.zip_with(F.col("e"), F.col("qe"), lambda a, b: xd(a) * xd(b)),
-        F.lit(0.0),
-        lambda a, x: a + x,
+    dot = (
+        "aggregate(zip_with(e, qe,"
+        " (a, b) -> CAST(a AS DOUBLE) * CAST(b AS DOUBLE)),"
+        " 0.0D, (a, x) -> a + x)"
     )
     scored = (
         n.crossJoin(F.broadcast(q))
         .filter(F.col("vec_id") != F.col("qid"))
-        .select(
-            "qid",
-            "true_label",
-            "vec_id",
-            "label",
-            F.round(dot / (F.col("nrm") * F.col("qn")), 6).alias("sim"),
+        .selectExpr(
+            "qid", "true_label", "vec_id", "label",
+            f"round({dot} / (nrm * qn), 6) AS sim",
         )
     )
-    rk = F.row_number().over(
-        Window.partitionBy("qid").orderBy(F.col("sim").desc(), "vec_id")
-    )
     votes = (
-        scored.withColumn("rk", rk)
+        scored.selectExpr(
+            "*",
+            "row_number() OVER (PARTITION BY qid"
+            " ORDER BY sim DESC, vec_id) AS rk",
+        )
         .filter(F.col("rk") <= 5)
         .groupBy("qid", "true_label", "label")
         .agg(F.count(F.lit(1)).alias("c"))
     )
-    pr = F.row_number().over(
-        Window.partitionBy("qid").orderBy(F.col("c").desc(), "label")
-    )
     return (
-        votes.withColumn("pr", pr)
+        votes.selectExpr(
+            "*",
+            "row_number() OVER (PARTITION BY qid"
+            " ORDER BY c DESC, label) AS pr",
+        )
         .filter(F.col("pr") == 1)
-        .select(
-            F.col("qid").alias("vec_id"),
+        .selectExpr(
+            "qid AS vec_id",
             "true_label",
-            F.col("label").alias("predicted"),
-            F.col("c").cast("long").alias("votes"),
-            (F.col("label") == F.col("true_label")).alias("correct"),
+            "label AS predicted",
+            "CAST(c AS BIGINT) AS votes",
+            "label = true_label AS correct",
         )
     )
 
@@ -3553,62 +3553,49 @@ def ml_roc_auc(spark: SparkSession, sf_dir: str) -> DataFrame:
     Exact: all masses are integer products in DECIMAL(38,0); AUC and J
     are shared double expressions (J rounded to 9 before the argmax,
     threshold tie-break = smallest score)."""
+    # r14 dragnet: the histogram selects, prefix-sum windows and final
+    # AUC expression are parsed SQL (identical trees — same
+    # DECIMAL(38,0) masses, frames, rounds and casts); the Column-DSL
+    # form cost ~1,050 py4j round-trips of plan construction per call.
     o = table(spark, sf_dir, "orders")
-    cells = o.groupBy(
-        F.floor(F.col("o_totalprice") / 5000).cast("long").alias("s")
-    ).agg(
-        F.count(F.lit(1)).alias("n"),
-        F.count_if(F.col("o_orderstatus") == "F").alias("pos"),
+    cells = o.selectExpr(
+        "CAST(floor(o_totalprice / 5000) AS BIGINT) AS s", "o_orderstatus"
+    ).groupBy("s").agg(
+        F.expr("count(1) AS n"),
+        F.expr("count_if(o_orderstatus = 'F') AS pos"),
     )
     cells = cells.localCheckpoint(eager=True)
-    tot = cells.agg(
-        F.sum("pos").alias("p"), F.sum(F.col("n") - F.col("pos")).alias("q")
-    )
-    wneg = Window.orderBy("s").rowsBetween(Window.unboundedPreceding, -1)
-    conc_ties = cells.select(
-        "s",
-        "pos",
-        "n",
-        F.coalesce(
-            F.sum(F.col("n") - F.col("pos")).over(wneg), F.lit(0)
-        ).alias("neg_below"),
+    tot = cells.agg(F.expr("sum(pos) AS p"), F.expr("sum(n - pos) AS q"))
+    conc_ties = cells.selectExpr(
+        "s", "pos", "n",
+        "coalesce(sum(n - pos) OVER (ORDER BY s ROWS BETWEEN UNBOUNDED"
+        " PRECEDING AND 1 PRECEDING), 0) AS neg_below",
     ).agg(
-        F.sum(
-            F.col("pos").cast("decimal(38,0)") * F.col("neg_below")
-        ).alias("conc"),
-        F.sum(
-            F.col("pos").cast("decimal(38,0)") * (F.col("n") - F.col("pos"))
-        ).alias("ties"),
+        F.expr("sum(CAST(pos AS DECIMAL(38,0)) * neg_below) AS conc"),
+        F.expr("sum(CAST(pos AS DECIMAL(38,0)) * (n - pos)) AS ties"),
     )
-    wrev = Window.orderBy(F.col("s").desc()).rowsBetween(
-        Window.unboundedPreceding, Window.currentRow
-    )
-    sweep = cells.select(
+    sweep = cells.selectExpr(
         "s",
-        F.sum("pos").over(wrev).alias("tp"),
-        F.sum(F.col("n") - F.col("pos")).over(wrev).alias("fp"),
+        "sum(pos) OVER (ORDER BY s DESC ROWS BETWEEN UNBOUNDED PRECEDING"
+        " AND CURRENT ROW) AS tp",
+        "sum(n - pos) OVER (ORDER BY s DESC ROWS BETWEEN UNBOUNDED"
+        " PRECEDING AND CURRENT ROW) AS fp",
     )
-    youden = sweep.crossJoin(F.broadcast(tot)).select(
+    youden = sweep.crossJoin(F.broadcast(tot)).selectExpr(
         "s",
-        F.round(
-            F.col("tp").cast("double") / F.col("p")
-            - F.col("fp").cast("double") / F.col("q"),
-            9,
-        ).alias("j"),
+        "round(CAST(tp AS DOUBLE) / p - CAST(fp AS DOUBLE) / q, 9) AS j",
     )
-    best = youden.orderBy(F.col("j").desc(), "s").limit(1).select(
-        (F.col("s") * 5000).cast("long").alias("youden_threshold"),
-        F.col("j").alias("youden_j"),
+    best = youden.orderBy(F.col("j").desc(), "s").limit(1).selectExpr(
+        "CAST(s * 5000 AS BIGINT) AS youden_threshold",
+        "j AS youden_j",
     )
-    pd_, qd = F.col("p").cast("double"), F.col("q").cast("double")
     return (
         conc_ties.crossJoin(F.broadcast(tot))
-        .select(
-            F.round(
-                F.col("conc").cast("double") / (pd_ * qd)
-                + F.lit(0.5) * F.col("ties").cast("double") / (pd_ * qd),
-                6,
-            ).alias("auc")
+        .selectExpr(
+            "round(CAST(conc AS DOUBLE)"
+            " / (CAST(p AS DOUBLE) * CAST(q AS DOUBLE))"
+            " + 0.5D * CAST(ties AS DOUBLE)"
+            " / (CAST(p AS DOUBLE) * CAST(q AS DOUBLE)), 6) AS auc"
         )
         .crossJoin(F.broadcast(best))
     )
